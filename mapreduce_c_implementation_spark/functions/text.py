@@ -1,0 +1,45 @@
+"""Column-expression helpers shared by the text operators.
+
+Tokenizer parity with the reference Map (/root/reference/src/main.c:28-59):
+C ``isalnum``/``tolower`` in the C locale are ASCII-only, and tokens are
+capped at 255 bytes (a longer alnum run keeps its first 255 chars; the
+tail is dropped, NOT emitted as a second token).  We therefore:
+
+1. split on the ASCII class ``[^a-zA-Z0-9]+`` (never ``\\W``/``\\p{Alnum}``,
+   which are Unicode-aware);
+2. lowercase AFTER splitting — the surviving tokens are pure ASCII, where
+   Spark/DuckDB Unicode ``lower`` coincides exactly with C ``tolower``;
+3. truncate to 255 chars (== bytes for ASCII-only tokens).
+
+All pure JVM column expressions — no Python UDFs — so the whole map stage
+stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_DELIM_REGEX = "[^a-zA-Z0-9]+"
+MAX_TOKEN_CHARS = 255  # reference: char word[256] (src/main.c:38,42-44)
+
+
+def tokenize(text: Column) -> Column:
+    """text -> array<string> of lowercased ASCII-alnum tokens (no empties).
+
+    Equivalent DuckDB expression (oracle side):
+        list_transform(
+          list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'), t -> t <> ''),
+          t -> lower(substr(t, 1, 255)))
+    """
+    raw = F.split(text, TOKEN_DELIM_REGEX)
+    nonempty = F.filter(raw, lambda t: t != F.lit(""))
+    return F.transform(nonempty, lambda t: F.lower(F.substring(t, 1, MAX_TOKEN_CHARS)))
+
+
+# The DuckDB-side rendering of ``tokenize`` over a column named {col}.
+DUCKDB_TOKENIZE = (
+    "list_transform("
+    "list_filter(string_split_regex({col}, '[^a-zA-Z0-9]+'), t -> t <> ''), "
+    "t -> lower(substr(t, 1, 255)))"
+)

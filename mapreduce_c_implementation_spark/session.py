@@ -1,0 +1,74 @@
+"""SparkSession bootstrap.
+
+The reference's job config (``MR_Job`` — /root/reference/src/job.h:36-127,
+defaults {readers:1, mappers:20, reducers:40} at src/job.c:31-33) becomes
+plain Spark configuration: thread counts -> ``local[N]`` + shuffle
+partitions; the metrics subsystem -> Spark UI / listeners; output-dir
+management -> ``DataFrameWriter.mode``.
+
+Scale stance: these settings are written for the local[32]/128 GiB test
+box but chosen so the same code is correct on a 1000-executor cluster —
+AQE owns runtime partition coalescing and skew-join splitting, shuffle
+partitions are a starting hint that AQE re-plans, and nothing below pins
+single-node assumptions into query code.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Knobs that queries rely on semantically (timezone, ANSI-off) or that are
+# unambiguously right at any scale (AQE, arrow).  Applied both when we build
+# the session ourselves and when the driver hands us one.
+REQUIRED_RUNTIME_CONF = {
+    # DuckDB oracle comparison requires UTC-naive timestamp semantics.
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime partition coalescing, skew-join splitting, plan re-opt.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for every pandas_udf / applyInPandas / toPandas path.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def build_session(app_name: str = "mapreduce-spark-engine") -> SparkSession:
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # Start shuffle parallelism at core count; AQE coalesces down and
+        # splits skew up from here.  On a real cluster this would be
+        # executors*cores*2-3 — still just a hint under AQE.
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in REQUIRED_RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def ensure_runtime_conf(spark: SparkSession) -> SparkSession:
+    """Apply semantics-critical conf to an externally-built session.
+
+    The driver constructs its own SparkSession for smoke/correctness runs;
+    timezone and AQE must hold there too.  All keys in
+    REQUIRED_RUNTIME_CONF are runtime-settable.
+    """
+    for k, v in REQUIRED_RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-runtime-settable on some builds; defaults are close
+    return spark

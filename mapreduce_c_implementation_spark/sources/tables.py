@@ -1,0 +1,42 @@
+"""Parquet table loaders over the driver-generated fixtures.
+
+The reference's only source is local text files split into 256 KB
+record-boundary-safe chunks (/root/reference/src/reader_queue.c:180-337).
+Spark's file sources supply all of that (split planning, boundary safety,
+parallel reads) via ``spark.read``; chunk size is the
+``spark.sql.files.maxPartitionBytes`` config, not code.
+
+At 100 TB these parquet reads are the scan layer: column pruning and
+predicate pushdown happen because every operator selects/filters on the
+DataFrame before any wide transform — assert via plans.scan_pushdown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Driver star schema + event stream + LLM-pipeline tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (for spark.sql paths)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

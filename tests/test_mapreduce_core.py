@@ -1,0 +1,53 @@
+"""Reference-surface operators (SURVEY.md §2.1) vs the DuckDB oracle."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.oracle import assert_matches_oracle
+
+CORE_OPS = [
+    "tokenize_flatmap",
+    "word_count",
+    "inverted_index",
+    "inverted_index_formatted",
+    "distinct_pairs",
+    "word_count_topk",
+    "sorted_word_count",
+    "input_lineage",
+]
+
+
+@pytest.mark.parametrize("name", CORE_OPS)
+def test_matches_oracle_sf001(spark, sf_correct, name):
+    assert_matches_oracle(spark, name, sf_correct)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.limit(5).collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"word", "postings", "doc_count"}
+
+
+def test_contract_shapes():
+    import __spark_entry__ as e
+
+    q = e.queries()
+    o = e.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= len(CORE_OPS)
+
+
+def test_tokenizer_truncates_at_255(spark):
+    from pyspark.sql import functions as F
+
+    from mapreduce_c_implementation_spark.functions.text import tokenize
+
+    long_tok = "a" * 300
+    df = spark.createDataFrame([(f"x {long_tok} Y,b2",)], ["text"])
+    toks = df.select(F.explode(tokenize(F.col("text"))).alias("w")).collect()
+    words = [r.w for r in toks]
+    assert words == ["x", "a" * 255, "y", "b2"]
