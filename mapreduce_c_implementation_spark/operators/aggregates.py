@@ -1,1 +1,324 @@
-"""Placeholder — operators land in a later phase."""
+"""Typed grouped aggregation (SURVEY.md §2 #14/#16 on typed data, §2.2).
+
+The reference's aggregation machinery is map-side hash grouping with a
+combiner plus reduce-side per-group fold (src/buffer.c:88-176,
+src/reduce.c:64-84).  On typed tables that pattern is ``groupBy().agg``;
+Catalyst's partial/final HashAggregate supplies the combiner.  Grouping
+sets / cube / rollup / approx sketches are capabilities the reference
+lacks (SURVEY §2.2) supplied by Spark built-ins.
+
+Scale: every query here is one shuffle on the grouping key, map-side
+pre-aggregated.  Low-cardinality keys (l_returnflag: 3 values) are fine
+because partial aggregation collapses each map partition to ~|groups|
+rows before the exchange — the same reason the reference's combiner cut
+shuffle 83%.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_c_implementation_spark.functions.exactagg import (
+    dec,
+    exact_avg,
+    exact_sum,
+    sql_exact_avg,
+    sql_exact_sum,
+)
+from mapreduce_c_implementation_spark.registry import register
+from mapreduce_c_implementation_spark.sources import load_table
+
+
+@register(
+    "tpch_q1",
+    oracle_sql=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_exact_sum("l_quantity")} AS sum_qty,
+           {sql_exact_sum("l_extendedprice")} AS sum_base_price,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+                         (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))
+                AS DECIMAL(30,6)) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+                         (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) *
+                         (CAST(1 AS DECIMAL(18,6)) + CAST(l_tax AS DECIMAL(18,6))))
+                AS DECIMAL(30,6)) AS DOUBLE) AS sum_charge,
+           {sql_exact_avg("l_quantity")} AS avg_qty,
+           {sql_exact_avg("l_extendedprice")} AS avg_price,
+           {sql_exact_avg("l_discount")} AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("aggregate", "headline"),
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary — the word-count pattern on typed data.
+
+    Reference analog: Map emit + combiner partial-sum + Reduce fold
+    (src/mapreduce.h:110-119).  Fixed-point sums (see exactagg) keep the
+    differential oracle bit-exact.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(18,6)")
+    disc_price = dec("l_extendedprice") * (one - dec("l_discount"))
+    charge = disc_price * (one + dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum("l_quantity").alias("sum_qty"),
+            exact_sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(30,6)").cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(30,6)").cast("double").alias("sum_charge"),
+            exact_avg("l_quantity").alias("avg_qty"),
+            exact_avg("l_extendedprice").alias("avg_price"),
+            exact_avg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q6",
+    oracle_sql="""
+    SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+                         CAST(l_discount AS DECIMAL(18,6)))
+               AS DECIMAL(30,6)) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("aggregate", "filter", "headline"),
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter + project + global aggregate (TPC-H Q6 shape).
+
+    The filter/projection lives in the reference's Map callback
+    (SURVEY §2 row 5 note); here it's declarative so Catalyst pushes the
+    shipdate/discount/quantity predicates into the parquet scan —
+    asserted in tests/test_plans.py.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount"))
+            .cast("decimal(30,6)")
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "agg_minmax_orders",
+    oracle_sql="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price,
+           min(o_orderdate) AS first_order,
+           max(o_orderdate) AS last_order,
+           count(DISTINCT o_custkey) AS n_customers
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("aggregate",),
+)
+def agg_minmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/count/count_distinct — order-insensitive aggregates
+    (exact double min/max need no fixed-point treatment)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+            F.count_distinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+@register(
+    "count_distinct_parts",
+    oracle_sql="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "distinct"),
+)
+def count_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi count-distinct in one pass (reference analog: doc_count in
+    the oracle, SimpleInvertedIndex/inverted_index.c:72)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_partkey").alias("n_parts"),
+            F.count_distinct("l_suppkey").alias("n_supps"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "rollup_sales",
+    oracle_sql=f"""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           {sql_exact_sum("l_quantity")} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("aggregate", "grouping-sets"),
+)
+def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP — hierarchical subtotals (absent in reference, SURVEY §2.2)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), exact_sum("l_quantity").alias("sum_qty"))
+    )
+
+
+@register(
+    "cube_sales",
+    oracle_sql=f"""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           {sql_exact_sum("l_extendedprice")} AS sum_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("aggregate", "grouping-sets"),
+)
+def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all grouping combinations."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), exact_sum("l_extendedprice").alias("sum_price"))
+    )
+
+
+@register(
+    "grouping_sets_sales",
+    oracle_sql=f"""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           {sql_exact_sum("l_quantity")} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+    tags=("aggregate", "grouping-sets"),
+)
+def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL surface (same Catalyst Expand
+    operator as cube/rollup — one scan, one shuffle)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(30,6))
+                    AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+        """
+    )
+
+
+@register(
+    "approx_count_distinct_check",
+    oracle_sql="""
+    SELECT l_returnflag, true AS approx_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "approx"),
+)
+def approx_count_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch (approx_count_distinct) validated against the exact
+    count within 5% — the sketch value itself is implementation-defined,
+    so the oracle-checkable output is the tolerance verdict.
+
+    Scale: HLL is THE count-distinct at 100 TB (constant memory per
+    group vs a shuffle-heavy exact distinct).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_nd"),
+        F.count_distinct("l_partkey").alias("exact_nd"),
+    )
+    return agg.select(
+        "l_returnflag",
+        (
+            F.abs(F.col("approx_nd") - F.col("exact_nd"))
+            / F.col("exact_nd")
+            < F.lit(0.05)
+        ).alias("approx_ok"),
+    )
+
+
+@register(
+    "approx_quantile_check",
+    oracle_sql="""
+    SELECT o_orderpriority, true AS quantile_ok
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("aggregate", "approx"),
+)
+def approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (t-digest-ish sketch) vs the exact percentile,
+    within 2% relative — same tolerance-verdict pattern as the HLL check."""
+    od = load_table(spark, sf_dir, "orders")
+    agg = od.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_med"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_med"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        (
+            F.abs(F.col("approx_med") - F.col("exact_med")) / F.col("exact_med")
+            < F.lit(0.02)
+        ).alias("quantile_ok"),
+    )
+
+
+@register(
+    "histogram_events",
+    oracle_sql="""
+    SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("aggregate", "histogram"),
+)
+def histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram — floor-bucket then count (single IEEE
+    division + floor: bit-identical across engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.floor(F.col("value") / 50.0).cast("long").alias("bucket"))
+        .agg(F.count("*").alias("n"), F.count_distinct("user_id").alias("n_users"))
+    )

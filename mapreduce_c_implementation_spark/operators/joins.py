@@ -1,1 +1,287 @@
-"""Placeholder — operators land in a later phase."""
+"""Joins across the star schema (absent in the reference — SURVEY.md §2.2:
+"a MapReduce join is expressible in the model but not implemented").
+
+Strategy selection is the scale-critical part:
+- dims (region 5 / nation 25 / supplier rows) -> ``F.broadcast`` so the
+  fact side never shuffles for the join;
+- fact⋈fact (orders⋈lineitem) -> shuffle join on the key, where AQE
+  handles skew splitting; both sides arrive pre-filtered/pruned;
+- range/as-of joins -> bucketize to an equi-join (a raw non-equi join is
+  a broadcast-nested-loop — O(n·m) — and a 100 TB anti-pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_c_implementation_spark.functions.exactagg import (
+    dec,
+    exact_sum,
+    sql_exact_sum,
+)
+from mapreduce_c_implementation_spark.registry import register
+from mapreduce_c_implementation_spark.sources import load_table
+
+
+@register(
+    "join_star_broadcast",
+    oracle_sql=f"""
+    SELECT r.r_name,
+           count(*) AS n_customers,
+           {sql_exact_sum("c.c_acctbal")} AS sum_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    tags=("join", "broadcast", "headline"),
+)
+def join_star_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ dim ⋈ dim with explicit broadcast of both dims: zero
+    shuffle for the joins (only the final agg exchanges)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            exact_sum("c_acctbal").alias("sum_acctbal"),
+        )
+    )
+
+
+@register(
+    "join_orders_lineitem",
+    oracle_sql=f"""
+    SELECT o.o_orderpriority,
+           count(*) AS n_items,
+           {sql_exact_sum("l.l_extendedprice")} AS sum_price
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("join", "shuffle", "headline"),
+)
+def join_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The big fact⋈fact equi-join.  Both sides hash-exchange on the
+    order key (sort-merge or shuffled-hash per Catalyst/AQE); the date
+    predicate is pushed into the orders scan before the join."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_items"), exact_sum("l_extendedprice").alias("sum_price"))
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle_sql="""
+    SELECT n_items, count(*) AS n_orders
+    FROM (
+      SELECT o.o_orderkey, count(l.l_orderkey) AS n_items
+      FROM orders o
+      LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey
+    )
+    GROUP BY n_items
+    """,
+    tags=("join", "outer"),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving orders with zero lineitems (the fixture
+    guarantees some — FIXTURES.md §2), then a distribution over match
+    counts.  count(l.l_orderkey) counts non-NULL matches only."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        o.join(li, li.l_orderkey == o.o_orderkey, "left")
+        .groupBy("o_orderkey")
+        .agg(F.count("l_orderkey").alias("n_items"))
+    )
+    return per_order.groupBy("n_items").agg(F.count("*").alias("n_orders"))
+
+
+@register(
+    "join_semi",
+    oracle_sql="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "semi"),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join == EXISTS: orders having at least one high-quantity
+    item.  Semi joins ship only the key column of the probe side."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "join_anti",
+    oracle_sql="""
+    SELECT o_orderstatus, count(*) AS n_orders
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    GROUP BY o_orderstatus
+    """,
+    tags=("join", "anti"),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join == NOT EXISTS: orders with no lineitems at all
+    (the dangling-order rows the fixture plants)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle_sql="""
+    SELECT COALESCE(a.o_custkey, b.c_custkey) AS custkey,
+           COALESCE(a.n_orders, 0) AS n_orders,
+           (b.c_custkey IS NOT NULL) AS known_customer
+    FROM (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) a
+    FULL OUTER JOIN customer b ON a.o_custkey = b.c_custkey
+    """,
+    tags=("join", "outer"),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of per-customer order counts against the customer
+    dim — rows survive from both unmatched sides."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    per_cust = o.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    j = per_cust.join(c, per_cust.o_custkey == c.c_custkey, "full_outer")
+    return j.select(
+        F.coalesce(F.col("o_custkey"), F.col("c_custkey")).alias("custkey"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.col("c_custkey").isNotNull().alias("known_customer"),
+    )
+
+
+@register(
+    "join_cross",
+    oracle_sql="""
+    SELECT r.r_name, n.n_name
+    FROM region r
+    CROSS JOIN nation n
+    """,
+    tags=("join", "cross"),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two (small!) dims.  Only ever sane when one
+    side broadcasts; at scale a cross join against a fact table is the
+    #1 plan bug to reject."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(F.broadcast(n)).select("r_name", "n_name")
+
+
+@register(
+    "join_range_bucketed",
+    oracle_sql="""
+    SELECT o.o_orderkey, count(e.event_id) AS n_events
+    FROM orders o
+    JOIN events e
+      ON e.ts >= TIMESTAMP '2024-01-01' + INTERVAL (o.o_orderkey % 30) DAY
+     AND e.ts <  TIMESTAMP '2024-01-01' + INTERVAL ((o.o_orderkey % 30) + 1) DAY
+    WHERE o.o_orderkey % 200 = 0
+    GROUP BY o.o_orderkey
+    """,
+    tags=("join", "range"),
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join, bucketized to an equi-join (SURVEY §2.2 "range/as-of").
+
+    Each order maps to a 1-day window; rather than a non-equi condition
+    (which Catalyst executes as a broadcast-nested-loop — quadratic),
+    both sides compute the DAY BUCKET and equi-join on it.  Since each
+    window is exactly one bucket wide no residual filter is needed; for
+    general ranges you join on bucket then re-filter.  This is the
+    linear-time 100 TB formulation of interval joins.
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 200 == 0)
+        .select("o_orderkey", (F.col("o_orderkey") % 30).alias("day_bucket"))
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("day_bucket"),
+    )
+    return (
+        o.join(e, "day_bucket", "inner")
+        .groupBy("o_orderkey")
+        .agg(F.count("event_id").alias("n_events"))
+    )
+
+
+@register(
+    "join_asof_nearest",
+    oracle_sql="""
+    SELECT e.event_id,
+           (SELECT max(o.o_orderdate) FROM orders o
+             WHERE o.o_orderdate <= e.day_anchor) AS asof_orderdate
+    FROM (SELECT event_id,
+                 TIMESTAMP '1996-01-01' + INTERVAL (user_id % 2000) DAY AS day_anchor
+          FROM events WHERE event_id % 50 = 0) e
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each probe timestamp, the latest order date <= it.
+
+    Implemented as a composition of built-ins (SURVEY custom-operator
+    rule (a)): the reference side collapses to its DISTINCT order dates
+    (dim-sized — days, not orders), which broadcasts; the <= condition
+    then runs as a broadcast nested loop over that tiny side and a
+    per-probe max picks the as-of row.  At 100 TB the probe side stays
+    fully distributed and never shuffles.  For fact-fact as-of (both
+    sides huge), see the merge_asof-in-applyInPandas variant
+    (operators/windows.py), which co-partitions by key.
+    """
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 50 == 0)
+        .select(
+            "event_id",
+            F.timestamp_add(
+                "DAY",
+                (F.col("user_id") % 2000).cast("int"),
+                F.lit("1996-01-01").cast("timestamp"),
+            ).alias("day_anchor"),
+        )
+    )
+    # Distinct order dates: dim-sized (days in range), broadcastable.
+    dates = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderdate").alias("d"))
+        .distinct()
+    )
+    j = e.join(F.broadcast(dates), dates.d <= e.day_anchor, "left")
+    # Left join keeps probes with no matching date (d = NULL), so the
+    # group-max yields NULL for them — no re-join with e needed.
+    return j.groupBy("event_id").agg(F.max("d").alias("asof_orderdate"))

@@ -1,1 +1,268 @@
-"""Placeholder — operators land in a later phase."""
+"""Scalar function pack (SURVEY.md §2.2: string/date/math/array/json).
+
+The reference's only scalar functions are ``tolower``/``isalnum``/
+``atoi`` inside user callbacks (src/main.c:41-44, src/mapreduce.h:115);
+everything here is Spark built-ins, chosen and cast so DuckDB computes
+bit-identical values (ints -> BIGINT, single-rounding IEEE double ops
+only, no locale- or tz-dependent functions outside UTC).
+
+All pure column expressions — full whole-stage codegen, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_c_implementation_spark.registry import register
+from mapreduce_c_implementation_spark.sources import load_table
+
+
+@register(
+    "string_functions",
+    oracle_sql="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           lower(p_brand) AS brand_lower,
+           substr(p_name, 1, 5) AS name_prefix,
+           replace(p_type, ' ', '_') AS type_snake,
+           concat(p_brand, ':', p_type) AS brand_type,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           trim('  ' || p_brand || ' ') AS brand_trimmed,
+           reverse(p_brand) AS brand_rev,
+           CAST(strpos(p_name, 'a') AS BIGINT) AS first_a
+    FROM part
+    """,
+    tags=("scalar", "string"),
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar pack over part (ASCII fixture data, so Unicode-vs-
+    ASCII semantics don't diverge; instr/strpos are 1-based in both)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit(" "))).alias(
+            "brand_trimmed"
+        ),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+        F.instr(F.col("p_name"), "a").cast("long").alias("first_a"),
+    )
+
+
+@register(
+    "date_functions",
+    oracle_sql="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(month(o_orderdate) AS BIGINT) AS order_month,
+           CAST(day(o_orderdate) AS BIGINT) AS order_day,
+           CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter,
+           date_trunc('month', o_orderdate) AS month_start,
+           o_orderdate + INTERVAL 30 DAY AS due_ts,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)
+             AS days_since_epoch_start,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date_str
+    FROM orders
+    """,
+    tags=("scalar", "date"),
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar pack over orders (UTC session — SURVEY §7).
+    Avoids dayofweek (Spark 1=Sunday vs DuckDB 0=Sunday) by design."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        F.quarter("o_orderdate").cast("long").alias("order_quarter"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.timestamp_add("DAY", F.lit(30), F.col("o_orderdate")).alias("due_ts"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
+    )
+
+
+@register(
+    "math_functions",
+    oracle_sql="""
+    SELECT l_orderkey, l_linenumber, l_partkey,
+           abs(l_extendedprice - 50000.0) AS abs_diff,
+           round(l_extendedprice, 1) AS price_round,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+           sqrt(l_quantity) AS qty_sqrt,
+           l_partkey % 7 AS partkey_mod,
+           CAST(greatest(l_quantity, 25.0) AS DOUBLE) AS qty_hi,
+           CAST(least(l_quantity, 25.0) AS DOUBLE) AS qty_lo,
+           CAST(sign(l_extendedprice - 50000.0) AS DOUBLE) AS price_sign
+    FROM lineitem
+    """,
+    tags=("scalar", "math"),
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar pack — only IEEE-correctly-rounded ops (abs, sqrt,
+    floor/ceil, mod); transcendentals (ln/exp) are excluded from oracle
+    checks since libm vs JDK may differ in the last ulp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.abs(F.col("l_extendedprice") - 50000.0).alias("abs_diff"),
+        F.round("l_extendedprice", 1).alias("price_round"),
+        F.floor("l_extendedprice").cast("long").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("long").alias("price_ceil"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_partkey") % 7).alias("partkey_mod"),
+        F.greatest(F.col("l_quantity"), F.lit(25.0)).cast("double").alias("qty_hi"),
+        F.least(F.col("l_quantity"), F.lit(25.0)).cast("double").alias("qty_lo"),
+        F.signum(F.col("l_extendedprice") - 50000.0).cast("double").alias("price_sign"),
+    )
+
+
+@register(
+    "json_functions",
+    oracle_sql="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+           (CAST(json_extract_string(props, '$.k') AS BIGINT) > 50) AS k_high
+    FROM events
+    """,
+    tags=("scalar", "json"),
+)
+def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from events.props (the driver fixture's JSON
+    column — FIXTURES.md §3) via get_json_object / from_json."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_num"),
+        (F.get_json_object("props", "$.k").cast("long") > 50).alias("k_high"),
+    )
+
+
+@register(
+    "array_functions",
+    oracle_sql="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'), t -> t <> ''),
+               t -> lower(substr(t, 1, 255))) AS tokens
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(tokens) AS BIGINT) AS n_tokens,
+           tokens[1] AS first_token,
+           tokens[-1] AS last_token,
+           array_to_string(list_sort(tokens)[1:3], '|') AS first3_sorted,
+           list_contains(tokens, 'data') AS has_data,
+           CAST(len(list_distinct(tokens)) AS BIGINT) AS n_distinct_tokens
+    FROM toks
+    """,
+    tags=("scalar", "array"),
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar pack over tokenized documents: size, indexing,
+    slice, sort, containment, distinct — all JVM-side array functions
+    (no explode, no shuffle: a purely narrow map)."""
+    from mapreduce_c_implementation_spark.functions.text import tokenize
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokenize(F.col("text")).alias("tokens"))
+    return toks.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        # try_element_at: NULL (not an ANSI error) on empty token arrays
+        F.try_element_at("tokens", F.lit(1)).alias("first_token"),
+        F.try_element_at("tokens", F.lit(-1)).alias("last_token"),
+        F.array_join(F.slice(F.sort_array("tokens"), 1, 3), "|").alias("first3_sorted"),
+        F.array_contains("tokens", "data").alias("has_data"),
+        F.size(F.array_distinct("tokens")).cast("long").alias("n_distinct_tokens"),
+    )
+
+
+@register(
+    "conditional_functions",
+    oracle_sql="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS balance_tier,
+           coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_masked,
+           (c_acctbal BETWEEN 0 AND 1000) AS small_positive,
+           if(c_nationkey % 2 = 0, 'even', 'odd') AS nation_parity
+    FROM customer
+    """,
+    tags=("scalar", "conditional"),
+)
+def conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / coalesce / nullif / between / if over customer."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("balance_tier"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER"))
+        .alias("segment_masked"),
+        F.col("c_acctbal").between(0, 1000).alias("small_positive"),
+        F.when(F.col("c_nationkey") % 2 == 0, "even").otherwise("odd").alias(
+            "nation_parity"
+        ),
+    )
+
+
+@register(
+    "filter_project_pushdown",
+    oracle_sql="""
+    SELECT l_orderkey, l_partkey, l_quantity,
+           (CAST(CAST(l_extendedprice AS DECIMAL(18,6)) *
+                 (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+            AS DOUBLE)) AS net_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_returnflag = 'R'
+      AND l_quantity > 40
+    """,
+    tags=("scalar", "filter", "pushdown"),
+)
+def filter_project_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level filter + computed projection — the reference does this
+    inside Map (SURVEY §2 row 5 note); declaratively, Catalyst pushes
+    all three predicates into the parquet scan and prunes to 6 columns
+    (asserted in tests/test_plans.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(18,6)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_returnflag") == "R")
+            & (F.col("l_quantity") > 40)
+        )
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            "l_quantity",
+            (
+                F.col("l_extendedprice").cast("decimal(18,6)")
+                * (one - F.col("l_discount").cast("decimal(18,6)"))
+            )
+            .cast("double")
+            .alias("net_price"),
+        )
+    )

@@ -1,1 +1,251 @@
-"""Placeholder — operators land in a later phase."""
+"""Window functions (absent in the reference — SURVEY.md §2.2).
+
+The closest reference concept is the sorted-key-per-partition contract
+(src/sorting.c + src/reduce.c:64-84): "see a partition's rows in key
+order" is exactly what ``Window.partitionBy(...).orderBy(...)`` gives,
+generalized with frames and ranking.
+
+Determinism rule (SURVEY §7 risk register): every orderBy includes a
+unique tiebreaker column (event_id / o_orderkey / p_partkey) so window
+results are a function of the data, not of partition layout.  Running
+double sums use the fixed-point trick from functions.exactagg.
+
+Scale: one window spec == one hash exchange on partitionBy keys + one
+in-partition sort.  Multiple window columns below share a single spec so
+Catalyst computes them in one Window operator, one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreduce_c_implementation_spark.functions.exactagg import dec
+from mapreduce_c_implementation_spark.registry import register
+from mapreduce_c_implementation_spark.sources import load_table
+
+
+@register(
+    "window_topk_per_group",
+    oracle_sql="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    """,
+    tags=("window", "topk", "headline"),
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — THE per-group top-k idiom
+    (row_number over partitioned desc order, filter <= k).  Scales as a
+    single shuffle+sort; no global sort, no collect."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle_sql="""
+    SELECT event_id, user_id, value,
+           lag(value)  OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           lag(event_type, 1, 'none') OVER w AS prev_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window", "lag"),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over each user's event timeline (event_id breaks ts
+    ties).  All three columns share one window spec -> one shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.lag("event_type", 1, "none").over(w).alias("prev_type"),
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle_sql="""
+    SELECT event_id, user_id,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DECIMAL(30,6)) AS DOUBLE) AS running_value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+    FROM events
+    """,
+    tags=("window", "running"),
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-user sum (frame = unbounded preceding .. current).
+    Fixed-point accumulation keeps every prefix bit-identical to the
+    oracle regardless of each engine's internal frame evaluation."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(dec("value")).over(wf).cast("decimal(30,6)").cast("double").alias(
+            "running_value"
+        ),
+        F.row_number().over(w).cast("long").alias("seq"),
+    )
+
+
+@register(
+    "window_rank_percent",
+    oracle_sql="""
+    SELECT p_brand, p_partkey, p_retailprice,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           CAST(percent_rank() OVER w AS DOUBLE) AS prank
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC)
+    """,
+    tags=("window", "rank"),
+)
+def window_rank_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / percent_rank with ties — tie rows get equal
+    rank in both engines, so no tiebreaker is needed (or wanted)."""
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.percent_rank().over(w).cast("double").alias("prank"),
+    )
+
+
+@register(
+    "window_moving_avg",
+    oracle_sql="""
+    SELECT event_id, user_id,
+           (CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w3
+                 AS DECIMAL(30,6)) AS DOUBLE)
+            / count(value) OVER w3) AS moving_avg
+    FROM events
+    WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "sliding"),
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row sliding average per user (sum/count over the frame, in
+    fixed point so partial frames at partition start stay exact)."""
+    e = load_table(spark, sf_dir, "events")
+    w3 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(dec("value")).over(w3).cast("decimal(30,6)").cast("double")
+            / F.count("value").over(w3)
+        ).alias("moving_avg"),
+    )
+
+
+@register(
+    "window_ntile_cume",
+    oracle_sql="""
+    SELECT c_custkey, c_mktsegment,
+           ntile(4) OVER w AS quartile,
+           CAST(cume_dist() OVER w AS DOUBLE) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    tags=("window", "rank"),
+)
+def window_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile quartiles + cume_dist per market segment."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.cume_dist().over(w).cast("double").alias("cume"),
+    )
+
+
+@register(
+    "sessionize_batch",
+    oracle_sql="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM gaps
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sessions
+    GROUP BY 1, 2
+    """,
+    tags=("window", "session", "headline"),
+)
+def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: lag-gap flag + running sum = session id —
+    the classic two-window composition (streaming analog:
+    streaming/queries.py session_window).  30-minute inactivity gap.
+    One shuffle: both windows and the final agg share user_id
+    partitioning, which Catalyst reuses."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        e.select("user_id", "ts", "event_id", is_new.alias("is_new"))
+        .select(
+            "user_id",
+            "ts",
+            F.sum("is_new").over(run).cast("long").alias("session_id"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )

@@ -31,6 +31,10 @@ REQUIRED_RUNTIME_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for every pandas_udf / applyInPandas / toPandas path.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # events.parquet stores TIMESTAMP(NANOS), which Spark 4 rejects by
+    # default; read as long ns and rebuild the timestamp in the loader
+    # (sources/tables.py — values are µs-aligned, so no precision loss).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

@@ -14,6 +14,7 @@ DataFrame before any wide transform — assert via plans.scan_pushdown.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # Driver star schema + event stream + LLM-pipeline tables (TESTDATA.md).
 TABLES = (
@@ -33,7 +34,18 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS); with
+        # spark.sql.legacy.parquet.nanosAsLong it arrives as long ns.
+        # The fixture is µs-aligned (verified: epoch_ns % 1000 == 0), so
+        # integer-dividing to µs is lossless.
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # `div` = integer division — float division would lose ulps
+            # at 1e18-scale nanosecond values (> 2^53).
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

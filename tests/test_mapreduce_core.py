@@ -1,10 +1,7 @@
-"""Reference-surface operators (SURVEY.md §2.1) vs the DuckDB oracle."""
+"""Reference-surface behavior tests (oracle diffs for all registered
+operators live in test_operators_vs_oracle.py)."""
 
 from __future__ import annotations
-
-import pytest
-
-from tests.oracle import assert_matches_oracle
 
 CORE_OPS = [
     "tokenize_flatmap",
@@ -16,11 +13,6 @@ CORE_OPS = [
     "sorted_word_count",
     "input_lineage",
 ]
-
-
-@pytest.mark.parametrize("name", CORE_OPS)
-def test_matches_oracle_sf001(spark, sf_correct, name):
-    assert_matches_oracle(spark, name, sf_correct)
 
 
 def test_entry_smoke(spark):
