@@ -28,6 +28,18 @@ HEADLINE = [
     "word_count",
     "distinct_pairs",
     "word_count_topk",
+    "tpch_q1",
+    "tpch_q6",
+    "join_star_broadcast",
+    "join_orders_lineitem",
+    "window_topk_per_group",
+    "sessionize_batch",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality_score",
+    "doc_fingerprint",
+    "ann_bruteforce_topk",
 ]
 
 

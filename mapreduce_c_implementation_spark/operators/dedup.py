@@ -1,1 +1,460 @@
-"""Placeholder — operators land in a later phase."""
+"""Deduplication operators for LLM training-data pipelines (BASELINE.json
+north star): exact, n-gram Jaccard, MinHash+LSH, SimHash, and
+embedding-cosine near-dup — each as a registry operator over
+``documents`` / ``embeddings`` with a DuckDB oracle running the SAME
+deterministic algorithm.
+
+Scale design notes (the whole point of these ops is 100 TB corpora):
+- Exact dedup: hash-groupBy on a content digest — one shuffle keyed by
+  md5, no text comparison.
+- Candidate generation is always inverted-index style (explode feature
+  -> self-join on feature), never an O(n²) cross join; hot "stop
+  shingles" (document frequency > cap) are dropped first, which bounds
+  the per-key postings list and therefore join fan-out — the same move
+  as dropping stopwords from a posting-list join.
+- MinHash signatures: k independent permutation approximations folded
+  into ONE groupBy(doc).agg(k mins) pass; LSH banding turns near-dup
+  search into an equi-join on (band_index, band_signature).
+- SimHash: 16-bit signature via per-bit weighted sums in one aggregate;
+  near-dups = hamming <= 3, found by joining on 4-bit band keys
+  (pigeonhole: hamming <= 3 over 4 bands => >= 1 exact band match).
+- Determinism: all hashing descends from md5 (identical both engines);
+  all arithmetic is int64 modular — no floats anywhere except the
+  cosine op, whose fold order is forced identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_c_implementation_spark.functions.text import DUCKDB_TOKENIZE, tokenize
+from mapreduce_c_implementation_spark.registry import register
+from mapreduce_c_implementation_spark.sources import load_table
+
+_TOK = DUCKDB_TOKENIZE.format(col="text")
+
+# 3-token shingles; documents shorter than 3 tokens contribute none.
+_SQL_SHINGLES = (
+    "CASE WHEN len(tokens) >= 3 "
+    "THEN list_transform(generate_series(1, len(tokens) - 2), "
+    "i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2]) "
+    "ELSE [] END"
+)
+
+# Shingles occurring in more than this many docs are "stop shingles":
+# they generate quadratic candidate fan-out and carry no dedup signal.
+STOP_SHINGLE_DF = 50
+
+MINHASH_K = 12  # signature length
+MINHASH_BANDS = 4  # 4 bands x 3 rows
+MINHASH_P = 2147483647
+
+
+def _shingles_col() -> Column:
+    toks = F.col("tokens")
+    return F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) distinct pairs with stop-shingles removed."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = (
+        d.select("doc_id", tokenize(F.col("text")).alias("tokens"))
+        .select("doc_id", F.explode(_shingles_col()).alias("shingle"))
+        .distinct()
+    )
+    hot = (
+        pairs.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > STOP_SHINGLE_DF)
+        .select("shingle")
+    )
+    return pairs.join(F.broadcast(hot), "shingle", "left_anti")
+
+
+_SQL_DOC_SHINGLES = f"""
+    doc_shingles AS (
+      SELECT DISTINCT doc_id, shingle
+      FROM (SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle
+            FROM (SELECT doc_id, {_TOK} AS tokens FROM documents))
+    ),
+    hot AS (
+      SELECT shingle FROM doc_shingles GROUP BY shingle
+      HAVING count(*) > {STOP_SHINGLE_DF}
+    ),
+    kept AS (
+      SELECT d.doc_id, d.shingle FROM doc_shingles d
+      WHERE d.shingle NOT IN (SELECT shingle FROM hot)
+    )
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle_sql=f"""
+    SELECT md5(array_to_string(tokens, ' ')) AS content_key,
+           count(*) AS n_copies,
+           min(doc_id) AS keeper_doc_id
+    FROM (SELECT doc_id, {_TOK} AS tokens FROM documents)
+    GROUP BY 1
+    """,
+    tags=("dedup", "exact", "headline"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by normalized-content digest, keep min doc_id.
+
+    Reference analog: the dedup combiner + reduce-side unique pass
+    (src/main.c:62-81, :124-131) generalized from per-key values to
+    whole documents.  One digest-keyed shuffle; the text itself never
+    shuffles — at 100 TB you shuffle 16-byte keys, not documents.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", tokenize(F.col("text")).alias("tokens"))
+        .select("doc_id", F.md5(F.array_join("tokens", " ")).alias("content_key"))
+        .groupBy("content_key")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle_sql=f"""
+    WITH {_SQL_DOC_SHINGLES},
+    sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(i.n_common AS DOUBLE)
+                 / (sa.n + sb.n - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.2
+    """,
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via posting-list self-join.
+
+    |A∩B| comes from joining the (doc, shingle) inverted index with
+    itself on shingle and counting; |A∪B| = |A|+|B|-|A∩B|.  Stop-shingle
+    removal (df > {STOP_SHINGLE_DF}) bounds join fan-out — the standard
+    scalability guard for posting-list joins.
+    """
+    kept = _doc_shingles(spark, sf_dir).cache()
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = kept.alias("a")
+    b = kept.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.2)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# shingle -> 32-bit int; then k universal hashes (a*x + b) mod P.
+_SQL_SHINGLE_INT = "CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT)"
+
+
+def _minhash_params(i: int) -> tuple[int, int]:
+    return 2 * i + 1, 101 * i + 17
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle_sql=f"""
+    WITH {_SQL_DOC_SHINGLES},
+    sig AS (
+      SELECT doc_id,
+             {", ".join(
+                 f"min(({_minhash_params(i)[0]} * {_SQL_SHINGLE_INT} "
+                 f"+ {_minhash_params(i)[1]}) % {MINHASH_P}) AS mh{i}"
+                 for i in range(MINHASH_K)
+             )}
+      FROM kept GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band_idx, "
+          f"concat_ws(':', mh{3 * b}, mh{3 * b + 1}, mh{3 * b + 2}) AS band_key "
+          f"FROM sig"
+          for b in range(MINHASH_BANDS)
+      )}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+    """,
+    tags=("dedup", "minhash", "lsh", "headline"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup candidate pairs.
+
+    shingle -> md5-derived int -> k={MINHASH_K} universal hashes
+    (a·x+b mod P) -> per-doc signature of column-mins in ONE aggregate
+    pass -> {MINHASH_BANDS} bands of 3 rows -> equi-join on band key.
+    At 100 TB this is the only near-dedup that works: cost is linear in
+    corpus size + output pairs, the band join is a plain hash shuffle,
+    and the signature (12 ints/doc) replaces the document entirely.
+    """
+    kept = _doc_shingles(spark, sf_dir)
+    x = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+    sig = kept.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(_minhash_params(i)[0]) * x + F.lit(_minhash_params(i)[1]))
+                % MINHASH_P
+            ).alias(f"mh{i}")
+            for i in range(MINHASH_K)
+        ]
+    )
+    bands = None
+    for b in range(MINHASH_BANDS):
+        band = sig.select(
+            "doc_id",
+            F.lit(b).alias("band_idx"),
+            F.concat_ws(
+                ":", F.col(f"mh{3 * b}"), F.col(f"mh{3 * b + 1}"), F.col(f"mh{3 * b + 2}")
+            ).alias("band_key"),
+        )
+        bands = band if bands is None else bands.unionAll(band)
+    a = bands.alias("a")
+    bb = bands.alias("b")
+    return (
+        a.join(
+            bb,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+SIMHASH_BITS = 16
+
+
+@register(
+    "dedup_simhash",
+    oracle_sql=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(tokens) AS t
+      FROM (SELECT doc_id, {_TOK} AS tokens FROM documents)
+    ),
+    th AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS h FROM tok),
+    bits AS (
+      SELECT doc_id,
+             {", ".join(
+                 f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS w{j}"
+                 for j in range(SIMHASH_BITS)
+             )}
+      FROM th GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST({" + ".join(
+               f"(CASE WHEN w{j} > 0 THEN 1 ELSE 0 END) * {1 << j}"
+               for j in range(SIMHASH_BITS)
+           )} AS BIGINT) AS simhash
+    FROM bits
+    """,
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{SIMHASH_BITS}-bit SimHash signature per document: per-bit ±1
+    votes weighted by token multiplicity, sign -> bit.  Near-dup pairs
+    are then hamming-distance joins on the signature (see
+    dedup_simhash_pairs).  One explode + one groupBy — linear."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("t"))
+    h = F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("long")
+    th = tok.select("doc_id", h.alias("h"))
+    bits = th.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"w{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"w{j}") > 0, 1).otherwise(0) * (1 << j)
+        sim = term if sim is None else sim + term
+    return bits.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle_sql=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(tokens) AS t
+      FROM (SELECT doc_id, {_TOK} AS tokens FROM documents)
+    ),
+    th AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS h FROM tok),
+    bits AS (
+      SELECT doc_id,
+             {", ".join(
+                 f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS w{j}"
+                 for j in range(SIMHASH_BITS)
+             )}
+      FROM th GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST({" + ".join(
+                 f"(CASE WHEN w{j} > 0 THEN 1 ELSE 0 END) * {1 << j}"
+                 for j in range(SIMHASH_BITS)
+             )} AS BIGINT) AS simhash
+      FROM bits
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, simhash, {b} AS band_idx, "
+          f"(simhash >> {4 * b}) & 15 AS band_val FROM sig"
+          for b in range(4)
+      )}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    tags=("dedup", "simhash", "lsh"),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with hamming <= 3, banded: split the
+    16-bit signature into 4 nibbles; hamming<=3 guarantees at least one
+    identical nibble (pigeonhole), so candidates come from 4 equi-joins
+    on (band, nibble) — never a cross join."""
+    sig = dedup_simhash(spark, sf_dir)
+    bands = None
+    for b in range(4):
+        band = sig.select(
+            "doc_id",
+            "simhash",
+            F.lit(b).alias("band_idx"),
+            F.shiftright(F.col("simhash"), 4 * b).bitwiseAND(15).alias("band_val"),
+        )
+        bands = band if bands is None else bands.unionAll(band)
+    a = bands.alias("a")
+    bb = bands.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("long")
+    return (
+        a.join(
+            bb,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(hamming <= 3)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+# Sequential left-fold dot product — identical order both engines.
+_SQL_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+    "(acc, x) -> acc + x)"
+)
+
+
+def _spark_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle_sql=f"""
+    WITH norms AS (
+      SELECT vec_id, embedding,
+             sqrt({_SQL_DOT.format(a="embedding", b="embedding")}) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_SQL_DOT.format(a="a.embedding", b="b.embedding")}
+                 / (a.nrm * b.nrm), 6) AS cosine
+    FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+    WHERE {_SQL_DOT.format(a="a.embedding", b="b.embedding")}
+          / (a.nrm * b.nrm) > 0.95
+    """,
+    tags=("dedup", "embedding", "cosine"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine > 0.95 over all pairs.
+
+    Correctness baseline uses the all-pairs join (fine at fixture
+    scale); the 100 TB path is the LSH-bucketed variant in
+    operators/similarity.py (ann_lsh_bucketed), which prunes candidates
+    to same-bucket pairs first.  The dot product is a sequential left
+    fold in BOTH engines, so cosines are bit-identical.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    norms = e.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_spark_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    a = norms.alias("a")
+    b = norms.alias("b")
+    cos = _spark_dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cos > 0.95)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+    )

@@ -1,1 +1,209 @@
-"""Placeholder — operators land in a later phase."""
+"""Multimodal column plumbing (BASELINE.json north star).
+
+Images/audio/video are opaque ``binary`` payloads plus typed metadata;
+the fixtures carry no real media, so the PAYLOAD here is the document's
+UTF-8 bytes (deterministic), the Spark-side plumbing — binary schema,
+Arrow-batched ``mapInPandas`` UDFs, partition-friendly shapes — is real,
+and the actual codec step is stubbed (see ``_decode_image_real``) behind
+an import-try exactly as the environment demands.
+
+Scale: payload bytes never shuffle — every op is a narrow map stage.
+``mapInPandas`` receives Arrow record batches, so Python cost is
+per-batch, not per-row; metadata aggregates run on extracted columns,
+not payloads.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_c_implementation_spark.registry import register
+from mapreduce_c_implementation_spark.sources import load_table
+
+FRAME_BYTES = 256  # fake "frame" = 256-byte chunk of payload
+FRAME_STRIDE = 4  # sample every 4th frame
+
+
+def _payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, payload binary, mime, n_bytes) — the
+    canonical multimodal ingest schema."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
+    )
+
+
+def _decode_image_real(payload: bytes) -> dict:
+    """The REAL decode path — requires an image codec library that is
+    not in this container.  Kept as the documented integration point."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - exercised path
+        raise NotImplementedError(
+            "media codecs (PIL/librosa/av) are not installed in this "
+            "environment; production deployments plug the decoder in here"
+        ) from exc
+    raise NotImplementedError("real decode not wired in this build")
+
+
+def _decode_fake(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for decode: pseudo width/height/frames
+    derived from the bytes themselves (stable across engines/runs)."""
+    width = (payload[0] % 64) if payload else 0
+    height = len(payload) % 48
+    n_frames = len(payload) // 1024 + 1
+    return width, height, n_frames
+
+
+@register(
+    "multimodal_ingest",
+    oracle_sql="""
+    SELECT doc_id,
+           'application/octet-stream' AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS payload_sha256
+    FROM documents
+    """,
+    tags=("multimodal", "ingest"),
+)
+def multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary ingest: payload + typed metadata + content digest, all
+    JVM-side (sha2 over the binary column — no Python)."""
+    p = _payload_df(spark, sf_dir)
+    return p.select(
+        "doc_id",
+        "mime",
+        "n_bytes",
+        F.sha2(F.col("payload"), 256).alias("payload_sha256"),
+    )
+
+
+@register(
+    "multimodal_decode_features",
+    oracle_sql="""
+    SELECT doc_id,
+           CAST(CASE WHEN octet_length(encode(text)) > 0
+                     THEN ascii(substr(text, 1, 1)) % 64 ELSE 0 END AS BIGINT) AS width,
+           CAST(octet_length(encode(text)) % 48 AS BIGINT) AS height,
+           CAST(octet_length(encode(text)) // 1024 + 1 AS BIGINT) AS n_frames
+    FROM documents
+    """,
+    tags=("multimodal", "decode"),
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract via Arrow-batched ``mapInPandas``.
+
+    The UDF iterates Arrow record batches (pandas DataFrames), calling
+    the per-payload decoder; the real codec raises NotImplementedError
+    (stubbed — no media libs in this container), so the deterministic
+    fake supplies features the DuckDB oracle can replicate.  The
+    plumbing — batch iterator, binary column in, typed struct out — is
+    exactly what a real image/audio decoder plugs into.
+    """
+    p = _payload_df(spark, sf_dir).select("doc_id", "payload")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_decode_fake(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "n_frames": [f[2] for f in feats],
+                }
+            )
+
+    return p.mapInPandas(
+        decode_batches, schema="doc_id long, width long, height long, n_frames long"
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle_sql=f"""
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_frames_sampled,
+           md5(string_agg(chunk, '' ORDER BY i)) AS sample_digest
+    FROM (
+      SELECT doc_id, i, substr(text, (i - 1) * {FRAME_BYTES} + 1, {FRAME_BYTES}) AS chunk
+      FROM documents,
+           unnest(generate_series(
+             1, CAST(ceil(octet_length(encode(text)) / {FRAME_BYTES}.0) AS INT),
+             {FRAME_STRIDE})) AS t(i)
+    )
+    GROUP BY doc_id
+    """,
+    tags=("multimodal", "frames"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: split payload into {FRAME_BYTES}-byte frames,
+    keep every {FRAME_STRIDE}th, count + digest the sampled stream —
+    the video-keyframe-extraction shape as an Arrow-batched UDF.
+    Documents with empty payloads produce no frames (absent rows, like
+    the oracle's empty generate_series)."""
+    p = _payload_df(spark, sf_dir).select("doc_id", "payload")
+
+    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_counts, out_digests = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                if not data:
+                    continue
+                frames = [
+                    data[off : off + FRAME_BYTES]
+                    for off in range(0, len(data), FRAME_BYTES)
+                ]
+                sampled = frames[::FRAME_STRIDE]
+                out_ids.append(doc_id)
+                out_counts.append(len(sampled))
+                out_digests.append(hashlib.md5(b"".join(sampled)).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_ids,
+                    "n_frames_sampled": out_counts,
+                    "sample_digest": out_digests,
+                }
+            )
+
+    return p.mapInPandas(
+        sample_batches,
+        schema="doc_id long, n_frames_sampled long, sample_digest string",
+    )
+
+
+@register(
+    "multimodal_metadata_stats",
+    oracle_sql="""
+    SELECT CAST(octet_length(encode(text)) // 1000 AS BIGINT) AS size_kb_bucket,
+           count(*) AS n_payloads,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("multimodal", "stats"),
+)
+def multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregation over the binary corpus — size histogram
+    computed WITHOUT touching payload bytes (column pruning keeps the
+    scan on the metadata columns; the shuffle carries ~16 bytes/row)."""
+    p = _payload_df(spark, sf_dir)
+    return (
+        p.groupBy((F.col("n_bytes") / 1000).cast("long").alias("size_kb_bucket"))
+        .agg(
+            F.count("*").alias("n_payloads"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.max("n_bytes").alias("max_bytes"),
+        )
+    )

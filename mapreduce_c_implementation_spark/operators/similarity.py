@@ -1,1 +1,259 @@
-"""Placeholder — operators land in a later phase."""
+"""Similarity search over embeddings (BASELINE.json north star).
+
+Two tiers, mirroring production vector-search architecture:
+- ``ann_bruteforce_topk``: exact cosine top-k via broadcast of the query
+  set — the correctness baseline.  At 100 TB the corpus side stays
+  distributed; cost is one scan per query batch.
+- ``ann_lsh_bucketed``: random-hyperplane LSH — corpus and queries are
+  bucketed by sign-bit signature, candidates are same-bucket only, so
+  the join is an equi-join on the bucket id (linear), trading recall for
+  a ~2^planes candidate cut.  This is the scale path.
+
+Determinism: dot products are sequential left folds in both engines
+(identical IEEE doubles — see operators/dedup.py); LSH hyperplanes are
+rule-generated ±1 vectors, identical literals in both plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_c_implementation_spark.registry import register
+from mapreduce_c_implementation_spark.sources import load_table
+
+EMB_DIM = 64
+N_QUERIES = 10  # probe set: vec_id < 10
+TOP_K = 5
+N_PLANES = 6
+
+_SQL_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+    "(acc, x) -> acc + x)"
+)
+
+
+def _spark_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(_spark_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+
+
+_SQL_NORMS = (
+    "norms AS (SELECT vec_id, label, embedding, "
+    "sqrt(" + _SQL_DOT.format(a="embedding", b="embedding") + ") AS nrm "
+    "FROM embeddings)"
+)
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle_sql=f"""
+    WITH {_SQL_NORMS},
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+             round({_SQL_DOT.format(a="q.embedding", b="c.embedding")}
+                   / (q.nrm * c.nrm), 6) AS cosine
+      FROM norms q JOIN norms c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, neighbor_label, cosine, rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored)
+    WHERE rank <= {TOP_K}
+    """,
+    tags=("similarity", "ann", "headline"),
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-{TOP_K} for each probe vector (vec_id < 10).
+
+    The probe set is broadcast against the distributed corpus; per-query
+    ranking is a window top-k (no global sort).  Rounded cosine +
+    neighbor_id tiebreak keeps ranks deterministic.
+    """
+    norms = _norms(spark, sf_dir)
+    q = norms.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    c = norms.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    cos = F.round(
+        _spark_dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")),
+        6,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "neighbor_label", cos.alias("cosine"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.select("*", F.row_number().over(w).cast("long").alias("rank"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+def _plane_weight_sql(i: int, j: int) -> str:
+    # Deterministic ±1 hyperplane: w[j][i] = +1 if (i*(j+3)) % 7 < 3 else -1
+    return f"(CASE WHEN ({i} * {j + 3}) % 7 < 3 THEN 1.0 ELSE -1.0 END)"
+
+
+def _plane_dot_sql(j: int, emb: str) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {EMB_DIM}), "
+        f"i -> (CASE WHEN (i * {j + 3}) % 7 < 3 THEN 1.0 ELSE -1.0 END) "
+        f"* CAST({emb}[i] AS DOUBLE))), (acc, x) -> acc + x)"
+    )
+
+
+def _plane_dot_spark(j: int, emb: Column) -> Column:
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(EMB_DIM)),
+            lambda i: F.when((i * (j + 3)) % 7 < 3, F.lit(1.0)).otherwise(F.lit(-1.0))
+            * F.element_at(emb, i).cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+_SQL_BUCKET = " + ".join(
+    f"(CASE WHEN {_plane_dot_sql(j, 'embedding')} > 0 THEN {1 << j} ELSE 0 END)"
+    for j in range(N_PLANES)
+)
+
+
+@register(
+    "ann_lsh_bucketed",
+    oracle_sql=f"""
+    WITH {_SQL_NORMS},
+    bucketed AS (
+      SELECT vec_id, label, embedding, nrm,
+             CAST({_SQL_BUCKET} AS BIGINT) AS bucket
+      FROM norms
+    ),
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             c.label AS neighbor_label,
+             round({_SQL_DOT.format(a="q.embedding", b="c.embedding")}
+                   / (q.nrm * c.nrm), 6) AS cosine
+      FROM bucketed q JOIN bucketed c
+        ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, neighbor_label, cosine, rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM cand)
+    WHERE rank <= {TOP_K}
+    """,
+    tags=("similarity", "ann", "lsh"),
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: {N_PLANES}-plane random-hyperplane LSH.
+
+    bucket = sign-bit signature of dot products with {N_PLANES} fixed ±1
+    hyperplanes; candidates share the full signature; exact cosine ranks
+    within the bucket.  The oracle runs the SAME algorithm, so recall
+    loss vs brute force is part of the contract, not an error.  Scale:
+    the candidate join is an equi-join on bucket — shuffle keyed by a
+    6-bit int, ~2^6 × fewer pairs than brute force.
+    """
+    norms = _norms(spark, sf_dir)
+    bucket = None
+    for j in range(N_PLANES):
+        bit = F.when(_plane_dot_spark(j, F.col("embedding")) > 0, 1 << j).otherwise(0)
+        bucket = bit if bucket is None else bucket + bit
+    bucketed = norms.select(
+        "vec_id", "label", "embedding", "nrm", bucket.cast("long").alias("bucket")
+    )
+    q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("bucket").alias("q_bucket"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("bucket").alias("c_bucket"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    cos = F.round(
+        _spark_dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")),
+        6,
+    )
+    cand = (
+        c.join(
+            F.broadcast(q),
+            (F.col("q_bucket") == F.col("c_bucket"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select("query_id", "neighbor_id", "neighbor_label", cos.alias("cosine"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.select("*", F.row_number().over(w).cast("long").alias("rank"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+@register(
+    "embedding_centroids",
+    oracle_sql=f"""
+    SELECT label,
+           count(*) AS n_vecs,
+           (CAST(CAST(sum(CAST({_SQL_DOT.format(a="embedding", b="embedding")}
+                          AS DECIMAL(18,6))) AS DECIMAL(30,6)) AS DOUBLE)
+            / count(*)) AS avg_sq_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+    tags=("similarity", "stats"),
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster stats over the embedding column (count + mean squared
+    norm) — the sanity profile a vector pipeline computes before/after
+    indexing.  Per-row dots are identical doubles in both engines; the
+    cross-row mean goes through fixed-point so group order can't skew
+    the last ulp."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sq = _spark_dot(F.col("embedding"), F.col("embedding"))
+    return (
+        e.select("label", sq.cast("decimal(18,6)").alias("sq"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            (F.sum("sq").cast("decimal(30,6)").cast("double") / F.count("*")).alias(
+                "avg_sq_norm"
+            ),
+        )
+    )

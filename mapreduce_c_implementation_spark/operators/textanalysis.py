@@ -1,1 +1,295 @@
-"""Placeholder — operators land in a later phase."""
+"""Text-analysis operators for LLM training-data pipelines (BASELINE.json
+north star): language ID, quality scoring, token counting, document
+fingerprinting.  All run over ``documents`` with DuckDB oracles.
+
+Everything is built-in column expressions (whole-stage codegen, zero
+Python in the hot path).  Scale: each op is a narrow per-row map — no
+shuffle at all — so they pipeline into whatever downstream groupBy/join
+needs them; at 100 TB the cost is one pass over the text bytes.
+
+Cross-engine determinism: token hashing goes through md5 (identical in
+both engines) with the first 8 hex chars parsed as an integer; ratio
+features use single IEEE divisions; fold-based hashes force the same
+left-to-right order via Spark ``aggregate`` vs DuckDB ``list_reduce``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_c_implementation_spark.functions.text import DUCKDB_TOKENIZE, tokenize
+from mapreduce_c_implementation_spark.registry import register
+from mapreduce_c_implementation_spark.sources import load_table
+
+_TOK = DUCKDB_TOKENIZE.format(col="text")
+
+# Stopword profiles for the rule-based language scorer.  Deterministic
+# data-driven scoring (the fixture's text is synthetic, so the point is
+# the *operator contract*: same text -> same language decision in any
+# engine), modeled on real n-gram/stopword language-ID heuristics.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "is", "fast", "slow"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit"),
+    "es": ("el", "la", "los", "y", "es", "con", "por"),
+    "fr": ("le", "la", "les", "et", "est", "avec", "pour"),
+}
+
+
+def _spark_lang_score(tokens: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.array_intersect(tokens, F.array(*[F.lit(w) for w in words])))
+
+
+def _sql_lang_score(words: tuple[str, ...]) -> str:
+    lits = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_intersect(tokens, [{lits}]))"
+
+
+_LANG_CASE_SQL = (
+    # argmax with fixed priority order en > de > es > fr; all-zero -> 'und'
+    "CASE WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 THEN 'und' "
+    "WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en' "
+    "WHEN s_de >= s_es AND s_de >= s_fr THEN 'de' "
+    "WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END"
+)
+
+
+@register(
+    "text_lang_id",
+    oracle_sql=f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS labeled_lang,
+             {_sql_lang_score(LANG_PROFILES["en"])} AS s_en,
+             {_sql_lang_score(LANG_PROFILES["de"])} AS s_de,
+             {_sql_lang_score(LANG_PROFILES["es"])} AS s_es,
+             {_sql_lang_score(LANG_PROFILES["fr"])} AS s_fr
+      FROM (SELECT doc_id, lang, {_TOK} AS tokens FROM documents)
+    )
+    SELECT doc_id, labeled_lang, {_LANG_CASE_SQL} AS predicted_lang
+    FROM scored
+    """,
+    tags=("text", "langid"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based language ID: stopword-profile intersection scoring with
+    a deterministic argmax (priority en>de>es>fr, all-zero -> 'und')."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), tokenize(F.col("text")).alias("tokens")
+    )
+    scored = toks.select(
+        "doc_id",
+        "labeled_lang",
+        *[
+            _spark_lang_score(F.col("tokens"), ws).alias(f"s_{lg}")
+            for lg, ws in LANG_PROFILES.items()
+        ],
+    )
+    s = {lg: F.col(f"s_{lg}") for lg in LANG_PROFILES}
+    zero = (s["en"] == 0) & (s["de"] == 0) & (s["es"] == 0) & (s["fr"] == 0)
+    pred = (
+        F.when(zero, "und")
+        .when((s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]), "en")
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when(s["es"] >= s["fr"], "es")
+        .otherwise("fr")
+    )
+    return scored.select("doc_id", "labeled_lang", pred.alias("predicted_lang"))
+
+
+@register(
+    "text_quality_score",
+    oracle_sql=f"""
+    WITH feat AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars_actual,
+             CAST(len(tokens) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(tokens)) AS BIGINT) AS n_distinct,
+             CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                  AS BIGINT) AS n_digit_chars,
+             CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+                  AS BIGINT) AS n_punct_chars,
+             CAST(len(list_intersect(tokens, ['the','a','and','of','to','is','in','it']))
+                  AS BIGINT) AS n_stopkinds
+      FROM (SELECT doc_id, text, {_TOK} AS tokens FROM documents)
+    )
+    SELECT doc_id, n_tokens,
+           CAST(n_distinct AS DOUBLE) / greatest(n_tokens, 1) AS ttr,
+           CAST(n_digit_chars AS DOUBLE) / greatest(n_chars_actual, 1) AS digit_ratio,
+           CAST(n_punct_chars AS DOUBLE) / greatest(n_chars_actual, 1) AS punct_ratio,
+           round((CAST(n_distinct AS DOUBLE) / greatest(n_tokens, 1)) * 0.5
+                 + (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.3 ELSE 0.0 END)
+                 + (CASE WHEN n_stopkinds >= 2 THEN 0.2 ELSE 0.0 END)
+                 - (CAST(n_digit_chars AS DOUBLE) / greatest(n_chars_actual, 1)) * 0.5,
+                 6) AS quality_score
+    FROM feat
+    """,
+    tags=("text", "quality"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality scoring: type-token ratio, digit /
+    punctuation density, stopword presence, length band — the classic
+    pre-training filter features (cf. C4/Gopher-style rules)."""
+    d = load_table(spark, sf_dir, "documents")
+    feat = d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_actual"),
+        tokenize(F.col("text")).alias("tokens"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), "[0-9]", ""))
+        ).cast("long").alias("n_digit_chars"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", ""))
+        ).cast("long").alias("n_punct_chars"),
+    ).select(
+        "doc_id",
+        "n_chars_actual",
+        "n_digit_chars",
+        "n_punct_chars",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("tokens")).cast("long").alias("n_distinct"),
+        F.size(
+            F.array_intersect(
+                "tokens",
+                F.array(*[F.lit(w) for w in ("the", "a", "and", "of", "to", "is", "in", "it")]),
+            )
+        ).cast("long").alias("n_stopkinds"),
+    )
+    ttr = F.col("n_distinct").cast("double") / F.greatest(F.col("n_tokens"), F.lit(1))
+    digit_ratio = F.col("n_digit_chars").cast("double") / F.greatest(
+        F.col("n_chars_actual"), F.lit(1)
+    )
+    punct_ratio = F.col("n_punct_chars").cast("double") / F.greatest(
+        F.col("n_chars_actual"), F.lit(1)
+    )
+    score = F.round(
+        ttr * 0.5
+        + F.when(F.col("n_tokens").between(10, 100000), 0.3).otherwise(0.0)
+        + F.when(F.col("n_stopkinds") >= 2, 0.2).otherwise(0.0)
+        - digit_ratio * 0.5,
+        6,
+    )
+    return feat.select(
+        "doc_id",
+        "n_tokens",
+        ttr.alias("ttr"),
+        digit_ratio.alias("digit_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+@register(
+    "token_count",
+    oracle_sql="""
+    SELECT doc_id,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+             AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+             AS BIGINT) AS n_bpe_ish_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_actual
+    FROM documents
+    """,
+    tags=("text", "tokens"),
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    segmentation (letter runs | digit runs | single punctuation) — the
+    cheap proxy for LLM token budgeting."""
+    d = load_table(spark, sf_dir, "documents")
+    ws_count = (
+        F.when(F.trim(F.col("text")) == "", F.lit(0))
+        .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("long")
+    )
+    bpe_count = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0))
+    ).cast("long")
+    return d.select(
+        "doc_id",
+        ws_count.alias("n_ws_tokens"),
+        bpe_count.alias("n_bpe_ish_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+# token -> deterministic 32-bit int, identical in both engines:
+#   Spark:  conv(substr(md5(t),1,8), 16, 10) cast long
+#   DuckDB: CAST('0x' || substr(md5(t),1,8) AS BIGINT)
+_SQL_TOKEN_HASH = "CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)"
+
+
+def _spark_token_hash(t: Column) -> Column:
+    return F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+
+
+@register(
+    "doc_fingerprint",
+    oracle_sql=f"""
+    SELECT doc_id,
+           md5(array_to_string(tokens, ' ')) AS content_md5,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(tokens, t -> {_SQL_TOKEN_HASH})),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_hash
+    FROM (SELECT doc_id, {_TOK} AS tokens FROM documents)
+    """,
+    tags=("text", "fingerprint"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of the normalized token stream plus a
+    31-radix rolling polynomial hash mod 1e9+7 over per-token md5-derived
+    ints (identical fold order in both engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokenize(F.col("text")).alias("tokens"))
+    hashes = F.transform(F.col("tokens"), _spark_token_hash)
+    rolling = F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % 1000000007,
+    )
+    return toks.select(
+        "doc_id",
+        F.md5(F.array_join(F.col("tokens"), " ")).alias("content_md5"),
+        rolling.alias("rolling_hash"),
+    )
+
+
+@register(
+    "ngram_frequencies",
+    oracle_sql=f"""
+    SELECT ngram, count(*) AS cnt, count(DISTINCT doc_id) AS df
+    FROM (
+      SELECT doc_id, unnest(
+        CASE WHEN len(tokens) >= 2
+             THEN list_transform(generate_series(1, len(tokens) - 1),
+                                 i -> tokens[i] || ' ' || tokens[i + 1])
+             ELSE [] END) AS ngram
+      FROM (SELECT doc_id, {_TOK} AS tokens FROM documents)
+    )
+    GROUP BY ngram
+    """,
+    tags=("text", "ngram"),
+)
+def ngram_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency + document frequency table (the n-gram
+    statistics feeding contamination / repetition analyses)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokenize(F.col("text")).alias("tokens"))
+    bigrams = F.when(
+        F.size("tokens") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tokens") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("tokens"), i), F.element_at(F.col("tokens"), i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        toks.select("doc_id", F.explode(bigrams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("cnt"), F.count_distinct("doc_id").alias("df"))
+    )

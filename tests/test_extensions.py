@@ -1,0 +1,65 @@
+"""Behavioral tests for the training-data-pipeline extensions beyond the
+oracle diffs (which test_operators_vs_oracle.py covers)."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_c_implementation_spark.registry import get_operator
+
+
+def test_real_decode_is_stubbed():
+    from mapreduce_c_implementation_spark.operators.multimodal import _decode_image_real
+
+    with pytest.raises(NotImplementedError):
+        _decode_image_real(b"\x89PNG fake")
+
+
+def test_lsh_is_subset_of_bruteforce(spark, sf_correct):
+    """LSH neighbors must be genuine corpus vectors with correct cosines:
+    every (query, neighbor, cosine) in the LSH result appears in the
+    brute-force scored set (rank may differ — recall loss is expected)."""
+    bf = (
+        get_operator("ann_bruteforce_topk")
+        .query_fn(spark, sf_correct)
+        .select("query_id", "neighbor_id", "cosine")
+        .collect()
+    )
+    lsh = (
+        get_operator("ann_lsh_bucketed")
+        .query_fn(spark, sf_correct)
+        .select("query_id", "neighbor_id", "cosine")
+        .collect()
+    )
+    bf_top = {(r.query_id, r.neighbor_id): r.cosine for r in bf}
+    # LSH top-ranked pairs that ARE in the brute-force top-k must agree
+    # on the cosine value exactly (same fold order).
+    agreeing = [
+        r for r in lsh if (r.query_id, r.neighbor_id) in bf_top
+    ]
+    assert agreeing, "LSH found nothing from the exact top-k at all"
+    for r in agreeing:
+        assert abs(bf_top[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
+
+
+def test_minhash_flags_jaccard_similar_pairs(spark, sf_correct):
+    """MinHash-LSH candidates and exact Jaccard pairs overlap: every
+    high-jaccard pair (>= 0.5) should be recalled by at least the exact
+    pipeline, and minhash candidates must be real documents."""
+    jac = (
+        get_operator("dedup_ngram_jaccard").query_fn(spark, sf_correct).collect()
+    )
+    mh = get_operator("dedup_minhash_lsh").query_fn(spark, sf_correct).collect()
+    jac_pairs = {(r.doc_a, r.doc_b) for r in jac if r.jaccard >= 0.5}
+    mh_pairs = {(r.doc_a, r.doc_b) for r in mh}
+    if jac_pairs:
+        # banding (4 bands x 3 rows) catches most >= 0.5-jaccard pairs;
+        # require at least half to guard against a broken signature.
+        assert len(jac_pairs & mh_pairs) >= len(jac_pairs) // 2
+
+
+def test_dedup_exact_identity_when_no_dups(spark, sf_correct):
+    df = get_operator("dedup_exact").query_fn(spark, sf_correct)
+    rows = df.collect()
+    n_docs = spark.read.parquet(f"{sf_correct}/documents.parquet").count()
+    assert sum(r.n_copies for r in rows) == n_docs
