@@ -70,7 +70,11 @@ def ensure_runtime_conf(spark: SparkSession) -> SparkSession:
     timezone and AQE must hold there too.  All keys in
     REQUIRED_RUNTIME_CONF are runtime-settable.
     """
-    for k, v in REQUIRED_RUNTIME_CONF.items():
+    conf = dict(REQUIRED_RUNTIME_CONF)
+    # Stateful streaming can't rely on AQE coalescing; 200 default
+    # shuffle/state partitions on a small box wastes task overhead.
+    conf["spark.sql.shuffle.partitions"] = str(default_parallelism())
+    for k, v in conf.items():
         try:
             spark.conf.set(k, v)
         except Exception:

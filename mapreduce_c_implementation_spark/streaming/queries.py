@@ -1,1 +1,324 @@
-"""Placeholder — streaming queries land in phase 3."""
+"""Structured Streaming operators (SURVEY.md §2.2 — no reference analog:
+the reference's bounded queue is intra-job pipelining, not streaming).
+
+Each operator drives a real streaming query to completion — file source
+with ``maxFilesPerTrigger=1`` over the deterministic staging plan
+(streaming/staging.py), memory sink, ``processAllAvailable`` — then
+returns the sink contents as a DataFrame.  Because batch boundaries are
+deterministic, watermark advancement is too, so every operator has an
+exact batch-SQL oracle encoding the same semantics (the reference's
+differential-oracle discipline applied to streaming — SURVEY §5).
+
+Scale notes: these exact plans run unchanged against a real unbounded
+source (kafka/files); state size is bounded by the watermark (tumbling/
+sliding) or session gap; ``maxFilesPerTrigger`` becomes rate limiting;
+the memory sink becomes a real sink behind ``foreachBatch``.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_c_implementation_spark.registry import register
+from mapreduce_c_implementation_spark.sources import load_table
+from mapreduce_c_implementation_spark.streaming.staging import (
+    SENTINEL_TYPE,
+    WATERMARK_DELAY,
+    stage_events,
+)
+
+# DuckDB rendering of the lateness rule (see staging docstring): late
+# rows arrive in batch2, whose late-event filter uses the watermark in
+# effect during batch1, i.e. W1 = max(batch0.ts) - delay.  A late row
+# survives a windowed aggregation iff its WINDOW END is after W1.
+_SQL_WM1 = """
+    wm AS (
+      SELECT max(ts) - INTERVAL 10 MINUTE AS w1
+      FROM events
+      WHERE ts < TIMESTAMP '2024-01-20 00:00:00' AND event_id % 10 <> 7
+    )
+"""
+_SQL_IS_LATE_ARRIVAL = (
+    "(ts < TIMESTAMP '2024-01-20 00:00:00' AND event_id % 10 = 7)"
+)
+
+
+def _run_stream(spark: SparkSession, sf_dir: str, build, with_dup_replay: bool = False) -> DataFrame:
+    """Start the streaming query built by ``build(stream_df)``, drain the
+    staged batches, and return the memory-sink table."""
+    d = stage_events(sf_dir, with_dup_replay=with_dup_replay)
+    schema = load_table(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    out = build(stream)
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+@register(
+    "stream_tumbling_window",
+    oracle_sql=f"""
+    WITH {_SQL_WM1}
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           count(*) AS n,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(30,6)) AS DOUBLE)
+             AS sum_value
+    FROM events, wm
+    WHERE NOT ({_SQL_IS_LATE_ARRIVAL}
+               AND time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR <= wm.w1)
+    GROUP BY 1, 2, 3
+    """,
+    tags=("streaming", "window", "headline"),
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows with a 10-minute watermark, append mode.
+
+    Late-arriving rows whose window already closed (window_end <= the
+    post-batch-0 watermark W1) are DROPPED — the oracle encodes exactly
+    that rule; the sentinel batch closes every real window so the
+    append-mode sink flushes them all.
+    """
+
+    def build(stream):
+        return (
+            stream.withWatermark("ts", WATERMARK_DELAY)
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("decimal(30,6)")
+                .cast("double")
+                .alias("sum_value"),
+            )
+        )
+
+    t = _run_stream(spark, sf_dir, build)
+    return (
+        t.filter(F.col("event_type") != SENTINEL_TYPE)
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_sliding_window",
+    oracle_sql=f"""
+    WITH {_SQL_WM1},
+    assigned AS (
+      SELECT event_id, ts, value, ws
+      FROM (SELECT event_id, ts, value,
+                   time_bucket(INTERVAL 30 MINUTE, ts) AS b FROM events),
+           unnest([b, b - INTERVAL 30 MINUTE]) AS t(ws)
+    )
+    SELECT ws AS window_start, ws + INTERVAL 1 HOUR AS window_end,
+           count(*) AS n,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(30,6)) AS DOUBLE)
+             AS sum_value
+    FROM assigned, wm
+    WHERE NOT ({_SQL_IS_LATE_ARRIVAL} AND ws + INTERVAL 1 HOUR <= wm.w1)
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "sliding"),
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes (each event lands in two
+    windows).  Lateness rule: Spark drops a late row only when ALL its
+    windows have closed, i.e. when the LATEST window end (slide-bucket
+    end + 30min... == bucket_end) is past the watermark; the oracle
+    assigns both windows then filters with the same rule."""
+
+    def build(stream):
+        return (
+            stream.withWatermark("ts", WATERMARK_DELAY)
+            .groupBy(F.window("ts", "1 hour", "30 minutes"))
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("decimal(30,6)")
+                .cast("double")
+                .alias("sum_value"),
+            )
+        )
+
+    t = _run_stream(spark, sf_dir, build)
+    # The sentinel's own (far-future) windows are not part of the result.
+    return t.filter(F.col("window.start") < F.lit("2024-03-01").cast("timestamp")).select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "n",
+        "sum_value",
+    )
+
+
+@register(
+    "stream_session_window",
+    oracle_sql=f"""
+    WITH {_SQL_WM1},
+    surviving AS (
+      SELECT user_id, ts, value, event_id FROM events, wm
+      WHERE NOT ({_SQL_IS_LATE_ARRIVAL} AND ts + INTERVAL 30 MINUTE <= wm.w1)
+    ),
+    gaps AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM surviving
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM gaps
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(30,6)) AS DOUBLE)
+             AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "session", "headline"),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-minute inactivity gap) — genuinely
+    stateful streaming: sessions grow/merge across batches and close
+    when the watermark passes session_end.
+
+    Session semantics: a session spans [first_ts, last_ts + gap); an
+    event at ts >= last_ts + gap starts a NEW session (hence the >= in
+    the oracle's gap rule).  Late-row rule: a batch-1 row is dropped iff
+    its provisional session end (ts + gap) is at or before the
+    watermark.
+    """
+
+    def build(stream):
+        return (
+            stream.withWatermark("ts", WATERMARK_DELAY)
+            .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("decimal(30,6)")
+                .cast("double")
+                .alias("sum_value"),
+            )
+        )
+
+    t = _run_stream(spark, sf_dir, build)
+    return t.filter(F.col("user_id") != -1).select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
+@register(
+    "stream_dedup",
+    oracle_sql="""
+    SELECT event_type, count(*) AS n_unique_events
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "dedup"),
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on event_id: a replay batch re-delivers ~1/7 of
+    all events verbatim; ``dropDuplicates`` state filters them, so the
+    sink holds each event exactly once == the batch distinct counts."""
+
+    def build(stream):
+        return (
+            stream.withWatermark("ts", WATERMARK_DELAY)
+            .dropDuplicates(["event_id"])
+        )
+
+    t = _run_stream(spark, sf_dir, build, with_dup_replay=True)
+    return (
+        t.filter(F.col("event_type") != SENTINEL_TYPE)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_unique_events"))
+    )
+
+
+@register(
+    "stream_stateful_totals",
+    oracle_sql=None,  # arbitrary-stateful API — not SQL-expressible; the
+    # companion batch check lives in tests/test_streaming.py
+    tags=("streaming", "stateful"),
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running totals maintained in explicit GroupState across batches;
+    each batch emits the updated totals, and the LAST emission per user
+    equals the batch groupBy — asserted in tests/test_streaming.py.
+
+    This is the escape hatch for operators Spark lacks (SURVEY §7
+    custom-operator rule (b)) in its streaming form.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_totals(key, pdfs, state: GroupState):
+        total_n, total_v = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            total_n += int(len(pdf))
+            total_v += float(pdf["value"].sum())
+        state.update((total_n, total_v))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [total_n], "sum_value": [total_v]}
+        )
+
+    def build(stream):
+        return (
+            stream.groupBy("user_id")
+            .applyInPandasWithState(
+                update_totals,
+                outputStructType="user_id long, n_events long, sum_value double",
+                stateStructType="n long, v double",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+
+    t = _run_stream(spark, sf_dir, build)
+    # Keep only each user's final (largest-count) emission.
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        t.filter(F.col("user_id") != -1)
+        .select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
