@@ -59,8 +59,19 @@ def main() -> None:
     ops = all_operators()
     names = [n for n in HEADLINE if n in ops]
 
-    # Warm the JVM + file listing once so timings measure query execution.
-    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    # Warm the JVM once (codegen, arrow, shuffle machinery, noop sink) on
+    # a representative tiny pipeline so timings measure steady-state
+    # query execution, not first-query session initialization.
+    from pyspark.sql import functions as F
+
+    warm = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(50)
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.collect_set("w"))
+    )
+    warm.write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:

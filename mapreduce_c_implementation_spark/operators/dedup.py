@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from mapreduce_c_implementation_spark.functions.text import DUCKDB_TOKENIZE, tokenize
 from mapreduce_c_implementation_spark.registry import register
 from mapreduce_c_implementation_spark.sources import load_table
+from mapreduce_c_implementation_spark.sources.tables import parallel_scan
 
 _TOK = DUCKDB_TOKENIZE.format(col="text")
 
@@ -69,7 +70,7 @@ def _shingles_col() -> Column:
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) distinct pairs with stop-shingles removed."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallel_scan(spark, sf_dir, "documents")
     pairs = (
         d.select("doc_id", tokenize(F.col("text")).alias("tokens"))
         .select("doc_id", F.explode(_shingles_col()).alias("shingle"))
@@ -120,7 +121,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole documents.  One digest-keyed shuffle; the text itself never
     shuffles — at 100 TB you shuffle 16-byte keys, not documents.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = parallel_scan(spark, sf_dir, "documents")
     return (
         d.select("doc_id", tokenize(F.col("text")).alias("tokens"))
         .select("doc_id", F.md5(F.array_join("tokens", " ")).alias("content_key"))
@@ -242,16 +243,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(MINHASH_K)
         ]
     )
-    bands = None
-    for b in range(MINHASH_BANDS):
-        band = sig.select(
-            "doc_id",
-            F.lit(b).alias("band_idx"),
-            F.concat_ws(
-                ":", F.col(f"mh{3 * b}"), F.col(f"mh{3 * b + 1}"), F.col(f"mh{3 * b + 2}")
-            ).alias("band_key"),
-        )
-        bands = band if bands is None else bands.unionAll(band)
+    # One posexplode, not a 4-way unionAll: a union would re-evaluate the
+    # whole shingle->signature lineage once per band per join side (8x).
+    # The tiny signature table is cached for the self-join — at scale
+    # that's 12 ints/doc, the canonical thing to materialize.
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.col(f"mh{3 * b}"),
+                        F.col(f"mh{3 * b + 1}"),
+                        F.col(f"mh{3 * b + 2}"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    ).cache()
     a = bands.alias("a")
     bb = bands.alias("b")
     return (
@@ -299,7 +310,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     votes weighted by token multiplicity, sign -> bit.  Near-dup pairs
     are then hamming-distance joins on the signature (see
     dedup_simhash_pairs).  One explode + one groupBy — linear."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallel_scan(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("t"))
     h = F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("long")
     th = tok.select("doc_id", h.alias("h"))
@@ -364,15 +375,19 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical nibble (pigeonhole), so candidates come from 4 equi-joins
     on (band, nibble) — never a cross join."""
     sig = dedup_simhash(spark, sf_dir)
-    bands = None
-    for b in range(4):
-        band = sig.select(
-            "doc_id",
-            "simhash",
-            F.lit(b).alias("band_idx"),
-            F.shiftright(F.col("simhash"), 4 * b).bitwiseAND(15).alias("band_val"),
-        )
-        bands = band if bands is None else bands.unionAll(band)
+    # posexplode + cache for the same recomputation reason as minhash.
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 4 * b).bitwiseAND(15)
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    ).cache()
     a = bands.alias("a")
     bb = bands.alias("b")
     hamming = F.bit_count(

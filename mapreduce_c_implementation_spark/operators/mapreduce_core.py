@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from mapreduce_c_implementation_spark.functions.text import DUCKDB_TOKENIZE, tokenize
 from mapreduce_c_implementation_spark.registry import register
 from mapreduce_c_implementation_spark.sources import load_table
+from mapreduce_c_implementation_spark.sources.tables import parallel_scan
 
 _TOK = DUCKDB_TOKENIZE.format(col="text")
 
@@ -28,7 +29,7 @@ def tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mirrors Map at /root/reference/src/main.c:28-59 with ``documents.text``
     standing in for file chunks and ``doc_id`` for ``MR_CurrentFile()``.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = parallel_scan(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.select(
         "doc_id", F.explode(tokenize(F.col("text"))).alias("word")
     )
@@ -90,13 +91,20 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     by sorting values in Reduce (value arrival order is nondeterministic
     in both engines).  Postings rendered as a CSV string so the oracle
     hash is array-encoding-independent.
+
+    Plan note: doc_count is ``size(collect_set)`` — NOT a separate
+    ``count_distinct``, which would force Spark's two-phase distinct
+    aggregation and a second shuffle (asserted single-shuffle in
+    tests/test_plans.py).
     """
     return (
         tokens_df(spark, sf_dir)
         .groupBy("word")
-        .agg(
-            F.array_join(F.sort_array(F.collect_set("doc_id")), ",").alias("postings"),
-            F.count_distinct("doc_id").alias("doc_count"),
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
+        .select(
+            "word",
+            F.array_join("docs", ",").alias("postings"),
+            F.size("docs").cast("long").alias("doc_count"),
         )
     )
 

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from mapreduce_c_implementation_spark.registry import register
 from mapreduce_c_implementation_spark.sources import load_table
+from mapreduce_c_implementation_spark.sources.tables import parallel_scan
 
 FRAME_BYTES = 256  # fake "frame" = 256-byte chunk of payload
 FRAME_STRIDE = 4  # sample every 4th frame
@@ -33,7 +34,7 @@ FRAME_STRIDE = 4  # sample every 4th frame
 def _payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> (doc_id, payload binary, mime, n_bytes) — the
     canonical multimodal ingest schema."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallel_scan(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.encode(F.col("text"), "UTF-8").alias("payload"),

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from mapreduce_c_implementation_spark.functions.text import DUCKDB_TOKENIZE, tokenize
 from mapreduce_c_implementation_spark.registry import register
 from mapreduce_c_implementation_spark.sources import load_table
+from mapreduce_c_implementation_spark.sources.tables import parallel_scan
 
 _TOK = DUCKDB_TOKENIZE.format(col="text")
 
@@ -73,7 +74,7 @@ _LANG_CASE_SQL = (
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rule-based language ID: stopword-profile intersection scoring with
     a deterministic argmax (priority en>de>es>fr, all-zero -> 'und')."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallel_scan(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.col("lang").alias("labeled_lang"), tokenize(F.col("text")).alias("tokens")
     )
@@ -130,7 +131,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document-quality scoring: type-token ratio, digit /
     punctuation density, stopword presence, length band — the classic
     pre-training filter features (cf. C4/Gopher-style rules)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallel_scan(spark, sf_dir, "documents")
     feat = d.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars_actual"),
@@ -199,7 +200,7 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways: whitespace tokens and a BPE-ish regex
     segmentation (letter runs | digit runs | single punctuation) — the
     cheap proxy for LLM token budgeting."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallel_scan(spark, sf_dir, "documents")
     ws_count = (
         F.when(F.trim(F.col("text")) == "", F.lit(0))
         .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
@@ -243,7 +244,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 of the normalized token stream plus a
     31-radix rolling polynomial hash mod 1e9+7 over per-token md5-derived
     ints (identical fold order in both engines)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallel_scan(spark, sf_dir, "documents")
     toks = d.select("doc_id", tokenize(F.col("text")).alias("tokens"))
     hashes = F.transform(F.col("tokens"), _spark_token_hash)
     rolling = F.aggregate(
@@ -277,7 +278,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram frequency + document frequency table (the n-gram
     statistics feeding contamination / repetition analyses)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallel_scan(spark, sf_dir, "documents")
     toks = d.select("doc_id", tokenize(F.col("text")).alias("tokens"))
     bigrams = F.when(
         F.size("tokens") >= 2,

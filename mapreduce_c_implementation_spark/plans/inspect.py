@@ -42,13 +42,24 @@ def assert_read_schema_only(df: DataFrame, allowed_cols: set[str]) -> None:
 
 
 def assert_broadcast_join(df: DataFrame, expect: int = 1) -> None:
+    import re
+
     plan = physical_plan(df)
-    n = plan.count("BroadcastHashJoin")
+    # Count tree nodes, not the per-operator detail sections.
+    n = len(re.findall(r"BroadcastHashJoin \w+ Build\w+ \(\d+\)", plan))
     if n < expect:
         raise AssertionError(f"expected >= {expect} BroadcastHashJoin, got {n}:\n{plan}")
 
 
-def count_exchanges(df: DataFrame) -> int:
-    """Number of shuffle exchanges in the physical plan (scale red flag #1)."""
+def count_shuffles(df: DataFrame) -> int:
+    """Number of SHUFFLE exchanges (hash/range/round-robin repartitions)
+    in the physical plan — scale red flag #1.  Broadcast exchanges are
+    deliberately excluded: they ship dim tables, not the fact stream.
+    In "formatted" explain output each Exchange's partitioning appears
+    on its Arguments line, so count those."""
+    import re
+
     plan = physical_plan(df)
-    return plan.count("Exchange ") + plan.count("Exchange\n")
+    return len(
+        re.findall(r"Arguments: (?:hash|range|roundrobin)partitioning\(", plan)
+    )

@@ -48,6 +48,41 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# A single input file below this size executes its narrow stages fast
+# enough on one core that a repartition shuffle + extra stage costs more
+# than the parallelism buys (measured on the fixtures: repartitioning
+# sub-MB scans REGRESSED the bench ~2x from per-query planning + task
+# overhead).  Above it, unlocking full-width execution dominates.
+PARALLELIZE_SCAN_MIN_BYTES = 32 * 1024 * 1024
+
+
+def parallel_scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """load_table + guaranteed scan parallelism for LARGE single files.
+
+    A big table that arrives as one unsplittable file (single parquet
+    row group) yields one input partition, so every narrow stage
+    (tokenize/explode/shingle/mapInPandas) runs on a single core.  For
+    such inputs a round-robin repartition to core count is a cheap
+    shuffle of the raw rows that unlocks full-width execution.  File
+    size is checked driver-side (os.path.getsize — no job, no .rdd
+    planning); a properly laid-out 100 TB table already scans as
+    thousands of partitions and this is a no-op either way.
+    """
+    import os
+
+    df = load_table(spark, sf_dir, name)
+    try:
+        size = os.path.getsize(f"{sf_dir}/{name}.parquet")
+    except OSError:
+        return df
+    max_part = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b"))
+    est_partitions = max(1, size // max_part)
+    target = spark.sparkContext.defaultParallelism
+    if size >= PARALLELIZE_SCAN_MIN_BYTES and est_partitions < target:
+        df = df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view (for spark.sql paths)."""
     for name in TABLES:

@@ -1,0 +1,47 @@
+"""Config-sweep invariance (FIXTURES.md §5, mirroring the reference's
+-i/-m/-r thread sweeps and MR_DISABLE_COMBINER on/off: results must not
+depend on parallelism or optimizer mode).
+
+Every swept query must produce identical canonical rows across
+spark.sql.shuffle.partitions in {1, 4, 40} and AQE on/off.  This is the
+test that catches partition-layout-dependent bugs (unordered window
+ties, float summation order) before they become 1000-executor bugs.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_c_implementation_spark.registry import get_operator
+from tests.oracle import canonical_rows
+
+SWEPT_OPS = [
+    "inverted_index",
+    "tpch_q1",
+    "join_orders_lineitem",
+    "window_running_sum",
+    "sessionize_batch",
+    "dedup_minhash_lsh",
+]
+
+
+@pytest.mark.parametrize("name", SWEPT_OPS)
+def test_partitioning_invariance(spark, sf_correct, name):
+    op = get_operator(name)
+    baseline = None
+    orig_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    orig_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        for parts, aqe in [("1", "false"), ("4", "true"), ("40", "true")]:
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            spark.conf.set("spark.sql.adaptive.enabled", aqe)
+            rows = canonical_rows(op.query_fn(spark, sf_correct).toPandas())
+            if baseline is None:
+                baseline = rows
+            else:
+                assert rows == baseline, (
+                    f"{name}: result depends on partitions={parts}/aqe={aqe}"
+                )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", orig_aqe)

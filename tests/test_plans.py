@@ -1,0 +1,89 @@
+"""Physical-plan quality gates (SURVEY.md §4: Catalyst supplies the
+optimizer — these tests assert the free optimizations actually land,
+because a plan that reads extra columns or shuffles a dim table is a
+100 TB bug even when sf0.01 correctness is green)."""
+
+from __future__ import annotations
+
+from mapreduce_c_implementation_spark.plans.inspect import (
+    assert_broadcast_join,
+    assert_parquet_pushdown,
+    assert_read_schema_only,
+    count_shuffles,
+    physical_plan,
+)
+from mapreduce_c_implementation_spark.registry import get_operator
+
+
+def test_q6_predicates_push_to_parquet(spark, sf_correct):
+    df = get_operator("tpch_q6").query_fn(spark, sf_correct)
+    assert_parquet_pushdown(df, "GreaterThanOrEqual(l_shipdate")
+    assert_parquet_pushdown(df, "GreaterThanOrEqual(l_discount")
+    assert_parquet_pushdown(df, "LessThan(l_quantity")
+
+
+def test_q6_scan_prunes_columns(spark, sf_correct):
+    df = get_operator("tpch_q6").query_fn(spark, sf_correct)
+    assert_read_schema_only(
+        df, {"l_extendedprice", "l_discount", "l_shipdate", "l_quantity"}
+    )
+
+
+def test_filter_project_prunes_and_pushes(spark, sf_correct):
+    df = get_operator("filter_project_pushdown").query_fn(spark, sf_correct)
+    assert_parquet_pushdown(df, "EqualTo(l_returnflag,R)")
+    assert_read_schema_only(
+        df,
+        {
+            "l_orderkey",
+            "l_partkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+            "l_returnflag",
+        },
+    )
+
+
+def test_star_join_broadcasts_both_dims(spark, sf_correct):
+    df = get_operator("join_star_broadcast").query_fn(spark, sf_correct)
+    assert_broadcast_join(df, expect=2)
+    # joins are broadcast => the only shuffle is the final aggregation's
+    assert count_shuffles(df) == 1
+
+
+def test_word_count_single_shuffle(spark, sf_correct):
+    """The flagship map->combine->shuffle->reduce pipeline must compile
+    to exactly one exchange (the partial agg IS the combiner)."""
+    df = get_operator("word_count").query_fn(spark, sf_correct)
+    assert count_shuffles(df) == 1
+    plan = physical_plan(df)
+    assert "partial_count" in plan  # the map-side combiner
+
+
+def test_inverted_index_single_shuffle(spark, sf_correct):
+    df = get_operator("inverted_index").query_fn(spark, sf_correct)
+    assert count_shuffles(df) == 1
+
+
+def test_topk_uses_take_ordered(spark, sf_correct):
+    """orderBy().limit(k) must compile to TakeOrderedAndProject — never a
+    global sort of the full aggregate."""
+    df = get_operator("word_count_topk").query_fn(spark, sf_correct)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_lineage_agg_prunes_documents_text(spark, sf_correct):
+    """input_lineage aggregates metadata only — the (large) text column
+    must not be read."""
+    df = get_operator("input_lineage").query_fn(spark, sf_correct)
+    assert_read_schema_only(df, {"lang", "n_chars"})
+
+
+def test_session_windows_share_one_exchange(spark, sf_correct):
+    """Both window functions and the final agg in sessionize_batch share
+    user_id partitioning; Catalyst must reuse it (1 shuffle total)."""
+    df = get_operator("sessionize_batch").query_fn(spark, sf_correct)
+    assert count_shuffles(df) == 1
