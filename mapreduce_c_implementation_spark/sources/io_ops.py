@@ -1,0 +1,204 @@
+"""Source/sink operators beyond parquet (SURVEY.md §2 rows 1-2 and §2.2
+scans/sinks): raw text files with record-boundary-safe splits and file
+lineage, CSV and JSON round-trips with explicit schemas, and the
+part-%05d text sink.
+
+Each op materializes a deterministic copy of fixture data in the target
+format under /tmp (cached per sf_dir), reads it back through the real
+Spark source, and computes an aggregate whose DuckDB oracle runs on the
+ORIGINAL parquet — so the round-trip itself (writer, reader, schema,
+type mapping) is what's under test.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_c_implementation_spark.functions.text import DUCKDB_TOKENIZE, tokenize
+from mapreduce_c_implementation_spark.registry import register
+from mapreduce_c_implementation_spark.sources.tables import load_table
+
+_TOK_LINE = DUCKDB_TOKENIZE.format(col="text")
+
+N_TEXT_SHARDS = 20
+
+_staged: dict[tuple[str, str], str] = {}
+
+
+def _stage_text_files(spark: SparkSession, sf_dir: str) -> str:
+    """documents.text -> N_TEXT_SHARDS plain .txt files (doc_id % N per
+    file, newline-joined in doc_id order) — the reference's actual input
+    format (argv file list, src/mapreduce.c:63)."""
+    key = (sf_dir, "text")
+    if key in _staged and Path(_staged[key]).is_dir():
+        return _staged[key]
+    pdf = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    d = tempfile.mkdtemp(prefix="text_corpus_")
+    for shard in range(N_TEXT_SHARDS):
+        part = pdf[pdf["doc_id"] % N_TEXT_SHARDS == shard]
+        # One document per line: Spark's text source splits on line
+        # boundaries (the analog of the reference's word-boundary-safe
+        # chunking, src/reader_queue.c:208-306).
+        (Path(d) / f"shard_{shard:02d}.txt").write_text(
+            "\n".join(part["text"].tolist()) + "\n"
+        )
+    _staged[key] = d
+    return d
+
+
+@register(
+    "text_source_inverted_index",
+    oracle_sql=f"""
+    SELECT word,
+           array_to_string(
+             list_sort(list(DISTINCT printf('shard_%02d.txt', doc_id % {N_TEXT_SHARDS}))),
+             ',') AS shards,
+           count(DISTINCT doc_id % {N_TEXT_SHARDS}) AS shard_count
+    FROM (SELECT doc_id, unnest({_TOK_LINE}) AS word FROM documents)
+    GROUP BY word
+    """,
+    tags=("source", "text", "lineage"),
+)
+def text_source_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship app over its NATIVE input: raw text files.
+
+    ``spark.read.text`` supplies chunked parallel scan + record-boundary
+    safety (SURVEY §2 rows 1-3); ``input_file_name()`` supplies the
+    MR_CurrentFile lineage (row 17); the posting list is per input FILE,
+    exactly like the reference (word -> [file, ...]).
+    """
+    d = _stage_text_files(spark, sf_dir)
+    lines = spark.read.text(f"{d}/*.txt").select(
+        "value",
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("fname"),
+    )
+    return (
+        lines.select(F.explode(tokenize(F.col("value"))).alias("word"), "fname")
+        .groupBy("word")
+        .agg(F.sort_array(F.collect_set("fname")).alias("files"))
+        .select(
+            "word",
+            F.array_join("files", ",").alias("shards"),
+            F.size("files").cast("long").alias("shard_count"),
+        )
+    )
+
+
+@register(
+    "csv_source_roundtrip",
+    oracle_sql="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(30,6)) AS DOUBLE)
+             AS sum_qty,
+           min(l_shipdate) AS first_ship
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("source", "csv"),
+)
+def csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source round-trip (SURVEY §2.2 scans/sinks): write
+    lineitem as headered CSV, read it back with the ORIGINAL schema (no
+    inferSchema — the production rule), aggregate.  The oracle runs on
+    the parquet original, so any writer/reader/type-mapping bug breaks
+    the diff."""
+    key = (sf_dir, "csv")
+    li = load_table(spark, sf_dir, "lineitem")
+    if key not in _staged or not Path(_staged[key]).is_dir():
+        d = tempfile.mkdtemp(prefix="csv_rt_")
+        shutil.rmtree(d)
+        li.write.option("header", True).option(
+            "timestampFormat", "yyyy-MM-dd HH:mm:ss"
+        ).csv(d)
+        _staged[key] = d
+    back = (
+        spark.read.schema(li.schema)
+        .option("header", True)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .csv(_staged[key])
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+        .cast("decimal(30,6)")
+        .cast("double")
+        .alias("sum_qty"),
+        F.min("l_shipdate").alias("first_ship"),
+    )
+
+
+@register(
+    "json_source_roundtrip",
+    oracle_sql="""
+    SELECT event_type,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(30,6)) AS DOUBLE)
+             AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("source", "json"),
+)
+def json_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source round-trip with explicit schema,
+    including timestamp serialization and the nested-JSON props string."""
+    key = (sf_dir, "json")
+    ev = load_table(spark, sf_dir, "events")
+    if key not in _staged or not Path(_staged[key]).is_dir():
+        d = tempfile.mkdtemp(prefix="json_rt_")
+        shutil.rmtree(d)
+        ev.write.option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS").json(d)
+        _staged[key] = d
+    back = (
+        spark.read.schema(ev.schema)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .json(_staged[key])
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(30,6)")
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+@register(
+    "text_sink_roundtrip",
+    oracle_sql=f"""
+    SELECT word || ' -> [' ||
+           array_to_string(list_sort(list(DISTINCT doc_id)), ', ') || ']' AS line
+    FROM (SELECT doc_id, unnest({_TOK_LINE}) AS word FROM documents)
+    GROUP BY word
+    """,
+    tags=("sink", "text"),
+)
+def text_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's text sink contract (part-%05d shards,
+    src/main.c:92-98): write the formatted inverted index with
+    ``df.write.text``, then read the shards back — the returned lines
+    must still match the oracle, proving the sink/scan round-trip is
+    lossless."""
+    from mapreduce_c_implementation_spark.registry import get_operator
+
+    formatted = get_operator("inverted_index_formatted").query_fn(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="text_sink_")
+    shutil.rmtree(d)
+    formatted.withColumnRenamed("line", "value").write.text(d)
+    # part-%05d naming parity with the reference sink
+    shards = sorted(p.name for p in Path(d).glob("part-*"))
+    assert shards and all(s.startswith("part-0") for s in shards)
+    return spark.read.text(d).select(F.col("value").alias("line"))
