@@ -266,3 +266,31 @@ def filter_project_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("net_price"),
         )
     )
+
+
+@register(
+    "map_functions",
+    oracle_sql="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_from_map,
+           1 AS n_keys,
+           'k' AS first_key,
+           (json_extract_string(props, '$.k') IS NOT NULL) AS has_k
+    FROM events
+    """,
+    tags=("scalar", "map"),
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: parse events.props into map<string,bigint> with
+    from_json, then map_keys/map_values/element access/map_contains_key
+    — the typed-map view of semi-structured data (SURVEY §2.2 scalar
+    row).  The oracle reads the same facts straight from the JSON."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    return e.select(
+        "event_id",
+        F.try_element_at(m, F.lit("k")).alias("k_from_map"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.try_element_at(F.map_keys(m), F.lit(1)).alias("first_key"),
+        F.map_contains_key(m, F.lit("k")).alias("has_k"),
+    )

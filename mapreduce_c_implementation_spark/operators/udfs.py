@@ -1,0 +1,207 @@
+"""The user-function surface (SURVEY.md §2.2: "UDF/UDAF/UDTF — this is
+the whole API" of the reference):
+
+    reference Mapper  (1 -> n rows,  src/mapreduce.h:91)  -> Python UDTF
+    reference Reducer (group fold,   src/mapreduce.h:121) -> pandas GROUPED_AGG
+    reference Combiner(partial agg,  src/mapreduce.h:135) -> automatic partial agg
+    per-group arbitrary logic (Getter iterator protocol)  -> applyInPandas
+
+Performance ladder (each docstring states where the op sits):
+built-in expressions (codegen) >> Arrow pandas_udf >> row Python udf.
+The built-in formulations of these same operators live in
+mapreduce_core/aggregates; these exist to prove the full API surface
+with the same differential-oracle rigor.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_c_implementation_spark.functions.text import DUCKDB_TOKENIZE
+from mapreduce_c_implementation_spark.registry import register
+from mapreduce_c_implementation_spark.sources.tables import load_table
+
+_TOK = DUCKDB_TOKENIZE.format(col="text")
+
+
+@register(
+    "udtf_tokenize",
+    oracle_sql=f"""
+    SELECT doc_id, unnest({_TOK}) AS word
+    FROM documents
+    """,
+    tags=("udf", "udtf"),
+)
+def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference Mapper as a literal Python UDTF: one input row ->
+    0..n output rows via lateral join (typedef void (*Mapper), emitting
+    through MR_Emit == yield).
+
+    Slow path by design (per-row Python); the production formulation is
+    the codegen'd explode/split in mapreduce_core.tokenize_flatmap —
+    this op proves the 1->n user-function contract itself.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string")
+    class TokenizeUDTF:
+        def eval(self, text: str):  # noqa: ANN001
+            if text is None:
+                return
+            word = []
+            for ch in text:
+                if ch.isascii() and ch.isalnum():
+                    if len(word) < 255:
+                        word.append(ch.lower())
+                else:
+                    if word:
+                        yield ("".join(word),)
+                        word = []
+            if word:
+                yield ("".join(word),)
+
+    spark.udtf.register("tokenize_udtf", TokenizeUDTF)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
+    return spark.sql(
+        "SELECT d.doc_id, t.word FROM documents_v d, LATERAL tokenize_udtf(d.text) t"
+    )
+
+
+@register(
+    "pandas_udf_scalar_score",
+    oracle_sql="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS gross
+    FROM lineitem
+    WHERE l_quantity > 45
+    """,
+    tags=("udf", "pandas"),
+)
+def pandas_udf_scalar_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas_udf (Arrow batches, ~10-100x over row
+    Python): per-row gross price.  numpy evaluates the same IEEE double
+    ops in the same per-element order as the SQL expression, so values
+    are bit-identical UNROUNDED; rounding would actually break parity
+    here, because exact 6-decimal products hit .5 boundaries where
+    numpy (banker's) and DuckDB (half-away) disagree."""
+
+    @F.pandas_udf("double")
+    def gross(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        return price * (1.0 - disc) * (1.0 + tax)
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        gross("l_extendedprice", "l_discount", "l_tax").alias("gross"),
+    )
+
+
+@register(
+    "grouped_agg_pandas_udf",
+    oracle_sql="""
+    SELECT l_returnflag,
+           (CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+            / sum(CAST(l_quantity AS BIGINT))) AS wavg_price_cents
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("udf", "udaf"),
+)
+def grouped_agg_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User aggregate (the reference Reducer contract) as a GROUPED_AGG
+    pandas_udf: quantity-weighted average price.
+
+    Arithmetic is integer-exact (prices quantized to cents, int64
+    accumulation) so the result is independent of pandas' row order vs
+    DuckDB's — the same order-insensitivity rule the reference's own
+    apps must follow (SURVEY §1.1).
+    """
+
+    @F.pandas_udf("double")
+    def wavg_cents(price: pd.Series, qty: pd.Series) -> float:
+        cents = (price * 100).round().astype("int64")
+        q = qty.astype("int64")
+        return float((cents * q).sum()) / float(q.sum())
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        wavg_cents("l_extendedprice", "l_quantity").alias("wavg_price_cents")
+    )
+
+
+@register(
+    "apply_in_pandas_zscore",
+    oracle_sql="""
+    WITH stats AS (
+      SELECT o_orderpriority AS grp,
+             avg(o_totalprice) AS m,
+             sqrt(avg(o_totalprice * o_totalprice) - avg(o_totalprice) * avg(o_totalprice))
+               AS sd
+      FROM orders GROUP BY 1
+    )
+    SELECT o.o_orderkey, o.o_orderpriority,
+           round((o.o_totalprice - s.m) / s.sd, 6) AS zscore
+    FROM orders o JOIN stats s ON s.grp = o.o_orderpriority
+    """,
+    tags=("udf", "grouped-map"),
+)
+def apply_in_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary per-group logic (the reference's Reducer + Getter
+    iterator protocol, src/reduce.c:25-47) via applyInPandas: per-group
+    z-score normalization, a transform SQL needs a join/window for but a
+    grouped-map UDF does in one pass.
+
+    The UDF sorts its group by key before reducing, making its float
+    accumulation deterministic; round(6) absorbs the sub-ulp difference
+    vs the oracle's aggregation order.  Scale: one shuffle on the group
+    key; each group must fit one executor's memory (fine for bounded
+    groups; use window functions for unbounded ones).
+    """
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("o_orderkey")
+        x = pdf["o_totalprice"].astype("float64")
+        m = float(x.sum()) / len(x)
+        sd = (float((x * x).sum()) / len(x) - m * m) ** 0.5
+        return pd.DataFrame(
+            {
+                "o_orderkey": pdf["o_orderkey"],
+                "o_orderpriority": pdf["o_orderpriority"],
+                "zscore": ((x - m) / sd).round(6),
+            }
+        )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return o.groupBy("o_orderpriority").applyInPandas(
+        zscore, schema="o_orderkey long, o_orderpriority string, zscore double"
+    )
+
+
+@register(
+    "row_python_udf_format",
+    oracle_sql="""
+    SELECT n_nationkey,
+           'nation:' || lower(n_name) || '#' || CAST(n_regionkey AS VARCHAR) AS tag
+    FROM nation
+    """,
+    tags=("udf", "row-python"),
+)
+def row_python_udf_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF — the DISCOURAGED bottom of the ladder
+    (per-row serde, no vectorization, breaks codegen).  Registered on a
+    25-row dim table only, to complete the API surface; anything hot
+    uses built-ins or pandas_udf."""
+
+    @F.udf("string")
+    def tag(name: str, regionkey: int) -> str:
+        return f"nation:{name.lower()}#{regionkey}"
+
+    n = load_table(spark, sf_dir, "nation")
+    return n.select("n_nationkey", tag("n_name", "n_regionkey").alias("tag"))

@@ -202,3 +202,40 @@ def text_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     shards = sorted(p.name for p in Path(d).glob("part-*"))
     assert shards and all(s.startswith("part-0") for s in shards)
     return spark.read.text(d).select(F.col("value").alias("line"))
+
+
+@register(
+    "partitioned_parquet_sink",
+    oracle_sql="""
+    SELECT l_linestatus,
+           count(*) AS n,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(30,6)) AS DOUBLE)
+             AS sum_qty
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    GROUP BY l_linestatus
+    """,
+    tags=("sink", "parquet", "partition-pruning"),
+)
+def partitioned_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet sink + partition-PRUNED read: write
+    lineitem partitioned by l_returnflag, then read back with a
+    returnflag predicate.  The scan must touch only the matching
+    partition directory (PartitionFilters — asserted in
+    tests/test_plans.py); at 100 TB partition layout is the first-order
+    lever for scan cost, ahead of row-group pushdown."""
+    key = (sf_dir, "part_parquet")
+    li = load_table(spark, sf_dir, "lineitem")
+    if key not in _staged or not Path(_staged[key]).is_dir():
+        d = tempfile.mkdtemp(prefix="part_parquet_")
+        shutil.rmtree(d)
+        li.write.partitionBy("l_returnflag").parquet(d)
+        _staged[key] = d
+    back = spark.read.parquet(_staged[key]).filter(F.col("l_returnflag") == "R")
+    return back.groupBy("l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+        .cast("decimal(30,6)")
+        .cast("double")
+        .alias("sum_qty"),
+    )

@@ -87,3 +87,11 @@ def test_session_windows_share_one_exchange(spark, sf_correct):
     user_id partitioning; Catalyst must reuse it (1 shuffle total)."""
     df = get_operator("sessionize_batch").query_fn(spark, sf_correct)
     assert count_shuffles(df) == 1
+
+
+def test_partitioned_sink_prunes_partitions(spark, sf_correct):
+    """The partitioned-parquet read must prune to the single matching
+    partition directory (PartitionFilters, not just PushedFilters)."""
+    df = get_operator("partitioned_parquet_sink").query_fn(spark, sf_correct)
+    plan = physical_plan(df)
+    assert "PartitionFilters" in plan and "l_returnflag" in plan, plan
