@@ -40,6 +40,9 @@ HEADLINE = [
     "text_quality_score",
     "doc_fingerprint",
     "ann_bruteforce_topk",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tfidf_top_terms",
 ]
 
 

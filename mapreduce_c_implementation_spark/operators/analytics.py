@@ -1,0 +1,253 @@
+"""Composite analytics: multi-table TPC-H-shape queries, pivot/unpivot,
+skew-safe salted aggregation, and TF-IDF — the depth layer on top of the
+per-family operators.
+
+Scale notes per op in the docstrings; the common thread: joins order
+small->large with dims broadcast, aggregations stay partial-final, skew
+is handled by salting + AQE, and nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_c_implementation_spark.functions.exactagg import dec, exact_sum, sql_exact_sum
+from mapreduce_c_implementation_spark.functions.text import DUCKDB_TOKENIZE, tokenize
+from mapreduce_c_implementation_spark.registry import register
+from mapreduce_c_implementation_spark.sources import load_table
+from mapreduce_c_implementation_spark.sources.tables import parallel_scan
+
+_TOK = DUCKDB_TOKENIZE.format(col="text")
+
+_REV_SQL = (
+    "sum(CAST(l_extendedprice AS DECIMAL(18,6)) * "
+    "(CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))"
+)
+
+
+def _rev_col():
+    one = F.lit(1).cast("decimal(18,6)")
+    return F.sum(dec("l_extendedprice") * (one - dec("l_discount")))
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    oracle_sql=f"""
+    SELECT l.l_orderkey,
+           CAST(CAST({_REV_SQL} AS DECIMAL(30,6)) AS DOUBLE) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+    tags=("analytics", "join", "topk", "headline"),
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-table join, filtered both sides, grouped
+    revenue, top-10.  customer (filtered, small) broadcasts into orders;
+    orders⋈lineitem shuffles on the order key; the limit compiles to
+    TakeOrderedAndProject."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(_rev_col().cast("decimal(30,6)").cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_local_supplier",
+    oracle_sql=f"""
+    SELECT n.n_name,
+           CAST(CAST({_REV_SQL} AS DECIMAL(30,6)) AS DOUBLE) AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = (SELECT min(r_name) FROM region)
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY n.n_name
+    """,
+    tags=("analytics", "join", "headline"),
+)
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table join with the local-supplier condition
+    (supplier nation == customer nation).  All four dims broadcast; only
+    orders⋈lineitem exchanges.  The region filter uses min(r_name) so
+    the query is fixture-agnostic."""
+    r = load_table(spark, sf_dir, "region")
+    min_name = r.agg(F.min("r_name")).collect()[0][0]  # 5-row dim; driver-safe
+    r = r.filter(F.col("r_name") == min_name)
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_rev_col().cast("decimal(30,6)").cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "pivot_status_by_flag",
+    oracle_sql=f"""
+    SELECT l_returnflag,
+           CAST(CAST(sum(CASE WHEN l_linestatus = 'F'
+                     THEN CAST(l_quantity AS DECIMAL(18,6)) END)
+                AS DECIMAL(30,6)) AS DOUBLE) AS F,
+           CAST(CAST(sum(CASE WHEN l_linestatus = 'O'
+                     THEN CAST(l_quantity AS DECIMAL(18,6)) END)
+                AS DECIMAL(30,6)) AS DOUBLE) AS O
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("analytics", "pivot"),
+)
+def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: linestatus values become columns.  Pivot values are given
+    EXPLICITLY — at scale, value discovery is an extra job over the full
+    data and nondeterministic column order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(exact_sum("l_quantity"))
+    )
+
+
+@register(
+    "unpivot_measures",
+    oracle_sql="""
+    SELECT l_orderkey, l_linenumber, 'qty' AS metric, l_quantity AS metric_value
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'price', l_extendedprice
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'disc', l_discount
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    """,
+    tags=("analytics", "unpivot"),
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) three measure columns into (metric, value) rows
+    via ``stack`` — a narrow 1->3 row transform, no shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'qty', l_quantity, 'price', l_extendedprice, "
+            "'disc', l_discount) AS (metric, metric_value)"
+        ),
+    )
+
+
+@register(
+    "salted_aggregation",
+    oracle_sql=f"""
+    SELECT l_returnflag,
+           count(*) AS n,
+           {sql_exact_sum("l_extendedprice")} AS sum_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("analytics", "skew"),
+)
+def salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation: l_returnflag has only 3 values
+    (the fixture's hot-key analog — FIXTURES.md §2), so a naive final
+    agg funnels everything into 3 reducer partitions.  Stage 1 groups by
+    (key, salt = orderkey % 8) spreading each hot key over 8 partitions;
+    stage 2 merges the 24 partials.  Result is identical to the plain
+    aggregation (the oracle), which is the whole point.  This is the
+    manual form of what AQE skew-join splitting does for joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stage1 = (
+        li.withColumn("salt", (F.col("l_orderkey") % 8).cast("int"))
+        .groupBy("l_returnflag", "salt")
+        .agg(
+            F.count("*").alias("pn"),
+            F.sum(dec("l_extendedprice")).alias("psum"),
+        )
+    )
+    return stage1.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n"),
+        F.sum("psum").cast("decimal(30,6)").cast("double").alias("sum_price"),
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle_sql=f"""
+    WITH tf AS (
+      SELECT doc_id, word, count(*) AS tf
+      FROM (SELECT doc_id, unnest({_TOK}) AS word FROM documents)
+      GROUP BY doc_id, word
+    ),
+    df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT t.doc_id, t.word,
+           t.tf,
+           round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS tfidf
+    FROM tf t, df d, n
+    WHERE d.word = t.word AND t.doc_id % 50 = 0
+    """,
+    tags=("analytics", "text", "tfidf"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (doc, term): tf from one grouped count, document
+    frequency from a second, idf = ln(N/df) joined back via broadcast
+    (the df table is vocabulary-sized).  The subset filter keeps the
+    oracle diff small; the plan is identical without it."""
+    toks = (
+        parallel_scan(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokenize(F.col("text"))).alias("word"))
+    )
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    return (
+        tf.filter(F.col("doc_id") % 50 == 0)
+        .join(F.broadcast(dfreq), "word")
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )

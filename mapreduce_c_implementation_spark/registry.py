@@ -34,6 +34,7 @@ _OPERATOR_MODULES = [
     "mapreduce_c_implementation_spark.operators.setops",
     "mapreduce_c_implementation_spark.operators.scalars",
     "mapreduce_c_implementation_spark.operators.udfs",
+    "mapreduce_c_implementation_spark.operators.analytics",
     "mapreduce_c_implementation_spark.operators.dedup",
     "mapreduce_c_implementation_spark.operators.similarity",
     "mapreduce_c_implementation_spark.operators.textanalysis",

@@ -322,3 +322,46 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "stream_static_join",
+    oracle_sql="""
+    SELECT c.c_mktsegment,
+           count(*) AS n_events,
+           CAST(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DECIMAL(30,6)) AS DOUBLE)
+             AS sum_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("streaming", "join"),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the static
+    customer dim (user_id -> c_custkey), then aggregated per batch.
+
+    The static side is re-resolvable per micro-batch (how dimension
+    updates propagate in production); Spark broadcasts it under the
+    join threshold, so the stream side never shuffles for the join.
+    Aggregation happens on the sink table (per-row append mode keeps
+    every enriched event), so the oracle is the plain batch join+agg.
+    """
+    static_dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+    def build(stream):
+        return (
+            stream.join(static_dim, stream.user_id == static_dim.c_custkey)
+            .select("event_id", "c_mktsegment", "value")
+        )
+
+    t = _run_stream(spark, sf_dir, build)
+    return t.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(30,6)")
+        .cast("double")
+        .alias("sum_value"),
+    )
