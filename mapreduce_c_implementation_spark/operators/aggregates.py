@@ -322,3 +322,67 @@ def histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.floor(F.col("value") / 50.0).cast("long").alias("bucket"))
         .agg(F.count("*").alias("n"), F.count_distinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    "variance_stats",
+    oracle_sql="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(sqrt(
+             (CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6)) *
+                            CAST(l_quantity AS DECIMAL(18,6)))
+                   AS DECIMAL(38,6)) AS DOUBLE)
+              - (CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(30,6))
+                      AS DOUBLE)
+                 * CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(30,6))
+                      AS DOUBLE) / count(*))
+             ) / count(*)), 6) AS stddev_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "variance"),
+)
+def variance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stddev computed from EXACT decimal sums (sum, sum of
+    squares) rather than the engines' native var_pop — Welford vs
+    textbook accumulation differ in ulps across engines, but the
+    two-exact-sums formula is reproducible everywhere.  round(6) absorbs
+    the final sqrt/divide ulp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sum_q = F.sum(dec("l_quantity")).cast("decimal(30,6)").cast("double")
+    sum_q2 = (
+        F.sum(dec("l_quantity") * dec("l_quantity")).cast("decimal(38,6)").cast("double")
+    )
+    n = F.count("*")
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        F.round(F.sqrt((sum_q2 - sum_q * sum_q / n) / n), 6).alias("stddev_qty"),
+    )
+
+
+@register(
+    "argmax_minmax_by",
+    oracle_sql="""
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, o_totalprice) AS priciest_order,
+           arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+           max(o_totalprice) AS max_price,
+           min(o_totalprice) AS min_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("aggregate", "argmax"),
+)
+def argmax_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax/argmin) — deterministic because the fixture
+    has unique extreme prices per group (ties would make the picked key
+    engine-dependent; for tie-prone data use the window row_number
+    idiom, window_topk_per_group)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_totalprice").alias("min_price"),
+    )

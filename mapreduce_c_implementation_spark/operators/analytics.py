@@ -251,3 +251,37 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
+
+
+@register(
+    "sql_subquery_surface",
+    oracle_sql="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.8 FROM orders)
+      AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    """,
+    tags=("analytics", "sql", "subquery"),
+)
+def sql_subquery_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front-end with scalar, IN, and correlated-EXISTS
+    subqueries — Catalyst rewrites them into the same broadcast/semi
+    joins the DataFrame API produces (same plan either way; this op
+    pins the SQL surface itself).  avg() in the scalar subquery is
+    order-dependent in the 16th digit; multiplying by 1.8 and comparing
+    against prices far from the threshold keeps the predicate stable.
+    """
+    from mapreduce_c_implementation_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.8 FROM orders)
+          AND o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'BUILDING')
+          AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        """
+    )

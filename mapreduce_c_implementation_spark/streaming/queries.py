@@ -365,3 +365,54 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+@register(
+    "stream_foreach_batch_sink",
+    oracle_sql="""
+    SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS n_distinct
+    FROM events
+    WHERE value > 100
+    GROUP BY event_type
+    """,
+    tags=("streaming", "sink"),
+)
+def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production sink path: ``foreachBatch`` writing each micro-
+    batch to a parquet directory (epoch-tagged append — the idempotent
+    exactly-once pattern), then reading the directory back.  The oracle
+    is the batch filter+agg, so batch boundaries must not lose or
+    duplicate rows."""
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="febatch_sink_")
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    d = stage_events(sf_dir)
+    schema = load_table(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(d)
+    )
+    filtered = stream.filter(
+        (F.col("value") > 100) & (F.col("event_type") != SENTINEL_TYPE)
+    )
+    q = (
+        filtered.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.read.parquet(out_dir)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.count_distinct("event_id").alias("n_distinct")
+    )
