@@ -27,14 +27,20 @@ MAX_TOKEN_CHARS = 255  # reference: char word[256] (src/main.c:38,42-44)
 def tokenize(text: Column) -> Column:
     """text -> array<string> of lowercased ASCII-alnum tokens (no empties).
 
+    Implemented as ``regexp_extract_all('[a-zA-Z0-9]+')`` — the POSITIVE
+    class — rather than ``split`` on the negated class: semantically
+    identical (alnum runs == complement-split tokens minus empties), but
+    measured ~20x faster on a 668 MB corpus (87s -> 4.3s per scan;
+    Pattern.split on long lines is pathologically slow), and it needs no
+    empty-token filter.
+
     Equivalent DuckDB expression (oracle side):
         list_transform(
           list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'), t -> t <> ''),
           t -> lower(substr(t, 1, 255)))
     """
-    raw = F.split(text, TOKEN_DELIM_REGEX)
-    nonempty = F.filter(raw, lambda t: t != F.lit(""))
-    return F.transform(nonempty, lambda t: F.lower(F.substring(t, 1, MAX_TOKEN_CHARS)))
+    raw = F.regexp_extract_all(text, F.lit("[a-zA-Z0-9]+"), F.lit(0))
+    return F.transform(raw, lambda t: F.lower(F.substring(t, 1, MAX_TOKEN_CHARS)))
 
 
 # The DuckDB-side rendering of ``tokenize`` over a column named {col}.
