@@ -294,3 +294,73 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_element_at(F.map_keys(m), F.lit(1)).alias("first_key"),
         F.map_contains_key(m, F.lit("k")).alias("has_k"),
     )
+
+
+@register(
+    "regex_functions",
+    oracle_sql="""
+    SELECT p_partkey,
+           regexp_extract(p_type, '([A-Z]+)', 1) AS first_upper_run,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           regexp_matches(p_brand, '[0-9]$') AS ends_with_digit,
+           CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS BIGINT) AS n_lower_runs
+    FROM part
+    """,
+    tags=("scalar", "regex"),
+)
+def regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar pack: extract / replace-all / match-test / count.
+    Patterns restricted to simple character classes where Java regex and
+    DuckDB's RE2 agree (no lookaround, no \\b, no Unicode classes —
+    those diverge between dialects).  Note Spark regexp_replace replaces
+    ALL matches by default; DuckDB needs the explicit 'g' flag."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_type", "([A-Z]+)", 1).alias("first_upper_run"),
+        F.regexp_replace(F.col("p_name"), "[aeiou]", "_").alias("devoweled"),
+        F.col("p_brand").rlike("[0-9]$").alias("ends_with_digit"),
+        F.size(F.regexp_extract_all("p_name", F.lit("[a-z]+"), F.lit(0)))
+        .cast("long")
+        .alias("n_lower_runs"),
+    )
+
+
+@register(
+    "null_semantics",
+    oracle_sql="""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           count(nullif(l_discount, 0.0)) AS n_discounted,
+           CAST(CAST(sum(CAST(nullif(l_discount, 0.0) AS DECIMAL(18,6)))
+                AS DECIMAL(30,6)) AS DOUBLE) AS sum_nonzero_disc,
+           (CAST(CAST(sum(CAST(nullif(l_discount, 0.0) AS DECIMAL(18,6)))
+                 AS DECIMAL(30,6)) AS DOUBLE)
+            / count(nullif(l_discount, 0.0))) AS avg_nonzero_disc,
+           count(*) - count(nullif(l_discount, 0.0)) AS n_null_skipped,
+           max(coalesce(nullif(l_discount, 0.0), -1.0)) AS max_or_sentinel
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("scalar", "null"),
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling parity (the reference has no NULL concept —
+    SURVEY §1.4; SQL engines must agree on skip-vs-count): aggregates
+    over a derived nullable column pin down count(col) vs count(*),
+    null-skipping sums/avgs, and coalesce fallbacks."""
+    li = load_table(spark, sf_dir, "lineitem")
+    nd = F.nullif(F.col("l_discount"), F.lit(0.0))
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.count(nd).alias("n_discounted"),
+        F.sum(nd.cast("decimal(18,6)")).cast("decimal(30,6)").cast("double").alias(
+            "sum_nonzero_disc"
+        ),
+        (
+            F.sum(nd.cast("decimal(18,6)")).cast("decimal(30,6)").cast("double")
+            / F.count(nd)
+        ).alias("avg_nonzero_disc"),
+        (F.count("*") - F.count(nd)).alias("n_null_skipped"),
+        F.max(F.coalesce(nd, F.lit(-1.0))).alias("max_or_sentinel"),
+    )
