@@ -416,3 +416,55 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.count("*").alias("n"), F.count_distinct("event_id").alias("n_distinct")
     )
+
+
+@register(
+    "stream_update_mode_counts",
+    oracle_sql=f"""
+    WITH {_SQL_WM1}
+    SELECT event_type,
+           time_bucket(INTERVAL 6 HOUR, ts) AS window_start,
+           count(*) AS n
+    FROM events, wm
+    WHERE NOT ({_SQL_IS_LATE_ARRIVAL}
+               AND time_bucket(INTERVAL 6 HOUR, ts) + INTERVAL 6 HOUR <= wm.w1)
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "update-mode"),
+)
+def stream_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode: every micro-batch re-emits the groups it
+    changed, so the sink holds one row per (window, type) PER UPDATING
+    BATCH.  Counts grow monotonically, so the final state is the max
+    per key — which must equal the batch aggregate under the same
+    late-drop rule.  This is the mode for live dashboards (append waits
+    for window close; update streams revisions)."""
+    d = stage_events(sf_dir)
+    schema = load_table(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(d)
+    )
+    agg = (
+        stream.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy(F.window("ts", "6 hours"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    t = spark.table(name)
+    return (
+        t.filter(F.col("event_type") != SENTINEL_TYPE)
+        .groupBy(F.col("window.start").alias("window_start"), "event_type")
+        .agg(F.max("n").alias("n"))
+        .select("event_type", "window_start", "n")
+    )

@@ -43,3 +43,27 @@ def test_tokenizer_truncates_at_255(spark):
     toks = df.select(F.explode(tokenize(F.col("text"))).alias("w")).collect()
     words = [r.w for r in toks]
     assert words == ["x", "a" * 255, "y", "b2"]
+
+
+def test_tokenizer_edge_cases(spark):
+    """FIXTURES.md §1 edge cases, pinned on constructed rows: mixed case,
+    digit-adjacent splits, multi-delimiter runs, empty text, whitespace-
+    only, non-ASCII treated as delimiters."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_c_implementation_spark.functions.text import tokenize
+
+    rows = [
+        ("Foo,BAR a1b2", ["foo", "bar", "a1b2"]),
+        ("--__!!", []),
+        ("", []),
+        ("   ", []),
+        ("héllo wörld", ["h", "llo", "w", "rld"]),  # non-ASCII = delimiter
+        ("a..b", ["a", "b"]),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], ["text"])
+    got = [
+        r.toks
+        for r in df.select(tokenize(F.col("text")).alias("toks")).collect()
+    ]
+    assert got == [exp for _, exp in rows]

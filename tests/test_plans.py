@@ -95,3 +95,27 @@ def test_partitioned_sink_prunes_partitions(spark, sf_correct):
     df = get_operator("partitioned_parquet_sink").query_fn(spark, sf_correct)
     plan = physical_plan(df)
     assert "PartitionFilters" in plan and "l_returnflag" in plan, plan
+
+
+def test_minhash_band_join_is_equi_join(spark, sf_correct):
+    """The LSH candidate join must be a hash-key equi-join (SortMerge or
+    ShuffledHash/Broadcast), NEVER BroadcastNestedLoop — the O(n*m)
+    plan that kills near-dedup at scale."""
+    df = get_operator("dedup_minhash_lsh").query_fn(spark, sf_correct)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q5_broadcasts_all_dims(spark, sf_correct):
+    """Six-table Q5: the four dims broadcast; at most the fact-fact join
+    + final agg shuffle."""
+    df = get_operator("tpch_q5_local_supplier").query_fn(spark, sf_correct)
+    assert_broadcast_join(df, expect=4)
+    assert count_shuffles(df) <= 2
+
+
+def test_ann_lsh_candidate_join_broadcasts_probes(spark, sf_correct):
+    """The probe set is tiny and explicitly broadcast — the corpus side
+    must not shuffle for the candidate join."""
+    df = get_operator("ann_lsh_bucketed").query_fn(spark, sf_correct)
+    assert_broadcast_join(df, expect=1)
