@@ -183,7 +183,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE NOT ({_SQL_IS_LATE_ARRIVAL} AND ts + INTERVAL 30 MINUTE <= wm.w1)
     ),
     gaps AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, value, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS is_new
@@ -192,7 +192,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
       SELECT user_id, ts, value,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS session_id
       FROM gaps
