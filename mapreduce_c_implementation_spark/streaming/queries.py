@@ -468,3 +468,92 @@ def stream_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("n").alias("n"))
         .select("event_type", "window_start", "n")
     )
+
+
+@register(
+    "stream_stream_join",
+    oracle_sql="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           p.value AS purchase_value
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+    WHERE NOT (c.ts < TIMESTAMP '2024-01-20 00:00:00' AND c.event_id % 10 = 7)
+      AND NOT (p.ts < TIMESTAMP '2024-01-20 00:00:00' AND p.event_id % 10 = 7)
+    """,
+    tags=("streaming", "join", "stream-stream"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: click->purchase attribution per user
+    within a 2-hour window.  Both sides carry watermarks and the join
+    condition bounds event-time distance, so Spark can expire join state
+    (unbounded state is THE stream-stream join failure mode at scale).
+
+    The held-back late rows are filtered out up front on both sides —
+    stream-stream lateness interplay (two watermarks x state retention)
+    is not oracle-tractable here; lateness semantics are covered by the
+    windowed ops.  With the sentinel advancing the watermark, every
+    surviving match flushes, and the result equals the batch time-range
+    self-join (the oracle).
+    """
+    d = stage_events(sf_dir)
+    schema = load_table(spark, sf_dir, "events").schema
+
+    def side(event_type: str, prefix: str):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+            .filter(
+                ~(
+                    (F.col("ts") < F.lit("2024-01-20").cast("timestamp"))
+                    & (F.col("event_id") % 10 == 7)
+                )
+            )
+            .filter(F.col("event_type").isin([event_type, SENTINEL_TYPE]))
+            .select(
+                F.col("user_id").alias(f"{prefix}_user_id"),
+                F.col("event_id").alias(f"{prefix}_event_id"),
+                F.col("value").alias(f"{prefix}_value"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", WATERMARK_DELAY)
+        )
+
+    clicks = side("click", "c")
+    purchases = side("purchase", "p")
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user_id") == F.col("c_user_id"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 2 HOURS")),
+        "inner",
+    )
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # The sentinel passes both side filters (it must advance both
+    # watermarks) and therefore joins itself — drop it from the result.
+    return (
+        spark.table(name)
+        .filter(F.col("c_user_id") != -1)
+        .select(
+            F.col("c_user_id").alias("user_id"),
+            F.col("c_event_id").alias("click_id"),
+            F.col("p_event_id").alias("purchase_id"),
+            F.col("p_value").alias("purchase_value"),
+        )
+    )
