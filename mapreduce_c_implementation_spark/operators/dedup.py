@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_c_implementation_spark.functions.text import DUCKDB_TOKENIZE, tokenize
+from mapreduce_c_implementation_spark.functions.vector import SQL_DOT, spark_dot
 from mapreduce_c_implementation_spark.registry import register
 from mapreduce_c_implementation_spark.sources import load_table
 from mapreduce_c_implementation_spark.sources.tables import parallel_scan
@@ -75,6 +76,10 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", tokenize(F.col("text")).alias("tokens"))
         .select("doc_id", F.explode(_shingles_col()).alias("shingle"))
         .distinct()
+        # Consumed twice (hot-shingle aggregate + anti-join probe):
+        # without the cache the corpus scan + shingling — the dominant
+        # stage — runs twice per dedup operator.
+        .cache()
     )
     hot = (
         pairs.groupBy("shingle")
@@ -410,21 +415,8 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Sequential left-fold dot product — identical order both engines.
-_SQL_DOT = (
-    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
-    "list_transform(generate_series(1, len({a})), "
-    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
-    "(acc, x) -> acc + x)"
-)
-
-
-def _spark_dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+_SQL_DOT = SQL_DOT
+_spark_dot = spark_dot
 
 
 @register(

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduce_c_implementation_spark.functions.vector import SQL_DOT as _SQL_DOT
+from mapreduce_c_implementation_spark.functions.vector import spark_dot as _spark_dot
 from mapreduce_c_implementation_spark.registry import register
 from mapreduce_c_implementation_spark.sources import load_table
 
@@ -26,21 +28,6 @@ EMB_DIM = 64
 N_QUERIES = 10  # probe set: vec_id < 10
 TOP_K = 5
 N_PLANES = 6
-
-_SQL_DOT = (
-    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
-    "list_transform(generate_series(1, len({a})), "
-    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
-    "(acc, x) -> acc + x)"
-)
-
-
-def _spark_dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
 
 
 def _norms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -114,11 +101,6 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("*", F.row_number().over(w).cast("long").alias("rank"))
         .filter(F.col("rank") <= TOP_K)
     )
-
-
-def _plane_weight_sql(i: int, j: int) -> str:
-    # Deterministic ±1 hyperplane: w[j][i] = +1 if (i*(j+3)) % 7 < 3 else -1
-    return f"(CASE WHEN ({i} * {j + 3}) % 7 < 3 THEN 1.0 ELSE -1.0 END)"
 
 
 def _plane_dot_sql(j: int, emb: str) -> str:

@@ -61,5 +61,8 @@ def count_shuffles(df: DataFrame) -> int:
 
     plan = physical_plan(df)
     return len(
-        re.findall(r"Arguments: (?:hash|range|roundrobin)partitioning\(", plan)
+        re.findall(
+            r"Arguments: (?:(?:hash|range|roundrobin)partitioning\(|SinglePartition)",
+            plan,
+        )
     )

@@ -19,6 +19,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduce_c_implementation_spark.functions.exactagg import exact_sum
 from mapreduce_c_implementation_spark.functions.text import DUCKDB_TOKENIZE, tokenize
 from mapreduce_c_implementation_spark.registry import register
 from mapreduce_c_implementation_spark.sources.tables import load_table
@@ -130,10 +131,7 @@ def csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return back.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("l_quantity").cast("decimal(18,6)"))
-        .cast("decimal(30,6)")
-        .cast("double")
-        .alias("sum_qty"),
+        exact_sum("l_quantity").alias("sum_qty"),
         F.min("l_shipdate").alias("first_ship"),
     )
 
@@ -169,10 +167,7 @@ def json_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.count_distinct("user_id").alias("n_users"),
-        F.sum(F.col("value").cast("decimal(18,6)"))
-        .cast("decimal(30,6)")
-        .cast("double")
-        .alias("sum_value"),
+        exact_sum("value").alias("sum_value"),
     )
 
 
@@ -234,8 +229,5 @@ def partitioned_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(_staged[key]).filter(F.col("l_returnflag") == "R")
     return back.groupBy("l_linestatus").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("l_quantity").cast("decimal(18,6)"))
-        .cast("decimal(30,6)")
-        .cast("double")
-        .alias("sum_qty"),
+        exact_sum("l_quantity").alias("sum_qty"),
     )

@@ -75,12 +75,26 @@ def parallel_scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         size = os.path.getsize(f"{sf_dir}/{name}.parquet")
     except OSError:
         return df
-    max_part = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b"))
-    est_partitions = max(1, size // max_part)
+    max_part = _parse_bytes_conf(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    est_partitions = max(1, -(-size // max_part))  # ceil
     target = spark.sparkContext.defaultParallelism
     if size >= PARALLELIZE_SCAN_MIN_BYTES and est_partitions < target:
         df = df.repartition(target)
     return df
+
+
+def _parse_bytes_conf(value: str) -> int:
+    """Spark size confs accept human-readable suffixes (128m, 1g, 64MB)."""
+    v = value.strip().lower().removesuffix("b")
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if v and v[-1] in units:
+        return int(float(v[:-1]) * units[v[-1]])
+    try:
+        return int(v)
+    except ValueError:
+        return 128 * 1024 * 1024
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

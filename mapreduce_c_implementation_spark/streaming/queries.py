@@ -22,6 +22,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduce_c_implementation_spark.functions.exactagg import exact_sum
 from mapreduce_c_implementation_spark.registry import register
 from mapreduce_c_implementation_spark.sources import load_table
 from mapreduce_c_implementation_spark.streaming.staging import (
@@ -45,21 +46,25 @@ _SQL_IS_LATE_ARRIVAL = (
     "(ts < TIMESTAMP '2024-01-20 00:00:00' AND event_id % 10 = 7)"
 )
 
+# foreachBatch output dirs, replaced (and the old one removed) per run
+_FEBATCH_DIRS: dict[tuple[str, str], str] = {}
 
-def _run_stream(spark: SparkSession, sf_dir: str, build, with_dup_replay: bool = False) -> DataFrame:
-    """Start the streaming query built by ``build(stream_df)``, drain the
-    staged batches, and return the memory-sink table."""
+
+def _staged_stream(spark: SparkSession, sf_dir: str, with_dup_replay: bool = False) -> DataFrame:
+    """File-source stream over the deterministic staging plan."""
     d = stage_events(sf_dir, with_dup_replay=with_dup_replay)
     schema = load_table(spark, sf_dir, "events").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(d)
+    return (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(d)
     )
-    out = build(stream)
+
+
+def _drain_to_table(spark: SparkSession, out: DataFrame, output_mode: str = "append") -> DataFrame:
+    """Run the streaming DataFrame to completion into a memory sink and
+    return the sink table."""
     name = f"sink_{uuid.uuid4().hex[:12]}"
     q = (
-        out.writeStream.outputMode("append")
+        out.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)
@@ -70,6 +75,19 @@ def _run_stream(spark: SparkSession, sf_dir: str, build, with_dup_replay: bool =
     finally:
         q.stop()
     return spark.table(name)
+
+
+def _run_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    build,
+    with_dup_replay: bool = False,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Start the streaming query built by ``build(stream_df)``, drain the
+    staged batches, and return the memory-sink table."""
+    stream = _staged_stream(spark, sf_dir, with_dup_replay=with_dup_replay)
+    return _drain_to_table(spark, build(stream), output_mode)
 
 
 @register(
@@ -104,10 +122,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.window("ts", "1 hour"), "event_type")
             .agg(
                 F.count("*").alias("n"),
-                F.sum(F.col("value").cast("decimal(18,6)"))
-                .cast("decimal(30,6)")
-                .cast("double")
-                .alias("sum_value"),
+                exact_sum("value").alias("sum_value"),
             )
         )
 
@@ -157,10 +172,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.window("ts", "1 hour", "30 minutes"))
             .agg(
                 F.count("*").alias("n"),
-                F.sum(F.col("value").cast("decimal(18,6)"))
-                .cast("decimal(30,6)")
-                .cast("double")
-                .alias("sum_value"),
+                exact_sum("value").alias("sum_value"),
             )
         )
 
@@ -215,9 +227,17 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Session semantics: a session spans [first_ts, last_ts + gap); an
     event at ts >= last_ts + gap starts a NEW session (hence the >= in
-    the oracle's gap rule).  Late-row rule: a batch-1 row is dropped iff
+    the oracle's gap rule).  Late-row rule: a late arrival is dropped iff
     its provisional session end (ts + gap) is at or before the
     watermark.
+
+    Known oracle approximation: a surviving late row whose would-be
+    session partner was already flushed (session end <= W1) would start
+    a NEW session in the stream while the oracle's joint sessionization
+    merges them.  Requires a prior session ending inside
+    (W1 - gap, W1] with the late row inside its gap — not present in
+    the fixture (verified at sf0.001/0.01/0.1); a two-phase oracle
+    would close the gap if a future fixture hits it.
     """
 
     def build(stream):
@@ -226,10 +246,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.session_window("ts", "30 minutes"), "user_id")
             .agg(
                 F.count("*").alias("n_events"),
-                F.sum(F.col("value").cast("decimal(18,6)"))
-                .cast("decimal(30,6)")
-                .cast("double")
-                .alias("sum_value"),
+                exact_sum("value").alias("sum_value"),
             )
         )
 
@@ -360,10 +377,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _run_stream(spark, sf_dir, build)
     return t.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,6)"))
-        .cast("decimal(30,6)")
-        .cast("double")
-        .alias("sum_value"),
+        exact_sum("value").alias("sum_value"),
     )
 
 
@@ -379,26 +393,30 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production sink path: ``foreachBatch`` writing each micro-
-    batch to a parquet directory (epoch-tagged append — the idempotent
-    exactly-once pattern), then reading the directory back.  The oracle
-    is the batch filter+agg, so batch boundaries must not lose or
-    duplicate rows."""
+    batch to a parquet directory tagged with its epoch, then reading the
+    directory back.  The oracle is the batch filter+agg, so batch
+    boundaries must not lose or duplicate rows.  (True exactly-once
+    under retries additionally needs per-epoch idempotent writes —
+    ``partitionBy('epoch')`` + dynamic partition overwrite + a
+    checkpointLocation; this demo keeps the single-run contract.)"""
     import tempfile
 
-    out_dir = tempfile.mkdtemp(prefix="febatch_sink_")
+    key = (sf_dir, "febatch")
+    if key in _FEBATCH_DIRS:
+        import shutil
 
-    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        shutil.rmtree(_FEBATCH_DIRS[key], ignore_errors=True)
+    out_dir = tempfile.mkdtemp(prefix="febatch_sink_")
+    _FEBATCH_DIRS[key] = out_dir
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:  # noqa: ANN001
         (
             batch_df.withColumn("epoch", F.lit(epoch_id))
             .write.mode("append")
             .parquet(out_dir)
         )
 
-    d = stage_events(sf_dir)
-    schema = load_table(spark, sf_dir, "events").schema
-    stream = (
-        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(d)
-    )
+    stream = _staged_stream(spark, sf_dir)
     filtered = stream.filter(
         (F.col("value") > 100) & (F.col("event_type") != SENTINEL_TYPE)
     )
@@ -439,29 +457,14 @@ def stream_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per key — which must equal the batch aggregate under the same
     late-drop rule.  This is the mode for live dashboards (append waits
     for window close; update streams revisions)."""
-    d = stage_events(sf_dir)
-    schema = load_table(spark, sf_dir, "events").schema
-    stream = (
-        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(d)
-    )
-    agg = (
-        stream.withWatermark("ts", WATERMARK_DELAY)
-        .groupBy(F.window("ts", "6 hours"), "event_type")
-        .agg(F.count("*").alias("n"))
-    )
-    name = f"sink_{uuid.uuid4().hex[:12]}"
-    q = (
-        agg.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    t = spark.table(name)
+    def build(stream):
+        return (
+            stream.withWatermark("ts", WATERMARK_DELAY)
+            .groupBy(F.window("ts", "6 hours"), "event_type")
+            .agg(F.count("*").alias("n"))
+        )
+
+    t = _run_stream(spark, sf_dir, build, output_mode="update")
     return (
         t.filter(F.col("event_type") != SENTINEL_TYPE)
         .groupBy(F.col("window.start").alias("window_start"), "event_type")
@@ -500,14 +503,9 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving match flushes, and the result equals the batch time-range
     self-join (the oracle).
     """
-    d = stage_events(sf_dir)
-    schema = load_table(spark, sf_dir, "events").schema
-
     def side(event_type: str, prefix: str):
         return (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(d)
+            _staged_stream(spark, sf_dir)
             .filter(
                 ~(
                     (F.col("ts") < F.lit("2024-01-20").cast("timestamp"))
@@ -533,22 +531,11 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 2 HOURS")),
         "inner",
     )
-    name = f"sink_{uuid.uuid4().hex[:12]}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    t = _drain_to_table(spark, joined)
     # The sentinel passes both side filters (it must advance both
     # watermarks) and therefore joins itself — drop it from the result.
     return (
-        spark.table(name)
+        t
         .filter(F.col("c_user_id") != -1)
         .select(
             F.col("c_user_id").alias("user_id"),

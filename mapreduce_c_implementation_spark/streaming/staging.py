@@ -73,13 +73,13 @@ def _events_pdf(sf_dir: str) -> pd.DataFrame:
     return pdf[[f.name for f in _SCHEMA]]
 
 
-def _write_batch(path: str, pdf: pd.DataFrame) -> None:
+def _write_batch(path: str, pdf: pd.DataFrame, order: int) -> None:
     pq.write_table(pa.Table.from_pandas(pdf, schema=_SCHEMA, preserve_index=False), path)
-    # File sources order by modification time; make it strictly increasing.
-    time.sleep(0.05)
-    now = time.time()
-    os.utime(path, (now, now))
-    time.sleep(0.05)
+    # File sources order by modification time.  Set explicit mtimes a
+    # full 2 seconds apart so the ordering survives filesystems with
+    # whole-second mtime granularity (sleep-based spacing would not).
+    mtime = time.time() + 2.0 * order
+    os.utime(path, (mtime, mtime))
 
 
 def stage_events(sf_dir: str, with_dup_replay: bool = False) -> str:
@@ -111,14 +111,17 @@ def stage_events(sf_dir: str, with_dup_replay: bool = False) -> str:
 
     d = tempfile.mkdtemp(prefix="stream_events_")
     if with_dup_replay:
-        _write_batch(f"{d}/batch_00.parquet", pdf)
+        _write_batch(f"{d}/batch_00.parquet", pdf, 0)
         _write_batch(
-            f"{d}/batch_01_replay.parquet", pdf[(pdf["event_id"] % DUP_MOD) == DUP_REM]
+            f"{d}/batch_01_replay.parquet",
+            pdf[(pdf["event_id"] % DUP_MOD) == DUP_REM],
+            1,
         )
+        _write_batch(f"{d}/batch_99_sentinel.parquet", sentinel, 2)
     else:
-        _write_batch(f"{d}/batch_00.parquet", pdf[is_old & ~held_back])
-        _write_batch(f"{d}/batch_01.parquet", pdf[~is_old])
-        _write_batch(f"{d}/batch_02_late.parquet", pdf[held_back])
-    _write_batch(f"{d}/batch_99_sentinel.parquet", sentinel)
+        _write_batch(f"{d}/batch_00.parquet", pdf[is_old & ~held_back], 0)
+        _write_batch(f"{d}/batch_01.parquet", pdf[~is_old], 1)
+        _write_batch(f"{d}/batch_02_late.parquet", pdf[held_back], 2)
+        _write_batch(f"{d}/batch_99_sentinel.parquet", sentinel, 3)
     _CACHE[key] = d
     return d
