@@ -364,3 +364,33 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") - F.count(nd)).alias("n_null_skipped"),
         F.max(F.coalesce(nd, F.lit(-1.0))).alias("max_or_sentinel"),
     )
+
+
+@register(
+    "explode_outer_tokens",
+    oracle_sql="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'), t -> t <> ''),
+               t -> lower(substr(t, 1, 255))) AS tokens
+      FROM documents
+    )
+    SELECT doc_id, unnest(CASE WHEN len(tokens) = 0 THEN [NULL] ELSE tokens END)
+             AS word
+    FROM toks
+    WHERE doc_id % 25 = 0
+    """,
+    tags=("scalar", "explode"),
+)
+def explode_outer_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: rows with EMPTY token arrays survive as a single
+    NULL-word row (plain explode silently drops them — the lateral-join
+    footgun when counting documents after tokenization)."""
+    from mapreduce_c_implementation_spark.functions.text import tokenize
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    return d.select(
+        "doc_id",
+        F.explode_outer(tokenize(F.col("text"))).alias("word"),
+    )

@@ -18,10 +18,16 @@ from tests.oracle import canonical_rows
 SWEPT_OPS = [
     "inverted_index",
     "tpch_q1",
+    "tpch_q5_local_supplier",
     "join_orders_lineitem",
+    "join_full_outer",
     "window_running_sum",
+    "window_value_functions",
     "sessionize_batch",
     "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "ann_lsh_bucketed",
+    "pivot_status_by_flag",
 ]
 
 
