@@ -67,3 +67,28 @@ def test_tokenizer_edge_cases(spark):
         for r in df.select(tokenize(F.col("text")).alias("toks")).collect()
     ]
     assert got == [exp for _, exp in rows]
+
+
+def test_sort_within_partitions_contract(spark, sf_correct):
+    """SURVEY §2 rows 11-12: the reference guarantees reducers see keys
+    sorted WITHIN each partition (src/sorting.c + src/reduce.c:69).
+    Spark analog: repartition(key) + sortWithinPartitions — verify every
+    partition's key sequence is monotonically non-decreasing."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_c_implementation_spark.registry import get_operator
+
+    wc = get_operator("word_count").query_fn(spark, sf_correct)
+    parted = wc.repartition(8, "word").sortWithinPartitions("word")
+
+    def check(it):
+        import pandas as pd
+
+        for pdf in it:
+            ok = bool((pdf["word"].astype(str) == pdf["word"].astype(str).sort_values(
+                ignore_index=True)).all()) if len(pdf) else True
+            yield pd.DataFrame({"sorted_ok": [ok], "n": [len(pdf)]})
+
+    res = parted.select("word").mapInPandas(check, "sorted_ok boolean, n long").collect()
+    assert all(r.sorted_ok for r in res)
+    assert sum(r.n for r in res) == wc.count()
