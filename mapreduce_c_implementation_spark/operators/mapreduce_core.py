@@ -210,7 +210,8 @@ def sorted_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "input_lineage",
     oracle_sql="""
-    SELECT lang AS source_tag, count(*) AS n_docs, sum(n_chars) AS total_chars
+    SELECT lang AS source_tag, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY lang
     """,

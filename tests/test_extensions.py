@@ -63,3 +63,30 @@ def test_dedup_exact_identity_when_no_dups(spark, sf_correct):
     rows = df.collect()
     n_docs = spark.read.parquet(f"{sf_correct}/documents.parquet").count()
     assert sum(r.n_copies for r in rows) == n_docs
+
+def test_driver_priority_window():
+    """The driver's CORRECTNESS gate checks a 50-query prefix of queries().
+    Round 2 rotates every round-1-unchecked operator (plus the fixed
+    input_lineage) into that window — pin the contract here."""
+    import __spark_entry__ as se
+    from mapreduce_c_implementation_spark.registry import _DRIVER_PRIORITY, all_operators
+
+    names = list(se.queries())
+    ops = all_operators()
+    # priority names exist, are unique, and lead the queries() ordering
+    assert len(_DRIVER_PRIORITY) == len(set(_DRIVER_PRIORITY))
+    assert len(_DRIVER_PRIORITY) <= 50
+    missing = [n for n in _DRIVER_PRIORITY if n not in ops]
+    assert not missing, f"priority names not registered: {missing}"
+    assert names[: len(_DRIVER_PRIORITY)] == _DRIVER_PRIORITY
+    window = set(names[:50])
+    must_check = {
+        "input_lineage", "dedup_minhash_lsh", "ann_lsh_bucketed",
+        "tpch_q3_shipping_priority", "tpch_q5_local_supplier",
+        "stream_stateful_totals", "apply_in_pandas_zscore",
+        "null_semantics", "explode_outer_tokens",
+    }
+    assert must_check <= window
+    # oracle_sql() ordering must mirror queries() so the driver pairs them
+    osql = list(se.oracle_sql())
+    assert [n for n in names if n in set(osql)] == osql
