@@ -97,8 +97,12 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders⋈lineitem exchanges.  The region filter uses min(r_name) so
     the query is fixture-agnostic."""
     r = load_table(spark, sf_dir, "region")
-    min_name = r.agg(F.min("r_name")).collect()[0][0]  # 5-row dim; driver-safe
-    r = r.filter(F.col("r_name") == min_name)
+    # Fixture-agnostic region pick with NO driver-side action: the 1-row
+    # min(r_name) aggregate broadcasts into a semi join (the DataFrame
+    # analog of the oracle's scalar subquery), keeping the plan
+    # self-contained — one job, no collect.
+    min_r = r.agg(F.min("r_name").alias("r_name_min"))
+    r = r.join(F.broadcast(min_r), r.r_name == min_r.r_name_min, "semi")
     n = load_table(spark, sf_dir, "nation")
     c = load_table(spark, sf_dir, "customer")
     s = load_table(spark, sf_dir, "supplier")
@@ -229,8 +233,13 @@ def salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF per (doc, term): tf from one grouped count, document
-    frequency from a second, idf = ln(N/df) joined back via broadcast
-    (the df table is vocabulary-sized).  The subset filter keeps the
+    frequency from a second, idf = ln(N/df).
+
+    Scale shape: the df table is VOCABULARY-sized (billions of terms at
+    100 TB), so it must never broadcast — it shuffle-joins back to tf on
+    ``word``.  N (the corpus document count) is a 1-row aggregate folded
+    into the plan as a broadcast cross join — no driver-side ``.count()``
+    action, the whole query is one job.  The subset filter keeps the
     oracle diff small; the plan is identical without it."""
     toks = (
         parallel_scan(spark, sf_dir, "documents")
@@ -238,16 +247,24 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
-    n_docs = load_table(spark, sf_dir, "documents").count()
+    # N as a true scalar subquery: Catalyst runs the 1-row count as a
+    # subquery stage and injects the value — no join node, no driver
+    # action (a crossJoin here would compile to BroadcastNestedLoopJoin
+    # and trip the repo-wide nested-loop gate).
+    from mapreduce_c_implementation_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    n_docs = F.expr("(SELECT count(*) FROM documents)")
     return (
         tf.filter(F.col("doc_id") % 50 == 0)
-        .join(F.broadcast(dfreq), "word")
+        .join(dfreq, "word")
         .select(
             "doc_id",
             "word",
             "tf",
             F.round(
-                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+                F.col("tf") * F.log(n_docs.cast("double") / F.col("df")),
+                6,
             ).alias("tfidf"),
         )
     )

@@ -418,6 +418,43 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_DOT = SQL_DOT
 _spark_dot = spark_dot
 
+# Embedding near-dup candidate generation reuses the 6-plane random-
+# hyperplane machinery from operators/similarity.py, banded 2 x 3 bits
+# (LSH OR-construction): candidates share band 0 OR band 1, so a vector
+# sitting on one hyperplane boundary still collides in the other band.
+COSINE_BANDS = 2
+_PLANES_PER_BAND = 3
+# Near-dup threshold.  The synthetic fixture embeddings are i.i.d.
+# random (max pairwise cosine ~0.5), so a production-style 0.95 cutoff
+# matches zero pairs at every SF and the driver row degenerates to a
+# trivially-empty diff; 0.35 yields a few hundred ground-truth pairs,
+# exercising band recall + the exact verify stage end to end.
+COSINE_THRESHOLD = 0.35
+
+
+def _cosine_band_sql(band: int) -> str:
+    from mapreduce_c_implementation_spark.operators.similarity import _plane_dot_sql
+
+    return " + ".join(
+        f"(CASE WHEN {_plane_dot_sql(band * _PLANES_PER_BAND + j, 'embedding')} > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(_PLANES_PER_BAND)
+    )
+
+
+def _cosine_band_spark(band: int) -> Column:
+    from mapreduce_c_implementation_spark.operators.similarity import _plane_dot_spark
+
+    val: Column | None = None
+    for j in range(_PLANES_PER_BAND):
+        bit = F.when(
+            _plane_dot_spark(band * _PLANES_PER_BAND + j, F.col("embedding")) > 0,
+            F.lit(1 << j),
+        ).otherwise(F.lit(0))
+        val = bit if val is None else val + bit
+    assert val is not None
+    return val.cast("long")
+
 
 @register(
     "dedup_embedding_cosine",
@@ -426,24 +463,51 @@ _spark_dot = spark_dot
       SELECT vec_id, embedding,
              sqrt({_SQL_DOT.format(a="embedding", b="embedding")}) AS nrm
       FROM embeddings
+    ),
+    sig AS (
+      SELECT vec_id,
+             CAST({_cosine_band_sql(0)} AS BIGINT) AS band0,
+             CAST({_cosine_band_sql(1)} AS BIGINT) AS band1
+      FROM norms
+    ),
+    bands AS (
+      SELECT vec_id, 0 AS band_idx, band0 AS band_val FROM sig
+      UNION ALL
+      SELECT vec_id, 1 AS band_idx, band1 AS band_val FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.vec_id < b.vec_id
     )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round({_SQL_DOT.format(a="a.embedding", b="b.embedding")}
-                 / (a.nrm * b.nrm), 6) AS cosine
-    FROM norms a JOIN norms b ON a.vec_id < b.vec_id
-    WHERE {_SQL_DOT.format(a="a.embedding", b="b.embedding")}
-          / (a.nrm * b.nrm) > 0.95
+    SELECT c.vec_a, c.vec_b,
+           round({_SQL_DOT.format(a="na.embedding", b="nb.embedding")}
+                 / (na.nrm * nb.nrm), 6) AS cosine
+    FROM cand c
+    JOIN norms na ON na.vec_id = c.vec_a
+    JOIN norms nb ON nb.vec_id = c.vec_b
+    WHERE {_SQL_DOT.format(a="na.embedding", b="nb.embedding")}
+          / (na.nrm * nb.nrm) > {COSINE_THRESHOLD}
     """,
     tags=("dedup", "embedding", "cosine"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine > 0.95 over all pairs.
+    """Embedding near-dup pairs: exact cosine > COSINE_THRESHOLD within
+    LSH buckets.
 
-    Correctness baseline uses the all-pairs join (fine at fixture
-    scale); the 100 TB path is the LSH-bucketed variant in
-    operators/similarity.py (ann_lsh_bucketed), which prunes candidates
-    to same-bucket pairs first.  The dot product is a sequential left
-    fold in BOTH engines, so cosines are bit-identical.
+    Candidate generation is the similarity module's random-hyperplane
+    LSH (2 bands x 3 sign bits, OR'd): pairs sharing either band key
+    meet in an EQUI-join on (band_idx, band_val) — never an O(n²)
+    cross join (the round-1 all-pairs form survives only inside this
+    docstring as the thing we don't do; a plan gate asserts no
+    nested-loop join).  Exact cosine then verifies candidates via two
+    keyed joins back to the norms table.  The oracle runs the SAME
+    bands, so recall loss vs all-pairs is part of the contract.  At
+    100 TB: band table is 2 rows x 8-byte key per vector; every join is
+    a keyed shuffle; embeddings travel only through the vec_id joins.
+    The dot product is a sequential left fold in BOTH engines, so
+    cosines are bit-identical.
     """
     e = load_table(spark, sf_dir, "embeddings")
     norms = e.select(
@@ -451,17 +515,34 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.sqrt(_spark_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
-    a = norms.alias("a")
-    b = norms.alias("b")
-    cos = _spark_dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.col("a.nrm") * F.col("b.nrm")
+    bands = norms.select(
+        "vec_id",
+        F.posexplode(
+            F.array(_cosine_band_spark(0), _cosine_band_spark(1))
+        ).alias("band_idx", "band_val"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    na = norms.alias("na")
+    nb = norms.alias("nb")
+    cos = _spark_dot(F.col("na.embedding"), F.col("nb.embedding")) / (
+        F.col("na.nrm") * F.col("nb.nrm")
     )
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .filter(cos > 0.95)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, 6).alias("cosine"),
-        )
+        cand.join(na, F.col("vec_a") == F.col("na.vec_id"))
+        .join(nb, F.col("vec_b") == F.col("nb.vec_id"))
+        .filter(cos > COSINE_THRESHOLD)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
     )

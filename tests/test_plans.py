@@ -110,7 +110,8 @@ def test_q5_broadcasts_all_dims(spark, sf_correct):
     """Six-table Q5: the four dims broadcast; at most the fact-fact join
     + final agg shuffle."""
     df = get_operator("tpch_q5_local_supplier").query_fn(spark, sf_correct)
-    assert_broadcast_join(df, expect=4)
+    # 4 dims + the 1-row min(r_name) scalar-subquery semi join
+    assert_broadcast_join(df, expect=5)
     assert count_shuffles(df) <= 2
 
 
@@ -119,3 +120,54 @@ def test_ann_lsh_candidate_join_broadcasts_probes(spark, sf_correct):
     must not shuffle for the candidate join."""
     df = get_operator("ann_lsh_bucketed").query_fn(spark, sf_correct)
     assert_broadcast_join(df, expect=1)
+
+
+def test_embedding_cosine_candidates_are_equi_join(spark, sf_correct):
+    """Round-2 de-weak: near-dup candidates come from the 2x3-bit LSH
+    band equi-join; the all-pairs vec_id < vec_id nested loop is gone."""
+    df = get_operator("dedup_embedding_cosine").query_fn(spark, sf_correct)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tfidf_df_table_shuffle_joins(spark, sf_correct):
+    """Round-2 de-weak: the vocabulary-sized document-frequency table
+    must NOT broadcast (zero broadcast joins); N arrives via a scalar
+    subquery, not a join or a driver-side count()."""
+    df = get_operator("tfidf_top_terms").query_fn(spark, sf_correct)
+    assert_broadcast_join(df, expect=0)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Subquery" in plan, plan
+
+
+# Ops whose SEMANTICS are a cross product (explicit cartesian surface,
+# exact brute-force baseline) — everything else must never nested-loop.
+# join_asof_nearest's BNLJ over the broadcast DISTINCT-dates side (dim-
+# sized by construction) is its documented design, not an accident.
+_NESTED_LOOP_EXEMPT = {"join_cross", "ann_bruteforce_topk", "join_asof_nearest"}
+
+# Modules whose query_fns build lazy plans (streaming/io execute jobs
+# in the fn, so they are covered by their own tests instead).
+_LAZY_MODULES = {
+    "mapreduce_core", "aggregates", "joins", "windows", "setops",
+    "scalars", "udfs", "analytics", "dedup", "similarity", "textanalysis",
+}
+
+
+def test_no_accidental_nested_loop_joins(spark, sf_correct):
+    """Repo-wide scale gate: no registered batch operator may compile to
+    CartesianProduct or BroadcastNestedLoopJoin unless a cross product
+    IS its contract."""
+    from mapreduce_c_implementation_spark.registry import all_operators
+
+    offenders = []
+    for name, op in all_operators().items():
+        mod = op.query_fn.__module__.rsplit(".", 1)[-1]
+        if mod not in _LAZY_MODULES or name in _NESTED_LOOP_EXEMPT:
+            continue
+        plan = physical_plan(op.query_fn(spark, sf_correct))
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
