@@ -290,15 +290,27 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_stateful_totals",
-    oracle_sql=None,  # arbitrary-stateful API — not SQL-expressible; the
-    # companion batch check lives in tests/test_streaming.py
+    # The arbitrary-stateful API itself is not SQL, but the deterministic
+    # staging makes its FINAL per-user totals batch-expressible: every
+    # real event is delivered exactly once and the last emission per user
+    # is the grand total.  State accumulates integer cents (value is
+    # 2-decimal money), so the streamed double equals the oracle's
+    # exact-integer sum bit for bit — no float-order divergence.
+    oracle_sql="""
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS sum_value
+    FROM events
+    GROUP BY user_id
+    """,
     tags=("streaming", "stateful"),
 )
 def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     running totals maintained in explicit GroupState across batches;
     each batch emits the updated totals, and the LAST emission per user
-    equals the batch groupBy — asserted in tests/test_streaming.py.
+    equals the batch groupBy — asserted in tests/test_streaming.py and
+    (round 2) by the driver's DuckDB oracle.
 
     This is the escape hatch for operators Spark lacks (SURVEY §7
     custom-operator rule (b)) in its streaming form.
@@ -307,13 +319,17 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update_totals(key, pdfs, state: GroupState):
-        total_n, total_v = state.get if state.exists else (0, 0.0)
+        total_n, total_c = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             total_n += int(len(pdf))
-            total_v += float(pdf["value"].sum())
-        state.update((total_n, total_v))
+            total_c += int(round((pdf["value"] * 100).round().sum()))
+        state.update((total_n, total_c))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [total_n], "sum_value": [total_v]}
+            {
+                "user_id": [key[0]],
+                "n_events": [total_n],
+                "sum_value": [total_c / 100.0],
+            }
         )
 
     def build(stream):
@@ -322,7 +338,7 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .applyInPandasWithState(
                 update_totals,
                 outputStructType="user_id long, n_events long, sum_value double",
-                stateStructType="n long, v double",
+                stateStructType="n long, c long",
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout,
             )

@@ -21,7 +21,13 @@ def test_stateful_totals_equal_batch_groupby(spark, sf_correct):
         r.user_id: (r.n, round(r.s, 6))
         for r in spark.read.parquet(f"{sf_correct}/events.parquet")
         .groupBy("user_id")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .agg(
+            F.count("*").alias("n"),
+            # same integer-cents arithmetic as the stateful operator
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0
+            ).alias("s"),
+        )
         .collect()
     }
     assert streamed == batch
