@@ -46,6 +46,55 @@ HEADLINE = [
 ]
 
 
+def flagship_throughput(spark, sf_dir: str, target_mb: int) -> dict:
+    """The BASELINE.md comparison: the reference indexes ~708 MB of raw
+    text in 19.1 s (~37 MB/s on 20 cores).  Same-shape measurement —
+    stage a ~target_mb text corpus (documents.text replicated), then run
+    ``run_inverted_index_job`` end to end (text scan -> tokenize ->
+    combine -> word-keyed shuffle -> sorted postings -> part-%05d sink)
+    and report MB/s.  Staging is excluded from the timed window."""
+    import math
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_c_implementation_spark.job import MapReduceJob, run_inverted_index_job
+    from mapreduce_c_implementation_spark.metrics import input_bytes
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+    base_bytes = docs.agg(
+        F.sum(F.octet_length("text") + F.lit(1)).alias("b")
+    ).collect()[0][0]
+    copies = max(1, math.ceil(target_mb * 1_000_000 / max(1, base_bytes)))
+    corpus = tempfile.mkdtemp(prefix="flagship_corpus_")
+    out_dir = tempfile.mkdtemp(prefix="flagship_out_")
+    report = str(Path(__file__).resolve().parent / "metrics_report.txt")
+    try:
+        (
+            docs.crossJoin(F.broadcast(spark.range(copies)))
+            .select("text")
+            .repartition(64)
+            .write.mode("overwrite")
+            .text(corpus)
+        )
+        corpus_bytes = input_bytes([corpus])
+        job = MapReduceJob(
+            input_paths=[corpus], output_dir=out_dir, metrics_path=report
+        )
+        result = run_inverted_index_job(spark, job)
+        wall = result.metrics.wall_s
+        return {
+            "corpus_mb": round(corpus_bytes / 1e6, 1),
+            "wall_s": wall,
+            "mb_per_s": round(corpus_bytes / 1e6 / wall, 1) if wall else 0.0,
+            "metrics_report": report,
+        }
+    finally:
+        shutil.rmtree(corpus, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if not Path(sf_dir).is_dir():
@@ -84,17 +133,21 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    # Flagship end-to-end throughput vs BASELINE.md (MB/s over raw text).
+    # SPARK_GRAFT_FLAGSHIP_MB sizes the staged corpus; 0 disables.
+    flagship_mb = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_MB", "256"))
+    if flagship_mb > 0:
+        payload["flagship"] = flagship_throughput(spark, sf_dir, flagship_mb)
+
+    print(json.dumps(payload))
     spark.stop()
 
 

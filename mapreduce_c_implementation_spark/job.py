@@ -30,7 +30,13 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_c_implementation_spark.functions.text import tokenize
-from mapreduce_c_implementation_spark.metrics import JobMetrics
+from mapreduce_c_implementation_spark.metrics import (
+    JobMetrics,
+    collect_stage_metrics,
+    input_bytes,
+    max_stage_id,
+    partition_skew_from_files,
+)
 
 
 @dataclass
@@ -43,6 +49,10 @@ class MapReduceJob:
     clear_output: bool = True  # src/job.c:129-151
     verbose: bool = False
     metrics_path: str | None = None
+    # Reference thread-pool knobs (-i/-m): configuration echoes under
+    # Spark (split parallelism / local[N] cores), not plan inputs.
+    readers: int = 1
+    mappers: int = 20
 
     def validate(self) -> None:
         # Reference bounds-checks reducers 1..1000 (src/job.c:71-84).
@@ -76,6 +86,7 @@ def run_inverted_index_job(spark: SparkSession, job: MapReduceJob) -> JobResult:
         "output_dir": job.output_dir,
         "num_partitions": job.num_partitions,
     })
+    stage_floor = max_stage_id(spark)
     t0 = time.perf_counter()
 
     lines = spark.read.text(job.input_paths).select(
@@ -89,24 +100,92 @@ def run_inverted_index_job(spark: SparkSession, job: MapReduceJob) -> JobResult:
     postings = (
         pairs.groupBy("word")
         .agg(F.sort_array(F.collect_set("fname")).alias("files"))
+        # Shard assignment keys on the WORD (the reference's default
+        # word-hash partitioner, src/partition.c) before formatting; the
+        # formatting projection below is narrow, so the word-keyed
+        # distribution survives into the part files.
+        .repartition(job.num_partitions, F.col("word"))
         .select(
             F.concat(
                 F.col("word"), F.lit(" -> ["), F.array_join("files", ", "), F.lit("]")
             ).alias("value")
         )
     )
-    # One text shard per reducer partition, hash-distributed by word —
-    # the exact output contract of the reference sink (part-%05d).
-    postings.repartition(job.num_partitions, F.col("value")).write.text(str(out))
+    # One text shard per reducer partition — part-%05d like src/main.c:92-98.
+    postings.write.text(str(out))
 
     metrics.wall_s = round(time.perf_counter() - t0, 3)
     files = sorted(str(p) for p in out.glob("part-*"))
     metrics.counters["n_output_files"] = len(files)
-    metrics.counters["input_bytes"] = sum(
-        Path(p).stat().st_size for p in job.input_paths if Path(p).is_file()
-    )
+    metrics.counters["input_bytes"] = input_bytes(job.input_paths)
+    # Stage clocks + skew table, reference metrics.c parity: stage rows
+    # come from the driver status store (scoped to this job's stages),
+    # the skew table from reducer shard sizes.
+    metrics.stages = collect_stage_metrics(spark, after=stage_floor)
+    metrics.partition_top = partition_skew_from_files(files)
     if job.metrics_path:
         metrics.write_report(job.metrics_path)
     if job.verbose:
         print(metrics.render_report())
     return JobResult(output_dir=str(out), metrics=metrics, output_files=files)
+
+
+def parse_cli(argv: list[str]) -> MapReduceJob:
+    """CLI parity with the reference runner (src/job.c:103-120): ``-i``
+    readers, ``-m`` mappers, ``-r`` reducers, ``-v/--verbose``, then
+    positional input files/dirs/globs.  Readers/mappers are thread-pool
+    knobs in the reference; under Spark they map to configuration
+    (``-i`` -> input split parallelism, ``-m`` -> local[N] cores), so
+    they are accepted, bounds-checked like src/job.c:71-84, and echoed
+    into the metrics config rather than changing the plan."""
+    import argparse
+
+    p = argparse.ArgumentParser(
+        prog="mapreduce-spark",
+        description="Flagship inverted-index job (reference src/main.c parity)",
+    )
+    p.add_argument("inputs", nargs="+", help="input files, dirs, or globs")
+    p.add_argument("-i", type=int, default=1, dest="readers", metavar="READERS")
+    p.add_argument("-m", type=int, default=20, dest="mappers", metavar="MAPPERS")
+    p.add_argument("-r", type=int, default=40, dest="reducers", metavar="REDUCERS")
+    p.add_argument("-o", "--output", default="output", dest="output_dir")
+    p.add_argument("--metrics", default="metrics_report.txt", dest="metrics_path")
+    p.add_argument("-v", "--verbose", action="store_true")
+    a = p.parse_args(argv)
+    # Reference bounds (src/job.c:71-84).
+    if not 1 <= a.readers <= 10:
+        p.error(f"num_readers must be 1-10 (got {a.readers})")
+    if not 1 <= a.mappers <= 1000:
+        p.error(f"num_mappers must be 1-1000 (got {a.mappers})")
+    if not 1 <= a.reducers <= 1000:
+        p.error(f"num_reducers must be 1-1000 (got {a.reducers})")
+    return MapReduceJob(
+        input_paths=list(a.inputs),
+        output_dir=a.output_dir,
+        num_partitions=a.reducers,
+        verbose=a.verbose,
+        metrics_path=a.metrics_path,
+        readers=a.readers,
+        mappers=a.mappers,
+    )
+
+
+def main(argv: list[str] | None = None) -> None:
+    import sys
+
+    from mapreduce_c_implementation_spark.session import build_session
+
+    job = parse_cli(sys.argv[1:] if argv is None else argv)
+    spark = build_session("mapreduce-job", cores=job.mappers)
+    try:
+        result = run_inverted_index_job(spark, job)
+        print(
+            f"wrote {len(result.output_files)} shards to {result.output_dir} "
+            f"in {result.metrics.wall_s}s"
+        )
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":  # pragma: no cover - exercised via parse_cli tests
+    main()

@@ -42,8 +42,12 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
-def build_session(app_name: str = "mapreduce-spark-engine") -> SparkSession:
-    cpus = default_parallelism()
+def build_session(
+    app_name: str = "mapreduce-spark-engine", cores: int | None = None
+) -> SparkSession:
+    """``cores`` overrides local[N] (the CLI's ``-m`` mapper knob); by
+    default the box's core count / $SPARK_GRAFT_CPUS."""
+    cpus = cores if cores is not None else default_parallelism()
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
