@@ -93,7 +93,8 @@ def multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle_sql="""
     SELECT doc_id,
            CAST(CASE WHEN octet_length(encode(text)) > 0
-                     THEN ascii(substr(text, 1, 1)) % 64 ELSE 0 END AS BIGINT) AS width,
+                     THEN CAST('0x' || substr(hex(encode(text)), 1, 2) AS BIGINT) % 64
+                     ELSE 0 END AS BIGINT) AS width,
            CAST(octet_length(encode(text)) % 48 AS BIGINT) AS height,
            CAST(octet_length(encode(text)) // 1024 + 1 AS BIGINT) AS n_frames
     FROM documents
@@ -134,9 +135,15 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle_sql=f"""
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_frames_sampled,
-           md5(string_agg(chunk, '' ORDER BY i)) AS sample_digest
+           md5(string_agg(chunk_hex, '' ORDER BY i)) AS sample_digest
     FROM (
-      SELECT doc_id, i, substr(text, (i - 1) * {FRAME_BYTES} + 1, {FRAME_BYTES}) AS chunk
+      -- frames are BYTE ranges: slice the hex encoding (2 chars/byte),
+      -- so parity holds for non-ASCII text too (this DuckDB build has
+      -- no blob substring/md5, hence the hex route)
+      SELECT doc_id, i,
+             lower(substr(hex(encode(text)),
+                          (i - 1) * {2 * FRAME_BYTES} + 1,
+                          {2 * FRAME_BYTES})) AS chunk_hex
       FROM documents,
            unnest(generate_series(
              1, CAST(ceil(octet_length(encode(text)) / {FRAME_BYTES}.0) AS INT),
@@ -168,7 +175,11 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sampled = frames[::FRAME_STRIDE]
                 out_ids.append(doc_id)
                 out_counts.append(len(sampled))
-                out_digests.append(hashlib.md5(b"".join(sampled)).hexdigest())
+                # digest the lowercase hex of the sampled bytes — the
+                # byte-faithful form both engines can compute (see oracle)
+                out_digests.append(
+                    hashlib.md5("".join(f.hex() for f in sampled).encode()).hexdigest()
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": out_ids,

@@ -90,3 +90,40 @@ def test_driver_priority_window():
     # oracle_sql() ordering must mirror queries() so the driver pairs them
     osql = list(se.oracle_sql())
     assert [n for n in names if n in set(osql)] == osql
+
+
+def test_frame_sample_digest_non_ascii_parity():
+    """The frame digest is BYTE-based in both engines (hex-slice route):
+    parity must hold for non-ASCII text, not just the ASCII fixture."""
+    import hashlib
+
+    import duckdb
+
+    from mapreduce_c_implementation_spark.operators.multimodal import (
+        FRAME_BYTES,
+        FRAME_STRIDE,
+    )
+
+    text = "Ωmélange ÷ 中文テキスト ß " * 37
+    data = text.encode()
+    frames = [data[o : o + FRAME_BYTES] for o in range(0, len(data), FRAME_BYTES)]
+    sampled = frames[::FRAME_STRIDE]
+    py_count = len(sampled)
+    py_digest = hashlib.md5(
+        "".join(f.hex() for f in sampled).encode()
+    ).hexdigest()
+
+    con = duckdb.connect()
+    n, digest = con.execute(f"""
+    SELECT CAST(count(*) AS BIGINT),
+           md5(string_agg(chunk_hex, '' ORDER BY i))
+    FROM (
+      SELECT i, lower(substr(hex(encode(?)),
+                             (i - 1) * {2 * FRAME_BYTES} + 1,
+                             {2 * FRAME_BYTES})) AS chunk_hex
+      FROM unnest(generate_series(
+             1, CAST(ceil(octet_length(encode(?)) / {FRAME_BYTES}.0) AS INT),
+             {FRAME_STRIDE})) AS t(i)
+    )
+    """, [text, text]).fetchone()
+    assert (n, digest) == (py_count, py_digest)
