@@ -302,3 +302,45 @@ def sql_subquery_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
         """
     )
+
+
+@register(
+    "tpch_q4_order_priority",
+    oracle_sql="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("analytics", "semi-join", "headline"),
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: priority counts for orders with at least one
+    late-shipping lineitem (EXISTS -> LEFT SEMI join).  The fixture has
+    no commit/receipt dates, so the late predicate is l_shipdate >
+    o_orderdate — same correlated-EXISTS structure as spec Q4.
+
+    Scale: the semi join ships only (l_orderkey, l_shipdate); the date
+    filter prunes orders at the scan; the 5-row result sorts for free in
+    the final single-partition agg.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )

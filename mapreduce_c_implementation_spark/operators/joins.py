@@ -285,3 +285,71 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Left join keeps probes with no matching date (d = NULL), so the
     # group-max yields NULL for them — no re-join with e needed.
     return j.groupBy("event_id").agg(F.max("d").alias("asof_orderdate"))
+
+
+N_BUCKETS = 8
+
+
+@register(
+    "bucketed_join_colocated",
+    oracle_sql=f"""
+    SELECT o.o_orderpriority,
+           count(*) AS n_items,
+           {sql_exact_sum("l.l_quantity")} AS sum_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("join", "bucketing", "colocated"),
+)
+def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join with ZERO join-side shuffle via bucketing — the
+    canonical 100 TB co-location move: both tables are written bucketed
+    and sorted by the join key into {N_BUCKETS} buckets, so the
+    sort-merge join reads matching buckets directly (no Exchange, no
+    Sort under the join; asserted in tests/test_plans.py).  The only
+    shuffle left in the query is the final 5-group aggregate.
+
+    The reference's analog is its hash partitioner contract (keys
+    co-located by partition, src/partition.c); bucketing is the storage-
+    level version that SURVIVES across jobs — write once, join shuffle-
+    free forever after.  The merge hint only matters at fixture scale,
+    where orders would otherwise broadcast; at production scale the
+    optimizer picks SMJ on its own.
+    """
+    import hashlib as _hl
+    import shutil as _sh
+    from urllib.parse import urlparse as _urlparse
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    b_orders, b_lineitem = f"b_orders_{tag}", f"b_lineitem_{tag}"
+    warehouse = _urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    for tbl, src, key in (
+        (b_orders, "orders", "o_orderkey"),
+        (b_lineitem, "lineitem", "l_orderkey"),
+    ):
+        if not spark.catalog.tableExists(tbl):
+            # A previous session's managed-table directory may survive
+            # while the in-memory catalog entry did not; clear it so
+            # saveAsTable doesn't refuse the location.
+            if warehouse:
+                _sh.rmtree(f"{warehouse}/{tbl}", ignore_errors=True)
+            (
+                load_table(spark, sf_dir, src)
+                # one file per bucket => sorted-scan optimization stays on
+                .repartition(N_BUCKETS, F.col(key))
+                .write.bucketBy(N_BUCKETS, key)
+                .sortBy(key)
+                .mode("overwrite")
+                .format("parquet")
+                .saveAsTable(tbl)
+            )
+    o = spark.table(b_orders).select("o_orderkey", "o_orderpriority")
+    li = spark.table(b_lineitem).select("l_orderkey", "l_quantity")
+    return (
+        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            exact_sum("l_quantity").alias("sum_qty"),
+        )
+    )

@@ -294,3 +294,133 @@ def ngram_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ngram")
         .agg(F.count("*").alias("cnt"), F.count_distinct("doc_id").alias("df"))
     )
+
+
+# Quality-filter thresholds (the shape of real corpus filters — e.g.
+# C4/Gopher-style rules — over the synthetic fixture).
+QF_MIN_TOKENS = 5
+QF_MIN_ALPHA_RATIO = 0.6
+QF_MIN_DISTINCT_RATIO = 0.3
+
+
+@register(
+    "corpus_quality_filter",
+    oracle_sql=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(len(tokens) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+               / CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END
+               AS alpha_ratio,
+             CAST(len(list_distinct(tokens)) AS DOUBLE)
+               / CASE WHEN len(tokens) = 0 THEN 1 ELSE len(tokens) END
+               AS distinct_ratio
+      FROM (SELECT doc_id, text, {_TOK} AS tokens FROM documents)
+    )
+    SELECT doc_id, n_tokens,
+           round(alpha_ratio, 6) AS alpha_ratio,
+           round(distinct_ratio, 6) AS distinct_ratio,
+           CASE WHEN n_tokens < {QF_MIN_TOKENS} THEN 'drop:too_short'
+                WHEN alpha_ratio < {QF_MIN_ALPHA_RATIO} THEN 'drop:low_alpha'
+                WHEN distinct_ratio < {QF_MIN_DISTINCT_RATIO} THEN 'drop:repetitive'
+                ELSE 'keep' END AS verdict
+    FROM feats
+    """,
+    tags=("text", "quality", "pipeline"),
+)
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based corpus quality filter (the C4/Gopher-filter shape):
+    per-document features -> keep/drop verdict WITH the firing rule, so
+    the pipeline can audit drop reasons.  Rules: token count, alphabetic
+    character ratio, distinct-token ratio (repetition detector).
+
+    All features are codegen'd column expressions over one text pass —
+    no shuffle, no Python; the thresholds compare identical IEEE
+    divisions in both engines, so verdicts can't straddle engines.
+    """
+    d = parallel_scan(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "text", tokenize(F.col("text")).alias("tokens"))
+    n_tokens = F.size("tokens").cast("long")
+    text_len = F.length("text")
+    alpha_ratio = (
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("double")
+        / F.when(text_len == 0, F.lit(1)).otherwise(text_len)
+    )
+    distinct_ratio = (
+        F.size(F.array_distinct("tokens")).cast("double")
+        / F.when(F.size("tokens") == 0, F.lit(1)).otherwise(F.size("tokens"))
+    )
+    feats = toks.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        alpha_ratio.alias("alpha_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+    )
+    verdict = (
+        F.when(F.col("n_tokens") < QF_MIN_TOKENS, F.lit("drop:too_short"))
+        .when(F.col("alpha_ratio") < QF_MIN_ALPHA_RATIO, F.lit("drop:low_alpha"))
+        .when(
+            F.col("distinct_ratio") < QF_MIN_DISTINCT_RATIO,
+            F.lit("drop:repetitive"),
+        )
+        .otherwise(F.lit("keep"))
+    )
+    return feats.select(
+        "doc_id",
+        "n_tokens",
+        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+        F.round("distinct_ratio", 6).alias("distinct_ratio"),
+        verdict.alias("verdict"),
+    )
+
+
+# Split fractions for the deterministic holdout splitter.
+SPLIT_TRAIN_PCT = 80
+SPLIT_VALID_PCT = 10  # test gets the remainder
+
+
+@register(
+    "deterministic_split",
+    oracle_sql=f"""
+    WITH assigned AS (
+      SELECT doc_id, {_TOK} AS tokens,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+               % 100 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+                WHEN bucket < {SPLIT_TRAIN_PCT + SPLIT_VALID_PCT} THEN 'valid'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(len(tokens)) AS BIGINT) AS total_tokens
+    FROM assigned
+    GROUP BY 1
+    """,
+    tags=("text", "split", "pipeline"),
+)
+def deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test assignment: md5(doc_id) % 100 into
+    {SPLIT_TRAIN_PCT}/{SPLIT_VALID_PCT}/rest buckets.  Content-hash
+    splitting (never rand()) is the reproducibility contract of training
+    pipelines — the same document lands in the same split on any engine,
+    any run, any partitioning.  One narrow map + one tiny 3-group agg.
+    """
+    d = parallel_scan(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VALID_PCT, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(split.alias("split"), F.size(tokenize(F.col("text"))).alias("n_toks"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+        )
+    )

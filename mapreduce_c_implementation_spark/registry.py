@@ -140,6 +140,9 @@ _DRIVER_PRIORITY = [
     "null_semantics",
     "explode_outer_tokens",
     # round-2 additions (slots 48-50)
+    "corpus_quality_filter",
+    "deterministic_split",
+    "tpch_q4_order_priority",
 ]
 
 

@@ -85,6 +85,8 @@ def test_driver_priority_window():
         "tpch_q3_shipping_priority", "tpch_q5_local_supplier",
         "stream_stateful_totals", "apply_in_pandas_zscore",
         "null_semantics", "explode_outer_tokens",
+        "corpus_quality_filter", "deterministic_split",
+        "tpch_q4_order_priority",
     }
     assert must_check <= window
     # oracle_sql() ordering must mirror queries() so the driver pairs them

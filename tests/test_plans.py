@@ -171,3 +171,13 @@ def test_no_accidental_nested_loop_joins(spark, sf_correct):
         if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_bucketed_join_has_no_join_shuffle(spark, sf_correct):
+    """Both sides bucketed+sorted on the join key: the sort-merge join
+    must read buckets directly — the ONLY exchange in the query is the
+    final aggregate's, and no Sort feeds the join."""
+    df = get_operator("bucketed_join_colocated").query_fn(spark, sf_correct)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" in plan, plan
+    assert count_shuffles(df) == 1, plan
