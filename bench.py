@@ -43,6 +43,12 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
     "tfidf_top_terms",
+    # round-2 additions
+    "dedup_embedding_cosine",
+    "tpch_q4_order_priority",
+    "bucketed_join_colocated",
+    "corpus_quality_filter",
+    "deterministic_split",
 ]
 
 

@@ -546,3 +546,111 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos > COSINE_THRESHOLD)
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
     )
+
+
+# Rounds of min-label propagation: each round spreads the component
+# minimum one hop, so this bounds the recoverable component DIAMETER.
+# SimHash near-dup components are near-cliques (hamming<=3 is almost
+# transitive), so 8 is generous; the oracle computes the TRUE transitive
+# closure, so an undershoot fails the diff loudly instead of silently.
+CC_ROUNDS = 8
+
+_SQL_SIMHASH_CTES = f"""
+    tok AS (
+      SELECT doc_id, unnest(tokens) AS t
+      FROM (SELECT doc_id, {_TOK} AS tokens FROM documents)
+    ),
+    th AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS h FROM tok),
+    bits AS (
+      SELECT doc_id,
+             {", ".join(
+                 f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS w{j}"
+                 for j in range(16)
+             )}
+      FROM th GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST({" + ".join(
+                 f"(CASE WHEN w{j} > 0 THEN 1 ELSE 0 END) * {1 << j}"
+                 for j in range(16)
+             )} AS BIGINT) AS simhash
+      FROM bits
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, simhash, {b} AS band_idx, "
+          f"(simhash >> {4 * b}) & 15 AS band_val FROM sig"
+          for b in range(4)
+      )}
+    ),
+    simpairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                 AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    )
+"""
+
+
+@register(
+    "dedup_connected_components",
+    oracle_sql=f"""
+    WITH RECURSIVE
+    {_SQL_SIMHASH_CTES},
+    edges AS (
+      SELECT doc_a, doc_b FROM simpairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM simpairs
+    ),
+    reach(doc, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.doc_b, r.lab FROM reach r JOIN edges e ON e.doc_a = r.doc
+    )
+    SELECT doc AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY doc
+    """,
+    tags=("dedup", "clusters", "iterative"),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment: connected components over the
+    SimHash near-dup graph, every document labeled with the minimum
+    doc_id of its component (singletons label themselves).  This is the
+    step that turns pairwise near-dup hits into keep/drop groups.
+
+    Implementation is iterative min-label propagation — {CC_ROUNDS}
+    fixed rounds of (join labels to neighbors, take the min).  Each
+    round ends in `localCheckpoint`, which matters twice over: without
+    it the round N plan contains TWO copies of round N-1 (union of
+    labels with joined labels), so lineage — and Catalyst planning
+    time — doubles every round (2^rounds stage blow-up, observed as a
+    500-stage job before the fix); with it every round is one small
+    join+agg job over materialized partitions.  The oracle computes the
+    exact transitive closure with a recursive CTE, so an unconverged
+    round count fails the diff rather than passing silently.  At 100 TB
+    you would checkpoint to reliable storage instead of executor memory
+    and switch to the alternating small-star/large-star formulation
+    (same join/agg primitives, O(log n) rounds); component diameters
+    here are tiny because hamming<=3 neighborhoods are near-cliques.
+    """
+    pairs = dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    docs = parallel_scan(spark, sf_dir, "documents").select("doc_id")
+    labels = docs.select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    ).localCheckpoint()
+    for _ in range(CC_ROUNDS):
+        nbr = edges.join(
+            labels, edges.doc_a == labels.doc_id
+        ).select(F.col("doc_b").alias("doc_id"), "cluster_id")
+        labels = (
+            labels.union(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+    return labels

@@ -282,3 +282,39 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(w).alias("last_price"),
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
     )
+
+
+@register(
+    "window_range_frame",
+    oracle_sql="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER wr
+                AS DECIMAL(30,6)) AS DOUBLE) AS nearby_sum,
+           CAST(count(*) OVER wr AS BIGINT) AS nearby_cnt
+    FROM orders
+    WINDOW wr AS (PARTITION BY o_custkey ORDER BY o_totalprice
+                  RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "range-frame"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame: per customer, total and count of orders
+    priced within 100 below the current order.  RANGE frames are the
+    window form rows-frames can't express (membership by VALUE distance,
+    ties all-in) — deterministic without a tiebreaker because the frame
+    is a pure function of the order values.  Same single-shuffle cost
+    profile as any window: one exchange on o_custkey + in-partition sort.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    wr = (
+        "(PARTITION BY o_custkey ORDER BY o_totalprice "
+        "RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)"
+    )
+    return o.selectExpr(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER "
+        f"{wr} AS DECIMAL(30,6)) AS DOUBLE) AS nearby_sum",
+        f"CAST(count(*) OVER {wr} AS BIGINT) AS nearby_cnt",
+    )
