@@ -208,6 +208,133 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CELLS = 8
+NPROBE = 2
+
+
+def _centroid_dot_sql(k: int, emb: str) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {EMB_DIM}), "
+        f"i -> (CASE WHEN ((i + {k}) * {k + 5}) % 11 < 5 THEN 1.0 ELSE -1.0 END) "
+        f"* CAST({emb}[i] AS DOUBLE))), (acc, x) -> acc + x)"
+    )
+
+
+def _centroid_dot_spark(k: int, emb: Column) -> Column:
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(EMB_DIM)),
+            lambda i: F.when(((i + k) * (k + 5)) % 11 < 5, F.lit(1.0)).otherwise(
+                F.lit(-1.0)
+            )
+            * F.element_at(emb, i).cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+_SQL_CELL_SCORES = " UNION ALL ".join(
+    f"SELECT vec_id, label, embedding, nrm, {k} AS cell, "
+    f"round({_centroid_dot_sql(k, 'embedding')}, 6) AS cscore FROM norms"
+    for k in range(N_CELLS)
+)
+
+
+@register(
+    "ann_ivf_coarse",
+    oracle_sql=f"""
+    WITH {_SQL_NORMS},
+    cell_scores AS ({_SQL_CELL_SCORES}),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cscore DESC, cell ASC) AS crank
+      FROM cell_scores
+    ),
+    corpus AS (SELECT vec_id, label, embedding, nrm, cell
+               FROM ranked WHERE crank = 1),
+    probes AS (SELECT vec_id, embedding, nrm, cell
+               FROM ranked WHERE crank <= {NPROBE} AND vec_id < {N_QUERIES}),
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             c.label AS neighbor_label,
+             round({_SQL_DOT.format(a="q.embedding", b="c.embedding")}
+                   / (q.nrm * c.nrm), 6) AS cosine
+      FROM probes q JOIN corpus c
+        ON q.cell = c.cell AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, neighbor_label, cosine, rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM cand)
+    WHERE rank <= {TOP_K}
+    """,
+    tags=("similarity", "ann", "ivf"),
+)
+def ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style coarse-quantized ANN: {N_CELLS} deterministic ±1
+    centroids partition the corpus into cells (argmax centroid score,
+    cell-id tiebreak); each probe vector searches its {NPROBE} best
+    cells; exact cosine ranks candidates.  This is the classic inverted-
+    file trade: recall bounded by nprobe/cells, cost bounded by cell
+    fan-out instead of corpus size.
+
+    Scale shape: cell assignment is a narrow per-row map (no shuffle);
+    the candidate join is an equi-join on `cell`, so at 100 TB the
+    corpus shuffles once by cell id — or is WRITTEN partitioned by cell,
+    making each probe a partition-pruned scan.  The oracle runs the same
+    algorithm (same centroid literals), so recall loss vs brute force is
+    part of the contract.
+    """
+    norms = _norms(spark, sf_dir)
+    scores = F.array(
+        *[
+            F.struct(
+                F.round(_centroid_dot_spark(k, F.col("embedding")), 6).alias("cscore"),
+                F.lit(k).alias("cell"),
+            )
+            for k in range(N_CELLS)
+        ]
+    )
+    exploded = norms.select(
+        "vec_id", "label", "embedding", "nrm", F.explode(scores).alias("s")
+    ).select("vec_id", "label", "embedding", "nrm", "s.cscore", "s.cell")
+    from pyspark.sql.window import Window
+
+    cw = Window.partitionBy("vec_id").orderBy(F.desc("cscore"), F.asc("cell"))
+    ranked = exploded.select("*", F.row_number().over(cw).alias("crank"))
+    corpus = ranked.filter(F.col("crank") == 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+        "cell",
+    )
+    probes = ranked.filter(
+        (F.col("crank") <= NPROBE) & (F.col("vec_id") < N_QUERIES)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        "cell",
+    )
+    cos = F.round(
+        _spark_dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")),
+        6,
+    )
+    cand = (
+        corpus.join(F.broadcast(probes), on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "neighbor_label", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.select("*", F.row_number().over(w).cast("long").alias("rank"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
 @register(
     "embedding_centroids",
     oracle_sql=f"""

@@ -28,6 +28,9 @@ SWEPT_OPS = [
     "dedup_simhash_pairs",
     "ann_lsh_bucketed",
     "pivot_status_by_flag",
+    "window_range_frame",
+    "dedup_connected_components",
+    "ann_ivf_coarse",
 ]
 
 
