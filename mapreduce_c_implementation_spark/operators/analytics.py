@@ -344,3 +344,58 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("order_count"))
         .orderBy("o_orderpriority")
     )
+
+
+# Per-stratum cap for the balanced downsampler.
+STRATUM_N = 200
+
+
+@register(
+    "stratified_sample",
+    oracle_sql=f"""
+    WITH ranked AS (
+      SELECT event_type, event_id,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+             ) AS rnk
+      FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_sampled,
+           CAST(sum(event_id) AS BIGINT) AS id_checksum
+    FROM ranked WHERE rnk <= {STRATUM_N}
+    GROUP BY event_type
+    """,
+    tags=("sampling", "pipeline"),
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-stratum downsample: at most {STRATUM_N} events per
+    event_type, chosen by ranking md5(event_id) within the stratum — the
+    content-hash analogue of `ORDER BY random() LIMIT N` that is
+    reproducible across engines, runs, and partitionings.  Class
+    rebalancing for training data is exactly this shape.
+
+    The id_checksum column makes the oracle verify MEMBERSHIP (which
+    rows were picked), not just counts.  Cost: one shuffle on the
+    stratum key + in-partition sort — same profile as any window.  At
+    100 TB with few strata the window partitions are huge; the scale
+    variant pre-filters with an approximate per-stratum hash threshold
+    (keep md5 < adaptive cutoff) before the exact rank, so the sort
+    sees ~{STRATUM_N} rows per stratum instead of all of them.
+    """
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    return (
+        e.select("event_type", "event_id", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= STRATUM_N)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("event_id").cast("long").alias("id_checksum"),
+        )
+    )

@@ -199,10 +199,11 @@ def _minhash_params(i: int) -> tuple[int, int]:
     return 2 * i + 1, 101 * i + 17
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle_sql=f"""
-    WITH {_SQL_DOC_SHINGLES},
+# Full MinHash+LSH candidate pipeline as reusable CTEs ending in
+# `mhpairs` — shared by dedup_minhash_lsh and the connected-components
+# clustering ops, which consume the pair graph as their edge set.
+_SQL_MINHASH_CTES = f"""
+    {_SQL_DOC_SHINGLES},
     sig AS (
       SELECT doc_id,
              {", ".join(
@@ -219,11 +220,21 @@ def _minhash_params(i: int) -> tuple[int, int]:
           f"FROM sig"
           for b in range(MINHASH_BANDS)
       )}
+    ),
+    mhpairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                 AND a.doc_id < b.doc_id
     )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a
-    JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-               AND a.doc_id < b.doc_id
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle_sql=f"""
+    WITH {_SQL_MINHASH_CTES}
+    SELECT doc_a, doc_b FROM mhpairs
     """,
     tags=("dedup", "minhash", "lsh", "headline"),
 )
@@ -550,59 +561,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Rounds of min-label propagation: each round spreads the component
 # minimum one hop, so this bounds the recoverable component DIAMETER.
-# SimHash near-dup components are near-cliques (hamming<=3 is almost
-# transitive), so 8 is generous; the oracle computes the TRUE transitive
-# closure, so an undershoot fails the diff loudly instead of silently.
+# MinHash-LSH components on the fixture corpus are small near-cliques,
+# so 8 is generous; the oracle computes the TRUE transitive closure, so
+# an undershoot fails the diff loudly instead of silently.
 CC_ROUNDS = 8
-
-_SQL_SIMHASH_CTES = f"""
-    tok AS (
-      SELECT doc_id, unnest(tokens) AS t
-      FROM (SELECT doc_id, {_TOK} AS tokens FROM documents)
-    ),
-    th AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS h FROM tok),
-    bits AS (
-      SELECT doc_id,
-             {", ".join(
-                 f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS w{j}"
-                 for j in range(16)
-             )}
-      FROM th GROUP BY doc_id
-    ),
-    sig AS (
-      SELECT doc_id,
-             CAST({" + ".join(
-                 f"(CASE WHEN w{j} > 0 THEN 1 ELSE 0 END) * {1 << j}"
-                 for j in range(16)
-             )} AS BIGINT) AS simhash
-      FROM bits
-    ),
-    bands AS (
-      {" UNION ALL ".join(
-          f"SELECT doc_id, simhash, {b} AS band_idx, "
-          f"(simhash >> {4 * b}) & 15 AS band_val FROM sig"
-          for b in range(4)
-      )}
-    ),
-    simpairs AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a
-      JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-                 AND a.doc_id < b.doc_id
-      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-    )
-"""
-
 
 @register(
     "dedup_connected_components",
     oracle_sql=f"""
     WITH RECURSIVE
-    {_SQL_SIMHASH_CTES},
+    {_SQL_MINHASH_CTES},
     edges AS (
-      SELECT doc_a, doc_b FROM simpairs
+      SELECT doc_a, doc_b FROM mhpairs
       UNION ALL
-      SELECT doc_b, doc_a FROM simpairs
+      SELECT doc_b, doc_a FROM mhpairs
     ),
     reach(doc, lab) AS (
       SELECT doc_id, doc_id FROM documents
@@ -616,9 +588,12 @@ _SQL_SIMHASH_CTES = f"""
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER assignment: connected components over the
-    SimHash near-dup graph, every document labeled with the minimum
+    MinHash-LSH near-dup graph, every document labeled with the minimum
     doc_id of its component (singletons label themselves).  This is the
     step that turns pairwise near-dup hits into keep/drop groups.
+    (The SimHash graph is NOT used as the edge set: 16-bit signatures
+    over the word-salad fixture are so dense that everything collapses
+    into one component — a degenerate clustering.)
 
     Implementation is iterative min-label propagation — {CC_ROUNDS}
     fixed rounds of (join labels to neighbors, take the min).  Each
@@ -633,9 +608,9 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     you would checkpoint to reliable storage instead of executor memory
     and switch to the alternating small-star/large-star formulation
     (same join/agg primitives, O(log n) rounds); component diameters
-    here are tiny because hamming<=3 neighborhoods are near-cliques.
+    here are tiny because LSH band collisions form near-cliques.
     """
-    pairs = dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint()
@@ -654,3 +629,47 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return labels
+
+
+@register(
+    "dedup_keep_representatives",
+    oracle_sql=f"""
+    WITH RECURSIVE
+    {_SQL_MINHASH_CTES},
+    edges AS (
+      SELECT doc_a, doc_b FROM mhpairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM mhpairs
+    ),
+    reach(doc, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.doc_b, r.lab FROM reach r JOIN edges e ON e.doc_a = r.doc
+    ),
+    labs AS (
+      SELECT doc AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY doc
+    )
+    SELECT CAST(cluster_id AS BIGINT) AS doc_id,
+           count(*) AS cluster_size
+    FROM labs GROUP BY cluster_id
+    """,
+    tags=("dedup", "clusters", "pipeline"),
+)
+def dedup_keep_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep/drop decision that ends a near-dup pipeline: one
+    representative per connected component (the min doc_id — stable,
+    engine-independent), with the component size it speaks for.  A
+    training-data run would semi-join the corpus against this table to
+    materialize the deduplicated set; emitting (representative, size)
+    keeps the oracle exact while the fixture corpus stays small.
+
+    Cost on top of [[dedup_connected_components]]: one extra tiny
+    groupBy on cluster_id — the label table is (doc_id, cluster_id)
+    pairs, already far smaller than the corpus at scale.
+    """
+    labels = dedup_connected_components(spark, sf_dir)
+    return (
+        labels.groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .select(F.col("cluster_id").alias("doc_id"), "cluster_size")
+    )

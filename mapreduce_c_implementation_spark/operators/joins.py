@@ -353,3 +353,65 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum("l_quantity").alias("sum_qty"),
         )
     )
+
+
+# Salt fan-out for the skew-mitigated join: the big side's hot keys are
+# spread over this many sub-keys; the medium side is replicated this
+# many times. Results are salt-invariant (salt only routes rows), so
+# the oracle is the PLAIN join.
+SALT_BUCKETS = 16
+
+
+@register(
+    "skew_join_salted",
+    oracle_sql=f"""
+    SELECT o.o_orderstatus,
+           count(*) AS n_items,
+           {sql_exact_sum("l.l_quantity")} AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+    tags=("join", "skew", "salted"),
+)
+def skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe fact join via explicit salting: the fact side gets a
+    deterministic per-row salt in [0, {SALT_BUCKETS}); the other side is
+    replicated across all salts; the join key becomes (orderkey, salt),
+    so one hot orderkey lands on {SALT_BUCKETS} reducers instead of one.
+
+    This is the manual form of what AQE skew-split does adaptively —
+    kept as a first-class operator because at 100 TB you salt
+    *proactively* when you KNOW the skew (power-law user ids, null-heavy
+    foreign keys) rather than waiting for a straggler to finish.  Salt
+    choice only routes rows — the result is provably salt-invariant —
+    so the DuckDB oracle is the plain unsalted join.  The replicated
+    side grows {SALT_BUCKETS}x, which is the explicit price: salt the
+    MEDIUM side against the BIG side, never dim-vs-dim (broadcast) or
+    the whole fact (AQE).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    salted_fact = li.select(
+        "l_orderkey",
+        "l_quantity",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SALT_BUCKETS)).alias(
+            "salt"
+        ),
+    )
+    replicated = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.explode(F.sequence(F.lit(0), F.lit(SALT_BUCKETS - 1))).alias("salt"),
+    ).withColumn("salt", F.col("salt").cast("long"))
+    joined = salted_fact.join(
+        replicated,
+        (salted_fact.l_orderkey == replicated.o_orderkey)
+        & (salted_fact.salt == replicated.salt),
+    )
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            exact_sum("l_quantity").alias("sum_qty"),
+        )
+    )

@@ -31,6 +31,8 @@ SWEPT_OPS = [
     "window_range_frame",
     "dedup_connected_components",
     "ann_ivf_coarse",
+    "skew_join_salted",
+    "stratified_sample",
 ]
 
 
