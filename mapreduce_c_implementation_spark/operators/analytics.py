@@ -399,3 +399,94 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("event_id").cast("long").alias("id_checksum"),
         )
     )
+
+
+# Columns profiled by table_profile: (name, numeric?) — numeric min/max
+# are exported as DOUBLE (int64 keys are < 2^53, lossless), strings via
+# min/max on the raw value. o_orderdate is excluded: timestamp->string
+# formatting is engine-specific.
+_PROFILE_COLS = [
+    ("o_orderkey", True),
+    ("o_custkey", True),
+    ("o_totalprice", True),
+    ("o_orderstatus", False),
+    ("o_orderpriority", False),
+]
+
+
+@register(
+    "table_profile",
+    oracle_sql="""
+    WITH agg AS (
+      SELECT count(*) AS n_rows,
+    """
+    + ",\n".join(
+        f"""        count({c}) AS nn_{c},
+        count(DISTINCT {c}) AS nd_{c},
+        {f"CAST(min({c}) AS DOUBLE)" if num else "NULL"} AS mnn_{c},
+        {f"CAST(max({c}) AS DOUBLE)" if num else "NULL"} AS mxn_{c},
+        {f"min({c})" if not num else "NULL"} AS mns_{c},
+        {f"max({c})" if not num else "NULL"} AS mxs_{c}"""
+        for c, num in _PROFILE_COLS
+    )
+    + """
+      FROM orders
+    )
+    """
+    + " UNION ALL ".join(
+        f"""SELECT '{c}' AS col_name, n_rows,
+               CAST(n_rows - nn_{c} AS BIGINT) AS n_nulls,
+               CAST(nd_{c} AS BIGINT) AS n_distinct,
+               CAST(mnn_{c} AS DOUBLE) AS min_num,
+               CAST(mxn_{c} AS DOUBLE) AS max_num,
+               CAST(mns_{c} AS VARCHAR) AS min_str,
+               CAST(mxs_{c} AS VARCHAR) AS max_str
+        FROM agg"""
+        for c, _num in _PROFILE_COLS
+    ),
+    tags=("profiling", "pipeline"),
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of `orders`: one output row per column with
+    row/null/distinct counts and min/max (numeric as double, categorical
+    as string).  This is the pre-flight check a 100 TB ingest runs
+    before joining anything — null-rate and cardinality drift is how
+    upstream breakage shows up.
+
+    Shape: ALL metrics for ALL columns come from ONE aggregate pass over
+    the table (count/count-distinct/min/max fused into a single
+    partial+final agg), then a constant-width unpivot of that single
+    row — the table is scanned once, never once-per-column.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    aggs: list = [F.count(F.lit(1)).alias("n_rows")]
+    for c, num in _PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+        if num:
+            aggs.append(F.min(F.col(c).cast("double")).alias(f"mnn_{c}"))
+            aggs.append(F.max(F.col(c).cast("double")).alias(f"mxn_{c}"))
+        else:
+            aggs.append(F.min(c).alias(f"mns_{c}"))
+            aggs.append(F.max(c).alias(f"mxs_{c}"))
+    one = o.agg(*aggs)
+    # stack() unpivots the single metrics row inside ONE plan — a
+    # union-of-selects over `one` would graft the aggregate subtree
+    # once per column instead.
+    tuples = []
+    for c, num in _PROFILE_COLS:
+        tuples.append(
+            f"'{c}', n_rows, CAST(n_rows - nn_{c} AS BIGINT), "
+            f"CAST(nd_{c} AS BIGINT), "
+            + (
+                f"CAST(mnn_{c} AS DOUBLE), CAST(mxn_{c} AS DOUBLE), "
+                "CAST(NULL AS STRING), CAST(NULL AS STRING)"
+                if num
+                else "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+                f"CAST(mns_{c} AS STRING), CAST(mxs_{c} AS STRING)"
+            )
+        )
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {', '.join(tuples)}) AS "
+        "(col_name, n_rows, n_nulls, n_distinct, min_num, max_num, min_str, max_str)"
+    )

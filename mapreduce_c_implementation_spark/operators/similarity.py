@@ -366,3 +366,94 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_SQL_MAXABS = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    f"list_transform(generate_series(1, {EMB_DIM}), "
+    "i -> abs(CAST(embedding[i] AS DOUBLE)))), "
+    "(acc, x) -> CASE WHEN x > acc THEN x ELSE acc END)"
+)
+
+# int8 code for dim i given max-abs scale: symmetric half-up rounding
+# via floor(x + 0.5) — identical doubles, then identical floor, in both
+# engines (never round(): HALF_UP vs banker's diverges on .5 ties).
+_SQL_CODE = (
+    "CAST(floor(CAST(embedding[{i}] AS DOUBLE) * 127.0 / scale + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle_sql=f"""
+    WITH scaled AS (
+      SELECT vec_id, label, embedding, {_SQL_MAXABS} AS scale
+      FROM embeddings
+    )
+    SELECT vec_id, label,
+           round(scale, 6) AS scale_r,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(generate_series(1, {EMB_DIM}),
+                    i -> i * CAST(floor(CAST(embedding[i] AS DOUBLE)
+                                        * 127.0 / scale + 0.5) AS BIGINT))),
+                (acc, x) -> acc + x) AS BIGINT) AS code_checksum,
+           CAST(len(list_filter(generate_series(1, {EMB_DIM}),
+                    i -> abs(floor(CAST(embedding[i] AS DOUBLE)
+                                   * 127.0 / scale + 0.5)) >= 127))
+                AS BIGINT) AS n_saturated
+    FROM scaled
+    """,
+    tags=("similarity", "quantization", "pipeline"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the 4x
+    storage/bandwidth cut every vector-serving layer applies before
+    indexing.  Per vector: scale = max|x|, code_i = halfup(x_i*127/scale).
+
+    The oracle verifies codes by MEMBERSHIP, not eyeball: a position-
+    weighted checksum (sum i*code_i) plus the saturation count pins
+    every code; any one wrong code shifts the checksum.  Rounding is
+    floor(x+0.5) — never round(), whose .5-tie mode differs between
+    engines.  Cost: one narrow codegen'd map, no shuffle, no Python.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    maxabs = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(EMB_DIM)),
+            lambda i: F.abs(F.element_at(emb, i).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: F.when(x > acc, x).otherwise(acc),
+    )
+    scaled = e.select("vec_id", "label", "embedding", maxabs.alias("scale"))
+
+    def code(i):
+        return F.floor(
+            F.element_at(F.col("embedding"), i).cast("double")
+            * 127.0
+            / F.col("scale")
+            + 0.5
+        )
+
+    checksum = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(EMB_DIM)),
+            lambda i: i.cast("long") * code(i).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_sat = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(EMB_DIM)),
+            lambda i: F.abs(code(i)) >= 127,
+        )
+    )
+    return scaled.select(
+        "vec_id",
+        "label",
+        F.round("scale", 6).alias("scale_r"),
+        checksum.alias("code_checksum"),
+        n_sat.cast("long").alias("n_saturated"),
+    )

@@ -318,3 +318,49 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{wr} AS DECIMAL(30,6)) AS DOUBLE) AS nearby_sum",
         f"CAST(count(*) OVER {wr} AS BIGINT) AS nearby_cnt",
     )
+
+
+@register(
+    "window_time_range",
+    oracle_sql="""
+    WITH cents AS (
+      SELECT event_id, user_id, ts,
+             CAST(floor(value * 100) AS BIGINT) AS v_cents
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(sum(v_cents) OVER wt AS BIGINT) AS trailing_cents,
+           CAST(count(*) OVER wt AS BIGINT) AS trailing_n
+    FROM cents
+    WINDOW wt AS (PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "time-range"),
+)
+def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing time-interval frame: per user, value-cents total and
+    event count over the last hour *by timestamp*, not by row count —
+    the rolling-metric shape (rate limits, spend caps, trailing
+    velocity) that ROWS frames can't express when events are unevenly
+    spaced.  Equal timestamps are frame peers in both engines, so ties
+    need no tiebreaker.  Values go through floor(value*100) integer
+    cents so the windowed sum is int64 — immune to fold order.  One
+    exchange on user_id + in-partition time sort, the standard window
+    cost profile.
+    """
+    e = load_table(spark, sf_dir, "events")
+    wt = (
+        "(PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("v_cents"),
+    ).selectExpr(
+        "event_id",
+        "user_id",
+        f"CAST(sum(v_cents) OVER {wt} AS BIGINT) AS trailing_cents",
+        f"CAST(count(*) OVER {wt} AS BIGINT) AS trailing_n",
+    )

@@ -33,6 +33,8 @@ SWEPT_OPS = [
     "ann_ivf_coarse",
     "skew_join_salted",
     "stratified_sample",
+    "window_time_range",
+    "table_profile",
 ]
 
 
