@@ -490,3 +490,65 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {', '.join(tuples)}) AS "
         "(col_name, n_rows, n_nulls, n_distinct, min_num, max_num, min_str, max_str)"
     )
+
+
+@register(
+    "time_rollup_multigrain",
+    oracle_sql="""
+    WITH cents AS (
+      SELECT date_trunc('day', ts) AS day,
+             date_trunc('hour', ts) AS hour,
+             CAST(floor(value * 100) AS BIGINT) AS v_cents
+      FROM events
+    )
+    SELECT CASE WHEN GROUPING(day) = 1 THEN 'total'
+                WHEN GROUPING(hour) = 1 THEN 'day' ELSE 'hour' END AS grain,
+           day, hour,
+           count(*) AS n_events,
+           CAST(sum(v_cents) AS BIGINT) AS sum_cents
+    FROM cents
+    GROUP BY ROLLUP (day, hour)
+    """,
+    tags=("rollup", "timeseries", "pipeline"),
+)
+def time_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate shape: ONE pass over the
+    event stream produces hourly, daily, and grand-total rollups via
+    ROLLUP(day, hour) — the batch analogue of a timeseries store's
+    multi-granularity materialized views.  Catalyst expands the
+    grouping sets map-side, so the cost is one widened partial
+    aggregate + one shuffle, not three scans.  Values aggregate as
+    integer cents (floor(value*100)) so every grain's sum is exact
+    int64 at any parallelism.  At 100 TB the day/hour keys are
+    low-cardinality and uniform — rollup keys never skew hot the way
+    raw user ids do.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cents = e.select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.floor(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    grain = (
+        F.when(F.col("g_day") == 1, F.lit("total"))
+        .when(F.col("g_hour") == 1, F.lit("day"))
+        .otherwise(F.lit("hour"))
+    )
+    return (
+        cents.rollup("day", "hour")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("v_cents").cast("long").alias("sum_cents"),
+            # grouping() is only defined inside the rollup aggregate;
+            # materialize the flags here, derive the label after.
+            F.grouping("day").alias("g_day"),
+            F.grouping("hour").alias("g_hour"),
+        )
+        .select(
+            grain.alias("grain"),
+            "day",
+            "hour",
+            "n_events",
+            "sum_cents",
+        )
+    )

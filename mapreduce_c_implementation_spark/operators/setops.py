@@ -101,3 +101,69 @@ def except_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtract == SQL EXCEPT (distinct): any appearance in `late` removes
     # the key entirely (exceptAll would be bag difference — wrong here).
     return early.subtract(late)
+
+
+@register(
+    "merge_upsert_scd1",
+    oracle_sql="""
+    WITH updates AS (
+      SELECT c_custkey,
+             round(c_acctbal + 100.0, 2) AS c_acctbal,
+             'upd' AS src
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 0.01, 'new'
+      FROM customer WHERE c_custkey % 97 = 0
+    )
+    SELECT coalesce(u.c_custkey, b.c_custkey) AS c_custkey,
+           coalesce(u.c_acctbal, b.c_acctbal) AS acctbal,
+           CASE WHEN u.c_custkey IS NULL THEN 'keep'
+                WHEN b.c_custkey IS NULL THEN 'insert'
+                ELSE 'update' END AS action
+    FROM customer b
+    FULL OUTER JOIN updates u ON b.c_custkey = u.c_custkey
+    """,
+    tags=("setop", "merge", "upsert"),
+)
+def merge_upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert (SCD type 1) from DataFrame primitives — the Delta/
+    Iceberg `MERGE INTO` semantics on plain parquet: a full-outer join
+    of base vs updates on the key, update wins per column, unmatched
+    updates become inserts, unmatched base rows are kept.
+
+    The update set is derived deterministically from the fixture (every
+    10th customer re-priced, every 97th cloned to a new key) so both
+    engines see identical inputs without a second table.  Scale: one
+    key-keyed shuffle join — with the base table BUCKETED on the key
+    (see bucketed_join_colocated) the nightly upsert never reshuffles
+    the big side; that is exactly how lakehouse MERGE stays linear.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select("c_custkey", "c_acctbal")
+    updates = (
+        base.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            F.round(F.col("c_acctbal") + 100.0, 2).alias("u_acctbal"),
+        )
+        .union(
+            base.filter(F.col("c_custkey") % 97 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit(0.01).alias("u_acctbal"),
+            )
+        )
+        .withColumnRenamed("c_custkey", "u_custkey")
+    )
+    merged = base.join(
+        updates, base.c_custkey == updates.u_custkey, "full_outer"
+    )
+    action = (
+        F.when(F.col("u_custkey").isNull(), F.lit("keep"))
+        .when(F.col("c_custkey").isNull(), F.lit("insert"))
+        .otherwise(F.lit("update"))
+    )
+    return merged.select(
+        F.coalesce("u_custkey", "c_custkey").alias("c_custkey"),
+        F.coalesce("u_acctbal", "c_acctbal").alias("acctbal"),
+        action.alias("action"),
+    )

@@ -35,6 +35,8 @@ SWEPT_OPS = [
     "stratified_sample",
     "window_time_range",
     "table_profile",
+    "merge_upsert_scd1",
+    "time_rollup_multigrain",
 ]
 
 
