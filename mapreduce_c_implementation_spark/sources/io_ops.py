@@ -231,3 +231,103 @@ def partitioned_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         exact_sum("l_quantity").alias("sum_qty"),
     )
+
+
+@register(
+    "orc_source_roundtrip",
+    oracle_sql="""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(30,6)) AS DOUBLE)
+             AS sum_price,
+           min(o_orderdate) AS first_order
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("source", "orc"),
+)
+def orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source round-trip (the other first-class columnar
+    format Spark ships a vectorized reader for): write orders as ORC,
+    read it back, aggregate.  The oracle runs on the parquet original,
+    so writer/reader/type-mapping bugs (timestamp encoding, decimal
+    width) break the diff.  Same predicate-pushdown/column-pruning
+    machinery as parquet applies at scale.
+    """
+    key = (sf_dir, "orc")
+    o = load_table(spark, sf_dir, "orders")
+    if key not in _staged or not Path(_staged[key]).is_dir():
+        d = tempfile.mkdtemp(prefix="orc_rt_")
+        shutil.rmtree(d)
+        o.write.orc(d)
+        _staged[key] = d
+    back = spark.read.orc(_staged[key])
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        exact_sum("o_totalprice").alias("sum_price"),
+        F.min("o_orderdate").alias("first_order"),
+    )
+
+
+# Compaction target: how many files the compacted table should hold.
+COMPACT_TARGET_FILES = 4
+# How many (artificially small) files the fragmented staging starts at.
+COMPACT_FRAGMENT_FILES = 64
+
+
+@register(
+    "small_file_compaction",
+    oracle_sql=f"""
+    SELECT CAST({COMPACT_TARGET_FILES} AS BIGINT) AS n_files,
+           count(*) AS n_rows,
+           count(DISTINCT doc_id) AS n_docs,
+           CAST(sum(CAST(octet_length(encode(text)) AS BIGINT)) AS BIGINT)
+             AS total_bytes
+    FROM documents
+    """,
+    tags=("sink", "maintenance", "compaction"),
+)
+def small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance job every long-
+    lived 100 TB dataset needs: streaming/incremental ingest leaves
+    thousands of KB-scale files whose per-file open/footer cost comes to
+    dominate scan time; compaction rewrites them into few large files.
+
+    Here: documents is fragmented into {COMPACT_FRAGMENT_FILES} parquet
+    files, compacted back to {COMPACT_TARGET_FILES} via repartition
+    (a shuffle — at scale you'd target spark.sql.files.maxPartitionBytes
+    -sized outputs, or coalesce() when input locality makes a shuffle-
+    free merge acceptable).  The returned row proves the contract:
+    actual post-compaction file count (from input_file_name, computed
+    distributedly) plus row/doc/byte totals over the COMPACTED copy —
+    any row lost or duplicated in either rewrite breaks the oracle
+    diff against the untouched original.
+    """
+    key = (sf_dir, "compact")
+    d = load_table(spark, sf_dir, "documents")
+    if key not in _staged or not Path(_staged[key]).is_dir():
+        frag = tempfile.mkdtemp(prefix="compact_frag_")
+        shutil.rmtree(frag)
+        d.repartition(COMPACT_FRAGMENT_FILES).write.parquet(frag)
+        out = tempfile.mkdtemp(prefix="compact_out_")
+        shutil.rmtree(out)
+        spark.read.parquet(frag).repartition(COMPACT_TARGET_FILES).write.parquet(out)
+        _staged[key] = out
+    back = spark.read.parquet(_staged[key]).select(
+        "doc_id",
+        "text",
+        # materialize before aggregating: input_file_name() is formally
+        # nondeterministic, so it can't sit inside countDistinct itself
+        F.input_file_name().alias("src_file"),
+    )
+    return back.agg(
+        F.countDistinct("src_file").alias("n_files"),
+        F.count("*").alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum(F.octet_length("text").cast("long")).cast("long").alias("total_bytes"),
+    ).select(
+        F.col("n_files").cast("long").alias("n_files"),
+        F.col("n_rows"),
+        F.col("n_docs"),
+        "total_bytes",
+    )
