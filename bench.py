@@ -49,6 +49,12 @@ HEADLINE = [
     "bucketed_join_colocated",
     "corpus_quality_filter",
     "deterministic_split",
+    "dedup_connected_components",
+    "ann_ivf_coarse",
+    "skew_join_salted",
+    "time_rollup_multigrain",
+    "merge_upsert_scd1",
+    "event_funnel",
 ]
 
 

@@ -552,3 +552,129 @@ def time_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_cents",
         )
     )
+
+
+# Funnel step names, in order. Completion = a 'view' later followed by
+# a 'click' later followed by a 'purchase' within the same user.
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@register(
+    "event_funnel",
+    oracle_sql="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events
+      GROUP BY user_id
+    ),
+    staged AS (
+      SELECT user_id,
+             CASE WHEN t_view IS NULL THEN 0
+                  WHEN t_click IS NULL OR t_click <= t_view THEN 1
+                  WHEN t_purchase IS NULL OR t_purchase <= t_click THEN 2
+                  ELSE 3 END AS stage
+      FROM firsts
+    )
+    SELECT stage, count(*) AS n_users
+    FROM staged GROUP BY stage
+    """,
+    tags=("analytics", "funnel", "timeseries"),
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis: how far each user progresses through
+    view -> click -> purchase, where each step must STRICTLY FOLLOW the
+    previous user's step in event time (first qualifying timestamp per
+    step).  Product analytics' bread-and-butter sequence query.
+
+    Shape: ONE conditional-min aggregate per user (3 mins fused in a
+    single partial+final agg — no joins, no window sort), then a
+    constant-width stage classification and a tiny recount.  At 100 TB
+    this is a single shuffle on user_id; the conditional mins do the
+    sequence work that a naive self-join-per-step (k-way fact join)
+    would pay k shuffles for.
+    """
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t_{s}")
+            for s in _FUNNEL_STEPS
+        ]
+    )
+    stage = (
+        F.when(F.col("t_view").isNull(), 0)
+        .when(
+            F.col("t_click").isNull() | (F.col("t_click") <= F.col("t_view")), 1
+        )
+        .when(
+            F.col("t_purchase").isNull()
+            | (F.col("t_purchase") <= F.col("t_click")),
+            2,
+        )
+        .otherwise(3)
+    )
+    return (
+        firsts.select(stage.cast("int").alias("stage"))
+        .groupBy("stage")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@register(
+    "group_median_disc",
+    oracle_sql="""
+    WITH cents AS (
+      SELECT event_type, event_id,
+             CAST(floor(value * 100) AS BIGINT) AS v_cents
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, v_cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY v_cents, event_id) AS rnk,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM cents
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_events,
+           v_cents AS median_cents
+    FROM ranked
+    WHERE rnk = CAST(ceil(n / 2.0) AS BIGINT)
+    """,
+    tags=("analytics", "percentile"),
+)
+def group_median_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete median (percentile_disc 0.5) per event_type over
+    integer cents: the rank-ceil(n/2) element by (value, event_id)
+    order — fully deterministic, no interpolation, no float averaging,
+    so the oracle is bit-exact.  One shuffle on the group key; the
+    event_id tiebreak pins which of equal values is picked.  At 100 TB
+    exact per-group percentiles are one window sort per group — use
+    approx_percentile when the group fits poorly in a partition (that
+    op exists as approx_quantile_check).
+    """
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    cents = e.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("v_cents", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = cents.select(
+        "event_type",
+        "v_cents",
+        F.row_number().over(wr).alias("rnk"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return ranked.filter(
+        F.col("rnk") == F.ceil(F.col("n") / 2.0).cast("long")
+    ).select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.col("v_cents").alias("median_cents"),
+    )

@@ -37,6 +37,8 @@ SWEPT_OPS = [
     "table_profile",
     "merge_upsert_scd1",
     "time_rollup_multigrain",
+    "event_funnel",
+    "group_median_disc",
 ]
 
 
