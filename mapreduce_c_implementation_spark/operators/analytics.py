@@ -678,3 +678,106 @@ def group_median_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_events"),
         F.col("v_cents").alias("median_cents"),
     )
+
+
+ZORDER_BITS = 16
+ZORDER_BUCKETS = 16
+
+
+def _z_interleave(x: str, y: str, shift_fn) -> str:
+    """Morton/Z-value: interleave the low ZORDER_BITS of x (even bit
+    positions) and y (odd).  shift_fn(expr, j) renders a right-shift in
+    the target dialect; masks/multiplies are shared syntax."""
+    terms = []
+    for j in range(ZORDER_BITS):
+        terms.append(f"(({shift_fn(x, j)}) & 1) * {1 << (2 * j)}")
+        terms.append(f"(({shift_fn(y, j)}) & 1) * {1 << (2 * j + 1)}")
+    return " + ".join(terms)
+
+
+_Z_SPARK = _z_interleave("xk", "yd", lambda e, j: f"shiftright({e}, {j})")
+_Z_DUCK = _z_interleave("xk", "yd", lambda e, j: f"({e} >> {j})")
+
+
+@register(
+    "zorder_layout",
+    oracle_sql=f"""
+    WITH dims AS (
+      SELECT o_orderkey,
+             o_custkey % {1 << ZORDER_BITS} AS xk,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                  AS BIGINT) % {1 << ZORDER_BITS} AS yd,
+             o_custkey, o_orderdate
+      FROM orders
+    ),
+    zvals AS (
+      SELECT *, CAST({_Z_DUCK} AS BIGINT) AS zval FROM dims
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (ORDER BY zval, o_orderkey) AS rn,
+             count(*) OVER () AS n
+      FROM zvals
+    )
+    SELECT CAST(((rn - 1) * {ZORDER_BUCKETS}) // n AS BIGINT) AS bucket,
+           count(*) AS n_rows,
+           min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+           min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
+    FROM ranked
+    GROUP BY 1
+    """,
+    tags=("layout", "zorder", "pipeline"),
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) data layout: orders sorted by the bit-
+    interleave of (custkey, order day) and cut into {ZORDER_BUCKETS}
+    equal file buckets; the output row per bucket is its (min,max)
+    envelope on BOTH dimensions — exactly the file-skipping statistics
+    a lakehouse OPTIMIZE ZORDER BY (custkey, date) produces, letting
+    point/range predicates on EITHER column prune most files, which a
+    single-column sort only gives for its leading column.
+
+    The Z-value is pure integer bit arithmetic (identical in both
+    engines); bucket = floor((rank-1)*B/n) with an orderkey tiebreak,
+    so the layout is fully deterministic.  Cost: one global range sort
+    (sampled range partitioning at scale) — the same price as any
+    sort-based OPTIMIZE; the envelope stats come from the bucket-local
+    aggregate that file writers compute anyway.
+    """
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    dims = o.selectExpr(
+        "o_orderkey",
+        f"o_custkey % {1 << ZORDER_BITS} AS xk",
+        f"CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT) "
+        f"% {1 << ZORDER_BITS} AS yd",
+        "o_custkey",
+        "o_orderdate",
+    )
+    zvals = dims.selectExpr(
+        "o_orderkey", "o_custkey", "o_orderdate", f"CAST({_Z_SPARK} AS BIGINT) AS zval"
+    )
+    ranked = zvals.select(
+        "*",
+        F.row_number().over(Window.orderBy("zval", "o_orderkey")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    return (
+        ranked.selectExpr(
+            # `div`/`//` = integer floor division in Spark/DuckDB — plain
+            # `/` is float division whose CAST-back rounds differently
+            # (truncate vs nearest) between the engines.
+            f"((rn - 1) * {ZORDER_BUCKETS}) div n AS bucket",
+            "o_custkey",
+            "o_orderdate",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_custkey").alias("min_cust"),
+            F.max("o_custkey").alias("max_cust"),
+            F.min("o_orderdate").alias("min_date"),
+            F.max("o_orderdate").alias("max_date"),
+        )
+    )

@@ -39,6 +39,7 @@ SWEPT_OPS = [
     "time_rollup_multigrain",
     "event_funnel",
     "group_median_disc",
+    "zorder_layout",
 ]
 
 
