@@ -181,3 +181,31 @@ def test_bucketed_join_has_no_join_shuffle(spark, sf_correct):
     plan = physical_plan(df)
     assert "SortMergeJoin" in plan, plan
     assert count_shuffles(df) == 1, plan
+
+
+def test_ann_ivf_candidate_join_broadcasts_probes(spark, sf_correct):
+    """IVF: the nprobe-cells-per-query probe table is tiny and
+    broadcast; the cell-partitioned corpus must not shuffle for the
+    candidate join, and the join is a plain equi-join on cell id."""
+    df = get_operator("ann_ivf_coarse").query_fn(spark, sf_correct)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_skew_join_salts_both_sides(spark, sf_correct):
+    """The salted join must compile to a hash/sort equi-join whose key
+    includes the salt column on BOTH sides (that is the whole point:
+    one hot orderkey fans out over SALT_BUCKETS reducers)."""
+    df = get_operator("skew_join_salted").query_fn(spark, sf_correct)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("salt") >= 2, plan
+
+
+def test_zorder_single_global_sort(spark, sf_correct):
+    """Z-order layout: exactly one global range sort (the Morton-order
+    sort) may shuffle besides the final bucket aggregate."""
+    df = get_operator("zorder_layout").query_fn(spark, sf_correct)
+    assert count_shuffles(df) <= 3  # range-partition sort + window + agg
