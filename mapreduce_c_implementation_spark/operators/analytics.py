@@ -781,3 +781,55 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderdate").alias("max_date"),
         )
     )
+
+
+@register(
+    "tpch_q14_promo_effect",
+    oracle_sql=f"""
+    WITH j AS (
+      SELECT p.p_type,
+             CAST(l.l_extendedprice AS DECIMAL(18,6))
+               * (CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6)))
+               AS rev
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+    )
+    SELECT CAST(CAST(sum(CASE WHEN p_type = 'ECONOMY' THEN rev END)
+                     AS DECIMAL(30,6)) AS DOUBLE) AS promo_revenue,
+           CAST(CAST(sum(rev) AS DECIMAL(30,6)) AS DOUBLE) AS total_revenue,
+           round(100.0 * CAST(CAST(sum(CASE WHEN p_type = 'ECONOMY' THEN rev END)
+                                   AS DECIMAL(30,6)) AS DOUBLE)
+                 / CAST(CAST(sum(rev) AS DECIMAL(30,6)) AS DOUBLE), 6)
+             AS promo_pct
+    FROM j
+    """,
+    tags=("analytics", "join", "tpch"),
+)
+def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: what fraction of revenue comes from one part
+    class (the fixture's p_type is a plain category, so 'ECONOMY'
+    stands in for PROMO%).  part joins lineitem on partkey — part is
+    dim-SIZED relative to lineitem but grows with SF, so it gets a
+    plain shuffle equi-join, NOT a broadcast (at 100 TB the part table
+    is tens of GB; broadcasting it is the classic OOM).  Both revenue
+    sums ride one aggregate; the percentage divides two exactly-summed
+    doubles, rounded at 6.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    one = F.lit(1).cast("decimal(18,6)")
+    rev = dec("l_extendedprice") * (one - dec("l_discount"))
+    j = li.join(p, li.l_partkey == p.p_partkey).select(
+        "p_type", rev.alias("rev")
+    )
+    promo = (
+        F.sum(F.when(F.col("p_type") == "ECONOMY", F.col("rev")))
+        .cast("decimal(30,6)")
+        .cast("double")
+    )
+    total = F.sum("rev").cast("decimal(30,6)").cast("double")
+    return j.agg(
+        promo.alias("promo_revenue"),
+        total.alias("total_revenue"),
+        F.round(100.0 * promo / total, 6).alias("promo_pct"),
+    )
