@@ -331,3 +331,112 @@ def small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs"),
         "total_bytes",
     )
+
+
+# Deterministic count of malformed lines injected into the JSON corpus.
+CORRUPT_LINES = 25
+
+
+@register(
+    "json_corrupt_records",
+    oracle_sql=f"""
+    SELECT count(*) AS n_good,
+           CAST({CORRUPT_LINES} AS BIGINT) AS n_corrupt,
+           count(DISTINCT event_id) AS n_distinct_ids
+    FROM events
+    """,
+    tags=("source", "json", "robustness"),
+)
+def json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input tolerance — the property a 100 TB ingest cannot
+    live without: events serialized to JSON-lines with {CORRUPT_LINES}
+    deterministic garbage lines interleaved, read back in PERMISSIVE
+    mode with an explicit `_corrupt_record` column.  Good rows parse,
+    bad rows land in the quarantine column instead of failing the job
+    (FAILFAST) or silently vanishing.
+
+    The output proves the contract distributedly: good-row and
+    corrupt-row counts plus a distinct-id check against the untouched
+    parquet original — a parser that drops or double-reads any good
+    row breaks the diff.
+    """
+    key = (sf_dir, "json_corrupt")
+    ev = load_table(spark, sf_dir, "events")
+    if key not in _staged or not Path(_staged[key]).is_dir():
+        d = tempfile.mkdtemp(prefix="json_corrupt_")
+        shutil.rmtree(d)
+        ev.write.option("timestampFormat", "yyyy-MM-dd HH:mm:ss").json(d)
+        # deterministic garbage: truncated JSON, bare text, half records
+        bad = [
+            '{"event_id": %d, "ts": "not-a-timestamp", ' % i  # unterminated
+            if i % 3 == 0
+            else ("::: not json at all %d :::" % i if i % 3 == 1 else '{"event_id":}')
+            for i in range(CORRUPT_LINES)
+        ]
+        with open(Path(d) / "part-corrupt.json", "w") as fh:
+            fh.write("\n".join(bad) + "\n")
+        _staged[key] = d
+    from pyspark.sql.types import StringType
+
+    schema = ev.schema.add("_corrupt_record", StringType())
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .json(_staged[key])
+    )
+    good = F.count(F.when(F.col("_corrupt_record").isNull(), 1))
+    bad_n = F.count(F.when(F.col("_corrupt_record").isNotNull(), 1))
+    return back.agg(
+        good.cast("long").alias("n_good"),
+        bad_n.cast("long").alias("n_corrupt"),
+        F.countDistinct(
+            F.when(F.col("_corrupt_record").isNull(), F.col("event_id"))
+        ).cast("long").alias("n_distinct_ids"),
+    )
+
+
+@register(
+    "schema_evolution_merge",
+    oracle_sql="""
+    SELECT count(*) AS n_rows,
+           count(lang) AS n_with_lang,
+           count(DISTINCT doc_id) AS n_docs
+    FROM (
+      SELECT doc_id, NULL AS lang FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, 'xx' AS lang FROM documents WHERE doc_id % 2 = 1
+    )
+    """,
+    tags=("source", "parquet", "schema-evolution"),
+)
+def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet batches — the day-2 reality of
+    every long-lived dataset: batch v1 wrote (doc_id, text); batch v2
+    added a `lang` column.  `mergeSchema=true` reconciles the footers
+    into the union schema, v1 rows surface NULL lang, and nothing is
+    rewritten.  At 100 TB this is why you never ALTER-and-rewrite the
+    table for an additive column.  Output: total rows, rows carrying
+    the new column, distinct docs — proving both batches arrived and
+    aligned.
+    """
+    key = (sf_dir, "schema_evo")
+    d = load_table(spark, sf_dir, "documents")
+    if key not in _staged or not Path(_staged[key]).is_dir():
+        root = tempfile.mkdtemp(prefix="schema_evo_")
+        shutil.rmtree(root)
+        v1 = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+        v2 = (
+            d.filter(F.col("doc_id") % 2 == 1)
+            .select("doc_id", "text", F.lit("xx").alias("lang"))
+        )
+        v1.write.parquet(f"{root}/batch=1")
+        v2.write.parquet(f"{root}/batch=2")
+        _staged[key] = root
+    back = spark.read.option("mergeSchema", "true").parquet(_staged[key])
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.count("lang").cast("long").alias("n_with_lang"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
