@@ -833,3 +833,60 @@ def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         total.alias("total_revenue"),
         F.round(100.0 * promo / total, 6).alias("promo_pct"),
     )
+
+
+@register(
+    "fk_integrity_check",
+    oracle_sql="""
+    SELECT 'orders->customer' AS fk,
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS n_orphans,
+           (SELECT count(*) FROM orders) AS n_rows
+    UNION ALL
+    SELECT 'lineitem->orders',
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)),
+           (SELECT count(*) FROM lineitem)
+    UNION ALL
+    SELECT 'customer->nation',
+           (SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey)),
+           (SELECT count(*) FROM customer)
+    """,
+    tags=("profiling", "integrity", "pipeline"),
+)
+def fk_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: orphan
+    counts for three foreign keys via LEFT ANTI joins — the check an
+    ingest pipeline runs before publishing a snapshot, because parquet
+    enforces no constraints and silent orphans skew every downstream
+    join.
+
+    Scale shape: each anti join is a key-only shuffle (or broadcast
+    when the parent is dim-sized — Catalyst picks); the fact side
+    projects just the FK column, so bytes shuffled are keys, not rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+
+    def orphans(fact, fk, parent, pk, label):
+        orphan_n = (
+            fact.select(F.col(fk))
+            .join(parent.select(F.col(pk)), fact[fk] == parent[pk], "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+        )
+        total = fact.agg(F.count("*").alias("n_rows"))
+        return orphan_n.crossJoin(total).select(
+            F.lit(label).alias("fk"), "n_orphans", "n_rows"
+        )
+
+    return (
+        orphans(o, "o_custkey", c, "c_custkey", "orders->customer")
+        .union(orphans(li, "l_orderkey", o, "o_orderkey", "lineitem->orders"))
+        .union(orphans(c, "c_nationkey", n, "n_nationkey", "customer->nation"))
+    )
