@@ -875,15 +875,16 @@ def fk_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
 
     def orphans(fact, fk, parent, pk, label):
-        orphan_n = (
-            fact.select(F.col(fk))
-            .join(parent.select(F.col(pk)), fact[fk] == parent[pk], "left_anti")
-            .agg(F.count("*").alias("n_orphans"))
+        # LEFT join against the (unique) PK, then ONE aggregate yields
+        # both totals — no separate count job, no scalar cross join.
+        joined = fact.select(F.col(fk)).join(
+            parent.select(F.col(pk)), fact[fk] == parent[pk], "left"
         )
-        total = fact.agg(F.count("*").alias("n_rows"))
-        return orphan_n.crossJoin(total).select(
-            F.lit(label).alias("fk"), "n_orphans", "n_rows"
-        )
+        return joined.agg(
+            F.lit(label).alias("fk"),
+            F.count(F.when(F.col(pk).isNull(), 1)).cast("long").alias("n_orphans"),
+            F.count("*").alias("n_rows"),
+        ).select("fk", "n_orphans", "n_rows")
 
     return (
         orphans(o, "o_custkey", c, "c_custkey", "orders->customer")
