@@ -560,3 +560,106 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_value").alias("purchase_value"),
         )
     )
+
+
+@register(
+    "stream_upsert_latest",
+    oracle_sql="""
+    WITH cents AS (
+      SELECT user_id, event_id, ts, CAST(floor(value * 100) AS BIGINT) AS v_cents
+      FROM events
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rnk
+      FROM cents
+    ),
+    counts AS (SELECT user_id, count(*) AS n FROM cents GROUP BY user_id)
+    SELECT c.user_id,
+           CAST(c.n AS BIGINT) AS n_events,
+           r.v_cents AS last_cents
+    FROM counts c JOIN ranked r ON r.user_id = c.user_id AND r.rnk = 1
+    """,
+    tags=("streaming", "upsert", "foreachBatch"),
+)
+def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE maintenance — the lakehouse CDC pattern: every
+    micro-batch upserts a per-user latest-state table (event count +
+    most recent value) via foreachBatch, so the serving table is always
+    one batch behind the stream, never rebuilt.
+
+    Merge math is associative (counts add; 'latest' is the max of the
+    (ts, event_id, cents) struct), so the final state provably does not
+    depend on batch boundaries — which is exactly what makes the
+    batch-SQL oracle over the whole event set valid.  Each epoch writes
+    a NEW state directory and reads the previous (parquet-level MVCC in
+    miniature — Delta/Iceberg make the swap atomic); at scale both
+    sides of the merge join are bucketed by the upsert key.
+    """
+    import shutil
+    import tempfile
+
+    key = (sf_dir, "upsert_latest")
+    if key in _FEBATCH_DIRS:
+        shutil.rmtree(_FEBATCH_DIRS[key], ignore_errors=True)
+    root = tempfile.mkdtemp(prefix="upsert_latest_")
+    _FEBATCH_DIRS[key] = root
+    state: dict[str, str | None] = {"path": None}
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:  # noqa: ANN001
+        bagg = (
+            batch_df.filter(F.col("event_type") != SENTINEL_TYPE)
+            .select(
+                "user_id",
+                "ts",
+                "event_id",
+                F.floor(F.col("value") * 100).cast("long").alias("v_cents"),
+            )
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.max(F.struct("ts", "event_id", "v_cents")).alias("last"),
+            )
+        )
+        if state["path"] is None:
+            merged = bagg
+        else:
+            prev = batch_df.sparkSession.read.parquet(state["path"])
+            s = prev.alias("s")
+            b = bagg.alias("b")
+            merged = (
+                s.join(b, F.col("s.user_id") == F.col("b.user_id"), "full_outer")
+                .select(
+                    F.coalesce(F.col("s.user_id"), F.col("b.user_id")).alias(
+                        "user_id"
+                    ),
+                    (
+                        F.coalesce(F.col("s.n"), F.lit(0))
+                        + F.coalesce(F.col("b.n"), F.lit(0))
+                    ).alias("n"),
+                    # greatest() skips NULLs, so a user present on only
+                    # one side keeps that side's latest struct.
+                    F.greatest(F.col("s.last"), F.col("b.last")).alias("last"),
+                )
+            )
+        new_path = f"{root}/state_{epoch_id:05d}"
+        merged.write.parquet(new_path)
+        state["path"] = new_path
+
+    stream = _staged_stream(spark, sf_dir)
+    q = (
+        stream.writeStream.outputMode("update")
+        .foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = spark.read.parquet(state["path"])
+    return final.select(
+        "user_id",
+        F.col("n").cast("long").alias("n_events"),
+        F.col("last.v_cents").alias("last_cents"),
+    )
