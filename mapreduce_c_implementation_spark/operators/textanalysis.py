@@ -424,3 +424,146 @@ def deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_toks").cast("long").alias("total_tokens"),
         )
     )
+
+
+# Context-window chunking: CHUNK_TOKENS-token windows every
+# CHUNK_STRIDE tokens (stride < size => overlap, the usual LM recipe).
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+@register(
+    "document_chunking",
+    oracle_sql=f"""
+    WITH toks AS (SELECT doc_id, {_TOK} AS tokens FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             unnest(generate_series(0,
+               CAST(greatest(len(tokens) - 1, 0) // {CHUNK_STRIDE} AS BIGINT)))
+               AS chunk_idx,
+             tokens
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(least({CHUNK_TOKENS},
+                      len(tokens) - chunk_idx * {CHUNK_STRIDE}) AS BIGINT)
+             AS n_tokens,
+           md5(array_to_string(
+             tokens[chunk_idx * {CHUNK_STRIDE} + 1 :
+                    chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}],
+             ' ')) AS chunk_hash
+    FROM chunks
+    WHERE chunk_idx * {CHUNK_STRIDE} < len(tokens) OR len(tokens) = 0
+    """,
+    tags=("text", "chunking", "pipeline"),
+)
+def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking — how a corpus becomes LM training
+    examples: overlapping {CHUNK_TOKENS}-token windows every
+    {CHUNK_STRIDE} tokens (empty docs yield one empty chunk so no
+    document silently disappears).  Emits (doc_id, chunk_idx, n_tokens,
+    md5 of the chunk text) — the hash pins exact chunk CONTENT, so a
+    boundary off by one token anywhere fails the oracle diff.
+
+    Shape: tokenize once, explode window starts from a generate_series
+    over the token count, slice per chunk — a narrow per-row flatMap,
+    no shuffle, whole-stage codegen.  At 100 TB chunking pipelines
+    directly into the dedup/pack stages with zero extra passes.
+    """
+    d = parallel_scan(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokenize(F.col("text")).alias("tokens"))
+    n = F.size("tokens")
+    # floor the upper bound explicitly: sequence() needs ints and `/`
+    # yields double
+    starts = F.sequence(
+        F.lit(0),
+        F.floor(F.greatest(n - 1, F.lit(0)) / F.lit(CHUNK_STRIDE)).cast("int"),
+    )
+    chunks = toks.select(
+        "doc_id", "tokens", F.explode(starts).alias("chunk_idx")
+    ).filter(
+        (F.col("chunk_idx") * CHUNK_STRIDE < F.size("tokens"))
+        | (F.size("tokens") == 0)
+    )
+    piece = F.slice(
+        F.col("tokens"), F.col("chunk_idx") * CHUNK_STRIDE + 1, CHUNK_TOKENS
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.least(
+            F.lit(CHUNK_TOKENS),
+            F.size("tokens") - F.col("chunk_idx") * CHUNK_STRIDE,
+        ).cast("long").alias("n_tokens"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_hash"),
+    )
+
+
+# Token budget per packed training sequence.
+PACK_BUDGET = 256
+
+
+@register(
+    "sequence_packing",
+    oracle_sql=f"""
+    WITH toks AS (
+      SELECT doc_id, CAST(len({_TOK}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS run_total
+      FROM toks
+    )
+    SELECT CAST((run_total - 1) // {PACK_BUDGET} AS BIGINT) AS bin_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM cum
+    WHERE n_tokens > 0
+    GROUP BY 1
+    """,
+    tags=("text", "packing", "pipeline"),
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — batching documents into ~{PACK_BUDGET}-token
+    training sequences by prefix sum: documents in stable doc_id order,
+    bin = (running-token-total - 1) // {PACK_BUDGET}.  This is the
+    distributed form of greedy sequential packing: a window cumulative
+    sum (one global range sort) instead of an inherently serial
+    first-fit loop, fully deterministic, and bins overflow by at most
+    one document — same guarantee streaming packers give.
+
+    Output per bin: document count, token total, and the doc_id range —
+    the range doubles as the shuffle-free read plan (each bin maps to a
+    contiguous doc_id span, so the pack stage can partition-prune).
+    Empty docs are excluded (they pack into no sequence).
+    """
+    from pyspark.sql.window import Window
+
+    d = parallel_scan(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    cum = toks.select(
+        "doc_id", "n_tokens", F.sum("n_tokens").over(w).alias("run_total")
+    )
+    return (
+        cum.filter(F.col("n_tokens") > 0)
+        .selectExpr(
+            f"(run_total - 1) div {PACK_BUDGET} AS bin_id",
+            "doc_id",
+            "n_tokens",
+        )
+        .groupBy("bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("bin_tokens"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+    )
