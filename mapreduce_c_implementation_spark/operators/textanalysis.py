@@ -567,3 +567,116 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").cast("long").alias("last_doc"),
         )
     )
+
+
+# Feature-hashing dimensionality (the "hashing trick").
+HASH_DIM = 32
+
+
+@register(
+    "hashing_trick_features",
+    oracle_sql=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOK}) AS t FROM documents
+    ),
+    bucketed AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % {HASH_DIM} AS dim
+      FROM tok
+    ),
+    counts AS (
+      SELECT doc_id, dim, count(*) AS c FROM bucketed GROUP BY doc_id, dim
+    )
+    SELECT doc_id,
+           count(*) AS n_active_dims,
+           CAST(max(c) AS BIGINT) AS max_count,
+           CAST(sum((dim + 1) * c) AS BIGINT) AS feature_checksum
+    FROM counts GROUP BY doc_id
+    """,
+    tags=("text", "features", "pipeline"),
+)
+def hashing_trick_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: bag-of-words folded into a fixed {HASH_DIM}-
+    dim count vector by hashing each token to a dimension — the
+    vocabulary-free featurizer (no dictionary to build, broadcast, or
+    OOM on) that scales to any corpus because the feature space is
+    constant-size by construction.
+
+    The position-weighted checksum sum((dim+1)*count) pins every vector
+    component, so one token hashed into the wrong bucket fails the
+    oracle.  Shape: explode -> two-level groupBy — the (doc, dim)
+    aggregate combines map-side, and nothing vocabulary-sized ever
+    exists (contrast tfidf_top_terms, which must shuffle a term table).
+    """
+    d = parallel_scan(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("t"))
+    dim = (
+        F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("long")
+        % HASH_DIM
+    )
+    counts = (
+        tok.select("doc_id", dim.alias("dim"))
+        .groupBy("doc_id", "dim")
+        .agg(F.count("*").alias("c"))
+    )
+    return counts.groupBy("doc_id").agg(
+        F.count("*").alias("n_active_dims"),
+        F.max("c").cast("long").alias("max_count"),
+        F.sum((F.col("dim") + 1) * F.col("c")).cast("long").alias("feature_checksum"),
+    )
+
+
+@register(
+    "unigram_logprob_score",
+    oracle_sql=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOK}) AS t FROM documents
+    ),
+    freq AS (
+      SELECT t, count(*) AS c FROM tok GROUP BY t
+    ),
+    tot AS (SELECT sum(c) AS n FROM freq),
+    lp AS (
+      SELECT t, CAST(round(ln(CAST(c AS DOUBLE) / n), 6) AS DECIMAL(18,6)) AS logp
+      FROM freq, tot
+    )
+    SELECT tok.doc_id,
+           count(*) AS n_tokens,
+           CAST(CAST(sum(lp.logp) AS DECIMAL(30,6)) AS DOUBLE) AS sum_logprob
+    FROM tok JOIN lp ON tok.t = lp.t
+    GROUP BY tok.doc_id
+    """,
+    tags=("text", "scoring", "pipeline"),
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level unigram log-probability per document — the simplest
+    LM-based quality signal (gibberish and boilerplate both fall out as
+    outliers).  Token log-probs are rounded to 6 places and summed in
+    DECIMAL so the per-doc total is exact regardless of aggregation
+    order (raw double sums of ln() values differ in the last ulp
+    between engines and partitionings).
+
+    Shape: one corpus-frequency aggregate (with the total folded in as
+    a 1-row broadcast), then a token->logprob equi-join and a per-doc
+    sum.  At 100 TB the frequency table is vocabulary-sized: it
+    SHUFFLE-joins on the token (same de-weak rule as tfidf_top_terms —
+    never broadcast an unbounded vocabulary).
+    """
+    d = parallel_scan(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("t"))
+    freq = tok.groupBy("t").agg(F.count("*").alias("c"))
+    tot = freq.agg(F.sum("c").alias("n"))
+    lp = freq.crossJoin(F.broadcast(tot)).select(
+        "t",
+        F.round(F.log(F.col("c").cast("double") / F.col("n")), 6)
+        .cast("decimal(18,6)")
+        .alias("logp"),
+    )
+    return (
+        tok.join(lp, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("logp").cast("decimal(30,6)").cast("double").alias("sum_logprob"),
+        )
+    )

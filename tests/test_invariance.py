@@ -40,6 +40,10 @@ SWEPT_OPS = [
     "event_funnel",
     "group_median_disc",
     "zorder_layout",
+    "tpch_q14_promo_effect",
+    "fk_integrity_check",
+    "sequence_packing",
+    "document_chunking",
 ]
 
 

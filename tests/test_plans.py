@@ -146,7 +146,15 @@ def test_tfidf_df_table_shuffle_joins(spark, sf_correct):
 # exact brute-force baseline) — everything else must never nested-loop.
 # join_asof_nearest's BNLJ over the broadcast DISTINCT-dates side (dim-
 # sized by construction) is its documented design, not an accident.
-_NESTED_LOOP_EXEMPT = {"join_cross", "ann_bruteforce_topk", "join_asof_nearest"}
+# unigram_logprob_score's BNLJ is the 1-row corpus-total broadcast into
+# the frequency table (a scalar subquery in DataFrame form) — the
+# nested-loop side is exactly one row by construction.
+_NESTED_LOOP_EXEMPT = {
+    "join_cross",
+    "ann_bruteforce_topk",
+    "join_asof_nearest",
+    "unigram_logprob_score",
+}
 
 # Modules whose query_fns build lazy plans (streaming/io execute jobs
 # in the fn, so they are covered by their own tests instead).
