@@ -14,8 +14,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduce_c_implementation_spark.functions.text import DUCKDB_TOKENIZE, tokenize
 from mapreduce_c_implementation_spark.registry import register
 from mapreduce_c_implementation_spark.sources import load_table
+from mapreduce_c_implementation_spark.sources.tables import parallel_scan
 
 
 @register(
@@ -393,4 +395,62 @@ def explode_outer_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.explode_outer(tokenize(F.col("text"))).alias("word"),
+    )
+
+
+@register(
+    "higher_order_functions",
+    oracle_sql=f"""
+    SELECT doc_id,
+           CAST(len(list_filter(lens, x -> x >= 5)) AS BIGINT) AS n_long,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), lens),
+                            (acc, x) -> acc + x) AS BIGINT) AS len_sum,
+           CAST(len(lens) > 0 AND len(list_filter(lens, x -> x > 10)) > 0
+                AS BOOLEAN) AS has_giant,
+           CAST(list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(generate_series(1, len(lens)),
+                                   i -> i * lens[i])),
+                  (acc, x) -> acc + x) AS BIGINT) AS pos_weighted
+    FROM (
+      SELECT doc_id,
+             list_transform({DUCKDB_TOKENIZE.format(col="text")},
+                            t -> CAST(length(t) AS BIGINT)) AS lens
+      FROM documents
+    )
+    """,
+    tags=("scalar", "array", "higher-order"),
+)
+def higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lambda/higher-order array surface in one operator: transform
+    (token -> length), filter (count long tokens), exists (any > 10),
+    aggregate (sum), and an indexed transform+aggregate (position-
+    weighted sum, the zip_with-with-indices idiom).  All five compile
+    to codegen'd array expressions — per-row lambdas run INSIDE the
+    JVM, not as Python UDFs, which is why HOFs are the scale-safe way
+    to process array columns (contrast a row-at-a-time Python UDF at
+    ~100x the cost).
+    """
+    d = parallel_scan(spark, sf_dir, "documents")
+    lens = F.transform(tokenize(F.col("text")), lambda t: F.length(t).cast("long"))
+    base = d.select("doc_id", lens.alias("lens"))
+    len_sum = F.aggregate(
+        F.col("lens"), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    pos_weighted = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.size("lens")),
+            lambda i: i.cast("long") * F.element_at(F.col("lens"), i),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return base.select(
+        "doc_id",
+        F.size(F.filter(F.col("lens"), lambda x: x >= 5)).cast("long").alias("n_long"),
+        len_sum.alias("len_sum"),
+        ((F.size("lens") > 0) & F.exists(F.col("lens"), lambda x: x > 10)).alias(
+            "has_giant"
+        ),
+        pos_weighted.alias("pos_weighted"),
     )
