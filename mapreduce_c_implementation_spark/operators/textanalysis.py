@@ -680,3 +680,115 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("logp").cast("decimal(30,6)").cast("double").alias("sum_logprob"),
         )
     )
+
+
+@register(
+    "corpus_pipeline_end2end",
+    oracle_sql=f"""
+    WITH toks AS (
+      SELECT doc_id, text, {_TOK} AS tokens FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, tokens,
+             CAST(len(tokens) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+               / CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END
+               AS alpha_ratio,
+             CAST(len(list_distinct(tokens)) AS DOUBLE)
+               / CASE WHEN len(tokens) = 0 THEN 1 ELSE len(tokens) END
+               AS distinct_ratio
+      FROM toks
+    ),
+    kept AS (
+      SELECT doc_id, tokens, n_tokens FROM feats
+      WHERE n_tokens >= {QF_MIN_TOKENS}
+        AND alpha_ratio >= {QF_MIN_ALPHA_RATIO}
+        AND distinct_ratio >= {QF_MIN_DISTINCT_RATIO}
+    ),
+    reps AS (
+      SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens
+      FROM (SELECT doc_id, n_tokens,
+                   md5(array_to_string(tokens, ' ')) AS content_key
+            FROM kept)
+      GROUP BY content_key
+    )
+    SELECT CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+                WHEN bucket < {SPLIT_TRAIN_PCT + SPLIT_VALID_PCT} THEN 'valid'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM (SELECT doc_id, n_tokens,
+                 CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+                   % 100 AS bucket
+          FROM reps)
+    GROUP BY 1
+    """,
+    tags=("text", "pipeline", "end2end"),
+)
+def corpus_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data pipeline as ONE composed plan: quality
+    filter (keep verdicts only) -> exact dedup (min-doc_id
+    representative per content digest) -> deterministic md5 train/
+    valid/test split -> per-split document and token totals.
+
+    The point is composition economics: tokenization happens ONCE and
+    feeds filtering, content hashing, and token counting in the same
+    narrow map; the only shuffles are the dedup groupBy (16-byte keys)
+    and the 3-group final count.  At 100 TB this plan is one pass over
+    the text plus a digest-keyed exchange — no stage re-reads the
+    corpus, which is exactly why these stages belong in one engine
+    rather than three jobs with parquet hops between them.
+    """
+    d = parallel_scan(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "text", tokenize(F.col("text")).alias("tokens"))
+    n_tokens = F.size("tokens").cast("long")
+    text_len = F.length("text")
+    alpha_ratio = (
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("double")
+        / F.when(text_len == 0, F.lit(1)).otherwise(text_len)
+    )
+    distinct_ratio = (
+        F.size(F.array_distinct("tokens")).cast("double")
+        / F.when(F.size("tokens") == 0, F.lit(1)).otherwise(F.size("tokens"))
+    )
+    kept = toks.select(
+        "doc_id",
+        "tokens",
+        n_tokens.alias("n_tokens"),
+        alpha_ratio.alias("alpha_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+    ).filter(
+        (F.col("n_tokens") >= QF_MIN_TOKENS)
+        & (F.col("alpha_ratio") >= QF_MIN_ALPHA_RATIO)
+        & (F.col("distinct_ratio") >= QF_MIN_DISTINCT_RATIO)
+    )
+    reps = (
+        kept.select(
+            "doc_id",
+            "n_tokens",
+            F.md5(F.array_join("tokens", " ")).alias("content_key"),
+        )
+        .groupBy("content_key")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("n_tokens").alias("n_tokens"),
+        )
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VALID_PCT, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        reps.select(split.alias("split"), "n_tokens")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )

@@ -217,3 +217,11 @@ def test_zorder_single_global_sort(spark, sf_correct):
     sort) may shuffle besides the final bucket aggregate."""
     df = get_operator("zorder_layout").query_fn(spark, sf_correct)
     assert count_shuffles(df) <= 3  # range-partition sort + window + agg
+
+
+def test_pipeline_end2end_two_shuffles(spark, sf_correct):
+    """The composed filter->dedup->split pipeline must stay one pass
+    over the corpus: only the digest-keyed dedup groupBy and the tiny
+    3-group split aggregate may exchange."""
+    df = get_operator("corpus_pipeline_end2end").query_fn(spark, sf_correct)
+    assert count_shuffles(df) <= 2
