@@ -792,3 +792,120 @@ def corpus_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("total_tokens"),
         )
     )
+
+
+# BM25 parameters (the standard Robertson defaults) and the fixed probe
+# query; terms absent from the corpus simply contribute nothing.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("the", "fast", "data", "slow", "and")
+BM25_TOPK = 20
+
+_BM25_QLIST = ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+
+@register(
+    "bm25_topk_docs",
+    oracle_sql=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOK}) AS t FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+      FROM tok WHERE t IN ({_BM25_QLIST})
+      GROUP BY doc_id, t
+    ),
+    df AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY t),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+               * tf.tf * ({BM25_K1} + 1)
+               / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                  + {BM25_B} * dl.dl / stats.avgdl)),
+               6) AS DECIMAL(18,6)) AS s
+      FROM tf
+      JOIN df ON df.t = tf.t
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+    )
+    SELECT doc_id,
+           CAST(CAST(sum(s) AS DECIMAL(30,6)) AS DOUBLE) AS bm25,
+           rank
+    FROM (
+      SELECT doc_id, sum(s) AS s_total,
+             row_number() OVER (ORDER BY sum(s) DESC, doc_id ASC) AS rank
+      FROM scored GROUP BY doc_id
+    ) r JOIN scored USING (doc_id)
+    WHERE rank <= {BM25_TOPK}
+    GROUP BY doc_id, rank
+    """,
+    tags=("text", "retrieval", "bm25"),
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a fixed probe query — the lexical
+    baseline every hybrid (BM25 + vector) search stack keeps alongside
+    ANN.  Per (doc, term): idf * saturated-tf with document-length
+    normalization; per-term scores are rounded to 6 places and summed
+    in DECIMAL so document totals are aggregation-order exact.
+
+    Scale shape: the only corpus-wide state is (N, avgdl) — a 1-row
+    broadcast aggregate (Catalyst folds the constant join key, so it
+    lands as a single-row broadcast nested loop: exactly one row by
+    construction, exempted in the repo-wide plan gate) — and the term
+    df table is query-sized, also broadcast.  tf is corpus-sized but
+    filtered to query terms at the tokenizer, so the whole query costs
+    one filtered explode + two tiny joins + one top-k.
+    """
+    from pyspark.sql.window import Window
+
+    d = parallel_scan(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("t"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    ).withColumn("k", F.lit(1))
+    tf = (
+        tok.filter(F.col("t").isin(*BM25_QUERY))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    df = tf.groupBy("t").agg(F.count("*").cast("double").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "t")
+        .join(dl, "doc_id")
+        .withColumn("k", F.lit(1))
+        .join(F.broadcast(stats), "k")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    s = F.round(
+        idf
+        * F.col("tf")
+        * (BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    per_doc = (
+        scored.select("doc_id", s.alias("s"))
+        .groupBy("doc_id")
+        .agg(F.sum("s").alias("s_total"))
+    )
+    w = Window.orderBy(F.desc("s_total"), F.asc("doc_id"))
+    return (
+        per_doc.select(
+            "doc_id",
+            F.col("s_total").cast("decimal(30,6)").cast("double").alias("bm25"),
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .filter(F.col("rank") <= BM25_TOPK)
+    )

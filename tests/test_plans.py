@@ -154,6 +154,8 @@ _NESTED_LOOP_EXEMPT = {
     "ann_bruteforce_topk",
     "join_asof_nearest",
     "unigram_logprob_score",
+    # 1-row (N, avgdl) stats broadcast — single-row side by construction
+    "bm25_topk_docs",
 }
 
 # Modules whose query_fns build lazy plans (streaming/io execute jobs
