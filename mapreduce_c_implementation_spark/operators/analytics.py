@@ -891,3 +891,66 @@ def fk_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(orphans(li, "l_orderkey", o, "o_orderkey", "lineitem->orders"))
         .union(orphans(c, "c_nationkey", n, "n_nationkey", "customer->nation"))
     )
+
+
+@register(
+    "scd2_history",
+    oracle_sql="""
+    WITH ordered AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate,
+             lag(o_orderstatus) OVER w AS prev_status
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    changes AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from
+      FROM ordered
+      WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+    )
+    SELECT o_custkey, o_orderstatus, valid_from,
+           lead(valid_from) OVER w2 AS valid_to,
+           CASE WHEN lead(valid_from) OVER w2 IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM changes
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY valid_from, o_orderstatus)
+    """,
+    tags=("analytics", "scd", "cdc"),
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 from an event log: collapse each
+    customer's order-status stream into validity intervals — a row per
+    status RUN with [valid_from, valid_to) and an is_current flag.  The
+    companion to ``merge_upsert_scd1`` (which keeps only latest state);
+    SCD2 keeps the full history, the warehouse-standard dimension shape.
+
+    Two windows over the same (o_custkey, date) partitioning: change
+    detection via lag, interval close via lead on the filtered change
+    rows.  Catalyst reuses ONE exchange + sort for both (same keys), so
+    at 100 TB this is a single customer-keyed shuffle; ties broken by
+    o_orderkey make the row set partitioning-invariant.
+    """
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ordered = o.select(
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderdate",
+        F.lag("o_orderstatus").over(w).alias("prev_status"),
+    )
+    changes = ordered.filter(
+        F.col("prev_status").isNull()
+        | (F.col("prev_status") != F.col("o_orderstatus"))
+    ).select("o_custkey", "o_orderstatus", F.col("o_orderdate").alias("valid_from"))
+    # tie-break by status: two changes can land on the same date, and the
+    # interval chain must not depend on partition layout
+    w2 = Window.partitionBy("o_custkey").orderBy("valid_from", "o_orderstatus")
+    lead_from = F.lead("valid_from").over(w2)
+    return changes.select(
+        "o_custkey",
+        "o_orderstatus",
+        "valid_from",
+        lead_from.alias("valid_to"),
+        F.when(lead_from.isNull(), 1).otherwise(0).alias("is_current"),
+    )

@@ -1,0 +1,402 @@
+"""Corpus-hygiene operators for LLM training-data pipelines: repetition
+statistics (Gopher-style), eval-set contamination auditing, cross-document
+exact-substring duplicate detection, and PII redaction.
+
+These extend the reference's filter-inside-Map idiom (a Map that drops or
+rewrites records is filter+project, /root/reference/src/main.c:39-56) to
+the document-hygiene stages every pre-training pipeline runs between raw
+scrape and tokenization.  All are built-in column expressions — no Python
+in the hot path — and every shuffle is keyed on a bounded-width digest.
+
+Cross-engine determinism: ratio features are single IEEE divisions;
+window/shingle content is pinned through md5; thresholds compare the same
+doubles in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_c_implementation_spark.functions.text import DUCKDB_TOKENIZE, tokenize
+from mapreduce_c_implementation_spark.registry import register
+from mapreduce_c_implementation_spark.sources.tables import parallel_scan
+
+_TOK = DUCKDB_TOKENIZE.format(col="text")
+
+# Gopher-style repetition thresholds: a document is dropped when one
+# bigram dominates or when most of its bigrams are repeats.
+REP_TOP_BIGRAM_MAX = 0.20
+REP_DUP_BIGRAM_MAX = 0.50
+
+
+@register(
+    "repetition_ngram_stats",
+    oracle_sql=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOK} AS tokens FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(tokens) >= 2
+             THEN list_transform(generate_series(1, len(tokens) - 1),
+                                 i -> tokens[i] || ' ' || tokens[i + 1])
+             ELSE [] END) AS g
+      FROM toks
+    ),
+    counts AS (
+      SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_bigrams,
+             CAST(max(c) AS BIGINT) AS top_bigram_cnt,
+             CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+               AS dup_bigram_occ
+      FROM counts GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(p.n_bigrams, 0) AS n_bigrams,
+           round(CAST(coalesce(p.top_bigram_cnt, 0) AS DOUBLE)
+                 / greatest(coalesce(p.n_bigrams, 0), 1), 6) AS top_bigram_frac,
+           round(CAST(coalesce(p.dup_bigram_occ, 0) AS DOUBLE)
+                 / greatest(coalesce(p.n_bigrams, 0), 1), 6) AS dup_bigram_frac,
+           CASE WHEN CAST(coalesce(p.top_bigram_cnt, 0) AS DOUBLE)
+                     / greatest(coalesce(p.n_bigrams, 0), 1) > {REP_TOP_BIGRAM_MAX}
+                  THEN 'drop:top_bigram'
+                WHEN CAST(coalesce(p.dup_bigram_occ, 0) AS DOUBLE)
+                     / greatest(coalesce(p.n_bigrams, 0), 1) > {REP_DUP_BIGRAM_MAX}
+                  THEN 'drop:dup_bigrams'
+                ELSE 'keep' END AS verdict
+    FROM toks t LEFT JOIN per_doc p ON p.doc_id = t.doc_id
+    """,
+    tags=("text", "quality", "repetition", "pipeline"),
+)
+def repetition_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition detector: per document, the fraction of
+    bigram mass held by the single most frequent bigram and the fraction
+    of bigram occurrences that are repeats, with a keep/drop verdict.
+    Boilerplate and looped generations light both signals up.
+
+    Shape: one tokenize pass, explode bigrams, a (doc_id, bigram) partial
+    aggregate (combines map-side), then a per-doc rollup — both shuffles
+    keyed on doc_id so at 100 TB they co-partition; docs with <2 tokens
+    are preserved via the left join (never silently dropped).
+    """
+    d = parallel_scan(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokenize(F.col("text")).alias("tokens"))
+    bigrams = F.when(
+        F.size("tokens") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tokens") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("tokens"), i), F.element_at(F.col("tokens"), i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        toks.select("doc_id", F.explode(bigrams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.max("c").cast("long").alias("top_bigram_cnt"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("dup_bigram_occ"),
+    )
+    joined = toks.select("doc_id").join(per_doc, "doc_id", "left")
+    n_bigrams = F.coalesce(F.col("n_bigrams"), F.lit(0))
+    top_frac = (
+        F.coalesce(F.col("top_bigram_cnt"), F.lit(0)).cast("double")
+        / F.greatest(n_bigrams, F.lit(1))
+    )
+    dup_frac = (
+        F.coalesce(F.col("dup_bigram_occ"), F.lit(0)).cast("double")
+        / F.greatest(n_bigrams, F.lit(1))
+    )
+    verdict = (
+        F.when(top_frac > REP_TOP_BIGRAM_MAX, F.lit("drop:top_bigram"))
+        .when(dup_frac > REP_DUP_BIGRAM_MAX, F.lit("drop:dup_bigrams"))
+        .otherwise(F.lit("keep"))
+    )
+    return joined.select(
+        "doc_id",
+        n_bigrams.alias("n_bigrams"),
+        F.round(top_frac, 6).alias("top_bigram_frac"),
+        F.round(dup_frac, 6).alias("dup_bigram_frac"),
+        verdict.alias("verdict"),
+    )
+
+
+# Contamination audit: the "eval suite" is the deterministic slice
+# doc_id % EVAL_MOD == 0; shingles are word 3-grams; a training document
+# is contaminated when >= CONTAM_FRAC of its distinct shingles appear in
+# the eval suite.
+EVAL_MOD = 50
+CONTAM_K = 3
+CONTAM_FRAC = 0.05
+
+
+@register(
+    "contamination_ngram_overlap",
+    oracle_sql=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOK} AS tokens FROM documents
+    ),
+    shingled AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(tokens) >= {CONTAM_K}
+             THEN list_distinct(list_transform(
+                    generate_series(1, len(tokens) - {CONTAM_K - 1}),
+                    i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2]))
+             ELSE [] END) AS sh
+      FROM toks
+    ),
+    eval_sh AS (
+      SELECT DISTINCT sh FROM shingled WHERE doc_id % {EVAL_MOD} = 0
+    ),
+    train_sh AS (
+      SELECT doc_id, sh FROM shingled WHERE doc_id % {EVAL_MOD} <> 0
+    ),
+    base AS (
+      SELECT doc_id, count(*) AS n_shingles FROM train_sh GROUP BY doc_id
+    ),
+    hits AS (
+      SELECT t.doc_id, count(*) AS n_overlap
+      FROM train_sh t JOIN eval_sh e ON t.sh = e.sh
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(b.n_shingles, 0) AS n_shingles,
+           coalesce(h.n_overlap, 0) AS n_overlap,
+           round(CAST(coalesce(h.n_overlap, 0) AS DOUBLE)
+                 / greatest(coalesce(b.n_shingles, 0), 1), 6) AS overlap_frac,
+           CASE WHEN CAST(coalesce(h.n_overlap, 0) AS DOUBLE)
+                     / greatest(coalesce(b.n_shingles, 0), 1) >= {CONTAM_FRAC}
+                THEN 'contaminated' ELSE 'clean' END AS verdict
+    FROM (SELECT doc_id FROM documents WHERE doc_id % {EVAL_MOD} <> 0) d
+    LEFT JOIN base b ON b.doc_id = d.doc_id
+    LEFT JOIN hits h ON h.doc_id = d.doc_id
+    """,
+    tags=("text", "contamination", "pipeline"),
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination audit: word {CONTAM_K}-gram shingles of
+    every training document are checked against the distinct shingle set
+    of a deterministic held-out eval slice (doc_id % {EVAL_MOD} == 0);
+    documents whose distinct-shingle overlap fraction reaches
+    {CONTAM_FRAC} are flagged — the n-gram-overlap decontamination rule
+    used before pre-training runs.
+
+    Scale shape: the eval suite is curated and bounded (benchmarks, not
+    corpus-sized), so its distinct shingle set is BROADCAST; the
+    training side stays partitioned and the probe is a broadcast-hash
+    semi-join — no corpus-sized shuffle.  Per-doc rollups key on doc_id.
+    Documents with <{CONTAM_K} tokens keep a row (0 shingles, clean).
+    """
+    d = parallel_scan(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokenize(F.col("text")).alias("tokens"))
+    shingles = F.when(
+        F.size("tokens") >= CONTAM_K,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tokens") - (CONTAM_K - 1)),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("tokens"), i),
+                    F.element_at(F.col("tokens"), i + 1),
+                    F.element_at(F.col("tokens"), i + 2),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    shingled = toks.select("doc_id", F.explode(shingles).alias("sh"))
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    eval_sh = shingled.filter(is_eval).select("sh").distinct()
+    train_sh = shingled.filter(~is_eval)
+    base = train_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        train_sh.join(F.broadcast(eval_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    out = (
+        d.filter(~is_eval)
+        .select("doc_id")
+        .join(base, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+    )
+    n_shingles = F.coalesce(F.col("n_shingles"), F.lit(0))
+    n_overlap = F.coalesce(F.col("n_overlap"), F.lit(0))
+    frac = n_overlap.cast("double") / F.greatest(n_shingles, F.lit(1))
+    return out.select(
+        "doc_id",
+        n_shingles.alias("n_shingles"),
+        n_overlap.alias("n_overlap"),
+        F.round(frac, 6).alias("overlap_frac"),
+        F.when(frac >= CONTAM_FRAC, F.lit("contaminated"))
+        .otherwise(F.lit("clean"))
+        .alias("verdict"),
+    )
+
+
+# Exact-substring duplicate windows: fixed 40-char windows every 20 chars
+# (the scalable stand-in for suffix-array exact-substring dedup — cf. the
+# "Deduplicating Training Data Makes Language Models Better" recipe).
+SUBSTR_WIN = 40
+SUBSTR_STRIDE = 20
+
+
+@register(
+    "exact_substring_duplicates",
+    oracle_sql=f"""
+    WITH wins AS (
+      SELECT doc_id,
+             md5(substr(text, o * {SUBSTR_STRIDE} + 1, {SUBSTR_WIN})) AS win_hash
+      FROM (
+        SELECT doc_id, text, unnest(generate_series(0,
+                 CAST((length(text) - {SUBSTR_WIN}) // {SUBSTR_STRIDE} AS BIGINT)))
+               AS o
+        FROM documents WHERE length(text) >= {SUBSTR_WIN}
+      )
+    )
+    SELECT win_hash,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM wins
+    GROUP BY win_hash
+    HAVING count(DISTINCT doc_id) >= 2
+    """,
+    tags=("text", "dedup", "substring", "pipeline"),
+)
+def exact_substring_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring duplicate detection: every
+    {SUBSTR_WIN}-char window at {SUBSTR_STRIDE}-char stride is hashed;
+    window hashes seen in >= 2 distinct documents are reported with
+    occurrence counts and the doc-id range.  This is the bounded-memory
+    approximation of suffix-array exact-substring dedup: any shared run
+    of >= {SUBSTR_WIN + SUBSTR_STRIDE - 1} chars is guaranteed to share
+    at least one aligned window.
+
+    Scale shape: a narrow per-row flatMap (windows never leave their
+    executor as text — only 16-byte md5 keys shuffle), then one groupBy
+    on the digest.  Cost is the same as exact dedup on ~n_chars /
+    {SUBSTR_STRIDE} keys; no quadratic stage anywhere.
+    """
+    d = parallel_scan(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(0),
+        F.floor(
+            (F.length("text") - SUBSTR_WIN) / F.lit(SUBSTR_STRIDE)
+        ).cast("int"),
+    )
+    wins = (
+        d.filter(F.length("text") >= SUBSTR_WIN)
+        .select("doc_id", "text", F.explode(starts).alias("o"))
+        .select(
+            "doc_id",
+            F.md5(
+                F.substring(
+                    F.col("text"), F.col("o") * SUBSTR_STRIDE + 1, SUBSTR_WIN
+                )
+            ).alias("win_hash"),
+        )
+    )
+    return (
+        wins.groupBy("win_hash")
+        .agg(
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+# PII patterns — identical RE2/Java-regex-safe forms in both engines.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+PII_IP = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+@register(
+    "pii_redaction",
+    oracle_sql=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                  || CAST((doc_id * 7) % 256 AS VARCHAR) AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT)
+             AS n_phones,
+           CAST(len(regexp_extract_all(text, '{PII_IP}')) AS BIGINT) AS n_ips,
+           md5(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{PII_IP}', '<IP>', 'g'),
+                 '{PII_PHONE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM aug
+    """,
+    tags=("text", "pii", "pipeline"),
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: count and mask emails, phone numbers, and IPv4
+    addresses with typed placeholders.  The fixture corpus is synthetic
+    word salad with no organic PII, so the query deterministically
+    injects one of each (derived from doc_id) before redacting — the
+    oracle performs the identical injection, so the match proves the
+    detect+mask machinery, not the fixture.
+
+    Shape: pure regexp map — no shuffle, whole-stage codegen; the
+    patterns are RE2-safe so Java (Spark) and RE2 (DuckDB) agree.  The
+    md5 of the redacted text pins every replacement position.
+    """
+    d = parallel_scan(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+        ).alias("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+            PII_IP,
+            "<IP>",
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_PHONE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_IP), F.lit(0)))
+        .cast("long")
+        .alias("n_ips"),
+        F.md5(redacted).alias("redacted_md5"),
+    )

@@ -457,3 +457,83 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         checksum.alias("code_checksum"),
         n_sat.cast("long").alias("n_saturated"),
     )
+
+
+# Fixed-point quantization scale for the exact Gram matrix: components
+# are floored to 1e-6 resolution so partial sums are INTEGER (exact and
+# aggregation-order independent across any partitioning).
+GRAM_SCALE = 1_000_000
+
+
+@register(
+    "embedding_gram_matrix",
+    oracle_sql=f"""
+    WITH q AS (
+      SELECT CAST(di.i - 1 AS BIGINT) AS dim_i,
+             CAST(dj.j - 1 AS BIGINT) AS dim_j,
+             CAST(floor(CAST(embedding[di.i] AS DOUBLE) * {GRAM_SCALE}.0) AS BIGINT)
+             * CAST(floor(CAST(embedding[dj.j] AS DOUBLE) * {GRAM_SCALE}.0) AS BIGINT)
+               AS p
+      FROM embeddings,
+           (SELECT unnest(generate_series(1, {EMB_DIM})) AS i) di,
+           (SELECT unnest(generate_series(1, {EMB_DIM})) AS j) dj
+      WHERE di.i <= dj.j
+    )
+    SELECT dim_i, dim_j,
+           round(CAST(sum(p) AS DOUBLE) / {GRAM_SCALE}.0 / {GRAM_SCALE}.0, 6)
+             AS gram
+    FROM q GROUP BY dim_i, dim_j
+    """,
+    tags=("similarity", "pca", "pipeline"),
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus Gram matrix X'X over the embedding column — the
+    input to PCA/whitening/low-rank analysis of an embedding corpus.
+    Upper triangle only ({EMB_DIM}*({EMB_DIM}+1)/2 rows).
+
+    Scale shape — the constant-state partial-aggregate pattern: an
+    Arrow-batched ``mapInPandas`` computes each batch's {EMB_DIM}x
+    {EMB_DIM} partial Gram with one BLAS matmul and emits only the
+    2,080 upper-triangle cells, so the shuffle is O(partitions * d^2)
+    regardless of corpus size — at 100 TB nothing row-shaped crosses
+    the wire.  (The built-in alternative — double posexplode + groupBy
+    — shuffles d^2 rows PER VECTOR; this is the designed use of the
+    Pandas-UDF escape hatch.)
+
+    Exactness: components are floored to 1e-6 fixed point and the
+    matmul runs in int64, so partial sums are exact integers — the
+    final decimal(38,0) sum is aggregation-order independent and
+    engine-identical (float Gram sums differ in the last ulp between
+    partitionings; integer sums cannot).
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select("embedding")
+
+    def gram_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q = np.floor(x * GRAM_SCALE).astype(np.int64)
+            g = q.T @ q
+            iu = np.triu_indices(EMB_DIM)
+            yield pd.DataFrame(
+                {"dim_i": iu[0], "dim_j": iu[1], "part": g[iu]}
+            )
+
+    parts = e.mapInPandas(
+        gram_batches, schema="dim_i int, dim_j int, part long"
+    )
+    return (
+        parts.groupBy("dim_i", "dim_j")
+        .agg(F.sum(F.col("part").cast("decimal(38,0)")).alias("s"))
+        .select(
+            F.col("dim_i").cast("long").alias("dim_i"),
+            F.col("dim_j").cast("long").alias("dim_j"),
+            F.round(
+                F.col("s").cast("double") / GRAM_SCALE / GRAM_SCALE, 6
+            ).alias("gram"),
+        )
+    )

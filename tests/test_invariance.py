@@ -44,6 +44,11 @@ SWEPT_OPS = [
     "fk_integrity_check",
     "sequence_packing",
     "document_chunking",
+    "repetition_ngram_stats",
+    "contamination_ngram_overlap",
+    "exact_substring_duplicates",
+    "embedding_gram_matrix",
+    "scd2_history",
 ]
 
 
