@@ -163,6 +163,7 @@ _NESTED_LOOP_EXEMPT = {
 _LAZY_MODULES = {
     "mapreduce_core", "aggregates", "joins", "windows", "setops",
     "scalars", "udfs", "analytics", "dedup", "similarity", "textanalysis",
+    "corpus_filters",
 }
 
 
@@ -227,3 +228,42 @@ def test_pipeline_end2end_two_shuffles(spark, sf_correct):
     3-group split aggregate may exchange."""
     df = get_operator("corpus_pipeline_end2end").query_fn(spark, sf_correct)
     assert count_shuffles(df) <= 2
+
+
+def test_contamination_broadcasts_eval_shingles(spark, sf_correct):
+    """The eval-suite shingle set is bounded (benchmarks, not corpus):
+    the probe must be a broadcast hash join; the corpus side never
+    shuffles for the contamination check itself."""
+    df = get_operator("contamination_ngram_overlap").query_fn(spark, sf_correct)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_substring_dedup_shuffles_only_digests(spark, sf_correct):
+    """Exact-substring windows: the text never leaves the scan stage —
+    only 16-byte window digests shuffle.  Two exchanges are the standard
+    distinct-agg expansion ((win_hash, doc_id) partial, then win_hash);
+    the text column must not appear downstream of the scan project."""
+    df = get_operator("exact_substring_duplicates").query_fn(spark, sf_correct)
+    assert count_shuffles(df) <= 2
+    plan = physical_plan(df)
+    assert "win_hash" in plan
+    # every Exchange carries digests, never the text payload
+    for frag in plan.split("Exchange")[1:]:
+        first_line = frag.splitlines()[0]
+        assert "text" not in first_line, plan
+
+
+def test_gram_matrix_shuffle_is_dim_bounded(spark, sf_correct):
+    """The Gram partial-agg pattern: one exchange, keyed on (dim_i,
+    dim_j) — cardinality d^2 regardless of corpus size."""
+    df = get_operator("embedding_gram_matrix").query_fn(spark, sf_correct)
+    assert count_shuffles(df) == 1
+
+
+def test_scd2_windows_share_one_exchange(spark, sf_correct):
+    """Both SCD2 windows partition on o_custkey: Catalyst must reuse a
+    single customer-keyed exchange for lag detection and lead close."""
+    df = get_operator("scd2_history").query_fn(spark, sf_correct)
+    assert count_shuffles(df) == 1
