@@ -386,3 +386,38 @@ def argmax_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_totalprice").alias("max_price"),
         F.min("o_totalprice").alias("min_price"),
     )
+
+
+@register(
+    "percentile_cont_groups",
+    oracle_sql="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.50), 6) AS p50,
+           round(quantile_cont(value, 0.90), 6) AS p90,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("aggregate", "percentile"),
+)
+def percentile_cont_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (PERCENTILE_CONT semantics: linear
+    interpolation at rank (n-1)*p) per group — the exact complement of
+    ``approx_quantile_check``'s sketch.  Exactness costs a per-group
+    sort, which Spark's ``percentile`` aggregate does partition-locally
+    after the group shuffle; at 100 TB the sketch is the default and
+    this is the audit path — both belong in the registry.
+
+    Rounded to 6 places: the interpolation arithmetic is the same IEEE
+    expression in both engines, but the guard keeps last-ulp drift out
+    of the hash.
+    """
+    e = load_table(spark, sf_dir, "events")
+    pct = F.percentile("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.9)))
+    return e.groupBy("event_type").agg(
+        F.round(F.element_at(pct, 1), 6).alias("p25"),
+        F.round(F.element_at(pct, 2), 6).alias("p50"),
+        F.round(F.element_at(pct, 3), 6).alias("p90"),
+        F.count("*").alias("n"),
+    )

@@ -400,3 +400,83 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_ips"),
         F.md5(redacted).alias("redacted_md5"),
     )
+
+
+# Leakage fingerprint: the first LEAK_PREFIX_TOKENS tokens.  Exact-dup
+# md5(full stream) finds nothing at small SF (the fixture has no exact
+# dups below sf0.1); a prefix fingerprint catches shared templates /
+# boilerplate openings — the same leakage class, reliably exercised.
+LEAK_PREFIX_TOKENS = 16
+
+
+@register(
+    "cross_split_leakage_audit",
+    oracle_sql=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5(array_to_string({_TOK}[1:{LEAK_PREFIX_TOKENS}], ' '))
+               AS content_key,
+             CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                       AS BIGINT) % 100 < 80 THEN 'train'
+                  WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                       AS BIGINT) % 100 < 90 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT content_key,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+           array_to_string(list_sort(list_distinct(list(split))), ',') AS splits,
+           CASE WHEN count(DISTINCT split) > 1 THEN 1 ELSE 0 END AS leaked
+    FROM keyed
+    GROUP BY content_key
+    HAVING count(*) >= 2
+    """,
+    tags=("text", "split", "audit", "pipeline"),
+)
+def cross_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit: documents sharing a content fingerprint
+    (md5 of the first {LEAK_PREFIX_TOKENS} normalized tokens — the
+    shared-template/boilerplate-opening duplicate class) that land in
+    DIFFERENT splits of the deterministic md5 splitter leak training
+    content into eval — the audit every dedup-then-split pipeline runs
+    to prove stage ORDER (the reason dedup must precede splitting).
+    Reports every duplicate group with its split spread and a leaked
+    flag.
+
+    One tokenize pass -> 16-byte digest groupBy (the dedup_exact
+    shuffle shape) carrying only the 5-byte split tag; split assignment
+    is the same content-hash bucketing as ``deterministic_split``, so
+    the audit composes with it by construction.
+    """
+    d = parallel_scan(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    keyed = d.select(
+        F.md5(
+            F.array_join(
+                F.slice(tokenize(F.col("text")), 1, LEAK_PREFIX_TOKENS), " "
+            )
+        ).alias("content_key"),
+        split.alias("split"),
+    )
+    return (
+        keyed.groupBy("content_key")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count_distinct("split").cast("long").alias("n_splits"),
+            F.array_join(
+                F.array_sort(F.collect_set("split")), ","
+            ).alias("splits"),
+            F.when(F.count_distinct("split") > 1, 1).otherwise(0).alias("leaked"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

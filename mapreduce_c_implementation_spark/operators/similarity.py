@@ -537,3 +537,97 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gram"),
         )
     )
+
+
+# SemDeDup within-cell cosine threshold (fixture embeddings are near
+# random — max pairwise cosine ~0.5 — so the production-style 0.95 bar
+# would fire on nothing; 0.30 exercises the machinery).
+SEM_TAU = 0.30
+
+
+@register(
+    "semdedup_cells",
+    oracle_sql=f"""
+    WITH {_SQL_NORMS},
+    cell_scores AS ({_SQL_CELL_SCORES}),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cscore DESC, cell ASC) AS crank
+      FROM cell_scores
+    ),
+    assigned AS (SELECT vec_id, embedding, nrm, cell
+                 FROM ranked WHERE crank = 1),
+    pairs AS (
+      SELECT b.vec_id AS vec_id, a.vec_id AS partner
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round({_SQL_DOT.format(a="a.embedding", b="b.embedding")}
+                  / (a.nrm * b.nrm), 6) >= {SEM_TAU}
+    ),
+    dup_counts AS (
+      SELECT vec_id, count(*) AS n_dup_partners FROM pairs GROUP BY vec_id
+    )
+    SELECT s.vec_id, s.cell,
+           coalesce(d.n_dup_partners, 0) AS n_dup_partners,
+           CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+    FROM assigned s LEFT JOIN dup_counts d ON d.vec_id = s.vec_id
+    """,
+    tags=("similarity", "dedup", "semdedup", "pipeline"),
+)
+def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: vectors are assigned to their
+    argmax centroid cell (the IVF coarse quantizer), exact cosine runs
+    only WITHIN a cell, and a vector is dropped when a lower-id vector
+    in its cell sits at cosine >= {SEM_TAU} — keep-lowest-id semantics,
+    the cluster-then-dedup recipe for pruning embedding corpora.
+
+    Scale shape: cell assignment is a narrow map; the pair join is an
+    EQUI-join on cell id, so candidates are bounded by cell fan-out
+    (corpus/cells on average), never corpus² — the same candidate-
+    bounding trade as ann_ivf_coarse, applied to dedup.  Per-vector
+    rollup and the final left join key on vec_id.  The oracle runs the
+    identical quantizer, so cell-boundary recall loss (near-dups in
+    different cells survive) is part of the contract.
+    """
+    from pyspark.sql.window import Window
+
+    norms = _norms(spark, sf_dir)
+    scores = F.array(
+        *[
+            F.struct(
+                F.round(_centroid_dot_spark(k, F.col("embedding")), 6).alias("cscore"),
+                F.lit(k).alias("cell"),
+            )
+            for k in range(N_CELLS)
+        ]
+    )
+    exploded = norms.select(
+        "vec_id", "embedding", "nrm", F.explode(scores).alias("s")
+    ).select("vec_id", "embedding", "nrm", "s.cscore", "s.cell")
+    cw = Window.partitionBy("vec_id").orderBy(F.desc("cscore"), F.asc("cell"))
+    assigned = (
+        exploded.select("*", F.row_number().over(cw).alias("crank"))
+        .filter(F.col("crank") == 1)
+        .select("vec_id", "embedding", "nrm", "cell")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = F.round(
+        _spark_dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
+    pairs = (
+        a.join(b, on=(F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(cos >= SEM_TAU)
+        .select(F.col("b.vec_id").alias("vec_id"))
+    )
+    dup_counts = pairs.groupBy("vec_id").agg(F.count("*").alias("n_dup_partners"))
+    return (
+        assigned.join(dup_counts, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce("n_dup_partners", F.lit(0)).alias("n_dup_partners"),
+            F.when(F.col("n_dup_partners").isNull(), 1).otherwise(0).alias("keep"),
+        )
+    )

@@ -49,6 +49,9 @@ SWEPT_OPS = [
     "exact_substring_duplicates",
     "embedding_gram_matrix",
     "scd2_history",
+    "semdedup_cells",
+    "percentile_cont_groups",
+    "cross_split_leakage_audit",
 ]
 
 
