@@ -55,6 +55,19 @@ HEADLINE = [
     "time_rollup_multigrain",
     "merge_upsert_scd1",
     "event_funnel",
+    # corpus-hygiene + late round-2 additions
+    "repetition_ngram_stats",
+    "contamination_ngram_overlap",
+    "exact_substring_duplicates",
+    "pii_redaction",
+    "embedding_gram_matrix",
+    "semdedup_cells",
+    "scd2_history",
+    "cross_split_leakage_audit",
+    "bm25_topk_docs",
+    "corpus_pipeline_end2end",
+    "cogroup_reconcile",
+    "time_gap_fill_ffill",
 ]
 
 

@@ -205,3 +205,99 @@ def row_python_udf_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = load_table(spark, sf_dir, "nation")
     return n.select("n_nationkey", tag("n_name", "n_regionkey").alias("tag"))
+
+
+@register(
+    "cogroup_reconcile",
+    oracle_sql="""
+    WITH o AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS order_cents
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    l AS (
+      SELECT l_orderkey,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS charged_cents
+      FROM lineitem WHERE l_orderkey % 10 = 0 GROUP BY l_orderkey
+    )
+    SELECT coalesce(o.o_orderkey, l.l_orderkey) AS o_orderkey,
+           coalesce(l.n_lines, 0) AS n_lines,
+           coalesce(o.order_cents, 0) AS order_cents,
+           coalesce(l.charged_cents, 0) AS charged_cents,
+           coalesce(o.order_cents, 0) - coalesce(l.charged_cents, 0) AS diff_cents
+    FROM o FULL OUTER JOIN l ON l.l_orderkey = o.o_orderkey
+    """,
+    tags=("udf", "cogroup", "pandas"),
+)
+def cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last rung of the UDF ladder: COGROUPED ``applyInPandas`` —
+    two tables grouped on the same key, each group pair handed to one
+    Python function (the reference's Reducer iterating two sorted
+    streams at once; Spark ships both sides of a key to one task).
+    Reconciles order header totals against the sum of line charges,
+    keeping orders without lines and lines without orders (the cogroup
+    contract: a key present on either side produces a call).
+
+    Exactness: money goes through half-up integer cents in BOTH engines
+    (floor(x*100+0.5) is the identical IEEE expression), so pandas'
+    int64 sums are aggregation-order independent.  Scale: cogroup is
+    one co-partitioned shuffle of both tables on the key — the 10%
+    orderkey slice keeps fixture Python time bounded; the plan shape is
+    scale-free.
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 10 == 0)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+
+    def recon(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        order_cents = (
+            int(np.floor(odf["o_totalprice"].to_numpy() * 100 + 0.5).astype("int64").sum())
+            if len(odf)
+            else 0
+        )
+        charged_cents = (
+            int(
+                np.floor(
+                    ldf["l_extendedprice"].to_numpy()
+                    * (1 - ldf["l_discount"].to_numpy())
+                    * 100
+                    + 0.5
+                )
+                .astype("int64")
+                .sum()
+            )
+            if len(ldf)
+            else 0
+        )
+        return pd.DataFrame(
+            {
+                "o_orderkey": [key[0]],
+                "n_lines": [len(ldf)],
+                "order_cents": [order_cents],
+                "charged_cents": [charged_cents],
+                "diff_cents": [order_cents - charged_cents],
+            }
+        )
+
+    return (
+        o.groupby("o_orderkey")
+        .cogroup(li.groupby("l_orderkey"))
+        .applyInPandas(
+            recon,
+            schema=(
+                "o_orderkey long, n_lines long, order_cents long, "
+                "charged_cents long, diff_cents long"
+            ),
+        )
+    )

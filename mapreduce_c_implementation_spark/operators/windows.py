@@ -364,3 +364,82 @@ def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(sum(v_cents) OVER {wt} AS BIGINT) AS trailing_cents",
         f"CAST(count(*) OVER {wt} AS BIGINT) AS trailing_n",
     )
+
+
+@register(
+    "time_gap_fill_ffill",
+    oracle_sql="""
+    WITH cents AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    hourly AS (
+      SELECT user_id, hour, CAST(sum(cents) AS BIGINT) AS v
+      FROM cents GROUP BY user_id, hour
+    ),
+    spans AS (
+      SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM spans
+    )
+    SELECT g.user_id, g.hour,
+           CASE WHEN h.v IS NULL THEN 1 ELSE 0 END AS is_gap,
+           last_value(h.v IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_v
+    FROM grid g LEFT JOIN hourly h
+      ON h.user_id = g.user_id AND h.hour = g.hour
+    """,
+    tags=("window", "timeseries", "gapfill"),
+)
+def time_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with forward fill: build each user's
+    dense hourly grid (min..max event hour), left-join the real hourly
+    totals, and carry the last observed value through the gaps — the
+    resample + ffill primitive time-series stores ship natively,
+    expressed as sequence-explode + LAST(ignoreNulls) window.
+
+    Value totals go through half-up integer cents so hourly sums are
+    exact in both engines.  Scale shape: the hourly rollup and the
+    span aggregate co-partition on user_id, the grid explode is a
+    narrow flatMap bounded by span-hours, and the fill window reuses
+    the same user_id partitioning — one keyed exchange end to end
+    (the grid side's tiny span table joins back on (user_id, hour)).
+    The first grid row is never null by construction (the span starts
+    at an observed hour).
+    """
+    e = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    hourly = (
+        e.select(
+            "user_id",
+            F.date_trunc("hour", "ts").alias("hour"),
+            cents.alias("cents"),
+        )
+        .groupBy("user_id", "hour")
+        .agg(F.sum("cents").cast("long").alias("v"))
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("hour"),
+    )
+    joined = grid.join(hourly, ["user_id", "hour"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        "hour",
+        F.when(F.col("v").isNull(), 1).otherwise(0).alias("is_gap"),
+        F.last("v", ignorenulls=True).over(w).alias("filled_v"),
+    )

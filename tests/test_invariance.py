@@ -52,6 +52,8 @@ SWEPT_OPS = [
     "semdedup_cells",
     "percentile_cont_groups",
     "cross_split_leakage_audit",
+    "cogroup_reconcile",
+    "time_gap_fill_ffill",
 ]
 
 
