@@ -440,3 +440,51 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("lang").cast("long").alias("n_with_lang"),
         F.countDistinct("doc_id").cast("long").alias("n_docs"),
     )
+
+
+@register(
+    "xml_source_roundtrip",
+    oracle_sql="""
+    SELECT lang,
+           count(*) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+             AS text_checksum
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("source", "xml"),
+)
+def xml_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + source round-trip (Spark 4's native XML data source):
+    write documents as one <doc> element per row, read back with the
+    ORIGINAL schema and rowTag, aggregate per language with an md5-sum
+    text checksum — any escaping/entity bug in either direction breaks
+    the hash.  The oracle runs on the parquet original, same as the
+    CSV/JSON/ORC round-trips.
+
+    Scale note: XML is a line-unsplittable row format — files define
+    parallelism, so the staged write keeps Spark's default output
+    sharding and the read parallelizes per file.
+    """
+    key = (sf_dir, "xml")
+    d = load_table(spark, sf_dir, "documents")
+    if key not in _staged or not Path(_staged[key]).is_dir():
+        out = tempfile.mkdtemp(prefix="xml_rt_")
+        shutil.rmtree(out)
+        d.write.option("rowTag", "doc").format("xml").save(out)
+        _staged[key] = out
+    back = (
+        spark.read.schema(d.schema)
+        .option("rowTag", "doc")
+        .format("xml")
+        .load(_staged[key])
+    )
+    checksum = F.sum(
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+    ).cast("long")
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        checksum.alias("text_checksum"),
+    )

@@ -54,6 +54,7 @@ SWEPT_OPS = [
     "cross_split_leakage_audit",
     "cogroup_reconcile",
     "time_gap_fill_ffill",
+    "variant_json_shred",
 ]
 
 
