@@ -954,3 +954,153 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         lead_from.alias("valid_to"),
         F.when(lead_from.isNull(), 1).otherwise(0).alias("is_current"),
     )
+
+
+@register(
+    "tpch_q10_returned_items",
+    oracle_sql=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(CAST({_REV_SQL} AS DECIMAL(30,6)) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    tags=("analytics", "tpch", "topk"),
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): which customers
+    returned the most revenue.  Returns-filtered lineitem joins orders
+    on the order key (the one fact-fact shuffle), customer and nation
+    broadcast, top-20 compiles to TakeOrderedAndProject.  Revenue sums
+    in fixed-point decimal so the top-20 cut cannot straddle engines.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            _rev_col().cast("decimal(30,6)").cast("double").alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q18_QTY_THRESHOLD = 150
+
+
+@register(
+    "tpch_q18_large_orders",
+    oracle_sql=f"""
+    SELECT c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(CAST(sum(CAST(l.l_quantity AS DECIMAL(18,6))) AS DECIMAL(30,6))
+                AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > {Q18_QTY_THRESHOLD}
+    )
+    GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate
+    """,
+    tags=("analytics", "tpch", "subquery"),
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): orders whose total line
+    quantity exceeds a threshold, with customer attribution — the
+    aggregate-HAVING-IN-subquery pattern.  The subquery compiles to a
+    semi-join of lineitem against its own aggregate; both sides key on
+    the order key so the aggregate, the semi-join, and the final
+    groupBy share one exchange lineage.  Quantities sum in fixed-point
+    so the threshold cut is engine-exact.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("q"))
+        .filter(F.col("q") > Q18_QTY_THRESHOLD)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "b_orderkey"),
+                F.col("l_orderkey") == F.col("b_orderkey"), "leftsemi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(dec("l_quantity"))
+            .cast("decimal(30,6)")
+            .cast("double")
+            .alias("total_qty")
+        )
+    )
+
+
+@register(
+    "tpch_q7_nation_volume",
+    oracle_sql=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(CAST({_REV_SQL} AS DECIMAL(30,6)) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    WHERE sn.n_name <> cn.n_name
+    GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+    """,
+    tags=("analytics", "tpch", "join"),
+)
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): cross-border revenue by
+    (supplier nation, customer nation, ship year).  The join diamond —
+    lineitem reaches nation through BOTH supplier and customer paths —
+    is the classic test that the same dim table can broadcast twice
+    under different aliases.  One fact-fact shuffle
+    (lineitem⋈orders); supplier, customer, and both nation aliases
+    broadcast; the cross-border filter is a post-join predicate on the
+    two broadcast columns.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(_rev_col().cast("decimal(30,6)").cast("double").alias("revenue"))
+    )

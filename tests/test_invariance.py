@@ -55,6 +55,9 @@ SWEPT_OPS = [
     "cogroup_reconcile",
     "time_gap_fill_ffill",
     "variant_json_shred",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_orders",
+    "tpch_q7_nation_volume",
 ]
 
 
