@@ -267,3 +267,29 @@ def test_scd2_windows_share_one_exchange(spark, sf_correct):
     single customer-keyed exchange for lag detection and lead close."""
     df = get_operator("scd2_history").query_fn(spark, sf_correct)
     assert count_shuffles(df) == 1
+
+
+def test_q10_broadcasts_dims_and_takes_ordered(spark, sf_correct):
+    """Q10: customer + nation broadcast; the top-20 compiles to
+    TakeOrderedAndProject, never a global sort."""
+    df = get_operator("tpch_q10_returned_items").query_fn(spark, sf_correct)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert_broadcast_join(df, expect=2)
+
+
+def test_q18_having_subquery_is_semi_join(spark, sf_correct):
+    """Q18: the IN-subquery over the lineitem aggregate must compile to
+    a semi join (hash or sort-merge), never a nested loop."""
+    df = get_operator("tpch_q18_large_orders").query_fn(spark, sf_correct)
+    plan = physical_plan(df)
+    assert "Semi" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q7_nation_broadcasts_twice(spark, sf_correct):
+    """Q7's join diamond: supplier, customer, and BOTH nation aliases
+    broadcast — four broadcast joins, one fact-fact exchange."""
+    df = get_operator("tpch_q7_nation_volume").query_fn(spark, sf_correct)
+    assert_broadcast_join(df, expect=4)
+    assert count_shuffles(df) <= 2  # fact-fact join + final agg
