@@ -1104,3 +1104,178 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(_rev_col().cast("decimal(30,6)").cast("double").alias("revenue"))
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle_sql="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+    FROM pairs
+    """,
+    tags=("analytics", "markov", "events"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream: count consecutive (prev -> next) event-type pairs and
+    normalize per source state — the behavioral-model companion to
+    ``event_funnel`` (the funnel fixes one path; this measures all of
+    them).
+
+    Shape: one user-keyed window (lag, tie-broken by event_id so the
+    sequence is partitioning-invariant), a tiny (types x types) partial
+    aggregate, and a per-row normalizing window over the type-pair
+    table — the post-aggregate table is |event_types|^2 rows, so the
+    second window is negligible at any scale.
+    """
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = (
+        seq.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    norm = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n").cast("double") / F.sum("n").over(norm), 6).alias("p"),
+    )
+
+
+# PMI pair mining: bigram-adjacent token pairs scored by pointwise
+# mutual information against corpus unigram frequencies.
+PMI_MIN_PAIR_COUNT = 5
+PMI_TOPK = 50
+
+
+@register(
+    "token_pmi_pairs",
+    oracle_sql=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({DUCKDB_TOKENIZE.format(col="text")}) AS t
+      FROM documents
+    ),
+    uni AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+    tot AS (SELECT sum(c) AS n FROM uni),
+    toks AS (
+      SELECT doc_id, {DUCKDB_TOKENIZE.format(col="text")} AS tokens
+      FROM documents
+    ),
+    big AS (
+      SELECT unnest(
+        CASE WHEN len(tokens) >= 2
+             THEN list_transform(generate_series(1, len(tokens) - 1),
+                                 i -> tokens[i] || ' ' || tokens[i + 1])
+             ELSE [] END) AS g
+      FROM toks
+    ),
+    pairs AS (
+      SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2,
+             count(*) AS pc
+      FROM big GROUP BY g HAVING count(*) >= {PMI_MIN_PAIR_COUNT}
+    ),
+    scored AS (
+      SELECT w1, w2, CAST(pc AS BIGINT) AS pair_count,
+             round(ln((CAST(pc AS DOUBLE) / bt.nb)
+                      / ((CAST(u1.c AS DOUBLE) / tot.n)
+                         * (CAST(u2.c AS DOUBLE) / tot.n))), 6) AS pmi
+      FROM pairs
+      JOIN uni u1 ON u1.t = w1
+      JOIN uni u2 ON u2.t = w2
+      CROSS JOIN tot
+      CROSS JOIN (SELECT sum(pc) AS nb
+                  FROM (SELECT count(*) AS pc FROM big GROUP BY g
+                        HAVING count(*) >= {PMI_MIN_PAIR_COUNT})) bt
+    )
+    SELECT w1, w2, pair_count, pmi, rank FROM (
+      SELECT *, row_number() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC) AS rank
+      FROM scored)
+    WHERE rank <= {PMI_TOPK}
+    """,
+    tags=("analytics", "pmi", "text"),
+)
+def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: adjacent token pairs scored by pointwise
+    mutual information — ln(P(pair) / (P(w1)P(w2))) — against corpus
+    unigram statistics, top-{PMI_TOPK}.  High-PMI pairs are the
+    multiword expressions a tokenizer-vocabulary builder promotes.
+
+    Scale shape: unigram and bigram tables are vocabulary-sized and
+    SHUFFLE-join on the token (the tfidf de-weak rule — never broadcast
+    an unbounded vocabulary); the two corpus totals are 1-row broadcast
+    aggregates; the final top-k is TakeOrderedAndProject.  Pair counts
+    below {PMI_MIN_PAIR_COUNT} are cut before the joins, which is what
+    keeps the scored table sparse at scale.
+    """
+    from pyspark.sql.window import Window
+
+    d = parallel_scan(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokenize(F.col("text")).alias("tokens"))
+    tok = toks.select(F.explode("tokens").alias("t"))
+    uni = tok.groupBy("t").agg(F.count("*").alias("c"))
+    tot = uni.agg(F.sum("c").alias("n"))
+    bigrams = F.when(
+        F.size("tokens") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tokens") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("tokens"), i), F.element_at(F.col("tokens"), i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    big = toks.select(F.explode(bigrams).alias("g"))
+    pairs = (
+        big.groupBy("g")
+        .agg(F.count("*").alias("pc"))
+        .filter(F.col("pc") >= PMI_MIN_PAIR_COUNT)
+        .select(
+            F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("g"), F.lit(" "), F.lit(2)).alias("w2"),
+            "pc",
+        )
+    )
+    bt = pairs.agg(F.sum("pc").alias("nb"))
+    scored = (
+        pairs.join(uni.select(F.col("t").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("t").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(bt))
+        .select(
+            "w1",
+            "w2",
+            F.col("pc").cast("long").alias("pair_count"),
+            F.round(
+                F.log(
+                    (F.col("pc").cast("double") / F.col("nb"))
+                    / (
+                        (F.col("c1").cast("double") / F.col("n"))
+                        * (F.col("c2").cast("double") / F.col("n"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+    return (
+        scored.select("*", F.row_number().over(w).cast("long").alias("rank"))
+        .filter(F.col("rank") <= PMI_TOPK)
+    )

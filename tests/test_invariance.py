@@ -58,6 +58,8 @@ SWEPT_OPS = [
     "tpch_q10_returned_items",
     "tpch_q18_large_orders",
     "tpch_q7_nation_volume",
+    "event_transition_matrix",
+    "token_pmi_pairs",
 ]
 
 

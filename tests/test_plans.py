@@ -156,6 +156,8 @@ _NESTED_LOOP_EXEMPT = {
     "unigram_logprob_score",
     # 1-row (N, avgdl) stats broadcast — single-row side by construction
     "bm25_topk_docs",
+    # 1-row unigram-total and pair-total broadcasts, same pattern
+    "token_pmi_pairs",
 }
 
 # Modules whose query_fns build lazy plans (streaming/io execute jobs
