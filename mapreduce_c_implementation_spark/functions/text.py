@@ -62,3 +62,41 @@ DUCKDB_TOKENIZE = (
     "list_filter(string_split_regex({col}, '[^a-zA-Z0-9]+'), t -> t <> ''), "
     "t -> lower(substr(t, 1, 255)))"
 )
+
+
+def ngrams(tokens: Column, n: int) -> Column:
+    """array<string> of space-joined word n-grams over a token array;
+    empty array when the document has fewer than ``n`` tokens.  The
+    single source of truth for n-gram construction — the DuckDB mirror
+    is ``duckdb_ngrams`` and both are parameterized by the same ``n``,
+    so the Spark and oracle sides cannot drift."""
+    return (
+        F.when(
+            F.size(tokens) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(tokens, i + j) for j in range(n)]
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+    )
+
+
+def duckdb_ngrams(tokens_sql: str, n: int) -> str:
+    """DuckDB rendering of :func:`ngrams` over a list expression.
+
+    ``tokens_sql`` is inlined at each use site (pass a CTE column name,
+    not a heavy expression) — a correlated scalar subquery would let us
+    bind it once, but DuckDB's binder rejects self-shadowing aliases
+    there, and every caller passes a plain column anyway."""
+    joined = " || ' ' || ".join(
+        f"{tokens_sql}[i + {j}]" if j else f"{tokens_sql}[i]" for j in range(n)
+    )
+    return (
+        f"CASE WHEN len({tokens_sql}) >= {n} THEN "
+        f"list_transform(generate_series(1, len({tokens_sql}) - {n - 1}), "
+        f"i -> {joined}) "
+        f"ELSE [] END"
+    )

@@ -13,7 +13,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_c_implementation_spark.functions.exactagg import dec, exact_sum, sql_exact_sum
-from mapreduce_c_implementation_spark.functions.text import DUCKDB_TOKENIZE, tokenize
+from mapreduce_c_implementation_spark.functions.text import (
+    DUCKDB_TOKENIZE,
+    duckdb_ngrams,
+    ngrams,
+    tokenize,
+)
 from mapreduce_c_implementation_spark.registry import register
 from mapreduce_c_implementation_spark.sources import load_table
 from mapreduce_c_implementation_spark.sources.tables import parallel_scan
@@ -1180,11 +1185,7 @@ PMI_TOPK = 50
       FROM documents
     ),
     big AS (
-      SELECT unnest(
-        CASE WHEN len(tokens) >= 2
-             THEN list_transform(generate_series(1, len(tokens) - 1),
-                                 i -> tokens[i] || ' ' || tokens[i + 1])
-             ELSE [] END) AS g
+      SELECT unnest({duckdb_ngrams("tokens", 2)}) AS g
       FROM toks
     ),
     pairs AS (
@@ -1201,9 +1202,7 @@ PMI_TOPK = 50
       JOIN uni u1 ON u1.t = w1
       JOIN uni u2 ON u2.t = w2
       CROSS JOIN tot
-      CROSS JOIN (SELECT sum(pc) AS nb
-                  FROM (SELECT count(*) AS pc FROM big GROUP BY g
-                        HAVING count(*) >= {PMI_MIN_PAIR_COUNT})) bt
+      CROSS JOIN (SELECT count(*) AS nb FROM big) bt
     )
     SELECT w1, w2, pair_count, pmi, rank FROM (
       SELECT *, row_number() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC) AS rank
@@ -1218,12 +1217,18 @@ def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram statistics, top-{PMI_TOPK}.  High-PMI pairs are the
     multiword expressions a tokenizer-vocabulary builder promotes.
 
+    P(pair) is normalized by the TOTAL bigram occurrence count (not the
+    post-threshold mass — that would shift every score by a corpus-
+    dependent constant and break absolute-threshold consumers).
+
     Scale shape: unigram and bigram tables are vocabulary-sized and
     SHUFFLE-join on the token (the tfidf de-weak rule — never broadcast
     an unbounded vocabulary); the two corpus totals are 1-row broadcast
-    aggregates; the final top-k is TakeOrderedAndProject.  Pair counts
-    below {PMI_MIN_PAIR_COUNT} are cut before the joins, which is what
-    keeps the scored table sparse at scale.
+    aggregates; the top-{PMI_TOPK} cut is orderBy().limit() — a
+    TakeOrderedAndProject, with rank assigned afterwards over just the
+    {PMI_TOPK} survivors, never a single-partition sort of the full
+    scored table.  Pair counts below {PMI_MIN_PAIR_COUNT} are cut
+    before the joins, which keeps the scored table sparse at scale.
     """
     from pyspark.sql.window import Window
 
@@ -1232,16 +1237,7 @@ def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = toks.select(F.explode("tokens").alias("t"))
     uni = tok.groupBy("t").agg(F.count("*").alias("c"))
     tot = uni.agg(F.sum("c").alias("n"))
-    bigrams = F.when(
-        F.size("tokens") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size("tokens") - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(F.col("tokens"), i), F.element_at(F.col("tokens"), i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    big = toks.select(F.explode(bigrams).alias("g"))
+    big = toks.select(F.explode(ngrams(F.col("tokens"), 2)).alias("g"))
     pairs = (
         big.groupBy("g")
         .agg(F.count("*").alias("pc"))
@@ -1252,7 +1248,7 @@ def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pc",
         )
     )
-    bt = pairs.agg(F.sum("pc").alias("nb"))
+    bt = big.agg(F.count("*").alias("nb"))
     scored = (
         pairs.join(uni.select(F.col("t").alias("w1"), F.col("c").alias("c1")), "w1")
         .join(uni.select(F.col("t").alias("w2"), F.col("c").alias("c2")), "w2")
@@ -1274,8 +1270,8 @@ def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+    # top-k as TakeOrderedAndProject (orderBy+limit), then rank over the
+    # k survivors only — never a single-partition sort of all pairs
+    top = scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(PMI_TOPK)
     w = Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
-    return (
-        scored.select("*", F.row_number().over(w).cast("long").alias("rank"))
-        .filter(F.col("rank") <= PMI_TOPK)
-    )
+    return top.select("*", F.row_number().over(w).cast("long").alias("rank"))

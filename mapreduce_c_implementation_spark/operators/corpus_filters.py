@@ -18,7 +18,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_c_implementation_spark.functions.text import DUCKDB_TOKENIZE, tokenize
+from mapreduce_c_implementation_spark.functions.text import (
+    DUCKDB_TOKENIZE,
+    duckdb_ngrams,
+    ngrams,
+    tokenize,
+)
+from mapreduce_c_implementation_spark.operators.textanalysis import (
+    SPLIT_TRAIN_PCT,
+    SPLIT_VALID_PCT,
+)
 from mapreduce_c_implementation_spark.registry import register
 from mapreduce_c_implementation_spark.sources.tables import parallel_scan
 
@@ -37,11 +46,7 @@ REP_DUP_BIGRAM_MAX = 0.50
       SELECT doc_id, {_TOK} AS tokens FROM documents
     ),
     grams AS (
-      SELECT doc_id, unnest(
-        CASE WHEN len(tokens) >= 2
-             THEN list_transform(generate_series(1, len(tokens) - 1),
-                                 i -> tokens[i] || ' ' || tokens[i + 1])
-             ELSE [] END) AS g
+      SELECT doc_id, unnest({duckdb_ngrams("tokens", 2)}) AS g
       FROM toks
     ),
     counts AS (
@@ -79,23 +84,16 @@ def repetition_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Boilerplate and looped generations light both signals up.
 
     Shape: one tokenize pass, explode bigrams, a (doc_id, bigram) partial
-    aggregate (combines map-side), then a per-doc rollup — both shuffles
-    keyed on doc_id so at 100 TB they co-partition; docs with <2 tokens
-    are preserved via the left join (never silently dropped).
+    aggregate (combines map-side), then a per-doc rollup — the first
+    exchange keys on (doc_id, bigram) and the rollup re-exchanges on
+    doc_id, but both carry only narrow count rows, never text; docs
+    with <2 tokens are preserved via the left join (never silently
+    dropped).
     """
     d = parallel_scan(spark, sf_dir, "documents")
     toks = d.select("doc_id", tokenize(F.col("text")).alias("tokens"))
-    bigrams = F.when(
-        F.size("tokens") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size("tokens") - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(F.col("tokens"), i), F.element_at(F.col("tokens"), i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     counts = (
-        toks.select("doc_id", F.explode(bigrams).alias("g"))
+        toks.select("doc_id", F.explode(ngrams(F.col("tokens"), 2)).alias("g"))
         .groupBy("doc_id", "g")
         .agg(F.count("*").alias("c"))
     )
@@ -146,12 +144,8 @@ CONTAM_FRAC = 0.05
       SELECT doc_id, {_TOK} AS tokens FROM documents
     ),
     shingled AS (
-      SELECT doc_id, unnest(
-        CASE WHEN len(tokens) >= {CONTAM_K}
-             THEN list_distinct(list_transform(
-                    generate_series(1, len(tokens) - {CONTAM_K - 1}),
-                    i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2]))
-             ELSE [] END) AS sh
+      SELECT doc_id,
+             unnest(list_distinct({duckdb_ngrams("tokens", CONTAM_K)})) AS sh
       FROM toks
     ),
     eval_sh AS (
@@ -190,35 +184,27 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     {CONTAM_FRAC} are flagged — the n-gram-overlap decontamination rule
     used before pre-training runs.
 
-    Scale shape: the eval suite is curated and bounded (benchmarks, not
-    corpus-sized), so its distinct shingle set is BROADCAST; the
-    training side stays partitioned and the probe is a broadcast-hash
-    semi-join — no corpus-sized shuffle.  Per-doc rollups key on doc_id.
-    Documents with <{CONTAM_K} tokens keep a row (0 shingles, clean).
+    Scale shape: the probe is a plain EQUI-join on the shingle.  This
+    fixture's eval side is a corpus SLICE (doc_id % {EVAL_MOD}), so its
+    shingle set grows with the corpus and must shuffle-join — the same
+    rule as the TF-IDF vocabulary table (never broadcast an unbounded
+    side).  A production run against a curated, genuinely bounded
+    benchmark suite would add F.broadcast on the eval side and skip
+    that shuffle.  Per-doc rollups key on doc_id; documents with
+    <{CONTAM_K} tokens keep a row (0 shingles, clean).
     """
     d = parallel_scan(spark, sf_dir, "documents")
     toks = d.select("doc_id", tokenize(F.col("text")).alias("tokens"))
-    shingles = F.when(
-        F.size("tokens") >= CONTAM_K,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size("tokens") - (CONTAM_K - 1)),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(F.col("tokens"), i),
-                    F.element_at(F.col("tokens"), i + 1),
-                    F.element_at(F.col("tokens"), i + 2),
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    shingled = toks.select("doc_id", F.explode(shingles).alias("sh"))
+    shingled = toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(ngrams(F.col("tokens"), CONTAM_K))).alias("sh"),
+    )
     is_eval = F.col("doc_id") % EVAL_MOD == 0
     eval_sh = shingled.filter(is_eval).select("sh").distinct()
     train_sh = shingled.filter(~is_eval)
     base = train_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     hits = (
-        train_sh.join(F.broadcast(eval_sh), "sh")
+        train_sh.join(eval_sh, "sh")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_overlap"))
     )
@@ -242,25 +228,32 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Exact-substring duplicate windows: fixed 40-char windows every 20 chars
-# (the scalable stand-in for suffix-array exact-substring dedup — cf. the
-# "Deduplicating Training Data Makes Language Models Better" recipe).
+# Exact-substring duplicate windows: {SUBSTR_WIN}-char windows anchored
+# at CONTENT-DEFINED positions (the scalable stand-in for suffix-array
+# exact-substring dedup — cf. the "Deduplicating Training Data Makes
+# Language Models Better" recipe).  An anchor is a position whose
+# {SUBSTR_GRAM}-char gram hashes to 0 mod {SUBSTR_STRIDE} — so anchor
+# placement travels WITH the content, and two documents sharing a run
+# anchor at the same in-run offsets no matter where the run sits in
+# either document (fixed-grid windows only match runs whose start
+# positions agree mod stride — ~1/stride of random alignments).
 SUBSTR_WIN = 40
 SUBSTR_STRIDE = 20
+SUBSTR_GRAM = 8
 
 
 @register(
     "exact_substring_duplicates",
     oracle_sql=f"""
     WITH wins AS (
-      SELECT doc_id,
-             md5(substr(text, o * {SUBSTR_STRIDE} + 1, {SUBSTR_WIN})) AS win_hash
+      SELECT doc_id, md5(substr(text, i, {SUBSTR_WIN})) AS win_hash
       FROM (
-        SELECT doc_id, text, unnest(generate_series(0,
-                 CAST((length(text) - {SUBSTR_WIN}) // {SUBSTR_STRIDE} AS BIGINT)))
-               AS o
+        SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - {SUBSTR_WIN - 1})) AS i
         FROM documents WHERE length(text) >= {SUBSTR_WIN}
       )
+      WHERE CAST('0x' || substr(md5(substr(text, i, {SUBSTR_GRAM})), 1, 4)
+                 AS BIGINT) % {SUBSTR_STRIDE} = 0
     )
     SELECT win_hash,
            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
@@ -274,36 +267,47 @@ SUBSTR_STRIDE = 20
     tags=("text", "dedup", "substring", "pipeline"),
 )
 def exact_substring_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-document exact-substring duplicate detection: every
-    {SUBSTR_WIN}-char window at {SUBSTR_STRIDE}-char stride is hashed;
-    window hashes seen in >= 2 distinct documents are reported with
-    occurrence counts and the doc-id range.  This is the bounded-memory
-    approximation of suffix-array exact-substring dedup: any shared run
-    of >= {SUBSTR_WIN + SUBSTR_STRIDE - 1} chars is guaranteed to share
-    at least one aligned window.
+    """Cross-document exact-substring duplicate detection with
+    content-defined anchoring: a {SUBSTR_WIN}-char window is hashed at
+    every position whose leading {SUBSTR_GRAM}-char gram hashes to
+    0 mod {SUBSTR_STRIDE} (expected density 1/{SUBSTR_STRIDE}); window
+    digests seen in >= 2 distinct documents are reported with counts
+    and the doc-id range.  Because anchors are chosen by CONTENT, two
+    documents sharing a run anchor at identical in-run offsets
+    regardless of where the run starts in each document — the
+    alignment-independence fixed-stride grids lack.  A shared run of
+    length L >= {SUBSTR_WIN + SUBSTR_GRAM} is detected unless it
+    contains no anchor (probability ~(1 - 1/{SUBSTR_STRIDE})^(L - 47),
+    vanishing for long runs).
 
-    Scale shape: a narrow per-row flatMap (windows never leave their
-    executor as text — only 16-byte md5 keys shuffle), then one groupBy
-    on the digest.  Cost is the same as exact dedup on ~n_chars /
-    {SUBSTR_STRIDE} keys; no quadratic stage anywhere.
+    Scale shape: a narrow per-row flatMap — only 16-byte digests
+    shuffle, expected ~n_chars/{SUBSTR_STRIDE} keys, one digest-keyed
+    exchange (plus the distinct-agg expansion), no quadratic stage.
+    The per-position gram hash costs one md5 per char here; a 100 TB
+    deployment would swap in a rolling Karp-Rabin gram hash inside
+    mapInPandas for the constant factor — the anchor contract (and so
+    the output) is unchanged.
     """
     d = parallel_scan(spark, sf_dir, "documents")
-    starts = F.sequence(
-        F.lit(0),
-        F.floor(
-            (F.length("text") - SUBSTR_WIN) / F.lit(SUBSTR_STRIDE)
-        ).cast("int"),
-    )
+    positions = F.when(
+        F.length("text") >= SUBSTR_WIN,
+        F.sequence(F.lit(1), F.length("text") - (SUBSTR_WIN - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    gram_hash = F.conv(
+        F.substring(
+            F.md5(F.substring(F.col("text"), F.col("i"), SUBSTR_GRAM)), 1, 4
+        ),
+        16,
+        10,
+    ).cast("long")
     wins = (
-        d.filter(F.length("text") >= SUBSTR_WIN)
-        .select("doc_id", "text", F.explode(starts).alias("o"))
+        d.select("doc_id", "text", F.explode(positions).alias("i"))
+        .filter(gram_hash % SUBSTR_STRIDE == 0)
         .select(
             "doc_id",
-            F.md5(
-                F.substring(
-                    F.col("text"), F.col("o") * SUBSTR_STRIDE + 1, SUBSTR_WIN
-                )
-            ).alias("win_hash"),
+            F.md5(F.substring(F.col("text"), F.col("i"), SUBSTR_WIN)).alias(
+                "win_hash"
+            ),
         )
     )
     return (
@@ -417,9 +421,10 @@ LEAK_PREFIX_TOKENS = 16
              md5(array_to_string({_TOK}[1:{LEAK_PREFIX_TOKENS}], ' '))
                AS content_key,
              CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
-                       AS BIGINT) % 100 < 80 THEN 'train'
+                       AS BIGINT) % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
                   WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
-                       AS BIGINT) % 100 < 90 THEN 'valid'
+                       AS BIGINT) % 100 < {SPLIT_TRAIN_PCT + SPLIT_VALID_PCT}
+                    THEN 'valid'
                   ELSE 'test' END AS split
       FROM documents
     )
@@ -456,8 +461,8 @@ def cross_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 100
     )
     split = (
-        F.when(bucket < 80, F.lit("train"))
-        .when(bucket < 90, F.lit("valid"))
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VALID_PCT, F.lit("valid"))
         .otherwise(F.lit("test"))
     )
     keyed = d.select(

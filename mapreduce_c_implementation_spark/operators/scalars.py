@@ -468,7 +468,7 @@ def higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
              AS max_k,
            CAST(count(CASE WHEN json_extract_string(props, '$.missing') IS NOT NULL
-                           THEN 1 END) AS BIGINT) AS n_missing_field
+                           THEN 1 END) AS BIGINT) AS n_unexpected_field
     FROM events
     GROUP BY event_type
     """,
@@ -480,7 +480,9 @@ def variant_json_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     once, then ``variant_get`` path extraction pulls typed fields —
     the open-format answer to schema-on-read (parse once, extract
     many, no per-field JSON re-parse).  Absent paths return NULL, not
-    errors, which the n_missing_field probe pins.
+    errors — n_unexpected_field counts rows where the absent '$.missing'
+    path unexpectedly RESOLVES (0 by construction), pinning that
+    contract.
 
     At 100 TB this is the difference between one JSON parse per row
     and one per field: variant shreds to a columnar-friendly binary
@@ -500,5 +502,5 @@ def variant_json_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").cast("long").alias("sum_k"),
         F.min("k").cast("long").alias("min_k"),
         F.max("k").cast("long").alias("max_k"),
-        F.count("m").cast("long").alias("n_missing_field"),
+        F.count("m").cast("long").alias("n_unexpected_field"),
     )

@@ -18,7 +18,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_c_implementation_spark.functions.text import DUCKDB_TOKENIZE, tokenize
+from mapreduce_c_implementation_spark.functions.text import (
+    DUCKDB_TOKENIZE,
+    duckdb_ngrams,
+    ngrams,
+    tokenize,
+)
 from mapreduce_c_implementation_spark.registry import register
 from mapreduce_c_implementation_spark.sources import load_table
 from mapreduce_c_implementation_spark.sources.tables import parallel_scan
@@ -264,11 +269,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle_sql=f"""
     SELECT ngram, count(*) AS cnt, count(DISTINCT doc_id) AS df
     FROM (
-      SELECT doc_id, unnest(
-        CASE WHEN len(tokens) >= 2
-             THEN list_transform(generate_series(1, len(tokens) - 1),
-                                 i -> tokens[i] || ' ' || tokens[i + 1])
-             ELSE [] END) AS ngram
+      SELECT doc_id, unnest({duckdb_ngrams("tokens", 2)}) AS ngram
       FROM (SELECT doc_id, {_TOK} AS tokens FROM documents)
     )
     GROUP BY ngram
@@ -280,17 +281,8 @@ def ngram_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics feeding contamination / repetition analyses)."""
     d = parallel_scan(spark, sf_dir, "documents")
     toks = d.select("doc_id", tokenize(F.col("text")).alias("tokens"))
-    bigrams = F.when(
-        F.size("tokens") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size("tokens") - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(F.col("tokens"), i), F.element_at(F.col("tokens"), i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     return (
-        toks.select("doc_id", F.explode(bigrams).alias("ngram"))
+        toks.select("doc_id", F.explode(ngrams(F.col("tokens"), 2)).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count("*").alias("cnt"), F.count_distinct("doc_id").alias("df"))
     )

@@ -232,14 +232,15 @@ def test_pipeline_end2end_two_shuffles(spark, sf_correct):
     assert count_shuffles(df) <= 2
 
 
-def test_contamination_broadcasts_eval_shingles(spark, sf_correct):
-    """The eval-suite shingle set is bounded (benchmarks, not corpus):
-    the probe must be a broadcast hash join; the corpus side never
-    shuffles for the contamination check itself."""
+def test_contamination_probe_is_equi_join(spark, sf_correct):
+    """The eval slice scales with the corpus, so its shingle set must
+    NOT be broadcast (the TF-IDF vocabulary rule) — the probe is a
+    shuffled equi-join on the shingle, never a nested loop."""
     df = get_operator("contamination_ngram_overlap").query_fn(spark, sf_correct)
     plan = physical_plan(df)
-    assert "BroadcastHashJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" in plan, plan
 
 
 def test_substring_dedup_shuffles_only_digests(spark, sf_correct):
