@@ -421,3 +421,74 @@ def percentile_cont_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at(pct, 3), 6).alias("p90"),
         F.count("*").alias("n"),
     )
+
+
+# Robust outlier rule: a value is an outlier when its absolute deviation
+# from the group median exceeds MAD_K times the median absolute deviation.
+MAD_K = 3.0
+
+
+@register(
+    "group_mad_outliers",
+    oracle_sql=f"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+      FROM events e JOIN med m ON m.event_type = e.event_type
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           round(min(d.med), 6) AS med,
+           round(min(mad.mad), 6) AS mad,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(CASE WHEN d.adev > {MAD_K} * mad.mad THEN 1 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad ON mad.event_type = d.event_type
+    GROUP BY d.event_type
+    """,
+    tags=("aggregate", "robust", "outliers"),
+)
+def group_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per group: median absolute deviation
+    (MAD) with the {MAD_K}-MAD rule — the quality-pipeline outlier
+    filter that, unlike z-scores, is not itself dragged by the
+    outliers it hunts.
+
+    Two exact interpolated medians (group median, then median of
+    absolute deviations) and a final count — three aggregates and two
+    joins, ALL keyed on event_type, so Catalyst reuses one
+    group-keyed exchange lineage end to end.  Median/MAD arithmetic
+    is the identical interpolation expression in both engines, so the
+    strict '>' outlier cut cannot straddle them.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = e.join(med, "event_type").select(
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("med"), 6).alias("med"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.count("*").cast("long").alias("n"),
+            F.count(F.when(F.col("adev") > MAD_K * F.col("mad"), 1))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )

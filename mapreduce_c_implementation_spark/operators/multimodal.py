@@ -219,3 +219,45 @@ def multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_bytes").alias("max_bytes"),
         )
     )
+
+
+@register(
+    "multimodal_cas_index",
+    oracle_sql="""
+    SELECT sha256(text) AS payload_sha256,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc,
+           CAST(min(octet_length(encode(text))) AS BIGINT) AS n_bytes,
+           CAST((count(*) - 1) * min(octet_length(encode(text))) AS BIGINT)
+             AS dedup_savings_bytes
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+    tags=("multimodal", "dedup", "cas"),
+)
+def multimodal_cas_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressable-storage index over binary payloads: group by
+    payload sha256, keep the lowest doc_id as the canonical copy, and
+    report the byte savings exact dedup would reclaim — how multimodal
+    corpora dedup images/audio before any decode (identical bytes are
+    identical media, no codec needed).
+
+    Shape: one JVM-side sha2 map, one digest-keyed groupBy — the
+    payload itself never shuffles, only 32-byte digests + counters
+    (the dedup_exact shape applied to the binary modality).
+    """
+    p = _payload_df(spark, sf_dir)
+    return (
+        p.select(
+            "doc_id", "n_bytes", F.sha2(F.col("payload"), 256).alias("payload_sha256")
+        )
+        .groupBy("payload_sha256")
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.min("doc_id").cast("long").alias("keeper_doc"),
+            F.min("n_bytes").cast("long").alias("n_bytes"),
+            ((F.count("*") - 1) * F.min("n_bytes")).cast("long").alias(
+                "dedup_savings_bytes"
+            ),
+        )
+    )

@@ -60,6 +60,8 @@ SWEPT_OPS = [
     "tpch_q7_nation_volume",
     "event_transition_matrix",
     "token_pmi_pairs",
+    "group_mad_outliers",
+    "multimodal_cas_index",
 ]
 
 
