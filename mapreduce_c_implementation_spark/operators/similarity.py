@@ -235,11 +235,15 @@ def _centroid_dot_spark(k: int, emb: Column) -> Column:
     )
 
 
-_SQL_CELL_SCORES = " UNION ALL ".join(
-    f"SELECT vec_id, label, embedding, nrm, {k} AS cell, "
-    f"round({_centroid_dot_sql(k, 'embedding')}, 6) AS cscore FROM norms"
-    for k in range(N_CELLS)
-)
+def _sql_cell_scores(n_cells: int) -> str:
+    return " UNION ALL ".join(
+        f"SELECT vec_id, label, embedding, nrm, {k} AS cell, "
+        f"round({_centroid_dot_sql(k, 'embedding')}, 6) AS cscore FROM norms"
+        for k in range(n_cells)
+    )
+
+
+_SQL_CELL_SCORES = _sql_cell_scores(N_CELLS)
 
 
 @register(
@@ -543,13 +547,18 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # random — max pairwise cosine ~0.5 — so the production-style 0.95 bar
 # would fire on nothing; 0.30 exercises the machinery).
 SEM_TAU = 0.30
+# semdedup uses a FINER quantizer than ann_ivf_coarse's 8 cells: pair
+# cost is sum over cells of c^2/2, so cells must track corpus size —
+# 64 cells cuts the fixture's within-cell pair count ~8x vs 8 cells
+# (measured 44 s -> ~4 s at sf0.1 with the interpreted fold dot).
+SEM_CELLS = 64
 
 
 @register(
     "semdedup_cells",
     oracle_sql=f"""
     WITH {_SQL_NORMS},
-    cell_scores AS ({_SQL_CELL_SCORES}),
+    cell_scores AS ({_sql_cell_scores(SEM_CELLS)}),
     ranked AS (
       SELECT *, row_number() OVER (PARTITION BY vec_id
                                    ORDER BY cscore DESC, cell ASC) AS crank
@@ -584,10 +593,13 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: cell assignment is a narrow map; the pair join is an
     EQUI-join on cell id, so candidates are bounded by cell fan-out
     (corpus/cells on average), never corpus² — the same candidate-
-    bounding trade as ann_ivf_coarse, applied to dedup.  Per-vector
-    rollup and the final left join key on vec_id.  The oracle runs the
-    identical quantizer, so cell-boundary recall loss (near-dups in
-    different cells survive) is part of the contract.
+    bounding trade as ann_ivf_coarse, applied to dedup, with a finer
+    {SEM_CELLS}-cell quantizer because pair cost is quadratic in cell
+    size (at 100 TB, cells scale with sqrt(pairs-budget), i.e. with
+    the corpus).  Per-vector rollup and the final left join key on
+    vec_id.  The oracle runs the identical quantizer, so
+    cell-boundary recall loss (near-dups in different cells survive)
+    is part of the contract.
     """
     from pyspark.sql.window import Window
 
@@ -598,7 +610,7 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(_centroid_dot_spark(k, F.col("embedding")), 6).alias("cscore"),
                 F.lit(k).alias("cell"),
             )
-            for k in range(N_CELLS)
+            for k in range(SEM_CELLS)
         ]
     )
     exploded = norms.select(

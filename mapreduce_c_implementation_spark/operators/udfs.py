@@ -213,14 +213,14 @@ def row_python_udf_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH o AS (
       SELECT o_orderkey,
              CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS order_cents
-      FROM orders WHERE o_orderkey % 10 = 0
+      FROM orders WHERE o_orderkey % 100 = 0
     ),
     l AS (
       SELECT l_orderkey,
              CAST(count(*) AS BIGINT) AS n_lines,
              CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
                            AS BIGINT)) AS BIGINT) AS charged_cents
-      FROM lineitem WHERE l_orderkey % 10 = 0 GROUP BY l_orderkey
+      FROM lineitem WHERE l_orderkey % 100 = 0 GROUP BY l_orderkey
     )
     SELECT coalesce(o.o_orderkey, l.l_orderkey) AS o_orderkey,
            coalesce(l.n_lines, 0) AS n_lines,
@@ -243,18 +243,20 @@ def cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: money goes through half-up integer cents in BOTH engines
     (floor(x*100+0.5) is the identical IEEE expression), so pandas'
     int64 sums are aggregation-order independent.  Scale: cogroup is
-    one co-partitioned shuffle of both tables on the key — the 10%
-    orderkey slice keeps fixture Python time bounded; the plan shape is
+    one co-partitioned shuffle of both tables on the key — the 1%
+    orderkey slice keeps fixture Python time bounded (cogroup pays one
+    Python round-trip PER KEY, so group count, not row count, is the
+    fixture cost driver); the plan shape is
     scale-free.
     """
     o = (
         load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderkey") % 10 == 0)
+        .filter(F.col("o_orderkey") % 100 == 0)
         .select("o_orderkey", "o_totalprice")
     )
     li = (
         load_table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey") % 10 == 0)
+        .filter(F.col("l_orderkey") % 100 == 0)
         .select("l_orderkey", "l_extendedprice", "l_discount")
     )
 
