@@ -504,3 +504,64 @@ def variant_json_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").cast("long").alias("max_k"),
         F.count("m").cast("long").alias("n_unexpected_field"),
     )
+
+
+@register(
+    "map_higher_order_functions",
+    oracle_sql="""
+    SELECT event_id,
+           CAST(2 * k + 6 * k + 14 AS BIGINT) AS doubled_sum,
+           'BONUS,K,K2' AS upper_keys,
+           CAST((CASE WHEN k > 5 THEN 1 ELSE 0 END)
+                + (CASE WHEN 3 * k > 5 THEN 1 ELSE 0 END)
+                + 1 AS BIGINT) AS n_over_5,
+           CAST(4 * k + 10 AS BIGINT) AS zipped_sum
+    FROM (
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    """,
+    tags=("scalar", "map", "higher-order"),
+)
+def map_higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed higher-order lambdas — transform_values, transform_keys,
+    map_filter, map_zip_with — the MapType half of the lambda surface
+    (``higher_order_functions`` covers arrays).  A 3-entry map is built
+    from the event's k value; every HOF result is reduced to a scalar.
+
+    The oracle does NOT mirror the map machinery: it computes each
+    expected value arithmetically from k (doubled_sum = 2k+6k+14,
+    zipped_sum = 4k+10 with the missing-key branch coalesced to 0, …),
+    so a wrong lambda, a dropped entry, or bad null handling in the
+    map path cannot cancel itself out.  All JVM-side, no shuffle.
+    """
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    m = F.create_map(
+        F.lit("k"), k, F.lit("k2"), k * 3, F.lit("bonus"), F.lit(7).cast("long")
+    )
+    m2 = F.create_map(
+        F.lit("k"), F.lit(1).cast("long"), F.lit("k2"), F.lit(2).cast("long")
+    )
+    doubled = F.transform_values(m, lambda _, v: v * 2)
+    sum_vals = lambda mm: F.aggregate(  # noqa: E731
+        F.map_values(mm), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    upper_keys = F.array_join(
+        F.array_sort(F.map_keys(F.transform_keys(m, lambda key, _: F.upper(key)))),
+        ",",
+    )
+    n_over_5 = F.size(F.map_filter(m, lambda _, v: v > 5))
+    zipped = F.map_zip_with(
+        m,
+        m2,
+        lambda _, v1, v2: F.coalesce(v1, F.lit(0)) + F.coalesce(v2, F.lit(0)),
+    )
+    return e.select(
+        "event_id",
+        sum_vals(doubled).alias("doubled_sum"),
+        upper_keys.alias("upper_keys"),
+        n_over_5.cast("long").alias("n_over_5"),
+        sum_vals(zipped).alias("zipped_sum"),
+    )

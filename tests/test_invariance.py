@@ -62,6 +62,7 @@ SWEPT_OPS = [
     "token_pmi_pairs",
     "group_mad_outliers",
     "multimodal_cas_index",
+    "map_higher_order_functions",
 ]
 
 
