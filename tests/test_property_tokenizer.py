@@ -50,3 +50,46 @@ def test_tokenize_matches_reference_semantics(spark, texts):
     }
     for i, t in enumerate(texts):
         assert got[i] == reference_map(t), f"mismatch on {t!r}"
+
+
+@settings(deadline=None, max_examples=30, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    tokens=st.lists(
+        st.text(alphabet="abc012", min_size=1, max_size=5), max_size=8
+    ),
+    n=st.integers(min_value=1, max_value=4),
+)
+def test_ngram_helper_cross_engine_parity(tokens, n):
+    """functions.text.ngrams (Spark) and duckdb_ngrams (oracle SQL) must
+    produce identical n-gram lists for ANY token list and any n — the
+    single-source-of-truth contract the corpus-hygiene oracles rely on."""
+    import duckdb
+
+    from mapreduce_c_implementation_spark.functions.text import duckdb_ngrams
+
+    expected = [
+        " ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)
+    ] if len(tokens) >= n else []
+    lits = ", ".join("'" + t + "'" for t in tokens)
+    sql = duckdb_ngrams(f"[{lits}]", n) if tokens else duckdb_ngrams("CAST([] AS VARCHAR[])", n)
+    got_sql = duckdb.sql(f"SELECT {sql} AS g").fetchone()[0]
+    assert list(got_sql) == expected
+
+
+def test_ngram_helper_spark_matches_python(spark):
+    """Spark side of the ngram helper over a handful of pinned shapes."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_c_implementation_spark.functions.text import ngrams
+
+    rows = [(["a"],), (["a", "b"],), (["a", "b", "c", "d"],), ([],)]
+    df = spark.createDataFrame(rows, "tokens: array<string>")
+    for n in (1, 2, 3):
+        got = [r[0] for r in df.select(ngrams(F.col("tokens"), n)).collect()]
+        want = [
+            [" ".join(t[i : i + n]) for i in range(len(t) - n + 1)]
+            if len(t) >= n
+            else []
+            for (t,) in rows
+        ]
+        assert got == want, (n, got, want)
