@@ -296,3 +296,25 @@ def test_q7_nation_broadcasts_twice(spark, sf_correct):
     df = get_operator("tpch_q7_nation_volume").query_fn(spark, sf_correct)
     assert_broadcast_join(df, expect=4)
     assert count_shuffles(df) <= 2  # fact-fact join + final agg
+
+
+def test_corpus_ops_prune_document_columns(spark, sf_correct):
+    """The corpus-hygiene ops consume only (doc_id, text) — lang/source/
+    n_chars must be pruned from the parquet scan (at 100 TB every extra
+    column is real I/O)."""
+    for name in (
+        "repetition_ngram_stats",
+        "contamination_ngram_overlap",
+        "exact_substring_duplicates",
+        "pii_redaction",
+        "token_pmi_pairs",
+    ):
+        df = get_operator(name).query_fn(spark, sf_correct)
+        assert_read_schema_only(df, {"doc_id", "text"})
+
+
+def test_gram_matrix_reads_embedding_only(spark, sf_correct):
+    """embedding_gram_matrix needs only the embedding column — vec_id
+    and label must not reach the scan."""
+    df = get_operator("embedding_gram_matrix").query_fn(spark, sf_correct)
+    assert_read_schema_only(df, {"embedding"})
