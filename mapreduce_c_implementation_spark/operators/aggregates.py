@@ -492,3 +492,131 @@ def group_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+@register(
+    "expectation_checks",
+    oracle_sql="""
+    WITH m AS (
+      SELECT count(*) AS n_rows,
+             count(CASE WHEN l_quantity IS NULL THEN 1 END) AS null_qty,
+             count(CASE WHEN l_quantity < 0 THEN 1 END) AS neg_qty,
+             count(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END)
+               AS bad_discount,
+             count(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 END)
+               AS bad_flag,
+             count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS dup_pk
+      FROM lineitem
+    )
+    SELECT rule, violations,
+           CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status
+    FROM (
+      SELECT 'quantity_not_null' AS rule, CAST(null_qty AS BIGINT) AS violations FROM m
+      UNION ALL SELECT 'quantity_non_negative', CAST(neg_qty AS BIGINT) FROM m
+      UNION ALL SELECT 'discount_in_unit_range', CAST(bad_discount AS BIGINT) FROM m
+      UNION ALL SELECT 'returnflag_in_domain', CAST(bad_flag AS BIGINT) FROM m
+      UNION ALL SELECT 'pk_unique', CAST(dup_pk AS BIGINT) FROM m
+    )
+    """,
+    tags=("aggregate", "quality", "expectations"),
+)
+def expectation_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (the Deequ/Great-
+    Expectations shape): completeness, range, domain, and key-uniqueness
+    rules over lineitem, evaluated in ONE scan and reported as a
+    per-rule (violations, pass/fail) table — the pre-ingest contract
+    check a 100 TB pipeline runs before accepting a batch.
+
+    All rules fold into a single aggregate pass (conditional counts +
+    one distinct-key count), then unpivot to rows — so adding a rule
+    costs one more counter, not another scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("l_quantity").isNull(), 1)).alias("null_qty"),
+        F.count(F.when(F.col("l_quantity") < 0, 1)).alias("neg_qty"),
+        F.count(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
+        ).alias("bad_discount"),
+        F.count(
+            F.when(~F.col("l_returnflag").isin("A", "N", "R"), 1)
+        ).alias("bad_flag"),
+        (
+            F.count("*")
+            - F.count_distinct(F.struct("l_orderkey", "l_linenumber"))
+        ).alias("dup_pk"),
+    )
+    rules = m.select(
+        F.expr(
+            "stack(5, "
+            "'quantity_not_null', CAST(null_qty AS LONG), "
+            "'quantity_non_negative', CAST(neg_qty AS LONG), "
+            "'discount_in_unit_range', CAST(bad_discount AS LONG), "
+            "'returnflag_in_domain', CAST(bad_flag AS LONG), "
+            "'pk_unique', CAST(dup_pk AS LONG)) AS (rule, violations)"
+        )
+    )
+    return rules.select(
+        "rule",
+        "violations",
+        F.when(F.col("violations") == 0, "pass").otherwise("fail").alias("status"),
+    )
+
+
+# Skew profiler: report keys holding more than SKEW_SHARE_PCT of rows.
+SKEW_TOPN = 10
+
+
+@register(
+    "key_skew_profile",
+    oracle_sql=f"""
+    WITH counts AS (
+      SELECT o_custkey AS key, count(*) AS c FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT sum(c) AS n, count(*) AS n_keys FROM counts)
+    SELECT key, CAST(c AS BIGINT) AS n_rows,
+           round(CAST(c AS DOUBLE) / tot.n, 6) AS share,
+           round(CAST(c AS DOUBLE) * tot.n_keys / tot.n, 6) AS skew_factor,
+           rank
+    FROM (SELECT *, row_number() OVER (ORDER BY c DESC, key ASC) AS rank
+          FROM counts) r
+    CROSS JOIN tot
+    WHERE rank <= {SKEW_TOPN}
+    """,
+    tags=("aggregate", "skew", "diagnostics"),
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler: the top-{SKEW_TOPN} hottest keys of a
+    prospective join/agg column with their row share and skew factor
+    (count / mean-count) — the diagnostic that decides whether a key
+    needs the salted-join/salted-agg treatment before a 100 TB shuffle
+    (AQE fixes skew reactively; this finds it ahead of time).
+
+    One partial/final count per key, a 1-row totals broadcast, and a
+    TakeOrderedAndProject-shaped top-N — cost is one scan regardless of
+    key cardinality.
+    """
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").alias("c")
+    )
+    tot = counts.agg(
+        F.sum("c").alias("n"), F.count("*").alias("n_keys")
+    )
+    top = counts.orderBy(F.desc("c"), F.asc("key")).limit(SKEW_TOPN)
+    w = Window.orderBy(F.desc("c"), F.asc("key"))
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            F.col("c").cast("long").alias("n_rows"),
+            F.round(F.col("c").cast("double") / F.col("n"), 6).alias("share"),
+            F.round(
+                F.col("c").cast("double") * F.col("n_keys") / F.col("n"), 6
+            ).alias("skew_factor"),
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+    )

@@ -63,6 +63,8 @@ SWEPT_OPS = [
     "group_mad_outliers",
     "multimodal_cas_index",
     "map_higher_order_functions",
+    "expectation_checks",
+    "key_skew_profile",
 ]
 
 

@@ -158,6 +158,8 @@ _NESTED_LOOP_EXEMPT = {
     "bm25_topk_docs",
     # 1-row unigram-total and pair-total broadcasts, same pattern
     "token_pmi_pairs",
+    # 1-row key-count totals broadcast into the top-N, same pattern
+    "key_skew_profile",
 }
 
 # Modules whose query_fns build lazy plans (streaming/io execute jobs
