@@ -564,7 +564,7 @@ def expectation_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Skew profiler: report keys holding more than SKEW_SHARE_PCT of rows.
+# Skew profiler: report the SKEW_TOPN hottest keys with their row share.
 SKEW_TOPN = 10
 
 

@@ -28,7 +28,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_c_implementation_spark.functions.text import DUCKDB_TOKENIZE, tokenize
+from mapreduce_c_implementation_spark.functions.text import (
+    DUCKDB_TOKENIZE,
+    duckdb_ngrams,
+    ngrams,
+    tokenize,
+)
 from mapreduce_c_implementation_spark.functions.vector import SQL_DOT, spark_dot
 from mapreduce_c_implementation_spark.registry import register
 from mapreduce_c_implementation_spark.sources import load_table
@@ -37,12 +42,8 @@ from mapreduce_c_implementation_spark.sources.tables import parallel_scan
 _TOK = DUCKDB_TOKENIZE.format(col="text")
 
 # 3-token shingles; documents shorter than 3 tokens contribute none.
-_SQL_SHINGLES = (
-    "CASE WHEN len(tokens) >= 3 "
-    "THEN list_transform(generate_series(1, len(tokens) - 2), "
-    "i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2]) "
-    "ELSE [] END"
-)
+# Single source of truth: functions/text.py ngrams/duckdb_ngrams.
+_SQL_SHINGLES = duckdb_ngrams("tokens", 3)
 
 # Shingles occurring in more than this many docs are "stop shingles":
 # they generate quadratic candidate fan-out and carry no dedup signal.
@@ -54,19 +55,7 @@ MINHASH_P = 2147483647
 
 
 def _shingles_col() -> Column:
-    toks = F.col("tokens")
-    return F.when(
-        F.size(toks) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    return ngrams(F.col("tokens"), 3)
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -515,10 +515,11 @@ def variant_json_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((CASE WHEN k > 5 THEN 1 ELSE 0 END)
                 + (CASE WHEN 3 * k > 5 THEN 1 ELSE 0 END)
                 + 1 AS BIGINT) AS n_over_5,
-           CAST(4 * k + 10 AS BIGINT) AS zipped_sum
+           CAST(CASE WHEN k IS NULL THEN 10 ELSE 4 * k + 10 END AS BIGINT)
+             AS zipped_sum
     FROM (
       SELECT event_id,
-             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       FROM events
     )
     """,
@@ -532,9 +533,12 @@ def map_higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle does NOT mirror the map machinery: it computes each
     expected value arithmetically from k (doubled_sum = 2k+6k+14,
-    zipped_sum = 4k+10 with the missing-key branch coalesced to 0, …),
-    so a wrong lambda, a dropped entry, or bad null handling in the
-    map path cannot cancel itself out.  All JVM-side, no shuffle.
+    zipped_sum = 4k+10, …), so a wrong lambda, a dropped entry, or bad
+    null handling in the map path cannot cancel itself out.  The
+    missing-k contract is encoded explicitly (zipped_sum coalesces
+    absent values to 0 -> 10; the other aggregates propagate NULL), so
+    a fixture lacking k on some rows still diffs clean.  All JVM-side,
+    no shuffle.
     """
     e = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")

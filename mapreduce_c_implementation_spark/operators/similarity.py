@@ -548,17 +548,50 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # would fire on nothing; 0.30 exercises the machinery).
 SEM_TAU = 0.30
 # semdedup uses a FINER quantizer than ann_ivf_coarse's 8 cells: pair
-# cost is sum over cells of c^2/2, so cells must track corpus size —
-# 64 cells cuts the fixture's within-cell pair count ~8x vs 8 cells
-# (measured 44 s -> ~4 s at sf0.1 with the interpreted fold dot).
+# cost is sum over cells of c^2/2, so cells must track corpus size.
+# It needs its OWN sign formula: the IVF formula ((i+k)*(k+5)) % 11 is
+# periodic in k mod 11, so only 11 of its centroids are distinct — fine
+# for 8 IVF cells, a silent collapse at 64.  This one is verified to
+# give 64 distinct ±1 patterns with +1-fraction 0.44-0.59 per centroid.
 SEM_CELLS = 64
+
+
+def _sem_dot_sql(k: int, emb: str) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {EMB_DIM}), "
+        f"i -> (CASE WHEN (i * 125 + {k * 114} + i * {k * 6}) % 127 < 63 "
+        f"THEN 1.0 ELSE -1.0 END) * CAST({emb}[i] AS DOUBLE))), "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def _sem_dot_spark(k: int, emb: Column) -> Column:
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(EMB_DIM)),
+            lambda i: F.when(
+                (i * 125 + F.lit(k * 114) + i * (k * 6)) % 127 < 63, F.lit(1.0)
+            ).otherwise(F.lit(-1.0))
+            * F.element_at(emb, i).cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+_SQL_SEM_CELL_SCORES = " UNION ALL ".join(
+    f"SELECT vec_id, label, embedding, nrm, {k} AS cell, "
+    f"round({_sem_dot_sql(k, 'embedding')}, 6) AS cscore FROM norms"
+    for k in range(SEM_CELLS)
+)
 
 
 @register(
     "semdedup_cells",
     oracle_sql=f"""
     WITH {_SQL_NORMS},
-    cell_scores AS ({_sql_cell_scores(SEM_CELLS)}),
+    cell_scores AS ({_SQL_SEM_CELL_SCORES}),
     ranked AS (
       SELECT *, row_number() OVER (PARTITION BY vec_id
                                    ORDER BY cscore DESC, cell ASC) AS crank
@@ -607,7 +640,7 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = F.array(
         *[
             F.struct(
-                F.round(_centroid_dot_spark(k, F.col("embedding")), 6).alias("cscore"),
+                F.round(_sem_dot_spark(k, F.col("embedding")), 6).alias("cscore"),
                 F.lit(k).alias("cell"),
             )
             for k in range(SEM_CELLS)

@@ -236,13 +236,21 @@ def test_pipeline_end2end_two_shuffles(spark, sf_correct):
 
 def test_contamination_probe_is_equi_join(spark, sf_correct):
     """The eval slice scales with the corpus, so its shingle set must
-    NOT be broadcast (the TF-IDF vocabulary rule) — the probe is a
-    shuffled equi-join on the shingle, never a nested loop."""
-    df = get_operator("contamination_ngram_overlap").query_fn(spark, sf_correct)
-    plan = physical_plan(df)
-    assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "CartesianProduct" not in plan, plan
-    assert "Join" in plan, plan
+    NOT carry a broadcast HINT (the TF-IDF vocabulary rule).  With
+    auto-broadcast disabled, any BroadcastHashJoin left in the plan can
+    only come from an explicit hint — so the probe must compile to a
+    shuffled equi-join."""
+    orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = get_operator("contamination_ngram_overlap").query_fn(spark, sf_correct)
+        plan = physical_plan(df)
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
 
 
 def test_substring_dedup_shuffles_only_digests(spark, sf_correct):
