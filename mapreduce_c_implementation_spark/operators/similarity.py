@@ -103,11 +103,15 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Plane signs use modulus 11: multipliers j+3 for j in 0..5 are all
+# nonzero and distinct mod 11, giving 6 distinct balanced hyperplanes
+# (+1 fraction 0.44-0.45).  The earlier mod-7 form degenerated at j=4
+# (multiplier 7 ≡ 0 mod 7 -> an all-ones plane, wasting one sign bit).
 def _plane_dot_sql(j: int, emb: str) -> str:
     return (
         "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
         f"list_transform(generate_series(1, {EMB_DIM}), "
-        f"i -> (CASE WHEN (i * {j + 3}) % 7 < 3 THEN 1.0 ELSE -1.0 END) "
+        f"i -> (CASE WHEN (i * {j + 3}) % 11 < 5 THEN 1.0 ELSE -1.0 END) "
         f"* CAST({emb}[i] AS DOUBLE))), (acc, x) -> acc + x)"
     )
 
@@ -116,7 +120,7 @@ def _plane_dot_spark(j: int, emb: Column) -> Column:
     return F.aggregate(
         F.transform(
             F.sequence(F.lit(1), F.lit(EMB_DIM)),
-            lambda i: F.when((i * (j + 3)) % 7 < 3, F.lit(1.0)).otherwise(F.lit(-1.0))
+            lambda i: F.when((i * (j + 3)) % 11 < 5, F.lit(1.0)).otherwise(F.lit(-1.0))
             * F.element_at(emb, i).cast("double"),
         ),
         F.lit(0.0),
