@@ -1,0 +1,235 @@
+"""Graph analytics over the TPC-H trade graph.
+
+The reference's surface stops at per-key reduction, but its README
+(/root/reference/README.md:319) frames the engine as a general
+"aggregate a keyed edge list" machine — the natural next rung is graph
+iteration, which in MapReduce terms is "join rank to edges, reduce by
+destination" repeated N times.  We model the trade network: an edge
+(customer nation -> supplier nation) weighted by how many lineitems
+flowed across that pair, then run fixed-iteration PageRank over it.
+
+Cross-engine exactness: PageRank is usually float math, which is
+summation-order-dependent and would never hash-match a DuckDB oracle.
+Instead ranks are fixed-point BIGINTs at scale 1e9 and every step is
+integer multiply + integer division (`div` in Spark, `//` in DuckDB —
+both truncate toward zero for non-negative operands), so the iteration
+is bit-exact in BOTH engines by construction, not by rounding luck.
+Overflow headroom: rank <= 1e9, edge weight w <= ~1e6 at sf10, so
+r*w*85 <= 8.5e16 < 2^63 (Spark runs ANSI overflow checks; a larger
+graph would rescale weights first).
+
+Scale shape: the edge build is the TPC-H Q7 join diamond (one
+fact-fact shuffle, dims broadcast); the aggregated edge list is
+O(nations^2) rows, so each PageRank round is a tiny join+agg no matter
+the corpus size.  For a billion-node graph the same loop holds with
+ranks/edges hash-partitioned on node and `localCheckpoint` swapped for
+reliable checkpointing (see dedup_connected_components for the lineage
+rationale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_c_implementation_spark.registry import register
+from mapreduce_c_implementation_spark.sources import load_table
+
+# Fixed-point scale for ranks; 6 rounds is enough for a 25-node graph to
+# separate ranks decisively (the oracle runs the SAME count, so an
+# unconverged choice still hash-matches — the count is semantics, not
+# tuning).
+PR_SCALE = 1_000_000_000
+PR_ITERS = 6
+
+# Shared edge-list CTEs (DuckDB side).  count(*) -> BIGINT natively;
+# sum(BIGINT) -> HUGEINT, so w_out is cast back per the parity rules.
+_SQL_GRAPH_CTES = """
+    edges AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY c.c_nationkey, s.s_nationkey
+    ),
+    nodes AS (SELECT n_nationkey AS node, n_name FROM nation),
+    outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS w_out FROM edges GROUP BY src)
+"""
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src=customer nation, dst=supplier nation, w=lineitem count).
+
+    Same join diamond as tpch_q7_nation_volume: lineitem⋈orders is the
+    one fact-fact shuffle; customer/supplier broadcast.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-iteration PageRank in DuckDB SQL.
+
+    Unrolled (pr0..prN as chained CTEs) rather than a recursive CTE
+    because the recursive term would need an aggregate over the
+    recursive reference, which SQL engines restrict.  `params` carries
+    n / the scaled init and teleport terms so nothing is hard-coded to
+    25 nations.
+    """
+    ctes = [
+        f"params AS (SELECT count(*) AS n,"
+        f" CAST({PR_SCALE} AS BIGINT) // count(*) AS init,"
+        f" (CAST({PR_SCALE} AS BIGINT) * 15) // (100 * count(*)) AS base FROM nodes)",
+        "pr0 AS (SELECT node, (SELECT init FROM params) AS r FROM nodes)",
+    ]
+    for k in range(PR_ITERS):
+        ctes.append(
+            f"""pr{k + 1} AS (
+      SELECT n.node,
+             (SELECT base FROM params) + COALESCE(c.s, CAST(0 AS BIGINT)) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(sum((p.r * e.w * 85) // (o.w_out * 100)) AS BIGINT) AS s
+        FROM pr{k} p
+        JOIN edges e ON e.src = p.node
+        JOIN outw o ON o.src = p.node
+        GROUP BY e.dst
+      ) c ON c.node = n.node
+    )"""
+        )
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH {_SQL_GRAPH_CTES.strip().rstrip()},
+    {chain}
+    SELECT n.n_name AS n_name, CAST(p.r AS BIGINT) AS pr_scaled
+    FROM pr{PR_ITERS} p JOIN nodes n ON n.node = p.node
+    """
+
+
+@register(
+    "graph_pagerank_nations",
+    oracle_sql=_pagerank_oracle(),
+    tags=("graph", "iterative", "join"),
+)
+def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration weighted PageRank over the nation trade graph
+    (damping 0.85, {PR_ITERS} rounds, ranks as BIGINT at scale 1e9).
+
+    Semantics pinned identically in both engines: contribution along an
+    edge is (r * w * 85) div (w_out * 100) in pure integer arithmetic;
+    a new rank is teleport-base + the BIGINT sum of contributions;
+    nations with no out-edges leak their rank (classic dangling-node
+    simplification — the leak is part of the pinned semantics, and the
+    TPC-H generator gives every nation customers anyway).
+
+    Plan shape: edge build = Q7 diamond (one shuffle), then each round
+    is a join+agg over an O(nations^2) edge list.  No driver-side
+    action: n and the derived constants come from a 1-row broadcast
+    aggregate, not `.count()`.  `localCheckpoint` per round caps the
+    lineage exactly as in dedup_connected_components.
+    """
+    edges = _trade_edges(spark, sf_dir)
+    outw = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
+    # (src, dst, w, w_out): static across rounds — checkpoint once.
+    ew = edges.join(outw, "src").localCheckpoint()
+    nodes = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node"), "n_name"
+    )
+    params = nodes.agg(
+        F.expr(f"{PR_SCALE}L div count(*)").alias("init"),
+        F.expr(f"({PR_SCALE}L * 15) div (100 * count(*))").alias("base"),
+    )
+    ranks = (
+        nodes.crossJoin(F.broadcast(params))
+        .select("node", F.col("init").alias("r"))
+        .localCheckpoint()
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            ranks.join(ew, ranks.node == ew.src)
+            .select("dst", F.expr("(r * w * 85) div (w_out * 100)").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(params))
+            .select(
+                "node",
+                (F.col("base") + F.coalesce(F.col("s"), F.lit(0))).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.join(nodes, "node").select("n_name", F.col("r").alias("pr_scaled"))
+
+
+@register(
+    "graph_degree_stats",
+    oracle_sql=f"""
+    WITH {_SQL_GRAPH_CTES.strip()},
+    outd AS (
+      SELECT src, count(*) AS out_degree, CAST(sum(w) AS BIGINT) AS out_strength
+      FROM edges GROUP BY src
+    ),
+    ind AS (
+      SELECT dst, count(*) AS in_degree, CAST(sum(w) AS BIGINT) AS in_strength
+      FROM edges GROUP BY dst
+    )
+    SELECT n.n_name AS n_name,
+           COALESCE(out_degree, 0) AS out_degree,
+           COALESCE(in_degree, 0) AS in_degree,
+           COALESCE(out_strength, 0) AS out_strength,
+           COALESCE(in_strength, 0) AS in_strength
+    FROM nodes n
+    LEFT JOIN outd ON outd.src = n.node
+    LEFT JOIN ind ON ind.dst = n.node
+    """,
+    tags=("graph", "aggregate"),
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation degree/strength profile of the trade graph: distinct
+    partner counts (degree) and total lineitem flow (strength), both
+    directions — the standard first look at any edge list, and the skew
+    signal that decides whether downstream graph joins need salting.
+
+    One pass per direction over the aggregated O(nations^2) edge list,
+    outer-joined back to the node table so isolated nations report
+    zeros instead of vanishing.
+    """
+    edges = _trade_edges(spark, sf_dir).localCheckpoint()
+    nodes = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node"), "n_name"
+    )
+    # edges is already one row per (src, dst), so partner-degree is a
+    # plain count — no countDistinct expand needed.
+    out_side = edges.groupBy("src").agg(
+        F.count("*").alias("out_degree"),
+        F.sum("w").alias("out_strength"),
+    )
+    in_side = edges.groupBy("dst").agg(
+        F.count("*").alias("in_degree"),
+        F.sum("w").alias("in_strength"),
+    )
+    return (
+        nodes.join(out_side, nodes.node == out_side.src, "left")
+        .join(in_side, nodes.node == in_side.dst, "left")
+        .select(
+            "n_name",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            F.coalesce("out_strength", F.lit(0)).alias("out_strength"),
+            F.coalesce("in_strength", F.lit(0)).alias("in_strength"),
+        )
+    )

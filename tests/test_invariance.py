@@ -65,6 +65,8 @@ SWEPT_OPS = [
     "map_higher_order_functions",
     "expectation_checks",
     "key_skew_profile",
+    "graph_pagerank_nations",
+    "graph_degree_stats",
 ]
 
 
