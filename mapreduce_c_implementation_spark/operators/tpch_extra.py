@@ -1,0 +1,539 @@
+"""TPC-H query shapes 8/12/13/15/17/19/21/22 — the rest of the suite
+expressible on the driver star schema.
+
+The fixture (TESTDATA.md) has no ``partsupp`` table and lacks a few spec
+columns (l_shipmode, l_commitdate/l_receiptdate, o_comment, c_phone,
+p_container), so Q2/Q9/Q11/Q16/Q20 are out of reach and the queries here
+substitute a fixture column wherever a missing one appears — each
+docstring names the substitution.  What is preserved is the query
+*shape*: the join graph, the correlated-subquery structure, and the
+aggregate pattern that makes each TPC-H query a distinct optimizer
+exercise (the same reason the reference validates against a sequential
+oracle, /root/reference/SimpleInvertedIndex/inverted_index.c:1).
+
+Scale notes follow the analytics.py discipline: dims broadcast, the one
+fact-fact shuffle keys on the order key, money sums in fixed-point
+decimal (functions/exactagg.py) so threshold cuts and top-k fronts are
+bit-identical across engines, and correlated EXISTS/NOT EXISTS compile
+to semi/anti joins — never per-row subquery execution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_c_implementation_spark.functions.exactagg import dec
+from mapreduce_c_implementation_spark.registry import register
+from mapreduce_c_implementation_spark.sources import load_table
+from mapreduce_c_implementation_spark.sources.tables import register_views
+
+_REV_SQL = (
+    "sum(CAST(l_extendedprice AS DECIMAL(18,6)) * "
+    "(CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))"
+)
+
+
+def _rev_term():
+    one = F.lit(1).cast("decimal(18,6)")
+    return dec("l_extendedprice") * (one - dec("l_discount"))
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle_sql=f"""
+    WITH flat AS (
+      SELECT year(o.o_orderdate) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(18,6))
+               * (CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6)))
+               AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = cn.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      WHERE r.r_name = (SELECT min(r_name) FROM region)
+        AND p.p_type = 'ECONOMY'
+    )
+    SELECT o_year,
+           round(CAST(CAST(sum(CASE WHEN supp_nation = (SELECT min(n_name) FROM nation)
+                                    THEN volume ELSE CAST(0 AS DECIMAL(18,6)) END)
+                           AS DECIMAL(30,6)) AS DOUBLE)
+                 / CAST(CAST(sum(volume) AS DECIMAL(30,6)) AS DOUBLE), 6)
+             AS mkt_share
+    FROM flat
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    tags=("analytics", "tpch", "join"),
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): the revenue share one
+    supplier nation holds, per year, of a region's market for one part
+    type.  Eight-table join; the nation/region picks are scalar
+    subqueries (min over the dims) so the query is fixture-agnostic and
+    issues no driver action.
+
+    Scale: the only exchange is lineitem⋈orders on the order key —
+    part, customer, supplier, nation x2, region all broadcast; the
+    numerator/denominator sum in one grouped pass (conditional sum, no
+    second scan).  Both sums are exact decimal, so the share divides
+    two bit-identical doubles.
+    """
+    register_views(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    s = load_table(spark, sf_dir, "supplier")
+    min_region = F.expr("(SELECT min(r_name) FROM region)")
+    min_nation = F.expr("(SELECT min(n_name) FROM nation)")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_nationkey"),
+        F.col("n_regionkey").alias("cn_regionkey"),
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    flat = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_nationkey"))
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == min_region)),
+            F.col("cn_regionkey") == r.r_regionkey,
+        )
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            _rev_term().alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    num = F.sum(
+        F.when(F.col("supp_nation") == min_nation, F.col("volume")).otherwise(zero)
+    )
+    den = F.sum("volume")
+    return (
+        flat.groupBy("o_year")
+        .agg(
+            F.round(
+                num.cast("decimal(30,6)").cast("double")
+                / den.cast("decimal(30,6)").cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "tpch_q12_late_lines",
+    oracle_sql="""
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY l.l_linestatus
+    ORDER BY l.l_linestatus
+    """,
+    tags=("analytics", "tpch",),
+)
+def tpch_q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-priority audit): count critical- vs
+    normal-priority order lines among late shipments, per category.
+    Fixture substitutions: the spec's ``l_shipmode`` dimension becomes
+    ``l_linestatus`` and the commit/receipt-date lateness test becomes
+    ``l_shipdate > o_orderdate + 60 days`` (the fixture carries only
+    the ship date).
+
+    Scale: one order-key shuffle join with a residual date predicate;
+    the two conditional counts fold into a single grouped pass over the
+    join output (Q12's signature CASE-inside-SUM pattern).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    oracle_sql="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey
+       AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("analytics", "tpch", "outer-join"),
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order distribution): histogram of
+    order counts per customer, zero-order customers included — the
+    left-outer-join-then-double-aggregate pattern.  The spec's
+    ``o_comment NOT LIKE`` exclusion becomes ``o_orderpriority <>
+    '5-LOW'``; crucially it stays INSIDE the join condition so excluded
+    customers still appear with c_count = 0.
+
+    Scale: customer⋈orders shuffles on the customer key, the first
+    aggregate reuses that partitioning (no second exchange), and the
+    second aggregate groups a tiny histogram.  count(o_orderkey) —
+    not count(*) — so unmatched customers count 0, exactly the
+    outer-join semantics the oracle checks.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("long").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle_sql=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST({_REV_SQL} AS DECIMAL(30,6)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+    tags=("analytics", "tpch", "subquery"),
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): the supplier(s) with maximum
+    revenue over one quarter — the aggregate-vs-its-own-max pattern the
+    spec writes as a view plus scalar subquery.
+
+    The max filter is an equi semi join of the revenue aggregate
+    against its own 1-row max (broadcast), not a driver-side collect;
+    ties return every row at the front, and because revenue is exact
+    decimal the max front is engine-identical.  Scale: revenue is one
+    suppkey-grouped pass over the date-pruned scan; the supplier dim
+    broadcasts.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev_term()).cast("decimal(30,6)").alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    top = rev.join(F.broadcast(mx), rev.total_revenue == F.col("mx"), "semi")
+    return (
+        top.join(F.broadcast(s), top.supplier_no == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q17_small_qty_revenue",
+    oracle_sql="""
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(30,6))
+               AS sum_qty,
+             count(*) AS cnt
+      FROM lineitem
+      GROUP BY l_partkey
+    )
+    SELECT round(CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6)))
+                           AS DECIMAL(30,6)) AS DOUBLE) / 7.0, 6) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN per_part a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3'
+      AND CAST(l.l_quantity AS DECIMAL(18,6)) * 5 * a.cnt < a.sum_qty
+    """,
+    tags=("analytics", "tpch", "subquery"),
+)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): revenue lost to
+    lineitems ordering under 20% of their part's average quantity — the
+    correlated-scalar-subquery-per-group pattern, decorrelated into a
+    join against a per-part aggregate.  The spec's p_container filter
+    becomes p_brand (the fixture's only part attribute of that kind).
+
+    The 20%-of-average threshold is evaluated as
+    ``qty * 5 * cnt < sum_qty`` in exact decimals — algebraically
+    identical to ``qty < 0.2 * avg`` but with no double division, so
+    the cut cannot straddle engines on a borderline row.  Scale: both
+    the aggregate and the probe key on l_partkey, so AQE plans one
+    shuffle lineage; part broadcasts.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    per_part = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.sum(dec("l_quantity")).cast("decimal(30,6)").alias("sum_qty"),
+        F.count("*").alias("cnt"),
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(per_part, li.l_partkey == F.col("a_partkey"))
+        .filter(dec("l_quantity") * F.lit(5) * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice")).cast("decimal(30,6)").cast("double")
+                / F.lit(7.0),
+                6,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "tpch_q19_discounted_revenue",
+    oracle_sql=f"""
+    SELECT CAST(CAST({_REV_SQL} AS DECIMAL(30,6)) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("analytics", "tpch",),
+)
+def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue): revenue over three OR-ed
+    brand/size/quantity predicate branches — the disjunctive-predicate
+    query that tests an optimizer's ability to keep an equi join
+    underneath OR conditions.  The spec's p_container and l_shipmode
+    legs drop (absent from the fixture); brand, size, and quantity
+    bands remain.
+
+    Scale: the join stays a broadcast hash join on p_partkey (part is
+    the dim); the OR predicate is a residual filter on the join output,
+    NOT a join condition — so no nested-loop fallback.  A single
+    scalar result in exact decimal.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & sz.between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & sz.between(1, 25) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & sz.between(1, 35) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(F.sum(_rev_term()).cast("decimal(30,6)").cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q21_waiting_supplier",
+    oracle_sql="""
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name ASC
+    LIMIT 10
+    """,
+    tags=("analytics", "tpch", "semi-join", "anti-join"),
+)
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): suppliers
+    who shipped late on a finished multi-supplier order where every
+    OTHER supplier shipped on time — the EXISTS + NOT-EXISTS double
+    correlated subquery, the hardest decorrelation in the suite.
+    Lateness is ``l_shipdate > o_orderdate + 30 days`` (the fixture has
+    no commit/receipt dates).
+
+    Both correlations compile to order-key-equi joins with a
+    same-order-different-supplier residual: EXISTS -> left semi against
+    all lineitems, NOT EXISTS -> left anti against the late subset.
+    Scale: every join in the plan keys on l_orderkey, so the late CTE,
+    the semi, and the anti probe share one shuffle lineage; supplier
+    broadcasts; top-10 compiles to TakeOrderedAndProject.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    l1 = (
+        late.join(
+            l2,
+            (late.l_orderkey == F.col("o2")) & (late.l_suppkey != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (late.l_orderkey == F.col("o3")) & (late.l_suppkey != F.col("s3")),
+            "left_anti",
+        )
+    )
+    return (
+        l1.join(F.broadcast(s), l1.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+# Country-code set for Q22: nationkey mod 10 buckets standing in for the
+# spec's phone-prefix country codes (the fixture has no c_phone).
+Q22_CODES = (1, 2, 3, 4, 5)
+
+
+@register(
+    "tpch_q22_sales_opportunity",
+    oracle_sql=f"""
+    WITH pool AS (
+      SELECT c_custkey,
+             CAST(c_nationkey % 10 AS BIGINT) AS cntrycode,
+             CAST(c_acctbal AS DECIMAL(18,6)) AS bal
+      FROM customer
+      WHERE CAST(c_nationkey % 10 AS BIGINT) IN {Q22_CODES}
+    ),
+    thresh AS (
+      SELECT CAST(sum(bal) AS DECIMAL(30,6)) AS sum_bal, count(*) AS cnt
+      FROM pool WHERE bal > 0
+    )
+    SELECT p.cntrycode,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(CAST(sum(p.bal) AS DECIMAL(30,6)) AS DOUBLE) AS totacctbal
+    FROM pool p, thresh t
+    WHERE p.bal * t.cnt > t.sum_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = p.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY p.cntrycode
+    ORDER BY p.cntrycode
+    """,
+    tags=("analytics", "tpch", "anti-join"),
+)
+def tpch_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): well-funded
+    customers in selected countries who never ordered — the
+    anti-join-plus-global-average-threshold pattern.  Country code is
+    ``c_nationkey % 10`` standing in for the spec's phone prefix, and
+    "never ordered" is the spec's own "no orders in the recent window"
+    (every fixture customer has SOME order; none would match otherwise).
+
+    The above-average test is ``bal * cnt > sum_bal`` in exact decimals
+    (no double division, so the threshold cannot straddle engines); the
+    1-row threshold aggregate enters the plan as a scalar subquery via
+    registered views — no driver action, no nested-loop join.  NOT
+    EXISTS compiles to a left anti join against orders on the customer
+    key.  Scale: pool and orders shuffle on custkey; everything else is
+    scan-local.
+    """
+    register_views(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    pool = (
+        c.select(
+            "c_custkey",
+            (F.col("c_nationkey") % 10).cast("long").alias("cntrycode"),
+            dec("c_acctbal").alias("bal"),
+        )
+        .filter(F.col("cntrycode").isin(*Q22_CODES))
+    )
+    sum_bal = F.expr(
+        "(SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(30,6))"
+        " FROM customer WHERE CAST(c_nationkey % 10 AS BIGINT)"
+        f" IN {Q22_CODES} AND c_acctbal > 0)"
+    )
+    cnt = F.expr(
+        "(SELECT count(*) FROM customer"
+        " WHERE CAST(c_nationkey % 10 AS BIGINT)"
+        f" IN {Q22_CODES} AND c_acctbal > 0)"
+    )
+    return (
+        pool.filter(F.col("bal") * cnt > sum_bal)
+        .join(o, pool.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            F.sum("bal").cast("decimal(30,6)").cast("double").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

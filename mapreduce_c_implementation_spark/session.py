@@ -35,6 +35,12 @@ REQUIRED_RUNTIME_CONF = {
     # default; read as long ns and rebuild the timestamp in the loader
     # (sources/tables.py — values are µs-aligned, so no precision loss).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Fixture timestamps are µs WITHOUT a timezone annotation; Spark 4
+    # would read those as TIMESTAMP_NTZ, which breaks unix_micros/window
+    # arithmetic and diverges from the DuckDB oracle's naive-UTC
+    # semantics.  Read them as plain TIMESTAMP under the UTC session —
+    # identical wall-clock values on both engines.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

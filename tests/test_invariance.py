@@ -67,6 +67,14 @@ SWEPT_OPS = [
     "key_skew_profile",
     "graph_pagerank_nations",
     "graph_degree_stats",
+    "tpch_q8_market_share",
+    "tpch_q12_late_lines",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_discounted_revenue",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_sales_opportunity",
 ]
 
 

@@ -167,7 +167,7 @@ _NESTED_LOOP_EXEMPT = {
 _LAZY_MODULES = {
     "mapreduce_core", "aggregates", "joins", "windows", "setops",
     "scalars", "udfs", "analytics", "dedup", "similarity", "textanalysis",
-    "corpus_filters",
+    "corpus_filters", "tpch_extra",
 }
 
 
@@ -298,6 +298,50 @@ def test_q18_having_subquery_is_semi_join(spark, sf_correct):
     plan = physical_plan(df)
     assert "Semi" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q8_single_fact_exchange(spark, sf_correct):
+    """Q8's eight-table join: part, customer, supplier, region, and both
+    nation aliases broadcast — six broadcast joins; the only exchanges
+    are the year aggregate (hash + order range) and the two 1-row
+    scalar-subquery aggregates — never a fact-side join shuffle (at
+    fixture scale even orders broadcasts; at 100 TB that join becomes
+    the one sort-merge exchange)."""
+    df = get_operator("tpch_q8_market_share").query_fn(spark, sf_correct)
+    assert_broadcast_join(df, expect=6)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert count_shuffles(df) <= 4, plan
+
+
+def test_q13_left_join_reuses_custkey_partitioning(spark, sf_correct):
+    """Q13: the customer⋈orders left join and the per-customer count
+    share the custkey partitioning — the only extra exchange is the
+    tiny histogram aggregate."""
+    df = get_operator("tpch_q13_customer_distribution").query_fn(spark, sf_correct)
+    assert count_shuffles(df) <= 3, physical_plan(df)
+
+
+def test_q17_threshold_is_keyed_join(spark, sf_correct):
+    """Q17's decorrelated 20%-of-average subquery: the per-part
+    aggregate joins back on the part key — hash/sort-merge, never a
+    nested loop; part broadcasts."""
+    df = get_operator("tpch_q17_small_qty_revenue").query_fn(spark, sf_correct)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert_broadcast_join(df, expect=1)
+
+
+def test_q21_exists_compile_to_semi_and_anti(spark, sf_correct):
+    """Q21's double correlation: EXISTS -> left semi, NOT EXISTS ->
+    left anti, both equi on the order key with a supplier residual —
+    no nested loop anywhere in the hardest decorrelation."""
+    df = get_operator("tpch_q21_waiting_supplier").query_fn(spark, sf_correct)
+    plan = physical_plan(df)
+    assert "Semi" in plan, plan
+    assert "Anti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
 
 
 def test_q7_nation_broadcasts_twice(spark, sf_correct):
