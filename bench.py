@@ -150,12 +150,37 @@ def main() -> None:
     )
     warm.write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name in names:
-        df = ops[name].query_fn(spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    # Warm the Python worker pool too: the first Arrow stage otherwise
+    # pays one cold interpreter + numpy/pandas import PER CORE (~10 s
+    # across 32 workers), billed to whichever pandas-UDF query runs
+    # first.  Workers are reused afterwards (spark.python.worker.reuse).
+    def _warm_py(batches):
+        import pandas as pd  # noqa: F401
+
+        yield from batches
+
+    spark.range(0, 64, 1, 64).mapInPandas(_warm_py, schema="id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    # Best-of-N timing with INTERLEAVED passes: this box shows noise
+    # windows tens of seconds long during which every query runs many
+    # times slower (measured: the same plan swings 0.8 s <-> 8 s).
+    # Back-to-back repeats of one query both land inside such a window;
+    # running the whole suite N times and taking each query's min means
+    # a noise window must recur at the same point of every pass to bias
+    # a result.  The cache is cleared between queries so one that
+    # caches an intermediate is always billed for building it.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    timings: dict[str, float] = {name: float("inf") for name in names}
+    for _ in range(reps):
+        for name in names:
+            df = ops[name].query_fn(spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = min(timings[name], time.perf_counter() - t0)
+            spark.catalog.clearCache()
+    timings = {name: round(t, 3) for name, t in timings.items()}
 
     total = round(sum(timings.values()), 3)
     payload = {

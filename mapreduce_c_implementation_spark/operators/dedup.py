@@ -37,7 +37,7 @@ from mapreduce_c_implementation_spark.functions.text import (
 from mapreduce_c_implementation_spark.functions.vector import SQL_DOT, spark_dot
 from mapreduce_c_implementation_spark.registry import register
 from mapreduce_c_implementation_spark.sources import load_table
-from mapreduce_c_implementation_spark.sources.tables import parallel_scan
+from mapreduce_c_implementation_spark.sources.tables import compute_scan, parallel_scan
 
 _TOK = DUCKDB_TOKENIZE.format(col="text")
 
@@ -60,7 +60,9 @@ def _shingles_col() -> Column:
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) distinct pairs with stop-shingles removed."""
-    d = parallel_scan(spark, sf_dir, "documents")
+    # compute_scan, not parallel_scan: tokenize+shingle is the dominant
+    # CPU stage and must not serialize on a single small-file partition.
+    d = compute_scan(spark, sf_dir, "documents")
     pairs = (
         d.select("doc_id", tokenize(F.col("text")).alias("tokens"))
         .select("doc_id", F.explode(_shingles_col()).alias("shingle"))
@@ -509,12 +511,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     The dot product is a sequential left fold in BOTH engines, so
     cosines are bit-identical.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = compute_scan(spark, sf_dir, "embeddings")
     norms = e.select(
         "vec_id",
         "embedding",
         F.sqrt(_spark_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
+    # Deliberately NOT cached: the three consumers re-run only the
+    # 1-fold-per-row norm map, and measured A/B the cache's
+    # materialization job + in-memory write cost MORE than the
+    # recompute (3.7 s vs 1.2 s at sf0.1) — caching pays for the
+    # 64-fold semdedup scorer, not for a single-fold projection.
     bands = norms.select(
         "vec_id",
         F.posexplode(
@@ -535,6 +542,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # The exact verify is COMPUTE-bound: each pair costs a d-element
+    # fold, but a pair row is 16 bytes, so AQE's bytes-based partition
+    # coalescing would funnel hundreds of thousands of folds onto a few
+    # cores.  Fan the candidates out explicitly — the shuffle moves
+    # only (id, id) rows; the norms sides broadcast back in.
+    cand = cand.repartition(spark.sparkContext.defaultParallelism)
     na = norms.alias("na")
     nb = norms.alias("nb")
     cos = _spark_dot(F.col("na.embedding"), F.col("nb.embedding")) / (

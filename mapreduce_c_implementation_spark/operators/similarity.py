@@ -30,8 +30,17 @@ TOP_K = 5
 N_PLANES = 6
 
 
-def _norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+def _norms(spark: SparkSession, sf_dir: str, parallel: bool = False) -> DataFrame:
+    """parallel=True routes through compute_scan for callers whose
+    per-row arithmetic dominates (the semdedup 64-cell scorer) — a
+    single-file embeddings scan would otherwise serialize the fold on
+    one core."""
+    if parallel:
+        from mapreduce_c_implementation_spark.sources.tables import compute_scan
+
+        e = compute_scan(spark, sf_dir, "embeddings")
+    else:
+        e = load_table(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id",
         "label",
@@ -517,7 +526,14 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    e = load_table(spark, sf_dir, "embeddings").select("embedding")
+    from mapreduce_c_implementation_spark.sources.tables import compute_scan
+
+    # compute_scan: a single-file scan would run ONE Arrow batch task;
+    # the partial-Gram pattern only pays off when batches parallelize.
+    # (At real scale the scan has thousands of splits and this no-ops,
+    # preserving the "nothing row-shaped crosses the wire" shape — the
+    # repartition only ever fires on under-parallelized small inputs.)
+    e = compute_scan(spark, sf_dir, "embeddings").select("embedding")
 
     def gram_batches(batches):
         for pdf in batches:
@@ -638,27 +654,34 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell-boundary recall loss (near-dups in different cells survive)
     is part of the contract.
     """
-    from pyspark.sql.window import Window
-
-    norms = _norms(spark, sf_dir)
+    norms = _norms(spark, sf_dir, parallel=True)
+    # argmax as array_max over (cscore, -cell) structs: struct ordering
+    # compares cscore first, then -cell, so ties break to the SMALLEST
+    # cell — identical to the oracle's row_number() ORDER BY cscore
+    # DESC, cell ASC — with NO explode and NO per-vector window shuffle
+    # (the previous form shuffled SEM_CELLS rows per vector just to
+    # rank them).
     scores = F.array(
         *[
             F.struct(
                 F.round(_sem_dot_spark(k, F.col("embedding")), 6).alias("cscore"),
-                F.lit(k).alias("cell"),
+                F.lit(-k).alias("negcell"),
             )
             for k in range(SEM_CELLS)
         ]
     )
-    exploded = norms.select(
-        "vec_id", "embedding", "nrm", F.explode(scores).alias("s")
-    ).select("vec_id", "embedding", "nrm", "s.cscore", "s.cell")
-    cw = Window.partitionBy("vec_id").orderBy(F.desc("cscore"), F.asc("cell"))
-    assigned = (
-        exploded.select("*", F.row_number().over(cw).alias("crank"))
-        .filter(F.col("crank") == 1)
-        .select("vec_id", "embedding", "nrm", "cell")
+    assigned = norms.select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        (-F.array_max(scores)["negcell"]).cast("int").alias("cell"),
     )
+    # Consumed three times (both pair-join sides + the final rollup
+    # join); without the cache the 64-cell scoring fold — the dominant
+    # stage — would run three times.  What's cached is (id, vector,
+    # norm, cell): corpus-sized but row-narrow, the standard thing to
+    # materialize in a cluster-then-dedup pipeline.
+    assigned = assigned.cache()
     a, b = assigned.alias("a"), assigned.alias("b")
     cos = F.round(
         _spark_dot(F.col("a.embedding"), F.col("b.embedding"))

@@ -26,7 +26,7 @@ from mapreduce_c_implementation_spark.functions.text import (
 )
 from mapreduce_c_implementation_spark.registry import register
 from mapreduce_c_implementation_spark.sources import load_table
-from mapreduce_c_implementation_spark.sources.tables import parallel_scan
+from mapreduce_c_implementation_spark.sources.tables import compute_scan, parallel_scan
 
 _TOK = DUCKDB_TOKENIZE.format(col="text")
 
@@ -329,8 +329,10 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     All features are codegen'd column expressions over one text pass —
     no shuffle, no Python; the thresholds compare identical IEEE
     divisions in both engines, so verdicts can't straddle engines.
+    compute_scan because the regex feature pass is the whole query —
+    a single-file scan would run it on one core.
     """
-    d = parallel_scan(spark, sf_dir, "documents")
+    d = compute_scan(spark, sf_dir, "documents")
     toks = d.select("doc_id", "text", tokenize(F.col("text")).alias("tokens"))
     n_tokens = F.size("tokens").cast("long")
     text_len = F.length("text")

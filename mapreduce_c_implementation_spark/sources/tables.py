@@ -85,6 +85,37 @@ def parallel_scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def compute_scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """load_table + guaranteed parallelism for COMPUTE-BOUND narrow maps
+    (higher-order-function folds, heavy regex, mapInPandas batches).
+
+    parallel_scan's 32 MB gate is tuned for I/O-shaped work, where
+    repartitioning a sub-MB scan costs more than it buys.  When per-row
+    CPU dominates — a 64-cell x 64-dim scoring fold is ~4k arithmetic
+    ops per row — a single-file scan serializes the whole operator on
+    one core and the round-robin shuffle of the raw rows is noise by
+    comparison (measured: semdedup's scoring pass 13.6 s on one
+    partition, sub-second across 32).  At 100 TB a real table already
+    scans as thousands of splits and this is a no-op; the guard exists
+    for exactly the small-single-file layout the fixtures have.
+    """
+    df = load_table(spark, sf_dir, name)
+    import os
+
+    try:
+        size = os.path.getsize(f"{sf_dir}/{name}.parquet")
+    except OSError:
+        return df
+    max_part = _parse_bytes_conf(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    est_partitions = max(1, -(-size // max_part))  # ceil
+    target = spark.sparkContext.defaultParallelism
+    if est_partitions < target:
+        df = df.repartition(target)
+    return df
+
+
 def _parse_bytes_conf(value: str) -> int:
     """Spark size confs accept human-readable suffixes (128m, 1g, 64MB)."""
     v = value.strip().lower().removesuffix("b")
