@@ -1,15 +1,17 @@
-"""TPC-H query shapes 8/12/13/15/17/19/21/22 — the rest of the suite
-expressible on the driver star schema.
+"""The remaining TPC-H query shapes: Q2, Q8, Q9, Q11, Q12, Q13, Q15,
+Q16, Q17, Q19, Q20, Q21, Q22 — completing all 22 shapes together with
+Q1/Q3/Q4/Q5/Q6/Q7/Q10/Q14/Q18 in analytics.py.
 
 The fixture (TESTDATA.md) has no ``partsupp`` table and lacks a few spec
 columns (l_shipmode, l_commitdate/l_receiptdate, o_comment, c_phone,
-p_container), so Q2/Q9/Q11/Q16/Q20 are out of reach and the queries here
-substitute a fixture column wherever a missing one appears — each
-docstring names the substitution.  What is preserved is the query
-*shape*: the join graph, the correlated-subquery structure, and the
-aggregate pattern that makes each TPC-H query a distinct optimizer
-exercise (the same reason the reference validates against a sequential
-oracle, /root/reference/SimpleInvertedIndex/inverted_index.c:1).
+p_container); the queries here substitute a fixture column wherever a
+missing one appears — each docstring names the substitution — and the
+five partsupp-dependent shapes run on a deterministic DERIVED partsupp
+(see the block comment below).  What is preserved is the query *shape*:
+the join graph, the correlated-subquery structure, and the aggregate
+pattern that makes each TPC-H query a distinct optimizer exercise (the
+same reason the reference validates against a sequential oracle,
+/root/reference/SimpleInvertedIndex/inverted_index.c:1).
 
 Scale notes follow the analytics.py discipline: dims broadcast, the one
 fact-fact shuffle keys on the order key, money sums in fixed-point
@@ -536,4 +538,384 @@ def tpch_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bal").cast("decimal(30,6)").cast("double").alias("totacctbal"),
         )
         .orderBy("cntrycode")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2/Q9/Q11/Q16/Q20 — the partsupp-dependent shapes.  The driver schema
+# ships no partsupp table, so these run on a DERIVED one: the distinct
+# (l_partkey, l_suppkey) pairs actually traded, with supply cost and
+# available quantity synthesized from the keys by the same integer
+# formulas in both engines (deterministic, exact — supplycost is an
+# integer number of cents times an exactly-representable 0.01).  The
+# query SHAPES — correlated min-cost subquery, profit expression,
+# HAVING-vs-global-scalar, count-distinct with NOT-IN exclusion, nested
+# IN with a correlated half-of-shipped threshold — are the spec's.
+# ---------------------------------------------------------------------------
+
+_SQL_PARTSUPP = """
+    partsupp AS (
+      SELECT ps_partkey, ps_suppkey,
+             CAST((ps_partkey * 31 + ps_suppkey * 17) % 10000 + 100
+                  AS DECIMAL(18,6)) * CAST(0.01 AS DECIMAL(18,6))
+               AS ps_supplycost,
+             CAST((ps_partkey * 7 + ps_suppkey * 13) % 1000 + 1 AS BIGINT)
+               AS ps_availqty
+      FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+            FROM lineitem)
+    )
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).distinct()
+    cents = (F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17) % 10000 + 100
+    return ps.select(
+        "ps_partkey",
+        "ps_suppkey",
+        (cents.cast("decimal(18,6)") * F.lit(0.01).cast("decimal(18,6)"))
+        .alias("ps_supplycost"),
+        ((F.col("ps_partkey") * 7 + F.col("ps_suppkey") * 13) % 1000 + 1)
+        .cast("long")
+        .alias("ps_availqty"),
+    )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle_sql=f"""
+    WITH {_SQL_PARTSUPP},
+    eligible AS (
+      SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost,
+             s.s_name, s.s_acctbal, n.n_name
+      FROM partsupp ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = (SELECT min(r_name) FROM region)
+    ),
+    minc AS (
+      SELECT ps_partkey, min(ps_supplycost) AS min_cost
+      FROM eligible GROUP BY ps_partkey
+    )
+    SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_type,
+           CAST(e.ps_supplycost AS DOUBLE) AS supplycost
+    FROM eligible e
+    JOIN part p ON p.p_partkey = e.ps_partkey
+    JOIN minc m ON m.ps_partkey = e.ps_partkey
+               AND e.ps_supplycost = m.min_cost
+    WHERE p.p_type = 'LARGE' AND p.p_size <= 10
+    ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
+    LIMIT 100
+    """,
+    tags=("analytics", "tpch", "subquery"),
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each qualifying part,
+    the region-local supplier(s) offering the minimum supply cost — the
+    correlated-min-subquery-per-part pattern, decorrelated into a join
+    against a per-part min aggregate over the SAME region-filtered set.
+
+    Scale: supplier/nation/region broadcast into the derived partsupp;
+    the min aggregate and the equality probe both key on ps_partkey, so
+    they share one exchange lineage; cost ties return every minimal
+    supplier (exact decimals — no engine can disagree about a tie);
+    top-100 with a total-order sort compiles to TakeOrderedAndProject.
+    """
+    ps = _partsupp(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 10)
+    )
+    min_r = r.agg(F.min("r_name").alias("r_name_min"))
+    r = r.join(F.broadcast(min_r), r.r_name == min_r.r_name_min, "semi")
+    eligible = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("ps_partkey", "ps_supplycost", "s_name", "s_acctbal", "n_name")
+    )
+    minc = eligible.groupBy(F.col("ps_partkey").alias("m_partkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        eligible.join(
+            minc,
+            (eligible.ps_partkey == F.col("m_partkey"))
+            & (eligible.ps_supplycost == F.col("min_cost")),
+        )
+        .join(F.broadcast(p), eligible.ps_partkey == p.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.col("ps_supplycost").cast("double").alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    oracle_sql=f"""
+    WITH {_SQL_PARTSUPP}
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(CAST(sum(
+             CAST(l.l_extendedprice AS DECIMAL(18,6))
+               * (CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6)))
+             - ps.ps_supplycost * CAST(l.l_quantity AS DECIMAL(18,6))
+           ) AS DECIMAL(38,6)) AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN partsupp ps ON ps.ps_partkey = l.l_partkey
+                    AND ps.ps_suppkey = l.l_suppkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%r%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+    tags=("analytics", "tpch", "join"),
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): nation/year profit where
+    profit = revenue minus supply cost times quantity, over parts whose
+    name matches a pattern — the six-table join with a compound measure
+    expression.
+
+    Scale: lineitem⋈orders is the fact-fact exchange; the derived
+    partsupp joins on the composite (partkey, suppkey) key; part,
+    supplier, nation broadcast.  The profit expression is entirely
+    fixed-point decimal, so per-group sums are order-independent and
+    engine-identical.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%r%"))
+    ps = _partsupp(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    one = F.lit(1).cast("decimal(18,6)")
+    profit = dec("l_extendedprice") * (one - dec("l_discount")) - F.col(
+        "ps_supplycost"
+    ) * dec("l_quantity")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            ps,
+            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.sum(profit).cast("decimal(38,6)").cast("double").alias("sum_profit")
+        )
+    )
+
+
+# Q11's importance threshold: a part group is "important stock" when its
+# value exceeds 1/1000 of the nation's total (the spec's 0.0001/SF knob).
+Q11_FRACTION_DENOM = 1000
+
+
+@register(
+    "tpch_q11_important_stock",
+    oracle_sql=f"""
+    WITH {_SQL_PARTSUPP},
+    natps AS (
+      SELECT ps.ps_partkey, ps.ps_supplycost * ps.ps_availqty AS val
+      FROM partsupp ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = (SELECT min(n_name) FROM nation)
+    )
+    SELECT ps_partkey,
+           CAST(CAST(sum(val) AS DECIMAL(38,6)) AS DOUBLE) AS stock_value
+    FROM natps
+    GROUP BY ps_partkey
+    HAVING sum(val) * {Q11_FRACTION_DENOM} > (SELECT sum(val) FROM natps)
+    ORDER BY stock_value DESC, ps_partkey
+    """,
+    tags=("analytics", "tpch", "subquery"),
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): per-part stock
+    value within one nation, keeping parts whose value exceeds a
+    fraction of the nation's total — the HAVING-vs-global-scalar
+    pattern.
+
+    The threshold compares ``group_sum * 1000 > total_sum`` in exact
+    decimals (integer multiply, no division), so the cut is
+    engine-exact.  The 1-row total enters as a broadcast joined to the
+    per-part aggregate — both aggregates reuse ONE natps exchange
+    lineage under AQE.  Scale: supplier/nation broadcast; everything
+    shuffles once on ps_partkey.
+    """
+    ps = _partsupp(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    min_n = n.agg(F.min("n_name").alias("n_name_min"))
+    n = n.join(F.broadcast(min_n), n.n_name == min_n.n_name_min, "semi")
+    natps = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost") * F.col("ps_availqty")).alias("val"),
+        )
+    )
+    per_part = natps.groupBy("ps_partkey").agg(F.sum("val").alias("sum_val"))
+    total = natps.agg(F.sum("val").alias("total_val"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("sum_val") * Q11_FRACTION_DENOM > F.col("total_val"))
+        .select(
+            "ps_partkey",
+            F.col("sum_val").cast("decimal(38,6)").cast("double").alias(
+                "stock_value"
+            ),
+        )
+        .orderBy(F.desc("stock_value"), "ps_partkey")
+    )
+
+
+@register(
+    "tpch_q16_supplier_counts",
+    oracle_sql=f"""
+    WITH {_SQL_PARTSUPP}
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type NOT LIKE 'PROMO%'
+      AND p.p_size IN (1, 4, 7, 10, 15, 23, 45, 50)
+      AND ps.ps_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+    tags=("analytics", "tpch", "anti-join"),
+)
+def tpch_q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (part-supplier relationship count): distinct
+    supplier counts per (brand, type, size) with brand/type/size
+    screens and a NOT-IN supplier exclusion — count-distinct under an
+    anti join.  The spec's comment-LIKE exclusion becomes negative
+    account balance (the fixture has no comments).
+
+    Scale: the exclusion list is dim-sized and compiles to a broadcast
+    anti join (s_suppkey is never null, so NOT IN == anti); part
+    broadcasts; the count-distinct expands to the standard two-level
+    aggregate on the group keys.
+    """
+    ps = _partsupp(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 4, 7, 10, 15, 23, 45, 50))
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(bad), ps.ps_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "tpch_q20_potential_promotion",
+    oracle_sql=f"""
+    WITH {_SQL_PARTSUPP},
+    shipped AS (
+      SELECT l_partkey, l_suppkey,
+             sum(CAST(l_quantity AS DECIMAL(18,6))) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    excess AS (
+      SELECT DISTINCT ps.ps_suppkey
+      FROM partsupp ps
+      JOIN part p ON p.p_partkey = ps.ps_partkey AND p.p_name LIKE 'r%'
+      LEFT JOIN shipped sh ON sh.l_partkey = ps.ps_partkey
+                          AND sh.l_suppkey = ps.ps_suppkey
+      WHERE CAST(ps.ps_availqty * 2 AS DECIMAL(18,6))
+            > coalesce(sh.qty, CAST(0 AS DECIMAL(18,6)))
+    )
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = (SELECT min(n_name) FROM nation)
+      AND s.s_suppkey IN (SELECT ps_suppkey FROM excess)
+    ORDER BY s.s_name
+    """,
+    tags=("analytics", "tpch", "semi-join"),
+)
+def tpch_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers in one
+    nation holding excess stock — available quantity more than half of
+    what they shipped of pattern-matched parts in one year.  The
+    spec's nested IN subqueries with a correlated sum become: a
+    (partkey, suppkey)-grouped shipped aggregate, a left join for the
+    never-shipped case, and a semi join into supplier.
+
+    The half threshold is ``availqty * 2 > shipped_qty`` in exact
+    decimals — no halving division to disagree about.  Scale: the
+    shipped aggregate and the partsupp probe share the composite key;
+    part broadcasts; the final semi join ships only supplier keys.
+    """
+    ps = _partsupp(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("r%"))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    min_n = n.agg(F.min("n_name").alias("n_name_min"))
+    n = n.join(F.broadcast(min_n), n.n_name == min_n.n_name_min, "semi")
+    shipped = li.groupBy(
+        F.col("l_partkey").alias("sh_partkey"),
+        F.col("l_suppkey").alias("sh_suppkey"),
+    ).agg(F.sum(dec("l_quantity")).alias("qty"))
+    excess = (
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(
+            shipped,
+            (ps.ps_partkey == F.col("sh_partkey"))
+            & (ps.ps_suppkey == F.col("sh_suppkey")),
+            "left",
+        )
+        .filter(
+            (F.col("ps_availqty") * 2).cast("decimal(18,6)")
+            > F.coalesce(F.col("qty"), F.lit(0).cast("decimal(18,6)"))
+        )
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(excess, s.s_suppkey == excess.ps_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
     )

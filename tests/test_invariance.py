@@ -75,6 +75,11 @@ SWEPT_OPS = [
     "tpch_q19_discounted_revenue",
     "tpch_q21_waiting_supplier",
     "tpch_q22_sales_opportunity",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_counts",
+    "tpch_q20_potential_promotion",
 ]
 
 

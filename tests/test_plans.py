@@ -160,6 +160,9 @@ _NESTED_LOOP_EXEMPT = {
     "token_pmi_pairs",
     # 1-row key-count totals broadcast into the top-N, same pattern
     "key_skew_profile",
+    # 1-row nation-total broadcast into the HAVING threshold compare —
+    # the nested-loop side is exactly one row by construction
+    "tpch_q11_important_stock",
 }
 
 # Modules whose query_fns build lazy plans (streaming/io execute jobs
@@ -345,6 +348,36 @@ def test_q21_exists_compile_to_semi_and_anti(spark, sf_correct):
     assert "Anti" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q2_min_decorrelation_no_nested_loop(spark, sf_correct):
+    """Q2's correlated min-cost subquery: the per-part min aggregate
+    and the equality probe are keyed joins — no nested loop; the
+    supplier/nation/region dims broadcast; top-100 is
+    TakeOrderedAndProject."""
+    df = get_operator("tpch_q2_min_cost_supplier").query_fn(spark, sf_correct)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert_broadcast_join(df, expect=3)
+
+
+def test_q16_exclusion_is_anti_join(spark, sf_correct):
+    """Q16's NOT-IN supplier screen compiles to a broadcast anti join
+    (keys are non-null), feeding the two-level count-distinct."""
+    df = get_operator("tpch_q16_supplier_counts").query_fn(spark, sf_correct)
+    plan = physical_plan(df)
+    assert "Anti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q20_nested_in_compiles_to_semi(spark, sf_correct):
+    """Q20's nested IN subqueries: the supplier probe is a semi join
+    and the never-shipped case is a left outer — never a nested loop."""
+    df = get_operator("tpch_q20_potential_promotion").query_fn(spark, sf_correct)
+    plan = physical_plan(df)
+    assert "Semi" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
 def test_q7_nation_broadcasts_twice(spark, sf_correct):
