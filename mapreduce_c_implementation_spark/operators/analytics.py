@@ -1275,3 +1275,107 @@ def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(PMI_TOPK)
     w = Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
     return top.select("*", F.row_number().over(w).cast("long").alias("rank"))
+
+
+# Measure columns for the single-pass correlation matrix.
+_CORR_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _corr_pairs():
+    ms = _CORR_MEASURES
+    return [(ms[i], ms[j]) for i in range(len(ms)) for j in range(i + 1, len(ms))]
+
+
+def _corr_oracle_sql() -> str:
+    # Every moment is an exact decimal sum rounded to scale 6 and cast
+    # to double AT THE AGGREGATE; the identity arithmetic then runs in
+    # double with the same expression shape both engines (decimal
+    # multiplication of two 38-precision sums overflows DuckDB's
+    # decimal, and determinism only needs identical IEEE ops on
+    # identical inputs).
+    sums = ", ".join(
+        f"CAST(CAST(sum(CAST({m} AS DECIMAL(18,6))) AS DECIMAL(38,6))"
+        f" AS DOUBLE) AS s_{m}"
+        for m in _CORR_MEASURES
+    )
+    sqs = ", ".join(
+        # DECIMAL(19,6) terms: width 19 forces DuckDB's int128 multiply
+        # path (an 18-wide operand pair multiplies in int64 and
+        # overflows on large prices); 19+19 = 38 stays inside the cap.
+        f"CAST(CAST(sum(CAST({a} AS DECIMAL(19,6)) * CAST({b} AS DECIMAL(19,6)))"
+        f" AS DECIMAL(38,6)) AS DOUBLE) AS s_{a}_{b}"
+        for a in _CORR_MEASURES
+        for b in _CORR_MEASURES
+        if a <= b
+    )
+    selects = []
+    for a, b in _corr_pairs():
+        pa, pb = (a, b) if a <= b else (b, a)
+        num = f"(nd * s_{pa}_{pb} - s_{a} * s_{b})"
+        da = f"(nd * s_{a}_{a} - s_{a} * s_{a})"
+        db = f"(nd * s_{b}_{b} - s_{b} * s_{b})"
+        selects.append(
+            f"SELECT '{a}' AS m_x, '{b}' AS m_y, "
+            f"round({num} / sqrt({da} * {db}), 6) AS corr FROM agg"
+        )
+    return (
+        "WITH agg AS (SELECT CAST(count(*) AS DOUBLE) AS nd, " + sums + ", "
+        + sqs + " FROM lineitem) " + " UNION ALL ".join(selects)
+        + " ORDER BY m_x, m_y"
+    )
+
+
+@register(
+    "correlation_matrix",
+    oracle_sql=_corr_oracle_sql(),
+    tags=("analytics", "stats", "single-pass"),
+)
+def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation over the lineitem measures in ONE
+    pass: every moment the algebraic identity needs — n, Σx per column,
+    Σx² and Σxy per pair — lands in a single groupBy-free aggregate (14
+    sums + a count), and corr = (nΣxy−ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²))
+    assembles from the 1-row result.  The built-in ``corr`` aggregate
+    would need a pass per pair and sums doubles in partition order; this
+    form is one scan, map-side partial, and order-independent.
+
+    Exactness: all moments accumulate in fixed-point decimal, rounded
+    to scale 6, and cast to double AT THE AGGREGATE; the identity
+    arithmetic then runs in double with the same expression shape in
+    both engines — identical IEEE ops on bit-identical inputs, so the
+    result is deterministic across engines and partitionings.  Scale: a full-table aggregate with d² state, one
+    1-row exchange; the pair explosion happens on ONE row.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").cast("double").alias("nd")]
+    aggs += [
+        F.sum(dec(m)).cast("decimal(38,6)").cast("double").alias(f"s_{m}")
+        for m in _CORR_MEASURES
+    ]
+    aggs += [
+        F.sum(dec(a) * dec(b)).cast("decimal(38,6)").cast("double")
+        .alias(f"s_{a}_{b}")
+        for a in _CORR_MEASURES
+        for b in _CORR_MEASURES
+        if a <= b
+    ]
+    agg = li.agg(*aggs)
+    pair_structs = []
+    for a, b in _corr_pairs():
+        pa_, pb_ = (a, b) if a <= b else (b, a)
+        n = F.col("nd")
+        num = n * F.col(f"s_{pa_}_{pb_}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        da = n * F.col(f"s_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+        db = n * F.col(f"s_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+        pair_structs.append(
+            F.struct(
+                F.lit(a).alias("m_x"),
+                F.lit(b).alias("m_y"),
+                F.round(num / F.sqrt(da * db), 6).alias("corr"),
+            )
+        )
+    return (
+        agg.select(F.explode(F.array(*pair_structs)).alias("p"))
+        .select("p.m_x", "p.m_y", "p.corr")
+        .orderBy("m_x", "m_y")
+    )

@@ -703,3 +703,158 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("n_dup_partners").isNull(), 1).otherwise(0).alias("keep"),
         )
     )
+
+
+# --- Fixed-iteration integer-exact k-means (Lloyd) -----------------------
+# K initial centroids = the vectors with vec_id 0..K-1 (deterministic
+# seeding); KMEANS_ITERS assignment/update rounds.  All arithmetic is
+# integer: coordinates quantize to floor(x*1e6) + KMEANS_OFFSET >= 0,
+# distances are integer sums of squares, and centroid updates use
+# truncating integer division (identical to floor division because the
+# offset keeps every coordinate non-negative — floor-vs-truncate on
+# negatives is an engine-semantics trap).  Engines cannot disagree.
+KMEANS_K = 4
+KMEANS_ITERS = 2
+KMEANS_SCALE = 1_000_000
+KMEANS_OFFSET = 1 << 21  # > max |coord| after scaling, keeps ints >= 0
+
+
+def _km_sql_quant() -> str:
+    return (
+        f"list_transform(generate_series(1, {EMB_DIM}), "
+        f"i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * {KMEANS_SCALE}) "
+        f"AS BIGINT) + {KMEANS_OFFSET})"
+    )
+
+
+_KM_SQL_DIST = (
+    f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    f"list_transform(generate_series(1, {EMB_DIM}), "
+    f"i -> (q.xq[i] - c.cq[i]) * (q.xq[i] - c.cq[i]))), (a, b) -> a + b)"
+)
+
+
+def _km_sql_round(src_pts: str, src_cent: str, out_assign: str, out_cent: str) -> str:
+    """One Lloyd round: assign {src_pts} to {src_cent}, rebuild {out_cent}."""
+    return f"""
+    {out_assign} AS (
+      SELECT vec_id, xq, cid, dist FROM (
+        SELECT q.vec_id, q.xq, c.cid, {_KM_SQL_DIST} AS dist,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_KM_SQL_DIST} ASC, c.cid ASC) AS rn
+        FROM {src_pts} q CROSS JOIN {src_cent} c
+      ) WHERE rn = 1
+    ),
+    {out_cent} AS (
+      SELECT cid, list(s ORDER BY i) AS cq FROM (
+        -- '//' = integer division (truncating; identical to Spark's
+        -- `div` because the offset keeps sums non-negative) — plain '/'
+        -- would go through DOUBLE and round instead of truncate
+        SELECT cid, i, CAST(sum(xq[i]) // count(*) AS BIGINT) AS s
+        FROM {out_assign} a CROSS JOIN generate_series(1, {EMB_DIM}) AS g(i)
+        GROUP BY cid, i
+      ) GROUP BY cid
+    )"""
+
+
+@register(
+    "kmeans_lloyd",
+    oracle_sql=f"""
+    WITH q AS (
+      SELECT vec_id, {_km_sql_quant()} AS xq FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, xq AS cq FROM q WHERE vec_id < {KMEANS_K}),
+    {_km_sql_round("q", "c0", "a1", "c1")},
+    a2 AS (
+      SELECT vec_id, cid, dist FROM (
+        SELECT q.vec_id, c.cid, {_KM_SQL_DIST} AS dist,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_KM_SQL_DIST} ASC, c.cid ASC) AS rn
+        FROM q CROSS JOIN c1 c
+      ) WHERE rn = 1
+    )
+    SELECT cid AS cluster, CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(dist) AS BIGINT) AS inertia
+    FROM a2 GROUP BY cid ORDER BY cid
+    """,
+    tags=("similarity", "clustering", "iterative"),
+)
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration Lloyd k-means over the embedding corpus:
+    {KMEANS_K} deterministic seeds (vec_id 0..{KMEANS_K-1}),
+    {KMEANS_ITERS} assignment/update rounds, reporting per-cluster size
+    and integer inertia — the iterative-ML pattern (the same dataflow
+    as Spark MLlib's KMeans, expressed as {KMEANS_ITERS} unrolled
+    DataFrame rounds so the whole computation stays one lazy plan).
+
+    Exactness: coordinates quantize to non-negative int64 once; every
+    distance is an integer sum of squares; centroid updates use integer
+    division on non-negative sums — no floating point anywhere, so the
+    assignment argmin (tie -> lowest cluster id) and the final inertia
+    are bit-identical in any engine at any partitioning.
+
+    Scale: per round, assignment is a broadcast of K centroid rows
+    (K*d longs) against the corpus — the designed cross product, like
+    ann_bruteforce's probe set — and the update is one (cid, dim)
+    aggregate whose cardinality is K*d, independent of corpus size.
+    Unrolled iterations chain lazily; nothing collects to the driver.
+    """
+    from mapreduce_c_implementation_spark.sources.tables import compute_scan
+
+    e = compute_scan(spark, sf_dir, "embeddings")
+    xq = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * KMEANS_SCALE).cast("long")
+        + KMEANS_OFFSET,
+    )
+    q = e.select("vec_id", xq.alias("xq"))
+    cent = q.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("xq").alias("cq")
+    )
+
+    def dist_col():
+        return F.aggregate(
+            F.zip_with(F.col("xq"), F.col("cq"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def assign(points, centroids):
+        d = points.crossJoin(F.broadcast(centroids)).select(
+            "vec_id", "xq", "cid", dist_col().alias("dist")
+        )
+        best = d.groupBy("vec_id").agg(
+            F.min(F.struct("dist", "cid")).alias("m"),
+            F.first("xq").alias("xq"),
+        )
+        return best.select(
+            "vec_id", "xq", F.col("m.cid").alias("cid"), F.col("m.dist").alias("dist")
+        )
+
+    def update(assigned):
+        dims = assigned.select(
+            "cid", F.posexplode("xq").alias("i", "v")
+        )
+        per_dim = dims.groupBy("cid", "i").agg(
+            F.expr("sum(v) div count(*)").alias("s")
+        )
+        return per_dim.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "s"))),
+                lambda t: t["s"],
+            ).alias("cq")
+        )
+
+    assigned = None
+    for _ in range(KMEANS_ITERS - 1):
+        assigned = assign(q, cent)
+        cent = update(assigned)
+    final = assign(q, cent)
+    return (
+        final.groupBy(F.col("cid").alias("cluster"))
+        .agg(
+            F.count("*").cast("long").alias("n_points"),
+            F.sum("dist").cast("long").alias("inertia"),
+        )
+        .orderBy("cluster")
+    )

@@ -303,3 +303,48 @@ def cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "map_in_arrow_doc_stats",
+    oracle_sql="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+    tags=("udf", "arrow"),
+)
+def map_in_arrow_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-native rung of the UDF ladder: ``mapInArrow`` hands the
+    Python function raw ``pyarrow.RecordBatch``es — no pandas
+    conversion at all, the cheapest possible Python crossing.  Computes
+    per-document character and byte lengths with pyarrow compute
+    kernels (C++-vectorized, zero-copy on the Arrow buffers).
+
+    Parity: pyarrow ``utf8_length`` counts codepoints exactly like
+    DuckDB/Spark ``length`` on strings, and ``binary_length`` counts
+    UTF-8 bytes like ``octet_length``.  Scale: a narrow map — batches
+    stream through the worker, nothing shuffles, and the text column
+    never leaves the batch it arrived in.
+    """
+    import pyarrow as pa
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def stats(batches):
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            text = tbl.column("text")
+            out = pa.table(
+                {
+                    "doc_id": tbl.column("doc_id"),
+                    "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+                    "n_bytes": pc.cast(pc.binary_length(text), pa.int64()),
+                }
+            )
+            yield from out.to_batches()
+
+    return d.mapInArrow(stats, schema="doc_id long, n_chars long, n_bytes long")

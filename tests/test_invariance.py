@@ -80,6 +80,9 @@ SWEPT_OPS = [
     "tpch_q11_important_stock",
     "tpch_q16_supplier_counts",
     "tpch_q20_potential_promotion",
+    "kmeans_lloyd",
+    "correlation_matrix",
+    "map_in_arrow_doc_stats",
 ]
 
 

@@ -163,6 +163,9 @@ _NESTED_LOOP_EXEMPT = {
     # 1-row nation-total broadcast into the HAVING threshold compare —
     # the nested-loop side is exactly one row by construction
     "tpch_q11_important_stock",
+    # K-row centroid broadcast per Lloyd round — the assignment step IS
+    # a cross product against K centroids, like ann_bruteforce's probes
+    "kmeans_lloyd",
 }
 
 # Modules whose query_fns build lazy plans (streaming/io execute jobs
