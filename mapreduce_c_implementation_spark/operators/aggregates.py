@@ -620,3 +620,54 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).cast("long").alias("rank"),
         )
     )
+
+
+@register(
+    "hll_sketch_mergeable",
+    oracle_sql="""
+    SELECT l.l_returnflag, true AS sketch_ok,
+           CAST(count(DISTINCT l.l_partkey) AS BIGINT) AS exact_nd
+    FROM lineitem l
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+    tags=("aggregate", "approx", "sketch"),
+)
+def hll_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGEABLE-sketch pattern (Spark 4 Datasketches HLL): build
+    binary HLL sketches per (returnflag, linestatus) sub-group, then
+    hll_union_agg the serialized sketches up to per-returnflag and
+    estimate.  This is the architecture approx_count_distinct hides:
+    sketches are data — they persist, re-aggregate along any rollup
+    path, and merge across days/partitions without rescanning, which is
+    what makes distinct-count dashboards possible at 100 TB.
+
+    The estimate is implementation-defined, so the oracle-checkable
+    outputs are the tolerance verdict (union estimate within 5% of
+    exact) plus the exact count itself — which also proves the
+    re-aggregation path produced a sane sketch, not a default.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sub = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_partkey").alias("sketch"),
+        F.count_distinct("l_partkey").alias("sub_nd"),
+    )
+    merged = sub.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("union_nd"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").cast("long").alias("exact_nd")
+    )
+    return (
+        merged.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            (
+                F.abs(F.col("union_nd") - F.col("exact_nd"))
+                / F.col("exact_nd")
+                < F.lit(0.05)
+            ).alias("sketch_ok"),
+            "exact_nd",
+        )
+        .orderBy("l_returnflag")
+    )

@@ -663,3 +663,95 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_events"),
         F.col("last.v_cents").alias("last_cents"),
     )
+
+
+def _twspandas_available() -> bool:
+    """Spark 4's transformWithStateInPandas drives its state protocol
+    over protobuf; this container ships no usable google.protobuf, so
+    the Python runner crashes at startup (ImportError: descriptor).
+    Gate registration on the dependency — where protobuf exists the
+    operator registers and oracle-checks like any other (the brief's
+    import-try rule for absent libraries)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _register_tws(fn):
+    if not _twspandas_available():
+        return fn
+    return register(
+        "stream_transform_with_state",
+        # Same staging determinism argument as stream_stateful_totals:
+        # every real event arrives exactly once, the last emission per
+        # user holds the final state, so the batch groupBy is the
+        # oracle.  Counts are integers and max is order-independent.
+        oracle_sql="""
+        SELECT user_id, count(*) AS n_events,
+               max(value) AS max_value
+        FROM events
+        GROUP BY user_id
+        """,
+        tags=("streaming", "stateful", "spark4"),
+    )(fn)
+
+
+@_register_tws
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via Spark 4's ``transformWithStateInPandas``
+    — the successor API to applyInPandasWithState: an explicit
+    ``StatefulProcessor`` class with named, individually-typed state
+    variables managed by a ``StatefulProcessorHandle`` (ValueState /
+    ListState / MapState, optional TTL, timers).  Maintains per-user
+    event count and running max; each batch emits the updated pair and
+    the LAST emission per user equals the batch aggregate.
+
+    Scale: state is two scalars per user key in the state store —
+    constant per key, shuffled once on user_id, checkpointable and
+    rescalable like any keyed streaming state.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class CountMaxProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("count_max", "n long, mx double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            exists = self._state.exists()
+            n, mx = self._state.get() if exists else (0, float("-inf"))
+            for pdf in rows:
+                n += int(len(pdf))
+                mx = max(mx, float(pdf["value"].max()))
+            self._state.update((n, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    def build(stream):
+        return stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=CountMaxProcessor(),
+            outputStructType="user_id long, n_events long, max_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+
+    t = _run_stream(spark, sf_dir, build)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        t.filter(F.col("user_id") != -1)
+        .select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -83,6 +83,7 @@ SWEPT_OPS = [
     "kmeans_lloyd",
     "correlation_matrix",
     "map_in_arrow_doc_stats",
+    "hll_sketch_mergeable",
 ]
 
 
