@@ -84,6 +84,8 @@ SWEPT_OPS = [
     "correlation_matrix",
     "map_in_arrow_doc_stats",
     "hll_sketch_mergeable",
+    "feature_quantile_bins",
+    "feature_label_encode",
 ]
 
 
