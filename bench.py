@@ -68,6 +68,14 @@ HEADLINE = [
     "corpus_pipeline_end2end",
     "cogroup_reconcile",
     "time_gap_fill_ffill",
+    # round-2 second wave
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_supplier",
+    "kmeans_lloyd",
+    "correlation_matrix",
+    "hll_sketch_mergeable",
+    "semdedup_cells",
+    "feature_quantile_bins",
 ]
 
 

@@ -488,3 +488,53 @@ def xml_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("sum_chars"),
         checksum.alias("text_checksum"),
     )
+
+
+# Small chunks so the fixture corpus crosses hundreds of chunk
+# boundaries — the differential diff then actually exercises the
+# boundary-adjustment rules on many words, not zero.
+PYSRC_CHUNK_SIZE = 4 * 1024
+
+
+@register(
+    "python_datasource_scan",
+    oracle_sql=f"""
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest({_TOK_LINE}) AS word FROM documents)
+    GROUP BY word
+    """,
+    tags=("source", "python-datasource", "reference"),
+)
+def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's reader subsystem as a Spark 4 custom Python
+    DataSource (sources/chunked_source.py): ``partitions()`` is the
+    chunk planner (one InputPartition per {PYSRC_CHUNK_SIZE}-byte
+    range, /root/reference/src/mapreduce.c:98-134) and ``read()``
+    reproduces the word-boundary adjustment byte-for-byte
+    (src/reader_queue.c:208-306).
+
+    The differential proof mirrors the reference's own oracle
+    discipline: word counts THROUGH the chunked source must equal word
+    counts over the original documents — a boundary bug would split or
+    duplicate every word that straddles a 4 KB edge and fail the diff.
+    Scale: chunk enumeration is metadata-only, chunks read with no
+    shared state; this is exactly how a 100 TB custom source
+    parallelizes.
+    """
+    from mapreduce_c_implementation_spark.sources.chunked_source import (
+        register_chunked_source,
+    )
+
+    register_chunked_source(spark)
+    d = _stage_text_files(spark, sf_dir)
+    fragments = (
+        spark.read.format("chunked_text")
+        .option("path", d)
+        .option("chunk_size", str(PYSRC_CHUNK_SIZE))
+        .load()
+    )
+    return (
+        fragments.select(F.explode(tokenize(F.col("fragment"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )

@@ -86,6 +86,7 @@ SWEPT_OPS = [
     "hll_sketch_mergeable",
     "feature_quantile_bins",
     "feature_label_encode",
+    "python_datasource_scan",
 ]
 
 
