@@ -51,3 +51,98 @@ def test_tumbling_drops_late_rows(spark, sf_correct):
     n_events = spark.read.parquet(f"{sf_correct}/events.parquet").count()
     assert streamed_total < n_events  # something was genuinely dropped
     assert streamed_total > n_events * 0.8  # but only the late tail
+
+
+def test_rocksdb_state_store_provider_invariance(spark, sf_correct):
+    """The state store you'd run at 100 TB is RocksDB (HDFS-backed state
+    keeps every key in executor memory; RocksDB spills to local disk
+    with changelog checkpointing).  Streaming results must be identical
+    under either provider — this is the state-store analog of the
+    shuffle-partition invariance sweep.  Exercises a stateful windowed
+    aggregate AND the arbitrary-state operator under RocksDB."""
+    from tests.oracle import canonical_rows
+
+    provider_conf = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    orig = spark.conf.get(provider_conf)
+    for name in ["stream_tumbling_window", "stream_stateful_totals"]:
+        op = get_operator(name)
+        baseline = canonical_rows(op.query_fn(spark, sf_correct).toPandas())
+        try:
+            spark.conf.set(provider_conf, rocksdb)
+            under_rocksdb = canonical_rows(op.query_fn(spark, sf_correct).toPandas())
+        finally:
+            spark.conf.set(provider_conf, orig)
+        assert under_rocksdb == baseline, f"{name} diverged under RocksDB"
+
+
+def test_checkpoint_restart_exactly_once(spark, sf_correct, tmp_path):
+    """Kill-and-restart recovery: run a windowed count over HALF the
+    input with a durable checkpoint + file sink, stop the query, add
+    the rest of the input, restart the SAME query from the SAME
+    checkpoint.  The file-source offsets in the checkpoint must prevent
+    any reprocessing: the sink ends up with each event counted exactly
+    once — equal to the batch aggregate over everything.  This is the
+    failure-recovery contract a 1000-executor streaming job lives on
+    (the reference, being single-process batch, has no analog)."""
+    import shutil
+
+    from mapreduce_c_implementation_spark.sources import load_table
+    from mapreduce_c_implementation_spark.streaming.staging import stage_events
+
+    staged = stage_events(sf_correct)
+    batches = sorted(
+        f for f in __import__("os").listdir(staged) if f.endswith(".parquet")
+    )
+    assert len(batches) >= 3
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    schema = load_table(spark, sf_correct, "events").schema
+
+    def run_until_drained():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"))
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("ckpt_restart_sink")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # Phase 1: first batch file only.
+    shutil.copy(f"{staged}/{batches[0]}", src / batches[0])
+    run_until_drained()
+    partial = {r.user_id: r.n for r in spark.table("ckpt_restart_sink").collect()}
+
+    # Phase 2: deliver the rest, restart from the same checkpoint.
+    for b in batches[1:]:
+        shutil.copy(f"{staged}/{b}", src / b)
+    run_until_drained()
+    recovered = {r.user_id: r.n for r in spark.table("ckpt_restart_sink").collect()}
+
+    expected = {
+        r.user_id: r.n
+        for r in spark.read.parquet(f"{sf_correct}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # The staging plan appends one sentinel row under user_id -1.
+    expected[-1] = 1
+    assert recovered == expected, "restart lost or double-counted events"
+    # and phase 1 really was a strict subset (the restart did real work)
+    assert partial != recovered
+    assert sum(partial.values()) < sum(recovered.values())
