@@ -1,0 +1,200 @@
+"""Modern SQL surface (Spark 4): recursive CTEs, LATERAL correlated
+subqueries, GROUP BY ALL + named parameter binding + session variables,
+and collation-aware grouping.
+
+The reference has no SQL at all — this module is part of the §2.2
+"beyond the reference" surface, covering the SQL features a user
+migrating a 2020s warehouse workload expects.  Every op is plain
+``spark.sql`` text (exercising the parser/analyzer path rather than the
+DataFrame DSL) against the registered fixture views, and every oracle is
+the same ANSI construct in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mapreduce_c_implementation_spark.registry import register
+from mapreduce_c_implementation_spark.sources.tables import register_views
+
+SPINE_START = "1995-01-01 00:00:00"
+SPINE_END = "2001-08-01 00:00:00"
+
+
+@register(
+    "recursive_cte_month_spine",
+    oracle_sql=f"""
+    WITH RECURSIVE months(m) AS (
+      SELECT TIMESTAMP '{SPINE_START}'
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM months
+      WHERE m < TIMESTAMP '{SPINE_END}'
+    )
+    SELECT m.m AS month, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+    FROM months m
+    LEFT JOIN orders o ON date_trunc('month', o.o_orderdate) = m.m
+    GROUP BY m.m
+    ORDER BY m.m
+    """,
+    tags=("sql", "recursive-cte"),
+)
+def recursive_cte_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (new in Spark 4): generate a gap-free month spine
+    by recursion and left-join monthly order counts onto it — months
+    with zero orders appear with 0, which a plain GROUP BY over orders
+    can never produce.  The recursion is the SQL-standard form of the
+    ``sequence()``-based gap fill (time_gap_fill_ffill); both engines
+    run the IDENTICAL recursive query text.
+
+    Scale: the spine is bounded by the recursion guard (~80 rows here);
+    Spark plans recursion as iterative union steps, and the spine side
+    broadcasts into the join.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH RECURSIVE months(m) AS (
+          SELECT TIMESTAMP '{SPINE_START}'
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM months
+          WHERE m < TIMESTAMP '{SPINE_END}'
+        )
+        SELECT m.m AS month, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+        FROM months m
+        LEFT JOIN orders o ON date_trunc('month', o.o_orderdate) = m.m
+        GROUP BY m.m
+        ORDER BY m.m
+        """
+    )
+
+
+@register(
+    "lateral_topk_per_customer",
+    oracle_sql="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey ASC
+      LIMIT 2
+    ) t
+    WHERE c.c_custkey % 50 = 0
+    ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+    """,
+    tags=("sql", "lateral", "topk"),
+)
+def lateral_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery with ORDER BY + LIMIT: each
+    customer's two most expensive orders — the per-row-subquery form of
+    per-group top-k (the window row_number form is window_topk_per_group;
+    this one exercises the decorrelation of a correlated LIMIT).
+    Deterministic under the (price DESC, key ASC) total order.
+
+    Scale: Catalyst decorrelates the lateral into a join + per-key
+    ranking rather than executing the subquery per row; the customer
+    filter prunes at the scan.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC
+          LIMIT 2
+        ) t
+        WHERE c.c_custkey % 50 = 0
+        ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+        """
+    )
+
+
+PRIORITY_THRESHOLD = 50000.0
+
+
+@register(
+    "sql_params_group_by_all",
+    oracle_sql=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(30,6))
+                AS DOUBLE) AS total
+    FROM orders
+    WHERE o_totalprice > {PRIORITY_THRESHOLD}
+    GROUP BY ALL
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+    tags=("sql", "spark4"),
+)
+def sql_params_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL ergonomics in one query: a NAMED PARAMETER
+    (``:threshold`` bound via ``spark.sql(..., args=...)`` — proper
+    parameter binding, not string interpolation, so no injection and
+    plan-cache-friendly) feeding a GROUP BY ALL (every non-aggregate
+    select item groups implicitly).  The oracle runs the same GROUP BY
+    ALL with the literal inlined — identical semantics by definition.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                    AS DECIMAL(30,6)) AS DOUBLE) AS total
+        FROM orders
+        WHERE o_totalprice > :threshold
+        GROUP BY ALL
+        ORDER BY o_orderstatus, o_orderpriority
+        """,
+        args={"threshold": PRIORITY_THRESHOLD},
+    )
+
+
+@register(
+    "collation_insensitive_grouping",
+    oracle_sql="""
+    WITH cased AS (
+      SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                  ELSE lower(c_mktsegment) END AS seg
+      FROM customer
+    )
+    SELECT lower(seg) AS segment, CAST(count(*) AS BIGINT) AS n
+    FROM cased
+    GROUP BY lower(seg)
+    ORDER BY segment
+    """,
+    tags=("sql", "collation", "spark4"),
+)
+def collation_insensitive_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (new in Spark 4): grouping on a column
+    COLLATEd UTF8_LCASE merges case variants engine-side — no
+    normalizing rewrite in the query.  The fixture's segments are
+    single-case, so the query first mixes case deterministically
+    (upper for even keys, lower for odd), then proves
+    ``GROUP BY seg COLLATE UTF8_LCASE`` produces exactly the
+    ``GROUP BY lower(seg)`` result the oracle computes.
+
+    Scale: collation-aware grouping hashes the collation key directly —
+    one aggregate exchange, same as any groupBy; the display value is
+    pinned with lower() so both engines emit identical group labels.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH cased AS (
+          SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                      ELSE lower(c_mktsegment) END AS seg
+          FROM customer
+        )
+        SELECT lower(min(seg COLLATE UTF8_LCASE)) AS segment,
+               CAST(count(*) AS BIGINT) AS n
+        FROM cased
+        GROUP BY seg COLLATE UTF8_LCASE
+        ORDER BY segment
+        """
+    )

@@ -37,6 +37,7 @@ _OPERATOR_MODULES = [
     "mapreduce_c_implementation_spark.operators.analytics",
     "mapreduce_c_implementation_spark.operators.tpch_extra",
     "mapreduce_c_implementation_spark.operators.features",
+    "mapreduce_c_implementation_spark.operators.modern_sql",
     "mapreduce_c_implementation_spark.operators.dedup",
     "mapreduce_c_implementation_spark.operators.similarity",
     "mapreduce_c_implementation_spark.operators.textanalysis",

@@ -87,6 +87,10 @@ SWEPT_OPS = [
     "feature_quantile_bins",
     "feature_label_encode",
     "python_datasource_scan",
+    "recursive_cte_month_spine",
+    "lateral_topk_per_customer",
+    "sql_params_group_by_all",
+    "collation_insensitive_grouping",
 ]
 
 

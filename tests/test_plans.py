@@ -173,7 +173,7 @@ _NESTED_LOOP_EXEMPT = {
 _LAZY_MODULES = {
     "mapreduce_core", "aggregates", "joins", "windows", "setops",
     "scalars", "udfs", "analytics", "dedup", "similarity", "textanalysis",
-    "corpus_filters", "tpch_extra", "features",
+    "corpus_filters", "tpch_extra", "features", "modern_sql",
 }
 
 
