@@ -198,3 +198,96 @@ def collation_insensitive_grouping(spark: SparkSession, sf_dir: str) -> DataFram
         ORDER BY segment
         """
     )
+
+
+@register(
+    "filtered_aggregates",
+    oracle_sql="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_all,
+           CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_bulk,
+           CAST(count(*) FILTER (WHERE l_discount = 0) AS BIGINT)
+             AS n_undiscounted,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+                     FILTER (WHERE l_tax > 0.04) AS DECIMAL(30,6)) AS DOUBLE)
+             AS taxed_revenue
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("sql", "aggregate"),
+)
+def filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-standard FILTER clause: several differently-conditioned
+    aggregates in ONE grouped pass — the declarative form of the
+    CASE-inside-SUM pattern (tpch_q12), and the single-scan form for what
+    would otherwise be N self-joined subqueries.  Identical clause text
+    in both engines; the decimal sum keeps the money column
+    order-independent.
+
+    Scale: one scan, one aggregate exchange, every FILTER evaluated
+    map-side inside the partial aggregate.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_all,
+               CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_bulk,
+               CAST(count(*) FILTER (WHERE l_discount = 0) AS BIGINT)
+                 AS n_undiscounted,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+                         FILTER (WHERE l_tax > 0.04) AS DECIMAL(30,6)) AS DOUBLE)
+                 AS taxed_revenue
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+
+WB_LO, WB_HI, WB_BINS = 0.0, 600000.0, 12
+
+
+@register(
+    "width_bucket_histogram",
+    # DuckDB has no width_bucket; the oracle spells out the exact IEEE
+    # arithmetic of Spark's WidthBucket expression — floor(v / ((hi-lo)/
+    # n)) + 1 for in-range values, 0 / n+1 for underflow/overflow — so
+    # edge assignment is the same double op in both engines.
+    oracle_sql=f"""
+    SELECT CASE WHEN o_totalprice < {WB_LO} THEN 0
+                WHEN o_totalprice >= {WB_HI} THEN {WB_BINS + 1}
+                ELSE CAST(floor((o_totalprice - {WB_LO})
+                          / (({WB_HI} - {WB_LO}) / {WB_BINS})) AS BIGINT) + 1
+           END AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           min(o_totalprice) AS lo,
+           max(o_totalprice) AS hi
+    FROM orders
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    tags=("sql", "histogram"),
+)
+def width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-WIDTH histogram via the SQL-standard ``width_bucket`` — the
+    complement of feature_quantile_bins' equi-DEPTH ntile: bucket
+    boundaries are fixed arithmetic on the value, so NO global sort and
+    NO per-row window — bucketing is a codegen'd map and the histogram
+    is one aggregate exchange, the shape that scales to any corpus.
+    Bucket edges are exact IEEE arithmetic on identical literals, so
+    assignment cannot straddle engines.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT width_bucket(o_totalprice, {WB_LO}, {WB_HI}, {WB_BINS}) AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               min(o_totalprice) AS lo,
+               max(o_totalprice) AS hi
+        FROM orders
+        GROUP BY bucket
+        ORDER BY bucket
+        """
+    )

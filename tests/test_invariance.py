@@ -91,6 +91,8 @@ SWEPT_OPS = [
     "lateral_topk_per_customer",
     "sql_params_group_by_all",
     "collation_insensitive_grouping",
+    "filtered_aggregates",
+    "width_bucket_histogram",
 ]
 
 
