@@ -93,6 +93,7 @@ SWEPT_OPS = [
     "collation_insensitive_grouping",
     "filtered_aggregates",
     "width_bucket_histogram",
+    "record_linkage_blocked",
 ]
 
 
