@@ -671,3 +671,42 @@ def hll_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "cube_grouping_id",
+    oracle_sql="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+    """,
+    tags=("aggregate", "cube", "grouping"),
+)
+def cube_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with grouping() indicators — the disambiguation every cube
+    consumer needs: a NULL group key can mean "the value was NULL" or
+    "this row is a subtotal", and only grouping(col) (0 = real value,
+    1 = aggregated-across) tells them apart.  Without it, downstream
+    dashboards silently merge NULL-valued groups into totals.
+
+    Scale: same single expand+aggregate pipeline as cube_sales; the
+    indicator costs nothing (it is derived from the grouping-set id
+    Spark already carries through the Expand operator).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+            F.count("*").cast("long").alias("n"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "g_status", "g_priority", "n"
+        )
+        .orderBy("g_status", "g_priority", "o_orderstatus", "o_orderpriority")
+    )

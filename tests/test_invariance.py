@@ -94,6 +94,7 @@ SWEPT_OPS = [
     "filtered_aggregates",
     "width_bucket_histogram",
     "record_linkage_blocked",
+    "cube_grouping_id",
 ]
 
 
