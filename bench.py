@@ -115,8 +115,15 @@ def flagship_throughput(spark, sf_dir: str, target_mb: int) -> dict:
         job = MapReduceJob(
             input_paths=[corpus], output_dir=out_dir, metrics_path=report
         )
-        result = run_inverted_index_job(spark, job)
-        wall = result.metrics.wall_s
+        # Same best-of-N rule as the headline loop: this box's noise
+        # windows can double a single run's wall time.  Staging is
+        # shared; each rep re-runs the full job (scan -> tokenize ->
+        # shuffle -> sink) from scratch.
+        reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+        wall = float("inf")
+        for _ in range(reps):
+            result = run_inverted_index_job(spark, job)
+            wall = min(wall, result.metrics.wall_s)
         return {
             "corpus_mb": round(corpus_bytes / 1e6, 1),
             "wall_s": wall,
