@@ -260,8 +260,8 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     then runs as a broadcast nested loop over that tiny side and a
     per-probe max picks the as-of row.  At 100 TB the probe side stays
     fully distributed and never shuffles.  For fact-fact as-of (both
-    sides huge), see the merge_asof-in-applyInPandas variant
-    (operators/windows.py), which co-partitions by key.
+    sides huge), see join_asof_keyed below, which co-partitions by key
+    and runs pandas.merge_asof per key group.
     """
     e = (
         load_table(spark, sf_dir, "events")
@@ -413,5 +413,94 @@ def skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_items"),
             exact_sum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "join_asof_keyed",
+    # DuckDB's native ASOF JOIN is the oracle — per (event, user): the
+    # latest order at-or-before the event timestamp.  The reference side
+    # is pre-aggregated to one row per (custkey, date) so tie-breaking
+    # cannot differ between engines.
+    oracle_sql="""
+    WITH ref AS (
+      SELECT o_custkey, o_orderdate, max(o_totalprice) AS best_price
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           r.o_orderdate AS asof_orderdate,
+           r.best_price AS asof_totalprice
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_id % 20 = 0) e
+    ASOF LEFT JOIN ref r
+      ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    """,
+    tags=("join", "asof", "cogroup", "pandas"),
+)
+def join_asof_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact KEYED as-of join — the feature-store join: for every
+    event, the user's latest order state at-or-before the event time,
+    with BOTH sides huge.  join_asof_nearest's broadcast-timeline trick
+    dies here (the reference side is per-key, not a shared dim), so
+    this is custom-operator rule (b): cogrouped ``applyInPandas``
+    co-partitions both tables on the key and runs ``pandas.merge_asof``
+    (backward) per key group — the per-key sorted-merge the reference's
+    Reducer+Getter protocol would express, Arrow-batched.
+
+    Determinism: the reference side collapses to one row per (key,
+    date) first, so there is no tie for merge_asof or DuckDB's native
+    ASOF JOIN (the oracle) to break differently.  Scale: one keyed
+    shuffle per side (exactly a sort-merge join's movement), state
+    bounded by the largest single key's history; the event subset
+    bounds fixture Python time, the plan shape is scale-free.
+    """
+    import pandas as pd
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 20 == 0)
+        .select("event_id", "user_id", "ts")
+    )
+    ref = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_totalprice").alias("best_price"))
+    )
+
+    def asof_merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:
+            return pd.DataFrame(
+                columns=[
+                    "event_id", "user_id", "ts",
+                    "asof_orderdate", "asof_totalprice",
+                ]
+            )
+        left = left.sort_values("ts")
+        right = (
+            right.sort_values("o_orderdate")
+            if len(right)
+            else pd.DataFrame({"o_orderdate": pd.Series([], dtype="datetime64[us]"),
+                               "best_price": pd.Series([], dtype="float64")})
+        )
+        merged = pd.merge_asof(
+            left,
+            right[["o_orderdate", "best_price"]],
+            left_on="ts",
+            right_on="o_orderdate",
+            direction="backward",
+        )
+        return merged.rename(
+            columns={"o_orderdate": "asof_orderdate", "best_price": "asof_totalprice"}
+        )[["event_id", "user_id", "ts", "asof_orderdate", "asof_totalprice"]]
+
+    return (
+        e.groupBy("user_id")
+        .cogroup(ref.groupBy("o_custkey"))
+        .applyInPandas(
+            lambda key, l, r: asof_merge(l, r),
+            schema=(
+                "event_id long, user_id long, ts timestamp, "
+                "asof_orderdate timestamp, asof_totalprice double"
+            ),
         )
     )

@@ -755,3 +755,42 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "stream_dedup_within_watermark",
+    # Replays arrive one batch after the originals while the watermark
+    # is still at zero (staging plan), i.e. well inside the watermark
+    # window — so bounded-state dedup drops exactly the same rows as
+    # unbounded dropDuplicates and the batch distinct is the oracle.
+    oracle_sql="""
+    SELECT event_type, count(*) AS n_unique_events
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "dedup", "watermark", "spark4"),
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` evicts seen-keys older than the
+    watermark, so state is O(events per watermark window) instead of
+    O(all events ever) — plain dropDuplicates state grows forever and
+    is the classic streaming-job OOM at 100 TB/day.  The trade: only
+    duplicates arriving within the watermark delay of each other are
+    caught, which is exactly the delivery guarantee replays/retries
+    violate (at-least-once delivery duplicates arrive in seconds, not
+    days).
+    """
+
+    def build(stream):
+        return (
+            stream.withWatermark("ts", WATERMARK_DELAY)
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+
+    t = _run_stream(spark, sf_dir, build, with_dup_replay=True)
+    return (
+        t.filter(F.col("event_type") != SENTINEL_TYPE)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_unique_events"))
+    )

@@ -95,6 +95,7 @@ SWEPT_OPS = [
     "width_bucket_histogram",
     "record_linkage_blocked",
     "cube_grouping_id",
+    "join_asof_keyed",
 ]
 
 
