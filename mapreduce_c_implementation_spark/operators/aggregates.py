@@ -710,3 +710,94 @@ def cube_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g_status", "g_priority", "o_orderstatus", "o_orderpriority")
     )
+
+
+@register(
+    "bitmap_exact_distinct",
+    oracle_sql="""
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("aggregate", "bitmap", "sketch", "spark4"),
+)
+def bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct count via Spark 4's bitmap aggregates —
+    the roaring-bitmap architecture: keys bucket by
+    ``bitmap_bucket_number``, each (group, bucket) builds a fixed-size
+    bitmap with ``bitmap_construct_agg``, bitmaps OR-merge up the
+    rollup path with ``bitmap_or_agg``, and ``bitmap_count`` reads the
+    total.  Unlike HLL (hll_sketch_mergeable) the result is EXACT, so
+    no tolerance verdict — the oracle is a plain count distinct and
+    hashes must match.
+
+    Scale: this is how warehouses do re-aggregable exact distincts —
+    per-bucket bitmaps are bounded binary state that merges along any
+    dimension without rescanning; the expensive expand-the-raw-keys
+    distinct never happens.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per_bucket = (
+        o.select(
+            "o_orderpriority",
+            F.expr("bitmap_bucket_number(o_custkey)").alias("bkt"),
+            F.expr("bitmap_bit_position(o_custkey)").alias("pos"),
+        )
+        .groupBy("o_orderpriority", "bkt")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    return (
+        per_bucket.groupBy("o_orderpriority")
+        .agg(
+            F.expr("sum(bitmap_count(bm))").cast("long").alias("n_customers")
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "try_arithmetic_safety",
+    oracle_sql="""
+    SELECT l_linenumber,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN l_discount = 0 THEN NULL
+                         ELSE round(l_extendedprice / l_discount, 2)
+                    END) IS NOT NULL AS BOOLEAN) AS any_ratio,
+           CAST(count(*) FILTER (WHERE l_discount = 0) AS BIGINT) AS n_div0,
+           CAST(count(*) FILTER (WHERE try_cast(l_returnflag AS INT) IS NULL)
+                AS BIGINT) AS n_noncast
+    FROM lineitem
+    GROUP BY l_linenumber
+    ORDER BY l_linenumber
+    """,
+    tags=("scalar", "ansi", "spark4"),
+)
+def try_arithmetic_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic surface: ``try_divide`` / ``try_cast``
+    return NULL instead of failing on division-by-zero and bad casts —
+    the per-row error quarantine that keeps a 100 TB job from dying on
+    one malformed record (the batch analog of PERMISSIVE corrupt-record
+    parsing).  The oracle reproduces NULL-on-error with CASE guards, so
+    the NULL pattern — not just the happy path — is what's diffed.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ratio = F.round(F.try_divide(F.col("l_extendedprice"), F.col("l_discount")), 2)
+    return (
+        li.groupBy("l_linenumber")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(ratio).isNotNull().alias("any_ratio"),
+            F.sum(F.when(F.col("l_discount") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_div0"),
+            F.sum(
+                F.when(F.try_to_number(F.col("l_returnflag"), F.lit("9")).isNull(), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_noncast"),
+        )
+        .orderBy("l_linenumber")
+    )

@@ -96,6 +96,8 @@ SWEPT_OPS = [
     "record_linkage_blocked",
     "cube_grouping_id",
     "join_asof_keyed",
+    "bitmap_exact_distinct",
+    "try_arithmetic_safety",
 ]
 
 
