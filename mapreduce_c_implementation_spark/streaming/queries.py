@@ -794,3 +794,55 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("event_type")
         .agg(F.count("*").alias("n_unique_events"))
     )
+
+
+@register(
+    "stream_chained_aggregation",
+    # Late rows are dropped by the FIRST stateful operator (their
+    # 1-hour window already closed vs W1); survivors roll up into day
+    # windows — so the oracle applies the hourly late-drop rule, then
+    # groups by day.  The sentinel's hourly window never closes, so it
+    # never reaches the daily operator at all.
+    oracle_sql=f"""
+    WITH {_SQL_WM1}
+    SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start,
+           time_bucket(INTERVAL 1 DAY, ts) + INTERVAL 1 DAY AS window_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events, wm
+    WHERE NOT ({_SQL_IS_LATE_ARRIVAL}
+               AND time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR <= wm.w1)
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "chained", "spark4"),
+)
+def stream_chained_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in one streaming query (multiple
+    stateful operators, Spark 3.4+/4): hourly tumbling counts feed a
+    second windowed aggregate that rolls them into daily totals —
+    ``window(window, '1 day')`` re-windows the first operator's window
+    struct.  Before this capability, the hourly result had to hit a
+    sink and be re-read by a second job; chaining keeps the rollup
+    pipeline one query with one checkpoint.
+
+    Scale: state is hierarchical and bounded — hour windows evict at
+    the watermark, day windows hold one counter per day; the daily
+    operator's input is window-cardinality, not event-cardinality.
+    """
+
+    def build(stream):
+        hourly = (
+            stream.withWatermark("ts", WATERMARK_DELAY)
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count("*").alias("n"))
+        )
+        return (
+            hourly.groupBy(F.window(F.col("window"), "1 day"))
+            .agg(F.sum("n").cast("long").alias("n_events"))
+        )
+
+    t = _run_stream(spark, sf_dir, build)
+    return t.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "n_events",
+    )
