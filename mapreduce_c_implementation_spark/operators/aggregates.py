@@ -801,3 +801,46 @@ def try_arithmetic_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linenumber")
     )
+
+
+@register(
+    "listagg_ordered",
+    oracle_sql="""
+    SELECT n.n_name,
+           string_agg(s.s_name, ',' ORDER BY s.s_name) AS suppliers,
+           CAST(count(*) AS BIGINT) AS n_suppliers
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+    tags=("aggregate", "listagg", "spark4"),
+)
+def listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2016 LISTAGG ... WITHIN GROUP (ORDER BY ...) — new in Spark
+    4: ordered string aggregation as a first-class aggregate (DuckDB's
+    string_agg ORDER BY is the same standard feature).  The explicit
+    WITHIN GROUP order is what makes concatenation deterministic under
+    any partitioning — the same rule as the reference's sorted posting
+    lists (src/main.c:124), stated declaratively instead of via
+    sort_array(collect_set(...)).
+
+    Scale: an ordered aggregate buffers one group's members — fine for
+    report-shaped groups (suppliers per nation); unbounded groups want
+    the top-k cut first, as everywhere else.
+    """
+    from mapreduce_c_implementation_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               listagg(s.s_name, ',') WITHIN GROUP (ORDER BY s.s_name)
+                 AS suppliers,
+               CAST(count(*) AS BIGINT) AS n_suppliers
+        FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        GROUP BY n.n_name
+        ORDER BY n.n_name
+        """
+    )

@@ -98,6 +98,7 @@ SWEPT_OPS = [
     "join_asof_keyed",
     "bitmap_exact_distinct",
     "try_arithmetic_safety",
+    "listagg_ordered",
 ]
 
 
