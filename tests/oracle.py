@@ -61,6 +61,20 @@ def assert_matches_oracle(spark, name: str, sf_dir: str) -> None:
         f"{name}: column mismatch spark={sorted(spark_pdf.columns)} "
         f"oracle={sorted(oracle_pdf.columns)}"
     )
+    # Dtype-KIND parity: canonical_rows forgives int64-vs-float64
+    # ("19525" == "19525.0" after %.12g), but the driver's hash does
+    # not — that exact divergence was round 1's only CORRECTNESS
+    # failure (DuckDB HUGEINT sums materializing as float64).  Guard
+    # the kind here so a bare integer sum() in an oracle fails loudly
+    # in-repo instead of silently red at the driver.
+    kind = lambda d: {"u": "i"}.get(d.kind, d.kind)  # noqa: E731
+    for col in spark_pdf.columns:
+        ks, ko = kind(spark_pdf[col].dtype), kind(oracle_pdf[col].dtype)
+        assert ks == ko, (
+            f"{name}.{col}: dtype kind mismatch spark={spark_pdf[col].dtype} "
+            f"oracle={oracle_pdf[col].dtype} — driver hash would diverge; "
+            f"CAST the oracle column (usually sum(int) -> HUGEINT -> float64)"
+        )
     assert len(spark_pdf) == len(oracle_pdf), (
         f"{name}: row count spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
     )
