@@ -846,3 +846,79 @@ def stream_chained_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("window.end").alias("window_end"),
         "n_events",
     )
+
+
+@register(
+    "stream_stream_left_join",
+    oracle_sql="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           p.value AS purchase_value
+    FROM events c
+    LEFT JOIN events p
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+     AND NOT (p.ts < TIMESTAMP '2024-01-20 00:00:00' AND p.event_id % 10 = 7)
+    WHERE c.event_type = 'click'
+      AND NOT (c.ts < TIMESTAMP '2024-01-20 00:00:00' AND c.event_id % 10 = 7)
+    """,
+    tags=("streaming", "join", "stream-stream", "outer"),
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the semantically hard variant:
+    an unmatched click cannot emit its null row until the watermark
+    proves no matching purchase can still arrive (state expiry IS the
+    null-emission trigger; an eager null would be retracted later).
+    Spark holds the left row in state until both watermarks pass the
+    join window, then emits click->NULL.  The sentinel batch pushes
+    the watermark past every real window, so all unmatched clicks
+    flush and the result equals the batch left time-range join.
+
+    Scale: same bounded state as the inner form — the interval
+    condition lets both sides expire; the outer buffer adds only the
+    unmatched-left rows within the active window.
+    """
+
+    def side(event_type: str, prefix: str):
+        return (
+            _staged_stream(spark, sf_dir)
+            .filter(
+                ~(
+                    (F.col("ts") < F.lit("2024-01-20").cast("timestamp"))
+                    & (F.col("event_id") % 10 == 7)
+                )
+            )
+            .filter(F.col("event_type").isin([event_type, SENTINEL_TYPE]))
+            .select(
+                F.col("user_id").alias(f"{prefix}_user_id"),
+                F.col("event_id").alias(f"{prefix}_event_id"),
+                F.col("value").alias(f"{prefix}_value"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", WATERMARK_DELAY)
+        )
+
+    clicks = side("click", "c")
+    purchases = side("purchase", "p")
+
+    def build(_stream):
+        return clicks.join(
+            purchases,
+            (F.col("p_user_id") == F.col("c_user_id"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 2 HOURS")),
+            "leftOuter",
+        )
+
+    t = _drain_to_table(spark, build(None))
+    return (
+        t.filter(F.col("c_user_id") != -1)
+        .select(
+            F.col("c_user_id").alias("user_id"),
+            F.col("c_event_id").alias("click_id"),
+            F.col("p_event_id").alias("purchase_id"),
+            F.col("p_value").alias("purchase_value"),
+        )
+    )
