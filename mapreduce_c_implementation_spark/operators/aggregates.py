@@ -844,3 +844,63 @@ def listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n.n_name
         """
     )
+
+
+TOPK_ITEMS = 10
+
+
+@register(
+    "approx_heavy_hitters",
+    # With maxItemsTracked well above the true distinct count the
+    # sketch degrades to exact counting, so the verdict compares its
+    # top-k front against the exact one — order-insensitive set
+    # equality on (word, count), the same contract as the HLL checks
+    # but on a FREQUENCY sketch.
+    oracle_sql=f"""
+    WITH exact AS (
+      SELECT word, count(*) AS cnt
+      FROM (SELECT unnest(list_transform(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'), t -> t <> ''), t -> lower(substr(t, 1, 255)))) AS word FROM documents)
+      GROUP BY word
+    ),
+    front AS (
+      SELECT word, cnt,
+             row_number() OVER (ORDER BY cnt DESC, word ASC) AS r
+      FROM exact
+    )
+    SELECT word, CAST(cnt AS BIGINT) AS cnt, true AS in_topk
+    FROM front WHERE r <= {TOPK_ITEMS}
+    ORDER BY cnt DESC, word
+    """,
+    tags=("aggregate", "sketch", "heavy-hitters", "spark4"),
+)
+def approx_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via Spark 4's ``approx_top_k`` frequency sketch —
+    the streaming-friendly answer to "most frequent items" that never
+    materializes the full frequency table (state is maxItemsTracked
+    counters, merged across partitions).  Tracked capacity here exceeds
+    the fixture vocabulary, so the sketch is provably exact and the
+    top-{TOPK_ITEMS} front (ties broken by word) matches the exact
+    count's front — diffed value-for-value, not just verdict-for-
+    verdict.  At 100 TB capacity < vocabulary and counts become
+    approximate: this op is the calibration harness for that setting.
+    """
+    from mapreduce_c_implementation_spark.functions.text import tokenize
+    from mapreduce_c_implementation_spark.sources.tables import parallel_scan
+
+    d = parallel_scan(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokenize(F.col("text"))).alias("word"))
+    sketch = toks.agg(
+        F.expr(f"approx_top_k(word, {TOPK_ITEMS * 4}, 100000)").alias("tk")
+    )
+    items = sketch.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("word"), F.col("e.count").cast("long").alias("cnt")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("cnt"), F.asc("word"))
+    return (
+        items.select("*", F.row_number().over(w).alias("r"))
+        .filter(F.col("r") <= TOPK_ITEMS)
+        .select("word", "cnt", F.lit(True).alias("in_topk"))
+        .orderBy(F.desc("cnt"), "word")
+    )

@@ -99,6 +99,7 @@ SWEPT_OPS = [
     "bitmap_exact_distinct",
     "try_arithmetic_safety",
     "listagg_ordered",
+    "approx_heavy_hitters",
 ]
 
 
