@@ -80,75 +80,112 @@ def register(
 
 
 # The driver's CORRECTNESS gate verifies a bounded prefix of ``queries()``
-# (round 1 emitted rows for exactly the first 50 names in registration
-# order, leaving 46 operators unverified).  Names listed here are emitted
-# FIRST, in this order; everything else follows in registration order.
-# Round 2 rotates the 46 previously-unchecked operators (plus the fixed
-# ``input_lineage`` and this round's new ops) into the window — the
-# rotated-out core ops keep their in-repo oracle coverage
-# (tests/test_operators_vs_oracle.py runs every registered operator).
+# (50 names per round).  Names listed here are emitted FIRST, in this
+# order; everything else follows in registration order.  Rounds 1 and 2
+# together hard-verified 99 unique operators (CORRECTNESS_r01/r02.json —
+# their union is frozen in ``_DRIVER_VERIFIED_PRIOR``); round 3 rotates
+# 50 of the remaining 90 never-driver-verified names into the window.
+# The rotated-out ops keep their in-repo oracle coverage
+# (tests/test_operators_vs_oracle.py runs every registered operator), and
+# tests/test_extensions.py's coverage-ledger test asserts the leftover
+# set still fits in one final 50-row round (round 4 takes the rest).
 _DRIVER_PRIORITY = [
-    "input_lineage",
-    # dedup
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_embedding_cosine",
-    # similarity
-    "ann_bruteforce_topk",
-    "ann_lsh_bucketed",
-    "embedding_centroids",
-    # streaming
-    "stream_tumbling_window",
-    "stream_sliding_window",
-    "stream_session_window",
-    "stream_dedup",
-    "stream_stateful_totals",
-    "stream_static_join",
-    "stream_foreach_batch_sink",
-    "stream_update_mode_counts",
-    "stream_stream_join",
-    # udf ladder
-    "udtf_tokenize",
-    "pandas_udf_scalar_score",
-    "grouped_agg_pandas_udf",
-    "apply_in_pandas_zscore",
-    "row_python_udf_format",
-    # analytics
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "pivot_status_by_flag",
-    "unpivot_measures",
-    "salted_aggregation",
-    "tfidf_top_terms",
-    "sql_subquery_surface",
-    # text analysis
-    "text_lang_id",
-    "text_quality_score",
-    "token_count",
-    "doc_fingerprint",
-    "ngram_frequencies",
+    # dedup / similarity capstones — the 100 TB-critical pieces
+    "dedup_connected_components",
+    "dedup_keep_representatives",
+    "ann_ivf_coarse",
+    "semdedup_cells",
+    "kmeans_lloyd",
+    "embedding_gram_matrix",
+    # TPC-H shapes never driver-verified (q1/q3/q4/q5/q6 green in r1/r2)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_lines",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_counts",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_sales_opportunity",
+    # corpus filters
+    "repetition_ngram_stats",
+    "contamination_ngram_overlap",
+    "exact_substring_duplicates",
+    "pii_redaction",
+    "cross_split_leakage_audit",
+    "corpus_pipeline_end2end",
+    # modern SQL
+    "recursive_cte_month_spine",
+    "lateral_topk_per_customer",
+    "sql_params_group_by_all",
+    "collation_insensitive_grouping",
+    "filtered_aggregates",
+    "width_bucket_histogram",
+    # round-2 streaming additions
+    "stream_upsert_latest",
+    "stream_dedup_within_watermark",
+    "stream_chained_aggregation",
+    "stream_stream_left_join",
+    # graph
+    "graph_pagerank_nations",
+    "graph_degree_stats",
+    # features
+    "feature_quantile_bins",
+    "feature_label_encode",
     # io
-    "text_source_inverted_index",
-    "csv_source_roundtrip",
-    "json_source_roundtrip",
-    "text_sink_roundtrip",
-    "partitioned_parquet_sink",
+    "orc_source_roundtrip",
+    "small_file_compaction",
+    "json_corrupt_records",
+    "schema_evolution_merge",
+    "xml_source_roundtrip",
+    "python_datasource_scan",
     # multimodal
-    "multimodal_ingest",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "multimodal_metadata_stats",
-    # late round-1 scalars that missed the window
-    "null_semantics",
-    "explode_outer_tokens",
-    # round-2 additions (slots 48-50)
-    "corpus_quality_filter",
-    "deterministic_split",
-    "tpch_q4_order_priority",
+    "multimodal_cas_index",
 ]
+
+# Operators hard-verified by the driver in prior rounds (the union of
+# CORRECTNESS_r01.json and CORRECTNESS_r02.json key sets, all green at
+# their latest check).  Used by the coverage-ledger test to prove the
+# rotation schedule reaches every registered operator within 4 rounds.
+_DRIVER_VERIFIED_PRIOR = frozenset({
+    # round 1 (CORRECTNESS_r01.json)
+    "agg_minmax_orders", "approx_count_distinct_check", "approx_quantile_check",
+    "argmax_minmax_by", "array_functions", "conditional_functions", "count_distinct_parts",
+    "cube_sales", "date_functions", "distinct_pairs", "except_lapsed_customers",
+    "filter_project_pushdown", "grouping_sets_sales", "histogram_events", "input_lineage",
+    "intersect_active_customers", "inverted_index", "inverted_index_formatted", "join_anti",
+    "join_asof_nearest", "join_cross", "join_full_outer", "join_left_outer",
+    "join_orders_lineitem", "join_range_bucketed", "join_semi", "join_star_broadcast",
+    "json_functions", "map_functions", "math_functions", "regex_functions", "rollup_sales",
+    "sessionize_batch", "sorted_word_count", "string_functions", "tokenize_flatmap", "tpch_q1",
+    "tpch_q6", "union_all_slices", "union_distinct_customers", "variance_stats",
+    "window_lag_lead", "window_moving_avg", "window_ntile_cume", "window_rank_percent",
+    "window_running_sum", "window_topk_per_group", "window_value_functions", "word_count",
+    "word_count_topk",
+    # round 2 (CORRECTNESS_r02.json)
+    "ann_bruteforce_topk", "ann_lsh_bucketed", "apply_in_pandas_zscore", "corpus_quality_filter",
+    "csv_source_roundtrip", "dedup_embedding_cosine", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_pairs", "deterministic_split",
+    "doc_fingerprint", "embedding_centroids", "explode_outer_tokens", "grouped_agg_pandas_udf",
+    "json_source_roundtrip", "multimodal_decode_features", "multimodal_frame_sample",
+    "multimodal_ingest", "multimodal_metadata_stats", "ngram_frequencies", "null_semantics",
+    "pandas_udf_scalar_score", "partitioned_parquet_sink", "pivot_status_by_flag",
+    "row_python_udf_format", "salted_aggregation", "sql_subquery_surface", "stream_dedup",
+    "stream_foreach_batch_sink", "stream_session_window", "stream_sliding_window",
+    "stream_stateful_totals", "stream_static_join", "stream_stream_join",
+    "stream_tumbling_window", "stream_update_mode_counts", "text_lang_id", "text_quality_score",
+    "text_sink_roundtrip", "text_source_inverted_index", "tfidf_top_terms", "token_count",
+    "tpch_q3_shipping_priority", "tpch_q4_order_priority", "tpch_q5_local_supplier",
+    "udtf_tokenize", "unpivot_measures",
+})
 
 
 def _load_all() -> None:

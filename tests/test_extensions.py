@@ -66,8 +66,8 @@ def test_dedup_exact_identity_when_no_dups(spark, sf_correct):
 
 def test_driver_priority_window():
     """The driver's CORRECTNESS gate checks a 50-query prefix of queries().
-    Round 2 rotates every round-1-unchecked operator (plus the fixed
-    input_lineage) into that window — pin the contract here."""
+    Round 3 rotates 50 never-driver-verified operators into that window,
+    leading with the 100 TB-critical dedup/ANN capstones — pin it here."""
     import __spark_entry__ as se
     from mapreduce_c_implementation_spark.registry import _DRIVER_PRIORITY, all_operators
 
@@ -81,17 +81,57 @@ def test_driver_priority_window():
     assert names[: len(_DRIVER_PRIORITY)] == _DRIVER_PRIORITY
     window = set(names[:50])
     must_check = {
-        "input_lineage", "dedup_minhash_lsh", "ann_lsh_bucketed",
-        "tpch_q3_shipping_priority", "tpch_q5_local_supplier",
-        "stream_stateful_totals", "apply_in_pandas_zscore",
-        "null_semantics", "explode_outer_tokens",
-        "corpus_quality_filter", "deterministic_split",
-        "tpch_q4_order_priority",
+        # verdict r2 item 4: the 100 TB-critical capstones
+        "dedup_connected_components", "dedup_keep_representatives",
+        "ann_ivf_coarse", "semdedup_cells", "kmeans_lloyd",
+        "embedding_gram_matrix",
+        # never-verified category leads
+        "tpch_q9_product_profit", "tpch_q21_waiting_supplier",
+        "exact_substring_duplicates", "recursive_cte_month_spine",
+        "stream_stream_left_join", "graph_pagerank_nations",
+        "python_datasource_scan",
     }
     assert must_check <= window
     # oracle_sql() ordering must mirror queries() so the driver pairs them
     osql = list(se.oracle_sql())
     assert [n for n in names if n in set(osql)] == osql
+
+
+def test_driver_coverage_ledger():
+    """Rotation ledger: every registered operator must reach a driver
+    CORRECTNESS row within ceil(N/50) rounds.  Rounds 1-2 verified the
+    frozen ``_DRIVER_VERIFIED_PRIOR`` set (union of the two CORRECTNESS
+    JSON key sets); this round's window holds 50 fresh names; whatever
+    remains must fit in ONE final 50-row window — so no operator can
+    hide outside the rotation indefinitely, and at most 50-len(leftover)
+    new operators may be added before round 4's window is built."""
+    import json
+    import pathlib
+
+    from mapreduce_c_implementation_spark.registry import (
+        _DRIVER_PRIORITY,
+        _DRIVER_VERIFIED_PRIOR,
+        all_operators,
+    )
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    actual_prior = set()
+    for f in sorted(root.glob("CORRECTNESS_r0*.json")):
+        if f.name in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+            actual_prior |= set(json.loads(f.read_text()))
+    if actual_prior:  # ledger frozen in-code must match the artifacts
+        assert actual_prior == set(_DRIVER_VERIFIED_PRIOR)
+
+    ops = set(all_operators())
+    window = set(_DRIVER_PRIORITY)
+    # the window must not waste slots on already-verified or ghost names
+    assert not (window & _DRIVER_VERIFIED_PRIOR), "window wastes verified slots"
+    assert window <= ops
+    leftover = ops - _DRIVER_VERIFIED_PRIOR - window
+    assert len(leftover) <= 50, (
+        f"{len(leftover)} operators cannot fit round 4's 50-row window: "
+        f"{sorted(leftover)[:10]}..."
+    )
 
 
 def test_frame_sample_digest_non_ascii_parity():
