@@ -476,10 +476,14 @@ def join_asof_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         left = left.sort_values("ts")
+        # Empty-right fallback derives the timestamp dtype from the LEFT
+        # frame: merge_asof raises MergeError on datetime unit mismatch,
+        # and Arrow-to-pandas may yield [us] or [ns] depending on
+        # pandas/Spark config — never hardcode the unit (ADVICE r2).
         right = (
             right.sort_values("o_orderdate")
             if len(right)
-            else pd.DataFrame({"o_orderdate": pd.Series([], dtype="datetime64[us]"),
+            else pd.DataFrame({"o_orderdate": pd.Series([], dtype=left["ts"].dtype),
                                "best_price": pd.Series([], dtype="float64")})
         )
         merged = pd.merge_asof(

@@ -676,11 +676,17 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nrm",
         (-F.array_max(scores)["negcell"]).cast("int").alias("cell"),
     )
-    # Consumed three times (both pair-join sides + the final rollup
-    # join); without the cache the 64-cell scoring fold — the dominant
-    # stage — would run three times.  What's cached is (id, vector,
-    # norm, cell): corpus-sized but row-narrow, the standard thing to
-    # materialize in a cluster-then-dedup pipeline.
+    # ``assigned`` is consumed three times (both pair-join sides + the
+    # final rollup join); without a cache the 64-cell scoring fold — the
+    # dominant stage — would run three times.  The corpus-sized cache is
+    # SCOPED TO THIS CALL (ADVICE r2: the in-repo suite runs ~190
+    # operators in one SparkSession, so a never-unpersisted corpus-sized
+    # block leaks executor storage for the rest of the session): cache
+    # assigned, eagerly materialize the SMALL dup_counts rollup against
+    # it, then unpersist before returning.  The returned plan re-scores
+    # assigned exactly once more — 2 scoring passes total vs 3 uncached —
+    # and the only block that outlives the call is dup_counts, which is
+    # duplicate-cardinality-sized, not corpus-sized.
     assigned = assigned.cache()
     a, b = assigned.alias("a"), assigned.alias("b")
     cos = F.round(
@@ -693,9 +699,16 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= SEM_TAU)
         .select(F.col("b.vec_id").alias("vec_id"))
     )
-    dup_counts = pairs.groupBy("vec_id").agg(F.count("*").alias("n_dup_partners"))
+    dup_counts = (
+        pairs.groupBy("vec_id").agg(F.count("*").alias("n_dup_partners")).cache()
+    )
+    dup_counts.count()  # force the pair join while assigned is cached
+    assigned.unpersist()
     return (
-        assigned.join(dup_counts, "vec_id", "left")
+        norms.select(
+            "vec_id",
+            (-F.array_max(scores)["negcell"]).cast("int").alias("cell"),
+        ).join(dup_counts, "vec_id", "left")
         .select(
             "vec_id",
             "cell",

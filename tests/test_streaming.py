@@ -79,14 +79,20 @@ def test_rocksdb_state_store_provider_invariance(spark, sf_correct):
 
 
 def test_checkpoint_restart_exactly_once(spark, sf_correct, tmp_path):
-    """Kill-and-restart recovery: run a windowed count over HALF the
-    input with a durable checkpoint + file sink, stop the query, add
-    the rest of the input, restart the SAME query from the SAME
-    checkpoint.  The file-source offsets in the checkpoint must prevent
-    any reprocessing: the sink ends up with each event counted exactly
-    once — equal to the batch aggregate over everything.  This is the
-    failure-recovery contract a 1000-executor streaming job lives on
-    (the reference, being single-process batch, has no analog)."""
+    """Kill-and-restart recovery: run a grouped count over PART of the
+    input with a durable checkpoint, stop the query, add the rest of
+    the input, restart the SAME query from the SAME checkpoint.  The
+    file-source offsets and the state store in the checkpoint must
+    prevent any reprocessing: the recovered aggregate counts each event
+    exactly once — equal to the batch aggregate over everything.
+
+    Scope (ADVICE r2): the sink here is a memory sink in complete
+    mode, so what this proves is SOURCE-offset recovery plus aggregate
+    STATE recovery across restart — not sink-side idempotent delivery
+    (that contract belongs to transactional file/Delta sinks and is
+    exercised by the file-sink ops in streaming/queries.py).  This is
+    the failure-recovery contract a 1000-executor streaming job lives
+    on (the reference, being single-process batch, has no analog)."""
     import shutil
 
     from mapreduce_c_implementation_spark.sources import load_table
