@@ -847,6 +847,13 @@ def listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TOPK_ITEMS = 10
+# approx_top_k tracked-item capacity.  The exact-front contract of
+# approx_heavy_hitters holds only while the fixture vocabulary stays
+# under this (ADVICE r2); tests/test_extensions.py::
+# test_heavy_hitters_fixture_under_capacity fails loudly if a fixture
+# regeneration outgrows it, and ...::test_heavy_hitters_overflow_regime
+# pins the error bound in the capacity<vocabulary regime.
+HH_CAPACITY = 100_000
 
 
 @register(
@@ -890,7 +897,7 @@ def approx_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = parallel_scan(spark, sf_dir, "documents")
     toks = d.select(F.explode(tokenize(F.col("text"))).alias("word"))
     sketch = toks.agg(
-        F.expr(f"approx_top_k(word, {TOPK_ITEMS * 4}, 100000)").alias("tk")
+        F.expr(f"approx_top_k(word, {TOPK_ITEMS * 4}, {HH_CAPACITY})").alias("tk")
     )
     items = sketch.select(F.explode("tk").alias("e")).select(
         F.col("e.item").alias("word"), F.col("e.count").cast("long").alias("cnt")

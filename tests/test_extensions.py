@@ -169,3 +169,61 @@ def test_frame_sample_digest_non_ascii_parity():
     )
     """, [text, text]).fetchone()
     assert (n, digest) == (py_count, py_digest)
+
+
+def test_heavy_hitters_fixture_under_capacity(spark, sf_correct):
+    """approx_heavy_hitters' exact-front contract (and its DuckDB oracle)
+    holds only while the fixture vocabulary stays under the sketch's
+    tracked capacity.  Fixtures regenerate between rounds — this guard
+    fails LOUDLY (instead of a silent driver hash mismatch) the day a
+    corpus outgrows the sketch (ADVICE r2)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_c_implementation_spark.functions.text import tokenize
+    from mapreduce_c_implementation_spark.operators.aggregates import HH_CAPACITY
+
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    vocab = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+        .collect()[0]["v"]
+    )
+    assert vocab < HH_CAPACITY // 2, (
+        f"fixture vocabulary {vocab} is within 2x of the approx_top_k "
+        f"capacity {HH_CAPACITY}: approx_heavy_hitters' exact oracle is "
+        "about to become approximate — raise HH_CAPACITY or loosen the "
+        "oracle to a tolerance verdict"
+    )
+
+
+def test_heavy_hitters_overflow_regime(spark):
+    """The sketch path itself, verified ABOVE capacity (verdict r2 item
+    5): vocabulary 50x the tracked capacity, 10 planted heavy hitters.
+    Misra-Gries-style frequent-items guarantees: reported counts are
+    within n_total/capacity of truth, and items with true count >
+    n_total/capacity cannot be evicted — the planted front must surface
+    with rank order intact."""
+    from pyspark.sql import functions as F
+
+    capacity = 100
+    n_heavy, heavy_count, n_tail = 10, 2_000, 5_000
+    # 10 planted heavies (h00..h09, 2000 each) + 5000 singleton tail ids
+    heavies = spark.range(n_heavy * heavy_count).select(
+        F.concat(F.lit("h"), F.lpad((F.col("id") % n_heavy).cast("string"), 2, "0")).alias("w")
+    )
+    tail = spark.range(n_tail).select(
+        F.concat(F.lit("t"), F.col("id").cast("string")).alias("w")
+    )
+    data = heavies.unionAll(tail).repartition(8)
+    n_total = n_heavy * heavy_count + n_tail
+    err = n_total / capacity  # 250 < heavy_count: heavies can't evict
+
+    sketch = data.agg(F.expr(f"approx_top_k(w, {n_heavy}, {capacity})").alias("tk"))
+    got = {
+        r["e"]["item"]: r["e"]["count"]
+        for r in sketch.select(F.explode("tk").alias("e")).collect()
+    }
+    expected_front = {f"h{i:02d}" for i in range(n_heavy)}
+    assert set(got) == expected_front, f"sketch front {sorted(got)} != planted"
+    for w, cnt in got.items():
+        assert abs(cnt - heavy_count) <= err, (w, cnt, heavy_count, err)
