@@ -152,3 +152,31 @@ def test_checkpoint_restart_exactly_once(spark, sf_correct, tmp_path):
     # and phase 1 really was a strict subset (the restart did real work)
     assert partial != recovered
     assert sum(partial.values()) < sum(recovered.values())
+
+
+def test_transform_with_state_gate_is_not_silent():
+    """The streaming ladder's transformWithStateInPandas rung registers
+    iff google.protobuf is importable (its state protocol is protobuf-
+    framed; this container ships none).  Pin the gate both ways so the
+    rung can neither vanish silently where the dependency exists nor
+    crash registration where it doesn't (VERDICT r2 item 6)."""
+    from mapreduce_c_implementation_spark.registry import all_operators
+    from mapreduce_c_implementation_spark.streaming.queries import (
+        _twspandas_available,
+    )
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        have_protobuf = True
+    except ImportError:
+        have_protobuf = False
+
+    assert _twspandas_available() == have_protobuf
+    registered = "stream_transform_with_state" in all_operators()
+    assert registered == have_protobuf, (
+        "transform_with_state registration must exactly track the "
+        "protobuf gate — a silent hole either way is a ladder defect"
+    )
+    if registered:  # where it runs, it must be oracle-paired
+        assert all_operators()["stream_transform_with_state"].oracle_sql
