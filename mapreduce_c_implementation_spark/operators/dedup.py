@@ -221,6 +221,43 @@ _SQL_MINHASH_CTES = f"""
 """
 
 
+def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band_idx, band_key) LSH band table, cached.
+
+    One posexplode, not a 4-way unionAll: a union would re-evaluate the
+    whole shingle->signature lineage once per band per join side (8x).
+    The tiny signature table is cached for the joins — at scale that's
+    {MINHASH_K} ints/doc, the canonical thing to materialize.
+    """
+    kept = _doc_shingles(spark, sf_dir)
+    x = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+    sig = kept.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(_minhash_params(i)[0]) * x + F.lit(_minhash_params(i)[1]))
+                % MINHASH_P
+            ).alias(f"mh{i}")
+            for i in range(MINHASH_K)
+        ]
+    )
+    return sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.col(f"mh{3 * b}"),
+                        F.col(f"mh{3 * b + 1}"),
+                        F.col(f"mh{3 * b + 2}"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    ).cache()
+
+
 @register(
     "dedup_minhash_lsh",
     oracle_sql=f"""
@@ -239,37 +276,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size + output pairs, the band join is a plain hash shuffle,
     and the signature (12 ints/doc) replaces the document entirely.
     """
-    kept = _doc_shingles(spark, sf_dir)
-    x = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
-    sig = kept.groupBy("doc_id").agg(
-        *[
-            F.min(
-                (F.lit(_minhash_params(i)[0]) * x + F.lit(_minhash_params(i)[1]))
-                % MINHASH_P
-            ).alias(f"mh{i}")
-            for i in range(MINHASH_K)
-        ]
-    )
-    # One posexplode, not a 4-way unionAll: a union would re-evaluate the
-    # whole shingle->signature lineage once per band per join side (8x).
-    # The tiny signature table is cached for the self-join — at scale
-    # that's 12 ints/doc, the canonical thing to materialize.
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        ":",
-                        F.col(f"mh{3 * b}"),
-                        F.col(f"mh{3 * b + 1}"),
-                        F.col(f"mh{3 * b + 2}"),
-                    )
-                    for b in range(MINHASH_BANDS)
-                ]
-            )
-        ).alias("band_idx", "band_key"),
-    ).cache()
+    bands = _minhash_bands(spark, sf_dir)
     a = bands.alias("a")
     bb = bands.alias("b")
     return (
@@ -746,4 +753,66 @@ def record_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.p_name").alias("name_b"),
             dist.cast("long").alias("dist"),
         )
+    )
+
+
+# Increment split: docs whose md5 bucket % 5 == 0 (~20%) play the role of
+# the NEW batch; the rest are the already-indexed corpus.
+_INC_SQL_IS_NEW = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 5 = 0"
+)
+
+
+def _inc_is_new() -> Column:
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 5
+        == 0
+    )
+
+
+@register(
+    "dedup_minhash_incremental",
+    oracle_sql=f"""
+    WITH {_SQL_MINHASH_CTES}
+    SELECT DISTINCT n.doc_id AS new_doc_id, i.doc_id AS index_doc_id
+    FROM (SELECT * FROM bands WHERE {_INC_SQL_IS_NEW}) n
+    JOIN (SELECT * FROM bands WHERE NOT ({_INC_SQL_IS_NEW})) i
+      ON n.band_idx = i.band_idx AND n.band_key = i.band_key
+    """,
+    tags=("dedup", "minhash", "incremental", "pipeline"),
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: flag documents in a NEW batch that near-dup
+    anything in the ALREADY-INDEXED corpus — the production shape of
+    web-scale dedup, where each crawl increment is checked against a
+    persisted signature index instead of re-deduping 100 TB from
+    scratch.  The fixture splits documents 20/80 by content hash to
+    stand in for (new batch, index).
+
+    Shape: the band table ([[dedup_minhash_lsh]]'s `_minhash_bands`,
+    computed once and cached) is split by the hash predicate and the two
+    sides equi-join on (band_idx, band_key) — new x index only, never
+    index x index.  At 100 TB the index side is a PERSISTED band table
+    (12 ints + band keys per doc, ~100 bytes/doc) bucketed by band_key:
+    the increment's bands shuffle-join against it while the corpus text
+    is never touched, so incremental dedup costs O(increment) + one
+    index probe, not O(corpus).  Non-dup new docs would then append
+    their bands to the index — same layout, pure insert.
+    """
+    bands = _minhash_bands(spark, sf_dir)
+    new_b = bands.filter(_inc_is_new()).alias("n")
+    idx_b = bands.filter(~_inc_is_new()).alias("i")
+    return (
+        new_b.join(
+            idx_b,
+            (F.col("n.band_idx") == F.col("i.band_idx"))
+            & (F.col("n.band_key") == F.col("i.band_key")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_doc_id"),
+            F.col("i.doc_id").alias("index_doc_id"),
+        )
+        .distinct()
     )

@@ -1,0 +1,223 @@
+"""Sampling & data-mixing operators for training-data pipelines.
+
+A 100 TB pretraining corpus is never used as-is: sources are rebalanced
+(a crawl dump dwarfs curated sources by 1000x), mixtures are temperature-
+weighted to a token budget, and quality strata are sampled at different
+rates.  These operators express those recipes Spark-first:
+
+- All sampling is DETERMINISTIC content-hash sampling (md5-bucket
+  thresholds), never ``rand()`` — the same document makes the same
+  keep/drop decision on any engine, any run, any partitioning.  That is
+  the reproducibility contract training pipelines live on, and it is
+  what makes every op here oracle-checkable against DuckDB.
+- Per-stratum statistics are tiny (one row per source/bucket); they
+  broadcast back onto the corpus, so each op is one full scan + one
+  broadcast join + one aggregate — no corpus-sized shuffle anywhere.
+- Ratios/weights that feed decisions are computed in INTEGER basis
+  points / milli-units (floor arithmetic), so no float fold-order can
+  diverge between engines — the same discipline as the dedup family.
+
+Reference analog: none (the reference is a fixed-function indexer,
+/root/reference/src/main.c:28-59); this module is part of the
+"operations a large-scale training-data pipeline needs" surface the
+brief adds on top of reference parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreduce_c_implementation_spark.functions.text import DUCKDB_TOKENIZE, tokenize
+from mapreduce_c_implementation_spark.registry import register
+from mapreduce_c_implementation_spark.sources.tables import parallel_scan
+
+_TOK = DUCKDB_TOKENIZE.format(col="text")
+
+# md5(doc_id) -> 16-bit bucket in [0, 10000) basis points.  The 4-hex
+# prefix is the same keyspace deterministic_split uses (% 100); basis
+# points give sampling rates 0.01% resolution.
+_SQL_BP = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 10000"
+
+
+def _bp_col() -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 10000
+    )
+
+
+@register(
+    "stratified_sample_balanced",
+    oracle_sql=f"""
+    WITH per_source AS (
+      SELECT source, count(*) AS n_total FROM documents GROUP BY source
+    ),
+    rates AS (
+      SELECT source, n_total,
+             CAST((SELECT min(n_total) FROM per_source) * 10000 // n_total
+                  AS BIGINT) AS rate_bp
+      FROM per_source
+    )
+    SELECT d.source,
+           max(r.n_total) AS n_total,
+           max(r.rate_bp) AS rate_bp,
+           CAST(sum(CASE WHEN {_SQL_BP} < r.rate_bp THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
+    FROM documents d JOIN rates r ON d.source = r.source
+    GROUP BY d.source
+    """,
+    tags=("sampling", "mixing", "pipeline"),
+)
+def stratified_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-source downsampling: every source is kept at rate
+    min_count/count (in integer basis points), so all sources contribute
+    ~equally — the standard rebalance before mixing a crawl-heavy corpus.
+
+    Plan shape: one scan -> per-source count (rows = #sources, tiny) ->
+    min over that -> broadcast the rate table back onto the corpus ->
+    hash-threshold filter folded into one aggregate.  The corpus itself
+    never shuffles; only (source) grouping keys do.  At 100 TB the rate
+    table is still a handful of rows — the broadcast is free and the op
+    is scan-bound, which is the floor.
+    """
+    d = parallel_scan(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(F.count("*").alias("n_total"))
+    # min over a handful of rows; cross-joined (broadcast, 1 row) so the
+    # rate derivation stays in one plan without a collect.
+    min_row = per_source.agg(F.min("n_total").alias("min_total"))
+    # `div`, not `/` + cast: float division can land at x.999... when the
+    # true ratio is an exact integer, and the truncation then disagrees
+    # with the oracle's integer floor-division.
+    rates = per_source.crossJoin(F.broadcast(min_row)).select(
+        "source",
+        "n_total",
+        F.expr("min_total * 10000L div n_total").alias("rate_bp"),
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .groupBy("source")
+        .agg(
+            F.max("n_total").alias("n_total"),
+            F.max("rate_bp").alias("rate_bp"),
+            F.sum((_bp_col() < F.col("rate_bp")).cast("long")).alias("n_kept"),
+        )
+    )
+
+
+# Temperature for the mixture weights: w ∝ tokens^(1/T); T=2 (sqrt) is
+# the classic multilingual rebalance (e.g. mBERT/XLM exponent 0.5).
+MIX_TOKEN_BUDGET = 1_000_000
+
+
+@register(
+    "source_token_budget_mix",
+    oracle_sql=f"""
+    WITH per_source AS (
+      SELECT source, CAST(sum(len({_TOK})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    weighted AS (
+      SELECT source, n_tokens,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000) AS BIGINT)
+               AS w_milli
+      FROM per_source
+    )
+    SELECT source, n_tokens, w_milli,
+           CAST({MIX_TOKEN_BUDGET} * w_milli
+                // (SELECT sum(w_milli) FROM weighted) AS BIGINT)
+             AS quota_tokens
+    FROM weighted
+    """,
+    tags=("sampling", "mixing", "pipeline"),
+)
+def source_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted token-budget allocation: each source gets a
+    quota of the {MIX_TOKEN_BUDGET}-token training budget proportional
+    to sqrt(its token count) — T=2 temperature sampling, the standard
+    upweighting of small curated sources against a dominant crawl.
+
+    Determinism: sqrt is IEEE-correctly-rounded on both engines, but a
+    SUM of doubles is fold-order-dependent — so the weight is floored to
+    integer milli-units FIRST and all downstream arithmetic (sum, quota
+    division) is int64.  Plan: one scan -> per-source token sum (tiny)
+    -> 1-row total broadcast back.  Corpus never shuffles.
+    """
+    d = parallel_scan(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.sum(F.size(tokenize(F.col("text")))).cast("long").alias("n_tokens")
+    )
+    weighted = per_source.select(
+        "source",
+        "n_tokens",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000)
+        .cast("long")
+        .alias("w_milli"),
+    )
+    total = weighted.agg(F.sum("w_milli").alias("total_w"))
+    return weighted.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_tokens",
+        "w_milli",
+        F.expr(f"{MIX_TOKEN_BUDGET}L * w_milli div total_w").alias("quota_tokens"),
+    )
+
+
+# Fixed log2-length bucket edges and per-bucket sample size.  FIXED
+# edges, not quantiles: a global-sort ntile is a single-partition
+# bottleneck at scale (ADVICE r2 on feature_quantile_bins), while
+# width_bucket-style fixed edges are a narrow map.
+QBS_PER_BUCKET = 25
+
+
+@register(
+    "quality_bucket_sample",
+    oracle_sql=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(length(bin(len({_TOK}) + 2)) - 1 AS BIGINT) AS bucket,
+             md5(CAST(doc_id AS VARCHAR)) AS tiebreak
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, bucket,
+             row_number() OVER (PARTITION BY bucket ORDER BY tiebreak) AS rk
+      FROM scored
+    )
+    SELECT bucket, doc_id, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {QBS_PER_BUCKET}
+    """,
+    tags=("sampling", "pipeline"),
+)
+def quality_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified eval-set draw: bucket documents by log2 token-length
+    (fixed edges — no global sort) and take a deterministic
+    {QBS_PER_BUCKET}-doc sample per bucket, ordered by md5(doc_id) — an
+    unbiased hash-shuffle within each stratum.  This is how you pull a
+    balanced human-eval or held-out slice from a skewed corpus.
+
+    Plan shape: narrow map (tokenize + floor(log2)) -> window
+    row_number PARTITIONED by bucket (scale-safe: each bucket sorts
+    independently; no WindowExec-without-partition anywhere) -> filter
+    rk <= K.  At 100 TB the only shuffle is on the ~60 bucket keys; a
+    TopK-per-group rewrite (rank pushdown) bounds per-bucket state.
+    """
+    d = parallel_scan(spark, sf_dir, "documents")
+    # floor(log2(n)) as length(bin(n))-1 — exact integer arithmetic on
+    # both engines; float log2 risks an off-by-one-ULP at power-of-two
+    # bucket edges.
+    scored = d.select(
+        "doc_id",
+        (F.length(F.bin(F.size(tokenize(F.col("text"))) + 2)) - 1)
+        .cast("long")
+        .alias("bucket"),
+        F.md5(F.col("doc_id").cast("string")).alias("tiebreak"),
+    )
+    w = Window.partitionBy("bucket").orderBy("tiebreak")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= QBS_PER_BUCKET)
+        .select("bucket", "doc_id", "rk")
+    )

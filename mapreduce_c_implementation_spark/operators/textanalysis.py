@@ -903,3 +903,114 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= BM25_TOPK)
     )
+
+
+# PMI co-occurrence: mid-frequency terms only — document frequency in
+# [PMI_DF_LO_PCT, PMI_DF_HI_PCT] percent of the corpus.  A RELATIVE
+# window (not absolute counts) so the same contract holds at any scale
+# factor; ultra-hot terms are excluded for the same reason dedup drops
+# stop-shingles (no signal), ultra-rare ones are noise.  Pairs must
+# co-occur in >= PMI_MIN_PAIRS docs.
+PMI_DF_LO_PCT = 5
+PMI_DF_HI_PCT = 80
+PMI_MIN_PAIRS = 3
+PMI_TOPK = 50
+
+
+@register(
+    "pmi_term_cooccurrence",
+    oracle_sql=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(tokens) AS t
+      FROM (SELECT doc_id, {_TOK} AS tokens FROM documents)
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    df AS (
+      SELECT t, count(*) AS df FROM tok GROUP BY t
+    ),
+    mid AS (
+      SELECT t, df FROM df, n
+      WHERE df * 100 >= {PMI_DF_LO_PCT} * n_docs
+        AND df * 100 <= {PMI_DF_HI_PCT} * n_docs
+    ),
+    kept AS (SELECT tok.doc_id, tok.t, mid.df FROM tok JOIN mid USING (t)),
+    pairs AS (
+      SELECT a.t AS term_a, b.t AS term_b,
+             max(a.df) AS df_a, max(b.df) AS df_b,
+             count(*) AS n_co
+      FROM kept a JOIN kept b
+        ON a.doc_id = b.doc_id AND a.t < b.t
+      GROUP BY 1, 2
+      HAVING count(*) >= {PMI_MIN_PAIRS}
+    )
+    SELECT term_a, term_b, df_a, df_b, n_co,
+           CAST(n_co * (SELECT n_docs FROM n) * 1000000
+                // (df_a * df_b) AS BIGINT) AS lift_ppm
+    FROM pairs
+    ORDER BY lift_ppm DESC, term_a, term_b
+    LIMIT {PMI_TOPK}
+    """,
+    tags=("text", "cooccurrence", "pipeline"),
+)
+def pmi_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-association mining: top-{PMI_TOPK} co-occurring term pairs by
+    PMI-style lift — P(a,b)/(P(a)P(b)) in integer parts-per-million
+    (lift_ppm = n_co * N * 1e6 div (df_a * df_b); log is monotone, so
+    ranking by lift IS ranking by PMI while staying integer-exact across
+    engines).  This is the analysis behind phrase detection and topic
+    vocabulary building over a pretraining corpus.
+
+    Scale shape: the doc-term posting list is df-FILTERED before the
+    self-join (df in [{PMI_DF_LO_PCT}%, {PMI_DF_HI_PCT}%] of docs — a
+    relative window, so the contract survives any corpus size), which
+    bounds per-doc pair fan-out to mid-frequency terms — the quadratic
+    guard.  One distinct + one tiny df agg (broadcast back) + one
+    equi-join on doc_id + one pair agg; the final top-K is a
+    TakeOrderedAndProject, never a materialized global sort.
+    """
+    d = compute_scan(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("t"))
+        .distinct()
+        .cache()
+    )
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    mid = (
+        tok.groupBy("t")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(
+            (F.col("df") * 100 >= PMI_DF_LO_PCT * F.col("n_docs"))
+            & (F.col("df") * 100 <= PMI_DF_HI_PCT * F.col("n_docs"))
+        )
+        .select("t", "df")
+    )
+    kept = tok.join(F.broadcast(mid), "t")
+    a = kept.alias("a")
+    b = kept.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.t") < F.col("b.t")),
+        )
+        .groupBy(F.col("a.t").alias("term_a"), F.col("b.t").alias("term_b"))
+        .agg(
+            F.max("a.df").alias("df_a"),
+            F.max("b.df").alias("df_b"),
+            F.count("*").alias("n_co"),
+        )
+        .filter(F.col("n_co") >= PMI_MIN_PAIRS)
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n_docs))
+        .select(
+            "term_a",
+            "term_b",
+            "df_a",
+            "df_b",
+            "n_co",
+            F.expr("n_co * n_docs * 1000000L div (df_a * df_b)").alias("lift_ppm"),
+        )
+        .orderBy(F.desc("lift_ppm"), "term_a", "term_b")
+        .limit(PMI_TOPK)
+    )

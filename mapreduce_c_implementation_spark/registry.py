@@ -42,6 +42,7 @@ _OPERATOR_MODULES = [
     "mapreduce_c_implementation_spark.operators.similarity",
     "mapreduce_c_implementation_spark.operators.textanalysis",
     "mapreduce_c_implementation_spark.operators.corpus_filters",
+    "mapreduce_c_implementation_spark.operators.sampling",
     "mapreduce_c_implementation_spark.operators.graph",
     "mapreduce_c_implementation_spark.operators.multimodal",
     "mapreduce_c_implementation_spark.streaming.queries",

@@ -64,6 +64,19 @@ def build_session(
         .config("spark.default.parallelism", str(cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
+        # Even with the UI off, AppStatusListener retains per-stage/task
+        # state in-heap (defaults: 1000 stages, 100k tasks).  A long
+        # single-session run (the 48-query bench reaches stage ~1100; the
+        # driver's 50-op correctness sweep is similar) accumulates heap
+        # that turns into GC pauses recurring at the SAME suite positions
+        # every pass — which min-of-interleaved-passes cannot filter.
+        # Cap retention; nothing in the repo reads the status store
+        # beyond the most recent stages (metrics.py snapshots per-job).
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "100")
+        .config("spark.ui.retainedTasks", "5000")
+        .config("spark.sql.ui.retainedExecutions", "20")
+        .config("spark.worker.ui.retainedExecutors", "10")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in REQUIRED_RUNTIME_CONF.items():
