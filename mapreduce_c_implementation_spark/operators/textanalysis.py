@@ -960,6 +960,12 @@ def pmi_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines).  This is the analysis behind phrase detection and topic
     vocabulary building over a pretraining corpus.
 
+    Complements [[token_pmi_pairs]] (analytics.py), which scores
+    ADJACENT-bigram collocations against unigram frequencies: this op
+    measures whole-DOCUMENT co-occurrence — terms that appear in the
+    same documents, regardless of position — the topic-affinity signal
+    rather than the multiword-expression signal.
+
     Scale shape: the doc-term posting list is df-FILTERED before the
     self-join (df in [{PMI_DF_LO_PCT}%, {PMI_DF_HI_PCT}%] of docs — a
     relative window, so the contract survives any corpus size), which

@@ -166,6 +166,11 @@ _NESTED_LOOP_EXEMPT = {
     # K-row centroid broadcast per Lloyd round — the assignment step IS
     # a cross product against K centroids, like ann_bruteforce's probes
     "kmeans_lloyd",
+    # 1-row corpus-total broadcasts (min stratum count / weight total /
+    # doc count) — single-row nested-loop side by construction
+    "stratified_sample_balanced",
+    "source_token_budget_mix",
+    "pmi_term_cooccurrence",
 }
 
 # Modules whose query_fns build lazy plans (streaming/io execute jobs
@@ -173,7 +178,7 @@ _NESTED_LOOP_EXEMPT = {
 _LAZY_MODULES = {
     "mapreduce_core", "aggregates", "joins", "windows", "setops",
     "scalars", "udfs", "analytics", "dedup", "similarity", "textanalysis",
-    "corpus_filters", "tpch_extra", "features", "modern_sql",
+    "corpus_filters", "tpch_extra", "features", "modern_sql", "sampling",
 }
 
 
