@@ -76,6 +76,11 @@ HEADLINE = [
     "hll_sketch_mergeable",
     "semdedup_cells",
     "feature_quantile_bins",
+    # round-3 additions
+    "dedup_minhash_incremental",
+    "pmi_term_cooccurrence",
+    "quality_bucket_sample",
+    "stratified_sample_balanced",
 ]
 
 

@@ -100,6 +100,11 @@ SWEPT_OPS = [
     "try_arithmetic_safety",
     "listagg_ordered",
     "approx_heavy_hitters",
+    "stratified_sample_balanced",
+    "source_token_budget_mix",
+    "quality_bucket_sample",
+    "dedup_minhash_incremental",
+    "pmi_term_cooccurrence",
 ]
 
 

@@ -1,0 +1,87 @@
+"""Invariant tests for the sampling/mixing operators — properties the
+DuckDB oracle diff cannot express (bounds, budget conservation,
+split-disjointness) asserted directly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_c_implementation_spark.operators.sampling import (
+    MIX_TOKEN_BUDGET,
+    QBS_PER_BUCKET,
+)
+from mapreduce_c_implementation_spark.registry import get_operator
+
+
+def test_stratified_sample_rate_bounds(spark, sf_correct):
+    """Rates are basis points in (0, 10000]; the smallest stratum keeps
+    everything (rate == 10000); no stratum keeps more than it has."""
+    rows = (
+        get_operator("stratified_sample_balanced")
+        .query_fn(spark, sf_correct)
+        .collect()
+    )
+    assert rows
+    assert all(0 < r.rate_bp <= 10000 for r in rows)
+    assert all(r.n_kept <= r.n_total for r in rows)
+    smallest = min(rows, key=lambda r: r.n_total)
+    assert smallest.rate_bp == 10000
+    assert smallest.n_kept == smallest.n_total
+
+
+def test_token_budget_mix_conserves_budget(spark, sf_correct):
+    """Quotas are non-negative and sum to the budget minus at most one
+    token of floor loss per source."""
+    rows = (
+        get_operator("source_token_budget_mix").query_fn(spark, sf_correct).collect()
+    )
+    assert rows
+    assert all(r.quota_tokens >= 0 for r in rows)
+    total = sum(r.quota_tokens for r in rows)
+    assert MIX_TOKEN_BUDGET - len(rows) <= total <= MIX_TOKEN_BUDGET
+    # sqrt-temperature upweights small sources: quota per token must be
+    # weakly DECREASING in source size.
+    by_size = sorted(rows, key=lambda r: r.n_tokens)
+    ratios = [r.quota_tokens / r.n_tokens for r in by_size]
+    assert all(a >= b * 0.999 for a, b in zip(ratios, ratios[1:]))
+
+
+def test_quality_bucket_sample_caps_and_uniqueness(spark, sf_correct):
+    df = get_operator("quality_bucket_sample").query_fn(spark, sf_correct)
+    per_bucket = df.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    assert per_bucket
+    assert all(r.n <= QBS_PER_BUCKET for r in per_bucket)
+    n_rows = df.count()
+    assert df.select("doc_id").distinct().count() == n_rows
+
+
+def test_minhash_incremental_sides_disjoint(spark, sf_correct):
+    """Every reported pair crosses the split: the new side is always in
+    the 20% hash bucket, the index side never is — no index-x-index or
+    new-x-new pair can appear."""
+    df = get_operator("dedup_minhash_incremental").query_fn(spark, sf_correct)
+
+    def bucket(col):
+        return (
+            F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 4), 16, 10)
+            .cast("long")
+            % 5
+        )
+
+    bad = df.filter(
+        (bucket("new_doc_id") != 0) | (bucket("index_doc_id") == 0)
+    ).count()
+    assert bad == 0
+    # and the pair set is a subset of the full self-join LSH pairs
+    full = get_operator("dedup_minhash_lsh").query_fn(spark, sf_correct)
+    sym = full.union(
+        full.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    extra = (
+        df.join(
+            sym,
+            (df.new_doc_id == sym.doc_a) & (df.index_doc_id == sym.doc_b),
+            "left_anti",
+        ).count()
+    )
+    assert extra == 0
