@@ -81,6 +81,7 @@ HEADLINE = [
     "pmi_term_cooccurrence",
     "quality_bucket_sample",
     "stratified_sample_balanced",
+    "ann_pq_adc",
 ]
 
 

@@ -814,6 +814,8 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from mapreduce_c_implementation_spark.sources.tables import compute_scan
 
+    from mapreduce_c_implementation_spark.sources.tables import compute_scan
+
     e = compute_scan(spark, sf_dir, "embeddings")
     xq = F.transform(
         F.col("embedding"),
@@ -871,3 +873,178 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# --- Product-quantization ANN with asymmetric distance (ADC) -------------
+# The fourth rung of the ANN ladder (brute force -> LSH -> IVF -> PQ):
+# vectors compress to PQ_M one-byte codes; queries score the compressed
+# corpus via per-subspace lookup tables.  Codebook here = per-label
+# subvector centroids (a supervised stand-in for trained PQ centroids —
+# deterministic, so the oracle can rebuild it exactly); arithmetic is
+# the kmeans_lloyd fixed-point discipline (floor(x*1e6)+offset, integer
+# squared distances, truncating integer mean) so engines cannot
+# disagree.
+PQ_M = 4  # subspaces
+PQ_SUBDIM = EMB_DIM // PQ_M  # 16 dims each
+PQ_TOPK = 10
+
+_PQ_SQL_SUBDIST = (
+    f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    f"list_transform(generate_series(1, {PQ_SUBDIM}), "
+    f"i -> (s.sub[i] - c.cq[i]) * (s.sub[i] - c.cq[i]))), (a, b) -> a + b)"
+)
+
+
+@register(
+    "ann_pq_adc",
+    oracle_sql=f"""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(generate_series(1, {EMB_DIM}),
+               i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * {KMEANS_SCALE})
+                    AS BIGINT) + {KMEANS_OFFSET}) AS xq
+      FROM embeddings
+    ),
+    subs AS (
+      SELECT vec_id, label, m,
+             list_transform(generate_series(1, {PQ_SUBDIM}),
+               i -> xq[m * {PQ_SUBDIM} + i]) AS sub
+      FROM q CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m)
+    ),
+    cdims AS (
+      SELECT label, m, i, CAST(sum(sub[i]) // count(*) AS BIGINT) AS s
+      FROM subs CROSS JOIN generate_series(1, {PQ_SUBDIM}) AS g(i)
+      GROUP BY label, m, i
+    ),
+    cb AS (SELECT label, m, list(s ORDER BY i) AS cq FROM cdims GROUP BY label, m),
+    enc AS (
+      SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, c.label AS code,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {_PQ_SQL_SUBDIST} ASC, c.label ASC) AS rn
+        FROM subs s JOIN cb c ON s.m = c.m
+      ) WHERE rn = 1
+    ),
+    adc AS (
+      SELECT s.vec_id AS query_id, s.m, c.label AS code,
+             {_PQ_SQL_SUBDIST} AS tdist
+      FROM subs s JOIN cb c ON s.m = c.m
+      WHERE s.vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT a.query_id, e.vec_id AS neighbor_id,
+             CAST(sum(a.tdist) AS BIGINT) AS adc_dist
+      FROM enc e JOIN adc a ON a.m = e.m AND a.code = e.code
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_dist, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc_dist ASC, neighbor_id ASC)
+                      AS rank
+          FROM scored WHERE query_id <> neighbor_id)
+    WHERE rank <= {PQ_TOPK}
+    """,
+    tags=("similarity", "ann", "pq", "pipeline"),
+)
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: each vector compresses to {PQ_M} codes
+    (nearest per-label subspace centroid); each probe (vec_id <
+    {N_QUERIES}) scores the ENTIRE corpus from its {PQ_M}x10 ADC lookup
+    table — approximate L2 = sum of per-subspace table entries — and
+    reports top-{PQ_TOPK}.
+
+    Why this is the 100 TB endgame of the ANN ladder: the corpus
+    collapses from {EMB_DIM} floats to {PQ_M} small ints per vector
+    (~64x memory compression here; 1 byte/code in a real deployment),
+    the scan-and-score pass does integer ADDS against a broadcast
+    lookup table instead of {EMB_DIM}-wide float dot products, and the
+    code table is what you persist — re-scoring new probes never
+    touches raw embeddings.  Combine with [[ann_ivf_coarse]] (IVF-PQ)
+    and the probe cost drops to nprobe cells' worth of codes.
+
+    Plan shape: quantize -> posexplode {PQ_M} subvectors (narrow) ->
+    codebook = tiny groupBy((label, m, dim)) integer means, broadcast
+    both into the encode argmin (window over (vec_id, m)) and the ADC
+    table build; scoring is an equi-join of per-vector codes against
+    the 320-row broadcast ADC table + one (query, vec) sum; top-k is a
+    per-query window.  The only corpus-sized shuffles are the
+    (vec_id, m) argmin and the (query_id, vec_id) sum — both keyed
+    fine-grained, no global sort anywhere.
+
+    Codebook note: per-LABEL centroids stand in for kmeans-trained PQ
+    centroids so the oracle is exactly reproducible; swapping in
+    [[kmeans_lloyd]]-per-subspace centroids is the same dataflow with
+    a training job in front.
+    """
+    from mapreduce_c_implementation_spark.sources.tables import compute_scan
+
+    e = compute_scan(spark, sf_dir, "embeddings")
+    xq = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * KMEANS_SCALE).cast("long")
+        + KMEANS_OFFSET,
+    )
+    q = e.select("vec_id", "label", xq.alias("xq"))
+    subs = q.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("xq"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("m", "sub"),
+    ).cache()
+    dims = subs.select(
+        "label", "m", F.posexplode(F.col("sub")).alias("i", "v")
+    )
+    cdims = dims.groupBy("label", "m", "i").agg(
+        F.expr("sum(v) div count(*)").alias("s")
+    )
+    cb = cdims.groupBy("label", "m").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "s"))), lambda x: x["s"]
+        ).alias("cq")
+    )
+    subdist = F.aggregate(
+        F.zip_with(F.col("sub"), F.col("cq"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored_codes = subs.join(
+        F.broadcast(cb.select(F.col("label").alias("code"), "m", "cq")), "m"
+    ).select("vec_id", "label", "m", "code", subdist.alias("sd"))
+    from pyspark.sql.window import Window
+
+    w_enc = Window.partitionBy("vec_id", "m").orderBy(F.asc("sd"), F.asc("code"))
+    enc = (
+        scored_codes.select(
+            "vec_id", "m", "code", F.row_number().over(w_enc).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    adc = (
+        subs.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cb.select(F.col("label").alias("code"), "m", "cq")), "m")
+        .select(
+            F.col("vec_id").alias("query_id"), "m", "code", subdist.alias("tdist")
+        )
+    )
+    scored = (
+        enc.join(F.broadcast(adc), ["m", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("tdist").cast("long").alias("adc_dist"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return scored.select(
+        "query_id",
+        "neighbor_id",
+        "adc_dist",
+        F.row_number().over(w_rank).cast("long").alias("rank"),
+    ).filter(F.col("rank") <= PQ_TOPK)

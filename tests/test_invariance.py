@@ -105,6 +105,7 @@ SWEPT_OPS = [
     "quality_bucket_sample",
     "dedup_minhash_incremental",
     "pmi_term_cooccurrence",
+    "ann_pq_adc",
 ]
 
 
