@@ -180,3 +180,67 @@ def test_transform_with_state_gate_is_not_silent():
     )
     if registered:  # where it runs, it must be oracle-paired
         assert all_operators()["stream_transform_with_state"].oracle_sql
+
+
+def test_file_sink_restart_idempotent_delivery(spark, sf_correct, tmp_path):
+    """Sink-side exactly-once (the contract test_checkpoint_restart
+    scopes OUT): stream to a REAL parquet file sink in append mode with
+    a durable checkpoint, stop mid-input, restart from the same
+    checkpoint, and read the sink back like a downstream consumer.  The
+    file sink's transaction log (_spark_metadata) must expose each input
+    row exactly once — no loss, no duplicates — even though the second
+    run re-lists a directory whose earlier files were already committed.
+    This is the idempotent-commit protocol a 1000-executor job relies on
+    when executors die mid-write: uncommitted files are invisible."""
+    import shutil
+
+    from mapreduce_c_implementation_spark.sources import load_table
+    from mapreduce_c_implementation_spark.streaming.staging import stage_events
+
+    staged = stage_events(sf_correct)
+    batches = sorted(
+        f for f in __import__("os").listdir(staged) if f.endswith(".parquet")
+    )
+    assert len(batches) >= 3
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    schema = load_table(spark, sf_correct, "events").schema
+
+    def run_until_drained():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+            .select("event_id", "user_id", "event_type")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    shutil.copy(f"{staged}/{batches[0]}", src / batches[0])
+    run_until_drained()
+    n_partial = spark.read.parquet(sink).count()
+
+    for b in batches[1:]:
+        shutil.copy(f"{staged}/{b}", src / b)
+    run_until_drained()
+
+    out = spark.read.parquet(sink)
+    n_total = out.count()
+    assert n_partial < n_total
+    # exactly once: every event_id appears exactly once, and the id SET
+    # matches the batch input exactly
+    assert out.select("event_id").distinct().count() == n_total
+    expected = (
+        spark.read.parquet(str(src)).select("event_id").distinct().count()
+    )
+    assert n_total == expected
