@@ -966,23 +966,25 @@ def pmi_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     same documents, regardless of position — the topic-affinity signal
     rather than the multiword-expression signal.
 
-    Scale shape: the doc-term posting list is df-FILTERED before the
-    self-join (df in [{PMI_DF_LO_PCT}%, {PMI_DF_HI_PCT}%] of docs — a
-    relative window, so the contract survives any corpus size), which
-    bounds per-doc pair fan-out to mid-frequency terms — the quadratic
-    guard.  One distinct + one tiny df agg (broadcast back) + one
-    equi-join on doc_id + one pair agg; the final top-K is a
-    TakeOrderedAndProject, never a materialized global sort.
+    Scale shape: per-doc term SETS (array_distinct — a narrow map, no
+    posting-level distinct shuffle) feed a tiny df aggregate whose
+    mid-frequency slice (df in [{PMI_DF_LO_PCT}%, {PMI_DF_HI_PCT}%] of
+    docs — a relative window, so the contract survives any corpus size)
+    broadcasts back; pairs are generated IN-ROW from each doc's sorted
+    mid-term array (index-lambda transform — bounded fan-out, no
+    self-join), so the only corpus-sized shuffle is the pair-count
+    aggregate, which map-side combines down to the pair vocabulary.
+    The final top-K is a TakeOrderedAndProject, never a materialized
+    global sort.
     """
     d = compute_scan(spark, sf_dir, "documents")
-    tok = (
-        d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("t"))
-        .distinct()
-        .cache()
-    )
+    sets = d.select(
+        "doc_id", F.array_distinct(tokenize(F.col("text"))).alias("ts")
+    ).cache()
     n_docs = d.agg(F.count("*").alias("n_docs"))
     mid = (
-        tok.groupBy("t")
+        sets.select(F.explode("ts").alias("t"))
+        .groupBy("t")
         .agg(F.count("*").alias("df"))
         .crossJoin(F.broadcast(n_docs))
         .filter(
@@ -991,21 +993,47 @@ def pmi_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("t", "df")
     )
-    kept = tok.join(F.broadcast(mid), "t")
-    a = kept.alias("a")
-    b = kept.alias("b")
+    # per-doc sorted mid-term array, then all (a < b) pairs via an
+    # index lambda — the per-row analog of the posting-list self-join
+    mid_terms = mid.agg(F.array_sort(F.collect_list("t")).alias("mts"))
+    doc_pairs = (
+        sets.crossJoin(F.broadcast(mid_terms))
+        .select(
+            F.array_sort(
+                F.array_intersect(F.col("ts"), F.col("mts"))
+            ).alias("mt")
+        )
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("mt"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("mt"), i + 2, F.greatest(F.size("mt"), F.lit(1))
+                            ),
+                            lambda y: F.struct(
+                                x.alias("term_a"), y.alias("term_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.term_a", "p.term_b")
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.t") < F.col("b.t")),
-        )
-        .groupBy(F.col("a.t").alias("term_a"), F.col("b.t").alias("term_b"))
-        .agg(
-            F.max("a.df").alias("df_a"),
-            F.max("b.df").alias("df_b"),
-            F.count("*").alias("n_co"),
-        )
+        doc_pairs.groupBy("term_a", "term_b")
+        .agg(F.count("*").alias("n_co"))
         .filter(F.col("n_co") >= PMI_MIN_PAIRS)
+        .join(
+            F.broadcast(mid.select(F.col("t").alias("term_a"), F.col("df").alias("df_a"))),
+            "term_a",
+        )
+        .join(
+            F.broadcast(mid.select(F.col("t").alias("term_b"), F.col("df").alias("df_b"))),
+            "term_b",
+        )
     )
     return (
         pairs.crossJoin(F.broadcast(n_docs))
