@@ -561,3 +561,56 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+@register(
+    "dynamic_partition_pruning_join",
+    oracle_sql="""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(30,6)) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    WHERE substr(md5(o_orderpriority), 1, 1) < '8'
+    GROUP BY o_orderpriority
+    """,
+    tags=("source", "parquet", "partition-pruning", "dpp"),
+)
+def dynamic_partition_pruning_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning: the fact scan's partition filter comes
+    from the JOIN, not from a literal.  Orders are staged partitioned by
+    o_orderpriority; the dim side (distinct priorities + a derived
+    class) is filtered on the DERIVED column, so the fact predicate is
+    only known once the dim is evaluated — Spark plants a
+    SubqueryBroadcast `dynamicpruning` expression into the scan's
+    PartitionFilters (gated in tests/test_plans.py) and skips whole
+    partition directories at runtime.
+
+    This is [[partitioned_parquet_sink]]'s static pruning upgraded to
+    the star-join shape that dominates warehouse workloads: at 100 TB a
+    date-dim filter ("last quarter") prunes 95% of a date-partitioned
+    fact before any fact byte is read, with zero query rewriting.  The
+    oracle collapses the join to its equivalent fact predicate.
+    """
+    key = (sf_dir, "dpp_orders")
+    o = load_table(spark, sf_dir, "orders")
+    if key not in _staged or not Path(_staged[key]).is_dir():
+        d = tempfile.mkdtemp(prefix="dpp_orders_")
+        shutil.rmtree(d)
+        o.write.partitionBy("o_orderpriority").parquet(d)
+        _staged[key] = d
+    fact = spark.read.parquet(_staged[key])
+    dim = (
+        o.select("o_orderpriority")
+        .distinct()
+        .withColumn("pclass", F.substring(F.md5("o_orderpriority"), 1, 1))
+        .filter(F.col("pclass") < "8")
+    )
+    return (
+        fact.join(F.broadcast(dim), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            exact_sum("o_totalprice").alias("sum_price"),
+        )
+    )

@@ -106,6 +106,7 @@ SWEPT_OPS = [
     "dedup_minhash_incremental",
     "pmi_term_cooccurrence",
     "ann_pq_adc",
+    "dynamic_partition_pruning_join",
 ]
 
 

@@ -97,6 +97,17 @@ def test_partitioned_sink_prunes_partitions(spark, sf_correct):
     assert "PartitionFilters" in plan and "l_returnflag" in plan, plan
 
 
+def test_dpp_scan_has_dynamic_pruning_subquery(spark, sf_correct):
+    """The join-derived dim filter must reach the fact scan as a
+    DYNAMIC partition-pruning expression — the scan's PartitionFilters
+    contain a dynamicpruning subquery, so partition directories are
+    skipped at runtime based on the dim side's evaluated keys."""
+    df = get_operator("dynamic_partition_pruning_join").query_fn(spark, sf_correct)
+    plan = physical_plan(df)
+    assert "dynamicpruning" in plan.lower(), plan
+    assert "PartitionFilters" in plan, plan
+
+
 def test_minhash_band_join_is_equi_join(spark, sf_correct):
     """The LSH candidate join must be a hash-key equi-join (SortMerge or
     ShuffledHash/Broadcast), NEVER BroadcastNestedLoop — the O(n*m)
