@@ -90,6 +90,11 @@ def register(
 # (tests/test_operators_vs_oracle.py runs every registered operator), and
 # tests/test_extensions.py's coverage-ledger test asserts the leftover
 # set still fits in one final 50-row round (round 4 takes the rest).
+# ROUND-4 ROTATION NOTE: after the round-3 driver run lands
+# CORRECTNESS_r03, fold these 50 names into _DRIVER_VERIFIED_PRIOR and
+# rebuild this list from the remaining never-verified operators (the
+# ledger test test_driver_coverage_ledger computes that leftover set —
+# 47 names as of round 3, including the six round-3 additions).
 _DRIVER_PRIORITY = [
     # dedup / similarity capstones — the 100 TB-critical pieces
     "dedup_connected_components",
