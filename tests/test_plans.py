@@ -97,6 +97,17 @@ def test_partitioned_sink_prunes_partitions(spark, sf_correct):
     assert "PartitionFilters" in plan and "l_returnflag" in plan, plan
 
 
+def test_topk_windows_push_rank_limit(spark, sf_correct):
+    """rank<=K filters over partitioned windows must compile to
+    WindowGroupLimit (per-partition top-K state, map-side pre-limited)
+    — without it every bucket/query group buffers its FULL membership
+    through the sort, the difference between O(K) and O(group) state at
+    100 TB."""
+    for name in ("quality_bucket_sample", "ann_pq_adc"):
+        plan = physical_plan(get_operator(name).query_fn(spark, sf_correct))
+        assert "WindowGroupLimit" in plan, (name, plan)
+
+
 def test_dpp_scan_has_dynamic_pruning_subquery(spark, sf_correct):
     """The join-derived dim filter must reach the fact scan as a
     DYNAMIC partition-pruning expression — the scan's PartitionFilters
