@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_c_implementation_spark.functions.exactagg import dec
+from mapreduce_c_implementation_spark.functions.exactagg import dec, exact_sum
 from mapreduce_c_implementation_spark.registry import register
 from mapreduce_c_implementation_spark.sources import load_table
 from mapreduce_c_implementation_spark.sources.tables import register_views
@@ -918,4 +918,89 @@ def tpch_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(excess, s.s_suppkey == excess.ps_suppkey, "left_semi")
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
+    )
+
+
+# --- TPC-H refresh functions RF1/RF2 -------------------------------------
+# The spec's throughput test interleaves the 22 queries with refresh
+# streams: RF1 inserts ~0.1% new orders, RF2 deletes ~0.1% existing
+# ones.  The fixture ships no refresh files, so both sets are derived
+# deterministically: RF2 deletes orders whose md5 bucket hits 1-in-64;
+# RF1 re-inserts a transformed copy of a DIFFERENT 1-in-64 slice under
+# fresh keys (max key + old key), which both engines synthesize
+# identically.
+RF_MOD = 64
+
+
+@register(
+    "tpch_rf1_rf2_refresh",
+    oracle_sql="""
+    WITH maxk AS (SELECT max(o_orderkey) AS mk FROM orders),
+    inserts AS (
+      SELECT o_orderkey + (SELECT mk FROM maxk) AS o_orderkey,
+             o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+             o_orderpriority
+      FROM orders
+      WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4)
+                 AS BIGINT) % 64 = 1
+    ),
+    refreshed AS (
+      SELECT * FROM orders
+      WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4)
+                 AS BIGINT) % 64 <> 0
+      UNION ALL
+      SELECT * FROM inserts
+    )
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(30,6)) AS DOUBLE)
+             AS sum_price,
+           max(o_orderkey) AS max_key
+    FROM refreshed
+    GROUP BY o_orderstatus
+    """,
+    tags=("tpch", "refresh", "merge"),
+)
+def tpch_rf1_rf2_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H refresh streams RF1 (insert) + RF2 (delete) applied as one
+    batch merge, completing the spec surface beyond the 22 query shapes:
+    delete a deterministic 1-in-{RF_MOD} key slice, insert a re-keyed
+    copy of a disjoint slice (fresh keys above max), then audit the
+    refreshed table per order status (count, exact-decimal price sum,
+    max key — so a missed delete, doubled insert, or key collision all
+    break the diff).
+
+    Scale shape: the delete is a narrow hash-predicate filter (NO
+    anti-join — the delete set is defined by the key itself, the
+    batch-pipeline analog of partition-level deletes); the insert side
+    is a second narrow map over the same scan unioned in, and the 1-row
+    max-key aggregate broadcasts.  One scan feeds both branches, one
+    tiny shuffle for the final audit agg.  On a real lakehouse table
+    this maps to MERGE INTO / copy-on-write semantics; the dataflow —
+    filter ∪ transformed-insert, then audit — is exactly this plan.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % RF_MOD
+    )
+    maxk = o.agg(F.max("o_orderkey").alias("mk"))
+    inserts = (
+        o.filter(bucket == 1)
+        .crossJoin(F.broadcast(maxk))
+        .select(
+            (F.col("o_orderkey") + F.col("mk")).alias("o_orderkey"),
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+    refreshed = o.filter(bucket != 0).unionByName(inserts)
+    return refreshed.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        exact_sum("o_totalprice").alias("sum_price"),
+        F.max("o_orderkey").alias("max_key"),
     )

@@ -107,6 +107,7 @@ SWEPT_OPS = [
     "pmi_term_cooccurrence",
     "ann_pq_adc",
     "dynamic_partition_pruning_join",
+    "tpch_rf1_rf2_refresh",
 ]
 
 

@@ -193,6 +193,8 @@ _NESTED_LOOP_EXEMPT = {
     "stratified_sample_balanced",
     "source_token_budget_mix",
     "pmi_term_cooccurrence",
+    # 1-row max-key broadcast re-keys the RF1 insert slice
+    "tpch_rf1_rf2_refresh",
 }
 
 # Modules whose query_fns build lazy plans (streaming/io execute jobs
