@@ -82,6 +82,8 @@ HEADLINE = [
     "quality_bucket_sample",
     "stratified_sample_balanced",
     "ann_pq_adc",
+    "dynamic_partition_pruning_join",
+    "tpch_rf1_rf2_refresh",
 ]
 
 
