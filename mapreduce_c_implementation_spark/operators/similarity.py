@@ -1006,18 +1006,23 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("m", "sub"),
-    ).cache()
+    )
     dims = subs.select(
         "label", "m", F.posexplode(F.col("sub")).alias("i", "v")
     )
     cdims = dims.groupBy("label", "m", "i").agg(
         F.expr("sum(v) div count(*)").alias("s")
     )
+    # Cache + force the CODEBOOK (10 labels x {PQ_M} subspaces — tiny),
+    # not the corpus-sized subvector explode (semdedup_cells
+    # cache-scoping rule); subs is a narrow quantize+slice map that
+    # recomputes cheaply for the encode and ADC passes.
     cb = cdims.groupBy("label", "m").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("i", "s"))), lambda x: x["s"]
         ).alias("cq")
-    )
+    ).cache()
+    cb.count()
     subdist = F.aggregate(
         F.zip_with(F.col("sub"), F.col("cq"), lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),

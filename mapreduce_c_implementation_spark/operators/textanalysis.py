@@ -980,8 +980,15 @@ def pmi_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = compute_scan(spark, sf_dir, "documents")
     sets = d.select(
         "doc_id", F.array_distinct(tokenize(F.col("text"))).alias("ts")
-    ).cache()
+    )
     n_docs = d.agg(F.count("*").alias("n_docs"))
+    # The VOCAB-sized df table is what gets cached (+ eagerly forced, so
+    # the tokenize pass behind it runs once) — never the corpus-sized
+    # per-doc term sets (the semdedup_cells cache-scoping rule: ~200
+    # operators share one session in the oracle suite, so a corpus-sized
+    # block that outlives the call leaks executor storage).  sets is
+    # recomputed once more for pair generation: 2 narrow tokenize passes
+    # total, zero corpus-sized residue.
     mid = (
         sets.select(F.explode("ts").alias("t"))
         .groupBy("t")
@@ -992,7 +999,9 @@ def pmi_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("df") * 100 <= PMI_DF_HI_PCT * F.col("n_docs"))
         )
         .select("t", "df")
+        .cache()
     )
+    mid.count()
     # per-doc sorted mid-term array, then all (a < b) pairs via an
     # index lambda — the per-row analog of the posting-list self-join
     mid_terms = mid.agg(F.array_sort(F.collect_list("t")).alias("mts"))
