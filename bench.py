@@ -198,8 +198,14 @@ def main() -> None:
     timings: dict[str, float] = {name: float("inf") for name in names}
     for _ in range(reps):
         for name in names:
-            df = ops[name].query_fn(spark, sf_dir)
+            # The clock starts BEFORE query_fn: several operators do
+            # eager work inside it (cache-scoped forced materialization
+            # of codebooks/band tables, fixture staging) and excluding
+            # that would overstate any op that fronts its dominant
+            # stage.  Staging helpers cache per sf_dir, so reps after
+            # the first measure steady state and min() absorbs it.
             t0 = time.perf_counter()
+            df = ops[name].query_fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             timings[name] = min(timings[name], time.perf_counter() - t0)
             spark.catalog.clearCache()
@@ -217,6 +223,15 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # Round-3 methodology change, affects cross-round comparison:
+        # the clock now includes query CONSTRUCTION, so operators that
+        # execute eagerly inside query_fn (iterative localCheckpoint
+        # ops like dedup_connected_components/kmeans_lloyd, and the
+        # cache-scoped forced materializations) report their full cost.
+        # Earlier rounds under-reported those (e.g. connected
+        # components measured 0.03 s while its label propagation ran
+        # pre-clock).  Not a regression — the same work, now counted.
+        "timing_note": "clock includes query construction (eager in-op work counted from r3)",
     }
 
     # Flagship end-to-end throughput vs BASELINE.md (MB/s over raw text).

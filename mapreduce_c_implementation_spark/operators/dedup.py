@@ -58,8 +58,15 @@ def _shingles_col() -> Column:
     return ngrams(F.col("tokens"), 3)
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) distinct pairs with stop-shingles removed."""
+def _doc_shingles(
+    spark: SparkSession, sf_dir: str, return_pairs: bool = False
+) -> DataFrame | tuple[DataFrame, DataFrame]:
+    """(doc_id, shingle) distinct pairs with stop-shingles removed.
+
+    ``return_pairs=True`` also hands back the cached posting-list handle
+    so callers that materialize a DERIVED table (e.g. the minhash band
+    table) can unpersist the corpus-sized cache afterwards — the
+    semdedup cache-scoping rule."""
     # compute_scan, not parallel_scan: tokenize+shingle is the dominant
     # CPU stage and must not serialize on a single small-file partition.
     d = compute_scan(spark, sf_dir, "documents")
@@ -78,7 +85,8 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") > STOP_SHINGLE_DF)
         .select("shingle")
     )
-    return pairs.join(F.broadcast(hot), "shingle", "left_anti")
+    kept = pairs.join(F.broadcast(hot), "shingle", "left_anti")
+    return (kept, pairs) if return_pairs else kept
 
 
 _SQL_DOC_SHINGLES = f"""
@@ -226,10 +234,13 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One posexplode, not a 4-way unionAll: a union would re-evaluate the
     whole shingle->signature lineage once per band per join side (8x).
-    The tiny signature table is cached for the joins — at scale that's
-    {MINHASH_K} ints/doc, the canonical thing to materialize.
+    The tiny signature table is cached AND eagerly forced — at scale
+    that's {MINHASH_K} ints/doc, the canonical thing to materialize —
+    after which the corpus-sized posting-list cache behind it is
+    unpersisted (semdedup cache-scoping rule): every minhash-family op
+    leaves only the narrow band table in executor storage.
     """
-    kept = _doc_shingles(spark, sf_dir)
+    kept, pairs = _doc_shingles(spark, sf_dir, return_pairs=True)
     x = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
     sig = kept.groupBy("doc_id").agg(
         *[
@@ -240,7 +251,7 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(MINHASH_K)
         ]
     )
-    return sig.select(
+    bands = sig.select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -256,6 +267,9 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_idx", "band_key"),
     ).cache()
+    bands.count()  # force the shingle->signature pipeline once
+    pairs.unpersist()
+    return bands
 
 
 @register(
