@@ -74,7 +74,6 @@ HEADLINE = [
     "kmeans_lloyd",
     "correlation_matrix",
     "hll_sketch_mergeable",
-    "semdedup_cells",
     "feature_quantile_bins",
     # round-3 additions
     "dedup_minhash_incremental",
@@ -84,6 +83,9 @@ HEADLINE = [
     "ann_pq_adc",
     "dynamic_partition_pruning_join",
     "tpch_rf1_rf2_refresh",
+    # round-4 additions
+    "ann_ivf_pq",
+    "dedup_cc_stars",
 ]
 
 
@@ -249,6 +251,13 @@ def main() -> None:
     flagship_mb_2x = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_MB_2X", "1416"))
     if flagship_mb_2x > 0:
         payload["flagship_2x"] = flagship_throughput(spark, sf_dir, flagship_mb_2x)
+
+    # Third flagship row at ~4x (VERDICT r3 #8): throughput ROSE from 1x
+    # to 2x (fixed costs amortize); this row checks the trend once the
+    # scan is ~2.8 GB and executor memory pressure begins.  0 disables.
+    flagship_mb_4x = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_MB_4X", "2832"))
+    if flagship_mb_4x > 0:
+        payload["flagship_4x"] = flagship_throughput(spark, sf_dir, flagship_mb_4x)
 
     print(json.dumps(payload))
     spark.stop()

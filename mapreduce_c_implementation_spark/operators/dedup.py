@@ -830,3 +830,126 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# Safety ceiling for the star algorithm's data-dependent loop.  The
+# POINT of the formulation is that it converges in O(log n) alternating
+# rounds (vs CC_ROUNDS = diameter for plain propagation); the fixture's
+# near-clique components converge in 2-3.  A test pins observed rounds
+# < CC_ROUNDS so the asymptotic win is measured, not asserted.
+CC_STARS_MAX_ROUNDS = 12
+
+
+@register(
+    "dedup_cc_stars",
+    oracle_sql=f"""
+    WITH RECURSIVE
+    {_SQL_MINHASH_CTES},
+    edges AS (
+      SELECT doc_a, doc_b FROM mhpairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM mhpairs
+    ),
+    reach(doc, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.doc_b, r.lab FROM reach r JOIN edges e ON e.doc_a = r.doc
+    )
+    SELECT doc AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY doc
+    """,
+    tags=("dedup", "clusters", "iterative", "stars"),
+)
+def dedup_cc_stars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH near-dup graph via
+    ALTERNATING SMALL-STAR / LARGE-STAR — the O(log n)-round
+    formulation (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") that [[dedup_connected_components]]'s docstring names as
+    its 100 TB upgrade.  Same edge set, same output contract (every doc
+    labeled with its component's min doc_id; the oracle is the exact
+    recursive-CTE transitive closure), different iteration structure:
+
+    - large-star: every node points its LARGER neighbors at the min of
+      its closed neighborhood — one groupBy(min) + one equi-join.
+    - small-star: every node and its SMALLER neighbors re-point at the
+      min of the smaller neighborhood — same two primitives.
+
+    Each operation strictly flattens trees toward component minima;
+    alternating them converges to min-rooted stars in O(log n) rounds
+    REGARDLESS of component diameter, vs plain min-label propagation's
+    O(diameter).  The loop detects the fixed point (edge set unchanged
+    — an exact count+except check over the checkpointed edge tables,
+    O(edges), cheap because star edge sets only shrink toward one row
+    per non-root node) and records the rounds used in
+    ``dedup_cc_stars.last_rounds``.
+
+    Scale shape: per round, two groupBy+broadcast-join passes over an
+    EDGE table (pairs-sized, far smaller than the corpus — the corpus
+    itself never re-enters after the LSH pass) with `localCheckpoint`
+    truncating lineage; at 100 TB the checkpoint goes to reliable
+    storage and convergence is flagged by a LongAccumulator instead of
+    the except-count job — same plan, durable state.  Edges keep the
+    canonical (a > b) orientation throughout, so every table is a set
+    of (node, smaller-candidate-root) pairs and the final label join is
+    one left join against documents.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # canonical orientation a > b, deduplicated
+    edges = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("a"),
+            F.least("doc_a", "doc_b").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    rounds = 0
+    for _ in range(CC_STARS_MAX_ROUNDS):
+        rounds += 1
+        # large-star: m(u) = min over closed neighborhood; larger
+        # neighbors of u re-point at m(u).
+        sym = edges.select("a", "b").union(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        lmins = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("mn"))
+            .select("a", F.least("mn", "a").alias("m"))
+        )
+        large = (
+            sym.join(lmins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # small-star: u and its smaller neighbors re-point at the min of
+        # the smaller neighborhood (edges already hold a > b, so each
+        # undirected edge appears exactly once with a = larger end).
+        smins = large.groupBy("a").agg(F.min("b").alias("m"))
+        small = (
+            large.join(smins, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(smins.select(F.col("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # fixed point: star edge sets are distinct and share the a > b
+        # invariant, so set equality == equal counts + empty except
+        if small.count() == edges.count() and small.exceptAll(edges).isEmpty():
+            edges = small
+            break
+        edges = small
+    dedup_cc_stars.last_rounds = rounds
+    docs = parallel_scan(spark, sf_dir, "documents").select("doc_id")
+    return (
+        docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .union(
+            edges.select(F.col("a").alias("doc_id"), F.col("b").alias("cluster_id"))
+        )
+        .groupBy("doc_id")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )

@@ -814,8 +814,6 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from mapreduce_c_implementation_spark.sources.tables import compute_scan
 
-    from mapreduce_c_implementation_spark.sources.tables import compute_scan
-
     e = compute_scan(spark, sf_dir, "embeddings")
     xq = F.transform(
         F.col("embedding"),
@@ -966,7 +964,8 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook = tiny groupBy((label, m, dim)) integer means, broadcast
     both into the encode argmin (window over (vec_id, m)) and the ADC
     table build; scoring is an equi-join of per-vector codes against
-    the 320-row broadcast ADC table + one (query, vec) sum; top-k is a
+    the broadcast ADC table ({N_QUERIES} queries x {PQ_M} subspaces x
+    10 labels = 1,600 rows) + one (query, vec) sum; top-k is a
     per-query window.  The only corpus-sized shuffles are the
     (vec_id, m) argmin and the (query_id, vec_id) sum — both keyed
     fine-grained, no global sort anywhere.
@@ -1054,6 +1053,259 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("tdist").cast("long").alias("adc_dist"))
         .filter(F.col("query_id") != F.col("neighbor_id"))
     )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return scored.select(
+        "query_id",
+        "neighbor_id",
+        "adc_dist",
+        F.row_number().over(w_rank).cast("long").alias("rank"),
+    ).filter(F.col("rank") <= PQ_TOPK)
+
+
+# --- IVF-PQ: the composed endgame of the ANN ladder ----------------------
+# ann_pq_adc's docstring names this composition: IVF cell routing bounds
+# WHICH codes get scored (nprobe cells instead of the full corpus), PQ
+# ADC bounds HOW each candidate is scored (integer table lookups instead
+# of EMB_DIM-wide float arithmetic).  Reference analog: none — the
+# reference's single workload is text MapReduce (src/main.c:28-59); this
+# is the LLM-pipeline extension surface.
+
+_IVFPQ_SQL_SUBDIST = (
+    f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    f"list_transform(generate_series(1, {PQ_SUBDIM}), "
+    f"i -> (s.sub[i] - c.cq[i]) * (s.sub[i] - c.cq[i]))), (a, b) -> a + b)"
+)
+
+
+@register(
+    "ann_ivf_pq",
+    oracle_sql=f"""
+    WITH {_SQL_NORMS},
+    cell_scores AS ({_SQL_CELL_SCORES}),
+    cranked AS (
+      SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cscore DESC, cell ASC) AS crank
+      FROM cell_scores
+    ),
+    corpus_cell AS (SELECT vec_id, cell FROM cranked WHERE crank = 1),
+    probe_cells AS (SELECT vec_id AS query_id, cell
+                    FROM cranked WHERE crank <= {NPROBE} AND vec_id < {N_QUERIES}),
+    q AS (
+      SELECT vec_id, label,
+             list_transform(generate_series(1, {EMB_DIM}),
+               i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * {KMEANS_SCALE})
+                    AS BIGINT) + {KMEANS_OFFSET}) AS xq
+      FROM embeddings
+    ),
+    subs AS (
+      SELECT vec_id, label, m,
+             list_transform(generate_series(1, {PQ_SUBDIM}),
+               i -> xq[m * {PQ_SUBDIM} + i]) AS sub
+      FROM q CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m)
+    ),
+    cdims AS (
+      SELECT label, m, i, CAST(sum(sub[i]) // count(*) AS BIGINT) AS s
+      FROM subs CROSS JOIN generate_series(1, {PQ_SUBDIM}) AS g(i)
+      GROUP BY label, m, i
+    ),
+    cb AS (SELECT label, m, list(s ORDER BY i) AS cq FROM cdims GROUP BY label, m),
+    enc AS (
+      SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, c.label AS code,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {_IVFPQ_SQL_SUBDIST} ASC, c.label ASC) AS rn
+        FROM subs s JOIN cb c ON s.m = c.m
+      ) WHERE rn = 1
+    ),
+    adc AS (
+      SELECT s.vec_id AS query_id, s.m, c.label AS code,
+             {_IVFPQ_SQL_SUBDIST} AS tdist
+      FROM subs s JOIN cb c ON s.m = c.m
+      WHERE s.vec_id < {N_QUERIES}
+    ),
+    adc_cells AS (
+      SELECT p.query_id, p.cell, a.m, a.code, a.tdist
+      FROM probe_cells p JOIN adc a ON a.query_id = p.query_id
+    ),
+    scored AS (
+      SELECT a.query_id, e.vec_id AS neighbor_id,
+             CAST(sum(a.tdist) AS BIGINT) AS adc_dist
+      FROM enc e
+      JOIN corpus_cell cc ON cc.vec_id = e.vec_id
+      JOIN adc_cells a ON a.cell = cc.cell AND a.m = e.m AND a.code = e.code
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_dist, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc_dist ASC, neighbor_id ASC)
+                      AS rank
+          FROM scored WHERE query_id <> neighbor_id)
+    WHERE rank <= {PQ_TOPK}
+    """,
+    tags=("similarity", "ann", "ivf", "pq", "pipeline"),
+)
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN: [[ann_ivf_coarse]]'s {N_CELLS}-cell coarse quantizer
+    routes candidates — each probe searches only its {NPROBE} best
+    cells — and [[ann_pq_adc]]'s product-quantization ADC scores them —
+    {PQ_M} integer codes per vector, distance = sum of broadcast-table
+    lookups.  Per probe, cost = (corpus/{N_CELLS})*{NPROBE} code rows
+    instead of the corpus, and each candidate costs {PQ_M} integer adds
+    instead of a {EMB_DIM}-wide float dot: BOTH axes of ANN cost are
+    bounded, which is why IVF-PQ (Faiss's IVFPQ index) is the planet-
+    scale default.
+
+    Plan shape — every join is a broadcast equi-join keyed on the cell:
+    cell assignment AND the per-subspace code argmin are in-row
+    (array_max / array_min over comparable structs against a broadcast
+    {PQ_M}-row per-subspace candidate array — an upgrade over
+    ann_pq_adc's (vec_id, m) window shuffle: encode here shuffles
+    NOTHING corpus-sized), the probe-side ADC table
+    ({N_QUERIES}x{NPROBE}x{PQ_M}x10 = 3,200 rows) broadcasts with the
+    cell id attached, and the score join carries the cell equi-key
+    (plan-gated in tests/test_plans.py) so a candidate row is touched
+    only when its cell is probed.  At 100 TB the corpus codes are
+    WRITTEN partitioned by cell (the [[zorder_layout]] /
+    partitioned-sink pattern) and each probe becomes a partition-pruned
+    scan of {NPROBE} cells' code files — raw embeddings are never
+    re-read.  The only corpus-sized shuffle is the (query, neighbor)
+    partial-sum aggregate over probed cells.
+
+    Recall note: same fixture caveat as [[ann_pq_adc]] — isotropic
+    embeddings cap honest recall for any quantizer; the pinned bound
+    (tests/test_sampling.py) is vs exact ground truth, compounding the
+    IVF routing loss (nprobe/{N_CELLS} coverage) with PQ distortion.
+    The oracle runs the identical algorithm, so both losses are part of
+    the contract, not drift.
+    """
+    from mapreduce_c_implementation_spark.sources.tables import compute_scan
+
+    e = compute_scan(spark, sf_dir, "embeddings")
+    # One pass computes both quantizers: IVF cell (argmax of the 8
+    # +/-1-centroid scores — array_max struct trick, ties to LOWEST
+    # cell) and the PQ integer coordinates.
+    cell_scores = F.array(
+        *[
+            F.struct(
+                F.round(_centroid_dot_spark(k, F.col("embedding")), 6).alias("cscore"),
+                F.lit(-k).alias("negcell"),
+            )
+            for k in range(N_CELLS)
+        ]
+    )
+    xq = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * KMEANS_SCALE).cast("long")
+        + KMEANS_OFFSET,
+    )
+    base = e.select(
+        "vec_id",
+        "label",
+        (-F.array_max(cell_scores)["negcell"]).cast("int").alias("cell"),
+        # top-NPROBE probe cells, best-first: sort by (-cscore, cell)
+        F.slice(
+            F.array_sort(
+                F.transform(
+                    cell_scores,
+                    lambda s: F.struct(
+                        (-s["cscore"]).alias("neg"), (-s["negcell"]).alias("cell")
+                    ),
+                )
+            ),
+            1,
+            NPROBE,
+        ).alias("probe"),
+        xq.alias("xq"),
+    )
+    subs = base.select(
+        "vec_id",
+        "label",
+        "cell",
+        "probe",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("xq"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("m", "sub"),
+    )
+    # Codebook: per-(label, m) truncating integer subvector means — tiny
+    # (10 x {PQ_M} rows); cache + force it so the corpus scan behind it
+    # runs once (the semdedup cache-scoping rule: codebook-sized blocks
+    # only).
+    dims = subs.select("label", "m", F.posexplode(F.col("sub")).alias("i", "v"))
+    cdims = dims.groupBy("label", "m", "i").agg(
+        F.expr("sum(v) div count(*)").alias("s")
+    )
+    cb = (
+        cdims.groupBy("label", "m")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "s"))), lambda x: x["s"]
+            ).alias("cq")
+        )
+        .cache()
+    )
+    cb.count()
+    # Per-m candidate arrays ({PQ_M} rows of 10 (label, centroid) structs)
+    # broadcast into an IN-ROW argmin: min struct = (lowest subdist,
+    # lowest label) — no (vec_id, m) window, nothing corpus-sized
+    # shuffles during encode.
+    cands = cb.groupBy("m").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("label").alias("code"), "cq"))
+        ).alias("cands")
+    )
+    subdist_of = lambda c: F.aggregate(
+        F.zip_with(F.col("sub"), c["cq"], lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("cands"),
+            lambda c: F.struct(subdist_of(c).alias("sd"), c["code"].alias("code")),
+        )
+    )
+    enc = subs.join(F.broadcast(cands), "m").select(
+        "vec_id", "cell", "m", best["code"].alias("code")
+    )
+    # Probe-side ADC table WITH the probed cell attached: 10 queries x
+    # NPROBE cells x {PQ_M} subspaces x 10 codes = 3,200 rows, broadcast.
+    adc = (
+        subs.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(F.col("probe")).alias("p"),
+            "m",
+            "sub",
+        )
+        .join(F.broadcast(cb.select(F.col("label").alias("code"), "m", "cq")), "m")
+        .select(
+            "query_id",
+            F.col("p.cell").alias("cell"),
+            "m",
+            "code",
+            F.aggregate(
+                F.zip_with(F.col("sub"), F.col("cq"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("tdist"),
+        )
+    )
+    scored = (
+        enc.join(F.broadcast(adc), ["cell", "m", "code"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("tdist").cast("long").alias("adc_dist"))
+    )
+    from pyspark.sql.window import Window
+
     w_rank = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("neighbor_id")
     )

@@ -976,6 +976,17 @@ def pmi_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, which map-side combines down to the pair vocabulary.
     The final top-K is a TakeOrderedAndProject, never a materialized
     global sort.
+
+    Why the one-row mid-vocabulary array is SAFE to broadcast at any
+    corpus size: sum(df) over all terms = sum over docs of distinct
+    terms per doc <= n_docs * L (L = mean distinct terms/doc), and every
+    mid term has df >= {PMI_DF_LO_PCT}% * n_docs, so |mid| <=
+    (100/{PMI_DF_LO_PCT}) * L = 20L — bounded by DOCUMENT length, not
+    corpus size.  The df floor is what makes the single-row
+    collect_list+broadcast legitimate; if the floor were absolute
+    counts instead of relative, the fallback is posexplode(ts) joined
+    against the broadcast mid df TABLE (per-doc filter first), then the
+    same in-row pairing — one extra narrow join, same shuffle profile.
     """
     d = compute_scan(spark, sf_dir, "documents")
     sets = d.select(

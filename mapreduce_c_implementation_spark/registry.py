@@ -82,85 +82,81 @@ def register(
 
 # The driver's CORRECTNESS gate verifies a bounded prefix of ``queries()``
 # (50 names per round).  Names listed here are emitted FIRST, in this
-# order; everything else follows in registration order.  Rounds 1 and 2
-# together hard-verified 99 unique operators (CORRECTNESS_r01/r02.json —
-# their union is frozen in ``_DRIVER_VERIFIED_PRIOR``); round 3 rotates
-# 50 of the remaining 90 never-driver-verified names into the window.
-# The rotated-out ops keep their in-repo oracle coverage
-# (tests/test_operators_vs_oracle.py runs every registered operator), and
-# tests/test_extensions.py's coverage-ledger test asserts the leftover
-# set still fits in one final 50-row round (round 4 takes the rest).
-# ROUND-4 ROTATION NOTE: after the round-3 driver run lands
-# CORRECTNESS_r03, fold these 50 names into _DRIVER_VERIFIED_PRIOR and
-# rebuild this list from the remaining never-verified operators (the
-# ledger test test_driver_coverage_ledger computes that leftover set —
-# 47 names as of round 3, including the six round-3 additions).
+# order; everything else follows in registration order.  Rounds 1-3
+# together hard-verified 149 unique operators (CORRECTNESS_r01/r02/r03 —
+# their union is frozen in ``_DRIVER_VERIFIED_PRIOR``); round 4's window
+# holds the FINAL 48 never-driver-verified names, completing hard
+# verification for the whole registry, plus the round-4 additions in the
+# remaining slots.  The rotated-out ops keep their in-repo oracle
+# coverage (tests/test_operators_vs_oracle.py runs every registered
+# operator), and tests/test_extensions.py's coverage-ledger test asserts
+# the leftover set fits the next window.
 _DRIVER_PRIORITY = [
-    # dedup / similarity capstones — the 100 TB-critical pieces
-    "dedup_connected_components",
-    "dedup_keep_representatives",
-    "ann_ivf_coarse",
-    "semdedup_cells",
-    "kmeans_lloyd",
-    "embedding_gram_matrix",
-    # TPC-H shapes never driver-verified (q1/q3/q4/q5/q6 green in r1/r2)
-    "tpch_q2_min_cost_supplier",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q12_late_lines",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_counts",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_potential_promotion",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_sales_opportunity",
-    # corpus filters
-    "repetition_ngram_stats",
-    "contamination_ngram_overlap",
-    "exact_substring_duplicates",
-    "pii_redaction",
-    "cross_split_leakage_audit",
-    "corpus_pipeline_end2end",
-    # modern SQL
-    "recursive_cte_month_spine",
-    "lateral_topk_per_customer",
-    "sql_params_group_by_all",
-    "collation_insensitive_grouping",
-    "filtered_aggregates",
-    "width_bucket_histogram",
-    # round-2 streaming additions
-    "stream_upsert_latest",
-    "stream_dedup_within_watermark",
-    "stream_chained_aggregation",
-    "stream_stream_left_join",
-    # graph
-    "graph_pagerank_nations",
-    "graph_degree_stats",
-    # features
-    "feature_quantile_bins",
-    "feature_label_encode",
-    # io
-    "orc_source_roundtrip",
-    "small_file_compaction",
-    "json_corrupt_records",
-    "schema_evolution_merge",
-    "xml_source_roundtrip",
-    "python_datasource_scan",
-    # multimodal
-    "multimodal_cas_index",
+    # round-3 additions, never driver-verified — lead the window
+    "ann_pq_adc",
+    "dedup_minhash_incremental",
+    "pmi_term_cooccurrence",
+    "stratified_sample_balanced",
+    "source_token_budget_mix",
+    "quality_bucket_sample",
+    "dynamic_partition_pruning_join",
+    "tpch_rf1_rf2_refresh",
+    # round-2 leftovers: aggregates / sketches
+    "percentile_cont_groups",
+    "group_mad_outliers",
+    "group_median_disc",
+    "expectation_checks",
+    "key_skew_profile",
+    "hll_sketch_mergeable",
+    "cube_grouping_id",
+    "bitmap_exact_distinct",
+    "listagg_ordered",
+    "approx_heavy_hitters",
+    "table_profile",
+    "correlation_matrix",
+    # joins
+    "bucketed_join_colocated",
+    "skew_join_salted",
+    "join_asof_keyed",
+    # windows / time
+    "window_range_frame",
+    "window_time_range",
+    "time_gap_fill_ffill",
+    "time_rollup_multigrain",
+    "event_funnel",
+    "event_transition_matrix",
+    # merge / history
+    "merge_upsert_scd1",
+    "scd2_history",
+    "fk_integrity_check",
+    "zorder_layout",
+    # scalar / modern SQL
+    "try_arithmetic_safety",
+    "higher_order_functions",
+    "map_higher_order_functions",
+    "variant_json_shred",
+    # UDF ladder leftovers
+    "cogroup_reconcile",
+    "map_in_arrow_doc_stats",
+    # sampling / text / features
+    "stratified_sample",
+    "token_pmi_pairs",
+    "embedding_quantize_int8",
+    "record_linkage_blocked",
+    "document_chunking",
+    "sequence_packing",
+    "hashing_trick_features",
+    "unigram_logprob_score",
+    "bm25_topk_docs",
+    # TPC-H refresh is above; round-4 NEW operators fill the last slots
+    "ann_ivf_pq",
+    "dedup_cc_stars",
 ]
 
 # Operators hard-verified by the driver in prior rounds (the union of
-# CORRECTNESS_r01.json and CORRECTNESS_r02.json key sets, all green at
-# their latest check).  Used by the coverage-ledger test to prove the
-# rotation schedule reaches every registered operator within 4 rounds.
+# CORRECTNESS_r01.json, CORRECTNESS_r02.json and CORRECTNESS_r03.json key
+# sets, all green at their latest check).  Used by the coverage-ledger
+# test to prove the rotation schedule reaches every registered operator.
 _DRIVER_VERIFIED_PRIOR = frozenset({
     # round 1 (CORRECTNESS_r01.json)
     "agg_minmax_orders", "approx_count_distinct_check", "approx_quantile_check",
@@ -191,6 +187,24 @@ _DRIVER_VERIFIED_PRIOR = frozenset({
     "text_sink_roundtrip", "text_source_inverted_index", "tfidf_top_terms", "token_count",
     "tpch_q3_shipping_priority", "tpch_q4_order_priority", "tpch_q5_local_supplier",
     "udtf_tokenize", "unpivot_measures",
+    # round 3 (CORRECTNESS_r03.json)
+    "ann_ivf_coarse", "collation_insensitive_grouping", "contamination_ngram_overlap",
+    "corpus_pipeline_end2end", "cross_split_leakage_audit", "dedup_connected_components",
+    "dedup_keep_representatives", "embedding_gram_matrix", "exact_substring_duplicates",
+    "feature_label_encode", "feature_quantile_bins", "filtered_aggregates",
+    "graph_degree_stats", "graph_pagerank_nations", "json_corrupt_records", "kmeans_lloyd",
+    "lateral_topk_per_customer", "multimodal_cas_index", "orc_source_roundtrip",
+    "pii_redaction", "python_datasource_scan", "recursive_cte_month_spine",
+    "repetition_ngram_stats", "schema_evolution_merge", "semdedup_cells",
+    "small_file_compaction", "sql_params_group_by_all", "stream_chained_aggregation",
+    "stream_dedup_within_watermark", "stream_stream_left_join", "stream_upsert_latest",
+    "tpch_q10_returned_items", "tpch_q11_important_stock", "tpch_q12_late_lines",
+    "tpch_q13_customer_distribution", "tpch_q14_promo_effect", "tpch_q15_top_supplier",
+    "tpch_q16_supplier_counts", "tpch_q17_small_qty_revenue", "tpch_q18_large_orders",
+    "tpch_q19_discounted_revenue", "tpch_q20_potential_promotion", "tpch_q21_waiting_supplier",
+    "tpch_q22_sales_opportunity", "tpch_q2_min_cost_supplier", "tpch_q7_nation_volume",
+    "tpch_q8_market_share", "tpch_q9_product_profit", "width_bucket_histogram",
+    "xml_source_roundtrip",
 })
 
 

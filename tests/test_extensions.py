@@ -66,8 +66,9 @@ def test_dedup_exact_identity_when_no_dups(spark, sf_correct):
 
 def test_driver_priority_window():
     """The driver's CORRECTNESS gate checks a 50-query prefix of queries().
-    Round 3 rotates 50 never-driver-verified operators into that window,
-    leading with the 100 TB-critical dedup/ANN capstones — pin it here."""
+    Round 4 rotates the FINAL 48 never-driver-verified operators into that
+    window (completing hard verification of the whole registry), plus the
+    round-4 additions in the remaining slots — pin it here."""
     import __spark_entry__ as se
     from mapreduce_c_implementation_spark.registry import _DRIVER_PRIORITY, all_operators
 
@@ -81,15 +82,17 @@ def test_driver_priority_window():
     assert names[: len(_DRIVER_PRIORITY)] == _DRIVER_PRIORITY
     window = set(names[:50])
     must_check = {
-        # verdict r2 item 4: the 100 TB-critical capstones
-        "dedup_connected_components", "dedup_keep_representatives",
-        "ann_ivf_coarse", "semdedup_cells", "kmeans_lloyd",
-        "embedding_gram_matrix",
-        # never-verified category leads
-        "tpch_q9_product_profit", "tpch_q21_waiting_supplier",
-        "exact_substring_duplicates", "recursive_cte_month_spine",
-        "stream_stream_left_join", "graph_pagerank_nations",
-        "python_datasource_scan",
+        # verdict r3 item 1: the round-3 additions
+        "ann_pq_adc", "dedup_minhash_incremental", "pmi_term_cooccurrence",
+        "stratified_sample_balanced", "source_token_budget_mix",
+        "quality_bucket_sample", "dynamic_partition_pruning_join",
+        "tpch_rf1_rf2_refresh",
+        # round-2 leftover category leads
+        "hll_sketch_mergeable", "bitmap_exact_distinct", "listagg_ordered",
+        "bucketed_join_colocated", "skew_join_salted", "join_asof_keyed",
+        "window_range_frame", "merge_upsert_scd1", "scd2_history",
+        "event_funnel", "variant_json_shred", "cogroup_reconcile",
+        "record_linkage_blocked", "zorder_layout",
     }
     assert must_check <= window
     # oracle_sql() ordering must mirror queries() so the driver pairs them
@@ -117,7 +120,9 @@ def test_driver_coverage_ledger():
     root = pathlib.Path(__file__).resolve().parents[1]
     actual_prior = set()
     for f in sorted(root.glob("CORRECTNESS_r0*.json")):
-        if f.name in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+        if f.name in (
+            "CORRECTNESS_r01.json", "CORRECTNESS_r02.json", "CORRECTNESS_r03.json"
+        ):
             actual_prior |= set(json.loads(f.read_text()))
     if actual_prior:  # ledger frozen in-code must match the artifacts
         assert actual_prior == set(_DRIVER_VERIFIED_PRIOR)
@@ -227,3 +232,20 @@ def test_heavy_hitters_overflow_regime(spark):
     assert set(got) == expected_front, f"sketch front {sorted(got)} != planted"
     for w, cnt in got.items():
         assert abs(cnt - heavy_count) <= err, (w, cnt, heavy_count, err)
+
+
+def test_cc_stars_matches_propagation_and_converges_fast(spark, sf_correct):
+    """The star formulation must (a) produce EXACTLY the labels of the
+    fixed-round propagation implementation and (b) demonstrate the
+    asymptotic point: convergence detected in fewer rounds than
+    CC_ROUNDS (the fixture's near-clique components collapse in 2-3
+    alternating star rounds)."""
+    from mapreduce_c_implementation_spark.operators.dedup import (
+        CC_ROUNDS,
+        dedup_cc_stars,
+    )
+
+    stars = get_operator("dedup_cc_stars").query_fn(spark, sf_correct)
+    prop = get_operator("dedup_connected_components").query_fn(spark, sf_correct)
+    assert sorted(map(tuple, stars.collect())) == sorted(map(tuple, prop.collect()))
+    assert dedup_cc_stars.last_rounds < CC_ROUNDS, dedup_cc_stars.last_rounds

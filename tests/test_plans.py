@@ -440,3 +440,19 @@ def test_gram_matrix_reads_embedding_only(spark, sf_correct):
     and label must not reach the scan."""
     df = get_operator("embedding_gram_matrix").query_fn(spark, sf_correct)
     assert_read_schema_only(df, {"embedding"})
+
+
+def test_ann_ivf_pq_score_join_carries_cell_key(spark, sf_correct):
+    """IVF-PQ's defining property: the ADC score join is keyed on the
+    IVF cell (plus subspace + code), so a candidate's codes are touched
+    only when its cell is probed.  Gate: the broadcast hash join's key
+    list leads with `cell`, and nothing degenerates to a nested-loop /
+    cartesian scan of the code table."""
+    import re
+
+    df = get_operator("ann_ivf_pq").query_fn(spark, sf_correct)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert re.search(r"Left keys \[3\]: \[cell#", plan), plan
+    assert re.search(r"Right keys \[3\]: \[cell#", plan), plan
