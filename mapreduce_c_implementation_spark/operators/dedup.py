@@ -953,3 +953,75 @@ def dedup_cc_stars(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.min("cluster_id").alias("cluster_id"))
     )
+
+
+# Bucket count for the persisted band index (production: thousands).
+MH_INDEX_BUCKETS = 8
+
+
+@register(
+    "dedup_minhash_bucketed_probe",
+    oracle_sql=f"""
+    WITH {_SQL_MINHASH_CTES}
+    SELECT DISTINCT n.doc_id AS new_doc_id, i.doc_id AS index_doc_id
+    FROM (SELECT * FROM bands WHERE {_INC_SQL_IS_NEW}) n
+    JOIN (SELECT * FROM bands WHERE NOT ({_INC_SQL_IS_NEW})) i
+      ON n.band_idx = i.band_idx AND n.band_key = i.band_key
+    """,
+    tags=("dedup", "minhash", "incremental", "bucketed", "pipeline"),
+)
+def dedup_minhash_bucketed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[[dedup_minhash_incremental]] in its PRODUCTION shape: the index
+    side is a PERSISTED band table, written once bucketed+sorted by the
+    band key, and each new-batch probe sort-merge-joins against it with
+    ZERO index-side shuffle (plan-gated: the index scan reads buckets
+    directly — the only exchanges in the query are the probe side
+    aligning to the bucket layout and the final distinct).  Same
+    contract and oracle as the in-memory variant; what changes is WHERE
+    the index lives — a catalog table that survives across jobs, so
+    each crawl increment pays O(increment) + a co-located probe, and
+    appending a deduped increment's bands to the index is a pure
+    bucket-aligned insert.
+
+    The join key is the single combined column band_idx#band_key (bands
+    never collide across band_idx because the separator can't appear in
+    either part), which lets the bucket spec BE the join key — Spark's
+    bucketed SMJ requires the bucket columns to cover the join keys.
+    This is [[bucketed_join_colocated]]'s storage-level co-location
+    applied to the dedup index; the reference's analog is its hash
+    partitioner contract (src/partition.c) made durable.
+    """
+    import hashlib as _hl
+    import shutil as _sh
+    from urllib.parse import urlparse as _urlparse
+
+    bands = _minhash_bands(spark, sf_dir)
+    bkey = F.concat_ws("#", F.col("band_idx").cast("string"), F.col("band_key"))
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    tbl = f"b_mh_index_{tag}"
+    warehouse = _urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    if not spark.catalog.tableExists(tbl):
+        if warehouse:
+            _sh.rmtree(f"{warehouse}/{tbl}", ignore_errors=True)
+        (
+            bands.filter(~_inc_is_new())
+            .select("doc_id", bkey.alias("bkey"))
+            # one file per bucket keeps the sorted-scan optimization on
+            .repartition(MH_INDEX_BUCKETS, F.col("bkey"))
+            .write.bucketBy(MH_INDEX_BUCKETS, "bkey")
+            .sortBy("bkey")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+    idx = spark.table(tbl).select(
+        F.col("doc_id").alias("index_doc_id"), "bkey"
+    )
+    probe = bands.filter(_inc_is_new()).select(
+        F.col("doc_id").alias("new_doc_id"), bkey.alias("bkey")
+    )
+    return (
+        probe.join(idx.hint("merge"), "bkey")
+        .select("new_doc_id", "index_doc_id")
+        .distinct()
+    )

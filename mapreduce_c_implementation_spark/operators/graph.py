@@ -233,3 +233,193 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("in_strength", F.lit(0)).alias("in_strength"),
         )
     )
+
+
+_SQL_UND_EDGES = """
+    und AS (
+      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM edges WHERE src <> dst
+    )
+"""
+
+
+@register(
+    "graph_triangle_count",
+    oracle_sql=f"""
+    WITH {_SQL_GRAPH_CTES.strip()},
+    {_SQL_UND_EDGES.strip()},
+    tris AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM und e1
+      JOIN und e2 ON e2.u = e1.v
+      JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    pernode AS (
+      SELECT node, count(*) AS n_triangles FROM (
+        SELECT a AS node FROM tris
+        UNION ALL SELECT b FROM tris
+        UNION ALL SELECT c FROM tris
+      ) GROUP BY node
+    )
+    SELECT n.n_name AS n_name,
+           COALESCE(p.n_triangles, 0) AS n_triangles
+    FROM nodes n LEFT JOIN pernode p ON p.node = n.node
+    """,
+    tags=("graph", "join", "triangles"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation triangle count over the UNDIRECTED trade graph — the
+    clustering-coefficient numerator, and the classic "joins as graph
+    compute" benchmark (MapReduce node-iterator algorithm).
+
+    The canonical-orientation trick IS the algorithm: undirected edges
+    keep only (u < v), so each triangle a<b<c is generated exactly once
+    by the two-hop join e1(a,b)⋈e2(b,c) closed by e3(a,c) — no
+    double-counting, no post-hoc division by 6.  Each triangle then
+    attributes 1 to each of its three corners.
+
+    Scale shape: two self-equi-joins over the aggregated O(nations²)
+    edge list (tiny here, and the joins stay equi-keyed at any size).
+    For a billion-node graph the refinement is degree ordering — orient
+    each edge from lower- to higher-degree endpoint before the two-hop
+    join, bounding the per-node fan-out by sqrt(edges) (the
+    node-iterator++ bound) — the same plan with one degree join in
+    front.  Reference analog: none (text-only engine); this extends the
+    README's "keyed edge list" framing (/root/reference/README.md:319).
+    """
+    edges = _trade_edges(spark, sf_dir)
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c")
+        )
+    )
+    corners = (
+        tris.select(F.col("a").alias("node"))
+        .union(tris.select(F.col("b").alias("node")))
+        .union(tris.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    nodes = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node"), "n_name"
+    )
+    return nodes.join(corners, "node", "left").select(
+        "n_name", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
+    )
+
+
+# Label propagation: fixed synchronous rounds; the update is the
+# WEIGHTED MODE of neighbor labels (sum of edge weights per label, ties
+# to the smallest label) — deterministic, so the unrolled DuckDB oracle
+# is bit-exact.  4 rounds is semantics, not tuning (the oracle runs the
+# same count).
+LP_ITERS = 4
+
+_SQL_SYM_EDGES = """
+    sym AS (
+      SELECT src, dst, w FROM edges WHERE src <> dst
+      UNION ALL
+      SELECT dst AS src, src AS dst, w FROM edges WHERE src <> dst
+    )
+"""
+
+
+def _label_prop_oracle() -> str:
+    ctes = ["lp0 AS (SELECT node, node AS lab FROM nodes)"]
+    for k in range(LP_ITERS):
+        ctes.append(f"""lp{k + 1} AS (
+      SELECT n.node, COALESCE(c.lab, p.lab) AS lab
+      FROM nodes n JOIN lp{k} p ON p.node = n.node
+      LEFT JOIN (
+        SELECT node, lab FROM (
+          SELECT e.dst AS node, p2.lab,
+                 row_number() OVER (PARTITION BY e.dst
+                                    ORDER BY CAST(sum(e.w) AS BIGINT) DESC,
+                                             p2.lab ASC) AS rn
+          FROM sym e JOIN lp{k} p2 ON p2.node = e.src
+          GROUP BY e.dst, p2.lab
+        ) WHERE rn = 1
+      ) c ON c.node = n.node
+    )""")
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH {_SQL_GRAPH_CTES.strip()},
+    {_SQL_SYM_EDGES.strip()},
+    {chain}
+    SELECT n.n_name AS n_name, CAST(p.lab AS BIGINT) AS community
+    FROM lp{LP_ITERS} p JOIN nodes n ON n.node = p.node
+    """
+
+
+@register(
+    "graph_label_propagation",
+    oracle_sql=_label_prop_oracle(),
+    tags=("graph", "iterative", "communities"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    undirected weighted trade graph: every node starts in its own
+    community, and each of the {LP_ITERS} rounds reassigns it to the
+    WEIGHTED MODE of its neighbors' labels (sum of edge weights per
+    candidate label; ties break to the smallest label — the
+    determinism pin that makes the unrolled DuckDB oracle bit-exact,
+    where textbook LPA tie-breaks randomly).
+
+    Per round: one equi-join of the label table to the symmetric edge
+    list, one (node, label) weight sum, and an in-group argmax via
+    max(struct(weight, -label)) — no window, no shuffle beyond the
+    keyed aggregate.  `localCheckpoint` caps lineage per round exactly
+    as in [[graph_pagerank_nations]]; at a billion nodes the label
+    table is hash-partitioned on node and the checkpoint goes to
+    reliable storage.  Complements [[dedup_cc_stars]]: CC finds the
+    connectivity partition, LPA finds DENSITY structure inside a
+    connected graph (the trade graph is near-complete, so its
+    communities come from weight asymmetry, not topology).
+    """
+    edges = _trade_edges(spark, sf_dir)
+    nd = F.col("src") != F.col("dst")
+    sym = (
+        edges.filter(nd)
+        .select("src", "dst", "w")
+        .union(
+            edges.filter(nd).select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        .localCheckpoint()
+    )
+    nodes = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node"), "n_name"
+    )
+    labels = nodes.select("node", F.col("node").alias("lab")).localCheckpoint()
+    for _ in range(LP_ITERS):
+        votes = (
+            sym.join(labels, sym.src == labels.node)
+            .groupBy(F.col("dst"), F.col("lab"))
+            .agg(F.sum("w").cast("long").alias("s"))
+            .groupBy("dst")
+            .agg(F.max(F.struct(F.col("s"), (-F.col("lab")).alias("neglab"))).alias("m"))
+            .select(F.col("dst").alias("node"), (-F.col("m.neglab")).alias("newlab"))
+        )
+        labels = (
+            labels.join(votes, "node", "left")
+            .select("node", F.coalesce("newlab", "lab").alias("lab"))
+            .localCheckpoint()
+        )
+    return labels.join(nodes, "node").select(
+        "n_name", F.col("lab").cast("long").alias("community")
+    )

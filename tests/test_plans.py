@@ -456,3 +456,20 @@ def test_ann_ivf_pq_score_join_carries_cell_key(spark, sf_correct):
     assert "CartesianProduct" not in plan, plan
     assert re.search(r"Left keys \[3\]: \[cell#", plan), plan
     assert re.search(r"Right keys \[3\]: \[cell#", plan), plan
+
+
+def test_minhash_bucketed_probe_index_side_never_shuffles(spark, sf_correct):
+    """The persisted band index must be read bucket-aligned: the scan of
+    b_mh_index_* reports Bucketed: true, the probe joins it sort-merge,
+    and only ONE logical exchange on the join key exists — the probe
+    side aligning to the bucket layout.  (Formatted explain under AQE
+    renders each logical exchange at most twice — initial + re-planned —
+    so an index-side exchange would push the count past 2.)"""
+    import re
+
+    df = get_operator("dedup_minhash_bucketed_probe").query_fn(spark, sf_correct)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" in plan, plan
+    assert re.search(r"Scan parquet [^\n]*b_mh_index", plan), plan
+    assert "Bucketed: true" in plan, plan
+    assert len(re.findall(r"hashpartitioning\(bkey", plan)) <= 2, plan
