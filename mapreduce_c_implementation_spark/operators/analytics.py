@@ -1379,3 +1379,96 @@ def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.m_x", "p.m_y", "p.corr")
         .orderBy("m_x", "m_y")
     )
+
+
+@register(
+    "time_weighted_avg",
+    oracle_sql="""
+    WITH seq AS (
+      SELECT user_id, value, epoch_us(ts) AS t_us,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS t_next
+      FROM events
+    ),
+    iv AS (
+      SELECT user_id, value, t_next - t_us AS dt_us
+      FROM seq WHERE t_next IS NOT NULL
+    )
+    SELECT user_id, n_intervals, total_us, twa_micros,
+           CAST(twa_micros AS DOUBLE) / 1000000.0 AS twa_value
+    FROM (
+      SELECT user_id,
+             count(*) AS n_intervals,
+             CAST(sum(dt_us) AS BIGINT) AS total_us,
+             CAST(sum(CAST(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+                            AS BIGINT) AS HUGEINT) * dt_us)
+                  // sum(dt_us) AS BIGINT) AS twa_micros
+      FROM iv
+      GROUP BY user_id
+      HAVING CAST(sum(dt_us) AS BIGINT) > 0
+    )
+    """,
+    tags=("timeseries", "window", "aggregate"),
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TIME-weighted average of the event value — the metric a
+    sampled/irregular time series needs where a plain avg over-weights
+    bursts (the tsdb "TWA" primitive): each reading holds until the next
+    one, so it contributes value x hold-duration, and the average
+    divides by covered time, not by reading count.
+
+    Exactness across engines: durations are integer microseconds
+    (lead over (ts, event_id) — the id tiebreak pins simultaneous
+    events), each value becomes an exact 1e-6 fixed-point integer, the
+    product sum and the division by covered time are pure integer ops
+    (values are non-negative, so floor and trunc division coincide),
+    and the reported double derives from ONE identical integer in both
+    engines.  (A first cut cast the decimal(38,6) product sum straight
+    to double; at ~21 significant digits DuckDB's decimal->double isn't
+    correctly rounded and 30%% of groups differed by 1 ulp — the
+    integer-resolution contract removes the cast from the hot path.)
+
+    Scale shape: one window shuffle on user_id (the same partitioning
+    the sessionizer uses — at 100 TB the events table would be written
+    bucketed by user so this and every other per-user op reads
+    co-located), then a keyed aggregate that map-side combines.  Zero
+    retained intervals (a user's events all share one timestamp) drop
+    via HAVING rather than dividing by zero.
+    """
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", F.unix_micros("ts").alias("t_us"), "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = (
+        e.select(
+            "user_id",
+            "value",
+            "t_us",
+            F.lead("t_us").over(w).alias("t_next"),
+        )
+        .filter(F.col("t_next").isNotNull())
+        .select("user_id", "value", (F.col("t_next") - F.col("t_us")).alias("dt_us"))
+    )
+    v6 = (dec("value") * 1_000_000).cast("long")
+    return (
+        iv.select("user_id", "dt_us", v6.alias("v6"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum("dt_us").cast("long").alias("total_us"),
+            F.expr(
+                "CAST(sum(CAST(v6 AS DECIMAL(38,0)) * dt_us)"
+                " div sum(dt_us) AS BIGINT)"
+            ).alias("twa_micros"),
+        )
+        .filter(F.col("total_us") > 0)
+        .select(
+            "user_id",
+            "n_intervals",
+            "total_us",
+            "twa_micros",
+            (F.col("twa_micros").cast("double") / 1_000_000.0).alias("twa_value"),
+        )
+    )

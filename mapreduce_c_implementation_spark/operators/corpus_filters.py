@@ -485,3 +485,51 @@ def cross_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# k-anonymity bar: a quasi-identifier combination shared by fewer than
+# K individuals re-identifies them.
+K_ANON = 5
+
+
+@register(
+    "k_anonymity_check",
+    oracle_sql=f"""
+    SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+           count(*) AS group_size,
+           CAST(CASE WHEN count(*) >= {K_ANON} THEN 1 ELSE 0 END AS BIGINT)
+             AS k_anonymous,
+           CAST(substr(min(c_name), 1, 9) AS VARCHAR) AS sample_name_prefix
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+    tags=("privacy", "audit", "pipeline"),
+)
+def k_anonymity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit companion to [[pii_redaction]]: k-anonymity over the
+    quasi-identifier pair (nation, market segment) on the customer
+    table — every QI combination reports its group size and whether it
+    clears k={K_ANON} (a group smaller than k re-identifies its members
+    when the table is released).  The release decision a training-data
+    pipeline makes before mixing user-derived records into a corpus.
+
+    One hash aggregate on the QI columns — the same single-shuffle
+    shape as word_count, so it scales to any table size; the truncated
+    min-name prefix rides along as the redacted sample a privacy
+    reviewer sees (9 chars = the constant 'Customer#' stem — the
+    sample column demonstrates the redact-on-aggregate pattern without
+    releasing an identifier).
+    """
+    from mapreduce_c_implementation_spark.sources import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    ).agg(
+        F.count("*").alias("group_size"),
+        F.when(F.count("*") >= K_ANON, 1).otherwise(0).cast("long").alias(
+            "k_anonymous"
+        ),
+        F.substring(F.min("c_name"), 1, 9).alias("sample_name_prefix"),
+    )

@@ -686,11 +686,15 @@ def dedup_keep_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialize the deduplicated set; emitting (representative, size)
     keeps the oracle exact while the fixture corpus stays small.
 
-    Cost on top of [[dedup_connected_components]]: one extra tiny
-    groupBy on cluster_id — the label table is (doc_id, cluster_id)
-    pairs, already far smaller than the corpus at scale.
+    Cost on top of the component labeling: one extra tiny groupBy on
+    cluster_id — the label table is (doc_id, cluster_id) pairs, already
+    far smaller than the corpus at scale.  Labels come from
+    [[dedup_cc_stars]] (the O(log n) star formulation — converges in
+    2-3 detected rounds on this graph vs {CC_ROUNDS} fixed propagation
+    rounds; identical output by contract AND by test, so this swap is
+    pure wall-clock).
     """
-    labels = dedup_connected_components(spark, sf_dir)
+    labels = dedup_cc_stars(spark, sf_dir)
     return (
         labels.groupBy("cluster_id")
         .agg(F.count("*").alias("cluster_size"))

@@ -1315,3 +1315,135 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "adc_dist",
         F.row_number().over(w_rank).cast("long").alias("rank"),
     ).filter(F.col("rank") <= PQ_TOPK)
+
+
+# --- Dominant eigenvector by fixed-point power iteration -----------------
+# The PCA step after [[embedding_gram_matrix]]: iterate v <- G v with a
+# renormalization to PI_VSCALE after every multiply.  All integers, so
+# the oracle is bit-exact; 4 rounds is semantics, not convergence
+# tuning (the oracle unrolls the same 4).
+PI_QSCALE = 1000  # embedding quantization (coarser than GRAM_SCALE so
+                  # G entries * v stay far inside int64)
+PI_VSCALE = 1000  # vector renorm target after each multiply
+PI_ITERS = 4
+
+# trunc-toward-zero division for possibly-negative numerators (DuckDB's
+# // floors; Spark's `div` truncates — pin trunc in both engines).
+_SQL_TDIV = "(CASE WHEN {u} >= 0 THEN ({u}) // ({m}) ELSE -((-({u})) // ({m})) END)"
+
+
+def _power_iteration_oracle() -> str:
+    ctes = [
+        f"""gram AS (
+      SELECT CAST(di.i - 1 AS BIGINT) AS dim_i,
+             CAST(dj.j - 1 AS BIGINT) AS dim_j,
+             CAST(sum(
+               CAST(floor(CAST(embedding[di.i] AS DOUBLE) * {PI_QSCALE}.0) AS BIGINT)
+               * CAST(floor(CAST(embedding[dj.j] AS DOUBLE) * {PI_QSCALE}.0) AS BIGINT)
+             ) AS BIGINT) AS g
+      FROM embeddings,
+           (SELECT unnest(generate_series(1, {EMB_DIM})) AS i) di,
+           (SELECT unnest(generate_series(1, {EMB_DIM})) AS j) dj
+      GROUP BY 1, 2
+    )""",
+        f"v0 AS (SELECT CAST(unnest(generate_series(0, {EMB_DIM - 1})) AS BIGINT)"
+        f" AS dim, CAST({PI_VSCALE} AS BIGINT) AS v)",
+    ]
+    for k in range(PI_ITERS):
+        u = f"u{k}"
+        ctes.append(
+            f"""{u} AS (
+      SELECT g.dim_i AS dim, CAST(sum(g.g * v.v) AS BIGINT) AS u
+      FROM gram g JOIN v{k} v ON v.dim = g.dim_j
+      GROUP BY g.dim_i
+    )"""
+        )
+        tdiv = _SQL_TDIV.format(
+            u=f"u * {PI_VSCALE}", m=f"(SELECT max(abs(u)) FROM {u})"
+        )
+        ctes.append(
+            f"v{k + 1} AS (SELECT dim, CAST({tdiv} AS BIGINT) AS v FROM {u})"
+        )
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH {chain}
+    SELECT dim, v FROM v{PI_ITERS}
+    """
+
+
+@register(
+    "gram_power_iteration",
+    oracle_sql=_power_iteration_oracle(),
+    tags=("similarity", "pca", "iterative", "pipeline"),
+)
+def gram_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding corpus by POWER
+    ITERATION on the integer Gram matrix — the step that turns
+    [[embedding_gram_matrix]] into usable PCA output (top component for
+    whitening, ABTT-style dominant-direction removal, or as the first
+    vector of a blocked Lanczos).  {PI_ITERS} rounds of v <- G v, each
+    renormalized to fixed-point scale {PI_VSCALE} by trunc-division by
+    max|component| — all arithmetic int64 (quantization {PI_QSCALE}
+    keeps |G|·|v|·d ~ 3e14, far inside the ANSI overflow bar), so the
+    result is bit-identical in both engines; the trunc-toward-zero
+    rescale is spelled explicitly in the oracle because DuckDB's //
+    floors while Spark's `div` truncates.
+
+    Scale shape: the corpus is touched ONCE — the same mapInPandas
+    d²-bounded partial-Gram as embedding_gram_matrix (nothing
+    row-shaped shuffles), then every iteration is a join+agg over the
+    {EMB_DIM}²-row G with a {EMB_DIM}-row broadcast vector and a 1-row
+    broadcast max — corpus-size independent, the definition of cheap
+    post-processing.  At billion-scale d, rounds would partition G by
+    dim_i block; here localCheckpoint per round caps lineage as in
+    [[kmeans_lloyd]].
+    """
+    import numpy as np
+    import pandas as pd
+
+    from mapreduce_c_implementation_spark.sources.tables import compute_scan
+
+    e = compute_scan(spark, sf_dir, "embeddings").select("embedding")
+
+    def gram_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q = np.floor(x * PI_QSCALE).astype(np.int64)
+            g = q.T @ q
+            ii, jj = np.indices((EMB_DIM, EMB_DIM))
+            yield pd.DataFrame(
+                {"dim_i": ii.ravel(), "dim_j": jj.ravel(), "part": g.ravel()}
+            )
+
+    gram = (
+        e.mapInPandas(gram_batches, schema="dim_i int, dim_j int, part long")
+        .groupBy("dim_i", "dim_j")
+        .agg(F.sum("part").alias("g"))
+        .select(
+            F.col("dim_i").cast("long").alias("dim_i"),
+            F.col("dim_j").cast("long").alias("dim_j"),
+            "g",
+        )
+        .localCheckpoint()
+    )
+    v = spark.range(EMB_DIM).select(
+        F.col("id").alias("dim"), F.lit(PI_VSCALE).cast("long").alias("v")
+    )
+    for _ in range(PI_ITERS):
+        u = (
+            gram.join(F.broadcast(v), gram.dim_j == v.dim)
+            .groupBy(F.col("dim_i").alias("dim"))
+            .agg(F.sum(F.col("g") * F.col("v")).cast("long").alias("u"))
+        )
+        m = u.agg(F.max(F.abs(F.col("u"))).alias("m"))
+        v = (
+            u.crossJoin(F.broadcast(m))
+            .select(
+                "dim",
+                F.expr(f"(u * {PI_VSCALE}) div m").cast("long").alias("v"),
+            )
+            .localCheckpoint()
+        )
+    return v

@@ -1068,3 +1068,129 @@ def pmi_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift_ppm"), "term_a", "term_b")
         .limit(PMI_TOPK)
     )
+
+
+# Gopher-rule thresholds (Rae et al. 2021, "Scaling Language Models:
+# ... Gopher", Table A1 — the published repetition/quality filter
+# suite).  Word-count band lowered to the fixture's doc lengths; the
+# RULE STRUCTURE is what's under test, thresholds are config.
+GOPHER_MIN_WORDS = 10
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL = 2.0
+GOPHER_MAX_MWL = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+_GOPHER_STOPS = ("the", "a", "and", "of", "to", "is", "in", "it")
+
+
+@register(
+    "gopher_quality_rules",
+    oracle_sql=f"""
+    WITH feat AS (
+      SELECT doc_id,
+             CAST(len(tokens) AS BIGINT) AS n_words,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(tokens, t -> CAST(length(t) AS BIGINT))),
+                    (a, b) -> a + b) AS BIGINT) AS sum_wlen,
+             CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+               + CAST((length(text) - length(replace(text, '...', ''))) // 3
+                      AS BIGINT) AS n_symbols,
+             CAST(len(list_filter(tokens, t -> regexp_matches(t, '[a-z]')))
+                  AS BIGINT) AS n_alpha_words,
+             CAST(len(list_intersect(tokens,
+                    {list(_GOPHER_STOPS)})) AS BIGINT) AS n_stopkinds
+      FROM (SELECT doc_id, text, {{tok}} AS tokens FROM documents)
+    ),
+    rules AS (
+      SELECT doc_id, n_words,
+             CAST(sum_wlen AS DOUBLE) / greatest(n_words, 1) AS mean_word_len,
+             CAST(n_symbols AS DOUBLE) / greatest(n_words, 1) AS symbol_ratio,
+             CAST(n_alpha_words AS DOUBLE) / greatest(n_words, 1) AS alpha_frac,
+             n_stopkinds
+      FROM feat
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+           CAST(CASE WHEN n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                THEN 1 ELSE 0 END AS BIGINT) AS pass_word_count,
+           CAST(CASE WHEN mean_word_len >= {GOPHER_MIN_MWL}
+                      AND mean_word_len <= {GOPHER_MAX_MWL}
+                THEN 1 ELSE 0 END AS BIGINT) AS pass_mean_word_len,
+           CAST(CASE WHEN symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+                THEN 1 ELSE 0 END AS BIGINT) AS pass_symbol_ratio,
+           CAST(CASE WHEN alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+                THEN 1 ELSE 0 END AS BIGINT) AS pass_alpha_frac,
+           CAST(CASE WHEN n_stopkinds >= 2 THEN 1 ELSE 0 END AS BIGINT)
+             AS pass_stopwords,
+           CAST(CASE WHEN n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                      AND mean_word_len >= {GOPHER_MIN_MWL}
+                      AND mean_word_len <= {GOPHER_MAX_MWL}
+                      AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+                      AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+                      AND n_stopkinds >= 2
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM rules
+    """.replace("{tok}", _TOK),
+    tags=("text", "quality", "gopher", "pipeline"),
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher quality-filter rule suite as per-rule pass
+    flags + the conjunction: word-count band, mean word length band,
+    symbol-to-word ratio (# and ellipsis), alphabetic-word fraction,
+    stopword presence.  Complements [[text_quality_score]] (a blended
+    score for ranking) with the AUDITABLE form real pipelines ship —
+    per-rule booleans so a filter change can be attributed to the rule
+    that fired.
+
+    All features are narrow per-row maps over one tokenize pass (token
+    length sum via an integer array fold, symbol counts via
+    length-after-replace — everything whole-stage-codegen'd, no UDFs,
+    no shuffle at all: the plan is scan -> project).  Ratios divide
+    once per row, so doubles agree exactly across engines.
+    """
+    d = parallel_scan(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    feat = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        ).alias("sum_wlen"),
+        (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"))))
+            + (
+                (F.length("text") - F.length(F.replace(F.col("text"), F.lit("..."))))
+                / F.lit(3)
+            ).cast("long")
+        ).cast("long").alias("n_symbols"),
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("long").alias(
+            "n_alpha_words"
+        ),
+        F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in _GOPHER_STOPS]))
+        ).cast("long").alias("n_stopkinds"),
+    )
+    g1 = F.greatest(F.col("n_words"), F.lit(1))
+    mwl = F.col("sum_wlen").cast("double") / g1
+    sym = F.col("n_symbols").cast("double") / g1
+    alp = F.col("n_alpha_words").cast("double") / g1
+    p_wc = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    p_mwl = (mwl >= GOPHER_MIN_MWL) & (mwl <= GOPHER_MAX_MWL)
+    p_sym = sym <= GOPHER_MAX_SYMBOL_RATIO
+    p_alp = alp >= GOPHER_MIN_ALPHA_FRAC
+    p_stop = F.col("n_stopkinds") >= 2
+    as_flag = lambda c, n: F.when(c, 1).otherwise(0).cast("long").alias(n)
+    return feat.select(
+        "doc_id",
+        "n_words",
+        mwl.alias("mean_word_len"),
+        sym.alias("symbol_ratio"),
+        alp.alias("alpha_frac"),
+        as_flag(p_wc, "pass_word_count"),
+        as_flag(p_mwl, "pass_mean_word_len"),
+        as_flag(p_sym, "pass_symbol_ratio"),
+        as_flag(p_alp, "pass_alpha_frac"),
+        as_flag(p_stop, "pass_stopwords"),
+        as_flag(p_wc & p_mwl & p_sym & p_alp & p_stop, "keep"),
+    )

@@ -108,6 +108,16 @@ SWEPT_OPS = [
     "ann_pq_adc",
     "dynamic_partition_pruning_join",
     "tpch_rf1_rf2_refresh",
+    # round-4 additions
+    "ann_ivf_pq",
+    "dedup_cc_stars",
+    "dedup_minhash_bucketed_probe",
+    "graph_triangle_count",
+    "graph_label_propagation",
+    "gopher_quality_rules",
+    "k_anonymity_check",
+    "time_weighted_avg",
+    "gram_power_iteration",
 ]
 
 
