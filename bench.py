@@ -86,6 +86,10 @@ HEADLINE = [
     # round-4 additions
     "ann_ivf_pq",
     "dedup_cc_stars",
+    "skipgram_cooccurrence",
+    "char_entropy_quality",
+    "lexical_diversity_ttr",
+    "graph_bfs_distances",
 ]
 
 

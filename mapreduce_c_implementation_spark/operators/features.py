@@ -172,3 +172,157 @@ def feature_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_mktsegment", "label_idx")
         .orderBy("c_custkey")
     )
+
+
+SCALE_BP = 10_000  # min-max scaling resolution (basis points)
+
+
+@register(
+    "feature_minmax_scale",
+    oracle_sql=f"""
+    WITH stats AS (
+      SELECT o_orderpriority,
+             min(o_totalprice) AS mn, max(o_totalprice) AS mx
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderkey, o.o_orderpriority,
+           CAST(CASE WHEN s.mx > s.mn
+                     THEN floor((o.o_totalprice - s.mn) * {SCALE_BP} / (s.mx - s.mn))
+                     ELSE 0 END AS BIGINT) AS scaled_bp
+    FROM orders o JOIN stats s ON s.o_orderpriority = o.o_orderpriority
+    ORDER BY o.o_orderkey
+    """,
+    tags=("features", "scaling"),
+)
+def feature_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group min-max scaling (the MinMaxScaler shape, made exactly
+    reproducible): each order's total price maps to `[0, {SCALE_BP}]`
+    basis points within its ``o_orderpriority`` group via
+    ``floor((x - min) * {SCALE_BP} / (max - min))``.
+
+    Cross-engine determinism: the scaled value is a single IEEE
+    expression — one subtract, one multiply, one divide, in a pinned
+    order — over the SAME doubles in both engines, then floored to an
+    integer; there is no accumulated float (the group min/max are exact
+    selections, not sums), so the result is bit-identical whatever the
+    partitioning.  Degenerate groups (max == min) pin to 0.
+
+    Scale shape: one partial/final groupBy over the fact table computes
+    the per-group envelope (group-cardinality-sized — broadcast by
+    size, same rule as [[feature_label_encode]]'s vocabulary), then one
+    narrow codegen'd map applies the affine transform.  The fact table
+    is touched twice and never shuffled on a data-dependent key; at
+    100 TB the stats pass is a metadata-sized aggregate and the apply
+    pass pipelines into whatever consumes the feature.  The ORDER BY
+    is presentation-only (driver compare), not part of the contract.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    stats = o.groupBy("o_orderpriority").agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    ).withColumnRenamed("o_orderpriority", "s_prio")
+    return (
+        o.join(stats, o.o_orderpriority == F.col("s_prio"))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.when(
+                F.col("mx") > F.col("mn"),
+                F.floor(
+                    (F.col("o_totalprice") - F.col("mn"))
+                    * SCALE_BP
+                    / (F.col("mx") - F.col("mn"))
+                ),
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("scaled_bp"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+TE_SMOOTH_M = 10  # pseudo-count weight of the global mean (smoothing prior)
+
+# trunc-toward-zero integer division (DuckDB `//` floors, Spark `div`
+# truncates; account balances go negative, so pin trunc in both).
+_SQL_TDIV = "(CASE WHEN {u} >= 0 THEN ({u}) // ({m}) ELSE -((-({u})) // ({m})) END)"
+
+
+@register(
+    "feature_target_encode",
+    oracle_sql=f"""
+    WITH cents AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer
+    ),
+    gstats AS (
+      SELECT {_SQL_TDIV.format(u="sum(bal_cents)", m="count(*)")} AS gmean
+      FROM cents
+    ),
+    enc AS (
+      SELECT c_mktsegment,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST({_SQL_TDIV.format(
+                 u=f"sum(bal_cents) + {TE_SMOOTH_M} * any_value(g.gmean)",
+                 m=f"count(*) + {TE_SMOOTH_M}")} AS BIGINT) AS enc_cents
+      FROM cents CROSS JOIN gstats g
+      GROUP BY c_mktsegment
+    )
+    SELECT c.c_custkey, c.c_mktsegment, e.n_rows, e.enc_cents
+    FROM cents c JOIN enc e ON e.c_mktsegment = c.c_mktsegment
+    ORDER BY c.c_custkey
+    """,
+    tags=("features", "encoding", "target"),
+)
+def feature_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed mean-target encoding (the classic high-cardinality
+    categorical encoder): category -> ``(sum_y + m*global_mean) /
+    (n + m)`` with pseudo-count m={TE_SMOOTH_M}, so rare categories
+    shrink toward the global mean instead of memorizing noise.
+
+    Exactness: the target (account balance) is converted to integer
+    CENTS up front — ``round(x*100)`` is exact for 2-decimal money —
+    and every statistic after that is int64 arithmetic: sums are
+    order-free, the global mean and the encoded value use
+    trunc-toward-zero division pinned identically in both engines
+    (DuckDB ``//`` floors, Spark ``div`` truncates — balances go
+    negative, where the two differ by 1).
+
+    Scale shape: one partial/final groupBy builds the category table,
+    the 1-row global mean broadcasts onto it (tiny x tiny cross join),
+    and the encoded vocabulary joins back WITHOUT a forced broadcast
+    hint — the [[feature_label_encode]] rule: category cardinality is
+    unbounded at 100 TB, so Catalyst must be free to fall back to a
+    keyed shuffle join.  The fact table is never shuffled on a
+    data-dependent key.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    glob = c.agg(
+        F.expr("sum(bal_cents) div count(*)").alias("gmean")
+    )
+    enc = (
+        c.crossJoin(F.broadcast(glob))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.expr(
+                f"(sum(bal_cents) + {TE_SMOOTH_M} * any_value(gmean))"
+                f" div (count(*) + {TE_SMOOTH_M})"
+            )
+            .cast("long")
+            .alias("enc_cents"),
+        )
+        .withColumnRenamed("c_mktsegment", "e_seg")
+    )
+    return (
+        c.join(enc, c.c_mktsegment == F.col("e_seg"))
+        .select("c_custkey", "c_mktsegment", "n_rows", "enc_cents")
+        .orderBy("c_custkey")
+    )

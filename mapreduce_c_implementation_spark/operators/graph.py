@@ -423,3 +423,149 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.join(nodes, "node").select(
         "n_name", F.col("lab").cast("long").alias("community")
     )
+
+
+# Single-source BFS over a deterministically SPARSIFIED trade graph:
+# the nation graph is near-complete (every pair trades at sf>=0.01), so
+# BFS over the raw edge set has diameter ~1 and tests nothing.  Each
+# node keeps only its {BFS_NODE_DEGREE} strongest incident edges
+# (total-order tie-break (w desc, neighbor) — deterministic at any sf),
+# which guarantees every node stays in the backbone (a global top-K
+# strands low-weight nations entirely) while forcing multi-hop paths —
+# and, unlike a global LIMIT, is computable at any graph size without
+# one task ranking the full edge list.
+BFS_SOURCE = 0
+BFS_ITERS = 6
+BFS_NODE_DEGREE = 2
+
+
+def _bfs_oracle() -> str:
+    """Unrolled fixed-iteration BFS (Bellman-Ford relaxation with unit
+    weights) in DuckDB SQL — unrolled for the same reason as
+    ``_pagerank_oracle``: the recursive term would aggregate over the
+    recursive reference."""
+    ctes = [
+        """und AS (
+      SELECT least(src, dst) AS u, greatest(src, dst) AS v,
+             CAST(sum(w) AS BIGINT) AS wu
+      FROM edges WHERE src <> dst GROUP BY 1, 2
+    )""",
+        "inc AS (SELECT u AS a, v AS b, wu FROM und"
+        " UNION ALL SELECT v, u, wu FROM und)",
+        f"""topE AS (
+      SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM (
+        SELECT a, b,
+               row_number() OVER (PARTITION BY a ORDER BY wu DESC, b ASC)
+                 AS rn
+        FROM inc
+      ) WHERE rn <= {BFS_NODE_DEGREE}
+    )""",
+        "sym AS (SELECT u, v FROM topE UNION ALL SELECT v, u FROM topE)",
+        f"d0 AS (SELECT CAST({BFS_SOURCE} AS BIGINT) AS node,"
+        f" CAST(0 AS BIGINT) AS dist)",
+    ]
+    for k in range(BFS_ITERS):
+        ctes.append(
+            f"""d{k + 1} AS (
+      SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+        SELECT node, dist FROM d{k}
+        UNION ALL
+        SELECT s.v AS node, p.dist + 1 AS dist
+        FROM d{k} p JOIN sym s ON s.u = p.node
+      ) GROUP BY node
+    )"""
+        )
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH {_SQL_GRAPH_CTES.strip()},
+    {chain}
+    SELECT n.n_name AS n_name, d.dist
+    FROM d{BFS_ITERS} d JOIN nodes n ON n.node = d.node
+    ORDER BY d.dist, n.n_name
+    """
+
+
+@register(
+    "graph_bfs_distances",
+    oracle_sql=_bfs_oracle(),
+    tags=("graph", "bfs", "iterative"),
+)
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS hop distances from nation {BFS_SOURCE} over
+    the per-node top-{BFS_NODE_DEGREE} incident-edge backbone of the
+    trade graph —
+    MapReduce-iteration rung 3 after [[graph_pagerank_nations]] (value
+    diffusion) and [[graph_label_propagation]] (mode diffusion): MIN
+    diffusion, i.e. frontier expansion as `dist = min(dist,
+    neighbor_dist + 1)` repeated {BFS_ITERS} rounds (unit-weight
+    Bellman-Ford; the oracle unrolls the SAME count, so the round
+    count is part of the contract, not tuning).
+
+    Everything is integer; each node keeps its {BFS_NODE_DEGREE}
+    strongest incident edges by a TOTAL order (weight desc, then
+    neighbor), so the graph — and therefore every distance — is
+    deterministic at any sf, every node stays present (a global top-K
+    would strand low-weight nations), and paths are forced multi-hop.
+    Unreached nodes are simply absent (inner join at the end),
+    matching the oracle's semantics.
+
+    Scale shape: the edge build is the one fact-fact shuffle (shared
+    [[_trade_edges]] diamond); the iteration runs on NODE-sized tables
+    (frontier join + min-aggregate per round), fully lazy — no
+    checkpoint needed at {BFS_ITERS} rounds because each round adds
+    one join+agg to a node-table-sized plan, and the whole chain is a
+    single job.  For a billion-node graph the same loop holds with the
+    frontier hash-partitioned on node and per-round checkpointing (the
+    [[dedup_cc_stars]] pattern); the sparsification is ALREADY the
+    scale-correct per-node top-k (window partitioned by node — work
+    splits across the cluster; no single task ever ranks the full edge
+    list, unlike a global LIMIT).
+    """
+    from pyspark.sql.window import Window
+
+    edges = _trade_edges(spark, sf_dir)
+    undw = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .groupBy(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .agg(F.sum("w").cast("long").alias("wu"))
+    )
+    inc = undw.select(
+        F.col("u").alias("a"), F.col("v").alias("b"), "wu"
+    ).unionByName(
+        undw.select(F.col("v").alias("a"), F.col("u").alias("b"), "wu")
+    )
+    und = (
+        inc.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("a").orderBy(F.desc("wu"), F.asc("b"))
+            ),
+        )
+        .filter(F.col("rn") <= BFS_NODE_DEGREE)
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+    )
+    sym = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    dist = spark.range(1).select(
+        F.lit(BFS_SOURCE).cast("long").alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    )
+    for _ in range(BFS_ITERS):
+        relaxed = dist.join(sym, dist.node == sym.u).select(
+            F.col("v").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+        )
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node"), "n_name"
+    )
+    return (
+        dist.join(F.broadcast(n), "node")
+        .select("n_name", "dist")
+        .orderBy("dist", "n_name")
+    )

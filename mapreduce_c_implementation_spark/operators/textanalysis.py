@@ -1194,3 +1194,215 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_flag(p_stop, "pass_stopwords"),
         as_flag(p_wc & p_mwl & p_sym & p_alp & p_stop, "keep"),
     )
+
+
+# Skip-gram co-occurrence: the word2vec/GloVe training-pair extraction.
+SKIPGRAM_WINDOW = 3   # forward context window (tokens after the center)
+SKIPGRAM_MIN_COUNT = 3
+SKIPGRAM_TOPK = 50
+
+
+@register(
+    "skipgram_cooccurrence",
+    oracle_sql=f"""
+    WITH toks AS (SELECT {_TOK} AS ts FROM documents),
+    idx AS (
+      SELECT ts, unnest(generate_series(1, len(ts))) AS i FROM toks
+    ),
+    pairs AS (
+      SELECT ts[i] AS center,
+             unnest(list_slice(ts, i + 1, least(i + {SKIPGRAM_WINDOW}, len(ts))))
+               AS context
+      FROM idx
+    )
+    SELECT center, context, CAST(count(*) AS BIGINT) AS n_co
+    FROM pairs
+    GROUP BY center, context
+    HAVING count(*) >= {SKIPGRAM_MIN_COUNT}
+    ORDER BY n_co DESC, center, context
+    LIMIT {SKIPGRAM_TOPK}
+    """,
+    tags=("text", "skipgram", "cooccurrence", "pipeline"),
+)
+def skipgram_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence counts — the (center, context) training
+    pairs word2vec/GloVe consume, with a forward window of
+    {SKIPGRAM_WINDOW} tokens (each unordered co-occurrence is counted
+    once, at its left member).
+
+    Pairs are generated IN-ROW from the token array — an index lambda
+    over ``transform`` pairs token i with ``slice(ts, i+2,
+    {SKIPGRAM_WINDOW})`` — the [[pmi_term_cooccurrence]] pattern: the
+    fan-out is bounded by {SKIPGRAM_WINDOW} per TOKEN (vs PMI's
+    per-doc mid-term pairs), so the exploded pair stream is a constant
+    factor of the corpus token count and the ONLY shuffle is the
+    (center, context) count aggregate, which map-side combines down to
+    the pair vocabulary.  The final top-{SKIPGRAM_TOPK} is a
+    TakeOrderedAndProject with a total-order tie-break, never a
+    materialized global sort.  At 100 TB this is the canonical
+    "embedding training data prep" job: one pass, one
+    vocabulary-bounded shuffle.
+    """
+    d = compute_scan(spark, sf_dir, "documents")
+    ts = tokenize(F.col("text"))
+    pairs = (
+        d.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        ts,
+                        lambda x, i: F.transform(
+                            F.slice(ts, i + 2, SKIPGRAM_WINDOW),
+                            lambda y: F.struct(
+                                x.alias("center"), y.alias("context")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.center", "p.context")
+    )
+    return (
+        pairs.groupBy("center", "context")
+        .agg(F.count("*").cast("long").alias("n_co"))
+        .filter(F.col("n_co") >= SKIPGRAM_MIN_COUNT)
+        .orderBy(F.desc("n_co"), "center", "context")
+        .limit(SKIPGRAM_TOPK)
+    )
+
+
+# Character-distribution entropy in fixed-point MILLI-bits: coarse
+# enough (1e3) that a few-ulp libm log2 disagreement between engines
+# would have to land within ~1e-11 of a floor boundary to flip a value.
+ENTROPY_SCALE = 1000
+
+
+@register(
+    "char_entropy_quality",
+    oracle_sql=f"""
+    WITH chars AS (
+      SELECT doc_id, substr(text, i, 1) AS ch
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text))) AS i
+            FROM documents)
+    ),
+    counts AS (
+      SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_chars_counted,
+           CAST(count(*) AS BIGINT) AS distinct_chars,
+           CAST(CAST(floor(log2(sum(c)) * {ENTROPY_SCALE}) AS BIGINT)
+                - (sum(c * CAST(floor(log2(c) * {ENTROPY_SCALE}) AS BIGINT))
+                   // sum(c)) AS BIGINT) AS entropy_milli
+    FROM counts
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("text", "quality", "entropy"),
+)
+def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document — the
+    classic gibberish/boilerplate detector (natural text sits ~3.5-4.5
+    bits/char; base64 blobs and repeated padding fall far outside the
+    band) — in FIXED-POINT milli-bits so the result is bit-identical
+    across engines:
+
+        H_milli = floor(log2(n)*1e3) - (sum(c * floor(log2(c)*1e3)) div n)
+
+    The identity H = log2(n) - (sum c*log2 c)/n is quantized per
+    DISTINCT-char term BEFORE summation: the summands are int64, so
+    the distributed sum is order-free (a raw double sum would make the
+    result depend on partition order), and the one division is integer
+    (non-negative operands, so DuckDB ``//`` == Spark ``div``).  The
+    only float step is one log2 per distinct (char, count) pair,
+    floored at milli-bit resolution — a cross-libm mismatch would need
+    log2's few-ulp disagreement to land within ~1e-11 of a boundary.
+
+    Scale shape: explode-to-chars is a narrow flatMap (fan-out = text
+    length, the same linearity as tokenization); the (doc, char) count
+    aggregate map-side combines to at most ~100 distinct chars per doc
+    before shuffling, and the per-doc rollup is metadata-sized.  One
+    pass over the text bytes, one doc-keyed shuffle.
+    """
+    d = compute_scan(spark, sf_dir, "documents")
+    counts = (
+        d.select(
+            "doc_id", F.explode(F.split(F.col("text"), "(?!^)")).alias("ch")
+        )
+        .filter(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("c"))
+    )
+    term = F.col("c") * F.floor(F.log2("c") * ENTROPY_SCALE).cast("long")
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_chars_counted"),
+            F.count("*").cast("long").alias("distinct_chars"),
+            (
+                F.floor(F.log2(F.sum("c")) * ENTROPY_SCALE).cast("long")
+                - F.expr(
+                    f"sum(c * cast(floor(log2(c) * {ENTROPY_SCALE}) as bigint))"
+                    " div sum(c)"
+                )
+            ).cast("long").alias("entropy_milli"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "lexical_diversity_ttr",
+    oracle_sql=f"""
+    WITH toks AS (SELECT doc_id, {_TOK} AS ts FROM documents)
+    SELECT doc_id,
+           CAST(len(ts) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(ts)) AS BIGINT) AS n_types,
+           CAST(len(list_filter(ts,
+                  t -> len(list_filter(ts, u -> u = t)) = 1)) AS BIGINT)
+             AS n_hapax,
+           CAST(CASE WHEN len(ts) > 0
+                     THEN (len(list_distinct(ts)) * 10000) // len(ts)
+                     ELSE 0 END AS BIGINT) AS ttr_bp
+    FROM toks
+    ORDER BY doc_id
+    """,
+    tags=("text", "quality", "diversity"),
+)
+def lexical_diversity_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio and hapax-legomenon count per document — the
+    lexical-diversity quality signals (template/spam text has few
+    types per token; natural prose has many singletons).  All-integer:
+    ``ttr_bp = n_types * 10000 div n_tokens`` (basis points; operands
+    non-negative so ``div`` == ``//``).
+
+    Everything is IN-ROW over the token array — ``array_distinct``
+    for types and a nested filter lambda for hapaxes (O(L^2) in
+    DOCUMENT length, which the tokenizer already caps — never in
+    corpus size) — so the operator is a pure codegen'd map with ZERO
+    shuffle: it pipelines into any downstream filter the way
+    [[gopher_quality_rules]] does.  The ORDER BY is presentation-only.
+    """
+    d = compute_scan(spark, sf_dir, "documents")
+    ts = tokenize(F.col("text"))
+    toks = d.select("doc_id", ts.alias("ts"))
+    n_tok = F.size("ts")
+    n_typ = F.size(F.array_distinct("ts"))
+    hapax = F.size(
+        F.filter(
+            F.col("ts"),
+            lambda t: F.size(F.filter(F.col("ts"), lambda u: u == t)) == 1,
+        )
+    )
+    return toks.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        n_typ.cast("long").alias("n_types"),
+        hapax.cast("long").alias("n_hapax"),
+        F.when(n_tok > 0, F.expr("size(array_distinct(ts)) * 10000 div size(ts)"))
+        .otherwise(0)
+        .cast("long")
+        .alias("ttr_bp"),
+    ).orderBy("doc_id")

@@ -118,6 +118,13 @@ SWEPT_OPS = [
     "k_anonymity_check",
     "time_weighted_avg",
     "gram_power_iteration",
+    # round-4 second wave
+    "feature_minmax_scale",
+    "feature_target_encode",
+    "skipgram_cooccurrence",
+    "char_entropy_quality",
+    "lexical_diversity_ttr",
+    "graph_bfs_distances",
 ]
 
 

@@ -195,6 +195,9 @@ _NESTED_LOOP_EXEMPT = {
     "pmi_term_cooccurrence",
     # 1-row max-key broadcast re-keys the RF1 insert slice
     "tpch_rf1_rf2_refresh",
+    # 1-row global-mean broadcast onto the category aggregate — the
+    # smoothing prior; single-row nested-loop side by construction
+    "feature_target_encode",
 }
 
 # Modules whose query_fns build lazy plans (streaming/io execute jobs
