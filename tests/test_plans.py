@@ -476,3 +476,30 @@ def test_minhash_bucketed_probe_index_side_never_shuffles(spark, sf_correct):
     assert re.search(r"Scan parquet [^\n]*b_mh_index", plan), plan
     assert "Bucketed: true" in plan, plan
     assert len(re.findall(r"hashpartitioning\(bkey", plan)) <= 2, plan
+
+
+def test_skipgram_single_shuffle_topk(spark, sf_correct):
+    """skipgram_cooccurrence: in-row pair generation means exactly ONE
+    data-dependent shuffle (the pair-count aggregate, map-side combined)
+    and the top-k must lower to TakeOrderedAndProject, never a global
+    sort."""
+    from mapreduce_c_implementation_spark.registry import get_operator
+
+    plan = physical_plan(
+        get_operator("skipgram_cooccurrence").query_fn(spark, sf_correct)
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("hashpartitioning") == 1
+    assert "Sort [" not in plan  # no global sort anywhere
+
+
+def test_lexical_diversity_is_pure_map(spark, sf_correct):
+    """lexical_diversity_ttr must compile to a shuffle-free map (the
+    only exchanges allowed are the scan's round-robin spread and the
+    presentation sort)."""
+    from mapreduce_c_implementation_spark.registry import get_operator
+
+    plan = physical_plan(
+        get_operator("lexical_diversity_ttr").query_fn(spark, sf_correct)
+    )
+    assert "hashpartitioning" not in plan

@@ -93,3 +93,92 @@ def test_ngram_helper_spark_matches_python(spark):
             for (t,) in rows
         ]
         assert got == want, (n, got, want)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    tokens=st.lists(st.text(alphabet="abcxyz", min_size=1, max_size=4), max_size=12)
+)
+def test_skipgram_inrow_pairing_matches_python(spark, tokens):
+    """The in-row index-lambda pairing inside skipgram_cooccurrence must
+    emit exactly the forward-window pairs a naive Python loop produces,
+    for ANY token list (empty, shorter than the window, duplicates)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_c_implementation_spark.operators.textanalysis import (
+        SKIPGRAM_WINDOW,
+    )
+
+    expected = sorted(
+        (tokens[i], tokens[j])
+        for i in range(len(tokens))
+        for j in range(i + 1, min(i + 1 + SKIPGRAM_WINDOW, len(tokens)))
+    )
+    df = spark.createDataFrame([(tokens,)], "ts: array<string>")
+    pairs = df.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ts"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ts"), i + 2, SKIPGRAM_WINDOW),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    got = sorted((r.a, r.b) for r in pairs.collect())
+    assert got == expected
+
+
+def test_char_entropy_fixed_point_matches_python(spark):
+    """char_entropy_quality's fixed-point formula vs a direct Python
+    evaluation of the same quantization on pinned adversarial shapes:
+    uniform (max entropy), single-char (zero), and skewed."""
+    import math
+    from collections import Counter
+
+    from mapreduce_c_implementation_spark.operators.textanalysis import (
+        ENTROPY_SCALE,
+    )
+    from mapreduce_c_implementation_spark.registry import get_operator  # noqa: F401
+
+    texts = ["abcdefgh", "aaaaaaaa", "aaab", "ab" * 50, "z"]
+
+    def py_entropy_milli(text: str) -> int:
+        c = Counter(text)
+        n = sum(c.values())
+        s = sum(v * math.floor(math.log2(v) * ENTROPY_SCALE) for v in c.values())
+        return math.floor(math.log2(n) * ENTROPY_SCALE) - s // n
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    counts = (
+        df.select("doc_id", F.explode(F.split(F.col("text"), "(?!^)")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("c"))
+    )
+    got = {
+        r.doc_id: r.h
+        for r in counts.groupBy("doc_id")
+        .agg(
+            (
+                F.floor(F.log2(F.sum("c")) * ENTROPY_SCALE).cast("long")
+                - F.expr(
+                    f"sum(c * cast(floor(log2(c) * {ENTROPY_SCALE}) as bigint))"
+                    " div sum(c)"
+                )
+            ).alias("h")
+        )
+        .collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == py_entropy_milli(t), t
+    # sanity: uniform 8-char alphabet = 3 bits exactly; single char = 0
+    assert got[0] == 3 * ENTROPY_SCALE
+    assert got[1] == 0
