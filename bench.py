@@ -90,6 +90,9 @@ HEADLINE = [
     "char_entropy_quality",
     "lexical_diversity_ttr",
     "graph_bfs_distances",
+    "dataset_card_stats",
+    "vocab_coverage_topk",
+    "event_retention_cohorts",
 ]
 
 

@@ -1472,3 +1472,96 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("twa_micros").cast("double") / 1_000_000.0).alias("twa_value"),
         )
     )
+
+
+# Cohort-retention matrix over `events`: cohort = ISO week of a user's
+# FIRST event; retention = distinct users active k weeks later.  Weeks
+# are integer counts of days since a fixed Monday epoch, floor-divided
+# by 7 — pure integer date math, identical in both engines (datediff is
+# exact; operands non-negative for any post-1970 timestamp, so `div`
+# == `//`).
+RETENTION_EPOCH = "1970-01-05"  # a Monday
+RETENTION_MAX_OFFSET = 8
+
+
+@register(
+    "event_retention_cohorts",
+    oracle_sql=f"""
+    WITH activity AS (
+      SELECT DISTINCT user_id,
+             CAST(datediff('day', DATE '{RETENTION_EPOCH}', CAST(ts AS DATE)) // 7
+                  AS BIGINT) AS week
+      FROM events
+    ),
+    cohorts AS (
+      SELECT user_id, CAST(min(week) AS BIGINT) AS cohort_week
+      FROM activity GROUP BY user_id
+    ),
+    sizes AS (
+      SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+      FROM cohorts GROUP BY cohort_week
+    ),
+    cells AS (
+      SELECT c.cohort_week,
+             CAST(a.week - c.cohort_week AS BIGINT) AS week_offset,
+             CAST(count(*) AS BIGINT) AS n_users
+      FROM activity a JOIN cohorts c ON c.user_id = a.user_id
+      WHERE a.week - c.cohort_week <= {RETENTION_MAX_OFFSET}
+      GROUP BY c.cohort_week, a.week - c.cohort_week
+    )
+    SELECT x.cohort_week, x.week_offset, x.n_users, s.cohort_size,
+           CAST((x.n_users * 10000) // s.cohort_size AS BIGINT) AS retention_bp
+    FROM cells x JOIN sizes s ON s.cohort_week = x.cohort_week
+    ORDER BY x.cohort_week, x.week_offset
+    """,
+    tags=("analytics", "retention", "cohorts"),
+)
+def event_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix — the canonical product-analytics
+    triangle: users grouped by first-active week, each later week's
+    cell = how many of them came back (count + share of cohort in
+    basis points).  `(user, week)` activity is DISTINCT first, so a
+    user's many events in one week count once.
+
+    All-integer: weeks are `datediff(day, epoch_monday, ts::date) div
+    7` (exact integer date math — no engine-specific week-of-year
+    rules, which disagree across engines on year boundaries), counts
+    and basis points are int64.
+
+    Scale shape: the corpus-sized work is the (user, week) DISTINCT —
+    one user-keyed shuffle, map-side combined; `cohorts` is a user-
+    cardinality aggregate on the SAME user key (Catalyst reuses the
+    partitioning: no second corpus shuffle), and the activity⋈cohorts
+    join is user-keyed too, so the whole triangle derives from one
+    partitioning.  The matrix itself is weeks x offsets — dashboard-
+    sized.  The offset cap keeps output bounded however long the log.
+    """
+    e = parallel_scan(spark, sf_dir, "events")
+    week = F.expr(
+        f"datediff(cast(ts as date), date'{RETENTION_EPOCH}') div 7"
+    ).cast("long")
+    activity = e.select("user_id", week.alias("week")).distinct()
+    cohorts = activity.groupBy("user_id").agg(
+        F.min("week").cast("long").alias("cohort_week")
+    )
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count("*").cast("long").alias("cohort_size")
+    )
+    cells = (
+        activity.join(cohorts, "user_id")
+        .select("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .filter(F.col("week_offset") <= RETENTION_MAX_OFFSET)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            F.col("week_offset").cast("long").alias("week_offset"),
+            "n_users",
+            "cohort_size",
+            F.expr("n_users * 10000 div cohort_size").cast("long").alias("retention_bp"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

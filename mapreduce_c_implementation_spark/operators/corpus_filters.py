@@ -533,3 +533,109 @@ def k_anonymity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.substring(F.min("c_name"), 1, 9).alias("sample_name_prefix"),
     )
+
+
+@register(
+    "dataset_card_stats",
+    oracle_sql=f"""
+    WITH base AS (
+      SELECT source, lang, CAST(len({_TOK}) AS BIGINT) AS tk, n_chars
+      FROM documents
+    ),
+    sl AS (
+      SELECT source, lang,
+             CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(tk) AS BIGINT) AS t,
+             CAST(sum(n_chars) AS BIGINT) AS nch
+      FROM base GROUP BY source, lang
+    ),
+    tot AS (
+      SELECT source,
+             CAST(sum(c) AS BIGINT) AS n_docs,
+             CAST(sum(t) AS BIGINT) AS n_tokens,
+             CAST(sum(nch) AS BIGINT) AS n_chars_total,
+             CAST(count(*) AS BIGINT) AS n_langs
+      FROM sl GROUP BY source
+    ),
+    top AS (
+      SELECT source, lang AS top_lang, c AS top_c FROM (
+        SELECT sl.*, row_number() OVER (PARTITION BY source
+                                        ORDER BY c DESC, lang ASC) AS rn
+        FROM sl
+      ) WHERE rn = 1
+    )
+    SELECT t.source, t.n_docs, t.n_tokens,
+           CAST(t.n_tokens // t.n_docs AS BIGINT) AS tokens_per_doc,
+           CAST(t.n_chars_total // t.n_docs AS BIGINT) AS chars_per_doc,
+           t.n_langs, p.top_lang,
+           CAST((p.top_c * 10000) // t.n_docs AS BIGINT) AS top_lang_share_bp
+    FROM tot t JOIN top p ON p.source = t.source
+    ORDER BY t.source
+    """,
+    tags=("corpus", "stats", "datasheet", "pipeline"),
+)
+def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset datasheet — the "Datasheets for Datasets" /
+    model-card summary table every corpus release ships: document and
+    token counts, mean document size, language spread, and the dominant
+    language with its share.  All-integer (token counts, trunc
+    divisions, basis points; non-negative so ``div`` == ``//``), with
+    the dominant language chosen by a TOTAL order (count desc, lang
+    asc) so ties cannot depend on partition layout.
+
+    Scale shape: one tokenizing pass over the corpus feeds a
+    (source, lang) aggregate — map-side combined down to the
+    source x lang cardinality, the ONLY corpus-sized shuffle — and
+    everything after runs on that metadata-sized table: the per-source
+    rollup, the row_number window (partitioned by source, ranking only
+    that source's languages), and a vocabulary-sized join.  At 100 TB
+    this is the one-pass "corpus census" job whose output is a
+    dashboard table.
+    """
+    d = parallel_scan(spark, sf_dir, "documents")
+    base = d.select(
+        "source", "lang",
+        F.size(tokenize(F.col("text"))).cast("long").alias("tk"),
+        "n_chars",
+    )
+    sl = base.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("c"),
+        F.sum("tk").cast("long").alias("t"),
+        F.sum("n_chars").cast("long").alias("nch"),
+    )
+    tot = sl.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.sum("t").cast("long").alias("n_tokens"),
+        F.sum("nch").cast("long").alias("n_chars_total"),
+        F.count("*").cast("long").alias("n_langs"),
+    )
+    from pyspark.sql.window import Window
+
+    top = (
+        sl.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(F.desc("c"), F.asc("lang"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("source").alias("p_source"),
+            F.col("lang").alias("top_lang"),
+            F.col("c").alias("top_c"),
+        )
+    )
+    return (
+        tot.join(top, tot.source == F.col("p_source"))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr("n_tokens div n_docs").alias("tokens_per_doc"),
+            F.expr("n_chars_total div n_docs").alias("chars_per_doc"),
+            "n_langs",
+            "top_lang",
+            F.expr("top_c * 10000 div n_docs").alias("top_lang_share_bp"),
+        )
+        .orderBy("source")
+    )

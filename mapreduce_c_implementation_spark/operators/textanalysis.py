@@ -1406,3 +1406,88 @@ def lexical_diversity_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ttr_bp"),
     ).orderBy("doc_id")
+
+
+# Vocabulary-coverage curve: what share of token OCCURRENCES the top-K
+# token TYPES cover — the tokenizer/vocab-size design metric (BPE vocab
+# sizing, OOV-rate estimation).  K values sized to the fixture's ~31-type
+# vocabulary; the contract is the curve shape, not the absolute Ks.
+VOCAB_COVERAGE_KS = (5, 15, 30)
+VOCAB_MAX_TYPES = 1000  # constant bound on the ranked head table
+
+
+@register(
+    "vocab_coverage_topk",
+    oracle_sql=f"""
+    WITH freq AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest({_TOK}) AS t FROM documents)
+      GROUP BY t
+    ),
+    total AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM freq),
+    head AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, t ASC) AS rnk
+      FROM freq ORDER BY c DESC, t ASC LIMIT {VOCAB_MAX_TYPES}
+    ),
+    expanded AS (
+      SELECT k, c FROM head,
+           (SELECT unnest([{", ".join(str(k) for k in VOCAB_COVERAGE_KS)}]) AS k)
+      WHERE rnk <= k
+    )
+    SELECT e.k, CAST(sum(e.c) AS BIGINT) AS covered_tokens,
+           any_value(t.n) AS total_tokens,
+           CAST((sum(e.c) * 10000) // any_value(t.n) AS BIGINT) AS coverage_bp
+    FROM expanded e CROSS JOIN total t
+    GROUP BY e.k
+    ORDER BY e.k
+    """,
+    tags=("text", "vocab", "coverage", "pipeline"),
+)
+def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K vocabulary coverage — for each K in {VOCAB_COVERAGE_KS},
+    the share of all token occurrences covered by the K most frequent
+    token types (ranked by a TOTAL order: count desc, token asc).  The
+    standard tokenizer-design curve: where it flattens is where a
+    bigger vocabulary stops paying.
+
+    Scale shape: the corpus-sized work is ONE vocabulary aggregate
+    (map-side combined); the ranked head is then bounded by the
+    CONSTANT {VOCAB_MAX_TYPES} via TakeOrderedAndProject — the window
+    that assigns ranks runs over at most {VOCAB_MAX_TYPES} rows by
+    construction, never the full vocabulary, so there is no
+    unbounded single-partition sort (the [[feature_quantile_bins]]
+    lesson).  K-expansion is an IN-ROW array explode (no join), and
+    the grand total arrives as a 1-row broadcast (the
+    [[bm25_topk_docs]] scalar pattern — single-row nested-loop side
+    by construction).
+    """
+    d = compute_scan(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(tokenize(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    total = freq.agg(F.sum("c").cast("long").alias("n"))
+    head = freq.orderBy(F.desc("c"), F.asc("t")).limit(VOCAB_MAX_TYPES)
+    from pyspark.sql.window import Window
+
+    ranked = head.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("t")))
+    )
+    ks = F.array(*[F.lit(k) for k in VOCAB_COVERAGE_KS])
+    expanded = (
+        ranked.select("c", "rnk", F.explode(ks).alias("k"))
+        .filter(F.col("rnk") <= F.col("k"))
+    )
+    return (
+        expanded.crossJoin(F.broadcast(total))
+        .groupBy("k")
+        .agg(
+            F.sum("c").cast("long").alias("covered_tokens"),
+            F.any_value("n").alias("total_tokens"),
+            F.expr("sum(c) * 10000 div any_value(n)")
+            .cast("long")
+            .alias("coverage_bp"),
+        )
+        .orderBy("k")
+    )

@@ -125,6 +125,9 @@ SWEPT_OPS = [
     "char_entropy_quality",
     "lexical_diversity_ttr",
     "graph_bfs_distances",
+    "dataset_card_stats",
+    "vocab_coverage_topk",
+    "event_retention_cohorts",
 ]
 
 

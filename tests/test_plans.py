@@ -198,6 +198,8 @@ _NESTED_LOOP_EXEMPT = {
     # 1-row global-mean broadcast onto the category aggregate — the
     # smoothing prior; single-row nested-loop side by construction
     "feature_target_encode",
+    # 1-row token-grand-total broadcast, the bm25 scalar pattern
+    "vocab_coverage_topk",
 }
 
 # Modules whose query_fns build lazy plans (streaming/io execute jobs
