@@ -93,6 +93,7 @@ HEADLINE = [
     "dataset_card_stats",
     "vocab_coverage_topk",
     "event_retention_cohorts",
+    "ann_recall_eval",
 ]
 
 

@@ -1447,3 +1447,138 @@ def gram_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return v
+
+
+# Shared rank-and-truncate body for the recall-eval oracle: the exact
+# and approximate top-k CTEs are the SAME text the standalone
+# ann_bruteforce_topk / ann_lsh_bucketed oracles use, so the eval op
+# cannot drift from the ops it evaluates.
+_SQL_EXACT_TOPK = f"""
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round({_SQL_DOT.format(a="q.embedding", b="c.embedding")}
+                   / (q.nrm * c.nrm), 6) AS cosine
+      FROM norms q JOIN norms c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    exact_topk AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id ASC)
+                        AS rank FROM scored)
+      WHERE rank <= {TOP_K}
+    )"""
+
+_SQL_APPROX_TOPK = f"""
+    bucketed AS (
+      SELECT vec_id, embedding, nrm,
+             CAST({_SQL_BUCKET} AS BIGINT) AS bucket
+      FROM norms
+    ),
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round({_SQL_DOT.format(a="q.embedding", b="c.embedding")}
+                   / (q.nrm * c.nrm), 6) AS cosine
+      FROM bucketed q JOIN bucketed c
+        ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    approx_topk AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id ASC)
+                        AS rank FROM cand)
+      WHERE rank <= {TOP_K}
+    )"""
+
+
+@register(
+    "ann_recall_eval",
+    oracle_sql=f"""
+    WITH {_SQL_NORMS},
+    {_SQL_EXACT_TOPK.strip()},
+    {_SQL_APPROX_TOPK.strip()},
+    base AS (
+      SELECT query_id, CAST(count(*) AS BIGINT) AS k_exact
+      FROM exact_topk GROUP BY query_id
+    ),
+    hits AS (
+      SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hit
+      FROM exact_topk e
+      JOIN approx_topk a
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id
+    ),
+    perq AS (
+      SELECT b.query_id, b.k_exact,
+             CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit
+      FROM base b LEFT JOIN hits h ON h.query_id = b.query_id
+    )
+    SELECT query_id, k_exact, n_hit,
+           CAST((n_hit * 10000) // k_exact AS BIGINT) AS recall_bp
+    FROM perq
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT) AS query_id,
+           CAST(sum(k_exact) AS BIGINT) AS k_exact,
+           CAST(sum(n_hit) AS BIGINT) AS n_hit,
+           CAST((sum(n_hit) * 10000) // sum(k_exact) AS BIGINT) AS recall_bp
+    FROM perq
+    ORDER BY query_id
+    """,
+    tags=("similarity", "ann", "eval", "pipeline"),
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of [[ann_lsh_bucketed]] against the exact
+    [[ann_bruteforce_topk]] ground truth — the evaluation job every ANN
+    deployment runs before trusting an index: per-query hit counts plus
+    a macro row (query_id = -1) with the overall recall in basis
+    points.  Both sides are the REGISTERED operators' own queries (and
+    the oracle inlines their exact CTE text), so the eval can never
+    drift from what it claims to measure; integer counts and trunc
+    division make it bit-exact.
+
+    Scale shape: ground truth is the documented brute-force cross
+    product (this op inherits that contract — at 100 TB you evaluate
+    on a SAMPLED probe set exactly like this fixture's vec_id <
+    {N_QUERIES}, never the full corpus); the hit join is a
+    (query_id, neighbor_id) equi-join between two K x probes tables —
+    metadata-sized — and everything aggregates down from there.  The
+    per-query TOP_K windows are bounded by the probe set, not the
+    corpus.
+    """
+    exact = ann_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = ann_lsh_bucketed(spark, sf_dir).select(
+        F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+    )
+    base = exact.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("k_exact")
+    )
+    hits = (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("neighbor_id") == F.col("a_nid")),
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_hit"))
+    )
+    perq = base.join(hits, "query_id", "left").select(
+        "query_id",
+        "k_exact",
+        F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+    )
+    total = perq.agg(
+        F.lit(-1).cast("long").alias("query_id"),
+        F.sum("k_exact").cast("long").alias("k_exact"),
+        F.sum("n_hit").cast("long").alias("n_hit"),
+    )
+    return (
+        perq.unionByName(total)
+        .select(
+            "query_id",
+            "k_exact",
+            "n_hit",
+            F.expr("n_hit * 10000 div k_exact").cast("long").alias("recall_bp"),
+        )
+        .orderBy("query_id")
+    )

@@ -128,6 +128,7 @@ SWEPT_OPS = [
     "dataset_card_stats",
     "vocab_coverage_topk",
     "event_retention_cohorts",
+    "ann_recall_eval",
 ]
 
 

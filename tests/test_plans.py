@@ -200,6 +200,9 @@ _NESTED_LOOP_EXEMPT = {
     "feature_target_encode",
     # 1-row token-grand-total broadcast, the bm25 scalar pattern
     "vocab_coverage_topk",
+    # inherits ann_bruteforce_topk's documented exact cross product as
+    # its ground-truth side
+    "ann_recall_eval",
 }
 
 # Modules whose query_fns build lazy plans (streaming/io execute jobs
