@@ -94,6 +94,7 @@ HEADLINE = [
     "vocab_coverage_topk",
     "event_retention_cohorts",
     "ann_recall_eval",
+    "hybrid_search_rrf",
 ]
 
 

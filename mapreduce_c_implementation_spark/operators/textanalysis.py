@@ -798,10 +798,10 @@ BM25_TOPK = 20
 _BM25_QLIST = ", ".join(f"'{t}'" for t in BM25_QUERY)
 
 
-@register(
-    "bm25_topk_docs",
-    oracle_sql=f"""
-    WITH tok AS (
+# The BM25 scoring CTE chain, shared verbatim by bm25_topk_docs and
+# hybrid_search_rrf so the fused ranker cannot drift from the lexical
+# baseline it consumes.
+_SQL_BM25_CTES = f"""tok AS (
       SELECT doc_id, unnest({_TOK}) AS t FROM documents
     ),
     dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id),
@@ -826,7 +826,13 @@ _BM25_QLIST = ", ".join(f"'{t}'" for t in BM25_QUERY)
       JOIN df ON df.t = tf.t
       JOIN dl ON dl.doc_id = tf.doc_id
       CROSS JOIN stats
-    )
+    )"""
+
+
+@register(
+    "bm25_topk_docs",
+    oracle_sql=f"""
+    WITH {_SQL_BM25_CTES}
     SELECT doc_id,
            CAST(CAST(sum(s) AS DECIMAL(30,6)) AS DOUBLE) AS bm25,
            rank
@@ -1490,4 +1496,159 @@ def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("coverage_bp"),
         )
         .orderBy("k")
+    )
+
+
+# Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical ranking
+# and a vector-cosine semantic ranking (query = document {HYBRID_QUERY_VEC}'s
+# embedding; doc_id and vec_id are the same id space by fixture design).
+HYBRID_QUERY_VEC = 0
+HYBRID_LIST_K = 20   # depth of each retrieved list entering the fusion
+HYBRID_TOPK = 10
+RRF_K = 60           # the published RRF damping constant
+RRF_SCALE = 1_000_000
+
+
+def _hybrid_oracle() -> str:
+    from mapreduce_c_implementation_spark.operators.similarity import (
+        _SQL_DOT,
+        _SQL_NORMS,
+    )
+
+    return f"""
+    WITH {_SQL_BM25_CTES},
+    lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY sum(s) DESC, doc_id ASC) AS lrank
+      FROM scored GROUP BY doc_id
+      ORDER BY sum(s) DESC, doc_id ASC LIMIT {HYBRID_LIST_K}
+    ),
+    {_SQL_NORMS},
+    qv AS (SELECT embedding AS qe, nrm AS qn FROM norms
+           WHERE vec_id = {HYBRID_QUERY_VEC}),
+    sem_scored AS (
+      SELECT c.vec_id AS doc_id,
+             round({_SQL_DOT.format(a="qv.qe", b="c.embedding")}
+                   / (qv.qn * c.nrm), 6) AS cos
+      FROM norms c CROSS JOIN qv
+      WHERE c.vec_id <> {HYBRID_QUERY_VEC}
+    ),
+    sem AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS srank
+      FROM (SELECT * FROM sem_scored ORDER BY cos DESC, doc_id ASC
+            LIMIT {HYBRID_LIST_K})
+    ),
+    fused AS (
+      SELECT coalesce(l.doc_id, m.doc_id) AS doc_id,
+             CAST(coalesce(l.lrank, -1) AS BIGINT) AS lex_rank,
+             CAST(coalesce(m.srank, -1) AS BIGINT) AS sem_rank,
+             CAST(CASE WHEN l.lrank IS NULL THEN 0
+                       ELSE {RRF_SCALE} // ({RRF_K} + l.lrank) END
+                + CASE WHEN m.srank IS NULL THEN 0
+                       ELSE {RRF_SCALE} // ({RRF_K} + m.srank) END
+                AS BIGINT) AS rrf_fp
+      FROM lex l FULL OUTER JOIN sem m ON m.doc_id = l.doc_id
+    )
+    SELECT doc_id, lex_rank, sem_rank, rrf_fp,
+           CAST(rank AS BIGINT) AS fused_rank
+    FROM (SELECT *, row_number() OVER (ORDER BY rrf_fp DESC, doc_id ASC)
+                      AS rank FROM fused)
+    WHERE rank <= {HYBRID_TOPK}
+    ORDER BY fused_rank
+    """
+
+
+@register(
+    "hybrid_search_rrf",
+    oracle_sql=_hybrid_oracle(),
+    tags=("text", "retrieval", "hybrid", "pipeline"),
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion — the production
+    default for "BM25 + vector" search stacks (Cormack et al.'s RRF,
+    the formula Elasticsearch/OpenSearch ship): each retrieved list
+    contributes ``{RRF_SCALE} div ({RRF_K} + rank)`` fixed-point
+    points, absent docs contribute 0, and candidates re-rank by the
+    sum.  The lexical list is [[bm25_topk_docs]]'s ranking (the oracle
+    inlines the SAME BM25 CTE text); the semantic list is cosine
+    against document {HYBRID_QUERY_VEC}'s embedding (doc_id == vec_id
+    by fixture design — the id join every hybrid index maintains).
+
+    Exactness: ranks are integers, RRF contributions are trunc
+    divisions of a fixed-point constant — no float fold anywhere in
+    the fusion — and every ordering carries a doc_id tie-break.
+
+    Scale shape: each side ends in orderBy+limit over a CONSTANT list
+    depth ({HYBRID_LIST_K}) — TakeOrderedAndProject, then rank
+    assignment runs on the K-row result (the [[vocab_coverage_topk]]
+    bounded-head pattern, NOT the brute-force per-query window) — so
+    the fusion join is K x K however large the corpus; the semantic
+    side's 1-row query-vector broadcast is the [[bm25_topk_docs]]
+    scalar pattern.  At 100 TB the semantic list comes from the ANN
+    index ([[ann_ivf_pq]]) instead of the exact scan; the fusion
+    contract is unchanged.
+    """
+    from pyspark.sql.window import Window
+
+    from mapreduce_c_implementation_spark.operators.similarity import (
+        _norms,
+        _spark_dot,
+    )
+
+    lex_base = bm25_topk_docs(spark, sf_dir).filter(
+        F.col("rank") <= HYBRID_LIST_K
+    )
+    lex = lex_base.select("doc_id", F.col("rank").alias("lrank"))
+
+    norms = _norms(spark, sf_dir)
+    qv = norms.filter(F.col("vec_id") == HYBRID_QUERY_VEC).select(
+        F.col("embedding").alias("qe"), F.col("nrm").alias("qn")
+    )
+    sem_scored = (
+        norms.filter(F.col("vec_id") != HYBRID_QUERY_VEC)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                _spark_dot(F.col("qe"), F.col("embedding"))
+                / (F.col("qn") * F.col("nrm")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    sem_head = sem_scored.orderBy(F.desc("cos"), F.asc("doc_id")).limit(
+        HYBRID_LIST_K
+    )
+    sem = sem_head.select(
+        F.col("doc_id").alias("s_doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos"), F.asc("doc_id")))
+        .alias("srank"),
+    )
+    fused = (
+        lex.join(sem, lex.doc_id == sem.s_doc_id, "full_outer")
+        .select(
+            F.coalesce("doc_id", "s_doc_id").alias("doc_id"),
+            F.coalesce("lrank", F.lit(-1)).cast("long").alias("lex_rank"),
+            F.coalesce("srank", F.lit(-1)).cast("long").alias("sem_rank"),
+            (
+                F.when(
+                    F.col("lrank").isNotNull(),
+                    F.expr(f"{RRF_SCALE} div ({RRF_K} + lrank)"),
+                ).otherwise(0)
+                + F.when(
+                    F.col("srank").isNotNull(),
+                    F.expr(f"{RRF_SCALE} div ({RRF_K} + srank)"),
+                ).otherwise(0)
+            ).cast("long").alias("rrf_fp"),
+        )
+    )
+    w = Window.orderBy(F.desc("rrf_fp"), F.asc("doc_id"))
+    return (
+        fused.select(
+            "*", F.row_number().over(w).cast("long").alias("fused_rank")
+        )
+        .filter(F.col("fused_rank") <= HYBRID_TOPK)
+        .orderBy("fused_rank")
     )

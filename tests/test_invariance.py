@@ -129,6 +129,7 @@ SWEPT_OPS = [
     "vocab_coverage_topk",
     "event_retention_cohorts",
     "ann_recall_eval",
+    "hybrid_search_rrf",
 ]
 
 

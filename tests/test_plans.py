@@ -203,6 +203,8 @@ _NESTED_LOOP_EXEMPT = {
     # inherits ann_bruteforce_topk's documented exact cross product as
     # its ground-truth side
     "ann_recall_eval",
+    # 1-row query-vector broadcast + bm25's 1-row stats broadcast
+    "hybrid_search_rrf",
 }
 
 # Modules whose query_fns build lazy plans (streaming/io execute jobs
