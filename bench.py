@@ -95,6 +95,7 @@ HEADLINE = [
     "event_retention_cohorts",
     "ann_recall_eval",
     "hybrid_search_rrf",
+    "multimodal_simhash_neardup",
 ]
 
 

@@ -261,3 +261,132 @@ def multimodal_cas_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Byte-level SimHash for binary payloads: near-dup detection that needs
+# NO codec — locality-sensitive over raw bytes, so re-containered or
+# lightly-edited payloads land in (or one bit off) the same bucket.
+MM_SIMHASH_BITS = 16
+MM_SHINGLE_HEX = 16  # 8-byte shingle = 16 hex chars
+MM_STRIDE_HEX = 8    # 4-byte stride = 8 hex chars
+
+
+@register(
+    "multimodal_simhash_neardup",
+    oracle_sql=f"""
+    WITH pay AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(substr(hx, i, {MM_SHINGLE_HEX})), 1, 8)
+                  AS BIGINT) AS h
+      FROM (SELECT doc_id, hx,
+                   unnest(generate_series(1, length(hx) - {MM_SHINGLE_HEX - 1},
+                                          {MM_STRIDE_HEX})) AS i
+            FROM pay)
+    ),
+    bits AS (
+      SELECT doc_id,
+             {", ".join(
+                 f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS w{j}"
+                 for j in range(MM_SIMHASH_BITS)
+             )}
+      FROM sh GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST({" + ".join(
+                 f"(CASE WHEN w{j} > 0 THEN 1 ELSE 0 END) * {1 << j}"
+                 for j in range(MM_SIMHASH_BITS)
+             )} AS BIGINT) AS simhash
+      FROM bits
+    )
+    SELECT s.simhash,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(s.doc_id) AS BIGINT) AS keeper_doc,
+           CAST(sum(p.n_bytes) AS BIGINT) AS total_bytes,
+           CAST(CASE WHEN count(*) > 1 THEN 1 ELSE 0 END AS BIGINT) AS is_dup_bucket
+    FROM sig s JOIN pay p ON p.doc_id = s.doc_id
+    GROUP BY s.simhash
+    ORDER BY s.simhash
+    """,
+    tags=("multimodal", "dedup", "simhash"),
+)
+def multimodal_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection for BINARY payloads via byte-level
+    SimHash — the codec-free rung of multimodal dedup between
+    [[multimodal_cas_index]] (exact sha256) and real perceptual hashes
+    (which need the stubbed decoder): 8-byte shingles at a 4-byte
+    stride vote per-bit (the [[dedup_simhash]] construction, applied
+    to payload bytes instead of tokens), so payloads differing by
+    small edits agree on most bits.  Output is the signature bucket
+    table: members, keeper (min doc), reclaimable byte mass, dup flag.
+
+    Cross-engine exactness: bytes enter as hex (identical uppercase
+    hex in both engines), shingle positions are an integer stride
+    sequence, shingle hashes are md5 hex-slices, and the per-bit votes
+    are integer sums — order-free, so the signature is bit-identical
+    under any partitioning.
+
+    Scale shape: payloads never shuffle — shingling and hashing are
+    one narrow map (fan-out = payload size / stride, the same
+    linearity as tokenization); the per-doc vote aggregate map-side
+    combines to {MM_SIMHASH_BITS} ints per doc, and the bucket table
+    is signature-cardinality-sized.  Hamming-ball probing (pairs
+    within distance d) composes exactly like [[dedup_simhash_pairs]]
+    on this signature column.
+    """
+    p = _payload_df(spark, sf_dir).select(
+        "doc_id", F.hex(F.col("payload")).alias("hx"), "n_bytes"
+    )
+    sh = (
+        p.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.length("hx") >= MM_SHINGLE_HEX,
+                    F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.length("hx") - (MM_SHINGLE_HEX - 1),
+                            F.lit(MM_STRIDE_HEX),
+                        ),
+                        lambda i: F.col("hx").substr(i, F.lit(MM_SHINGLE_HEX)),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("sg"),
+        )
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5(F.col("sg")), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    bits = sh.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"w{j}")
+            for j in range(MM_SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for j in range(MM_SIMHASH_BITS):
+        term = F.when(F.col(f"w{j}") > 0, 1).otherwise(0) * (1 << j)
+        sim = term if sim is None else sim + term
+    sig = bits.select("doc_id", sim.cast("long").alias("simhash"))
+    return (
+        sig.join(p.select("doc_id", "n_bytes"), "doc_id")
+        .groupBy("simhash")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.min("doc_id").cast("long").alias("keeper_doc"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.when(F.count("*") > 1, 1).otherwise(0).cast("long").alias("is_dup_bucket"),
+        )
+        .orderBy("simhash")
+    )

@@ -130,6 +130,7 @@ SWEPT_OPS = [
     "event_retention_cohorts",
     "ann_recall_eval",
     "hybrid_search_rrf",
+    "multimodal_simhash_neardup",
 ]
 
 
