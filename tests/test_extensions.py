@@ -249,3 +249,23 @@ def test_cc_stars_matches_propagation_and_converges_fast(spark, sf_correct):
     prop = get_operator("dedup_connected_components").query_fn(spark, sf_correct)
     assert sorted(map(tuple, stars.collect())) == sorted(map(tuple, prop.collect()))
     assert dedup_cc_stars.last_rounds < CC_ROUNDS, dedup_cc_stars.last_rounds
+
+
+def test_operators_md_in_sync():
+    """docs/OPERATORS.md is generated from the registry; it must list
+    exactly the registered operators (regenerate with
+    scripts/gen_operators_md.py after adding one)."""
+    import pathlib
+    import re
+
+    from mapreduce_c_implementation_spark.registry import all_operators
+
+    md = (
+        pathlib.Path(__file__).resolve().parents[1] / "docs" / "OPERATORS.md"
+    ).read_text()
+    listed = set(re.findall(r"^\| \d+ \| `([a-z0-9_]+)`", md, re.MULTILINE))
+    ops = set(all_operators())
+    assert listed == ops, (
+        f"docs/OPERATORS.md out of sync: missing={sorted(ops - listed)[:5]} "
+        f"stale={sorted(listed - ops)[:5]}"
+    )
