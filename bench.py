@@ -96,6 +96,7 @@ HEADLINE = [
     "ann_recall_eval",
     "hybrid_search_rrf",
     "multimodal_simhash_neardup",
+    "event_attribution_last_touch",
 ]
 
 

@@ -1565,3 +1565,105 @@ def event_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# Last-touch marketing attribution: purchases credit the most recent
+# preceding touchpoint (view/click/signup — errors are not channels)
+# by the same user within the lookback window.
+ATTR_TOUCH_TYPES = ("click", "signup", "view")
+ATTR_LOOKBACK_US = 24 * 3600 * 1_000_000  # 24 h in integer microseconds
+
+
+@register(
+    "event_attribution_last_touch",
+    oracle_sql=f"""
+    WITH ev AS (
+      SELECT event_id, ts, user_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS val_cents
+      FROM events
+    ),
+    touched AS (
+      SELECT *,
+             last_value(CASE WHEN event_type IN
+                 ({", ".join(f"'{t}'" for t in ATTR_TOUCH_TYPES)})
+               THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_type,
+             last_value(CASE WHEN event_type IN
+                 ({", ".join(f"'{t}'" for t in ATTR_TOUCH_TYPES)})
+               THEN epoch_us(ts) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_us
+      FROM ev
+    )
+    SELECT CASE WHEN touch_us IS NOT NULL
+                 AND epoch_us(ts) - touch_us <= {ATTR_LOOKBACK_US}
+                THEN touch_type ELSE 'unattributed' END AS channel,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           CAST(sum(val_cents) AS BIGINT) AS revenue_cents
+    FROM touched
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    ORDER BY channel
+    """,
+    tags=("analytics", "attribution", "window"),
+)
+def event_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution — the canonical marketing-analytics
+    window query: each purchase credits the most recent PRECEDING
+    touchpoint ({", ".join(ATTR_TOUCH_TYPES)}) by the same user within
+    a 24 h lookback; purchases with no in-window touch report as
+    'unattributed'.  Revenue is integer cents (``round(value*100)`` —
+    exact for 2-decimal money) so channel sums are order-free.
+
+    The carry-forward is ``last(..., ignorenulls=True)`` over a
+    ``ROWS UNBOUNDED PRECEDING .. 1 PRECEDING`` frame with a
+    (ts, event_id) total order — the same deterministic-frame
+    discipline as [[time_gap_fill_ffill]] — and the lookback compares
+    integer MICROSECONDS (epoch_us in both engines), never interval
+    arithmetic, so the window edge cannot drift between engines.
+
+    Scale shape: one user-keyed shuffle for the window (users are
+    independent — parallelism = user cardinality), then a channel-
+    cardinality aggregate.  The event log is touched once; at 100 TB
+    this is the shape attribution jobs actually run (sessionized
+    variants bound the frame by session instead of user history).
+    """
+    from pyspark.sql.window import Window
+
+    ev = parallel_scan(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("val_cents"),
+    )
+    is_touch = F.col("event_type").isin(*ATTR_TOUCH_TYPES)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touched = ev.select(
+        "*",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(is_touch, F.unix_micros("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_us"),
+    )
+    channel = F.when(
+        F.col("touch_us").isNotNull()
+        & (F.unix_micros("ts") - F.col("touch_us") <= ATTR_LOOKBACK_US),
+        F.col("touch_type"),
+    ).otherwise(F.lit("unattributed"))
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .select(channel.alias("channel"), "val_cents")
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_conversions"),
+            F.sum("val_cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("channel")
+    )

@@ -131,6 +131,7 @@ SWEPT_OPS = [
     "ann_recall_eval",
     "hybrid_search_rrf",
     "multimodal_simhash_neardup",
+    "event_attribution_last_touch",
 ]
 
 
