@@ -189,3 +189,120 @@ def main(argv: list[str] | None = None) -> None:
 
 if __name__ == "__main__":  # pragma: no cover - exercised via parse_cli tests
     main()
+
+
+def run_corpus_pipeline_job(spark: SparkSession, job: MapReduceJob) -> JobResult:
+    """The second end-to-end APPLICATION on the job API — where the
+    reference ships exactly one app (the inverted index, src/main.c),
+    this is the LLM-corpus equivalent: parquet documents in ->
+    quality filter -> exact dedup (keep min doc per content digest) ->
+    deterministic md5 split -> parquet shards partitioned by split.
+
+    Same thresholds and expressions as the registered operators
+    ([[corpus_quality_filter]] rules, [[dedup_exact]] digest,
+    [[deterministic_split]] buckets), so the job's behavior is the
+    oracle-verified behavior.  Counters ride the sink action via
+    ``Observation`` (CollectMetrics in-plan — no extra pass over the
+    data, the reference's metrics.c always-on discipline): input docs,
+    kept docs, deduped docs, output tokens.
+
+    Scale shape: filter is a narrow map; dedup shuffles only (digest,
+    doc) pairs; the split column is a pure hash map; the sink
+    repartitions on doc_id so each split directory gets at most
+    ``num_partitions`` deterministic shards.  One scan, two keyed
+    shuffles (digest, sink sharding), one write.
+    """
+    from pyspark.sql import Observation
+
+    from mapreduce_c_implementation_spark.operators.textanalysis import (
+        QF_MIN_ALPHA_RATIO,
+        QF_MIN_DISTINCT_RATIO,
+        QF_MIN_TOKENS,
+        SPLIT_TRAIN_PCT,
+        SPLIT_VALID_PCT,
+    )
+
+    job.validate()
+    out = Path(job.output_dir)
+    if job.clear_output and out.exists():
+        shutil.rmtree(out)
+
+    metrics = JobMetrics(config={
+        "input_paths": list(job.input_paths),
+        "output_dir": job.output_dir,
+        "num_partitions": job.num_partitions,
+        "app": "corpus_pipeline",
+    })
+    stage_floor = max_stage_id(spark)
+    t0 = time.perf_counter()
+
+    obs_in = Observation("corpus_in")
+    obs_out = Observation("corpus_out")
+
+    docs = spark.read.parquet(*job.input_paths).observe(
+        obs_in, F.count(F.lit(1)).alias("n_input_docs")
+    )
+    toks = docs.select(
+        "doc_id", "text", "lang", "source",
+        tokenize(F.col("text")).alias("tokens"),
+    )
+    text_len = F.length("text")
+    n_tok = F.size("tokens")
+    alpha_ratio = (
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("double")
+        / F.when(text_len == 0, F.lit(1)).otherwise(text_len)
+    )
+    distinct_ratio = (
+        F.size(F.array_distinct("tokens")).cast("double")
+        / F.when(n_tok == 0, F.lit(1)).otherwise(n_tok)
+    )
+    kept = toks.filter(
+        (n_tok >= QF_MIN_TOKENS)
+        & (alpha_ratio >= QF_MIN_ALPHA_RATIO)
+        & (distinct_ratio >= QF_MIN_DISTINCT_RATIO)
+    )
+    # Exact dedup: one representative (min doc_id) per content digest —
+    # min_by over the full row, digest-keyed shuffle only.
+    deduped = (
+        kept.withColumn("digest", F.md5(F.col("text")))
+        .groupBy("digest")
+        .agg(F.min_by(F.struct("doc_id", "text", "lang", "source", "tokens"),
+                      F.col("doc_id")).alias("r"))
+        .select("r.doc_id", "r.text", "r.lang", "r.source", "r.tokens")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+    )
+    final = (
+        deduped.select(
+            "doc_id", "text", "lang", "source",
+            F.size("tokens").cast("long").alias("n_tokens"),
+            F.when(bucket < SPLIT_TRAIN_PCT, "train")
+            .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VALID_PCT, "valid")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .observe(
+            obs_out,
+            F.count(F.lit(1)).alias("n_output_docs"),
+            F.sum("n_tokens").alias("n_output_tokens"),
+        )
+        .repartition(job.num_partitions, F.col("doc_id"))
+    )
+    final.write.partitionBy("split").parquet(str(out))
+
+    metrics.wall_s = round(time.perf_counter() - t0, 3)
+    files = sorted(str(p) for p in out.glob("split=*/part-*"))
+    metrics.counters["n_input_docs"] = int(obs_in.get["n_input_docs"])
+    metrics.counters["n_output_docs"] = int(obs_out.get["n_output_docs"])
+    metrics.counters["n_output_tokens"] = int(obs_out.get["n_output_tokens"])
+    metrics.counters["n_output_files"] = len(files)
+    metrics.counters["input_bytes"] = input_bytes(job.input_paths)
+    metrics.stages = collect_stage_metrics(spark, after=stage_floor)
+    metrics.partition_top = partition_skew_from_files(files)
+    if job.metrics_path:
+        metrics.write_report(job.metrics_path)
+    if job.verbose:
+        print(metrics.render_report())
+    return JobResult(output_dir=str(out), metrics=metrics, output_files=files)

@@ -50,3 +50,46 @@ def test_job_validation():
         MapReduceJob(input_paths=[], output_dir="/tmp/x").validate()
     with pytest.raises(ValueError):
         MapReduceJob(input_paths=["a"], output_dir="/tmp/x", num_partitions=0).validate()
+
+
+def test_corpus_pipeline_job_end_to_end(spark, tmp_path):
+    """The second application on the job API: filter -> dedup -> split ->
+    partitioned parquet shards, with Observation counters and the same
+    metrics report as the flagship job."""
+    import duckdb
+
+    from mapreduce_c_implementation_spark.job import run_corpus_pipeline_job
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    job = MapReduceJob(
+        input_paths=[src],
+        output_dir=str(tmp_path / "corpus_out"),
+        num_partitions=4,
+        metrics_path=str(tmp_path / "corpus_metrics.txt"),
+    )
+    res = run_corpus_pipeline_job(spark, job)
+
+    n_input = duckdb.sql(f"SELECT count(*) FROM '{src}'").fetchone()[0]
+    c = res.metrics.counters
+    assert c["n_input_docs"] == n_input
+    assert 0 < c["n_output_docs"] <= n_input
+    assert c["n_output_tokens"] > 0
+
+    # read back: splits partition the kept set; doc_ids unique; token
+    # counts agree with the observation counter
+    back = spark.read.parquet(res.output_dir)
+    rows = back.collect()
+    assert len(rows) == c["n_output_docs"]
+    assert len({r.doc_id for r in rows}) == len(rows)
+    assert {r.split for r in rows} <= {"train", "valid", "test"}
+    assert sum(r.n_tokens for r in rows) == c["n_output_tokens"]
+
+    # deterministic: second run (clear_output) produces identical content
+    res2 = run_corpus_pipeline_job(spark, job)
+    back2 = spark.read.parquet(res2.output_dir)
+    assert sorted((r.doc_id, r.split) for r in back2.collect()) == sorted(
+        (r.doc_id, r.split) for r in rows
+    )
+
+    report = (tmp_path / "corpus_metrics.txt").read_text()
+    assert "=== JOB CONFIG ===" in report and "corpus_pipeline" in report
