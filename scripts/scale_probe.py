@@ -95,27 +95,40 @@ def main() -> None:
         stage(spark, staged)
         base = time_ops(spark, ops, SF_DIR)
         big = time_ops(spark, ops, staged)
-        lines = [
+        header = [
             "# Scaling probe",
             "",
-            f"sf0.1 fixtures replicated {K}x (fact keys shifted per replica,",
+            "sf0.1 fixtures replicated Kx (fact keys shifted per replica,",
             "dims fixed — the realistic scale-up shape), representative",
             f"operators timed at both sizes (best of {REPS}, local[32]).",
-            f"A wall-clock ratio near {K}x (or below: fixed per-query costs",
+            "A wall-clock ratio near Kx (or below: fixed per-query costs",
             "amortize) means the plan scales with DATA; a super-linear ratio",
-            "would flag an accidental quadratic.  Regenerate with",
-            "`python scripts/scale_probe.py`.",
+            "would flag an accidental quadratic.  Regenerate a section with",
+            "`python scripts/scale_probe.py <K>`.",
+        ]
+        section = [
+            "",
+            f"## {K}x",
             "",
             f"| Operator | 1x wall (s) | {K}x wall (s) | ratio |",
             "|---|---|---|---|",
         ]
         for n in PROBE_OPS:
             ratio = round(big[n] / base[n], 2) if base[n] else float("nan")
-            lines.append(f"| `{n}` | {base[n]} | {big[n]} | {ratio}x |")
+            section.append(f"| `{n}` | {base[n]} | {big[n]} | {ratio}x |")
         out = Path(__file__).resolve().parents[1] / "docs" / "SCALING.md"
-        out.write_text("\n".join(lines) + "\n")
+        sections: dict[int, str] = {}
+        if out.exists():
+            for chunk in out.read_text().split("\n## ")[1:]:
+                k_val = int(chunk.split("x", 1)[0])
+                sections[k_val] = "\n## " + chunk.rstrip("\n")
+        sections[K] = "\n" + "\n".join(section[1:])
+        body = "\n".join(header) + "\n" + "".join(
+            sections[k] + "\n" for k in sorted(sections)
+        )
+        out.write_text(body)
         print(f"wrote {out}")
-        for ln in lines[-len(PROBE_OPS):]:
+        for ln in section[-len(PROBE_OPS):]:
             print(ln)
     finally:
         shutil.rmtree(staged, ignore_errors=True)
