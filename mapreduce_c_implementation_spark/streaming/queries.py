@@ -922,3 +922,89 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_value").alias("purchase_value"),
         )
     )
+
+
+@register(
+    "stream_corpus_ingest",
+    oracle_sql="""
+    WITH feats AS (
+      SELECT doc_id, source,
+             CAST(len(tokens) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+               / CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END
+               AS alpha_ratio,
+             CAST(len(list_distinct(tokens)) AS DOUBLE)
+               / CASE WHEN len(tokens) = 0 THEN 1 ELSE len(tokens) END
+               AS distinct_ratio
+      FROM (SELECT doc_id, source, text,
+                   list_transform(
+                     list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),
+                                 t -> t <> ''),
+                     t -> lower(substr(t, 1, 255))) AS tokens
+            FROM documents)
+    )
+    SELECT doc_id, source, n_tokens
+    FROM feats
+    WHERE n_tokens >= 5 AND alpha_ratio >= 0.6 AND distinct_ratio >= 0.3
+    ORDER BY doc_id
+    """,
+    tags=("streaming", "corpus", "dedup", "pipeline"),
+)
+def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus ingestion as a STREAMING query — the
+    always-on form of [[corpus_pipeline_end2end]]: documents arrive in
+    batches (streaming/staging.py's doc plan, where batch1 replays a
+    deterministic slice of batch0 — crawl re-fetches), each batch is
+    quality-filtered with the SAME thresholds as
+    [[corpus_quality_filter]] and deduplicated on the content digest
+    with ``dropDuplicates`` state, so every accepted document reaches
+    the sink exactly once regardless of re-delivery.
+
+    The oracle is the exact batch semantics: quality-kept documents,
+    each once (replays carry identical digests, and first-arrival ==
+    the original because batch order is deterministic).  Unbounded
+    digest state is the documented trade-off ([[stream_dedup]]); the
+    bounded variant swaps in ``dropDuplicatesWithinWatermark`` exactly
+    like [[stream_dedup_within_watermark]] once payloads carry event
+    time.  At scale this is the kafka->filter->dedup->lake ingestion
+    topology with the memory sink swapped for a transactional one.
+    """
+    from mapreduce_c_implementation_spark.operators.textanalysis import (
+        QF_MIN_ALPHA_RATIO,
+        QF_MIN_DISTINCT_RATIO,
+        QF_MIN_TOKENS,
+    )
+    from mapreduce_c_implementation_spark.functions.text import tokenize
+    from mapreduce_c_implementation_spark.streaming.staging import stage_documents
+
+    d = stage_documents(sf_dir)
+    schema = load_table(spark, sf_dir, "documents").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    toks = stream.select(
+        "doc_id", "source", "text", tokenize(F.col("text")).alias("tokens")
+    )
+    text_len = F.length("text")
+    n_tok = F.size("tokens")
+    alpha_ratio = (
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("double")
+        / F.when(text_len == 0, F.lit(1)).otherwise(text_len)
+    )
+    distinct_ratio = (
+        F.size(F.array_distinct("tokens")).cast("double")
+        / F.when(n_tok == 0, F.lit(1)).otherwise(n_tok)
+    )
+    ingested = (
+        toks.filter(
+            (n_tok >= QF_MIN_TOKENS)
+            & (alpha_ratio >= QF_MIN_ALPHA_RATIO)
+            & (distinct_ratio >= QF_MIN_DISTINCT_RATIO)
+        )
+        .withColumn("digest", F.md5(F.col("text")))
+        .dropDuplicates(["digest"])
+        .select("doc_id", "source", n_tok.cast("long").alias("n_tokens"))
+    )
+    return _drain_to_table(spark, ingested).orderBy("doc_id")

@@ -125,3 +125,52 @@ def stage_events(sf_dir: str, with_dup_replay: bool = False) -> str:
         _write_batch(f"{d}/batch_99_sentinel.parquet", sentinel, 3)
     _CACHE[key] = d
     return d
+
+
+_DOC_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+        ("source", pa.string()),
+        ("n_chars", pa.int64()),
+    ]
+)
+
+DOC_REPLAY_MOD = 5
+DOC_REPLAY_REM = 2
+
+
+def stage_documents(sf_dir: str) -> str:
+    """Batch plan for the streaming corpus-ingest operator: documents
+    arrive in three doc_id-sliced batches, and batch1 additionally
+    REPLAYS a deterministic subset of batch0 verbatim (crawl re-fetches
+    — the duplicate arrivals streaming dedup must drop).  Batch
+    boundaries are deterministic, so first-arrival semantics are too.
+    """
+    key = (sf_dir, "docs")
+    if key in _CACHE and os.path.isdir(_CACHE[key]):
+        return _CACHE[key]
+
+    pdf = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    pdf = pdf[[f.name for f in _DOC_SCHEMA]]
+    b0 = pdf[pdf["doc_id"] % 3 == 0]
+    b1 = pdf[pdf["doc_id"] % 3 == 1]
+    b2 = pdf[pdf["doc_id"] % 3 == 2]
+    replay = b0[(b0["doc_id"] % DOC_REPLAY_MOD) == DOC_REPLAY_REM]
+
+    d = tempfile.mkdtemp(prefix="stream_docs_")
+
+    def _w(path: str, frame: pd.DataFrame, order: int) -> None:
+        pq.write_table(
+            pa.Table.from_pandas(frame, schema=_DOC_SCHEMA, preserve_index=False),
+            path,
+        )
+        mtime = time.time() - 1000 + order * 2
+        os.utime(path, (mtime, mtime))
+
+    _w(f"{d}/batch_00.parquet", b0, 0)
+    _w(f"{d}/batch_01.parquet", pd.concat([b1, replay]), 1)
+    _w(f"{d}/batch_02.parquet", b2, 2)
+    _CACHE[key] = d
+    return d
