@@ -97,6 +97,7 @@ HEADLINE = [
     "hybrid_search_rrf",
     "multimodal_simhash_neardup",
     "event_attribution_last_touch",
+    "poisson_bootstrap_mean",
 ]
 
 

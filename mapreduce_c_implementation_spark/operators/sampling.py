@@ -221,3 +221,127 @@ def quality_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= QBS_PER_BUCKET)
         .select("bucket", "doc_id", "rk")
     )
+
+
+# Poisson bootstrap: the scale-out form of the bootstrap (Chamandy et
+# al., "Estimating Uncertainty for Massive Data Streams" — resample
+# weights are iid Poisson(1) per row, so replicates need no global
+# resample pass).  Weights come from a deterministic md5 inverse-CDF
+# lookup: u = hash(key, replicate) in [0, 1e6); thresholds are the
+# Poisson(1) CDF floored to the same integer literals on both engines,
+# so the "randomness" is bit-reproducible.  Tail truncated at w=5
+# (P(X>5) ~ 0.06%) — part of the contract, same on both sides.
+import math as _math
+
+BOOT_REPLICATES = 8
+_BOOT_SCALE = 1_000_000
+_p = _math.exp(-1.0)
+_c = _p
+BOOT_CDF_THRESHOLDS: list[int] = []
+for _k in range(5):
+    BOOT_CDF_THRESHOLDS.append(int(_math.floor(_c * _BOOT_SCALE)))
+    _p /= _k + 1
+    _c += _p
+
+
+def _boot_w_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {w}" for w, t in enumerate(BOOT_CDF_THRESHOLDS)
+    )
+    return f"(CASE {cases} ELSE 5 END)"
+
+
+@register(
+    "poisson_bootstrap_mean",
+    oracle_sql=f"""
+    WITH cents AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders
+    ),
+    weighted AS (
+      SELECT r.r AS replicate, price_cents,
+             {_boot_w_sql(
+                 "CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' "
+                 "|| CAST(r.r AS VARCHAR)), 1, 6) AS BIGINT) % " + str(_BOOT_SCALE)
+             )} AS w
+      FROM cents CROSS JOIN
+           (SELECT unnest(generate_series(0, {BOOT_REPLICATES - 1})) AS r) r
+    )
+    SELECT CAST(replicate AS BIGINT) AS replicate,
+           CAST(sum(w) AS BIGINT) AS n_eff,
+           CAST(sum(w * price_cents) // sum(w) AS BIGINT) AS mean_cents
+    FROM weighted GROUP BY replicate
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT),
+           CAST(sum(price_cents) // count(*) AS BIGINT)
+    FROM cents
+    ORDER BY replicate
+    """,
+    tags=("sampling", "bootstrap", "statistics", "pipeline"),
+)
+def poisson_bootstrap_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap uncertainty for the mean order value — the
+    bootstrap that scales: instead of B global resamples (impossible at
+    100 TB), every row draws an iid Poisson(1) weight per replicate, so
+    all {BOOT_REPLICATES} replicates compute in ONE pass as weighted
+    aggregates; the spread of the replicate means IS the sampling
+    distribution.  A point-estimate row (replicate = -1, unit weights)
+    ships alongside.
+
+    Determinism: the Poisson draw is an integer inverse-CDF lookup on
+    ``md5(key:replicate) % 1e6`` against CDF thresholds baked as the
+    SAME integer literals in both engines (floored once, in one
+    place); money is integer cents and the mean is a trunc division —
+    nothing float crosses an engine boundary, so every replicate is
+    bit-identical anywhere.
+
+    Scale shape: the replicate dimension is an IN-ROW explode (fan-out
+    = {BOOT_REPLICATES}, a constant), weights are a codegen'd CASE —
+    no join, no window — and the only shuffle is the {BOOT_REPLICATES}-
+    group aggregate, which map-side combines to B partial sums per
+    task.  One corpus pass, constant output.
+    """
+    o = parallel_scan(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    reps = F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPLICATES - 1))).alias(
+        "replicate"
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("replicate").cast("string"),
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _BOOT_SCALE
+    )
+    w = F.lit(5)
+    for wt, t in reversed(list(enumerate(BOOT_CDF_THRESHOLDS))):
+        w = F.when(u < t, wt).otherwise(w)
+    weighted = o.select("o_orderkey", "price_cents", reps).select(
+        F.col("replicate").cast("long").alias("replicate"),
+        "price_cents",
+        w.cast("long").alias("w"),
+    )
+    boot = weighted.groupBy("replicate").agg(
+        F.sum("w").cast("long").alias("n_eff"),
+        F.expr("sum(w * price_cents) div sum(w)").cast("long").alias("mean_cents"),
+    )
+    point = o.agg(
+        F.lit(-1).cast("long").alias("replicate"),
+        F.count("*").cast("long").alias("n_eff"),
+        F.expr("sum(price_cents) div count(*)").cast("long").alias("mean_cents"),
+    )
+    return boot.unionByName(point).orderBy("replicate")

@@ -132,6 +132,7 @@ SWEPT_OPS = [
     "hybrid_search_rrf",
     "multimodal_simhash_neardup",
     "event_attribution_last_touch",
+    "poisson_bootstrap_mean",
 ]
 
 
