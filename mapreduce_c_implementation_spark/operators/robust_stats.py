@@ -1,0 +1,348 @@
+"""Robust / diagnostic statistics the reference's reducer family implies.
+
+The reference's aggregation surface is count/sum per key
+(/root/reference/src/main.c:61-75); a data-quality layer over the same
+shuffle adds the classic screening statistics: Benford first-digit
+drift (fabricated-data detector), per-group mode, exact least-squares
+trend, and winsorized means.  Everything is integer / fixed-point by
+construction — no float mean, stddev, or interpolated percentile ever
+forms — so the DuckDB oracle hash-matches exactly (the discipline set
+by time_weighted_avg and group_mad_outliers).
+
+Scale shape: every op is one scan + one keyed aggregate (+ a broadcast
+of a per-group baseline where needed).  The winsorized mean uses exact
+per-group order statistics via row_number — one window shuffle on the
+group key, the same partitioning the top-k family uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreduce_c_implementation_spark.registry import register
+from mapreduce_c_implementation_spark.sources import load_table
+
+# floor(log10(1 + 1/d) * 1000) for d = 1..9 — Benford's law in
+# per-mille.  Public constants (Benford 1938), precomputed so neither
+# engine evaluates log10 at query time.
+BENFORD_PM = {1: 301, 2: 176, 3: 124, 4: 96, 5: 79, 6: 66, 7: 57, 8: 51, 9: 45}
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {pm}" for d, pm in BENFORD_PM.items()
+)
+
+
+@register(
+    "benford_first_digit",
+    oracle_sql=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    tot AS (SELECT count(*) AS n FROM digits)
+    SELECT d.digit,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           CAST(count(*) * 1000 // max(t.n) AS BIGINT) AS obs_pm,
+           CAST(CASE d.digit {_BENFORD_CASE} END AS BIGINT) AS benford_pm,
+           CAST(abs(count(*) * 1000 // max(t.n)
+                    - CASE d.digit {_BENFORD_CASE} END) AS BIGINT) AS drift_pm
+    FROM digits d, tot t
+    GROUP BY d.digit
+    ORDER BY d.digit
+    """,
+    tags=("stats", "quality", "benford"),
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals vs Benford's
+    law — the classic fraud / synthetic-data screen (natural
+    multiplicative amounts follow P(d) = log10(1 + 1/d); a flat or
+    spiked digit mix flags fabricated values).
+
+    Exactness: the first digit comes from the DECIMAL STRING of
+    floor(amount) — never from ``floor(x / 10^floor(log10 x))``, whose
+    float log10 misclassifies exact powers of ten by one ulp.  Observed
+    shares are integer per-mille (floor), expected shares are
+    precomputed public constants, so the drift column is a pure BIGINT
+    difference.
+
+    Scale shape: one scan -> 9-row aggregate (map-side combined); the
+    grand total is a one-row broadcast folded in as max(n) over the
+    crossJoin, so there is no second pass and no collect.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    tot = digits.agg(F.count("*").alias("n"))
+    benford = F.expr(f"CAST(CASE digit {_BENFORD_CASE} END AS BIGINT)")
+    return (
+        digits.crossJoin(F.broadcast(tot))
+        .groupBy("digit")
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.expr("CAST(count(*) * 1000L div max(n) AS BIGINT)").alias("obs_pm"),
+        )
+        .select(
+            "digit",
+            "n_obs",
+            "obs_pm",
+            benford.alias("benford_pm"),
+            F.abs(F.col("obs_pm") - benford).cast("long").alias("drift_pm"),
+        )
+        .orderBy("digit")
+    )
+
+
+@register(
+    "group_mode_frequent",
+    oracle_sql="""
+    WITH counts AS (
+      SELECT c.c_mktsegment, o.o_orderpriority, count(*) AS n
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_mktsegment, o.o_orderpriority
+    ),
+    ranked AS (
+      SELECT c_mktsegment, o_orderpriority, n,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY n DESC, o_orderpriority) AS rn
+      FROM counts
+    )
+    SELECT c_mktsegment,
+           o_orderpriority AS mode_priority,
+           CAST(n AS BIGINT) AS n_mode
+    FROM ranked WHERE rn = 1
+    ORDER BY c_mktsegment
+    """,
+    tags=("stats", "aggregate", "mode"),
+)
+def group_mode_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group MODE with a deterministic tie-break — "the most common
+    order priority per market segment".  Spark 3.4+ has ``mode()``, but
+    its tie choice is undefined; the count -> row_number(count DESC,
+    value ASC) formulation pins ties to the smallest value, which is
+    what makes the result reproducible and oracle-checkable.
+
+    Scale shape: the raw stream reduces FIRST to (group, value) counts
+    — map-side combined, cardinality = |groups| x |values|, tiny — and
+    only that table enters the window.  Never window over raw events
+    to find a mode; the pre-aggregate is what keeps the window input
+    bounded at any corpus size.  The customer dim broadcasts.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    counts = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("n"), F.asc("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").cast("long").alias("n_mode"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# Least-squares scale: slope/intercept reported in exact micro-units.
+REGR_SCALE = 1_000_000
+
+
+@register(
+    "group_linear_regression",
+    oracle_sql=f"""
+    WITH pts AS (
+      SELECT c.c_nationkey AS nationkey,
+             CAST(datediff('day', DATE '1970-01-01', o.o_orderdate) AS BIGINT) AS x,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    m AS (
+      SELECT nationkey, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM pts GROUP BY nationkey
+    )
+    SELECT nationkey, CAST(n AS BIGINT) AS n,
+           CAST(CASE WHEN n * sxx - sx * sx > 0
+                THEN sign(n * sxy - sx * sy)
+                ELSE 0 END AS BIGINT) AS slope_sign,
+           CAST(CASE WHEN n * sxx - sx * sx > 0
+                THEN (abs(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+                      * {REGR_SCALE}) // (CAST(n AS HUGEINT) * sxx
+                                          - CAST(sx AS HUGEINT) * sx)
+                ELSE 0 END AS BIGINT) AS slope_abs_micro
+    FROM m
+    ORDER BY nationkey
+    """,
+    tags=("stats", "regression", "aggregate"),
+)
+def group_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group least-squares trend — order value (cents) vs
+    order date (epoch days) per customer nation, the ``regr_slope``
+    shape made bit-reproducible: slope = (n*Sxy - Sx*Sy)/(n*Sxx - Sx^2)
+    from the five classic power sums, reported as (sign, |slope| in
+    micro-units) so both engines do only NON-NEGATIVE integer division
+    (Spark ``div`` truncates toward zero, DuckDB ``//`` floors — they
+    agree exactly when the numerator is made non-negative via abs).
+
+    The wide products route through DECIMAL(38,0) / HUGEINT: n*Sxy on
+    the fixture already reaches ~1e18 and the micro-scale multiply
+    pushes past int64 — the same headroom rule time_weighted_avg
+    documents.
+
+    Scale shape: ONE keyed aggregate computes all five power sums in a
+    single pass (map-side combined; 5 longs per group of state) — the
+    textbook "regression as a monoid" MapReduce shape, no window, no
+    second scan.  Customer dim broadcasts.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    pts = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long").alias("x"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("y"),
+    )
+    m = pts.groupBy("nationkey").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+    )
+    denom = F.expr("CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx")
+    num = F.expr("CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy")
+    return m.select(
+        "nationkey",
+        F.col("n").cast("long").alias("n"),
+        F.when(denom > 0, F.signum(num).cast("long"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("slope_sign"),
+        F.when(
+            denom > 0,
+            F.expr(
+                f"CAST((abs(CAST(n AS DECIMAL(38,0)) * sxy"
+                f" - CAST(sx AS DECIMAL(38,0)) * sy) * {REGR_SCALE})"
+                f" div (CAST(n AS DECIMAL(38,0)) * sxx"
+                f" - CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT)"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("slope_abs_micro"),
+    ).orderBy("nationkey")
+
+
+# Winsorization cut: clip below the p-th and above the (1-p)-th exact
+# order statistic (basis points).
+WINSOR_BP = 500  # 5%
+
+
+@register(
+    "winsorized_group_stats",
+    oracle_sql=f"""
+    WITH pts AS (
+      SELECT o_orderpriority AS grp,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM orders
+    ),
+    ranked AS (
+      SELECT grp, v,
+             row_number() OVER (PARTITION BY grp ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY grp) AS n
+      FROM pts
+    ),
+    cuts AS (
+      SELECT grp,
+             max(CASE WHEN rn - 1 = (n - 1) * {WINSOR_BP} // 10000
+                 THEN v END) AS lo,
+             max(CASE WHEN rn - 1 = (n - 1) * (10000 - {WINSOR_BP}) // 10000
+                 THEN v END) AS hi
+      FROM ranked GROUP BY grp
+    )
+    SELECT p.grp,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(max(c.lo) AS BIGINT) AS lo_cents,
+           CAST(max(c.hi) AS BIGINT) AS hi_cents,
+           CAST(sum(least(greatest(p.v, c.lo), c.hi)) // count(*) AS BIGINT)
+             AS winsor_mean_cents
+    FROM pts p JOIN cuts c ON c.grp = p.grp
+    GROUP BY p.grp
+    ORDER BY p.grp
+    """,
+    tags=("stats", "robust", "winsorize"),
+)
+def winsorized_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per group — order totals clipped at the exact
+    p{WINSOR_BP}bp / p{10000 - WINSOR_BP}bp ORDER STATISTICS before
+    averaging, the robust mean reporting pipelines use so one whale
+    order can't move a segment's average.
+
+    Exactness: the cut points are ``percentile_disc`` semantics built
+    from row_number (index = (n-1)*p // 10000, zero-based) — actual
+    data values, never interpolated floats — and the clipped mean is
+    integer cents floor-divided by count.  Hash-exact in both engines.
+
+    Scale shape: one window shuffle on the group key to rank values
+    (at 100 TB: replace with two passes of ``approx_percentile`` to
+    get candidate cuts, then one exact filtered count per candidate —
+    the window form is the exact-answer reference), then the clip/mean
+    folds into a keyed aggregate against the broadcast 5-row cut
+    table.
+    """
+    pts = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("v"),
+    )
+    w = Window.partitionBy("grp").orderBy("v")
+    ranked = pts.select(
+        "grp",
+        "v",
+        (F.row_number().over(w) - 1).alias("i"),
+        (F.count("*").over(Window.partitionBy("grp")) - 1).alias("n1"),
+    )
+    cuts = ranked.groupBy("grp").agg(
+        F.max(
+            F.when(
+                F.col("i") == F.expr(f"n1 * {WINSOR_BP} div 10000"), F.col("v")
+            )
+        ).alias("lo"),
+        F.max(
+            F.when(
+                F.col("i") == F.expr(f"n1 * {10000 - WINSOR_BP} div 10000"),
+                F.col("v"),
+            )
+        ).alias("hi"),
+    )
+    return (
+        pts.join(F.broadcast(cuts), "grp")
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("lo").cast("long").alias("lo_cents"),
+            F.max("hi").cast("long").alias("hi_cents"),
+            F.expr(
+                "CAST(sum(least(greatest(v, lo), hi)) div count(*) AS BIGINT)"
+            ).alias("winsor_mean_cents"),
+        )
+        .orderBy("grp")
+    )

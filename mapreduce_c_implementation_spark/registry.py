@@ -44,6 +44,8 @@ _OPERATOR_MODULES = [
     "mapreduce_c_implementation_spark.operators.corpus_filters",
     "mapreduce_c_implementation_spark.operators.sampling",
     "mapreduce_c_implementation_spark.operators.graph",
+    "mapreduce_c_implementation_spark.operators.timeseries",
+    "mapreduce_c_implementation_spark.operators.robust_stats",
     "mapreduce_c_implementation_spark.operators.multimodal",
     "mapreduce_c_implementation_spark.streaming.queries",
     "mapreduce_c_implementation_spark.sources.io_ops",
