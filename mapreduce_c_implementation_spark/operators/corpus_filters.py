@@ -639,3 +639,71 @@ def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_canonicalize_dedup",
+    oracle_sql="""
+    WITH canon AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+               AS canon_text
+      FROM documents
+    )
+    SELECT md5(canon_text) AS canon_hash,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT text) AS BIGINT) AS n_raw_variants,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM canon
+    GROUP BY canon_text
+    HAVING count(*) >= 2
+    ORDER BY canon_hash
+    """,
+    tags=("dedup", "canonicalize", "pipeline"),
+)
+def text_canonicalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup: documents are canonicalized
+    (casefold, collapse every non-alphanumeric run to one space, trim)
+    BEFORE hashing, so trivially reformatted copies — whitespace,
+    punctuation, capitalization variants — collapse into one group.
+    This is the cheap middle rung between [[dedup_exact]] (raw-byte
+    hash; misses reformatted copies) and MinHash (catches edits, costs
+    a signature pass): real crawl pipelines run it first because it
+    removes the bulk of boilerplate duplication for the price of one
+    regex map.
+
+    Each surviving group reports its size, how many RAW variants it
+    collapsed (n_raw_variants > 1 is exactly the win over raw-hash
+    dedup), and the smallest doc_id as the deterministic keeper.
+
+    Scale shape: a narrow per-row regex map (stays in whole-stage
+    codegen, no UDF), then ONE groupBy on the canonical digest —
+    identical shuffle profile to dedup_exact; only 16-byte keys plus
+    two counters move.  Spark's regexp_replace is global by default;
+    the DuckDB mirror needs the explicit 'g' flag — a documented
+    cross-engine trap.
+    """
+    d = parallel_scan(spark, sf_dir, "documents")
+    canon = d.select(
+        "doc_id",
+        "text",
+        F.trim(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+        ).alias("canon_text"),
+    )
+    return (
+        canon.groupBy("canon_text")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("text").alias("n_raw_variants"),
+            F.min("doc_id").cast("long").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(
+            F.md5(F.col("canon_text")).alias("canon_hash"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_raw_variants").cast("long").alias("n_raw_variants"),
+            "keeper_doc_id",
+        )
+        .orderBy("canon_hash")
+    )

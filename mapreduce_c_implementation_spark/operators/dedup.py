@@ -1029,3 +1029,127 @@ def dedup_minhash_bucketed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("new_doc_id", "index_doc_id")
         .distinct()
     )
+
+
+# Prefix-filtered set-similarity join (PPJoin-style candidate
+# generation, exact verification): 5-token shingle sets, Jaccard
+# threshold PFX_T_NUM/PFX_T_DEN.
+PFX_SHINGLE_K = 5
+PFX_T_NUM = 3
+PFX_T_DEN = 5
+
+
+@register(
+    "set_similarity_prefix_join",
+    oracle_sql=f"""
+    WITH toks AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct({duckdb_ngrams('ts', PFX_SHINGLE_K)}) AS ss
+      FROM toks WHERE len(ts) >= {PFX_SHINGLE_K}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.ss, b.ss)) AS i,
+             len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)) AS u
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(i AS BIGINT) AS n_inter,
+           CAST(u AS BIGINT) AS n_union,
+           CAST(i * 10000 // u AS BIGINT) AS jaccard_bp
+    FROM pairs
+    WHERE i * {PFX_T_DEN} >= u * {PFX_T_NUM}
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "similarity-join", "prefix-filter", "pipeline"),
+)
+def set_similarity_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join (shingle Jaccard >=
+    {PFX_T_NUM}/{PFX_T_DEN}) with PREFIX-FILTERED candidate generation
+    — the PPJoin/AllPairs shape: order every document's shingle set by
+    global rarity (document frequency ASC), keep only the first
+    n - ceil(t*n) + 1 shingles as the "prefix", and generate candidate
+    pairs by equi-joining prefixes.  The prefix-filtering theorem
+    guarantees zero false negatives for ANY global total order, so the
+    exact verify step reproduces the all-pairs answer — which is
+    precisely what the oracle computes quadratically.
+
+    Why this is the scalable exact join: candidates come from the
+    RAREST shingles only, so the posting-list fan-out per join key is
+    small by construction — hot boilerplate shingles sort to the END
+    of each set and never enter a prefix, achieving what [[dedup
+    _ngram_jaccard]]'s df-cap does but WITHOUT sacrificing exactness.
+    Unlike MinHash ([[dedup_minhash_lsh]]) there are no probabilistic
+    misses: this is the operator you run when the dedup decision must
+    be exact (legal takedowns, eval decontamination).
+
+    Plan: df aggregate (vocab-sized) -> shingle->df equi-join -> one
+    groupBy(doc) builds the rarity-sorted set in-row (array_sort on
+    (df, shingle) structs) -> prefix explode -> self equi-join on
+    shingle -> distinct pairs -> exact integer verify
+    ({PFX_T_DEN}*|A∩B| >= {PFX_T_NUM}*|A∪B|) against the full sets.
+    Three corpus-keyed shuffles total, no cross join anywhere; the
+    verify join touches only surviving candidate pairs.
+    """
+    d = compute_scan(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokenize(F.col("text")).alias("ts")).filter(
+        F.size("ts") >= PFX_SHINGLE_K
+    )
+    sets = toks.select(
+        "doc_id",
+        F.array_distinct(ngrams(F.col("ts"), PFX_SHINGLE_K)).alias("ss"),
+    )
+    doc_sh = sets.select("doc_id", F.explode("ss").alias("sh"))
+    df_tbl = doc_sh.groupBy("sh").agg(F.count("*").alias("df"))
+    # rarity-sorted set per doc; prefix length n - ceil(t*n) + 1 with
+    # ceil(t*n) = (PFX_T_NUM*n + PFX_T_DEN - 1) div PFX_T_DEN.
+    sorted_sets = (
+        doc_sh.join(df_tbl, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df"), F.col("sh")))
+            ).alias("sorted_sh")
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"slice(sorted_sh, 1, size(sorted_sh)"
+                f" - ((({PFX_T_NUM} * size(sorted_sh) + {PFX_T_DEN - 1})"
+                f" div {PFX_T_DEN})) + 1)"
+            ).alias("prefix"),
+        )
+        .select("doc_id", F.explode(F.col("prefix.sh")).alias("sh"))
+    )
+    a = sorted_sets.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sorted_sets.select(F.col("doc_id").alias("doc_b"), "sh")
+    cands = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ss_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ss_b"))
+    verified = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ss_a", "ss_b")).alias("i"),
+            (
+                F.size("ss_a") + F.size("ss_b")
+                - F.size(F.array_intersect("ss_a", "ss_b"))
+            ).alias("u"),
+        )
+        .filter(F.col("i") * PFX_T_DEN >= F.col("u") * PFX_T_NUM)
+    )
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        F.col("i").cast("long").alias("n_inter"),
+        F.col("u").cast("long").alias("n_union"),
+        F.expr("CAST(i * 10000L div u AS BIGINT)").alias("jaccard_bp"),
+    ).orderBy("doc_a", "doc_b")

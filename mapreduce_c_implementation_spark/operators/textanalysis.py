@@ -1652,3 +1652,146 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("fused_rank") <= HYBRID_TOPK)
         .orderBy("fused_rank")
     )
+
+
+# Zipf diagnostic: top terms by frequency with rank x freq product
+# (Zipf's law predicts the product is roughly constant; a flat or
+# exploding product curve flags synthetic / templated text).
+ZIPF_TOPK = 50
+
+
+@register(
+    "zipf_rank_frequency",
+    oracle_sql=f"""
+    WITH tf AS (
+      SELECT t, count(*) AS n
+      FROM (SELECT unnest({_TOK}) AS t FROM documents)
+      GROUP BY t
+    ),
+    ranked AS (
+      SELECT t, n, row_number() OVER (ORDER BY n DESC, t) AS rank
+      FROM tf
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, t AS term, CAST(n AS BIGINT) AS n,
+           CAST(rank * n AS BIGINT) AS rank_x_freq
+    FROM ranked WHERE rank <= {ZIPF_TOPK}
+    ORDER BY rank
+    """,
+    tags=("text", "zipf", "diagnostics"),
+)
+def zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency diagnostic: the top-{ZIPF_TOPK} corpus terms
+    with their frequency rank and the rank x frequency product.
+    Natural language keeps the product near-constant (Zipf's law);
+    templated or synthetic corpora show a flat head or a cliff —
+    the quickest "does this crawl slice look like language" check.
+
+    Exactness: ranks come from row_number over (freq DESC, term ASC) —
+    a pinned total order — and the diagnostic column is an integer
+    product, so no float fit (the usual log-log regression) is needed
+    for the oracle to hash-match.
+
+    Scale shape: term-frequency aggregate (map-side combined, vocab-
+    sized output), then the top-{ZIPF_TOPK} via a rank window over the
+    VOCAB table only.  On the full corpus this is word_count plus a
+    vocabulary-sized sort — scan-bound at any corpus size.
+    """
+    d = compute_scan(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(tokenize(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("n"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("n"), F.asc("t"))
+    return (
+        tf.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= ZIPF_TOPK)
+        .select(
+            "rank",
+            F.col("t").alias("term"),
+            F.col("n").cast("long").alias("n"),
+            (F.col("rank") * F.col("n")).cast("long").alias("rank_x_freq"),
+        )
+        .orderBy("rank")
+    )
+
+
+# Heaps'-law growth curve: corpus is consumed in doc_id buckets of
+# HEAPS_BUCKET docs; the curve reports cumulative distinct vocabulary
+# after each bucket.
+HEAPS_BUCKET = 50
+
+
+@register(
+    "heaps_vocab_growth",
+    oracle_sql=f"""
+    WITH toks AS (
+      SELECT doc_id // {HEAPS_BUCKET} AS bucket, unnest({_TOK}) AS t
+      FROM documents
+    ),
+    first_seen AS (
+      SELECT t, min(bucket) AS first_bucket FROM toks GROUP BY t
+    ),
+    per_bucket AS (
+      SELECT first_bucket AS bucket, count(*) AS new_terms
+      FROM first_seen GROUP BY first_bucket
+    ),
+    spine AS (
+      SELECT DISTINCT doc_id // {HEAPS_BUCKET} AS bucket FROM documents
+    )
+    SELECT CAST(s.bucket AS BIGINT) AS bucket,
+           CAST(coalesce(p.new_terms, 0) AS BIGINT) AS new_terms,
+           CAST(sum(coalesce(p.new_terms, 0))
+                OVER (ORDER BY s.bucket) AS BIGINT) AS vocab_size
+    FROM spine s LEFT JOIN per_bucket p ON p.bucket = s.bucket
+    ORDER BY bucket
+    """,
+    tags=("text", "heaps", "diagnostics"),
+)
+def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: cumulative distinct
+    vocabulary after each {HEAPS_BUCKET}-document slice of the corpus
+    (in doc_id order).  Curators read the curve's bend to decide
+    whether more crawl adds vocabulary or just repeats it — the
+    corpus-level twin of [[vocab_coverage_topk]].
+
+    The naive formulation (count distinct terms in every prefix) is
+    quadratic in buckets; the linear form used here attributes each
+    term to the FIRST bucket that saw it (one min-aggregate over the
+    vocab), so the cumulative sum over bucket-sized rows reconstructs
+    every prefix's distinct count exactly — the standard
+    "first-occurrence attribution" trick for cumulative-distinct at
+    scale.
+
+    Scale shape: token explode -> (term, min bucket) aggregate (map-
+    side combined, vocab-sized), then a window over #buckets rows.
+    The left join against the bucket spine keeps empty buckets (all
+    docs in a slice token-free) at new_terms = 0 so the curve has one
+    row per slice unconditionally.
+    """
+    d = compute_scan(spark, sf_dir, "documents")
+    toks = d.select(
+        F.expr(f"doc_id div {HEAPS_BUCKET}").alias("bucket"),
+        F.explode(tokenize(F.col("text"))).alias("t"),
+    )
+    first_seen = toks.groupBy("t").agg(F.min("bucket").alias("first_bucket"))
+    per_bucket = first_seen.groupBy(
+        F.col("first_bucket").alias("bucket")
+    ).agg(F.count("*").alias("new_terms"))
+    spine = d.select(
+        F.expr(f"doc_id div {HEAPS_BUCKET}").alias("bucket")
+    ).distinct()
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("bucket")
+    return (
+        spine.join(per_bucket, "bucket", "left")
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.coalesce(F.col("new_terms"), F.lit(0)).cast("long").alias("new_terms"),
+        )
+        .withColumn("vocab_size", F.sum("new_terms").over(w).cast("long"))
+        .orderBy("bucket")
+    )

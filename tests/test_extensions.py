@@ -269,3 +269,17 @@ def test_operators_md_in_sync():
         f"docs/OPERATORS.md out of sync: missing={sorted(ops - listed)[:5]} "
         f"stale={sorted(listed - ops)[:5]}"
     )
+
+
+def test_canonicalize_dedup_finds_groups_at_sf01(spark):
+    """sf0.01 has no exact-duplicate documents (0 rows is the correct
+    answer there); sf0.1 plants 8 groups — assert the operator finds
+    them AND still matches the oracle at that scale, so the op has
+    non-trivial evidence somewhere in-repo."""
+    from tests.oracle import assert_matches_oracle
+    from mapreduce_c_implementation_spark.registry import get_operator
+
+    sf_dir = "/root/testdata/sf0.1"
+    df = get_operator("text_canonicalize_dedup").query_fn(spark, sf_dir)
+    assert df.count() == 8
+    assert_matches_oracle(spark, "text_canonicalize_dedup", sf_dir)

@@ -205,6 +205,11 @@ _NESTED_LOOP_EXEMPT = {
     "ann_recall_eval",
     # 1-row query-vector broadcast + bm25's 1-row stats broadcast
     "hybrid_search_rrf",
+    # 1-row reference-point broadcast (max event date) — single-row
+    # nested-loop side by construction
+    "decayed_event_counts",
+    # 1-row grand-total broadcast for the per-mille shares
+    "benford_first_digit",
 }
 
 # Modules whose query_fns build lazy plans (streaming/io execute jobs
@@ -213,6 +218,7 @@ _LAZY_MODULES = {
     "mapreduce_core", "aggregates", "joins", "windows", "setops",
     "scalars", "udfs", "analytics", "dedup", "similarity", "textanalysis",
     "corpus_filters", "tpch_extra", "features", "modern_sql", "sampling",
+    "timeseries", "robust_stats",
 }
 
 
