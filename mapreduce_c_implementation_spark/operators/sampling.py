@@ -345,3 +345,94 @@ def poisson_bootstrap_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(price_cents) div count(*)").cast("long").alias("mean_cents"),
     )
     return boot.unionByName(point).orderBy("replicate")
+
+
+# Shard planner: pack documents (in doc_id order) into byte-balanced
+# output shards of ~SHARD_TARGET_BYTES, using the scalable two-pass
+# cumulative sum (per-range partials + tiny prefix table) instead of a
+# single global ordered window.
+SHARD_TARGET_BYTES = 16_384
+SHARD_RANGE = 100  # docs per cumulative-sum range bucket
+
+
+@register(
+    "size_balanced_shards",
+    oracle_sql=f"""
+    WITH cum AS (
+      SELECT doc_id, n_chars,
+             sum(n_chars) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS cum_before
+      FROM documents
+    ),
+    assigned AS (
+      SELECT doc_id, n_chars,
+             coalesce(cum_before, 0) // {SHARD_TARGET_BYTES} AS shard
+      FROM cum
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM assigned
+    GROUP BY shard
+    ORDER BY shard
+    """,
+    tags=("sampling", "sharding", "sink", "pipeline"),
+)
+def size_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-balanced shard planning: documents (in doc_id order) are
+    packed into ~{SHARD_TARGET_BYTES}-byte output shards by running
+    byte total — the file-sizing pass every large corpus write runs so
+    downstream readers get uniform splits instead of one 2 GB file
+    next to a thousand 1 KB ones (the problem small_file_compaction
+    fixes after the fact; this op prevents it at write time).
+
+    The cumulative sum is computed the SCALABLE way — not one global
+    ordered window (which funnels the corpus through a single
+    partition) but the two-pass form: per-range running sums within
+    {SHARD_RANGE}-doc buckets, a bucket-total prefix table (rows =
+    #buckets, broadcast), and the global offset joined back.  Bit-
+    identical to the oracle's textbook global window, provable because
+    integer addition is associative.
+
+    Shard id = floor(bytes_before / target), so a document that
+    straddles a boundary lands in the earlier shard — shards overshoot
+    by at most one document, they never undershoot.
+    """
+    d = parallel_scan(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    b = d.withColumn("rb", F.expr(f"doc_id div {SHARD_RANGE}"))
+    w_in = (
+        Window.partitionBy("rb")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = b.withColumn(
+        "cum_in", F.coalesce(F.sum("n_chars").over(w_in), F.lit(0))
+    )
+    totals = b.groupBy("rb").agg(F.sum("n_chars").alias("rb_total"))
+    w_pfx = Window.orderBy("rb").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = totals.select(
+        "rb", F.coalesce(F.sum("rb_total").over(w_pfx), F.lit(0)).alias("offset")
+    )
+    assigned = (
+        within.join(F.broadcast(prefix), "rb")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.expr(f"(offset + cum_in) div {SHARD_TARGET_BYTES}").alias("shard"),
+        )
+    )
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+        .select(F.col("shard").cast("long").alias("shard"), "n_docs",
+                "total_chars", "first_doc", "last_doc")
+        .orderBy("shard")
+    )

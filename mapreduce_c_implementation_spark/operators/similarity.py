@@ -1582,3 +1582,74 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# Johnson-Lindenstrauss random projection: K target dims, sign matrix
+# derived from md5 so both engines build the SAME matrix with no
+# materialized state.
+RP_TARGET_DIMS = 8
+RP_SCALE = 1_000_000
+
+
+@register(
+    "embedding_random_projection",
+    oracle_sql=f"""
+    WITH proj AS (
+      SELECT vec_id,
+             list_transform(generate_series(0, {RP_TARGET_DIMS - 1}), j ->
+               CAST(list_sum(list_transform(generate_series(0, 63), i ->
+                 CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * {RP_SCALE})
+                      AS BIGINT)
+                 * (1 - 2 * (CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '_'
+                     || CAST(j AS VARCHAR)), 1, 1) AS BIGINT) % 2))
+               )) AS BIGINT)) AS p
+      FROM embeddings
+    )
+    SELECT vec_id, CAST(js.j AS BIGINT) AS dim, p[js.j + 1] AS proj_scaled
+    FROM proj, (SELECT unnest(generate_series(0, {RP_TARGET_DIMS - 1})) AS j) js
+    ORDER BY vec_id, dim
+    """,
+    tags=("similarity", "projection", "pipeline"),
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection: 64-dim embeddings
+    down to {RP_TARGET_DIMS} dims via a +-1 matrix whose entries are
+    md5-parity of (i, j) — the cheap dimensionality cut that feeds
+    LSH / clustering when the full vector is too wide to shuffle.
+    Deriving the matrix from a hash means NO materialized projection
+    state: any executor (and the oracle) reconstructs the same matrix
+    from the dimension indices alone.
+
+    Exactness: coordinates quantize to 1e-6 fixed point first (the
+    [[kmeans_lloyd]] discipline), the projection is then an integer
+    dot product with +-1 signs — no float accumulation order anywhere.
+
+    Scale shape: entirely IN-ROW (one transform over target dims, one
+    fold over source dims) — zero shuffles, scan-bound; the md5 calls
+    per row are CPU, not I/O.  At production scale you precompute the
+    D x K sign matrix once and broadcast it (it is a few KB), turning
+    the inner lambda into an array lookup; the hash-derived form here
+    is the stateless reference semantics.
+    """
+    from mapreduce_c_implementation_spark.sources.tables import compute_scan
+
+    e = compute_scan(spark, sf_dir, "embeddings")
+    xq = "CAST(floor(CAST(element_at(embedding, i + 1) AS DOUBLE)" \
+         f" * {RP_SCALE}) AS BIGINT)"
+    sign = (
+        "(1 - 2 * (CAST(conv(substr(md5(concat(CAST(i AS STRING), '_', "
+        "CAST(j AS STRING))), 1, 1), 16, 10) AS BIGINT) % 2))"
+    )
+    proj = F.expr(
+        f"transform(sequence(0, {RP_TARGET_DIMS - 1}), j -> "
+        f"aggregate(sequence(0, 63), 0L, (acc, i) -> acc + {xq} * {sign}))"
+    )
+    return (
+        e.select("vec_id", F.posexplode(proj).alias("dim", "proj_scaled"))
+        .select(
+            "vec_id",
+            F.col("dim").cast("long").alias("dim"),
+            F.col("proj_scaled").cast("long").alias("proj_scaled"),
+        )
+        .orderBy("vec_id", "dim")
+    )
