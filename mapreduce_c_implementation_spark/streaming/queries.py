@@ -1008,3 +1008,76 @@ def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", n_tok.cast("long").alias("n_tokens"))
     )
     return _drain_to_table(spark, ingested).orderBy("doc_id")
+
+
+STREAM_TOPK = 3
+
+
+@register(
+    "stream_windowed_topk",
+    oracle_sql=f"""
+    WITH {_SQL_WM1},
+    counts AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+             event_type, count(*) AS n
+      FROM events, wm
+      WHERE NOT ({_SQL_IS_LATE_ARRIVAL}
+                 AND time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR <= wm.w1)
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT window_start, event_type, n,
+             row_number() OVER (PARTITION BY window_start
+                                ORDER BY n DESC, event_type) AS rnk
+      FROM counts
+    )
+    SELECT window_start, CAST(rnk AS BIGINT) AS rnk, event_type,
+           CAST(n AS BIGINT) AS n
+    FROM ranked WHERE rnk <= {STREAM_TOPK}
+    ORDER BY window_start, rnk
+    """,
+    tags=("streaming", "window", "topk"),
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{STREAM_TOPK} event types per 1-hour window over the event
+    stream — the "trending now" topology.  Structured Streaming cannot
+    rank INSIDE a streaming aggregation (no window functions over
+    update-mode state), so production runs the canonical two-layer
+    shape this op models: the STREAM maintains the windowed counts
+    (same watermark/append semantics as [[stream_tumbling_window]] —
+    late rows whose window closed are dropped), and the rank runs at
+    the SINK over each closed window's compact count table
+    (foreachBatch in a live topology; here the drained memory sink).
+
+    The rank input is #windows x #event_types rows regardless of
+    stream volume — the same "aggregate first, window the aggregate"
+    rule as [[group_mode_frequent]] — so the sink-side rank is free.
+    Ties pin to event_type order, making the result deterministic and
+    oracle-checkable end to end.
+    """
+
+    def build(stream):
+        return (
+            stream.withWatermark("ts", WATERMARK_DELAY)
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count("*").alias("n"))
+        )
+
+    t = _run_stream(spark, sf_dir, build)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    return (
+        t.filter(F.col("event_type") != SENTINEL_TYPE)
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= STREAM_TOPK)
+        .select("window_start", "rnk", "event_type", "n")
+        .orderBy("window_start", "rnk")
+    )
