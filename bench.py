@@ -98,6 +98,14 @@ HEADLINE = [
     "multimodal_simhash_neardup",
     "event_attribution_last_touch",
     "poisson_bootstrap_mean",
+    # round-4 second wave
+    "set_similarity_prefix_join",
+    "embedding_random_projection",
+    "heaps_vocab_growth",
+    "decayed_event_counts",
+    "size_balanced_shards",
+    "winsorized_group_stats",
+    "group_linear_regression",
 ]
 
 
