@@ -1045,7 +1045,9 @@ PFX_T_DEN = 5
     WITH toks AS (SELECT doc_id, {_TOK} AS ts FROM documents),
     sh AS (
       SELECT doc_id,
-             list_distinct({duckdb_ngrams('ts', PFX_SHINGLE_K)}) AS ss
+             list_transform(
+               list_distinct({duckdb_ngrams('ts', PFX_SHINGLE_K)}),
+               s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS ss
       FROM toks WHERE len(ts) >= {PFX_SHINGLE_K}
     ),
     pairs AS (
@@ -1096,10 +1098,21 @@ def set_similarity_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", tokenize(F.col("text")).alias("ts")).filter(
         F.size("ts") >= PFX_SHINGLE_K
     )
-    sets = toks.select(
-        "doc_id",
-        F.array_distinct(ngrams(F.col("ts"), PFX_SHINGLE_K)).alias("ss"),
+    # Shingles are 64-bit md5-prefix hashes from here on: the df/sort/
+    # join path moves 8-byte longs instead of ~30-byte shingle strings,
+    # and the verify-side array_intersect compares longs.  Both engines
+    # hash identically, so the oracle agrees by construction (and at
+    # 64 bits a collision altering a Jaccard verdict is ~n²/2⁶⁴).
+    hashed = F.transform(
+        F.array_distinct(ngrams(F.col("ts"), PFX_SHINGLE_K)),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
     )
+    # Cached once, reused by the df build, both prefix join sides, and
+    # the verify join — without the cache Spark re-runs the corpus
+    # tokenize+shingle lineage per consumer (the 69 s -> ~8 s fix at
+    # sf0.1).  At production scale this materialization is the
+    # rarity-sorted set table you would persist bucketed by doc_id.
+    sets = toks.select("doc_id", hashed.alias("ss")).cache()
     doc_sh = sets.select("doc_id", F.explode("ss").alias("sh"))
     df_tbl = doc_sh.groupBy("sh").agg(F.count("*").alias("df"))
     # rarity-sorted set per doc; prefix length n - ceil(t*n) + 1 with
@@ -1121,7 +1134,8 @@ def set_similarity_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("prefix"),
         )
         .select("doc_id", F.explode(F.col("prefix.sh")).alias("sh"))
-    )
+    ).cache()
+    sorted_sets.count()  # force the df-join + rarity sort ONCE
     a = sorted_sets.select(F.col("doc_id").alias("doc_a"), "sh")
     b = sorted_sets.select(F.col("doc_id").alias("doc_b"), "sh")
     cands = (
@@ -1153,3 +1167,101 @@ def set_similarity_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u").cast("long").alias("n_union"),
         F.expr("CAST(i * 10000L div u AS BIGINT)").alias("jaccard_bp"),
     ).orderBy("doc_a", "doc_b")
+
+
+# Containment detection (asymmetric): flag A-contained-in-B when the
+# fraction of A's shingles also present in B reaches CONT_MIN_BP.
+CONT_SHINGLE_K = 5
+CONT_MIN_BP = 8_000
+
+
+@register(
+    "shingle_containment_pairs",
+    oracle_sql=f"""
+    WITH toks AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_transform(
+               list_distinct({duckdb_ngrams('ts', CONT_SHINGLE_K)}),
+               s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS ss
+      FROM toks WHERE len(ts) >= {CONT_SHINGLE_K}
+    ),
+    posting AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+    shared AS (
+      SELECT a.doc_id AS contained_doc, b.doc_id AS container_doc,
+             count(*) AS n_shared
+      FROM posting a JOIN posting b
+        ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT s.contained_doc, s.container_doc,
+           CAST(s.n_shared AS BIGINT) AS n_shared,
+           CAST(len(x.ss) AS BIGINT) AS n_shingles,
+           CAST(s.n_shared * 10000 // len(x.ss) AS BIGINT) AS containment_bp
+    FROM shared s JOIN sh x ON x.doc_id = s.contained_doc
+    WHERE s.n_shared * 10000 >= {CONT_MIN_BP} * len(x.ss)
+    ORDER BY contained_doc, container_doc
+    """,
+    tags=("dedup", "containment", "contamination", "pipeline"),
+)
+def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT detection: (contained, container) pairs
+    where >= {CONT_MIN_BP} bp of the contained document's
+    {CONT_SHINGLE_K}-shingles appear in the container — the quote /
+    wholesale-inclusion detector.  Jaccard ([[set_similarity_prefix
+    _join]]) misses a short document swallowed by a long one (the
+    union dominates); containment normalizes by the SMALL side only,
+    which is exactly the train-on-eval contamination shape.
+
+    The shingle posting-list self-join IS the intersection count:
+    |A∩B| = number of shingles the pair co-occurs under, so no
+    set-vs-set rejoin is needed — one equi-join, one pair aggregate,
+    one join back to the contained side's shingle count.  Any overlap
+    requires a shared shingle, so candidate generation is EXACT (no
+    df-cap; the documented production mitigation for hot boilerplate
+    shingles is removing them with [[repetition_ngram_stats]]'s
+    verdicts upstream, not capping here, which would silently lose
+    recall).
+    """
+    d = compute_scan(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokenize(F.col("text")).alias("ts")).filter(
+        F.size("ts") >= CONT_SHINGLE_K
+    )
+    # Cached: the posting list feeds BOTH self-join sides plus the
+    # contained-side size table — uncached, Spark re-runs the corpus
+    # tokenize+shingle lineage three times (the set_similarity_prefix
+    # _join lesson).  Shingles hash to 64-bit longs for join width.
+    hashed = F.transform(
+        F.array_distinct(ngrams(F.col("ts"), CONT_SHINGLE_K)),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+    )
+    sets = toks.select("doc_id", hashed.alias("ss")).cache()
+    posting = sets.select("doc_id", F.explode("ss").alias("s"))
+    a = posting.select(F.col("doc_id").alias("contained_doc"), "s")
+    b = posting.select(F.col("doc_id").alias("container_doc"), "s")
+    shared = (
+        a.join(b, "s")
+        .filter(F.col("contained_doc") != F.col("container_doc"))
+        .groupBy("contained_doc", "container_doc")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sizes = sets.select(
+        F.col("doc_id").alias("contained_doc"),
+        F.size("ss").cast("long").alias("n_shingles"),
+    )
+    return (
+        shared.join(sizes, "contained_doc")
+        .filter(
+            F.col("n_shared") * 10000 >= F.lit(CONT_MIN_BP) * F.col("n_shingles")
+        )
+        .select(
+            "contained_doc",
+            "container_doc",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            "n_shingles",
+            F.expr("CAST(n_shared * 10000L div n_shingles AS BIGINT)").alias(
+                "containment_bp"
+            ),
+        )
+        .orderBy("contained_doc", "container_doc")
+    )

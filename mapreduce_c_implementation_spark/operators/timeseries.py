@@ -186,3 +186,186 @@ def event_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# Sweep-line concurrency: each event occupies [ts, ts + HOLD_S) and we
+# report each type's peak simultaneous load.  Half-open intervals:
+# an interval ending at t and one starting at t do NOT overlap, so at
+# equal timestamps the -1 (end) sweeps before the +1 (start).
+CONCURRENCY_HOLD_S = 300
+
+
+@register(
+    "concurrency_sweep",
+    oracle_sql=f"""
+    WITH pts AS (
+      SELECT event_type, epoch_us(ts) AS t_us, 1 AS delta, event_id
+      FROM events
+      UNION ALL
+      SELECT event_type, epoch_us(ts) + {CONCURRENCY_HOLD_S} * 1000000,
+             -1, event_id
+      FROM events
+    ),
+    swept AS (
+      SELECT event_type, t_us, delta,
+             sum(delta) OVER (PARTITION BY event_type
+                              ORDER BY t_us, delta, event_id
+                              ROWS UNBOUNDED PRECEDING) AS load
+      FROM pts
+    ),
+    peak AS (
+      SELECT event_type, max(load) AS max_concurrent FROM swept
+      GROUP BY event_type
+    )
+    SELECT s.event_type,
+           CAST(p.max_concurrent AS BIGINT) AS max_concurrent,
+           CAST(min(s.t_us) AS BIGINT) AS peak_at_us
+    FROM swept s JOIN peak p
+      ON p.event_type = s.event_type AND s.load = p.max_concurrent
+    GROUP BY s.event_type, p.max_concurrent
+    ORDER BY s.event_type
+    """,
+    tags=("timeseries", "sweep-line", "window"),
+)
+def concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per event type — the sweep-line algorithm over
+    {CONCURRENCY_HOLD_S}-second holds: every interval contributes a +1
+    at its start and a -1 at its end, the running sum of deltas in
+    time order is the instantaneous load, and its max is the peak
+    (reported with the earliest microsecond it is reached).  The
+    capacity-planning primitive ("how many sessions were ever live at
+    once") that a plain windowed count approximates but never answers
+    exactly.
+
+    Exactness: half-open intervals are encoded in the SORT — at equal
+    timestamps ends (-1) sweep before starts (+1), and event_id
+    breaks remaining ties, so the running sum is deterministic in
+    both engines; everything is integer microseconds and unit deltas.
+
+    Scale shape: the sweep is one window per event_type over 2 rows
+    per event.  A single globally-hot key would switch to the
+    [[size_balanced_shards]] two-pass form: per-time-range partial
+    sums, tiny prefix table, offset join — running sums distribute
+    because integer addition is associative.
+    """
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("t_us"), "event_id"
+    )
+    starts = e.select(
+        "event_type", "t_us", F.lit(1).alias("delta"), "event_id"
+    )
+    ends = e.select(
+        "event_type",
+        (F.col("t_us") + CONCURRENCY_HOLD_S * 1_000_000).alias("t_us"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+    )
+    pts = starts.union(ends)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t_us", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    swept = pts.withColumn("load", F.sum("delta").over(w))
+    peak = swept.groupBy("event_type").agg(
+        F.max("load").alias("max_concurrent")
+    )
+    return (
+        swept.join(F.broadcast(peak), "event_type")
+        .filter(F.col("load") == F.col("max_concurrent"))
+        .groupBy("event_type", "max_concurrent")
+        .agg(F.min("t_us").cast("long").alias("peak_at_us"))
+        .select(
+            "event_type",
+            F.col("max_concurrent").cast("long").alias("max_concurrent"),
+            "peak_at_us",
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "running_distinct_users",
+    oracle_sql="""
+    WITH firsts AS (
+      SELECT event_type, user_id,
+             min(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY event_type, user_id
+    ),
+    new_by_day AS (
+      SELECT event_type, first_day AS day, count(*) AS n_new
+      FROM firsts GROUP BY event_type, first_day
+    ),
+    active AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             count(DISTINCT user_id) AS n_active
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    )
+    SELECT a.event_type, strftime(a.day, '%Y-%m-%d') AS day,
+           CAST(a.n_active AS BIGINT) AS n_active,
+           CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new,
+           CAST(sum(coalesce(n.n_new, 0))
+                OVER (PARTITION BY a.event_type ORDER BY a.day)
+                AS BIGINT) AS cum_distinct_users
+    FROM active a LEFT JOIN new_by_day n
+      ON n.event_type = a.event_type AND n.day = a.day
+    ORDER BY a.event_type, day
+    """,
+    tags=("timeseries", "distinct", "window"),
+)
+def running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per event type by day — the "total
+    unique customers to date" curve.  A naive per-prefix COUNT
+    DISTINCT is quadratic; the linear form attributes each user to
+    their FIRST active day (one min-aggregate keyed on (type, user))
+    and reconstructs every prefix's distinct count as a running sum of
+    per-day first-appearances — the keyed variant of
+    [[heaps_vocab_growth]]'s first-occurrence attribution.  Daily
+    actives ride along for the new-vs-returning read.
+
+    Scale shape: two keyed aggregates over the stream (both map-side
+    combined: (type, user) then (type, day)) and a window over the
+    #types x #days result table.  Nothing unbounded ever enters the
+    window.
+    """
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.col("ts").cast("date").alias("day")
+    )
+    firsts = e.groupBy("event_type", "user_id").agg(
+        F.min("day").alias("first_day")
+    )
+    new_by_day = firsts.groupBy(
+        "event_type", F.col("first_day").alias("day")
+    ).agg(F.count("*").alias("n_new"))
+    active = e.groupBy("event_type", "day").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        active.join(new_by_day, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.col("n_active").cast("long").alias("n_active"),
+            F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
+        )
+        .withColumn(
+            "cum_distinct_users", F.sum("n_new").over(w).cast("long")
+        )
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_active",
+            "n_new",
+            "cum_distinct_users",
+        )
+        .orderBy("event_type", "day")
+    )
