@@ -1265,3 +1265,117 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("contained_doc", "container_doc")
     )
+
+
+# Jaccard threshold the 4x3 LSH banding is tuned around:
+# (1/bands)^(1/rows) = 0.25^(1/3) ~ 0.63; we evaluate at 3/5.
+EVAL_T_NUM = 3
+EVAL_T_DEN = 5
+
+
+@register(
+    "dedup_recall_eval",
+    oracle_sql=f"""
+    WITH {_SQL_MINHASH_CTES},
+    sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM kept a JOIN kept b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    truth AS (
+      SELECT s.doc_a, s.doc_b FROM shared s
+      JOIN sizes sa ON sa.doc_id = s.doc_a
+      JOIN sizes sb ON sb.doc_id = s.doc_b
+      WHERE {EVAL_T_DEN} * s.i >= {EVAL_T_NUM} * (sa.n + sb.n - s.i)
+    ),
+    lsh AS (SELECT doc_a, doc_b FROM mhpairs),
+    joined AS (
+      SELECT coalesce(t.doc_a, l.doc_a) AS doc_a,
+             CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_truth,
+             CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_lsh
+      FROM truth t FULL OUTER JOIN lsh l
+        ON t.doc_a = l.doc_a AND t.doc_b = l.doc_b
+    )
+    SELECT CAST(sum(in_truth) AS BIGINT) AS n_truth,
+           CAST(sum(in_lsh) AS BIGINT) AS n_lsh,
+           CAST(sum(in_truth * in_lsh) AS BIGINT) AS n_both,
+           CAST(CASE WHEN sum(in_lsh) > 0
+                THEN sum(in_truth * in_lsh) * 10000 // sum(in_lsh)
+                ELSE 0 END AS BIGINT) AS precision_bp,
+           CAST(CASE WHEN sum(in_truth) > 0
+                THEN sum(in_truth * in_lsh) * 10000 // sum(in_truth)
+                ELSE 0 END AS BIGINT) AS recall_bp
+    FROM joined
+    """,
+    tags=("dedup", "evaluation", "minhash"),
+)
+def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the MinHash-LSH candidate generator against
+    EXACT Jaccard ground truth at t = {EVAL_T_NUM}/{EVAL_T_DEN} — the
+    calibration report a dedup pipeline publishes before anyone trusts
+    its candidate pairs (the dedup twin of [[ann_recall_eval]]).
+
+    Both sides are computed over the SAME df-capped shingle sets the
+    signatures hash ([[dedup_minhash_lsh]]'s input), so the numbers
+    isolate the LSH banding approximation — not the stop-shingle cap.
+    Ground truth uses the posting self-join (fan-out bounded by the
+    df cap, so even truth generation is not quadratic); the LSH side
+    reuses the cached band table.  One full-outer join on the pair
+    key, one single-row aggregate; integer basis points.
+    """
+    kept = _doc_shingles(spark, sf_dir)
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = kept.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    truth = (
+        shared.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(
+            F.lit(EVAL_T_DEN) * F.col("i")
+            >= F.lit(EVAL_T_NUM) * (F.col("na") + F.col("nb") - F.col("i"))
+        )
+        .select("doc_a", "doc_b")
+    )
+    bands = _minhash_bands(spark, sf_dir)
+    lsh = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    t = truth.withColumn("in_truth", F.lit(1))
+    l = lsh.withColumn("in_lsh", F.lit(1))
+    joined = t.join(l, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce(F.col("in_truth"), F.lit(0)).alias("in_truth"),
+        F.coalesce(F.col("in_lsh"), F.lit(0)).alias("in_lsh"),
+    )
+    return joined.agg(
+        F.sum("in_truth").cast("long").alias("n_truth"),
+        F.sum("in_lsh").cast("long").alias("n_lsh"),
+        F.sum(F.col("in_truth") * F.col("in_lsh")).cast("long").alias("n_both"),
+        F.expr(
+            "CAST(CASE WHEN sum(in_lsh) > 0 THEN sum(in_truth * in_lsh)"
+            " * 10000L div sum(in_lsh) ELSE 0 END AS BIGINT)"
+        ).alias("precision_bp"),
+        F.expr(
+            "CAST(CASE WHEN sum(in_truth) > 0 THEN sum(in_truth * in_lsh)"
+            " * 10000L div sum(in_truth) ELSE 0 END AS BIGINT)"
+        ).alias("recall_bp"),
+    )

@@ -436,3 +436,60 @@ def size_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_chars", "first_doc", "last_doc")
         .orderBy("shard")
     )
+
+
+# Exact-k per-group sampling: keep each group's k smallest md5(doc_id)
+# ranks — a deterministic bottom-k sketch, the "exactly k per stratum"
+# complement to the Bernoulli hash-threshold samplers above.
+BOTTOMK_K = 20
+
+
+@register(
+    "bottomk_sample_per_group",
+    oracle_sql=f"""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rk
+      FROM documents
+    )
+    SELECT source, CAST(rk AS BIGINT) AS rk,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM ranked WHERE rk <= {BOTTOMK_K}
+    ORDER BY source, rk
+    """,
+    tags=("sampling", "bottom-k", "pipeline"),
+)
+def bottomk_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-{BOTTOMK_K}-per-source sample via the deterministic
+    bottom-k sketch: rank documents inside each source by md5(doc_id)
+    and keep the {BOTTOMK_K} smallest.  Hash order is uniform, so this
+    is a uniform without-replacement sample — but unlike the Bernoulli
+    thresholds of [[stratified_sample_balanced]] it hits the requested
+    k exactly (a threshold sampler's count is binomial around k), which
+    is what eval-set construction and per-stratum audits require.
+
+    Scale shape: bottom-k is a MERGEABLE sketch — each partition keeps
+    its local k smallest (rank window per source here; at 100 TB a
+    two-level top-k: per-partition k via sortWithinPartitions+limit,
+    then merge the #partitions x k survivors), so the full group never
+    sorts.  The same WindowGroupLimit rank pushdown the top-k family
+    is plan-gated on applies: Spark prunes rows past rank {BOTTOMK_K}
+    before the shuffle.
+    """
+    from pyspark.sql.window import Window
+
+    d = parallel_scan(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("source", "doc_id", "n_chars")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= BOTTOMK_K)
+        .select("source", "rk", F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("n_chars").cast("long").alias("n_chars"))
+        .orderBy("source", "rk")
+    )

@@ -47,6 +47,12 @@ PROBE_OPS = [
     "char_entropy_quality",
     "skipgram_cooccurrence",
     "dedup_exact",
+    # round-4 second wave: the similarity-join family is where an
+    # accidental quadratic would live — probe it explicitly.
+    "set_similarity_prefix_join",
+    "shingle_containment_pairs",
+    "embedding_random_projection",
+    "concurrency_sweep",
 ]
 
 

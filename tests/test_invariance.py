@@ -133,6 +133,23 @@ SWEPT_OPS = [
     "multimodal_simhash_neardup",
     "event_attribution_last_touch",
     "poisson_bootstrap_mean",
+    # round-4 third wave
+    "decayed_event_counts",
+    "event_daily_anomaly",
+    "benford_first_digit",
+    "group_mode_frequent",
+    "group_linear_regression",
+    "winsorized_group_stats",
+    "zipf_rank_frequency",
+    "heaps_vocab_growth",
+    "text_canonicalize_dedup",
+    "set_similarity_prefix_join",
+    "shingle_containment_pairs",
+    "embedding_random_projection",
+    "graph_common_neighbors",
+    "size_balanced_shards",
+    "concurrency_sweep",
+    "running_distinct_users",
 ]
 
 
