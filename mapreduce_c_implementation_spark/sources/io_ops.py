@@ -614,3 +614,166 @@ def dynamic_partition_pruning_join(spark: SparkSession, sf_dir: str) -> DataFram
             exact_sum("o_totalprice").alias("sum_price"),
         )
     )
+
+
+@register(
+    "parquet_agg_pushdown_stats",
+    oracle_sql="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(o_custkey) AS BIGINT) AS min_custkey,
+           CAST(max(o_custkey) AS BIGINT) AS max_custkey,
+           CAST(min(o_orderkey) AS BIGINT) AS min_orderkey,
+           CAST(max(o_orderkey) AS BIGINT) AS max_orderkey
+    FROM orders
+    """,
+    tags=("source", "pushdown", "statistics"),
+)
+def parquet_agg_pushdown_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT/MIN/MAX over orders answered from parquet FOOTER
+    STATISTICS — aggregate pushdown through the DSv2 scan
+    (``PushedAggregation`` in the physical plan, gated by
+    tests/test_plans.py): the scan reads row-group metadata, not data
+    pages.  At 100 TB this is the difference between a full-table scan
+    and a metadata-only read of a few thousand footers — the trick
+    behind every "instant count(*)" in a lakehouse engine.
+
+    The v2 parquet path is opt-in (``spark.sql.sources.useV1SourceList``
+    excludes parquet by default; aggregate pushdown is built into the
+    v2 ParquetScan) and scoped to THIS op: the conf flips inside a
+    try/finally around an EAGER computation, so no other operator's
+    plan resolves under the altered source list.  The returned frame
+    carries the already-computed row — semantically identical to the
+    lazy form, as the oracle diff proves.
+    """
+    prev_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    try:
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        rows = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.min("o_custkey").alias("min_custkey"),
+                F.max("o_custkey").alias("max_custkey"),
+                F.min("o_orderkey").alias("min_orderkey"),
+                F.max("o_orderkey").alias("max_orderkey"),
+            )
+            .collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+    return spark.createDataFrame(rows)
+
+
+def _agg_pushdown_plan(spark: SparkSession, sf_dir: str) -> str:
+    """Physical plan of the pushed-aggregation scan while the v2 confs
+    are live — the hook tests/test_plans.py gates on."""
+    prev_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    try:
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        df = spark.read.parquet(f"{sf_dir}/orders.parquet").agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_custkey").alias("min_custkey"),
+            F.max("o_custkey").alias("max_custkey"),
+        )
+        return df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+
+
+def _bloom_conf_scope(spark: SparkSession):
+    """(save, apply, restore) for the runtime-bloom demo confs."""
+    keys = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    prev = {k: spark.conf.get(k) for k in keys}
+    return keys, prev
+
+
+@register(
+    "runtime_bloom_filter_join",
+    oracle_sql="""
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6)) *
+                         (1 - CAST(l.l_discount AS DECIMAL(18,6))))
+                AS DECIMAL(30,6)) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+    tags=("join", "runtime-filter", "bloom"),
+)
+def runtime_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective fact-fact join accelerated by Spark's RUNTIME BLOOM
+    FILTER: the optimizer builds a bloom filter from the filtered
+    orders side and injects ``might_contain(xxhash64(l_orderkey))``
+    into the lineitem SCAN, so ~80% of lineitem rows die before the
+    shuffle instead of after it (tests/test_plans.py gates the
+    ``might_contain`` predicate).  At 100 TB this is the join-input
+    pruning that makes selective fact-fact joins feasible at all —
+    the runtime analog of static DPP ([[dynamic_partition_pruning
+    _join]], which needs a partitioned table; bloom works on ANY
+    layout).
+
+    Conf scope: broadcast is disabled (bloom only fires for shuffle
+    joins — with broadcast ON Spark would rightly just broadcast the
+    small side) and the application-side size threshold is zeroed so
+    the demo triggers at fixture scale; both flips are try/finally
+    scoped around an EAGER computation, restoring the session's
+    planner behavior before any other operator resolves.  Revenue
+    arithmetic follows tpch_q1's exact-decimal discipline.
+    """
+    keys, prev = _bloom_conf_scope(spark)
+    try:
+        for k, v in keys.items():
+            spark.conf.set(k, v)
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+        )
+        one = F.lit(1).cast("decimal(18,6)")
+        disc_price = F.col("l_extendedprice").cast("decimal(18,6)") * (
+            one - F.col("l_discount").cast("decimal(18,6)")
+        )
+        rows = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count("*").alias("n_items"),
+                F.sum(disc_price)
+                .cast("decimal(30,6)")
+                .cast("double")
+                .alias("revenue"),
+            )
+            .orderBy("l_returnflag")
+            .collect()
+        )
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    return spark.createDataFrame(rows)
+
+
+def _bloom_join_plan(spark: SparkSession, sf_dir: str) -> str:
+    """Optimized plan of the bloom-accelerated join while the demo
+    confs are live — the hook tests/test_plans.py gates on."""
+    keys, prev = _bloom_conf_scope(spark)
+    try:
+        for k, v in keys.items():
+            spark.conf.set(k, v)
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("l_returnflag").count()
+        return j._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)

@@ -516,3 +516,23 @@ def test_lexical_diversity_is_pure_map(spark, sf_correct):
         get_operator("lexical_diversity_ttr").query_fn(spark, sf_correct)
     )
     assert "hashpartitioning" not in plan
+
+
+def test_parquet_aggregate_pushdown_reaches_scan(spark, sf_correct):
+    """DSv2 + aggregatePushDown: COUNT/MIN/MAX must appear as
+    PushedAggregation on the BatchScan — the metadata-only read that
+    makes table stats free at 100 TB."""
+    from mapreduce_c_implementation_spark.sources.io_ops import _agg_pushdown_plan
+
+    plan = _agg_pushdown_plan(spark, sf_correct)
+    assert "PushedAggregation" in plan, plan
+
+
+def test_runtime_bloom_filter_injected(spark, sf_correct):
+    """With broadcast off and the scan-size threshold zeroed, the
+    optimizer must inject a bloom might_contain predicate into the
+    lineitem side of the selective orders join."""
+    from mapreduce_c_implementation_spark.sources.io_ops import _bloom_join_plan
+
+    plan = _bloom_join_plan(spark, sf_correct)
+    assert "might_contain" in plan, plan
