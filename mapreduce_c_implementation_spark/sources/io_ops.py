@@ -723,8 +723,9 @@ def runtime_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     small side) and the application-side size threshold is zeroed so
     the demo triggers at fixture scale; both flips are try/finally
     scoped around an EAGER computation, restoring the session's
-    planner behavior before any other operator resolves.  Revenue
-    arithmetic follows tpch_q1's exact-decimal discipline.
+    planner behavior before any other operator resolves (the
+    collect is a bounded 3-row group aggregate, not a data path).
+    Revenue arithmetic follows tpch_q1's exact-decimal discipline.
     """
     keys, prev = _bloom_conf_scope(spark)
     try:
