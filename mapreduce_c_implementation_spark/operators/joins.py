@@ -508,3 +508,61 @@ def join_asof_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "join_null_safe",
+    oracle_sql="""
+    WITH keyed AS (
+      SELECT c_custkey,
+             CASE WHEN c_acctbal < 0 THEN NULL
+                  ELSE CAST(floor(c_acctbal / 1000) AS BIGINT) END AS kbal
+      FROM customer
+    ),
+    dim AS (
+      SELECT DISTINCT kbal,
+             CASE WHEN kbal IS NULL THEN 'overdrawn'
+                  ELSE 'tier_' || CAST(kbal AS VARCHAR) END AS tier
+      FROM keyed
+    )
+    SELECT d.tier, CAST(count(*) AS BIGINT) AS n_customers
+    FROM keyed k JOIN dim d ON k.kbal IS NOT DISTINCT FROM d.kbal
+    GROUP BY d.tier
+    ORDER BY tier
+    """,
+    tags=("join", "null-semantics", "sql-surface"),
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): customers
+    keyed by a NULLABLE balance tier (negative balances -> NULL) join
+    a tier dim that carries a NULL row — under ordinary ``=`` the
+    overdrawn customers silently vanish (NULL = NULL is NULL); the
+    null-safe operator keeps them, which is exactly the semantics
+    dimension lookups with an "unknown" member need.
+
+    Plan note: ``eqNullSafe`` keys still hash-partition (NULL is just
+    another key value), so this stays a real equi-join — broadcast
+    here since the dim is tier-sized — rather than degenerating to a
+    nested loop the way ``a = b OR (a IS NULL AND b IS NULL)`` does
+    when written as a raw disjunction.
+    """
+    keyed = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, F.lit(None).cast("long"))
+        .otherwise(F.floor(F.col("c_acctbal") / 1000).cast("long"))
+        .alias("kbal"),
+    )
+    dim = keyed.select("kbal").distinct().select(
+        "kbal",
+        F.when(F.col("kbal").isNull(), F.lit("overdrawn"))
+        .otherwise(F.concat(F.lit("tier_"), F.col("kbal").cast("string")))
+        .alias("tier"),
+    )
+    return (
+        keyed.join(
+            F.broadcast(dim), keyed.kbal.eqNullSafe(dim.kbal)
+        )
+        .groupBy("tier")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+        .orderBy("tier")
+    )

@@ -369,3 +369,79 @@ def running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# Sliding-window distinct: 3-day trailing window, computed by in-row
+# REPLICATION to the windows each activity day serves — a linear plan;
+# the naive form (self-join the day spine against activity) is a range
+# join whose fan-out re-scans the stream per window.
+SLIDE_DAYS = 3
+
+
+@register(
+    "sliding_distinct_users",
+    oracle_sql=f"""
+    WITH activity AS (
+      SELECT DISTINCT event_type, user_id, CAST(ts AS DATE) AS d
+      FROM events
+    ),
+    served AS (
+      SELECT event_type, user_id,
+             d + CAST(off AS INTEGER) AS wd
+      FROM activity,
+           (SELECT unnest(generate_series(0, {SLIDE_DAYS - 1})) AS off)
+    ),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS wd FROM events)
+    SELECT s.event_type, strftime(s.wd, '%Y-%m-%d') AS window_end,
+           CAST(count(DISTINCT s.user_id) AS BIGINT) AS n_distinct_users
+    FROM served s JOIN days dy ON dy.wd = s.wd
+    GROUP BY s.event_type, s.wd
+    ORDER BY s.event_type, window_end
+    """,
+    tags=("timeseries", "sliding-window", "distinct"),
+)
+def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per {SLIDE_DAYS}-day TRAILING window per event
+    type — the DAU/WAU-style rolling-uniques metric.  Distinct counts
+    do not sum across days, so the rolling form cannot reuse daily
+    counts; the linear trick is to REPLICATE each distinct (type,
+    user, day) activity row to the {SLIDE_DAYS} window-end days it
+    serves (an in-row sequence explode — bounded fan-out, no range
+    join) and take one distinct-count per (type, window).  Windows
+    ending on days past the stream's edge are dropped by the
+    day-spine join, so every reported window is fully defined.
+
+    Scale shape: dedup to (type, user, day) first — the map-side
+    combine that bounds everything downstream by ACTIVE users, not
+    events — then a x{SLIDE_DAYS} in-row fan-out and one
+    distinct-aggregate keyed by (type, window).  The day spine
+    broadcasts.  Compare [[running_distinct_users]] (cumulative form:
+    first-occurrence attribution); the trailing form must pay the
+    replication because membership expires.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.col("ts").cast("date").alias("d")
+    )
+    activity = e.distinct()
+    served = activity.select(
+        "event_type",
+        "user_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(SLIDE_DAYS - 1)),
+                lambda off: F.date_add(F.col("d"), off),
+            )
+        ).alias("wd"),
+    )
+    days = e.select(F.col("d").alias("wd")).distinct()
+    return (
+        served.join(F.broadcast(days), "wd")
+        .groupBy("event_type", "wd")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_distinct_users"))
+        .select(
+            "event_type",
+            F.date_format("wd", "yyyy-MM-dd").alias("window_end"),
+            "n_distinct_users",
+        )
+        .orderBy("event_type", "window_end")
+    )

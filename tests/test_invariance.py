@@ -150,6 +150,8 @@ SWEPT_OPS = [
     "size_balanced_shards",
     "concurrency_sweep",
     "running_distinct_users",
+    "sliding_distinct_users",
+    "join_null_safe",
 ]
 
 
