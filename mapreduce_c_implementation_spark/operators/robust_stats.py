@@ -346,3 +346,58 @@ def winsorized_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+@register(
+    "seasonality_month_index",
+    oracle_sql="""
+    WITH m AS (
+      SELECT CAST(extract('month' FROM o_orderdate) AS BIGINT) AS month,
+             count(*) AS n
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT sum(n) AS total, count(*) AS n_months FROM m)
+    SELECT m.month, CAST(m.n AS BIGINT) AS n_orders,
+           CAST(m.n * 10000 // t.total AS BIGINT) AS share_bp,
+           CAST((m.n * t.n_months * 1000) // t.total AS BIGINT)
+             AS seasonal_index_milli
+    FROM m, tot t
+    ORDER BY m.month
+    """,
+    tags=("stats", "seasonality", "aggregate"),
+)
+def seasonality_month_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly seasonality index of order volume: each calendar month's
+    share of orders, and the classic seasonal index (share x number of
+    observed months — 1000 milli = perfectly flat, >1000 = peak
+    month).  The demand-planning primitive behind "adjust the forecast
+    for December".
+
+    Exactness: shares are integer basis points and the index is an
+    integer milli-ratio — n * n_months * 1000 // total — so no float
+    division anywhere; the grand total and month count ride on a
+    broadcast one-row aggregate (the [[benford_first_digit]] pattern).
+
+    Scale shape: one scan -> 12-row keyed aggregate (map-side
+    combined) -> broadcast total.  Scan-bound at any history length.
+    """
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.month("o_orderdate").cast("long").alias("month"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = m.agg(
+        F.sum("n").alias("total"), F.count("*").alias("n_months")
+    )
+    return (
+        m.crossJoin(F.broadcast(tot))
+        .select(
+            "month",
+            F.col("n").cast("long").alias("n_orders"),
+            F.expr("CAST(n * 10000L div total AS BIGINT)").alias("share_bp"),
+            F.expr(
+                "CAST(n * n_months * 1000L div total AS BIGINT)"
+            ).alias("seasonal_index_milli"),
+        )
+        .orderBy("month")
+    )

@@ -1795,3 +1795,80 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("vocab_size", F.sum("new_terms").over(w).cast("long"))
         .orderBy("bucket")
     )
+
+
+# Novelty curve: shingles are attributed to the first doc (by doc_id)
+# that contains them; a document's novelty is the share of its
+# distinct shingles it introduced to the corpus.
+NOVELTY_SHINGLE_K = 5
+
+
+@register(
+    "shingle_novelty_curve",
+    oracle_sql=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct({duckdb_ngrams('ts', NOVELTY_SHINGLE_K)})) AS s
+      FROM (SELECT doc_id, {_TOK} AS ts FROM documents)
+      WHERE len(ts) >= {NOVELTY_SHINGLE_K}
+    ),
+    firsts AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s),
+    per_doc AS (
+      SELECT sh.doc_id,
+             count(*) AS n_shingles,
+             sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+               AS n_novel
+      FROM sh JOIN firsts f ON f.s = sh.s
+      GROUP BY sh.doc_id
+    )
+    SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_novel AS BIGINT) AS n_novel,
+           CAST(n_novel * 10000 // n_shingles AS BIGINT) AS novelty_bp
+    FROM per_doc
+    ORDER BY doc_id
+    """,
+    tags=("text", "novelty", "dedup", "pipeline"),
+)
+def shingle_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document NOVELTY: the share of a document's distinct
+    {NOVELTY_SHINGLE_K}-shingles that it INTRODUCED to the corpus
+    (first occurrence in doc_id order, in basis points) — low-novelty
+    documents are paraphrases/boilerplate even when no single pair
+    crosses a dedup threshold, so pipelines use this as a soft dedup
+    score where pairwise ops ([[set_similarity_prefix_join]]) give a
+    hard verdict.
+
+    Linear by the first-occurrence attribution trick
+    ([[heaps_vocab_growth]]'s keyed twin): one min-aggregate assigns
+    each shingle its first document, one equi-join back marks novel
+    vs seen, one per-doc rollup.  No pairwise comparison anywhere —
+    the novelty of N documents costs the same as word_count.
+    """
+    d = compute_scan(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokenize(F.col("text")).alias("ts")).filter(
+        F.size("ts") >= NOVELTY_SHINGLE_K
+    )
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(ngrams(F.col("ts"), NOVELTY_SHINGLE_K))
+        ).alias("s"),
+    )
+    firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(firsts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("long")
+            ).alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_novel").cast("long").alias("n_novel"),
+        F.expr("CAST(n_novel * 10000L div n_shingles AS BIGINT)").alias(
+            "novelty_bp"
+        ),
+    ).orderBy("doc_id")

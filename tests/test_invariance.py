@@ -152,6 +152,8 @@ SWEPT_OPS = [
     "running_distinct_users",
     "sliding_distinct_users",
     "join_null_safe",
+    "seasonality_month_index",
+    "shingle_novelty_curve",
 ]
 
 
