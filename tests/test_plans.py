@@ -210,6 +210,8 @@ _NESTED_LOOP_EXEMPT = {
     "decayed_event_counts",
     # 1-row grand-total broadcast for the per-mille shares
     "benford_first_digit",
+    # 1-row (total, n_months) broadcast for the index ratios
+    "seasonality_month_index",
 }
 
 # Modules whose query_fns build lazy plans (streaming/io execute jobs
