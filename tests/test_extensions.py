@@ -283,3 +283,15 @@ def test_canonicalize_dedup_finds_groups_at_sf01(spark):
     df = get_operator("text_canonicalize_dedup").query_fn(spark, sf_dir)
     assert df.count() == 8
     assert_matches_oracle(spark, "text_canonicalize_dedup", sf_dir)
+
+
+def test_dedup_recall_eval_pins_fixture_calibration(spark, sf_correct):
+    """Canary: on the sf0.01 fixture the LSH bands must find all 25
+    exact-Jaccard pairs (recall 10000 bp) with 50 candidates
+    (precision 5000 bp) — a silent change to shingling, banding, or
+    the df cap moves these numbers."""
+    from mapreduce_c_implementation_spark.registry import get_operator
+
+    row = get_operator("dedup_recall_eval").query_fn(spark, sf_correct).collect()[0]
+    assert (row.n_truth, row.n_lsh, row.n_both) == (25, 50, 25), row
+    assert (row.precision_bp, row.recall_bp) == (5000, 10000), row

@@ -538,3 +538,13 @@ def test_runtime_bloom_filter_injected(spark, sf_correct):
 
     plan = _bloom_join_plan(spark, sf_correct)
     assert "might_contain" in plan, plan
+
+
+def test_prefix_join_reuses_cached_sets(spark, sf_correct):
+    """set_similarity_prefix_join's set/prefix tables feed multiple
+    consumers; the plan must read them from cache (InMemoryTableScan)
+    — losing the cache re-runs the corpus tokenize+shingle lineage
+    per consumer (the 69 s -> 2.8 s sf0.1 regression this guards)."""
+    df = get_operator("set_similarity_prefix_join").query_fn(spark, sf_correct)
+    plan = physical_plan(df)
+    assert "InMemoryTableScan" in plan, plan
