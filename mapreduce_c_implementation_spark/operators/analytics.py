@@ -1667,3 +1667,219 @@ def event_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# RFM quintile scoring: rank-derived bucket = rank0 * 5 // n (0-based
+# rank), giving scores 1..5 — exact integer arithmetic, no ntile
+# (whose uneven-bucket placement is easy to mis-mirror across engines).
+RFM_BUCKETS = 5
+
+
+@register(
+    "customer_rfm_segmentation",
+    oracle_sql=f"""
+    WITH per_cust AS (
+      SELECT o_custkey AS custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS frequency,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT p.custkey,
+             CAST(date_diff('day', CAST(p.last_order AS DATE),
+                            CAST(m.ref AS DATE)) AS BIGINT) AS recency_days,
+             p.frequency, p.monetary_cents,
+             (row_number() OVER (ORDER BY p.last_order DESC, p.custkey) - 1)
+               AS r_rank,
+             (row_number() OVER (ORDER BY p.frequency DESC, p.custkey) - 1)
+               AS f_rank,
+             (row_number() OVER (ORDER BY p.monetary_cents DESC, p.custkey) - 1)
+               AS m_rank,
+             count(*) OVER () AS n
+      FROM per_cust p, (SELECT max(o_orderdate) AS ref FROM orders) m
+    )
+    SELECT custkey, recency_days,
+           CAST(frequency AS BIGINT) AS frequency, monetary_cents,
+           CAST({RFM_BUCKETS} - (r_rank * {RFM_BUCKETS} // n) AS BIGINT) AS r_score,
+           CAST({RFM_BUCKETS} - (f_rank * {RFM_BUCKETS} // n) AS BIGINT) AS f_score,
+           CAST({RFM_BUCKETS} - (m_rank * {RFM_BUCKETS} // n) AS BIGINT) AS m_score
+    FROM scored
+    ORDER BY custkey
+    """,
+    tags=("analytics", "rfm", "segmentation"),
+)
+def customer_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency / frequency / monetary
+    quintile scores (5 = best), the classic CRM scoring every
+    retention pipeline starts from.
+
+    Exactness: scores derive from row_number ranks as
+    ``{RFM_BUCKETS} - rank0 * {RFM_BUCKETS} // n`` with pinned
+    (metric, custkey) tie-breaks — never ``ntile``, whose remainder
+    placement is an easy cross-engine off-by-one; monetary is exact
+    cents, recency exact days from the corpus max order date.
+
+    Scale shape: one keyed aggregate to customer grain, then three
+    rank windows over the CUSTOMER table (not the order stream).
+    The windows are unpartitioned by semantics (global quintiles); at
+    100 TB each becomes the two-pass distributed rank (per-partition
+    counts + offset join — [[size_balanced_shards]]' cumulative-sum
+    shape), or quantile cutpoints from approx_percentile when ±1
+    bucket tolerance is acceptable.
+    """
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        )
+        .cast("long")
+        .alias("monetary_cents"),
+    )
+    ref = o.agg(F.max("o_orderdate").alias("ref"))
+    n_w = Window.partitionBy()
+    scored = (
+        per_cust.crossJoin(F.broadcast(ref))
+        .withColumn(
+            "recency_days",
+            F.datediff(
+                F.col("ref").cast("date"), F.col("last_order").cast("date")
+            ).cast("long"),
+        )
+        .withColumn(
+            "r_rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("last_order"), F.asc("custkey"))
+            )
+            - 1,
+        )
+        .withColumn(
+            "f_rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("frequency"), F.asc("custkey"))
+            )
+            - 1,
+        )
+        .withColumn(
+            "m_rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("monetary_cents"), F.asc("custkey"))
+            )
+            - 1,
+        )
+        .withColumn("n", F.count("*").over(n_w))
+    )
+    score = lambda c: F.expr(  # noqa: E731
+        f"CAST({RFM_BUCKETS} - ({c} * {RFM_BUCKETS} div n) AS BIGINT)"
+    )
+    return scored.select(
+        "custkey",
+        "recency_days",
+        F.col("frequency").cast("long").alias("frequency"),
+        "monetary_cents",
+        score("r_rank").alias("r_score"),
+        score("f_rank").alias("f_score"),
+        score("m_rank").alias("m_score"),
+    ).orderBy("custkey")
+
+
+# ABC classification thresholds in basis points of cumulative revenue.
+ABC_A_BP = 8_000
+ABC_B_BP = 9_500
+
+
+@register(
+    "part_abc_classification",
+    oracle_sql=f"""
+    WITH rev AS (
+      SELECT l_partkey AS partkey,
+             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT partkey, revenue_cents,
+             sum(revenue_cents) OVER (ORDER BY revenue_cents DESC, partkey
+                                      ROWS UNBOUNDED PRECEDING) AS cum_cents,
+             sum(revenue_cents) OVER () AS total_cents
+      FROM rev
+    ),
+    classed AS (
+      SELECT partkey, revenue_cents,
+             CASE WHEN cum_cents * 10000 <= total_cents * {ABC_A_BP} THEN 'A'
+                  WHEN cum_cents * 10000 <= total_cents * {ABC_B_BP} THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM ranked
+    )
+    SELECT abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(revenue_cents) AS BIGINT) AS class_revenue_cents
+    FROM classed
+    GROUP BY abc_class
+    ORDER BY abc_class
+    """,
+    tags=("analytics", "pareto", "abc"),
+)
+def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification: parts ranked by revenue,
+    class A = the head covering the first {ABC_A_BP} bp of cumulative
+    revenue, B to {ABC_B_BP} bp, C the tail — the 80/15/5 rule every
+    inventory and storage-tiering policy runs on.
+
+    Exactness: revenue is exact cents; the class boundary compares
+    ``cum * 10000 <= total * threshold_bp`` in integers (never a float
+    cumulative share), and the cumulative order pins ties by partkey.
+
+    Scale shape: the order stream reduces to PART grain first (keyed
+    aggregate, map-side combined); only the part-sized table enters
+    the cumulative window.  Like the RFM ranks, the global window's
+    100 TB form is the two-pass partial-sum + offset join — the same
+    associativity argument as [[size_balanced_shards]].
+    """
+    from pyspark.sql.window import Window
+
+    rev = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("revenue_cents")
+        )
+    )
+    w_cum = Window.orderBy(F.desc("revenue_cents"), F.asc("partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = rev.select(
+        "partkey",
+        "revenue_cents",
+        F.sum("revenue_cents").over(w_cum).alias("cum_cents"),
+        F.sum("revenue_cents").over(Window.partitionBy()).alias("total_cents"),
+    )
+    classed = ranked.withColumn(
+        "abc_class",
+        F.when(
+            F.col("cum_cents") * 10000 <= F.col("total_cents") * ABC_A_BP, "A"
+        )
+        .when(
+            F.col("cum_cents") * 10000 <= F.col("total_cents") * ABC_B_BP, "B"
+        )
+        .otherwise("C"),
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("revenue_cents").cast("long").alias("class_revenue_cents"),
+        )
+        .orderBy("abc_class")
+    )

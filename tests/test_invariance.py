@@ -154,6 +154,8 @@ SWEPT_OPS = [
     "join_null_safe",
     "seasonality_month_index",
     "shingle_novelty_curve",
+    "customer_rfm_segmentation",
+    "part_abc_classification",
 ]
 
 

@@ -212,6 +212,8 @@ _NESTED_LOOP_EXEMPT = {
     "benford_first_digit",
     # 1-row (total, n_months) broadcast for the index ratios
     "seasonality_month_index",
+    # 1-row reference-date broadcast for the recency clock
+    "customer_rfm_segmentation",
 }
 
 # Modules whose query_fns build lazy plans (streaming/io execute jobs
