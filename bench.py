@@ -106,6 +106,15 @@ HEADLINE = [
     "size_balanced_shards",
     "winsorized_group_stats",
     "group_linear_regression",
+    # round-4 third wave
+    "shingle_containment_pairs",
+    "shingle_novelty_curve",
+    "sliding_distinct_users",
+    "concurrency_sweep",
+    "customer_rfm_segmentation",
+    "part_abc_classification",
+    "dedup_recall_eval",
+    "runtime_bloom_filter_join",
 ]
 
 
