@@ -1325,7 +1325,9 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuses the cached band table.  One full-outer join on the pair
     key, one single-row aggregate; integer basis points.
     """
-    kept = _doc_shingles(spark, sf_dir)
+    # cached: feeds the size table plus BOTH truth self-join sides
+    # (the multi-consumer rule — see set_similarity_prefix_join)
+    kept = _doc_shingles(spark, sf_dir).cache()
     sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = kept.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = kept.select(F.col("doc_id").alias("doc_b"), "shingle")
