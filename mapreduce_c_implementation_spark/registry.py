@@ -87,12 +87,17 @@ def register(
 # order; everything else follows in registration order.  Rounds 1-3
 # together hard-verified 149 unique operators (CORRECTNESS_r01/r02/r03 —
 # their union is frozen in ``_DRIVER_VERIFIED_PRIOR``); round 4's window
-# holds the FINAL 48 never-driver-verified names, completing hard
-# verification for the whole registry, plus the round-4 additions in the
-# remaining slots.  The rotated-out ops keep their in-repo oracle
-# coverage (tests/test_operators_vs_oracle.py runs every registered
-# operator), and tests/test_extensions.py's coverage-ledger test asserts
-# the leftover set fits the next window.
+# holds the 50 oldest never-driver-verified names.  The rotated-out ops
+# keep their in-repo oracle coverage (tests/test_operators_vs_oracle.py
+# runs every registered operator), and tests/test_extensions.py's
+# coverage-ledger test asserts the leftover set fits the next window.
+#
+# ROUND-5 ROTATION TODO: fold CORRECTNESS_r04's key set into
+# ``_DRIVER_VERIFIED_PRIOR`` (and the glob in the ledger test), then
+# replace this list with the 49 operators registered after the round-4
+# window — the ledger test computes the exact set as
+# ``all_operators() - _DRIVER_VERIFIED_PRIOR - set(_DRIVER_PRIORITY)``.
+# That single rotation completes hard verification for all 248.
 _DRIVER_PRIORITY = [
     # round-3 additions, never driver-verified — lead the window
     "ann_pq_adc",
