@@ -555,6 +555,13 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(BFS_SOURCE).cast("long").alias("node"),
         F.lit(0).cast("long").alias("dist"),
     )
+    # Detected convergence (the dedup_cc_stars pattern): the contract is
+    # "up to BFS_ITERS rounds", and once a round relaxes nothing the
+    # remaining rounds are no-ops, so breaking early returns the SAME
+    # result the oracle's full unroll computes — it just skips the dead
+    # rounds' job-scheduling cost.  The signature (frontier size, total
+    # distance) is a 2-long aggregate over the node-sized checkpoint.
+    prev_sig = None
     for _ in range(BFS_ITERS):
         relaxed = dist.join(sym, dist.node == sym.u).select(
             F.col("v").alias("node"), (F.col("dist") + 1).alias("dist")
@@ -565,6 +572,12 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("dist").cast("long").alias("dist"))
             .localCheckpoint()  # truncate the doubling recurrence
         )
+        sig = tuple(
+            dist.agg(F.count("*"), F.sum("dist")).collect()[0]
+        )
+        if sig == prev_sig:
+            break
+        prev_sig = sig
     n = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("node"), "n_name"
     )
