@@ -641,6 +641,11 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = docs.select(
         "doc_id", F.col("doc_id").alias("cluster_id")
     ).localCheckpoint()
+    # Detected convergence (the dedup_cc_stars / graph_bfs pattern):
+    # labels only decrease and the doc set is fixed, so an unchanged
+    # label SUM means a fixpoint — remaining rounds are no-ops and the
+    # result equals the full CC_ROUNDS unroll the oracle mirrors.
+    prev_sig = None
     for _ in range(CC_ROUNDS):
         nbr = edges.join(
             labels, edges.doc_a == labels.doc_id
@@ -651,6 +656,10 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("cluster_id").alias("cluster_id"))
             .localCheckpoint()
         )
+        sig = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if sig == prev_sig:
+            break
+        prev_sig = sig
     return labels
 
 
