@@ -295,3 +295,14 @@ def test_dedup_recall_eval_pins_fixture_calibration(spark, sf_correct):
     row = get_operator("dedup_recall_eval").query_fn(spark, sf_correct).collect()[0]
     assert (row.n_truth, row.n_lsh, row.n_both) == (25, 50, 25), row
     assert (row.precision_bp, row.recall_bp) == (5000, 10000), row
+
+
+def test_rfm_and_abc_match_oracle_at_sf01(spark):
+    """Scale insurance for the rank-derived quintiles and the
+    cumulative-share boundaries: both depend on global total orders,
+    where an off-by-one only shows up with enough distinct ranks —
+    re-run the differential diff at 10x the default fixture."""
+    from tests.oracle import assert_matches_oracle
+
+    for name in ("customer_rfm_segmentation", "part_abc_classification"):
+        assert_matches_oracle(spark, name, "/root/testdata/sf0.1")
