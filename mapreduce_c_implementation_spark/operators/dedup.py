@@ -646,7 +646,9 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # label SUM means a fixpoint — remaining rounds are no-ops and the
     # result equals the full CC_ROUNDS unroll the oracle mirrors.
     prev_sig = None
+    rounds = 0
     for _ in range(CC_ROUNDS):
+        rounds += 1
         nbr = edges.join(
             labels, edges.doc_a == labels.doc_id
         ).select(F.col("doc_b").alias("doc_id"), "cluster_id")
@@ -660,6 +662,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if sig == prev_sig:
             break
         prev_sig = sig
+    dedup_connected_components.last_rounds = rounds
     return labels
 
 

@@ -562,7 +562,9 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rounds' job-scheduling cost.  The signature (frontier size, total
     # distance) is a 2-long aggregate over the node-sized checkpoint.
     prev_sig = None
+    rounds = 0
     for _ in range(BFS_ITERS):
+        rounds += 1
         relaxed = dist.join(sym, dist.node == sym.u).select(
             F.col("v").alias("node"), (F.col("dist") + 1).alias("dist")
         )
@@ -578,6 +580,7 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         if sig == prev_sig:
             break
         prev_sig = sig
+    graph_bfs_distances.last_rounds = rounds
     n = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("node"), "n_name"
     )

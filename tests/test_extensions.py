@@ -306,3 +306,23 @@ def test_rfm_and_abc_match_oracle_at_sf01(spark):
 
     for name in ("customer_rfm_segmentation", "part_abc_classification"):
         assert_matches_oracle(spark, name, "/root/testdata/sf0.1")
+
+
+def test_iterative_ops_detect_convergence_early(spark, sf_correct):
+    """BFS and label propagation must exit BEFORE their fixed round
+    caps on the fixture graphs — the detected-convergence guarantee
+    that makes dead rounds free (the dedup_cc_stars contract)."""
+    from mapreduce_c_implementation_spark.operators.dedup import (
+        CC_ROUNDS,
+        dedup_connected_components,
+    )
+    from mapreduce_c_implementation_spark.operators.graph import (
+        BFS_ITERS,
+        graph_bfs_distances,
+    )
+
+    graph_bfs_distances(spark, sf_correct).collect()
+    assert graph_bfs_distances.last_rounds < BFS_ITERS
+
+    dedup_connected_components(spark, sf_correct).collect()
+    assert dedup_connected_components.last_rounds < CC_ROUNDS
