@@ -84,85 +84,72 @@ def register(
 
 # The driver's CORRECTNESS gate verifies a bounded prefix of ``queries()``
 # (50 names per round).  Names listed here are emitted FIRST, in this
-# order; everything else follows in registration order.  Rounds 1-3
-# together hard-verified 149 unique operators (CORRECTNESS_r01/r02/r03 —
-# their union is frozen in ``_DRIVER_VERIFIED_PRIOR``); round 4's window
-# holds the 50 oldest never-driver-verified names.  The rotated-out ops
-# keep their in-repo oracle coverage (tests/test_operators_vs_oracle.py
+# order; everything else follows in registration order.  Rounds 1-4
+# together hard-verified 199 unique operators (CORRECTNESS_r01-r04;
+# round 5's window duplicated round 4's, re-confirming the same 50 —
+# their union is frozen in ``_DRIVER_VERIFIED_PRIOR``).  This FINAL
+# round-6 window holds the 49 remaining never-driver-verified names
+# (exactly ``all_operators() - _DRIVER_VERIFIED_PRIOR``), completing
+# hard verification for all 248 registered operators.  The rotated-out
+# ops keep their in-repo oracle coverage (tests/test_operators_vs_oracle.py
 # runs every registered operator), and tests/test_extensions.py's
-# coverage-ledger test asserts the leftover set fits the next window.
-#
-# ROUND-5 ROTATION TODO: fold CORRECTNESS_r04's key set into
-# ``_DRIVER_VERIFIED_PRIOR`` (and the glob in the ledger test), then
-# replace this list with the 49 operators registered after the round-4
-# window — the ledger test computes the exact set as
-# ``all_operators() - _DRIVER_VERIFIED_PRIOR - set(_DRIVER_PRIORITY)``.
-# That single rotation completes hard verification for all 248.
+# coverage-ledger test asserts window + prior covers the full registry.
 _DRIVER_PRIORITY = [
-    # round-3 additions, never driver-verified — lead the window
-    "ann_pq_adc",
-    "dedup_minhash_incremental",
-    "pmi_term_cooccurrence",
-    "stratified_sample_balanced",
-    "source_token_budget_mix",
-    "quality_bucket_sample",
-    "dynamic_partition_pruning_join",
-    "tpch_rf1_rf2_refresh",
-    # round-2 leftovers: aggregates / sketches
-    "percentile_cont_groups",
-    "group_mad_outliers",
-    "group_median_disc",
-    "expectation_checks",
-    "key_skew_profile",
-    "hll_sketch_mergeable",
-    "cube_grouping_id",
-    "bitmap_exact_distinct",
-    "listagg_ordered",
-    "approx_heavy_hitters",
-    "table_profile",
-    "correlation_matrix",
-    # joins
-    "bucketed_join_colocated",
-    "skew_join_salted",
-    "join_asof_keyed",
-    # windows / time
-    "window_range_frame",
-    "window_time_range",
-    "time_gap_fill_ffill",
-    "time_rollup_multigrain",
-    "event_funnel",
-    "event_transition_matrix",
-    # merge / history
-    "merge_upsert_scd1",
-    "scd2_history",
-    "fk_integrity_check",
-    "zorder_layout",
-    # scalar / modern SQL
-    "try_arithmetic_safety",
-    "higher_order_functions",
-    "map_higher_order_functions",
-    "variant_json_shred",
-    # UDF ladder leftovers
-    "cogroup_reconcile",
-    "map_in_arrow_doc_stats",
-    # sampling / text / features
-    "stratified_sample",
-    "token_pmi_pairs",
-    "embedding_quantize_int8",
-    "record_linkage_blocked",
-    "document_chunking",
-    "sequence_packing",
-    "hashing_trick_features",
-    "unigram_logprob_score",
-    "bm25_topk_docs",
-    # TPC-H refresh is above; round-4 NEW operators fill the last slots
-    "ann_ivf_pq",
-    "dedup_cc_stars",
+    # round-4 additions, never driver-verified — the final window
+    "ann_recall_eval",
+    "benford_first_digit",
+    "bottomk_sample_per_group",
+    "char_entropy_quality",
+    "concurrency_sweep",
+    "customer_rfm_segmentation",
+    "dataset_card_stats",
+    "decayed_event_counts",
+    "dedup_minhash_bucketed_probe",
+    "dedup_recall_eval",
+    "embedding_random_projection",
+    "event_attribution_last_touch",
+    "event_daily_anomaly",
+    "event_retention_cohorts",
+    "feature_minmax_scale",
+    "feature_target_encode",
+    "gopher_quality_rules",
+    "gram_power_iteration",
+    "graph_bfs_distances",
+    "graph_common_neighbors",
+    "graph_label_propagation",
+    "graph_triangle_count",
+    "group_linear_regression",
+    "group_mode_frequent",
+    "heaps_vocab_growth",
+    "hybrid_search_rrf",
+    "join_null_safe",
+    "k_anonymity_check",
+    "lexical_diversity_ttr",
+    "multimodal_simhash_neardup",
+    "parquet_agg_pushdown_stats",
+    "part_abc_classification",
+    "poisson_bootstrap_mean",
+    "running_distinct_users",
+    "runtime_bloom_filter_join",
+    "seasonality_month_index",
+    "set_similarity_prefix_join",
+    "shingle_containment_pairs",
+    "shingle_novelty_curve",
+    "size_balanced_shards",
+    "skipgram_cooccurrence",
+    "sliding_distinct_users",
+    "stream_corpus_ingest",
+    "stream_windowed_topk",
+    "text_canonicalize_dedup",
+    "time_weighted_avg",
+    "vocab_coverage_topk",
+    "winsorized_group_stats",
+    "zipf_rank_frequency",
 ]
 
 # Operators hard-verified by the driver in prior rounds (the union of
-# CORRECTNESS_r01.json, CORRECTNESS_r02.json and CORRECTNESS_r03.json key
-# sets, all green at their latest check).  Used by the coverage-ledger
+# CORRECTNESS_r01..r04 key sets; CORRECTNESS_r05 duplicated r04's window,
+# all green at their latest check).  Used by the coverage-ledger
 # test to prove the rotation schedule reaches every registered operator.
 _DRIVER_VERIFIED_PRIOR = frozenset({
     # round 1 (CORRECTNESS_r01.json)
@@ -212,6 +199,22 @@ _DRIVER_VERIFIED_PRIOR = frozenset({
     "tpch_q22_sales_opportunity", "tpch_q2_min_cost_supplier", "tpch_q7_nation_volume",
     "tpch_q8_market_share", "tpch_q9_product_profit", "width_bucket_histogram",
     "xml_source_roundtrip",
+    # round 4 (CORRECTNESS_r04.json; re-confirmed by r05)
+    "ann_ivf_pq", "ann_pq_adc", "approx_heavy_hitters", "bitmap_exact_distinct",
+    "bm25_topk_docs", "bucketed_join_colocated", "cogroup_reconcile", "correlation_matrix",
+    "cube_grouping_id", "dedup_cc_stars", "dedup_minhash_incremental", "document_chunking",
+    "dynamic_partition_pruning_join", "embedding_quantize_int8", "event_funnel",
+    "event_transition_matrix", "expectation_checks", "fk_integrity_check",
+    "group_mad_outliers", "group_median_disc", "hashing_trick_features",
+    "higher_order_functions", "hll_sketch_mergeable", "join_asof_keyed", "key_skew_profile",
+    "listagg_ordered", "map_higher_order_functions", "map_in_arrow_doc_stats",
+    "merge_upsert_scd1", "percentile_cont_groups", "pmi_term_cooccurrence",
+    "quality_bucket_sample", "record_linkage_blocked", "scd2_history", "sequence_packing",
+    "skew_join_salted", "source_token_budget_mix", "stratified_sample",
+    "stratified_sample_balanced", "table_profile", "time_gap_fill_ffill",
+    "time_rollup_multigrain", "token_pmi_pairs", "tpch_rf1_rf2_refresh",
+    "try_arithmetic_safety", "unigram_logprob_score", "variant_json_shred",
+    "window_range_frame", "window_time_range", "zorder_layout",
 })
 
 

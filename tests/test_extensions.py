@@ -66,9 +66,9 @@ def test_dedup_exact_identity_when_no_dups(spark, sf_correct):
 
 def test_driver_priority_window():
     """The driver's CORRECTNESS gate checks a 50-query prefix of queries().
-    Round 4 rotates the FINAL 48 never-driver-verified operators into that
-    window (completing hard verification of the whole registry), plus the
-    round-4 additions in the remaining slots — pin it here."""
+    Round 6 rotates the FINAL 49 never-driver-verified operators into that
+    window, completing hard verification of all 248 registered operators
+    — pin it here."""
     import __spark_entry__ as se
     from mapreduce_c_implementation_spark.registry import _DRIVER_PRIORITY, all_operators
 
@@ -82,17 +82,18 @@ def test_driver_priority_window():
     assert names[: len(_DRIVER_PRIORITY)] == _DRIVER_PRIORITY
     window = set(names[:50])
     must_check = {
-        # verdict r3 item 1: the round-3 additions
-        "ann_pq_adc", "dedup_minhash_incremental", "pmi_term_cooccurrence",
-        "stratified_sample_balanced", "source_token_budget_mix",
-        "quality_bucket_sample", "dynamic_partition_pruning_join",
-        "tpch_rf1_rf2_refresh",
-        # round-2 leftover category leads
-        "hll_sketch_mergeable", "bitmap_exact_distinct", "listagg_ordered",
-        "bucketed_join_colocated", "skew_join_salted", "join_asof_keyed",
-        "window_range_frame", "merge_upsert_scd1", "scd2_history",
-        "event_funnel", "variant_json_shred", "cogroup_reconcile",
-        "record_linkage_blocked", "zorder_layout",
+        # verdict r5 item 1: the 49 never-driver-verified round-4 additions
+        # (category leads; the ledger test pins the full set)
+        "ann_recall_eval", "dedup_recall_eval", "dedup_minhash_bucketed_probe",
+        "set_similarity_prefix_join", "shingle_containment_pairs",
+        "runtime_bloom_filter_join", "join_null_safe",
+        "customer_rfm_segmentation", "part_abc_classification",
+        "skipgram_cooccurrence", "size_balanced_shards",
+        "graph_bfs_distances", "graph_triangle_count", "graph_label_propagation",
+        "graph_common_neighbors", "gopher_quality_rules", "k_anonymity_check",
+        "stream_corpus_ingest", "stream_windowed_topk",
+        "gram_power_iteration", "embedding_random_projection",
+        "poisson_bootstrap_mean", "bottomk_sample_per_group",
     }
     assert must_check <= window
     # oracle_sql() ordering must mirror queries() so the driver pairs them
@@ -102,12 +103,11 @@ def test_driver_priority_window():
 
 def test_driver_coverage_ledger():
     """Rotation ledger: every registered operator must reach a driver
-    CORRECTNESS row within ceil(N/50) rounds.  Rounds 1-2 verified the
-    frozen ``_DRIVER_VERIFIED_PRIOR`` set (union of the two CORRECTNESS
-    JSON key sets); this round's window holds 50 fresh names; whatever
-    remains must fit in ONE final 50-row window — so no operator can
-    hide outside the rotation indefinitely, and at most 50-len(leftover)
-    new operators may be added before round 4's window is built."""
+    CORRECTNESS row within ceil(N/50) rounds.  Rounds 1-4 verified the
+    frozen ``_DRIVER_VERIFIED_PRIOR`` set (union of CORRECTNESS_r01-r04
+    key sets; r05 duplicated r04's window); round 6's FINAL window holds
+    every remaining never-verified name, so window + prior must cover
+    the whole registry — no operator can hide outside the rotation."""
     import json
     import pathlib
 
@@ -121,7 +121,8 @@ def test_driver_coverage_ledger():
     actual_prior = set()
     for f in sorted(root.glob("CORRECTNESS_r0*.json")):
         if f.name in (
-            "CORRECTNESS_r01.json", "CORRECTNESS_r02.json", "CORRECTNESS_r03.json"
+            "CORRECTNESS_r01.json", "CORRECTNESS_r02.json",
+            "CORRECTNESS_r03.json", "CORRECTNESS_r04.json",
         ):
             actual_prior |= set(json.loads(f.read_text()))
     if actual_prior:  # ledger frozen in-code must match the artifacts
@@ -133,8 +134,8 @@ def test_driver_coverage_ledger():
     assert not (window & _DRIVER_VERIFIED_PRIOR), "window wastes verified slots"
     assert window <= ops
     leftover = ops - _DRIVER_VERIFIED_PRIOR - window
-    assert len(leftover) <= 50, (
-        f"{len(leftover)} operators cannot fit round 4's 50-row window: "
+    assert not leftover, (
+        f"{len(leftover)} operators escaped the final round-6 window: "
         f"{sorted(leftover)[:10]}..."
     )
 
