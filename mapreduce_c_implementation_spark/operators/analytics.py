@@ -687,6 +687,9 @@ def group_median_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ZORDER_BITS = 16
 ZORDER_BUCKETS = 16
+# Top bits of zval used as the deterministic range bucket for the
+# two-pass distributed rank (2^8 = 256 buckets; raise at larger SF).
+ZORDER_RB_BITS = 8
 
 
 def _z_interleave(x: str, y: str, shift_fn) -> str:
@@ -744,10 +747,17 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The Z-value is pure integer bit arithmetic (identical in both
     engines); bucket = floor((rank-1)*B/n) with an orderkey tiebreak,
-    so the layout is fully deterministic.  Cost: one global range sort
-    (sampled range partitioning at scale) — the same price as any
-    sort-based OPTIMIZE; the envelope stats come from the bucket-local
-    aggregate that file writers compute anyway.
+    so the layout is fully deterministic.
+
+    The global rank is computed the SCALABLE two-pass way, NOT one
+    unpartitioned row_number window (Exchange SinglePartition — the
+    whole fact stream through one task): zval's top {ZORDER_RB_BITS}
+    bits form a deterministic range bucket (the Morton curve is the
+    sort key, so bucket order IS rank order); rows rank within their
+    bucket, a bucket-count prefix table (≤2^{ZORDER_RB_BITS} rows)
+    supplies each bucket's global offset and the corpus total n via
+    one tiny broadcast join.  Bit-identical to the textbook global
+    window; a plan gate pins the fact stream to hash partitioning.
     """
     from pyspark.sql.window import Window
 
@@ -762,11 +772,24 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     zvals = dims.selectExpr(
         "o_orderkey", "o_custkey", "o_orderdate", f"CAST({_Z_SPARK} AS BIGINT) AS zval"
+    ).withColumn("rb", F.shiftright(F.col("zval"), 2 * ZORDER_BITS - ZORDER_RB_BITS))
+    w_in = Window.partitionBy("rb").orderBy("zval", "o_orderkey")
+    within = zvals.withColumn("rn_in", F.row_number().over(w_in))
+    totals = zvals.groupBy("rb").agg(F.count("*").alias("rb_cnt"))
+    w_pfx = Window.orderBy("rb").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("rb").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    ranked = zvals.select(
-        "*",
-        F.row_number().over(Window.orderBy("zval", "o_orderkey")).alias("rn"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
+    prefix = totals.select(
+        "rb",
+        F.coalesce(F.sum("rb_cnt").over(w_pfx), F.lit(0)).alias("offset"),
+        F.sum("rb_cnt").over(w_all).alias("n"),
+    )
+    ranked = within.join(F.broadcast(prefix), "rb").select(
+        "o_custkey",
+        "o_orderdate",
+        (F.col("offset") + F.col("rn_in")).alias("rn"),
+        "n",
     )
     return (
         ranked.selectExpr(

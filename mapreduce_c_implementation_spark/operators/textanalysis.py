@@ -496,6 +496,7 @@ def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Token budget per packed training sequence.
 PACK_BUDGET = 256
+PACK_RANGE = 100  # docs per cumulative-sum range bucket (two-pass prefix sum)
 
 
 @register(
@@ -526,10 +527,20 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing — batching documents into ~{PACK_BUDGET}-token
     training sequences by prefix sum: documents in stable doc_id order,
     bin = (running-token-total - 1) // {PACK_BUDGET}.  This is the
-    distributed form of greedy sequential packing: a window cumulative
-    sum (one global range sort) instead of an inherently serial
-    first-fit loop, fully deterministic, and bins overflow by at most
-    one document — same guarantee streaming packers give.
+    distributed form of greedy sequential packing: a prefix sum instead
+    of an inherently serial first-fit loop, fully deterministic, and
+    bins overflow by at most one document — same guarantee streaming
+    packers give.
+
+    The running total is computed the SCALABLE two-pass way (the
+    size_balanced_shards pattern), NOT a single unpartitioned window
+    (which compiles to Exchange SinglePartition and funnels the whole
+    corpus through one task): per-range inclusive cumulative sums
+    within {PACK_RANGE}-doc buckets, a bucket-total prefix table
+    (rows = #buckets) broadcast back, run_total = offset + in-range
+    cumsum.  Bit-identical to the textbook global window because
+    integer addition is associative; a plan gate pins the absence of
+    SinglePartition exchanges.
 
     Output per bin: document count, token total, and the doc_id range —
     the range doubles as the shuffle-free read plan (each bin maps to a
@@ -541,10 +552,20 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = parallel_scan(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens")
+    ).withColumn("rb", F.expr(f"doc_id div {PACK_RANGE}"))
+    w_in = (
+        Window.partitionBy("rb")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    cum = toks.select(
-        "doc_id", "n_tokens", F.sum("n_tokens").over(w).alias("run_total")
+    within = toks.withColumn("cum_in", F.sum("n_tokens").over(w_in))
+    totals = toks.groupBy("rb").agg(F.sum("n_tokens").alias("rb_total"))
+    w_pfx = Window.orderBy("rb").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = totals.select(
+        "rb", F.coalesce(F.sum("rb_total").over(w_pfx), F.lit(0)).alias("offset")
+    )
+    cum = within.join(F.broadcast(prefix), "rb").select(
+        "doc_id", "n_tokens", (F.col("offset") + F.col("cum_in")).alias("run_total")
     )
     return (
         cum.filter(F.col("n_tokens") > 0)

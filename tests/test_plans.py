@@ -274,11 +274,32 @@ def test_skew_join_salts_both_sides(spark, sf_correct):
     assert plan.count("salt") >= 2, plan
 
 
-def test_zorder_single_global_sort(spark, sf_correct):
-    """Z-order layout: exactly one global range sort (the Morton-order
-    sort) may shuffle besides the final bucket aggregate."""
+def _single_partition_exchanges(df) -> int:
+    import re
+
+    return len(re.findall(r"Arguments: SinglePartition", physical_plan(df)))
+
+
+def test_zorder_rank_is_distributed(spark, sf_correct):
+    """Z-order layout: the global Morton rank must be the two-pass
+    distributed form — the fact stream ranks inside hash-partitioned
+    zval range buckets; the ONLY SinglePartition exchange allowed is
+    the bucket-count prefix table (<=2^ZORDER_RB_BITS rows)."""
     df = get_operator("zorder_layout").query_fn(spark, sf_correct)
-    assert count_shuffles(df) <= 3  # range-partition sort + window + agg
+    plan = physical_plan(df)
+    assert "hashpartitioning(rb" in plan, plan
+    assert _single_partition_exchanges(df) <= 1, plan
+
+
+def test_sequence_packing_prefix_sum_is_distributed(spark, sf_correct):
+    """Sequence packing: the running token total must be the two-pass
+    prefix sum — corpus-grain cumsum inside hash-partitioned doc_id
+    range buckets; only the bucket-total prefix table (rows = #buckets)
+    may pass through a SinglePartition exchange."""
+    df = get_operator("sequence_packing").query_fn(spark, sf_correct)
+    plan = physical_plan(df)
+    assert "hashpartitioning(rb" in plan, plan
+    assert _single_partition_exchanges(df) <= 1, plan
 
 
 def test_pipeline_end2end_two_shuffles(spark, sf_correct):
