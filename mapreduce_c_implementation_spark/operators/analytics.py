@@ -1696,6 +1696,9 @@ def event_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rank), giving scores 1..5 — exact integer arithmetic, no ntile
 # (whose uneven-bucket placement is easy to mis-mirror across engines).
 RFM_BUCKETS = 5
+# Value-domain ranges for the two-pass distributed rank (the
+# feature_quantile_bins recipe); raise at larger SF.
+RFM_RANK_PARTS = 32
 
 
 @register(
@@ -1745,12 +1748,15 @@ def customer_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents, recency exact days from the corpus max order date.
 
     Scale shape: one keyed aggregate to customer grain, then three
-    rank windows over the CUSTOMER table (not the order stream).
-    The windows are unpartitioned by semantics (global quintiles); at
-    100 TB each becomes the two-pass distributed rank (per-partition
-    counts + offset join — [[size_balanced_shards]]' cumulative-sum
-    shape), or quantile cutpoints from approx_percentile when ±1
-    bucket tolerance is acceptable.
+    GLOBAL ranks over the CUSTOMER table (not the order stream).  Each
+    rank is the two-pass DISTRIBUTED form (the feature_quantile_bins
+    recipe, exact): approxQuantile cut points split the metric domain
+    into {RFM_RANK_PARTS} ranges whose id is a deterministic codegen'd
+    fold over the cut literals, rows rank WITHIN their range, and a
+    broadcast {RFM_RANK_PARTS}-row prefix table lifts local ranks to
+    global — no Exchange SinglePartition ever sees customer-grain
+    data (a plan gate pins it).  The three rank tables rejoin on
+    custkey (hash joins, co-partitioned after the first).
     """
     from pyspark.sql.window import Window
 
@@ -1765,8 +1771,11 @@ def customer_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("monetary_cents"),
     )
     ref = o.agg(F.max("o_orderdate").alias("ref"))
-    n_w = Window.partitionBy()
-    scored = (
+    # Negated metrics turn the DESC ranks into ASC ranks so one helper
+    # serves all three; last_order ranks via its epoch-day number
+    # (monotonic with the date, so identical order to the oracle's
+    # last_order DESC).
+    pc = (
         per_cust.crossJoin(F.broadcast(ref))
         .withColumn(
             "recency_days",
@@ -1775,27 +1784,61 @@ def customer_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         )
         .withColumn(
-            "r_rank",
-            F.row_number().over(
-                Window.orderBy(F.desc("last_order"), F.asc("custkey"))
-            )
-            - 1,
+            "neg_r",
+            -F.datediff(
+                F.col("last_order").cast("date"), F.lit("1970-01-01").cast("date")
+            ).cast("long"),
         )
-        .withColumn(
-            "f_rank",
-            F.row_number().over(
-                Window.orderBy(F.desc("frequency"), F.asc("custkey"))
-            )
-            - 1,
+        .withColumn("neg_f", -F.col("frequency").cast("long"))
+        .withColumn("neg_m", -F.col("monetary_cents"))
+        .cache()
+    )
+    probs = [i / RFM_RANK_PARTS for i in range(1, RFM_RANK_PARTS)]
+    cuts_r, cuts_f, cuts_m = pc.approxQuantile(
+        ["neg_r", "neg_f", "neg_m"], probs, 0.01
+    )
+
+    def rank0(colname: str, cuts: list[float], out: str, with_n: bool):
+        # pid = #cuts below the value — deterministic, codegen'd.
+        pid = sum(
+            (F.when(F.col(colname) >= float(c), 1).otherwise(0) for c in cuts),
+            F.lit(0),
+        ).alias("pid")
+        keyed = pc.select("custkey", F.col(colname).alias("v"), pid)
+        local = keyed.withColumn(
+            "lr",
+            F.row_number().over(Window.partitionBy("pid").orderBy("v", "custkey")),
         )
-        .withColumn(
-            "m_rank",
-            F.row_number().over(
-                Window.orderBy(F.desc("monetary_cents"), F.asc("custkey"))
+        wpid = Window.orderBy("pid")
+        offsets = (
+            keyed.groupBy("pid")
+            .agg(F.count("*").alias("c"))
+            .select(
+                "pid",
+                F.coalesce(
+                    F.sum("c").over(
+                        wpid.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                ).alias("off"),
+                F.sum("c")
+                .over(
+                    wpid.rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
+                )
+                .alias("n"),
             )
-            - 1,
         )
-        .withColumn("n", F.count("*").over(n_w))
+        cols = ["custkey", (F.col("off") + F.col("lr") - 1).alias(out)]
+        if with_n:
+            cols.append(F.col("n"))
+        return local.join(F.broadcast(offsets), "pid").select(*cols)
+
+    scored = (
+        pc.join(rank0("neg_r", cuts_r, "r_rank", with_n=True), "custkey")
+        .join(rank0("neg_f", cuts_f, "f_rank", with_n=False), "custkey")
+        .join(rank0("neg_m", cuts_m, "m_rank", with_n=False), "custkey")
     )
     score = lambda c: F.expr(  # noqa: E731
         f"CAST({RFM_BUCKETS} - ({c} * {RFM_BUCKETS} div n) AS BIGINT)"
@@ -1814,6 +1857,8 @@ def customer_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ABC classification thresholds in basis points of cumulative revenue.
 ABC_A_BP = 8_000
 ABC_B_BP = 9_500
+# Revenue-domain ranges for the two-pass distributed cumulative sum.
+ABC_RANK_PARTS = 32
 
 
 @register(
@@ -1860,9 +1905,16 @@ def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the order stream reduces to PART grain first (keyed
     aggregate, map-side combined); only the part-sized table enters
-    the cumulative window.  Like the RFM ranks, the global window's
-    100 TB form is the two-pass partial-sum + offset join — the same
-    associativity argument as [[size_balanced_shards]].
+    the cumulative sum, and THAT is the two-pass distributed form
+    (the feature_quantile_bins / size_balanced_shards recipe):
+    approxQuantile cuts on revenue give a deterministic range id,
+    revenue accumulates within each range, and a broadcast
+    {ABC_RANK_PARTS}-row prefix table of per-range revenue subtotals
+    lifts local sums to the global cumulative — part-grain data never
+    crosses a SinglePartition exchange (plan-gated).  The boundary
+    compare runs in DECIMAL(38,0): cum_cents * 10000 wraps int64 once
+    corpus revenue passes ~9.2e14 cents (~sf40), while the DuckDB
+    oracle auto-promotes to HUGEINT — decimals keep both engines exact.
     """
     from pyspark.sql.window import Window
 
@@ -1878,24 +1930,56 @@ def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("revenue_cents")
         )
+        .withColumn("neg", -F.col("revenue_cents"))
+        .cache()
     )
-    w_cum = Window.orderBy(F.desc("revenue_cents"), F.asc("partkey")).rowsBetween(
-        Window.unboundedPreceding, 0
+    cuts = rev.approxQuantile(
+        "neg", [i / ABC_RANK_PARTS for i in range(1, ABC_RANK_PARTS)], 0.01
     )
-    ranked = rev.select(
+    pid = sum(
+        (F.when(F.col("neg") >= float(c), 1).otherwise(0) for c in cuts),
+        F.lit(0),
+    ).alias("pid")
+    keyed = rev.select("partkey", "revenue_cents", "neg", pid)
+    w_in = (
+        Window.partitionBy("pid")
+        .orderBy("neg", "partkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = keyed.withColumn("cum_in", F.sum("revenue_cents").over(w_in))
+    wpid = Window.orderBy("pid")
+    offsets = (
+        keyed.groupBy("pid")
+        .agg(F.sum("revenue_cents").alias("pid_rev"))
+        .select(
+            "pid",
+            F.coalesce(
+                F.sum("pid_rev").over(
+                    wpid.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("off"),
+            F.sum("pid_rev")
+            .over(
+                wpid.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .alias("total_cents"),
+        )
+    )
+    ranked = local.join(F.broadcast(offsets), "pid").select(
         "partkey",
         "revenue_cents",
-        F.sum("revenue_cents").over(w_cum).alias("cum_cents"),
-        F.sum("revenue_cents").over(Window.partitionBy()).alias("total_cents"),
+        (F.col("off") + F.col("cum_in")).alias("cum_cents"),
+        "total_cents",
     )
+    cum_d = F.col("cum_cents").cast("decimal(38,0)") * 10000
+    tot_d = F.col("total_cents").cast("decimal(38,0)")
     classed = ranked.withColumn(
         "abc_class",
-        F.when(
-            F.col("cum_cents") * 10000 <= F.col("total_cents") * ABC_A_BP, "A"
-        )
-        .when(
-            F.col("cum_cents") * 10000 <= F.col("total_cents") * ABC_B_BP, "B"
-        )
+        F.when(cum_d <= tot_d * ABC_A_BP, "A")
+        .when(cum_d <= tot_d * ABC_B_BP, "B")
         .otherwise("C"),
     )
     return (

@@ -275,9 +275,17 @@ def test_skew_join_salts_both_sides(spark, sf_correct):
 
 
 def _single_partition_exchanges(df) -> int:
-    import re
-
-    return len(re.findall(r"Arguments: SinglePartition", physical_plan(df)))
+    """Count DISTINCT SinglePartition Exchange nodes (by plan node id —
+    AQE prints cached sub-plans twice, once per Initial/Final plan)."""
+    lines = physical_plan(df).splitlines()
+    nodes = set()
+    for i, line in enumerate(lines):
+        if "Arguments: SinglePartition" in line:
+            for j in range(i, max(0, i - 8), -1):
+                if lines[j].startswith("("):
+                    nodes.add(lines[j])
+                    break
+    return len(nodes)
 
 
 def test_zorder_rank_is_distributed(spark, sf_correct):
@@ -299,6 +307,31 @@ def test_sequence_packing_prefix_sum_is_distributed(spark, sf_correct):
     df = get_operator("sequence_packing").query_fn(spark, sf_correct)
     plan = physical_plan(df)
     assert "hashpartitioning(rb" in plan, plan
+    assert _single_partition_exchanges(df) <= 1, plan
+
+
+def test_rfm_ranks_are_distributed(spark, sf_correct):
+    """RFM: each of the three global quintile ranks must be the
+    two-pass distributed rank (rank within deterministic value-range
+    pids + broadcast prefix table).  Customer-grain rows may only
+    cross hashpartitioning exchanges; the allowed SinglePartition
+    exchanges are the 1-row ref-date aggregate (which AQE prints as
+    two node ids, initial + final plan) and the three
+    RFM_RANK_PARTS-row offsets windows."""
+    df = get_operator("customer_rfm_segmentation").query_fn(spark, sf_correct)
+    plan = physical_plan(df)
+    assert plan.count("hashpartitioning(pid") >= 3, plan
+    assert _single_partition_exchanges(df) <= 5, plan
+
+
+def test_abc_cumsum_is_distributed(spark, sf_correct):
+    """ABC: the cumulative revenue sum must be the two-pass form —
+    part-grain rows accumulate inside hash-partitioned revenue-range
+    pids; only the pid-subtotal prefix table may cross a
+    SinglePartition exchange."""
+    df = get_operator("part_abc_classification").query_fn(spark, sf_correct)
+    plan = physical_plan(df)
+    assert "hashpartitioning(pid" in plan, plan
     assert _single_partition_exchanges(df) <= 1, plan
 
 
