@@ -643,8 +643,11 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     # Detected convergence (the dedup_cc_stars / graph_bfs pattern):
     # labels only decrease and the doc set is fixed, so an unchanged
-    # label SUM means a fixpoint — remaining rounds are no-ops and the
-    # result equals the full CC_ROUNDS unroll the oracle mirrors.
+    # (count, sum) signature means a fixpoint — remaining rounds are
+    # no-ops and the result equals the full CC_ROUNDS unroll the
+    # oracle mirrors.  The pair is the robust form graph_bfs uses:
+    # count guards against a row-set change that happens to preserve
+    # the sum (impossible under monotone labels, cheap to pin anyway).
     prev_sig = None
     rounds = 0
     for _ in range(CC_ROUNDS):
@@ -658,7 +661,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("cluster_id").alias("cluster_id"))
             .localCheckpoint()
         )
-        sig = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        sig = tuple(labels.agg(F.count("*"), F.sum("cluster_id")).collect()[0])
         if sig == prev_sig:
             break
         prev_sig = sig

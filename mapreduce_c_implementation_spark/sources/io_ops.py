@@ -616,6 +616,23 @@ def dynamic_partition_pruning_join(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _isolated_session(spark: SparkSession) -> SparkSession:
+    """A conf-isolated sibling session for operators that must flip
+    planner confs (v2 source list, bloom-filter thresholds).
+
+    ``newSession()`` shares the SparkContext and cached data but owns
+    its SESSION STATE, so conf mutations here can never leak into a
+    concurrently-planning operator on the caller's session — this
+    removes the earlier strictly-sequential-execution assumption the
+    try/finally save-restore pattern relied on.  The driver-contract
+    runtime conf is re-applied because a fresh session state starts
+    from SparkConf defaults, not the caller's runtime conf.
+    """
+    from mapreduce_c_implementation_spark.session import ensure_runtime_conf
+
+    return ensure_runtime_conf(spark.newSession())
+
+
 @register(
     "parquet_agg_pushdown_stats",
     oracle_sql="""
@@ -639,55 +656,51 @@ def parquet_agg_pushdown_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The v2 parquet path is opt-in (``spark.sql.sources.useV1SourceList``
     excludes parquet by default; aggregate pushdown is built into the
-    v2 ParquetScan) and scoped to THIS op: the conf flips inside a
-    try/finally around an EAGER computation, so no other operator's
-    plan resolves under the altered source list.  The returned frame
+    v2 ParquetScan) and ISOLATED to this op: the conf flips on a
+    ``newSession()`` sibling (own session state, shared context), so
+    no other operator's plan — sequential OR concurrent — ever
+    resolves under the altered source list.  The returned frame
     carries the already-computed row — semantically identical to the
     lazy form, as the oracle diff proves.
     """
-    prev_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
-    try:
-        spark.conf.set("spark.sql.sources.useV1SourceList", "")
-        rows = (
-            spark.read.parquet(f"{sf_dir}/orders.parquet")
-            .agg(
-                F.count("*").alias("n_rows"),
-                F.min("o_custkey").alias("min_custkey"),
-                F.max("o_custkey").alias("max_custkey"),
-                F.min("o_orderkey").alias("min_orderkey"),
-                F.max("o_orderkey").alias("max_orderkey"),
-            )
-            .collect()
+    s2 = _isolated_session(spark)
+    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    rows = (
+        s2.read.parquet(f"{sf_dir}/orders.parquet")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_custkey").alias("min_custkey"),
+            F.max("o_custkey").alias("max_custkey"),
+            F.min("o_orderkey").alias("min_orderkey"),
+            F.max("o_orderkey").alias("max_orderkey"),
         )
-    finally:
-        spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+        .collect()
+    )
     return spark.createDataFrame(rows)
 
 
 def _agg_pushdown_plan(spark: SparkSession, sf_dir: str) -> str:
     """Physical plan of the pushed-aggregation scan while the v2 confs
     are live — the hook tests/test_plans.py gates on."""
-    prev_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
-    try:
-        spark.conf.set("spark.sql.sources.useV1SourceList", "")
-        df = spark.read.parquet(f"{sf_dir}/orders.parquet").agg(
-            F.count("*").alias("n_rows"),
-            F.min("o_custkey").alias("min_custkey"),
-            F.max("o_custkey").alias("max_custkey"),
-        )
-        return df._jdf.queryExecution().executedPlan().toString()
-    finally:
-        spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+    s2 = _isolated_session(spark)
+    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    df = s2.read.parquet(f"{sf_dir}/orders.parquet").agg(
+        F.count("*").alias("n_rows"),
+        F.min("o_custkey").alias("min_custkey"),
+        F.max("o_custkey").alias("max_custkey"),
+    )
+    return df._jdf.queryExecution().executedPlan().toString()
 
 
-def _bloom_conf_scope(spark: SparkSession):
-    """(save, apply, restore) for the runtime-bloom demo confs."""
-    keys = {
-        "spark.sql.autoBroadcastJoinThreshold": "-1",
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
-    }
-    prev = {k: spark.conf.get(k) for k in keys}
-    return keys, prev
+def _bloom_session(spark: SparkSession) -> SparkSession:
+    """Conf-isolated session with the runtime-bloom demo confs live."""
+    s2 = _isolated_session(spark)
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    return s2
 
 
 @register(
@@ -721,60 +734,48 @@ def runtime_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Conf scope: broadcast is disabled (bloom only fires for shuffle
     joins — with broadcast ON Spark would rightly just broadcast the
     small side) and the application-side size threshold is zeroed so
-    the demo triggers at fixture scale; both flips are try/finally
-    scoped around an EAGER computation, restoring the session's
-    planner behavior before any other operator resolves (the
-    collect is a bounded 3-row group aggregate, not a data path).
-    Revenue arithmetic follows tpch_q1's exact-decimal discipline.
+    the demo triggers at fixture scale; both flips live on a
+    ``newSession()`` sibling, so the caller's planner behavior is
+    untouched even under concurrent operator execution (the collect
+    is a bounded 3-row group aggregate, not a data path).  Revenue
+    arithmetic follows tpch_q1's exact-decimal discipline.
     """
-    keys, prev = _bloom_conf_scope(spark)
-    try:
-        for k, v in keys.items():
-            spark.conf.set(k, v)
-        o = load_table(spark, sf_dir, "orders").filter(
-            F.col("o_orderpriority") == "1-URGENT"
-        ).select("o_orderkey")
-        li = load_table(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    s2 = _bloom_session(spark)
+    o = load_table(s2, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    li = load_table(s2, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    one = F.lit(1).cast("decimal(18,6)")
+    disc_price = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        one - F.col("l_discount").cast("decimal(18,6)")
+    )
+    rows = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(disc_price)
+            .cast("decimal(30,6)")
+            .cast("double")
+            .alias("revenue"),
         )
-        one = F.lit(1).cast("decimal(18,6)")
-        disc_price = F.col("l_extendedprice").cast("decimal(18,6)") * (
-            one - F.col("l_discount").cast("decimal(18,6)")
-        )
-        rows = (
-            li.join(o, li.l_orderkey == o.o_orderkey)
-            .groupBy("l_returnflag")
-            .agg(
-                F.count("*").alias("n_items"),
-                F.sum(disc_price)
-                .cast("decimal(30,6)")
-                .cast("double")
-                .alias("revenue"),
-            )
-            .orderBy("l_returnflag")
-            .collect()
-        )
-    finally:
-        for k, v in prev.items():
-            spark.conf.set(k, v)
+        .orderBy("l_returnflag")
+        .collect()
+    )
     return spark.createDataFrame(rows)
 
 
 def _bloom_join_plan(spark: SparkSession, sf_dir: str) -> str:
     """Optimized plan of the bloom-accelerated join while the demo
     confs are live — the hook tests/test_plans.py gates on."""
-    keys, prev = _bloom_conf_scope(spark)
-    try:
-        for k, v in keys.items():
-            spark.conf.set(k, v)
-        o = load_table(spark, sf_dir, "orders").filter(
-            F.col("o_orderpriority") == "1-URGENT"
-        ).select("o_orderkey")
-        li = load_table(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_returnflag"
-        )
-        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("l_returnflag").count()
-        return j._jdf.queryExecution().optimizedPlan().toString()
-    finally:
-        for k, v in prev.items():
-            spark.conf.set(k, v)
+    s2 = _bloom_session(spark)
+    o = load_table(s2, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    li = load_table(s2, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag"
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("l_returnflag").count()
+    return j._jdf.queryExecution().optimizedPlan().toString()
