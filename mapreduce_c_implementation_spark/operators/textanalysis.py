@@ -1269,11 +1269,19 @@ def skipgram_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized global sort.  At 100 TB this is the canonical
     "embedding training data prep" job: one pass, one
     vocabulary-bounded shuffle.
+
+    The token array is MATERIALIZED in its own projection before the
+    pair lambda: referencing the raw ``tokenize(text)`` expression
+    inside the per-token lambda (as ``slice``'s input) re-runs the
+    regex tokenizer per outer token instead of once per document —
+    the cause of the steep 32x scale-probe ratio (docs/SCALING.md);
+    a column reference makes the inner slice a cheap array read.
     """
     d = compute_scan(spark, sf_dir, "documents")
-    ts = tokenize(F.col("text"))
+    toks = d.select(tokenize(F.col("text")).alias("ts"))
+    ts = F.col("ts")
     pairs = (
-        d.select(
+        toks.select(
             F.explode(
                 F.flatten(
                     F.transform(
