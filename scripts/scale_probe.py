@@ -53,6 +53,12 @@ PROBE_OPS = [
     "shingle_containment_pairs",
     "embedding_random_projection",
     "concurrency_sweep",
+    # round-6: the de-weaked two-pass prefix-sum/rank rewrites — probe
+    # that distributing the global windows kept them linear.
+    "sequence_packing",
+    "zorder_layout",
+    "customer_rfm_segmentation",
+    "part_abc_classification",
 ]
 
 
@@ -124,13 +130,20 @@ def main() -> None:
             section.append(f"| `{n}` | {base[n]} | {big[n]} | {ratio}x |")
         out = Path(__file__).resolve().parents[1] / "docs" / "SCALING.md"
         sections: dict[int, str] = {}
+        prose: list[str] = []  # non-numeric sections (e.g. ## Findings)
         if out.exists():
             for chunk in out.read_text().split("\n## ")[1:]:
-                k_val = int(chunk.split("x", 1)[0])
-                sections[k_val] = "\n## " + chunk.rstrip("\n")
+                head = chunk.split("x", 1)[0]
+                if head.isdigit():
+                    sections[int(head)] = "\n## " + chunk.rstrip("\n")
+                else:
+                    prose.append("\n## " + chunk.rstrip("\n"))
         sections[K] = "\n" + "\n".join(section[1:])
-        body = "\n".join(header) + "\n" + "".join(
-            sections[k] + "\n" for k in sorted(sections)
+        body = (
+            "\n".join(header)
+            + "\n"
+            + "".join(sections[k] + "\n" for k in sorted(sections))
+            + "".join(pc + "\n" for pc in prose)
         )
         out.write_text(body)
         print(f"wrote {out}")
