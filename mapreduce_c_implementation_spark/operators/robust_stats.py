@@ -401,3 +401,256 @@ def seasonality_month_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-shift tests (KS / chi-square / PSI)
+# ---------------------------------------------------------------------------
+# The reference validates its parallel output against a sequential oracle
+# by exact diff (/root/reference/SimpleInvertedIndex/inverted_index.c:1);
+# production pipelines additionally need STATISTICAL comparisons between
+# corpus slices (did the length distribution drift between releases /
+# splits / sources?).  These three are the screening workhorses.  All
+# arithmetic is integer or round-to-6 fixed point so both engines hash
+# identically (the [[winsorized_group_stats]] discipline).
+
+PSI_BIN_W = 50  # n_chars bin width (documents span ~48..553)
+PSI_NBINS = 12
+
+
+@register(
+    "ks_two_sample",
+    oracle_sql="""
+    WITH pts AS (
+      SELECT n_chars AS v,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_a
+      FROM documents
+    ),
+    tot AS (
+      SELECT sum(is_a) AS n_a, sum(1 - is_a) AS n_b FROM pts
+    ),
+    per_v AS (
+      SELECT v, sum(is_a) AS c_a, sum(1 - is_a) AS c_b
+      FROM pts GROUP BY v
+    ),
+    ecdf AS (
+      SELECT v,
+             sum(c_a) OVER (ORDER BY v) AS cum_a,
+             sum(c_b) OVER (ORDER BY v) AS cum_b
+      FROM per_v
+    )
+    SELECT CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_num,
+           CAST(max(n_a) AS BIGINT) AS n_a,
+           CAST(max(n_b) AS BIGINT) AS n_b,
+           CAST(max(abs(cum_a * n_b - cum_b * n_a)) * 1000000
+                // (max(n_a) * max(n_b)) AS BIGINT) AS d_ppm
+    FROM ecdf, tot
+    """,
+    tags=("stats", "drift", "ks"),
+)
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the document-length
+    distributions of English vs non-English documents — THE
+    distribution-shift screen for "did this corpus slice drift?".
+
+    Exactness: D = max_v |F_a(v) - F_b(v)| is computed with the
+    cross-multiplied integer numerator |cum_a*n_b - cum_b*n_a| (no
+    float ECDF ever forms); the reported ``d_ppm`` is the statistic in
+    parts-per-million via integer floor division.
+
+    Scale shape: one keyed aggregate collapses the corpus to per-VALUE
+    counts — the running sum then runs over the distinct value DOMAIN
+    (bounded by the measurement's range, here ≤ ~500 distinct lengths,
+    independent of row count), so the single unpartitioned window sorts
+    a domain-sized table, not a data-sized one.  At 100 TB with an
+    unbounded domain, pre-bin values first ([[psi_population_stability]]
+    does exactly that); the per-value form here is the exact-answer
+    reference.
+    """
+    pts = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("v"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_a"),
+    )
+    per_v = pts.groupBy("v").agg(
+        F.sum("is_a").alias("c_a"),
+        F.sum(F.lit(1) - F.col("is_a")).alias("c_b"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = per_v.select(
+        F.sum("c_a").over(w).alias("cum_a"),
+        F.sum("c_b").over(w).alias("cum_b"),
+    )
+    tot = pts.agg(
+        F.sum("is_a").alias("n_a"),
+        F.sum(F.lit(1) - F.col("is_a")).alias("n_b"),
+    )
+    return ecdf.crossJoin(F.broadcast(tot)).agg(
+        F.max(F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")))
+        .cast("long")
+        .alias("d_num"),
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        F.expr(
+            "CAST(max(abs(cum_a * n_b - cum_b * n_a)) * 1000000 "
+            "div (max(n_a) * max(n_b)) AS BIGINT)"
+        ).alias("d_ppm"),
+    )
+
+
+@register(
+    "chi_square_contingency",
+    oracle_sql="""
+    WITH cells AS (
+      SELECT source, lang, count(*) AS o
+      FROM documents GROUP BY source, lang
+    ),
+    rt AS (SELECT source, sum(o) AS r_tot FROM cells GROUP BY source),
+    ct AS (SELECT lang, sum(o) AS c_tot FROM cells GROUP BY lang),
+    n AS (SELECT sum(o) AS grand FROM cells)
+    SELECT c.source, c.lang,
+           CAST(c.o AS BIGINT) AS o,
+           CAST(rt.r_tot * ct.c_tot * 1000 // n.grand AS BIGINT)
+             AS expected_milli,
+           CAST((c.o * n.grand - rt.r_tot * ct.c_tot)
+                * (c.o * n.grand - rt.r_tot * ct.c_tot) * 1000000
+                // (rt.r_tot * ct.c_tot * n.grand) AS BIGINT)
+             AS chi2_contrib_ppm
+    FROM cells c
+    JOIN rt ON rt.source = c.source
+    JOIN ct ON ct.lang = c.lang
+    CROSS JOIN n
+    ORDER BY c.source, c.lang
+    """,
+    tags=("stats", "drift", "chisq"),
+)
+def chi_square_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence screen over the source x lang contingency
+    table — "does language mix depend on source?", the categorical
+    counterpart of [[ks_two_sample]] for corpus-composition drift.
+
+    Exactness: each cell's contribution (o - e)^2 / e is computed as the
+    all-integer (o*N - rt*ct)^2 * 1e6 // (rt*ct*N) — the expected count
+    never exists as a float, so both engines hash identically.
+
+    Scale shape: the corpus collapses to CELL grain in one map-side-
+    combined aggregate; margins are cell-grain re-aggregates and the
+    grand total a broadcast 1-row — nothing after the first aggregate
+    is data-sized.  Fisher/Yates variants would bolt onto the same
+    cell table.
+    """
+    cells = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("o"))
+    )
+    rt = cells.groupBy("source").agg(F.sum("o").alias("r_tot"))
+    ct = cells.groupBy("lang").agg(F.sum("o").alias("c_tot"))
+    n = cells.agg(F.sum("o").alias("grand"))
+    return (
+        cells.join(F.broadcast(rt), "source")
+        .join(F.broadcast(ct), "lang")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "lang",
+            F.col("o").cast("long").alias("o"),
+            F.expr("CAST(r_tot * c_tot * 1000 div grand AS BIGINT)").alias(
+                "expected_milli"
+            ),
+            F.expr(
+                "CAST((o * grand - r_tot * c_tot) * (o * grand - r_tot * c_tot)"
+                " * 1000000 div (r_tot * c_tot * grand) AS BIGINT)"
+            ).alias("chi2_contrib_ppm"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+@register(
+    "psi_population_stability",
+    oracle_sql=f"""
+    WITH assigned AS (
+      SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+               % 2 AS grp,
+             least(greatest(n_chars // {PSI_BIN_W}, 0), {PSI_NBINS - 1}) AS bin
+      FROM documents
+    ),
+    cells AS (
+      SELECT bin,
+             sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) + 1 AS c_a,
+             sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) + 1 AS c_b
+      FROM assigned GROUP BY bin
+    ),
+    tot AS (SELECT sum(c_a) AS n_a, sum(c_b) AS n_b FROM cells)
+    SELECT bin,
+           CAST(c_a - 1 AS BIGINT) AS c_a,
+           CAST(c_b - 1 AS BIGINT) AS c_b,
+           CAST(((c_a * n_b - c_b * n_a + n_a * n_b) * 1000000
+                 // (n_a * n_b) - 1000000)
+                * CAST(round(ln((CAST(c_a AS DOUBLE) * n_b)
+                                / (CAST(c_b AS DOUBLE) * n_a)) * 1000000)
+                       AS BIGINT)
+                AS BIGINT) AS psi_contrib_pico
+    FROM cells, tot
+    ORDER BY bin
+    """,
+    tags=("stats", "drift", "psi"),
+)
+def psi_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the two halves of a
+    deterministic md5(doc_id) split, over fixed-width document-length
+    bins — the drift monitor scorecard pipelines run between every
+    corpus release (PSI > 0.2 => investigate).
+
+    Exactness: Laplace-smoothed (+1) bin counts; the share difference
+    is the all-integer shifted floor division
+    ((c_a*n_b - c_b*n_a + n_a*n_b)*1e6 // (n_a*n_b) - 1e6) ppm — never
+    a rounded float, whose millionths-place TIES (power-of-two count
+    denominators) round differently across engines — and the log-ratio
+    is integer micro-nats (ties vanishingly unlikely for a
+    transcendental, the [[unigram_logprob_score]] ln discipline); the
+    contribution is their exact integer product in pico units.
+    Fixed-width bins (width {PSI_BIN_W}, {PSI_NBINS} bins, clamped) —
+    never quantile bins, which would need a rank.
+
+    Scale shape: one narrow map (hash + bucket arithmetic) collapses
+    the corpus to {PSI_NBINS} cells in a map-side-combined aggregate;
+    totals ride a broadcast 1-row.  Scan-bound at any scale — this is
+    the pre-binned form [[ks_two_sample]]'s docstring prescribes for
+    unbounded domains.
+    """
+    grp = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 2
+    )
+    bin_ = F.least(
+        F.greatest(F.expr(f"n_chars div {PSI_BIN_W}"), F.lit(0)),
+        F.lit(PSI_NBINS - 1),
+    )
+    cells = (
+        load_table(spark, sf_dir, "documents")
+        .select(grp.alias("grp"), bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            (F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)) + 1).alias("c_a"),
+            (F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)) + 1).alias("c_b"),
+        )
+    )
+    tot = cells.agg(F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            (F.col("c_a") - 1).cast("long").alias("c_a"),
+            (F.col("c_b") - 1).cast("long").alias("c_b"),
+            F.expr(
+                "CAST(((c_a * n_b - c_b * n_a + n_a * n_b) * 1000000"
+                " div (n_a * n_b) - 1000000)"
+                " * CAST(round(ln((CAST(c_a AS DOUBLE) * n_b)"
+                " / (CAST(c_b AS DOUBLE) * n_a)) * 1000000) AS BIGINT)"
+                " AS BIGINT)"
+            ).alias("psi_contrib_pico"),
+        )
+        .orderBy("bin")
+    )
