@@ -1901,3 +1901,319 @@ def shingle_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty_bp"
         ),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM scoring + token/label mutual information
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ngram_lm_perplexity",
+    oracle_sql=f"""
+    WITH toks AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+    big AS (
+      SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+      FROM (SELECT doc_id, ts,
+                   unnest(generate_series(1, len(ts) - 1)) AS i
+            FROM toks)
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2),
+    c1 AS (SELECT w1, sum(c) AS h FROM c12 GROUP BY w1),
+    v AS (SELECT count(DISTINCT t) AS vs
+          FROM (SELECT unnest(ts) AS t FROM toks)),
+    lp AS (
+      SELECT c12.w1, c12.w2,
+             CAST(round(ln(CAST(c12.c + 1 AS DOUBLE) / (c1.h + v.vs))
+                        * 1000000) AS BIGINT) AS lp_micro
+      FROM c12 JOIN c1 ON c1.w1 = c12.w1 CROSS JOIN v
+    )
+    SELECT big.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(-sum(lp.lp_micro) AS BIGINT) AS neg_logprob_micro,
+           CAST(-sum(lp.lp_micro) // count(*) AS BIGINT)
+             AS avg_neg_logprob_micro
+    FROM big JOIN lp ON lp.w1 = big.w1 AND lp.w2 = big.w2
+    GROUP BY big.doc_id
+    """,
+    tags=("text", "lm", "scoring", "pipeline"),
+)
+def ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model score per document, add-one smoothed —
+    the CCNet-style "train a small LM on the corpus, rank documents by
+    perplexity" quality signal, one rung up from
+    [[unigram_logprob_score]].
+
+    Model: logp(w2|w1) = ln((c(w1,w2)+1) / (h(w1)+V)) with history
+    counts h derived from the bigram table and V the corpus vocabulary
+    size.  Exactness: each bigram's log-prob is frozen to integer
+    MICRO-nats once (round-to-nearest of a transcendental — the
+    [[unigram_logprob_score]] discipline), so per-doc sums are exact
+    integer adds in any order; the per-doc average is floor division
+    of the (positive) negated sum.
+
+    Scale shape: pairs generate IN-ROW from the materialized token
+    array ([[skipgram_cooccurrence]]'s rule); the bigram-count table is
+    pair-vocabulary-sized and SHUFFLE-joins back to the bigram stream
+    (never broadcast an unbounded vocabulary); V and nothing else rides
+    a broadcast 1-row.  Two vocabulary-bounded exchanges + one doc-key
+    aggregate at any corpus size.
+    """
+    d = compute_scan(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokenize(F.col("text")).alias("ts"))
+    ts = F.col("ts")
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.slice(ts, 1, F.greatest(F.size(ts) - 1, F.lit(0))),
+                lambda x, i: F.struct(
+                    x.alias("w1"), F.element_at(ts, i + 2).alias("w2")
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    c12 = big.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    c1 = c12.groupBy("w1").agg(F.sum("c").alias("h"))
+    v = toks.select(F.explode(ts).alias("t")).agg(
+        F.countDistinct("t").alias("vs")
+    )
+    lp = (
+        c12.join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "w1",
+            "w2",
+            F.expr(
+                "CAST(round(ln(CAST(c + 1 AS DOUBLE) / (h + vs))"
+                " * 1000000) AS BIGINT)"
+            ).alias("lp_micro"),
+        )
+    )
+    return (
+        big.join(lp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            (-F.sum("lp_micro")).cast("long").alias("neg_logprob_micro"),
+            F.expr("CAST(-sum(lp_micro) div count(*) AS BIGINT)").alias(
+                "avg_neg_logprob_micro"
+            ),
+        )
+    )
+
+
+MI_TOPK = 50
+
+
+@register(
+    "token_label_mutual_information",
+    oracle_sql=f"""
+    WITH tok AS (
+      SELECT lang, unnest({_TOK}) AS t FROM documents
+    ),
+    cells AS (SELECT t, lang, count(*) AS c_tl FROM tok GROUP BY t, lang),
+    ct AS (SELECT t, sum(c_tl) AS c_t FROM cells GROUP BY t),
+    cl AS (SELECT lang, sum(c_tl) AS c_l FROM cells GROUP BY lang),
+    n AS (SELECT sum(c_tl) AS total FROM cells)
+    SELECT cells.t,
+           CAST(max(ct.c_t) AS BIGINT) AS c_t,
+           CAST(sum(cells.c_tl
+                    * CAST(round(ln((CAST(cells.c_tl AS DOUBLE) * n.total)
+                                    / (CAST(ct.c_t AS DOUBLE) * cl.c_l))
+                                 * 1000000) AS BIGINT)) AS BIGINT)
+             AS mi_num_micro
+    FROM cells
+    JOIN ct ON ct.t = cells.t
+    JOIN cl ON cl.lang = cells.lang
+    CROSS JOIN n
+    GROUP BY cells.t
+    ORDER BY mi_num_micro DESC, cells.t
+    LIMIT {MI_TOPK}
+    """,
+    tags=("text", "feature-selection", "mi", "pipeline"),
+)
+def token_label_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token->label mutual information (label = document language): for
+    each token, c_t * KL(P(lang|token) || P(lang)) over occurrence
+    counts — the classic feature-selection score for training quality/
+    domain classifiers ("which tokens carry label signal?").  Top
+    {MI_TOPK} by MI with a total-order tie-break.
+
+    Exactness: each cell's log-ratio is frozen to integer micro-nats,
+    weighted by the integer cell count, and summed — exact integer
+    arithmetic after one transcendental per CELL (token x label, a
+    bounded domain).  The KL form guarantees non-negative totals.
+
+    Scale shape: corpus collapses to (token, label) cell grain in one
+    map-side-combined aggregate; margins are cell-grain re-aggregates;
+    the label margin broadcasts (labels are few) while the token
+    margin SHUFFLE-joins (vocabulary-sized).  Final top-k is a
+    TakeOrderedAndProject, never a global sort.
+    """
+    d = compute_scan(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(tokenize(F.col("text"))).alias("t"))
+    cells = tok.groupBy("t", "lang").agg(F.count("*").alias("c_tl"))
+    ct = cells.groupBy("t").agg(F.sum("c_tl").alias("c_t"))
+    cl = cells.groupBy("lang").agg(F.sum("c_tl").alias("c_l"))
+    n = cells.agg(F.sum("c_tl").alias("total"))
+    return (
+        cells.join(ct, "t")
+        .join(F.broadcast(cl), "lang")
+        .crossJoin(F.broadcast(n))
+        .groupBy("t")
+        .agg(
+            F.max("c_t").cast("long").alias("c_t"),
+            F.sum(
+                F.col("c_tl")
+                * F.expr(
+                    "CAST(round(ln((CAST(c_tl AS DOUBLE) * total)"
+                    " / (CAST(c_t AS DOUBLE) * c_l)) * 1000000) AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("mi_num_micro"),
+        )
+        .orderBy(F.desc("mi_num_micro"), "t")
+        .limit(MI_TOPK)
+    )
+
+
+# BPE merge learning: the first BPE_STEPS merges of byte-pair-encoding
+# tokenizer training (Sennrich et al. 2016, public algorithm), on the
+# classic space-separated-symbol representation: a word is ' h e l l o '
+# and merging pair "l l" is the literal string replace ' l l ' -> ' ll '
+# (left-to-right non-overlapping — identical scan semantics in Spark and
+# DuckDB string replace).
+BPE_STEPS = 4
+
+
+def _bpe_oracle() -> str:
+    parts = [
+        f"""w0 AS (
+      SELECT t AS w, count(*) AS c
+      FROM (SELECT unnest({_TOK}) AS t FROM documents) GROUP BY t
+    )""",
+        """s0 AS (
+      SELECT ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' '
+               AS seq, c
+      FROM w0
+    )""",
+    ]
+    for k in range(1, BPE_STEPS + 1):
+        parts.append(f"""p{k} AS (
+      SELECT sym[i] || ' ' || sym[i + 1] AS pair, sum(c) AS cnt
+      FROM (SELECT sym, c, unnest(generate_series(1, len(sym) - 1)) AS i
+            FROM (SELECT string_split(trim(seq), ' ') AS sym, c FROM s{k - 1}))
+      GROUP BY pair
+    )""")
+        parts.append(
+            f"b{k} AS (SELECT pair, cnt FROM p{k} ORDER BY cnt DESC, pair LIMIT 1)"
+        )
+        parts.append(f"""s{k} AS (
+      SELECT replace(seq, ' ' || b.pair || ' ',
+                     ' ' || replace(b.pair, ' ', '') || ' ') AS seq, c
+      FROM s{k - 1}, b{k} b
+    )""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT {k} AS step, pair, replace(pair, ' ', '') AS merged, "
+        f"CAST(cnt AS BIGINT) AS freq FROM b{k}"
+        for k in range(1, BPE_STEPS + 1)
+    )
+    return (
+        "WITH " + ",\n    ".join(parts) + f"\n    SELECT * FROM ({union}) ORDER BY step"
+    )
+
+
+@register(
+    "bpe_merge_steps",
+    oracle_sql=_bpe_oracle(),
+    tags=("text", "tokenizer", "bpe", "pipeline"),
+)
+def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first {BPE_STEPS} merge rules of BPE tokenizer training over
+    the corpus vocabulary — learn-the-tokenizer is the step BEFORE
+    every other token-level operator in an LLM data pipeline.  Each
+    step counts adjacent symbol pairs (weighted by word frequency),
+    takes the most frequent pair (ties: lexicographically smallest),
+    and rewrites every word's symbol sequence with the merged pair.
+
+    All-integer counts and string rewrites — nothing to round.  The
+    argmax is ORDER BY cnt DESC, pair LIMIT 1 (a TakeOrdered, with a
+    total-order tie-break) joined back as a broadcast 1-row; merges
+    chain as {BPE_STEPS} lazily-composed passes with NO driver-side
+    collect, so the whole learn is one Spark job.
+
+    Scale shape: the corpus collapses ONCE to the word-frequency table
+    (vocabulary-sized — the only data-sized aggregate); every
+    subsequent pass is vocabulary-grain: pair counting map-side
+    combines to the pair vocabulary, and the rewrite is a narrow map
+    against a broadcast single row.  This is exactly how production
+    BPE trainers scale (word-count once, then iterate on the vocab),
+    and why the operator survives 100 TB: step cost is O(vocab), not
+    O(corpus).
+    """
+    d = compute_scan(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(tokenize(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    seqs = words.select(
+        F.concat(
+            F.lit(" "),
+            F.array_join(
+                F.regexp_extract_all(F.col("w"), F.lit("(.)"), F.lit(1)), " "
+            ),
+            F.lit(" "),
+        ).alias("seq"),
+        "c",
+    )
+    merges = []
+    for step in range(1, BPE_STEPS + 1):
+        sym = F.split(F.trim(F.col("seq")), " ")
+        pairs = (
+            seqs.select(sym.alias("sym"), "c")
+            .select(
+                F.explode(
+                    F.transform(
+                        F.slice(
+                            F.col("sym"),
+                            1,
+                            F.greatest(F.size("sym") - 1, F.lit(0)),
+                        ),
+                        lambda x, i: F.concat(
+                            x, F.lit(" "), F.element_at(F.col("sym"), i + 2)
+                        ),
+                    )
+                ).alias("pair"),
+                "c",
+            )
+            .groupBy("pair")
+            .agg(F.sum("c").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), "pair").limit(1)
+        merges.append(
+            best.select(
+                F.lit(step).alias("step"),
+                "pair",
+                F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
+                F.col("cnt").cast("long").alias("freq"),
+            )
+        )
+        seqs = seqs.crossJoin(F.broadcast(best)).select(
+            F.replace(
+                F.col("seq"),
+                F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+                F.concat(
+                    F.lit(" "),
+                    F.replace(F.col("pair"), F.lit(" "), F.lit("")),
+                    F.lit(" "),
+                ),
+            ).alias("seq"),
+            "c",
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out.orderBy("step")
