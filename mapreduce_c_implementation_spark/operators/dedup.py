@@ -1396,3 +1396,120 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 10000L div sum(in_truth) ELSE 0 END AS BIGINT)"
         ).alias("recall_bp"),
     )
+
+
+# C4/MassiveText-style paragraph-level rewrite: PARA_TOKENS-token
+# "paragraphs" (the fixture text has no newlines, so fixed token blocks
+# stand in for layout paragraphs), globally keep-first by content digest.
+PARA_TOKENS = 16
+
+
+@register(
+    "dedup_paragraph_rewrite",
+    oracle_sql=f"""
+    WITH toks AS (SELECT doc_id, {{tok}} AS ts FROM documents),
+    ch AS (
+      SELECT doc_id, i AS chunk_idx,
+             array_to_string(
+               list_slice(ts, (i - 1) * {PARA_TOKENS} + 1, i * {PARA_TOKENS}),
+               ' ') AS ptxt
+      FROM (SELECT doc_id, ts,
+                   unnest(generate_series(
+                     1, CAST(ceil(len(ts) / {PARA_TOKENS}.0) AS BIGINT))) AS i
+            FROM toks)
+    ),
+    dig AS (SELECT doc_id, chunk_idx, ptxt, md5(ptxt) AS digest FROM ch),
+    first_doc AS (SELECT digest, min(doc_id) AS kd FROM dig GROUP BY digest),
+    first_pos AS (
+      SELECT d.digest, d.doc_id AS kd, min(d.chunk_idx) AS ki
+      FROM dig d JOIN first_doc f
+        ON f.digest = d.digest AND f.kd = d.doc_id
+      GROUP BY d.digest, d.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN f.kd = d.doc_id AND f.ki = d.chunk_idx
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(
+             CASE WHEN f.kd = d.doc_id AND f.ki = d.chunk_idx
+                  THEN d.ptxt END, ' ' ORDER BY d.chunk_idx), '') AS kept_text
+    FROM dig d JOIN first_pos f ON f.digest = d.digest
+    GROUP BY d.doc_id
+    """.format(tok=DUCKDB_TOKENIZE.format(col="text")),
+    tags=("dedup", "paragraph", "rewrite", "pipeline"),
+)
+def dedup_paragraph_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup with corpus REWRITE — the C4 /
+    MassiveText recipe: hash every paragraph, keep only its globally
+    FIRST occurrence (lexicographically smallest (doc_id, chunk_idx)),
+    and reassemble each document from its surviving paragraphs.
+    [[exact_substring_duplicates]] detects shared runs; this operator
+    produces the cleaned corpus.
+
+    Paragraphs are fixed {PARA_TOKENS}-token blocks (the fixture text
+    is newline-free; with layout text the splitter would be
+    split(text, '\\n\\n') and everything downstream is unchanged).
+
+    Scale shape: blocks generate in-row; only (digest, doc_id,
+    chunk_idx) triples shuffle to pick winners (two digest-grain
+    aggregates = lexicographic min); winners join back digest-keyed;
+    the rebuild is one doc-keyed aggregate whose collect_list is
+    bounded by the DOCUMENT's own size (the [[document_chunking]]
+    bound).  Paragraph text rides the shuffle once — at 100 TB you'd
+    carry only (digest, doc pointer) and rebuild from the source scan,
+    an orthogonal storage trade documented here.
+    """
+    d = compute_scan(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokenize(F.col("text")).alias("ts"))
+    ts = F.col("ts")
+    ch = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.ceil(F.size(ts) / F.lit(float(PARA_TOKENS))).cast("int"),
+                ),
+                lambda i: F.struct(
+                    i.alias("chunk_idx"),
+                    F.array_join(
+                        F.slice(ts, (i - 1) * PARA_TOKENS + 1, PARA_TOKENS), " "
+                    ).alias("ptxt"),
+                ),
+            )
+        ).alias("c"),
+    ).select("doc_id", "c.chunk_idx", "c.ptxt")
+    dig = ch.withColumn("digest", F.md5(F.col("ptxt")))
+    first_doc = dig.groupBy("digest").agg(F.min("doc_id").alias("kd"))
+    first_pos = (
+        dig.join(first_doc, ["digest"])
+        .filter(F.col("doc_id") == F.col("kd"))
+        .groupBy("digest", "kd")
+        .agg(F.min("chunk_idx").alias("ki"))
+    )
+    keep = (F.col("kd") == F.col("doc_id")) & (F.col("ki") == F.col("chunk_idx"))
+    return (
+        dig.join(first_pos, "digest")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    keep,
+                                    F.struct("chunk_idx", F.col("ptxt")),
+                                )
+                            )
+                        ),
+                        lambda x: x.ptxt,
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("kept_text"),
+        )
+    )

@@ -566,3 +566,119 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_customers"))
         .orderBy("tier")
     )
+
+
+# Interval-overlap join: half-open [start, end) windows.  Orders get a
+# 7-day urgency window; lineitems a 3-day ship window.  The Spark side
+# decomposes to a WEEK-bin equi-join (never a raw non-equi join); the
+# DuckDB oracle states the naive overlap predicate directly — same rows.
+IVL_A_DAYS = 7
+IVL_B_DAYS = 3
+IVL_BIN_DAYS = 7
+
+
+@register(
+    "interval_overlap_join",
+    oracle_sql=f"""
+    WITH a AS (
+      SELECT o_orderkey,
+             CAST(o_orderdate AS DATE) AS a_s,
+             CAST(o_orderdate AS DATE) + {IVL_A_DAYS} AS a_e
+      FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+        AND o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1996-01-01'
+    ),
+    b AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_shipdate AS DATE) AS b_s,
+             CAST(l_shipdate AS DATE) + {IVL_B_DAYS} AS b_e
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate < TIMESTAMP '1996-01-01'
+    )
+    SELECT a.o_orderkey,
+           CAST(count(*) AS BIGINT) AS n_overlaps,
+           CAST(min(b.b_s) AS VARCHAR) AS first_ship,
+           CAST(max(b.b_s) AS VARCHAR) AS last_ship
+    FROM a JOIN b ON a.a_s < b.b_e AND b.b_s < a.a_e
+    GROUP BY a.o_orderkey
+    ORDER BY a.o_orderkey
+    """,
+    tags=("join", "interval", "range"),
+)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: which lineitem ship windows ([ship,
+    ship+{IVL_B_DAYS}) days) overlap each urgent order's
+    [orderdate, orderdate+{IVL_A_DAYS}) window in 1995 — the temporal
+    overlap shape behind sessions-vs-campaigns, outages-vs-deploys,
+    and every "which events intersect this window" question.
+
+    Spark plan: each interval explodes into the {IVL_BIN_DAYS}-day
+    epoch bins it covers (≤ 2 bins per A row, ≤ 2 per B row — bounded
+    in-row fan-out), the join runs as a BIN equi-join, survivors are
+    re-checked with the exact overlap predicate, and each pair counts
+    in exactly ONE bin — the bin holding the overlap start
+    (max(a_s, b_s)) — so multi-bin spans never double-count and no
+    pair-level DISTINCT is needed (source-row duplicates must survive,
+    and the fixture's lineitem key is deliberately non-unique).
+    That is the standard scalable decomposition of a range join — a
+    raw non-equi join compiles to a broadcast-nested-loop, O(n*m) at
+    100 TB.  The DuckDB oracle intentionally states the naive overlap
+    predicate — same result, independently derived.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    a = (
+        o.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1996-01-01")
+        )
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("a_s"),
+            F.date_add(F.col("o_orderdate").cast("date"), IVL_A_DAYS).alias("a_e"),
+        )
+    )
+    b = (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_shipdate").cast("date").alias("b_s"),
+            F.date_add(F.col("l_shipdate").cast("date"), IVL_B_DAYS).alias("b_e"),
+        )
+    )
+
+    def bins(s, e):  # bins covering half-open [s, e), epoch-day // bin
+        lo = F.floor(F.datediff(s, F.lit("1970-01-01")) / IVL_BIN_DAYS)
+        hi = F.floor(
+            F.datediff(F.date_sub(e, 1), F.lit("1970-01-01")) / IVL_BIN_DAYS
+        )
+        return F.sequence(lo, hi)
+
+    a_b = a.withColumn("bin", F.explode(bins(F.col("a_s"), F.col("a_e"))))
+    b_b = b.withColumn("bin", F.explode(bins(F.col("b_s"), F.col("b_e"))))
+    start_bin = F.floor(
+        F.datediff(F.greatest(F.col("a_s"), F.col("b_s")), F.lit("1970-01-01"))
+        / IVL_BIN_DAYS
+    )
+    pairs = (
+        a_b.join(b_b, "bin")
+        .filter((F.col("a_s") < F.col("b_e")) & (F.col("b_s") < F.col("a_e")))
+        .filter(F.col("bin") == start_bin)
+        .select("o_orderkey", "b_s")
+    )
+    return (
+        pairs.groupBy("o_orderkey")
+        .agg(
+            F.count("*").cast("long").alias("n_overlaps"),
+            F.min("b_s").cast("string").alias("first_ship"),
+            F.max("b_s").cast("string").alias("last_ship"),
+        )
+        .orderBy("o_orderkey")
+    )

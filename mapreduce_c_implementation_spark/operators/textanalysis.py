@@ -2217,3 +2217,103 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges[1:]:
         out = out.unionAll(m)
     return out.orderBy("step")
+
+
+# Reliability diagram for a rule-based quality score: score = share of
+# tokens that are English stopwords (basis points), proxy label =
+# "document is English".  CAL_BIN_BP-wide score bins.
+CAL_BIN_BP = 500
+CAL_NBINS = 20
+
+
+@register(
+    "score_calibration_reliability",
+    oracle_sql=f"""
+    WITH scored AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             len(list_intersect(ts, ['the','a','and','of','to','is','fast','slow']))
+               * 10000 // len(ts) AS score_bp
+      FROM (SELECT lang, {_TOK} AS ts FROM documents)
+      WHERE len(ts) > 0
+    ),
+    binned AS (
+      SELECT least(score_bp // {CAL_BIN_BP}, {CAL_NBINS - 1}) AS bin,
+             y, score_bp
+      FROM scored
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           CAST(sum(score_bp) // count(*) AS BIGINT) AS mean_score_bp,
+           CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS pos_rate_ppm,
+           CAST(abs(sum(score_bp) * 100 // count(*)
+                    - sum(y) * 1000000 // count(*)) AS BIGINT)
+             AS calib_gap_ppm
+    FROM binned
+    GROUP BY bin
+    ORDER BY bin
+    """,
+    tags=("text", "calibration", "scoring", "pipeline"),
+)
+def score_calibration_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram (calibration curve) for a rule-based quality
+    score against a proxy label — the screen every learned/heuristic
+    quality classifier gets before its threshold gates a corpus: in
+    each score bin, does the empirical positive rate track the score?
+    Score = English-stopword share of tokens in basis points; label =
+    document language is English; {CAL_NBINS} bins of {CAL_BIN_BP} bp.
+
+    All-integer: the score is floor-divided into basis points, rates
+    are ppm floor divisions, and the per-bin calibration gap
+    |mean_score - pos_rate| is integer ppm — hash-exact cross-engine.
+
+    Scale shape: one narrow per-row map (token intersect + bucket),
+    then a map-side-combined {CAL_NBINS}-cell aggregate.  Scan-bound;
+    composes with any learned scorer by swapping the score column.
+    """
+    d = compute_scan(spark, sf_dir, "documents")
+    ts = F.col("ts")
+    scored = (
+        d.select(
+            "lang", tokenize(F.col("text")).alias("ts")
+        )
+        .filter(F.size(ts) > 0)
+        .select(
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+            (
+                F.size(
+                    F.array_intersect(
+                        ts, F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])
+                    )
+                )
+                * 10000
+            ).alias("num"),
+            F.size(ts).alias("den"),
+        )
+        .select("y", F.expr("num div den").alias("score_bp"))
+    )
+    binned = scored.select(
+        F.least(
+            F.expr(f"score_bp div {CAL_BIN_BP}"), F.lit(CAL_NBINS - 1)
+        ).alias("bin"),
+        "y",
+        "score_bp",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.expr("CAST(sum(score_bp) div count(*) AS BIGINT)").alias(
+                "mean_score_bp"
+            ),
+            F.expr("CAST(sum(y) * 1000000 div count(*) AS BIGINT)").alias(
+                "pos_rate_ppm"
+            ),
+            F.expr(
+                "CAST(abs(sum(score_bp) * 100 div count(*)"
+                " - sum(y) * 1000000 div count(*)) AS BIGINT)"
+            ).alias("calib_gap_ppm"),
+        )
+        .orderBy("bin")
+    )

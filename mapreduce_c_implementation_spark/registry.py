@@ -87,13 +87,18 @@ def register(
 # order; everything else follows in registration order.  Rounds 1-4
 # together hard-verified 199 unique operators (CORRECTNESS_r01-r04;
 # round 5's window duplicated round 4's, re-confirming the same 50 —
-# their union is frozen in ``_DRIVER_VERIFIED_PRIOR``).  This FINAL
-# round-6 window holds the 49 remaining never-driver-verified names
-# (exactly ``all_operators() - _DRIVER_VERIFIED_PRIOR``), completing
-# hard verification for all 248 registered operators.  The rotated-out
-# ops keep their in-repo oracle coverage (tests/test_operators_vs_oracle.py
-# runs every registered operator), and tests/test_extensions.py's
-# coverage-ledger test asserts window + prior covers the full registry.
+# their union is frozen in ``_DRIVER_VERIFIED_PRIOR``).  The round-6
+# window holds the 49 remaining never-driver-verified names from the
+# pre-round-6 registry (``all_operators() - _DRIVER_VERIFIED_PRIOR``),
+# completing hard verification for all 248 operators registered through
+# round 5, plus the first of the round-6 additions; the remaining
+# round-6 additions (listed after slot 50 below, in priority order) roll
+# into the ROUND-7 window — after the r6 artifact lands, fold its keys
+# into ``_DRIVER_VERIFIED_PRIOR`` and promote the tail to the head of
+# this list.  The rotated-out ops keep their in-repo oracle coverage
+# (tests/test_operators_vs_oracle.py runs every registered operator),
+# and tests/test_extensions.py's coverage-ledger test asserts
+# prior + this list covers the full registry.
 _DRIVER_PRIORITY = [
     # round-4 additions, never driver-verified — the final window
     "ann_recall_eval",
@@ -145,6 +150,16 @@ _DRIVER_PRIORITY = [
     "vocab_coverage_topk",
     "winsorized_group_stats",
     "zipf_rank_frequency",
+    # round-6 additions — slot 50 of the r6 window, then the r7 window
+    "ks_two_sample",
+    "chi_square_contingency",
+    "psi_population_stability",
+    "ngram_lm_perplexity",
+    "token_label_mutual_information",
+    "bpe_merge_steps",
+    "interval_overlap_join",
+    "dedup_paragraph_rewrite",
+    "score_calibration_reliability",
 ]
 
 # Operators hard-verified by the driver in prior rounds (the union of
