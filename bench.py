@@ -115,6 +115,15 @@ HEADLINE = [
     "part_abc_classification",
     "dedup_recall_eval",
     "runtime_bloom_filter_join",
+    # round-6 wave: LM scoring, tokenizer learning, corpus rewrite,
+    # interval join, drift screens
+    "ngram_lm_perplexity",
+    "bpe_merge_steps",
+    "dedup_paragraph_rewrite",
+    "interval_overlap_join",
+    "token_label_mutual_information",
+    "ks_two_sample",
+    "psi_population_stability",
 ]
 
 

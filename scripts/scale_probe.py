@@ -59,6 +59,15 @@ PROBE_OPS = [
     "zorder_layout",
     "customer_rfm_segmentation",
     "part_abc_classification",
+    # round-6 additions with non-trivial shuffle shapes: bigram-LM
+    # (two vocab-grain exchanges), BPE (iterated vocab-grain passes),
+    # paragraph rewrite (digest shuffle + doc rebuild), interval join
+    # (bin equi-join), token-label MI (cell-grain aggregate).
+    "ngram_lm_perplexity",
+    "bpe_merge_steps",
+    "dedup_paragraph_rewrite",
+    "interval_overlap_join",
+    "token_label_mutual_information",
 ]
 
 

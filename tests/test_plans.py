@@ -214,6 +214,16 @@ _NESTED_LOOP_EXEMPT = {
     "seasonality_month_index",
     # 1-row reference-date broadcast for the recency clock
     "customer_rfm_segmentation",
+    # 1-row margin/total broadcasts (n_a/n_b, grand total, bin totals)
+    "ks_two_sample",
+    "chi_square_contingency",
+    "psi_population_stability",
+    # 1-row vocabulary-size broadcast for the add-one denominator
+    "ngram_lm_perplexity",
+    # 1-row corpus-token-total broadcast for the MI normalizer
+    "token_label_mutual_information",
+    # per-step 1-row best-pair broadcast driving the merge rewrite
+    "bpe_merge_steps",
 }
 
 # Modules whose query_fns build lazy plans (streaming/io execute jobs
@@ -604,3 +614,29 @@ def test_prefix_join_reuses_cached_sets(spark, sf_correct):
     df = get_operator("set_similarity_prefix_join").query_fn(spark, sf_correct)
     plan = physical_plan(df)
     assert "InMemoryTableScan" in plan, plan
+
+
+def test_interval_join_is_equi_join(spark, sf_correct):
+    """interval_overlap_join must compile to the week-bin EQUI-join
+    decomposition — a raw overlap predicate becomes a broadcast-
+    nested-loop / cartesian plan, the O(n*m) shape that cannot run at
+    100 TB."""
+    df = get_operator("interval_overlap_join").query_fn(spark, sf_correct)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "bin" in plan, plan
+
+
+def test_bpe_merge_steps_no_corpus_rescan(spark, sf_correct):
+    """BPE merge learning must collapse the corpus ONCE to the word-
+    frequency table and iterate at vocabulary grain: the physical plan
+    may contain at most one scan of documents per merge step's lineage
+    replay (Spark replays the shared words lineage per step — that is
+    vocab-grain recompute), and the argmax rows must arrive as
+    broadcast 1-rows, never via a driver collect in the operator body
+    (the operator builds one lazily-composed plan)."""
+    df = get_operator("bpe_merge_steps").query_fn(spark, sf_correct)
+    plan = physical_plan(df)
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan

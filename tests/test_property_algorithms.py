@@ -111,3 +111,43 @@ def test_wrong_sweep_order_overcounts():
     assert brute_peak(starts) == 1
     assert sweep_peak(starts, ends_before_starts=True) == 1
     assert sweep_peak(starts, ends_before_starts=False) == 2
+
+
+# ---------------------------------------------------------------------------
+# BPE merge rewrite: cross-engine string-replace semantics
+# ---------------------------------------------------------------------------
+# bpe_merge_steps encodes a merge as the literal replace
+# ' a b ' -> ' ab ' over the padded symbol string.  Correctness of the
+# whole operator rests on Spark's `replace` and DuckDB's `replace`
+# agreeing on LEFT-TO-RIGHT NON-OVERLAPPING scan semantics — for a
+# self-overlapping pair (' a a ' in ' a a a '), the first match must
+# consume its trailing delimiter so the scan resumes AFTER the
+# replacement.  The sf0.01 oracle diff may never exercise this case
+# (the learned merges there are non-overlapping), so pin it directly.
+
+import duckdb as _duckdb
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize(
+    "padded,pair",
+    [
+        (" a a a ", "a a"),          # odd self-overlap: one merge, tail survives
+        (" a a a a ", "a a"),        # even self-overlap: two merges
+        (" x a a a y ", "a a"),      # interior run
+        (" a b a b a ", "a b"),      # alternating pair
+        (" q e r e r ", "e r"),      # realistic suffix run
+    ],
+)
+def test_bpe_replace_semantics_cross_engine(spark, padded, pair):
+    merged = pair.replace(" ", "")
+    search, repl = f" {pair} ", f" {merged} "
+    got_spark = spark.sql(
+        "SELECT replace(:s, :f, :t) AS r",
+        args={"s": padded, "f": search, "t": repl},
+    ).collect()[0].r
+    got_duck = _duckdb.sql(
+        "SELECT replace(?, ?, ?) AS r", params=[padded, search, repl]
+    ).fetchone()[0]
+    # python str.replace is the left-to-right non-overlapping reference
+    assert got_spark == padded.replace(search, repl) == got_duck
