@@ -682,3 +682,82 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# Sampling-based join-cardinality estimation: per-key counts on both
+# sides, a deterministic SAMPLE_PCT% md5 key sample estimates the join
+# size, and the exact size comes from the count-product identity
+# |A join B| = sum over keys of c_A(k) * c_B(k) — no join is executed.
+CARD_SAMPLE_PCT = 10
+
+
+@register(
+    "join_cardinality_estimate",
+    oracle_sql=f"""
+    WITH ca AS (SELECT o_orderkey AS k, count(*) AS c1 FROM orders GROUP BY k),
+    cb AS (SELECT l_orderkey AS k, count(*) AS c2 FROM lineitem GROUP BY k),
+    j AS (
+      SELECT ca.k, ca.c1 * cb.c2 AS prod,
+             CASE WHEN CAST('0x' || substr(md5(CAST(ca.k AS VARCHAR)), 1, 4)
+                        AS BIGINT) % 100 < {CARD_SAMPLE_PCT}
+                  THEN 1 ELSE 0 END AS sampled
+      FROM ca JOIN cb ON cb.k = ca.k
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_join_keys,
+           CAST(sum(prod) AS BIGINT) AS exact_rows,
+           CAST(sum(sampled) AS BIGINT) AS n_sampled_keys,
+           CAST(sum(sampled * prod) * 100 // {CARD_SAMPLE_PCT} AS BIGINT)
+             AS est_rows,
+           CAST(abs(sum(sampled * prod) * 100 // {CARD_SAMPLE_PCT}
+                    - sum(prod)) * 10000 // sum(prod) AS BIGINT)
+             AS est_err_bp
+    FROM j
+    """,
+    tags=("join", "cardinality", "planning"),
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation without running the join — the planner-side
+    diagnostic behind "should this be broadcast / is this join about
+    to explode?".  Exact size comes from the count-product identity
+    |A⋈B| = Σ_k c_A(k)·c_B(k) over the per-key count tables; the
+    estimate scales the same sum over a deterministic
+    {CARD_SAMPLE_PCT}% md5 key sample, and the report includes the
+    estimator's realized error in basis points.
+
+    Scale shape: two keyed count aggregates (key-grain, map-side
+    combined), one key-grain equi-join of the COUNT tables (never the
+    facts), and a 1-row reduce.  At 100 TB this costs two shuffles of
+    key-cardinality-sized tables — the cheap pre-flight before an
+    irreversible fact-fact join.
+    """
+    ca = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderkey").alias("k"))
+        .agg(F.count("*").alias("c1"))
+    )
+    cb = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count("*").alias("c2"))
+    )
+    sampled = (
+        F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+        < CARD_SAMPLE_PCT
+    ).cast("int")
+    j = ca.join(cb, "k").select(
+        (F.col("c1") * F.col("c2")).alias("prod"), sampled.alias("sampled")
+    )
+    return j.agg(
+        F.count("*").cast("long").alias("n_join_keys"),
+        F.sum("prod").cast("long").alias("exact_rows"),
+        F.sum("sampled").cast("long").alias("n_sampled_keys"),
+        F.expr(
+            f"CAST(sum(sampled * prod) * 100 div {CARD_SAMPLE_PCT} AS BIGINT)"
+        ).alias("est_rows"),
+        F.expr(
+            f"CAST(abs(sum(sampled * prod) * 100 div {CARD_SAMPLE_PCT}"
+            f" - sum(prod)) * 10000 div sum(prod) AS BIGINT)"
+        ).alias("est_err_bp"),
+    )

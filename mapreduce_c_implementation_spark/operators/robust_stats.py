@@ -654,3 +654,162 @@ def psi_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# Unigram-distribution drift between the same md5 split halves PSI
+# uses: Jensen-Shannon divergence (corpus release diff) and per-token
+# frequency drift.  Both collapse to TOKEN cells (t, c_a, c_b) in one
+# conditional-sum aggregate.
+from mapreduce_c_implementation_spark.functions.text import (  # noqa: E402
+    DUCKDB_TOKENIZE,
+    tokenize,
+)
+
+_TOKDOC = DUCKDB_TOKENIZE.format(col="text")
+
+DRIFT_MIN_N = 20
+DRIFT_TOPK = 30
+
+_CELLS_SQL = f"""
+    halves AS (
+      SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+               % 2 AS grp,
+             unnest({_TOKDOC}) AS t
+      FROM documents
+    ),
+    cells AS (
+      SELECT t,
+             sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS c_a,
+             sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS c_b
+      FROM halves GROUP BY t
+    ),
+    tot AS (SELECT sum(c_a) AS n_a, sum(c_b) AS n_b FROM cells)"""
+
+
+def _spark_half_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    grp = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 2
+    )
+    return (
+        d.select(grp.alias("grp"), F.explode(tokenize(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("c_a"),
+            F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("c_b"),
+        )
+    )
+
+
+@register(
+    "corpus_js_divergence",
+    oracle_sql=f"""
+    WITH {_CELLS_SQL}
+    SELECT CAST(max(n_a) AS BIGINT) AS n_a,
+           CAST(max(n_b) AS BIGINT) AS n_b,
+           CAST(sum(CASE WHEN c_a > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_a,
+           CAST(sum(CASE WHEN c_b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_b,
+           CAST((sum(CASE WHEN c_a > 0 THEN
+                   c_a * CAST(round(ln(CAST(2 * c_a * n_b AS DOUBLE)
+                                      / (c_a * n_b + c_b * n_a)) * 1000000)
+                              AS BIGINT) ELSE 0 END) // max(n_a)
+                 + sum(CASE WHEN c_b > 0 THEN
+                     c_b * CAST(round(ln(CAST(2 * c_b * n_a AS DOUBLE)
+                                        / (c_a * n_b + c_b * n_a)) * 1000000)
+                                AS BIGINT) ELSE 0 END) // max(n_b)) // 2
+                AS BIGINT) AS jsd_micro
+    FROM cells, tot
+    """,
+    tags=("stats", "drift", "jsd", "pipeline"),
+)
+def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the unigram token
+    distributions of the two deterministic corpus halves — the
+    bounded, symmetric "corpus release diff" statistic (0 = identical
+    mixes, ln 2 = disjoint vocabularies).  Complements
+    [[psi_population_stability]] (length bins) with CONTENT drift.
+
+    Exactness: each token's log ratio p_x/m is the all-integer
+    cross-multiplied form 2*c_x*n_y / (c_a*n_b + c_b*n_a), frozen to
+    micro-nats and weighted by the integer count; the two KL sums
+    floor-divide by their half totals.  Zero-count terms contribute
+    exactly 0 (the KL convention), never a log of zero.
+
+    Scale shape: one conditional-sum aggregate collapses the corpus
+    to token cells; everything after is a single vocabulary-grain
+    reduce against a broadcast 1-row of totals.
+    """
+    cells = _spark_half_cells(spark, sf_dir)
+    tot = cells.agg(F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b"))
+    ln_a = (
+        "CAST(round(ln(CAST(2 * c_a * n_b AS DOUBLE)"
+        " / (c_a * n_b + c_b * n_a)) * 1000000) AS BIGINT)"
+    )
+    ln_b = (
+        "CAST(round(ln(CAST(2 * c_b * n_a AS DOUBLE)"
+        " / (c_a * n_b + c_b * n_a)) * 1000000) AS BIGINT)"
+    )
+    return cells.crossJoin(F.broadcast(tot)).agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        F.sum(F.when(F.col("c_a") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("vocab_a"),
+        F.sum(F.when(F.col("c_b") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("vocab_b"),
+        F.expr(
+            f"CAST((sum(CASE WHEN c_a > 0 THEN c_a * {ln_a} ELSE 0 END)"
+            f" div max(n_a)"
+            f" + sum(CASE WHEN c_b > 0 THEN c_b * {ln_b} ELSE 0 END)"
+            f" div max(n_b)) div 2 AS BIGINT)"
+        ).alias("jsd_micro"),
+    )
+
+
+@register(
+    "token_drift_topk",
+    oracle_sql=f"""
+    WITH {_CELLS_SQL}
+    SELECT t,
+           CAST(c_a AS BIGINT) AS c_a,
+           CAST(c_b AS BIGINT) AS c_b,
+           CAST(abs(c_a * 1000000 // n_a - c_b * 1000000 // n_b) AS BIGINT)
+             AS drift_ppm
+    FROM cells, tot
+    WHERE c_a + c_b >= {DRIFT_MIN_N}
+    ORDER BY drift_ppm DESC, t
+    LIMIT {DRIFT_TOPK}
+    """,
+    tags=("stats", "drift", "tokens", "pipeline"),
+)
+def token_drift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {DRIFT_TOPK} tokens whose relative frequency moved most
+    between the two corpus halves (min support {DRIFT_MIN_N}
+    occurrences) — the actionable companion to
+    [[corpus_js_divergence]]: WHICH tokens drove the drift.
+
+    Exactness: per-half rates are integer ppm floor divisions; the
+    drift is their absolute difference — no floats anywhere.  Scale
+    shape: the same token-cell aggregate, a broadcast totals row, and
+    a TakeOrdered top-k with a total-order tie-break.
+    """
+    cells = _spark_half_cells(spark, sf_dir)
+    tot = cells.agg(F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .filter(F.col("c_a") + F.col("c_b") >= DRIFT_MIN_N)
+        .select(
+            "t",
+            F.col("c_a").cast("long").alias("c_a"),
+            F.col("c_b").cast("long").alias("c_b"),
+            F.expr(
+                "CAST(abs(c_a * 1000000 div n_a - c_b * 1000000 div n_b)"
+                " AS BIGINT)"
+            ).alias("drift_ppm"),
+        )
+        .orderBy(F.desc("drift_ppm"), "t")
+        .limit(DRIFT_TOPK)
+    )

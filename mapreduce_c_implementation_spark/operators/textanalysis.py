@@ -2088,7 +2088,11 @@ def token_label_mutual_information(spark: SparkSession, sf_dir: str) -> DataFram
 BPE_STEPS = 4
 
 
-def _bpe_oracle() -> str:
+def _bpe_cte_parts() -> list[str]:
+    """Shared oracle CTE chain: word counts -> padded char seqs -> per-
+    step (pair counts, best pair, rewritten seqs).  [[bpe_merge_steps]]
+    reads the b{k} tables; [[tokenizer_apply_bpe]] reads the final
+    s{BPE_STEPS}."""
     parts = [
         f"""w0 AS (
       SELECT t AS w, count(*) AS c
@@ -2115,13 +2119,19 @@ def _bpe_oracle() -> str:
                      ' ' || replace(b.pair, ' ', '') || ' ') AS seq, c
       FROM s{k - 1}, b{k} b
     )""")
+    return parts
+
+
+def _bpe_oracle() -> str:
     union = "\n    UNION ALL ".join(
         f"SELECT {k} AS step, pair, replace(pair, ' ', '') AS merged, "
         f"CAST(cnt AS BIGINT) AS freq FROM b{k}"
         for k in range(1, BPE_STEPS + 1)
     )
     return (
-        "WITH " + ",\n    ".join(parts) + f"\n    SELECT * FROM ({union}) ORDER BY step"
+        "WITH "
+        + ",\n    ".join(_bpe_cte_parts())
+        + f"\n    SELECT * FROM ({union}) ORDER BY step"
     )
 
 
@@ -2153,6 +2163,16 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     and why the operator survives 100 TB: step cost is O(vocab), not
     O(corpus).
     """
+    merges, _ = _bpe_chain(spark, sf_dir)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out.orderBy("step")
+
+
+def _bpe_chain(spark: SparkSession, sf_dir: str):
+    """Spark mirror of ``_bpe_cte_parts``: returns ([per-step merge-rule
+    1-row DataFrames], final rewritten (seq, c) vocabulary table)."""
     d = compute_scan(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(tokenize(F.col("text"))).alias("w"))
@@ -2213,10 +2233,59 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seq"),
             "c",
         )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionAll(m)
-    return out.orderBy("step")
+    return merges, seqs
+
+
+BPE_VOCAB_TOPK = 50
+
+
+@register(
+    "tokenizer_apply_bpe",
+    oracle_sql=(
+        "WITH "
+        + ",\n    ".join(_bpe_cte_parts())
+        + f"""
+    SELECT sym AS symbol,
+           CAST(sum(c) AS BIGINT) AS n_occurrences,
+           CAST(count(*) AS BIGINT) AS n_word_types
+    FROM (SELECT unnest(string_split(trim(seq), ' ')) AS sym, c
+          FROM s{BPE_STEPS})
+    GROUP BY sym
+    ORDER BY n_occurrences DESC, symbol
+    LIMIT {BPE_VOCAB_TOPK}"""
+    ),
+    tags=("text", "tokenizer", "bpe", "pipeline"),
+)
+def tokenizer_apply_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE with the learned tokenizer: apply [[bpe_merge_steps]]'s
+    {BPE_STEPS} merge rules to the corpus vocabulary and report the
+    resulting symbol vocabulary — occurrence counts (word-frequency
+    weighted) and word-type counts for the top {BPE_VOCAB_TOPK}
+    symbols.  Learn + apply share one lazily-composed plan (the same
+    ``_bpe_chain``), exactly how a tokenizer-training job emits both
+    its merges file and its corpus token statistics in one pass.
+
+    Scale shape: identical to [[bpe_merge_steps]] (vocabulary-grain
+    iteration after one corpus collapse) plus a final symbol-grain
+    aggregate and a TakeOrdered top-k.  Applying the merges to the
+    full document STREAM would instead join doc tokens against the
+    vocab->segmentation map (word-keyed shuffle join) — the statistics
+    here come entirely from the weighted vocabulary, so that join is
+    unnecessary.
+    """
+    _, seqs = _bpe_chain(spark, sf_dir)
+    return (
+        seqs.select(
+            F.explode(F.split(F.trim(F.col("seq")), " ")).alias("symbol"), "c"
+        )
+        .groupBy("symbol")
+        .agg(
+            F.sum("c").cast("long").alias("n_occurrences"),
+            F.count("*").cast("long").alias("n_word_types"),
+        )
+        .orderBy(F.desc("n_occurrences"), "symbol")
+        .limit(BPE_VOCAB_TOPK)
+    )
 
 
 # Reliability diagram for a rule-based quality score: score = share of

@@ -160,6 +160,10 @@ _DRIVER_PRIORITY = [
     "interval_overlap_join",
     "dedup_paragraph_rewrite",
     "score_calibration_reliability",
+    "tokenizer_apply_bpe",
+    "corpus_js_divergence",
+    "token_drift_topk",
+    "join_cardinality_estimate",
 ]
 
 # Operators hard-verified by the driver in prior rounds (the union of

@@ -224,6 +224,11 @@ _NESTED_LOOP_EXEMPT = {
     "token_label_mutual_information",
     # per-step 1-row best-pair broadcast driving the merge rewrite
     "bpe_merge_steps",
+    # inherits the BPE chain's per-step 1-row broadcasts
+    "tokenizer_apply_bpe",
+    # 1-row half-total broadcasts for the KL/ppm normalizers
+    "corpus_js_divergence",
+    "token_drift_topk",
 }
 
 # Modules whose query_fns build lazy plans (streaming/io execute jobs
