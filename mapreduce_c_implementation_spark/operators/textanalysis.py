@@ -2386,3 +2386,155 @@ def score_calibration_reliability(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("bin")
     )
+
+
+# T5-style span corruption: SPAN_BLOCK-token blocks, one SPAN_LEN-token
+# masked span per block at a content-hashed offset (0..SPAN_BLOCK-
+# SPAN_LEN), sentinel <extra_id_b> numbered by block.  Block-local
+# spans are non-overlapping BY CONSTRUCTION — the sequential
+# "skip-overlap" scan of reference T5 implementations doesn't
+# parallelize; hashing the offset per fixed block reproduces the
+# ~SPAN_LEN/SPAN_BLOCK corruption rate deterministically on any engine.
+SPAN_BLOCK = 10
+SPAN_LEN = 3
+
+
+@register(
+    "span_corruption_masking",
+    oracle_sql=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOK} AS ts FROM documents
+      WHERE len({_TOK}) > 0
+    ),
+    blocks AS (
+      SELECT doc_id, ts,
+             list_transform(
+               generate_series(0, CAST(ceil(len(ts) / {SPAN_BLOCK}.0) AS BIGINT) - 1),
+               b -> struct_pack(
+                 blk := list_slice(ts, b * {SPAN_BLOCK} + 1, (b + 1) * {SPAN_BLOCK}),
+                 off := CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_'
+                                               || CAST(b AS VARCHAR)), 1, 4)
+                             AS BIGINT) % {SPAN_BLOCK - SPAN_LEN + 1},
+                 sent := '<extra_id_' || CAST(b AS VARCHAR) || '>'
+               )
+             ) AS parts
+      FROM toks
+    ),
+    assembled AS (
+      SELECT doc_id,
+             CAST(len(ts) AS BIGINT) AS n_tokens,
+             flatten(list_transform(parts, p ->
+               list_slice(p.blk, 1, p.off)
+               || [p.sent]
+               || list_slice(p.blk, p.off + {SPAN_LEN} + 1, len(p.blk))
+             )) AS input_toks,
+             flatten(list_transform(parts, p ->
+               [p.sent] || list_slice(p.blk, p.off + 1, p.off + {SPAN_LEN})
+             )) AS target_toks,
+             CAST(len(parts) AS BIGINT) AS n_spans
+      FROM blocks
+    )
+    SELECT doc_id, n_tokens, n_spans,
+           CAST(len(target_toks) - n_spans AS BIGINT) AS n_masked,
+           array_to_string(input_toks, ' ') AS input_text,
+           array_to_string(target_toks, ' ') AS target_text
+    FROM assembled
+    """,
+    tags=("text", "masking", "t5", "pipeline"),
+)
+def span_corruption_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2 span-corruption example generation: every {SPAN_BLOCK}-
+    token block masks one {SPAN_LEN}-token span at a md5(doc_id,
+    block)-hashed offset, emitting the (input with <extra_id_b>
+    sentinels, target of sentinel+masked-span) pair each denoising
+    objective trains on — ~{SPAN_LEN * 100 // SPAN_BLOCK}% corruption.
+
+    Reference T5 pickers scan tokens sequentially and skip overlapping
+    spans — inherently serial per document and RNG-dependent; hashing
+    the offset inside fixed blocks gives non-overlapping spans BY
+    CONSTRUCTION, the same corruption rate, and bit-identical output
+    on any engine, partitioning, or replay (the [[deterministic_split]]
+    reproducibility contract applied to masking).
+
+    Scale shape: pure in-row array arithmetic on the materialized
+    token column ([[skipgram_cooccurrence]]'s rule) — no shuffle at
+    all; the corpus streams through one narrow map stage.  Truncated
+    final blocks degrade gracefully (slices clamp identically in both
+    engines; a span landing past the end masks fewer/zero tokens, its
+    sentinel still emitted).
+    """
+    d = compute_scan(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokenize(F.col("text")).alias("ts")).filter(
+        F.size("ts") > 0
+    )
+    ts = F.col("ts")
+    nb = F.ceil(F.size(ts) / F.lit(float(SPAN_BLOCK))).cast("long")
+    n_off = SPAN_BLOCK - SPAN_LEN + 1
+    blocks = toks.select(
+        "doc_id",
+        "ts",
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), nb - 1),
+            lambda b: F.struct(
+                F.slice(
+                    ts, (b * SPAN_BLOCK + 1).cast("int"), SPAN_BLOCK
+                ).alias("blk"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.col("doc_id").cast("string"),
+                                    F.lit("_"),
+                                    b.cast("string"),
+                                )
+                            ),
+                            1,
+                            4,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % n_off
+                ).alias("off"),
+                F.concat(
+                    F.lit("<extra_id_"), b.cast("string"), F.lit(">")
+                ).alias("sent"),
+            ),
+        ).alias("parts"),
+    )
+    p_ = F.col("parts")
+    assembled = blocks.select(
+        "doc_id",
+        F.size(ts).cast("long").alias("n_tokens"),
+        F.flatten(
+            F.transform(
+                p_,
+                lambda p: F.concat(
+                    F.slice(p.blk, 1, p.off.cast("int")),
+                    F.array(p.sent),
+                    F.slice(
+                        p.blk, (p.off + SPAN_LEN + 1).cast("int"), SPAN_BLOCK
+                    ),
+                ),
+            )
+        ).alias("input_toks"),
+        F.flatten(
+            F.transform(
+                p_,
+                lambda p: F.concat(
+                    F.array(p.sent),
+                    F.slice(p.blk, (p.off + 1).cast("int"), SPAN_LEN),
+                ),
+            )
+        ).alias("target_toks"),
+        F.size(p_).cast("long").alias("n_spans"),
+    )
+    return assembled.select(
+        "doc_id",
+        "n_tokens",
+        "n_spans",
+        (F.size("target_toks") - F.col("n_spans")).cast("long").alias("n_masked"),
+        F.array_join("input_toks", " ").alias("input_text"),
+        F.array_join("target_toks", " ").alias("target_text"),
+    )

@@ -164,6 +164,7 @@ _DRIVER_PRIORITY = [
     "corpus_js_divergence",
     "token_drift_topk",
     "join_cardinality_estimate",
+    "span_corruption_masking",
 ]
 
 # Operators hard-verified by the driver in prior rounds (the union of
