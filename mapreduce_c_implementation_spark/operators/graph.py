@@ -670,3 +670,106 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node_a", "node_b")
     )
+
+
+# Deterministic random walks: WALK_LEN hash-driven steps from every
+# node; the step choice is nbrs[md5(start, step) % degree] over the
+# dst-sorted adjacency list, so the "random" walk is reproducible on
+# any engine, any partitioning — the node2vec/DeepWalk corpus-prep
+# contract without an RNG.
+WALK_LEN = 4
+
+
+def _walk_oracle() -> str:
+    ctes = [
+        "adj AS (SELECT src, list(dst ORDER BY dst) AS nbrs FROM edges GROUP BY src)",
+        "w0 AS (SELECT src AS start, 0 AS step, src AS cur FROM adj)",
+    ]
+    for k in range(1, WALK_LEN + 1):
+        ctes.append(f"""w{k} AS (
+      SELECT w.start, {k} AS step,
+             a.nbrs[CAST(CAST('0x' || substr(md5(CAST(w.start AS VARCHAR) || '_'
+                                               || '{k}'), 1, 4) AS BIGINT)
+                         % len(a.nbrs) AS BIGINT) + 1] AS cur
+      FROM w{k - 1} w JOIN adj a ON a.src = w.cur
+    )""")
+    union = "\n      UNION ALL ".join(
+        f"SELECT * FROM w{k}" for k in range(WALK_LEN + 1)
+    )
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH {_SQL_GRAPH_CTES.strip().rstrip()},
+    {chain}
+    SELECT start, CAST(step AS BIGINT) AS step, CAST(cur AS BIGINT) AS node
+    FROM ({union})
+    ORDER BY start, step
+    """
+
+
+@register(
+    "graph_random_walk_pairs",
+    oracle_sql=_walk_oracle(),
+    tags=("graph", "walks", "embedding", "pipeline"),
+)
+def graph_random_walk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk/node2vec corpus preparation: a {WALK_LEN}-step walk
+    from every node of the trade graph, each step choosing
+    nbrs[md5(start, step) % degree] from the dst-SORTED adjacency
+    list — a deterministic stand-in for the uniform random step that
+    makes walk corpora reproducible across engines and replays (the
+    [[span_corruption_masking]] hashing discipline on graphs; a
+    weighted step would hash into the cumulative-weight prefix array
+    instead).  The walk table feeds [[skipgram_cooccurrence]] to
+    produce (center, context) training pairs.
+
+    Scale shape: the edge build is the Q7 join diamond (one fact-fact
+    shuffle, dims broadcast); adjacency lists are degree-bounded
+    arrays; each step is one equi-join of the walker frontier against
+    the adjacency table on the current node — the standard distributed
+    walk-engine round, node-grain regardless of corpus size.  Walkers
+    at sink nodes (no out-edges) stop early via the inner join.
+    """
+    edges = _trade_edges(spark, sf_dir)
+    adj = edges.groupBy("src").agg(F.array_sort(F.collect_list("dst")).alias("nbrs"))
+    frontier = adj.select(
+        F.col("src").alias("start"),
+        F.lit(0).cast("long").alias("step"),
+        F.col("src").alias("cur"),
+    )
+    walks = [frontier]
+    for k in range(1, WALK_LEN + 1):
+        pick = F.element_at(
+            F.col("nbrs"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("start").cast("string"), F.lit(f"_{k}")
+                            )
+                        ),
+                        1,
+                        4,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.size("nbrs")
+                + 1
+            ).cast("int"),
+        )
+        frontier = (
+            frontier.join(adj, frontier.cur == adj.src)
+            .select(
+                "start",
+                F.lit(k).cast("long").alias("step"),
+                pick.alias("cur"),
+            )
+        )
+        walks.append(frontier)
+    out = walks[0]
+    for w in walks[1:]:
+        out = out.unionAll(w)
+    return out.select(
+        "start", "step", F.col("cur").cast("long").alias("node")
+    ).orderBy("start", "step")

@@ -165,6 +165,8 @@ _DRIVER_PRIORITY = [
     "token_drift_topk",
     "join_cardinality_estimate",
     "span_corruption_masking",
+    "graph_random_walk_pairs",
+    "stream_psi_drift_monitor",
 ]
 
 # Operators hard-verified by the driver in prior rounds (the union of

@@ -26,6 +26,7 @@ from mapreduce_c_implementation_spark.functions.exactagg import exact_sum
 from mapreduce_c_implementation_spark.registry import register
 from mapreduce_c_implementation_spark.sources import load_table
 from mapreduce_c_implementation_spark.streaming.staging import (
+    SENTINEL_TS,
     SENTINEL_TYPE,
     WATERMARK_DELAY,
     stage_events,
@@ -1080,4 +1081,145 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= STREAM_TOPK)
         .select("window_start", "rnk", "event_type", "n")
         .orderBy("window_start", "rnk")
+    )
+
+
+# Streaming drift monitor: per-hour PSI of the event-value distribution
+# against the static full-table baseline.  Fixed-width value bins
+# (events.value spans ~0..490), Laplace +1 smoothing, and the
+# psi_population_stability integer fixed-point discipline.
+PSI_MON_BIN_W = 50
+PSI_MON_NBINS = 10
+
+
+@register(
+    "stream_psi_drift_monitor",
+    oracle_sql=f"""
+    WITH {_SQL_WM1.strip()},
+    kept AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+             CAST(least(floor(value / {PSI_MON_BIN_W}), {PSI_MON_NBINS - 1})
+                  AS BIGINT) AS bin
+      FROM events, wm
+      WHERE NOT ({_SQL_IS_LATE_ARRIVAL}
+                 AND time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR <= wm.w1)
+    ),
+    cnt AS (SELECT window_start, bin, count(*) AS n FROM kept GROUP BY 1, 2),
+    wins AS (SELECT DISTINCT window_start FROM cnt),
+    bins AS (SELECT unnest(generate_series(0, {PSI_MON_NBINS - 1})) AS bin),
+    cells AS (
+      SELECT w.window_start, b.bin, COALESCE(c.n, 0) + 1 AS cw
+      FROM wins w CROSS JOIN bins b
+      LEFT JOIN cnt c ON c.window_start = w.window_start AND c.bin = b.bin
+    ),
+    wtot AS (SELECT window_start, sum(cw) AS nw FROM cells GROUP BY 1),
+    base AS (
+      SELECT b.bin, COALESCE(x.n, 0) + 1 AS cb
+      FROM bins b LEFT JOIN (
+        SELECT CAST(least(floor(value / {PSI_MON_BIN_W}), {PSI_MON_NBINS - 1})
+                    AS BIGINT) AS bin, count(*) AS n
+        FROM events GROUP BY 1
+      ) x ON x.bin = b.bin
+    ),
+    btot AS (SELECT sum(cb) AS nb FROM base)
+    SELECT c.window_start,
+           c.window_start + INTERVAL 1 HOUR AS window_end,
+           CAST(max(t.nw) - {PSI_MON_NBINS} AS BIGINT) AS n_events,
+           CAST(sum(((c.cw * bt.nb - ba.cb * t.nw + t.nw * bt.nb) * 1000000
+                     // (t.nw * bt.nb) - 1000000)
+                    * CAST(round(ln((CAST(c.cw AS DOUBLE) * bt.nb)
+                                    / (CAST(ba.cb AS DOUBLE) * t.nw))
+                                 * 1000000) AS BIGINT)) AS BIGINT)
+             AS psi_pico
+    FROM cells c
+    JOIN wtot t ON t.window_start = c.window_start
+    JOIN base ba ON ba.bin = c.bin
+    CROSS JOIN btot bt
+    GROUP BY c.window_start
+    """,
+    tags=("streaming", "drift", "psi", "pipeline"),
+)
+def stream_psi_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-on distribution drift monitor: per 1-hour event-time
+    window, the PSI of the window's event-value histogram against the
+    STATIC full-history baseline — the streaming form of
+    [[psi_population_stability]], the alert pipelines hang on "did
+    this hour's traffic shift?".
+
+    The STREAMING stage is the watermarked per-(window, bin) count —
+    bounded state, append-mode flush on window close, late rows
+    dropped by the standard rule ([[stream_tumbling_window]]).  The
+    PSI itself is computed on the flushed sink table against the
+    broadcast {PSI_MON_NBINS}-row baseline with the exact integer
+    fixed-point arithmetic of the batch operator (Laplace +1 over a
+    generated full bin grid, shifted-floor-division share deltas,
+    micro-nat logs) — so the oracle is the exact batch semantics, not
+    an approximation.
+    """
+
+    def build(stream):
+        bin_ = F.least(
+            F.floor(F.col("value") / PSI_MON_BIN_W), F.lit(PSI_MON_NBINS - 1)
+        ).cast("long")
+        # the sentinel row aggregates too (filtering it pre-agg lets the
+        # optimizer push the filter below EventTimeWatermark, so the
+        # sentinel would no longer advance the watermark and the last
+        # real window would never flush); its far-future window is
+        # excluded from the SINK table instead.
+        return (
+            stream.withWatermark("ts", WATERMARK_DELAY)
+            .groupBy(F.window("ts", "1 hour"), bin_.alias("bin"))
+            .agg(F.count("*").alias("n"))
+        )
+
+    t = _run_stream(spark, sf_dir, build)
+    cnt = t.filter(F.col("window.start") < F.lit(SENTINEL_TS).cast("timestamp")).select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "bin",
+        "n",
+    )
+    wins = cnt.select("window_start", "window_end").distinct()
+    bins = spark.range(PSI_MON_NBINS).select(F.col("id").alias("bin"))
+    cells = (
+        wins.crossJoin(F.broadcast(bins))
+        .join(cnt, ["window_start", "window_end", "bin"], "left")
+        .select(
+            "window_start",
+            "window_end",
+            "bin",
+            (F.coalesce(F.col("n"), F.lit(0)) + 1).alias("cw"),
+        )
+    )
+    wtot = cells.groupBy("window_start").agg(F.sum("cw").alias("nw"))
+    base_bin = F.least(
+        F.floor(F.col("value") / PSI_MON_BIN_W), F.lit(PSI_MON_NBINS - 1)
+    ).cast("long")
+    base_raw = (
+        load_table(spark, sf_dir, "events")
+        .select(base_bin.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+    )
+    base = (
+        bins.join(base_raw, "bin", "left")
+        .select("bin", (F.coalesce(F.col("n"), F.lit(0)) + 1).alias("cb"))
+    )
+    btot = base.agg(F.sum("cb").alias("nb"))
+    return (
+        cells.join(wtot, "window_start")
+        .join(F.broadcast(base), "bin")
+        .crossJoin(F.broadcast(btot))
+        .groupBy("window_start", "window_end")
+        .agg(
+            (F.max("nw") - PSI_MON_NBINS).cast("long").alias("n_events"),
+            F.expr(
+                "CAST(sum(((cw * nb - cb * nw + nw * nb) * 1000000"
+                " div (nw * nb) - 1000000)"
+                " * CAST(round(ln((CAST(cw AS DOUBLE) * nb)"
+                " / (CAST(cb AS DOUBLE) * nw)) * 1000000) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("psi_pico"),
+        )
+        .select("window_start", "window_end", "n_events", "psi_pico")
     )
