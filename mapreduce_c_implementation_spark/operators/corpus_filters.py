@@ -707,3 +707,95 @@ def text_canonicalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canon_hash")
     )
+
+
+# Corpus version diff: v1/v2 are deterministic transforms of the same
+# fixture (v1 lacks doc_id%7==5 "new" docs, v2 lacks doc_id%7==3
+# "removed" docs, and doc_id%5==0 docs are "edited" in v2), so the
+# operator contract — digest-keyed full-outer diff — runs on real data
+# without needing a second corpus snapshot.
+VDIFF_REMOVED_REM = 3
+VDIFF_ADDED_REM = 5
+VDIFF_EDIT_REM = 0
+
+
+@register(
+    "corpus_version_diff",
+    oracle_sql=f"""
+    WITH v1 AS (
+      SELECT doc_id, md5(text) AS digest, n_chars
+      FROM documents WHERE doc_id % 7 <> {VDIFF_ADDED_REM}
+    ),
+    v2 AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 5 = {VDIFF_EDIT_REM}
+                      THEN text || ' edited' ELSE text END) AS digest,
+             n_chars
+      FROM documents WHERE doc_id % 7 <> {VDIFF_REMOVED_REM}
+    ),
+    diff AS (
+      SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+             CASE WHEN v1.doc_id IS NULL THEN 'added'
+                  WHEN v2.doc_id IS NULL THEN 'removed'
+                  WHEN v1.digest <> v2.digest THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             COALESCE(v2.n_chars, v1.n_chars) AS n_chars
+      FROM v1 FULL OUTER JOIN v2 ON v2.doc_id = v1.doc_id
+    )
+    SELECT status,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM diff
+    GROUP BY status
+    ORDER BY status
+    """,
+    tags=("corpus", "versioning", "diff", "pipeline"),
+)
+def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset release diff: digest-keyed full-outer comparison of two
+    corpus versions into added / removed / changed / unchanged counts —
+    the changelog every corpus release ships (and the input to
+    incremental downstream recomputation: only added+changed re-enter
+    [[dedup_minhash_incremental]]).  Versions are deterministic
+    transforms of the fixture (see module constant comment) so the
+    contract is exercised without a second snapshot table.
+
+    Scale shape: one full-outer shuffle join on doc_id (at 100 TB:
+    both sides bucketed by doc_id make it co-located, the
+    [[bucketed_join_colocated]] layout), then a 4-row aggregate.
+    Content equality compares 16-byte digests, never text.
+    """
+    d = parallel_scan(spark, sf_dir, "documents")
+    v1 = d.filter(F.col("doc_id") % 7 != VDIFF_ADDED_REM).select(
+        "doc_id", F.md5("text").alias("digest"), "n_chars"
+    )
+    v2 = d.filter(F.col("doc_id") % 7 != VDIFF_REMOVED_REM).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 5 == VDIFF_EDIT_REM,
+                F.concat(F.col("text"), F.lit(" edited")),
+            ).otherwise(F.col("text"))
+        ).alias("digest"),
+        "n_chars",
+    )
+    diff = (
+        v1.alias("a")
+        .join(v2.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer")
+        .select(
+            F.when(F.col("a.doc_id").isNull(), "added")
+            .when(F.col("b.doc_id").isNull(), "removed")
+            .when(F.col("a.digest") != F.col("b.digest"), "changed")
+            .otherwise("unchanged")
+            .alias("status"),
+            F.coalesce(F.col("b.n_chars"), F.col("a.n_chars")).alias("n_chars"),
+        )
+    )
+    return (
+        diff.groupBy("status")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("status")
+    )

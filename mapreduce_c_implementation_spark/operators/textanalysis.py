@@ -2538,3 +2538,119 @@ def span_corruption_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("input_toks", " ").alias("input_text"),
         F.array_join("target_toks", " ").alias("target_text"),
     )
+
+
+# RAG index build: RAG_CHUNK-token chunks -> hashing-trick features ->
+# content-routed cells (cell = the chunk's dominant feature dimension)
+# -> per-cell posting-list manifest.
+RAG_CHUNK = 16
+
+
+@register(
+    "rag_chunk_index_build",
+    oracle_sql=f"""
+    WITH toks AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+    ch AS (
+      SELECT doc_id, i AS chunk_idx,
+             list_slice(ts, (i - 1) * {RAG_CHUNK} + 1, i * {RAG_CHUNK}) AS ctoks
+      FROM (SELECT doc_id, ts,
+                   unnest(generate_series(
+                     1, CAST(ceil(len(ts) / {RAG_CHUNK}.0) AS BIGINT))) AS i
+            FROM toks)
+    ),
+    feat AS (
+      SELECT doc_id, chunk_idx,
+             CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % {{hash_dim}} AS dim,
+             count(*) AS c
+      FROM (SELECT doc_id, chunk_idx, unnest(ctoks) AS t FROM ch)
+      GROUP BY doc_id, chunk_idx, dim
+    ),
+    routed AS (
+      SELECT doc_id, chunk_idx, dim AS cell,
+             n_toks, n_active, checksum
+      FROM (
+        SELECT doc_id, chunk_idx, dim,
+               row_number() OVER (PARTITION BY doc_id, chunk_idx
+                                  ORDER BY c DESC, dim) AS rn,
+               sum(c) OVER (PARTITION BY doc_id, chunk_idx) AS n_toks,
+               count(*) OVER (PARTITION BY doc_id, chunk_idx) AS n_active,
+               sum((dim + 1) * c) OVER (PARTITION BY doc_id, chunk_idx)
+                 AS checksum
+        FROM feat
+      )
+      WHERE rn = 1
+    )
+    SELECT cell,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+           CAST(sum(n_active) AS BIGINT) AS total_active_dims,
+           CAST(sum(checksum) AS BIGINT) AS cell_checksum
+    FROM routed
+    GROUP BY cell
+    ORDER BY cell
+    """.format(hash_dim="{HASH_DIM}").format(HASH_DIM=HASH_DIM),
+    tags=("text", "rag", "index", "pipeline"),
+)
+def rag_chunk_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG index construction: fixed {RAG_CHUNK}-token
+    chunks -> vocabulary-free hashing-trick features
+    ([[hashing_trick_features]]) -> content-based routing (each chunk
+    lands in the cell of its DOMINANT feature dimension, ties to the
+    smallest dim) -> per-cell posting-list manifest (chunk counts,
+    token totals, the position-weighted checksum that pins every
+    vector).  The retrieval-side probe of such cells is
+    [[ann_ivf_coarse]]; this operator is the INDEXING half.
+
+    Scale shape: chunking and feature hashing are in-row; the (chunk,
+    dim) aggregate map-side combines; routing is a chunk-grain argmax
+    (min(struct(-c, dim)) — no window, no sort); the manifest is a
+    cell-grain aggregate bounded by the constant feature-space size.
+    Nothing vocabulary- or corpus-sized is ever broadcast.
+    """
+    d = compute_scan(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokenize(F.col("text")).alias("ts"))
+    ts = F.col("ts")
+    ch = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.ceil(F.size(ts) / F.lit(float(RAG_CHUNK))).cast("int"),
+                ),
+                lambda i: F.struct(
+                    i.alias("chunk_idx"),
+                    F.slice(ts, (i - 1) * RAG_CHUNK + 1, RAG_CHUNK).alias(
+                        "ctoks"
+                    ),
+                ),
+            )
+        ).alias("c"),
+    ).select("doc_id", "c.chunk_idx", F.explode("c.ctoks").alias("t"))
+    dim = (
+        F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("long")
+        % HASH_DIM
+    )
+    feat = (
+        ch.select("doc_id", "chunk_idx", dim.alias("dim"))
+        .groupBy("doc_id", "chunk_idx", "dim")
+        .agg(F.count("*").alias("c"))
+    )
+    routed = feat.groupBy("doc_id", "chunk_idx").agg(
+        F.min(F.struct((-F.col("c")).alias("nc"), F.col("dim").alias("dim")))[
+            "dim"
+        ].alias("cell"),
+        F.sum("c").alias("n_toks"),
+        F.count("*").alias("n_active"),
+        F.sum((F.col("dim") + 1) * F.col("c")).alias("checksum"),
+    )
+    return (
+        routed.groupBy("cell")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.sum("n_active").cast("long").alias("total_active_dims"),
+            F.sum("checksum").cast("long").alias("cell_checksum"),
+        )
+        .orderBy("cell")
+    )

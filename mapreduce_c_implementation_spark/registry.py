@@ -167,6 +167,8 @@ _DRIVER_PRIORITY = [
     "span_corruption_masking",
     "graph_random_walk_pairs",
     "stream_psi_drift_monitor",
+    "rag_chunk_index_build",
+    "corpus_version_diff",
 ]
 
 # Operators hard-verified by the driver in prior rounds (the union of
