@@ -799,3 +799,118 @@ def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@register(
+    "contamination_filter_rewrite",
+    oracle_sql=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_TOK} AS tokens FROM documents
+    ),
+    shingled AS (
+      SELECT doc_id,
+             unnest(list_distinct({duckdb_ngrams("tokens", CONTAM_K)})) AS sh
+      FROM toks
+    ),
+    eval_sh AS (
+      SELECT DISTINCT sh FROM shingled WHERE doc_id % {EVAL_MOD} = 0
+    ),
+    base AS (
+      SELECT doc_id, count(*) AS n_shingles
+      FROM shingled WHERE doc_id % {EVAL_MOD} <> 0 GROUP BY doc_id
+    ),
+    hits AS (
+      SELECT t.doc_id, count(*) AS n_overlap
+      FROM (SELECT doc_id, sh FROM shingled WHERE doc_id % {EVAL_MOD} <> 0) t
+      JOIN eval_sh e ON t.sh = e.sh
+      GROUP BY t.doc_id
+    ),
+    verdicts AS (
+      SELECT d.doc_id, d.source, len(d.tokens) AS n_toks,
+             CASE WHEN coalesce(h.n_overlap, 0) * 10000
+                       >= greatest(coalesce(b.n_shingles, 0), 1)
+                          * {int(CONTAM_FRAC * 10000)}
+                  THEN 1 ELSE 0 END AS dropped
+      FROM toks d
+      LEFT JOIN base b ON b.doc_id = d.doc_id
+      LEFT JOIN hits h ON h.doc_id = d.doc_id
+      WHERE d.doc_id % {EVAL_MOD} <> 0
+    )
+    SELECT source,
+           CAST(sum(1 - dropped) AS BIGINT) AS n_kept,
+           CAST(sum(dropped) AS BIGINT) AS n_dropped,
+           CAST(sum((1 - dropped) * n_toks) AS BIGINT) AS kept_tokens
+    FROM verdicts
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("text", "contamination", "rewrite", "pipeline"),
+)
+def contamination_filter_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination as an ACTION: apply [[contamination_ngram_overlap]]'s
+    verdict (drop training documents whose eval-shingle overlap reaches
+    {CONTAM_FRAC:.0%}) and report the surviving corpus per source — the
+    audit-to-rewrite pair [[dedup_paragraph_rewrite]] establishes for
+    dedup, here for eval leakage.
+
+    The threshold compare is the all-integer
+    n_overlap * 10000 >= max(n_shingles, 1) * {int(CONTAM_FRAC * 10000)}
+    — same verdicts as the audit's float fraction at any count, with no
+    float boundary to disagree across engines.
+
+    Scale shape: identical to the audit (shingle equi-join, doc-keyed
+    rollups) plus one source-grain aggregate; the document text never
+    re-materializes — the rewrite carries only (doc_id, source, token
+    count) until the final fold.
+    """
+    d = parallel_scan(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", tokenize(F.col("text")).alias("tokens")
+    )
+    shingled = toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(ngrams(F.col("tokens"), CONTAM_K))).alias(
+            "sh"
+        ),
+    )
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    eval_sh = shingled.filter(is_eval).select("sh").distinct()
+    train_sh = shingled.filter(~is_eval)
+    base = train_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        train_sh.join(eval_sh, "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    bp = int(CONTAM_FRAC * 10000)
+    verdicts = (
+        toks.filter(~is_eval)
+        .select("doc_id", "source", F.size("tokens").alias("n_toks"))
+        .join(base, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "source",
+            "n_toks",
+            F.when(
+                F.coalesce(F.col("n_overlap"), F.lit(0)) * 10000
+                >= F.greatest(
+                    F.coalesce(F.col("n_shingles"), F.lit(0)), F.lit(1)
+                )
+                * bp,
+                1,
+            )
+            .otherwise(0)
+            .alias("dropped"),
+        )
+    )
+    return (
+        verdicts.groupBy("source")
+        .agg(
+            F.sum(1 - F.col("dropped")).cast("long").alias("n_kept"),
+            F.sum("dropped").cast("long").alias("n_dropped"),
+            F.sum((1 - F.col("dropped")) * F.col("n_toks"))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )

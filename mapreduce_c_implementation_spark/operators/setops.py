@@ -167,3 +167,63 @@ def merge_upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("u_acctbal", "c_acctbal").alias("acctbal"),
         action.alias("action"),
     )
+
+
+@register(
+    "intersect_except_all_bags",
+    oracle_sql="""
+    WITH a AS (SELECT o_custkey AS k FROM orders
+               WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+    b AS (SELECT o_custkey AS k FROM orders
+          WHERE o_orderstatus = 'F'),
+    i AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b),
+    x AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+    SELECT 'intersect_all' AS op,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+           CAST(sum(k) AS BIGINT) AS key_checksum
+    FROM i
+    UNION ALL
+    SELECT 'except_all' AS op,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+           CAST(sum(k) AS BIGINT) AS key_checksum
+    FROM x
+    ORDER BY op
+    """,
+    tags=("setop", "bag-semantics"),
+)
+def intersect_except_all_bags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL bag semantics: INTERSECT ALL keeps min(m, n) copies of a row
+    appearing m and n times in the inputs, EXCEPT ALL keeps max(m-n, 0)
+    — the multiset algebra the DISTINCT variants
+    ([[intersect_active_customers]], [[except_lapsed_customers]])
+    deliberately collapse, and the correct tool when row MULTIPLICITY
+    is the signal (e.g. per-event streams).  Spark's
+    ``intersectAll``/``exceptAll`` compile to one count-aggregate per
+    side plus a replicate generator — the same shuffle budget as the
+    DISTINCT forms.  Output is a 2-row summary (row count, key count,
+    key checksum) so the oracle pins every retained multiplicity
+    without a 10k-row result.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select(F.col("o_custkey").alias("k"))
+    b = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    )
+
+    def summarize(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(
+            F.lit(op).alias("op"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.countDistinct("k").cast("long").alias("n_keys"),
+            F.sum("k").cast("long").alias("key_checksum"),
+        ).select("op", "n_rows", "n_keys", "key_checksum")
+
+    return (
+        summarize(a.intersectAll(b), "intersect_all")
+        .unionAll(summarize(a.exceptAll(b), "except_all"))
+        .orderBy("op")
+    )

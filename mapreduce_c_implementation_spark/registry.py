@@ -169,6 +169,8 @@ _DRIVER_PRIORITY = [
     "stream_psi_drift_monitor",
     "rag_chunk_index_build",
     "corpus_version_diff",
+    "contamination_filter_rewrite",
+    "intersect_except_all_bags",
 ]
 
 # Operators hard-verified by the driver in prior rounds (the union of
