@@ -813,3 +813,82 @@ def token_drift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("drift_ppm"), "t")
         .limit(DRIFT_TOPK)
     )
+
+
+@register(
+    "source_concentration_metrics",
+    oracle_sql=f"""
+    WITH per_src AS (
+      SELECT source, CAST(sum(len({_TOKDOC})) AS BIGINT) AS c
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(c) AS t, count(*) AS n FROM per_src),
+    pairs AS (
+      SELECT abs(a.c - b.c) AS d
+      FROM per_src a CROSS JOIN per_src b
+    )
+    SELECT CAST(max(tot.n) AS BIGINT) AS n_sources,
+           CAST(max(tot.t) AS BIGINT) AS total_tokens,
+           CAST((SELECT sum((c * 1000000 // t) * (c * 1000000 // t))
+                 FROM per_src, tot) // 1000000 AS BIGINT) AS hhi_ppm,
+           CAST(sum(pairs.d) * 1000000 // (2 * max(tot.n) * max(tot.t))
+                AS BIGINT) AS gini_ppm,
+           CAST((SELECT max(c) FROM per_src) * 1000000 // max(tot.t)
+                AS BIGINT) AS top1_share_ppm
+    FROM pairs, tot
+    """,
+    tags=("stats", "concentration", "mixing", "pipeline"),
+)
+def source_concentration_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix concentration scorecard: Herfindahl-Hirschman index,
+    Gini coefficient, and top-source share of the per-source token
+    distribution — the "is one crawl dominating the mix?" report that
+    gates [[source_token_budget_mix]] reweighting decisions.
+
+    Exactness: shares are integer ppm floor divisions; HHI sums their
+    squares; Gini uses the exact mean-absolute-difference form
+    sum_ij |c_i - c_j| / (2 n T) over the SOURCE-grain table — the
+    all-pairs cross join is n_sources^2 (a few hundred cells), never
+    row-grain.  All integer, hash-exact.
+
+    Scale shape: one map-side-combined per-source aggregate collapses
+    the corpus; everything after runs on a table with one row per
+    source.
+    """
+    per_src = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum(F.size(tokenize(F.col("text")))).cast("long").alias("c"))
+    )
+    tot = per_src.agg(F.sum("c").alias("t"), F.count("*").alias("n"))
+    pairs = (
+        per_src.select(F.col("c").alias("ca"))
+        .crossJoin(per_src.select(F.col("c").alias("cb")))
+        .select(F.abs(F.col("ca") - F.col("cb")).alias("d"))
+    )
+    hhi = (
+        per_src.crossJoin(F.broadcast(tot))
+        .agg(
+            F.expr(
+                "CAST(sum((c * 1000000 div t) * (c * 1000000 div t))"
+                " div 1000000 AS BIGINT)"
+            ).alias("hhi_ppm")
+        )
+    )
+    top = per_src.agg(F.max("c").alias("cmax"))
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(hhi))
+        .crossJoin(F.broadcast(top))
+        .agg(
+            F.max("n").cast("long").alias("n_sources"),
+            F.max("t").cast("long").alias("total_tokens"),
+            F.max("hhi_ppm").cast("long").alias("hhi_ppm"),
+            F.expr(
+                "CAST(sum(d) * 1000000 div (2 * max(n) * max(t)) AS BIGINT)"
+            ).alias("gini_ppm"),
+            F.expr("CAST(max(cmax) * 1000000 div max(t) AS BIGINT)").alias(
+                "top1_share_ppm"
+            ),
+        )
+    )

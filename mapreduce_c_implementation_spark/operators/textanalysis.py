@@ -2654,3 +2654,125 @@ def rag_chunk_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# BERT-style MLM masking: each position corrupts with probability
+# MLM_PCT/100 (hash-decided), and a corrupted position becomes [MASK]
+# 80%, a pseudo-random in-document token 10%, or stays itself 10% —
+# the 80/10/10 rule, all md5-decided so output is engine- and
+# replay-invariant.
+MLM_PCT = 15
+
+
+@register(
+    "mlm_token_masking",
+    oracle_sql=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOK} AS ts FROM documents
+      WHERE len({_TOK}) > 0
+    ),
+    marked AS (
+      SELECT doc_id, ts,
+             list_transform(generate_series(1, len(ts)), i ->
+               struct_pack(
+                 i := i,
+                 r := CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_'
+                                           || CAST(i AS VARCHAR)), 1, 4)
+                          AS BIGINT) % 100,
+                 q := CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_'
+                                           || CAST(i AS VARCHAR)), 5, 4)
+                          AS BIGINT) % 10,
+                 p := CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_'
+                                           || CAST(i AS VARCHAR)), 9, 4)
+                          AS BIGINT) % len(ts)
+               )) AS m
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(len(ts) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(m, x -> x.r < {MLM_PCT})) AS BIGINT)
+             AS n_corrupted,
+           CAST(len(list_filter(m, x -> x.r < {MLM_PCT} AND x.q < 8))
+                AS BIGINT) AS n_mask,
+           CAST(len(list_filter(m, x -> x.r < {MLM_PCT} AND x.q = 8))
+                AS BIGINT) AS n_random,
+           array_to_string(list_transform(m, x ->
+             CASE WHEN x.r >= {MLM_PCT} THEN ts[x.i]
+                  WHEN x.q < 8 THEN '[MASK]'
+                  WHEN x.q = 8 THEN ts[x.p + 1]
+                  ELSE ts[x.i] END), ' ') AS masked_text,
+           coalesce(array_to_string(list_transform(
+             list_filter(m, x -> x.r < {MLM_PCT}), x -> ts[x.i]), ' '), '')
+             AS target_text
+    FROM marked
+    """,
+    tags=("text", "masking", "mlm", "pipeline"),
+)
+def mlm_token_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BERT-style masked-language-model example generation with the
+    80/10/10 rule: ~{MLM_PCT}% of positions corrupt; a corrupted
+    position becomes [MASK] (80%), a pseudo-random token drawn from
+    the document's own token array (10%), or keeps its surface form
+    while remaining a prediction target (10%).  Every decision is an
+    md5(doc_id, position) draw — the encoder-model counterpart of
+    [[span_corruption_masking]], equally replay/engine/partitioning
+    invariant with no RNG.
+
+    Scale shape: pure in-row array arithmetic over the materialized
+    token column — one narrow map, no shuffle.  The corrupted-position
+    count and the target string pin every per-position decision, so a
+    single flipped hash bucket fails the oracle.
+    """
+    d = compute_scan(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokenize(F.col("text")).alias("ts")).filter(
+        F.size("ts") > 0
+    )
+    ts = F.col("ts")
+    marked = toks.select(
+        "doc_id",
+        "ts",
+        F.expr(
+            f"""transform(sequence(1, size(ts)), i -> struct(
+              i AS i,
+              CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '_',
+                                          CAST(i AS STRING))), 1, 4), 16, 10)
+                   AS BIGINT) % 100 AS r,
+              CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '_',
+                                          CAST(i AS STRING))), 5, 4), 16, 10)
+                   AS BIGINT) % 10 AS q,
+              CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '_',
+                                          CAST(i AS STRING))), 9, 4), 16, 10)
+                   AS BIGINT) % size(ts) AS p))"""
+        ).alias("m"),
+    )
+    m = F.col("m")
+    return marked.select(
+        "doc_id",
+        F.size(ts).cast("long").alias("n_tokens"),
+        F.size(F.filter(m, lambda x: x.r < MLM_PCT)).cast("long").alias(
+            "n_corrupted"
+        ),
+        F.size(F.filter(m, lambda x: (x.r < MLM_PCT) & (x.q < 8)))
+        .cast("long")
+        .alias("n_mask"),
+        F.size(F.filter(m, lambda x: (x.r < MLM_PCT) & (x.q == 8)))
+        .cast("long")
+        .alias("n_random"),
+        F.array_join(
+            F.transform(
+                m,
+                lambda x: F.when(x.r >= MLM_PCT, F.element_at(ts, x.i.cast("int")))
+                .when(x.q < 8, F.lit("[MASK]"))
+                .when(x.q == 8, F.element_at(ts, (x.p + 1).cast("int")))
+                .otherwise(F.element_at(ts, x.i.cast("int"))),
+            ),
+            " ",
+        ).alias("masked_text"),
+        F.array_join(
+            F.transform(
+                F.filter(m, lambda x: x.r < MLM_PCT),
+                lambda x: F.element_at(ts, x.i.cast("int")),
+            ),
+            " ",
+        ).alias("target_text"),
+    )

@@ -171,6 +171,8 @@ _DRIVER_PRIORITY = [
     "corpus_version_diff",
     "contamination_filter_rewrite",
     "intersect_except_all_bags",
+    "mlm_token_masking",
+    "source_concentration_metrics",
 ]
 
 # Operators hard-verified by the driver in prior rounds (the union of

@@ -68,6 +68,12 @@ PROBE_OPS = [
     "dedup_paragraph_rewrite",
     "interval_overlap_join",
     "token_label_mutual_information",
+    # round-6 second wave: pure-map span masking, the RAG index
+    # composition (chunk->featurize->route->manifest), and the
+    # shingle-join decontamination rewrite.
+    "span_corruption_masking",
+    "rag_chunk_index_build",
+    "contamination_filter_rewrite",
 ]
 
 

@@ -229,6 +229,8 @@ _NESTED_LOOP_EXEMPT = {
     # 1-row half-total broadcasts for the KL/ppm normalizers
     "corpus_js_divergence",
     "token_drift_topk",
+    # source-grain all-pairs Gini (n_sources^2 cells) + 1-row totals
+    "source_concentration_metrics",
 }
 
 # Modules whose query_fns build lazy plans (streaming/io execute jobs
