@@ -445,3 +445,122 @@ def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "window_end")
     )
+
+
+@register(
+    "kaplan_meier_retention",
+    oracle_sql="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             list(DISTINCT o_orderdate ORDER BY o_orderdate) AS dts
+      FROM orders GROUP BY o_custkey
+    ),
+    horizon AS (SELECT max(o_orderdate) AS maxd FROM orders),
+    durs AS (
+      SELECT CASE WHEN len(dts) >= 2
+                  THEN date_diff('day', dts[1], dts[2])
+                  ELSE date_diff('day', dts[1], maxd) END AS t,
+             CASE WHEN len(dts) >= 2 THEN 1 ELSE 0 END AS ev
+      FROM per_cust, horizon
+    ),
+    grid AS (
+      SELECT t,
+             sum(ev) AS n_events,
+             count(*) AS n_ending,
+             sum(1 - ev) AS n_censored
+      FROM durs GROUP BY t
+    ),
+    tot AS (SELECT count(*) AS n FROM durs),
+    risk AS (
+      SELECT t, n_events, n_censored,
+             n - (sum(n_ending) OVER (ORDER BY t) - n_ending) AS n_at_risk
+      FROM grid, tot
+    )
+    SELECT t AS t_days,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_censored AS BIGINT) AS n_censored,
+           CAST(sum(CASE WHEN n_events > 0 AND n_at_risk > n_events THEN
+                  CAST(round(ln(CAST(n_at_risk - n_events AS DOUBLE)
+                                / n_at_risk) * 1000000) AS BIGINT)
+                  WHEN n_events > 0 THEN -999000000
+                  ELSE 0 END) OVER (ORDER BY t) AS BIGINT) AS km_log_micro
+    FROM risk
+    ORDER BY t_days
+    """,
+    tags=("timeseries", "survival", "retention"),
+)
+def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-repeat-order curve: per customer the days
+    from first to second order (repeat = event; no repeat = censored
+    at the corpus horizon), then the product-limit estimator over the
+    duration grid — survival analysis, the statistically correct way
+    to report retention when histories are cut off mid-observation
+    (plain "percent retained" undercounts recent cohorts).
+
+    Exactness: the survival product prod(1 - d_t/n_t) is carried in
+    LOG space — each step's ln((n_t - d_t)/n_t) freezes to integer
+    micro-nats, and the running product becomes an exact integer
+    cumulative sum (the [[unigram_logprob_score]] discipline applied
+    to a cumulative product).  At-risk counts come from one ordered
+    cumulative count, no self-join.
+
+    Scale shape: customer-grain aggregate (map-side combined) -> the
+    duration GRID (bounded by the calendar span in days, independent
+    of customer count — the [[ks_two_sample]] domain-bounded window
+    caveat) -> two ordered running sums over that grid.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_set("o_orderdate")).alias("dts")
+    )
+    horizon = o.agg(F.max("o_orderdate").alias("maxd"))
+    durs = per_cust.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.size("dts") >= 2,
+            F.datediff(F.element_at("dts", 2), F.element_at("dts", 1)),
+        )
+        .otherwise(F.datediff(F.col("maxd"), F.element_at("dts", 1)))
+        .alias("t"),
+        F.when(F.size("dts") >= 2, 1).otherwise(0).alias("ev"),
+    )
+    grid = durs.groupBy("t").agg(
+        F.sum("ev").alias("n_events"),
+        F.count("*").alias("n_ending"),
+        F.sum(1 - F.col("ev")).alias("n_censored"),
+    )
+    tot = durs.agg(F.count("*").alias("n"))
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = grid.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "n_events",
+        "n_censored",
+        (F.col("n") - (F.sum("n_ending").over(w) - F.col("n_ending"))).alias(
+            "n_at_risk"
+        ),
+    )
+    # n_at_risk == n_events => survival hits exactly 0; log-space uses a
+    # -999 nat sentinel for the -inf step (documented; both engines).
+    step = (
+        F.when(
+            (F.col("n_events") > 0) & (F.col("n_at_risk") > F.col("n_events")),
+            F.expr(
+                "CAST(round(ln(CAST(n_at_risk - n_events AS DOUBLE)"
+                " / n_at_risk) * 1000000) AS BIGINT)"
+            ),
+        )
+        .when(F.col("n_events") > 0, F.lit(-999000000))
+        .otherwise(F.lit(0))
+    )
+    return (
+        risk.select(
+            F.col("t").alias("t_days"),
+            F.col("n_at_risk").cast("long").alias("n_at_risk"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("n_censored").cast("long").alias("n_censored"),
+            F.sum(step).over(w).cast("long").alias("km_log_micro"),
+        )
+        .orderBy("t_days")
+    )

@@ -173,6 +173,7 @@ _DRIVER_PRIORITY = [
     "intersect_except_all_bags",
     "mlm_token_masking",
     "source_concentration_metrics",
+    "kaplan_meier_retention",
 ]
 
 # Operators hard-verified by the driver in prior rounds (the union of

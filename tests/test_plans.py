@@ -231,6 +231,8 @@ _NESTED_LOOP_EXEMPT = {
     "token_drift_topk",
     # source-grain all-pairs Gini (n_sources^2 cells) + 1-row totals
     "source_concentration_metrics",
+    # 1-row corpus-horizon broadcast for censoring durations
+    "kaplan_meier_retention",
 }
 
 # Modules whose query_fns build lazy plans (streaming/io execute jobs
