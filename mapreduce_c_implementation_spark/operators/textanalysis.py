@@ -2776,3 +2776,88 @@ def mlm_token_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("target_text"),
     )
+
+
+@register(
+    "preference_pair_construction",
+    oracle_sql=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             len(list_intersect(ts, ['the','a','and','of','to','is','fast','slow']))
+               * 10000 // len(ts) AS score_bp
+      FROM (SELECT doc_id, source, {_TOK} AS ts FROM documents)
+      WHERE len(ts) > 0
+    ),
+    ranked AS (
+      SELECT doc_id, source, score_bp,
+             lead(doc_id) OVER w AS rejected_id,
+             lead(score_bp) OVER w AS rejected_score_bp
+      FROM scored
+      WINDOW w AS (PARTITION BY source ORDER BY score_bp DESC, doc_id)
+    )
+    SELECT source,
+           doc_id AS chosen_id,
+           rejected_id,
+           CAST(score_bp - rejected_score_bp AS BIGINT) AS margin_bp
+    FROM ranked
+    WHERE rejected_id IS NOT NULL AND score_bp > rejected_score_bp
+    ORDER BY source, chosen_id
+    """,
+    tags=("text", "preference", "rlhf", "pipeline"),
+)
+def preference_pair_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction for reward-model / DPO training:
+    within each source, rank documents by a quality score
+    ([[score_calibration_reliability]]'s stopword-share signal — swap
+    in any learned scorer) and pair each document with the
+    next-ranked one as (chosen, rejected), keeping only pairs with a
+    strictly positive margin.  Adjacent-rank pairing is the standard
+    hard-pair recipe: maximally informative comparisons, each document
+    in at most two pairs, never the quadratic all-pairs within a
+    score bucket.
+
+    Scale shape: one narrow scoring map, then a single window shuffle
+    PARTITIONED BY source (entity-bounded partitions — never a global
+    unpartitioned sort) with a total-order tie-break, so pairing is
+    deterministic on any engine or partitioning.  Margins are integer
+    basis points.
+    """
+    from pyspark.sql.window import Window
+
+    d = compute_scan(spark, sf_dir, "documents")
+    ts = F.col("ts")
+    scored = (
+        d.select("doc_id", "source", tokenize(F.col("text")).alias("ts"))
+        .filter(F.size(ts) > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.expr(
+                "size(array_intersect(ts, array('the','a','and','of','to',"
+                "'is','fast','slow'))) * 10000 div size(ts)"
+            ).alias("score_bp"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score_bp"), "doc_id")
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "score_bp",
+        F.lead("doc_id").over(w).alias("rejected_id"),
+        F.lead("score_bp").over(w).alias("rejected_score_bp"),
+    )
+    return (
+        ranked.filter(
+            F.col("rejected_id").isNotNull()
+            & (F.col("score_bp") > F.col("rejected_score_bp"))
+        )
+        .select(
+            "source",
+            F.col("doc_id").alias("chosen_id"),
+            "rejected_id",
+            (F.col("score_bp") - F.col("rejected_score_bp"))
+            .cast("long")
+            .alias("margin_bp"),
+        )
+        .orderBy("source", "chosen_id")
+    )

@@ -174,6 +174,7 @@ _DRIVER_PRIORITY = [
     "mlm_token_masking",
     "source_concentration_metrics",
     "kaplan_meier_retention",
+    "preference_pair_construction",
 ]
 
 # Operators hard-verified by the driver in prior rounds (the union of
