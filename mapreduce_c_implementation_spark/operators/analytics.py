@@ -1990,3 +1990,95 @@ def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+# ClickHouse-windowFunnel-style timeout funnel: the whole chain must
+# complete within FUNNEL_WINDOW_US of its ANCHOR view event.
+FUNNEL_WINDOW_US = 24 * 3600 * 1_000_000  # 1 day
+
+
+@register(
+    "window_funnel_timeout",
+    oracle_sql=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             list_sort(list(CASE WHEN event_type = 'view'
+                                 THEN epoch_us(ts) END)) AS vs,
+             list_sort(list(CASE WHEN event_type = 'click'
+                                 THEN epoch_us(ts) END)) AS cs,
+             list_sort(list(CASE WHEN event_type = 'purchase'
+                                 THEN epoch_us(ts) END)) AS ps
+      FROM events GROUP BY user_id
+    ),
+    levels AS (
+      SELECT user_id,
+             coalesce(list_max(list_transform(
+               list_filter(vs, v -> v IS NOT NULL), v ->
+                 CASE WHEN len(list_filter(cs, c -> c IS NOT NULL
+                               AND c > v AND c <= v + {FUNNEL_WINDOW_US})) = 0
+                      THEN 1
+                      WHEN len(list_filter(ps, p -> p IS NOT NULL
+                               AND p > list_min(list_filter(cs,
+                                   c -> c IS NOT NULL AND c > v
+                                        AND c <= v + {FUNNEL_WINDOW_US}))
+                               AND p <= v + {FUNNEL_WINDOW_US})) = 0
+                      THEN 2
+                      ELSE 3 END)), 0) AS funnel_level
+      FROM per_user
+    )
+    SELECT funnel_level,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM levels
+    GROUP BY funnel_level
+    ORDER BY funnel_level
+    """,
+    tags=("analytics", "funnel", "timeseries"),
+)
+def window_funnel_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timeout-constrained funnel (the windowFunnel shape): the deepest
+    view -> click -> purchase chain where the click strictly follows
+    its ANCHOR view, the purchase strictly follows that click, and the
+    whole chain completes within 30 days of the anchor — every anchor
+    view is tried, so a user converts if ANY window does.
+    [[event_funnel]] is the unconstrained first-qualifying variant;
+    the timeout is what product funnels actually measure.
+
+    Shape: one user-keyed aggregate collects each user's per-step
+    timestamp arrays (bounded by the user's own activity — the
+    [[document_chunking]] bound applied to events), then the chain
+    search is pure in-row array arithmetic over epoch-microsecond
+    integers: no self-join per step, no window sort, ONE shuffle at
+    100 TB.  The earliest qualifying click per anchor is provably
+    optimal (it maximizes the remaining purchase window), so the
+    in-row scan is exact, not greedy-approximate.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        *[
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("event_type") == s, F.unix_micros(F.col("ts"))
+                    )
+                )
+            ).alias(k)
+            for s, k in (("view", "vs"), ("click", "cs"), ("purchase", "ps"))
+        ]
+    )
+    W = FUNNEL_WINDOW_US
+    first_click = (
+        f"array_min(filter(cs, c -> c > v AND c <= v + {W}L))"
+    )
+    level_expr = f"""
+      coalesce(array_max(transform(vs, v ->
+        CASE WHEN size(filter(cs, c -> c > v AND c <= v + {W}L)) = 0 THEN 1
+             WHEN size(filter(ps, p -> p > {first_click}
+                              AND p <= v + {W}L)) = 0 THEN 2
+             ELSE 3 END)), 0)
+    """
+    return (
+        per_user.select(F.expr(level_expr).alias("funnel_level"))
+        .groupBy("funnel_level")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy("funnel_level")
+    )

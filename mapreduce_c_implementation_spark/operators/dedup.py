@@ -229,6 +229,29 @@ _SQL_MINHASH_CTES = f"""
 """
 
 
+def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, mh0..mh{K-1}) MinHash signature table, cached+forced.
+
+    The shingle->signature pipeline is the expensive corpus pass; every
+    consumer ({MINHASH_K} ints/doc — the canonical materialization)
+    re-splits these columns in-row, so evaluate it exactly once and
+    release the corpus-sized posting-list cache behind it."""
+    kept, pairs = _doc_shingles(spark, sf_dir, return_pairs=True)
+    x = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+    sig = kept.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(_minhash_params(i)[0]) * x + F.lit(_minhash_params(i)[1]))
+                % MINHASH_P
+            ).alias(f"mh{i}")
+            for i in range(MINHASH_K)
+        ]
+    ).cache()
+    sig.count()  # force the shingle->signature pipeline once
+    pairs.unpersist()
+    return sig
+
+
 def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, band_idx, band_key) LSH band table, cached.
 
@@ -240,17 +263,7 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpersisted (semdedup cache-scoping rule): every minhash-family op
     leaves only the narrow band table in executor storage.
     """
-    kept, pairs = _doc_shingles(spark, sf_dir, return_pairs=True)
-    x = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
-    sig = kept.groupBy("doc_id").agg(
-        *[
-            F.min(
-                (F.lit(_minhash_params(i)[0]) * x + F.lit(_minhash_params(i)[1]))
-                % MINHASH_P
-            ).alias(f"mh{i}")
-            for i in range(MINHASH_K)
-        ]
-    )
+    sig = _minhash_signatures(spark, sf_dir)
     bands = sig.select(
         "doc_id",
         F.posexplode(
@@ -267,8 +280,7 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_idx", "band_key"),
     ).cache()
-    bands.count()  # force the shingle->signature pipeline once
-    pairs.unpersist()
+    bands.count()  # materialize the narrow band table
     return bands
 
 
@@ -1512,4 +1524,155 @@ def dedup_paragraph_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(""),
             ).alias("kept_text"),
         )
+    )
+
+
+# LSH tuning sweep: candidate-generation cost for several (bands x
+# rows) splits of the same MINHASH_K-hash signature, reported from
+# BUCKET arithmetic alone (sum over buckets of C(n,2) = collision
+# slots, the join's work estimate) — no pair join is executed.
+# Threshold milli = round((1/b)^(1/r) * 1000), the s-curve midpoint.
+LSH_SWEEP_CONFIGS = [(2, 6), (4, 3), (6, 2), (12, 1)]
+_LSH_THRESH_MILLI = {
+    (b, r): round((1.0 / b) ** (1.0 / r) * 1000) for b, r in LSH_SWEEP_CONFIGS
+}
+
+
+def _lsh_sweep_oracle() -> str:
+    selects = []
+    for b, r in LSH_SWEEP_CONFIGS:
+        bands = " UNION ALL ".join(
+            f"SELECT concat_ws(':', '{j}', "
+            + ", ".join(f"mh{j * r + k}" for k in range(r))
+            + ") AS bkey FROM sig"
+            for j in range(b)
+        )
+        selects.append(f"""
+      SELECT {b} AS bands, {r} AS rows_per_band,
+             {_LSH_THRESH_MILLI[(b, r)]} AS threshold_milli,
+             CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_buckets_multi,
+             CAST(max(n) AS BIGINT) AS max_bucket,
+             CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n_collision_slots
+      FROM (SELECT bkey, count(*) AS n FROM ({bands}) GROUP BY bkey)""")
+    return (
+        f"WITH {_SQL_MINHASH_CTES}\n    SELECT * FROM ("
+        + "\n      UNION ALL ".join(selects)
+        + ") ORDER BY bands"
+    )
+
+
+@register(
+    "lsh_parameter_sweep",
+    oracle_sql=_lsh_sweep_oracle(),
+    tags=("dedup", "lsh", "tuning", "pipeline"),
+)
+def lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding tuner: split the SAME {MINHASH_K}-hash MinHash
+    signature into every (bands x rows) configuration and report, per
+    config, the s-curve threshold (the Jaccard similarity at which
+    collision probability crosses ~1/2) next to the measured
+    candidate-generation cost — multi-occupancy bucket count, largest
+    bucket, and collision slots sum(C(n,2)), the exact work the band
+    equi-join would do.  This is the one-pass report that picks
+    [[dedup_minhash_lsh]]'s operating point instead of guessing.
+
+    Scale shape: the signature computes once (one shingle aggregate);
+    each config is an in-row band re-split and a bucket-grain count —
+    the pair JOIN never runs, so the sweep costs bucket arithmetic
+    even where a bad config would generate quadratic candidates (the
+    whole point of forecasting before joining).
+    """
+    sig = _minhash_signatures(spark, sf_dir)
+    outs = []
+    for b, r in LSH_SWEEP_CONFIGS:
+        bands = sig.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            ":",
+                            F.lit(str(j)),
+                            *[F.col(f"mh{j * r + k}") for k in range(r)],
+                        )
+                        for j in range(b)
+                    ]
+                )
+            ).alias("bkey")
+        )
+        buckets = bands.groupBy("bkey").agg(F.count("*").alias("n"))
+        outs.append(
+            buckets.agg(
+                F.lit(b).alias("bands"),
+                F.lit(r).alias("rows_per_band"),
+                F.lit(_LSH_THRESH_MILLI[(b, r)]).alias("threshold_milli"),
+                F.sum(F.when(F.col("n") >= 2, 1).otherwise(0))
+                .cast("long")
+                .alias("n_buckets_multi"),
+                F.max("n").cast("long").alias("max_bucket"),
+                F.expr("CAST(sum(n * (n - 1) div 2) AS BIGINT)").alias(
+                    "n_collision_slots"
+                ),
+            ).select(
+                "bands",
+                "rows_per_band",
+                "threshold_milli",
+                "n_buckets_multi",
+                "max_bucket",
+                "n_collision_slots",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("bands")
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle_sql="""
+    WITH clusters AS (
+      SELECT md5(text) AS digest, count(*) AS n_copies
+      FROM documents GROUP BY digest
+    )
+    SELECT CAST(n_copies AS BIGINT) AS n_copies,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(n_copies * count(*) AS BIGINT) AS n_docs,
+           CAST((n_copies - 1) * count(*) AS BIGINT) AS n_removable
+    FROM clusters
+    GROUP BY n_copies
+    ORDER BY n_copies
+    """,
+    tags=("dedup", "report", "pipeline"),
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the headline table of every
+    dedup report ("how much of the corpus is duplicated, and in what
+    cluster sizes?"): per exact-content cluster size, the number of
+    clusters, documents covered, and documents a keep-one rewrite
+    would remove.  [[dedup_exact]] lists the clusters; this is the
+    corpus-level summary that decides whether near-dedup is even worth
+    running.
+
+    Scale shape: digest groupBy (only 16-byte digests shuffle), then a
+    histogram over cluster SIZES — a domain a few dozen values wide no
+    matter the corpus.  Two map-side-combined aggregates, nothing else.
+    """
+    clusters = (
+        compute_scan(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("digest"))
+        .agg(F.count("*").alias("n_copies"))
+    )
+    return (
+        clusters.groupBy("n_copies")
+        .agg(F.count("*").alias("nc"))
+        .select(
+            F.col("n_copies").cast("long").alias("n_copies"),
+            F.col("nc").cast("long").alias("n_clusters"),
+            (F.col("n_copies") * F.col("nc")).cast("long").alias("n_docs"),
+            ((F.col("n_copies") - 1) * F.col("nc"))
+            .cast("long")
+            .alias("n_removable"),
+        )
+        .orderBy("n_copies")
     )

@@ -175,6 +175,9 @@ _DRIVER_PRIORITY = [
     "source_concentration_metrics",
     "kaplan_meier_retention",
     "preference_pair_construction",
+    "window_funnel_timeout",
+    "lsh_parameter_sweep",
+    "dedup_cluster_size_histogram",
 ]
 
 # Operators hard-verified by the driver in prior rounds (the union of
