@@ -156,6 +156,34 @@ SWEPT_OPS = [
     "shingle_novelty_curve",
     "customer_rfm_segmentation",
     "part_abc_classification",
+    # round-6 wave: hash-decided masking/walks/pairs and the drift &
+    # survival statistics all claim partitioning-invariance — sweep it.
+    "ks_two_sample",
+    "psi_population_stability",
+    "ngram_lm_perplexity",
+    "bpe_merge_steps",
+    "tokenizer_apply_bpe",
+    "interval_overlap_join",
+    "dedup_paragraph_rewrite",
+    "span_corruption_masking",
+    "mlm_token_masking",
+    "graph_random_walk_pairs",
+    "rag_chunk_index_build",
+    "corpus_version_diff",
+    "contamination_filter_rewrite",
+    "intersect_except_all_bags",
+    "kaplan_meier_retention",
+    "preference_pair_construction",
+    "window_funnel_timeout",
+    "lsh_parameter_sweep",
+    "corpus_js_divergence",
+    "token_drift_topk",
+    "join_cardinality_estimate",
+    "source_concentration_metrics",
+    "dedup_cluster_size_histogram",
+    "score_calibration_reliability",
+    "chi_square_contingency",
+    "token_label_mutual_information",
 ]
 
 
