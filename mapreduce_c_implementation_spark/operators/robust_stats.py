@@ -892,3 +892,103 @@ def source_concentration_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "welch_t_test_pairs",
+    oracle_sql="""
+    WITH stats AS (
+      SELECT o_orderpriority AS grp,
+             count(*) AS n,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS DECIMAL(38,0)) AS s,
+             CAST(sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                AS BIGINT) AS DECIMAL(38,0))
+                      * CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                  AS BIGINT) AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS sq
+      FROM orders GROUP BY grp
+    )
+    SELECT a.grp AS grp_a, b.grp AS grp_b,
+           CAST(a.n AS BIGINT) AS n_a,
+           CAST(b.n AS BIGINT) AS n_b,
+           CAST(CAST(a.s AS BIGINT) * 1000 // a.n
+                - CAST(b.s AS BIGINT) * 1000 // b.n AS BIGINT)
+             AS mean_diff_millicents,
+           CAST(round(
+             (CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
+             / sqrt(
+                 ((CAST(a.sq AS DOUBLE)
+                   - CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE) / a.n)
+                  / (a.n - 1)) / a.n
+                 + ((CAST(b.sq AS DOUBLE)
+                     - CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE) / b.n)
+                    / (b.n - 1)) / b.n)
+             * 1000) AS BIGINT) AS t_milli
+    FROM stats a JOIN stats b ON a.grp < b.grp
+    ORDER BY grp_a, grp_b
+    """,
+    tags=("stats", "hypothesis-test", "welch"),
+)
+def welch_t_test_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t statistic for every pair of order-
+    priority groups on order value — the parametric complement to
+    [[ks_two_sample]] (location shift vs whole-distribution shift) and
+    [[group_mad_outliers]]'s screening family.
+
+    Exactness: each group reduces to exact integer moments (n, sum of
+    cents, sum of squared cents in DECIMAL(38,0) — squared cents
+    overflow int64 at fixture scale already); the t statistic is then
+    a fixed double expression over those exact moments, frozen to
+    integer milli units.  Every double is derived from the same exact
+    integers by the same IEEE operations in both engines, so rounding
+    is identical — the only float allowed is this final, pinned one.
+
+    Scale shape: one map-side-combined aggregate to GROUP grain, then
+    an all-pairs self-join of the |groups|-row stats table.  The
+    corpus is touched once.
+    """
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    stats = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderpriority").alias("grp"), cents.alias("v"))
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v").cast("decimal(38,0)").alias("s"),
+            F.sum(
+                F.col("v").cast("decimal(38,0)")
+                * F.col("v").cast("decimal(38,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("sq"),
+        )
+    )
+    a = stats.alias("a")
+    b = stats.alias("b")
+    return (
+        a.join(F.broadcast(b), F.col("a.grp") < F.col("b.grp"))
+        .select(
+            F.col("a.grp").alias("grp_a"),
+            F.col("b.grp").alias("grp_b"),
+            F.col("a.n").cast("long").alias("n_a"),
+            F.col("b.n").cast("long").alias("n_b"),
+            F.expr(
+                "CAST(CAST(a.s AS BIGINT) * 1000 div a.n"
+                " - CAST(b.s AS BIGINT) * 1000 div b.n AS BIGINT)"
+            ).alias("mean_diff_millicents"),
+            F.expr(
+                "CAST(round("
+                " (CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)"
+                " / sqrt("
+                "   ((CAST(a.sq AS DOUBLE)"
+                "     - CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE) / a.n)"
+                "    / (a.n - 1)) / a.n"
+                "   + ((CAST(b.sq AS DOUBLE)"
+                "       - CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE) / b.n)"
+                "      / (b.n - 1)) / b.n)"
+                " * 1000) AS BIGINT)"
+            ).alias("t_milli"),
+        )
+        .orderBy("grp_a", "grp_b")
+    )

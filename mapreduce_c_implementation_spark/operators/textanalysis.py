@@ -2861,3 +2861,101 @@ def preference_pair_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "chosen_id")
     )
+
+
+@register(
+    "langid_confusion_matrix",
+    oracle_sql=f"""
+    WITH scored AS (
+      SELECT lang AS actual,
+             {_sql_lang_score(LANG_PROFILES["en"])} AS s_en,
+             {_sql_lang_score(LANG_PROFILES["de"])} AS s_de,
+             {_sql_lang_score(LANG_PROFILES["es"])} AS s_es,
+             {_sql_lang_score(LANG_PROFILES["fr"])} AS s_fr
+      FROM (SELECT lang, {_TOK} AS tokens FROM documents)
+    ),
+    preds AS (
+      SELECT actual, {_LANG_CASE_SQL} AS predicted FROM scored
+    ),
+    cells AS (
+      SELECT actual, predicted, count(*) AS n FROM preds GROUP BY 1, 2
+    ),
+    row_tot AS (SELECT actual, sum(n) AS rt FROM cells GROUP BY actual),
+    col_tot AS (SELECT predicted, sum(n) AS ct FROM cells GROUP BY predicted)
+    SELECT c.actual, c.predicted,
+           CAST(c.n AS BIGINT) AS n,
+           CAST(CASE WHEN c.actual = c.predicted
+                     THEN c.n * 1000000 // r.rt ELSE 0 END AS BIGINT)
+             AS recall_ppm,
+           CAST(CASE WHEN c.actual = c.predicted
+                     THEN c.n * 1000000 // t.ct ELSE 0 END AS BIGINT)
+             AS precision_ppm
+    FROM cells c
+    JOIN row_tot r ON r.actual = c.actual
+    JOIN col_tot t ON t.predicted = c.predicted
+    ORDER BY c.actual, c.predicted
+    """,
+    tags=("text", "langid", "evaluation", "pipeline"),
+)
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation for [[text_lang_id]]: the actual x
+    predicted confusion matrix with per-class recall and precision
+    (integer ppm, reported on the diagonal cells) — the eval every
+    rule-based or learned labeler gets before its output becomes a
+    filter key, closing the predict -> evaluate loop the way
+    [[score_calibration_reliability]] does for scores.
+
+    Scale shape: the prediction is the same in-row stopword argmax as
+    the base operator; the matrix is a CLASS-grain (|langs|^2 cells)
+    map-side-combined aggregate with class-grain margin re-aggregates.
+    Nothing after the scan exceeds a few dozen rows.
+    """
+    d = parallel_scan(spark, sf_dir, "documents")
+    toks = d.select(
+        F.col("lang").alias("actual"), tokenize(F.col("text")).alias("tokens")
+    )
+    scored = toks.select(
+        "actual",
+        *[
+            _spark_lang_score(F.col("tokens"), ws).alias(f"s_{lg}")
+            for lg, ws in LANG_PROFILES.items()
+        ],
+    )
+    s = {lg: F.col(f"s_{lg}") for lg in LANG_PROFILES}
+    zero = (s["en"] == 0) & (s["de"] == 0) & (s["es"] == 0) & (s["fr"] == 0)
+    pred = (
+        F.when(zero, "und")
+        .when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]),
+            "en",
+        )
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when(s["es"] >= s["fr"], "es")
+        .otherwise("fr")
+    )
+    cells = (
+        scored.select("actual", pred.alias("predicted"))
+        .groupBy("actual", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+    row_tot = cells.groupBy("actual").agg(F.sum("n").alias("rt"))
+    col_tot = cells.groupBy("predicted").agg(F.sum("n").alias("ct"))
+    diag = F.col("actual") == F.col("predicted")
+    return (
+        cells.join(F.broadcast(row_tot), "actual")
+        .join(F.broadcast(col_tot), "predicted")
+        .select(
+            "actual",
+            "predicted",
+            F.col("n").cast("long").alias("n"),
+            F.when(diag, F.expr("CAST(n * 1000000 div rt AS BIGINT)"))
+            .otherwise(0)
+            .cast("long")
+            .alias("recall_ppm"),
+            F.when(diag, F.expr("CAST(n * 1000000 div ct AS BIGINT)"))
+            .otherwise(0)
+            .cast("long")
+            .alias("precision_ppm"),
+        )
+        .orderBy("actual", "predicted")
+    )

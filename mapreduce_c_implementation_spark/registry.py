@@ -178,6 +178,8 @@ _DRIVER_PRIORITY = [
     "window_funnel_timeout",
     "lsh_parameter_sweep",
     "dedup_cluster_size_histogram",
+    "langid_confusion_matrix",
+    "welch_t_test_pairs",
 ]
 
 # Operators hard-verified by the driver in prior rounds (the union of

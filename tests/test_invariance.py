@@ -184,6 +184,8 @@ SWEPT_OPS = [
     "score_calibration_reliability",
     "chi_square_contingency",
     "token_label_mutual_information",
+    "langid_confusion_matrix",
+    "welch_t_test_pairs",
 ]
 
 

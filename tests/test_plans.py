@@ -233,6 +233,8 @@ _NESTED_LOOP_EXEMPT = {
     "source_concentration_metrics",
     # 1-row corpus-horizon broadcast for censoring durations
     "kaplan_meier_retention",
+    # |groups|-row stats self-join on grp < grp — dim-sized by design
+    "welch_t_test_pairs",
 }
 
 # Modules whose query_fns build lazy plans (streaming/io execute jobs
