@@ -1653,3 +1653,96 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id", "dim")
     )
+
+
+EMB_OUTLIER_TOPK = 20
+
+
+@register(
+    "embedding_centroid_outliers",
+    oracle_sql=f"""
+    WITH mic AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xm
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT i AS dim, sum(xm[i]) AS s
+      FROM mic, unnest(generate_series(1, len(xm))) AS t(i)
+      GROUP BY i
+    ),
+    ctr AS (
+      SELECT list(s ORDER BY dim) AS sarr, (SELECT count(*) FROM mic) AS n
+      FROM dims
+    )
+    SELECT m.vec_id, m.label,
+           CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                  list_transform(generate_series(1, len(m.xm)),
+                    i -> CAST(m.xm[i] * c.n - c.sarr[i] AS HUGEINT)
+                         * CAST(m.xm[i] * c.n - c.sarr[i] AS HUGEINT))),
+                  (acc, v) -> acc + v) // (c.n * c.n) AS BIGINT)
+             AS dist2_micro2
+    FROM mic m, ctr c
+    ORDER BY dist2_micro2 DESC, m.vec_id
+    LIMIT {EMB_OUTLIER_TOPK}
+    """,
+    tags=("similarity", "quality", "outliers", "pipeline"),
+)
+def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding quality control: the {EMB_OUTLIER_TOPK} vectors
+    farthest from the corpus CENTROID — the atypicality screen for
+    broken encoders and off-distribution payloads before an index
+    build ([[rag_chunk_index_build]], [[ann_ivf_pq]]) bakes them in.
+    (A norm screen is useless on normalized embeddings — this
+    fixture's vectors are exactly unit norm — but centroid distance
+    ranks them regardless.)
+
+    Exactness: components freeze to integer micro units PER ROW, so
+    the per-dimension centroid sums are exact integer aggregates
+    (float vector sums are partition-order-dependent — the one thing
+    a distributed mean must never do); each vector's squared distance
+    to the centroid is the cross-multiplied integer
+    sum_d (x_d*n - s_d)^2 // n^2 in 128-bit accumulators (the squares
+    overflow int64 past fixture scale).  Total-order tie-break.
+
+    Scale shape: one dim-grain aggregate (|dims| keys — only micro
+    ints shuffle), the |dims|-element centroid array broadcast as a
+    1-row, then an in-row fold and a TakeOrdered top-k.  Embedding
+    payloads never shuffle.
+    """
+    from mapreduce_c_implementation_spark.sources.tables import compute_scan
+
+    e = compute_scan(spark, sf_dir, "embeddings")
+    mic = e.select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1000000).cast("long"),
+        ).alias("xm"),
+    )
+    dims = (
+        mic.select(F.posexplode("xm").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum("x").alias("s"))
+    )
+    ctr = dims.agg(
+        F.array_sort(F.collect_list(F.struct("i", "s"))).alias("sa")
+    ).select(F.transform(F.col("sa"), lambda p: p.s).alias("sarr"))
+    n1 = mic.agg(F.count("*").alias("n"))
+    joined = mic.crossJoin(F.broadcast(ctr)).crossJoin(F.broadcast(n1))
+    dist2 = F.expr(
+        f"""CAST(aggregate(sequence(1, size(xm)),
+              CAST(0 AS DECIMAL(38,0)),
+              (acc, i) -> acc
+                + CAST(xm[i-1] * n - sarr[i-1] AS DECIMAL(38,0))
+                  * CAST(xm[i-1] * n - sarr[i-1] AS DECIMAL(38,0)))
+            div (CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)))
+            AS BIGINT)"""
+    )
+    return (
+        joined.select("vec_id", "label", dist2.alias("dist2_micro2"))
+        .orderBy(F.desc("dist2_micro2"), "vec_id")
+        .limit(EMB_OUTLIER_TOPK)
+    )

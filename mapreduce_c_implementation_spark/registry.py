@@ -180,6 +180,7 @@ _DRIVER_PRIORITY = [
     "dedup_cluster_size_histogram",
     "langid_confusion_matrix",
     "welch_t_test_pairs",
+    "embedding_centroid_outliers",
 ]
 
 # Operators hard-verified by the driver in prior rounds (the union of

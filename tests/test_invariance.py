@@ -186,6 +186,7 @@ SWEPT_OPS = [
     "token_label_mutual_information",
     "langid_confusion_matrix",
     "welch_t_test_pairs",
+    "embedding_centroid_outliers",
 ]
 
 

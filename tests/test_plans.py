@@ -235,6 +235,8 @@ _NESTED_LOOP_EXEMPT = {
     "kaplan_meier_retention",
     # |groups|-row stats self-join on grp < grp — dim-sized by design
     "welch_t_test_pairs",
+    # 1-row centroid-array + count broadcasts
+    "embedding_centroid_outliers",
 }
 
 # Modules whose query_fns build lazy plans (streaming/io execute jobs
