@@ -2038,7 +2038,8 @@ def window_funnel_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timeout-constrained funnel (the windowFunnel shape): the deepest
     view -> click -> purchase chain where the click strictly follows
     its ANCHOR view, the purchase strictly follows that click, and the
-    whole chain completes within 30 days of the anchor — every anchor
+    whole chain completes within 24 hours (FUNNEL_WINDOW_US) of the
+    anchor — every anchor
     view is tried, so a user converts if ANY window does.
     [[event_funnel]] is the unconstrained first-qualifying variant;
     the timeout is what product funnels actually measure.

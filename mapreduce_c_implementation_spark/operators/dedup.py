@@ -281,6 +281,10 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band_idx", "band_key"),
     ).cache()
     bands.count()  # materialize the narrow band table
+    # Cache-scoping rule: once bands is resident it no longer reads sig —
+    # release it so minhash-family ops leave ONLY the band table cached
+    # (direct sig consumers call _minhash_signatures themselves).
+    sig.unpersist()
     return bands
 
 
@@ -1419,7 +1423,8 @@ PARA_TOKENS = 16
 @register(
     "dedup_paragraph_rewrite",
     oracle_sql=f"""
-    WITH toks AS (SELECT doc_id, {{tok}} AS ts FROM documents),
+    WITH toks AS (SELECT doc_id, {{tok}} AS ts FROM documents
+                  WHERE len({{tok}}) > 0),
     ch AS (
       SELECT doc_id, i AS chunk_idx,
              array_to_string(
@@ -1472,7 +1477,12 @@ def dedup_paragraph_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     an orthogonal storage trade documented here.
     """
     d = compute_scan(spark, sf_dir, "documents")
-    toks = d.select("doc_id", tokenize(F.col("text")).alias("ts"))
+    # Zero-token docs are dropped on BOTH engines: Spark's sequence(1, 0)
+    # is the descending [1, 0] (would emit two phantom ''-chunks) while
+    # DuckDB's generate_series(1, 0) is empty — filter before chunking.
+    toks = d.select("doc_id", tokenize(F.col("text")).alias("ts")).filter(
+        F.size("ts") > 0
+    )
     ts = F.col("ts")
     ch = toks.select(
         "doc_id",

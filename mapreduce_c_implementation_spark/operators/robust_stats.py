@@ -711,14 +711,14 @@ def _spark_half_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(max(n_b) AS BIGINT) AS n_b,
            CAST(sum(CASE WHEN c_a > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_a,
            CAST(sum(CASE WHEN c_b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_b,
-           CAST((sum(CASE WHEN c_a > 0 THEN
+           CAST((greatest(sum(CASE WHEN c_a > 0 THEN
                    c_a * CAST(round(ln(CAST(2 * c_a * n_b AS DOUBLE)
                                       / (c_a * n_b + c_b * n_a)) * 1000000)
-                              AS BIGINT) ELSE 0 END) // max(n_a)
-                 + sum(CASE WHEN c_b > 0 THEN
+                              AS BIGINT) ELSE 0 END), 0) // max(n_a)
+                 + greatest(sum(CASE WHEN c_b > 0 THEN
                      c_b * CAST(round(ln(CAST(2 * c_b * n_a AS DOUBLE)
                                         / (c_a * n_b + c_b * n_a)) * 1000000)
-                                AS BIGINT) ELSE 0 END) // max(n_b)) // 2
+                                AS BIGINT) ELSE 0 END), 0) // max(n_b)) // 2
                 AS BIGINT) AS jsd_micro
     FROM cells, tot
     """,
@@ -733,8 +733,10 @@ def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: each token's log ratio p_x/m is the all-integer
     cross-multiplied form 2*c_x*n_y / (c_a*n_b + c_b*n_a), frozen to
-    micro-nats and weighted by the integer count; the two KL sums
-    floor-divide by their half totals.  Zero-count terms contribute
+    micro-nats and weighted by the integer count; the two KL sums are
+    clamped at 0 (per-term rounding can dip a hair negative, where
+    truncating and flooring division disagree) before floor-dividing
+    by their half totals.  Zero-count terms contribute
     exactly 0 (the KL convention), never a log of zero.
 
     Scale shape: one conditional-sum aggregate collapses the corpus
@@ -760,11 +762,14 @@ def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("c_b") > 0, 1).otherwise(0))
         .cast("long")
         .alias("vocab_b"),
+        # Each KL half-sum is mathematically >= 0 but per-term rounding
+        # can push it a hair negative, where Spark div (truncate) and
+        # DuckDB // (floor) disagree — clamp at 0 on BOTH engines.
         F.expr(
-            f"CAST((sum(CASE WHEN c_a > 0 THEN c_a * {ln_a} ELSE 0 END)"
-            f" div max(n_a)"
-            f" + sum(CASE WHEN c_b > 0 THEN c_b * {ln_b} ELSE 0 END)"
-            f" div max(n_b)) div 2 AS BIGINT)"
+            f"CAST((greatest(sum(CASE WHEN c_a > 0 THEN c_a * {ln_a}"
+            f" ELSE 0 END), 0L) div max(n_a)"
+            f" + greatest(sum(CASE WHEN c_b > 0 THEN c_b * {ln_b}"
+            f" ELSE 0 END), 0L) div max(n_b)) div 2 AS BIGINT)"
         ).alias("jsd_micro"),
     )
 

@@ -84,74 +84,20 @@ def register(
 
 # The driver's CORRECTNESS gate verifies a bounded prefix of ``queries()``
 # (50 names per round).  Names listed here are emitted FIRST, in this
-# order; everything else follows in registration order.  Rounds 1-4
-# together hard-verified 199 unique operators (CORRECTNESS_r01-r04;
+# order; everything else follows in registration order.  Rounds 1-6
+# together hard-verified 249 unique operators (CORRECTNESS_r01-r06;
 # round 5's window duplicated round 4's, re-confirming the same 50 —
-# their union is frozen in ``_DRIVER_VERIFIED_PRIOR``).  The round-6
-# window holds the 49 remaining never-driver-verified names from the
-# pre-round-6 registry (``all_operators() - _DRIVER_VERIFIED_PRIOR``),
-# completing hard verification for all 248 operators registered through
-# round 5, plus the first of the round-6 additions; the remaining
-# round-6 additions (listed after slot 50 below, in priority order) roll
-# into the ROUND-7 window — after the r6 artifact lands, fold its keys
-# into ``_DRIVER_VERIFIED_PRIOR`` and promote the tail to the head of
-# this list.  The rotated-out ops keep their in-repo oracle coverage
+# their union is frozen in ``_DRIVER_VERIFIED_PRIOR``).  The ROUND-7
+# window starts with the 29 round-6 additions that missed the r6 window
+# (in the order queued last round), followed by any round-7 additions —
+# after the r7 artifact lands, fold its keys into
+# ``_DRIVER_VERIFIED_PRIOR`` and promote the tail to the head of this
+# list.  The rotated-out ops keep their in-repo oracle coverage
 # (tests/test_operators_vs_oracle.py runs every registered operator),
 # and tests/test_extensions.py's coverage-ledger test asserts
 # prior + this list covers the full registry.
 _DRIVER_PRIORITY = [
-    # round-4 additions, never driver-verified — the final window
-    "ann_recall_eval",
-    "benford_first_digit",
-    "bottomk_sample_per_group",
-    "char_entropy_quality",
-    "concurrency_sweep",
-    "customer_rfm_segmentation",
-    "dataset_card_stats",
-    "decayed_event_counts",
-    "dedup_minhash_bucketed_probe",
-    "dedup_recall_eval",
-    "embedding_random_projection",
-    "event_attribution_last_touch",
-    "event_daily_anomaly",
-    "event_retention_cohorts",
-    "feature_minmax_scale",
-    "feature_target_encode",
-    "gopher_quality_rules",
-    "gram_power_iteration",
-    "graph_bfs_distances",
-    "graph_common_neighbors",
-    "graph_label_propagation",
-    "graph_triangle_count",
-    "group_linear_regression",
-    "group_mode_frequent",
-    "heaps_vocab_growth",
-    "hybrid_search_rrf",
-    "join_null_safe",
-    "k_anonymity_check",
-    "lexical_diversity_ttr",
-    "multimodal_simhash_neardup",
-    "parquet_agg_pushdown_stats",
-    "part_abc_classification",
-    "poisson_bootstrap_mean",
-    "running_distinct_users",
-    "runtime_bloom_filter_join",
-    "seasonality_month_index",
-    "set_similarity_prefix_join",
-    "shingle_containment_pairs",
-    "shingle_novelty_curve",
-    "size_balanced_shards",
-    "skipgram_cooccurrence",
-    "sliding_distinct_users",
-    "stream_corpus_ingest",
-    "stream_windowed_topk",
-    "text_canonicalize_dedup",
-    "time_weighted_avg",
-    "vocab_coverage_topk",
-    "winsorized_group_stats",
-    "zipf_rank_frequency",
-    # round-6 additions — slot 50 of the r6 window, then the r7 window
-    "ks_two_sample",
+    # round-6 additions not yet driver-verified — head of the r7 window
     "chi_square_contingency",
     "psi_population_stability",
     "ngram_lm_perplexity",
@@ -184,7 +130,7 @@ _DRIVER_PRIORITY = [
 ]
 
 # Operators hard-verified by the driver in prior rounds (the union of
-# CORRECTNESS_r01..r04 key sets; CORRECTNESS_r05 duplicated r04's window,
+# CORRECTNESS_r01..r06 key sets; CORRECTNESS_r05 duplicated r04's window,
 # all green at their latest check).  Used by the coverage-ledger
 # test to prove the rotation schedule reaches every registered operator.
 _DRIVER_VERIFIED_PRIOR = frozenset({
@@ -251,6 +197,24 @@ _DRIVER_VERIFIED_PRIOR = frozenset({
     "time_rollup_multigrain", "token_pmi_pairs", "tpch_rf1_rf2_refresh",
     "try_arithmetic_safety", "unigram_logprob_score", "variant_json_shred",
     "window_range_frame", "window_time_range", "zorder_layout",
+    # round 6 (CORRECTNESS_r06.json — the 49 final pre-r6 names + ks_two_sample)
+    "ann_recall_eval", "benford_first_digit", "bottomk_sample_per_group",
+    "char_entropy_quality", "concurrency_sweep", "customer_rfm_segmentation",
+    "dataset_card_stats", "decayed_event_counts", "dedup_minhash_bucketed_probe",
+    "dedup_recall_eval", "embedding_random_projection", "event_attribution_last_touch",
+    "event_daily_anomaly", "event_retention_cohorts", "feature_minmax_scale",
+    "feature_target_encode", "gopher_quality_rules", "gram_power_iteration",
+    "graph_bfs_distances", "graph_common_neighbors", "graph_label_propagation",
+    "graph_triangle_count", "group_linear_regression", "group_mode_frequent",
+    "heaps_vocab_growth", "hybrid_search_rrf", "join_null_safe", "k_anonymity_check",
+    "ks_two_sample", "lexical_diversity_ttr", "multimodal_simhash_neardup",
+    "parquet_agg_pushdown_stats", "part_abc_classification", "poisson_bootstrap_mean",
+    "running_distinct_users", "runtime_bloom_filter_join", "seasonality_month_index",
+    "set_similarity_prefix_join", "shingle_containment_pairs", "shingle_novelty_curve",
+    "size_balanced_shards", "skipgram_cooccurrence", "sliding_distinct_users",
+    "stream_corpus_ingest", "stream_windowed_topk", "text_canonicalize_dedup",
+    "time_weighted_avg", "vocab_coverage_topk", "winsorized_group_stats",
+    "zipf_rank_frequency",
 })
 
 

@@ -66,10 +66,10 @@ def test_dedup_exact_identity_when_no_dups(spark, sf_correct):
 
 def test_driver_priority_window():
     """The driver's CORRECTNESS gate checks a 50-query prefix of queries().
-    Round 6 rotates the 49 never-driver-verified pre-r6 operators into
-    that window (completing hard verification of all 248 operators
-    registered through round 5); round-6 additions queue after slot 50
-    and roll into the round-7 window — pin the ordering here."""
+    Round 7 rotates the 29 round-6 additions that queued behind the r6
+    window to the head (completing hard verification of every operator
+    registered through round 6); round-7 additions follow in the same
+    window — pin the ordering here."""
     import __spark_entry__ as se
     from mapreduce_c_implementation_spark.registry import _DRIVER_PRIORITY, all_operators
 
@@ -77,26 +77,27 @@ def test_driver_priority_window():
     ops = all_operators()
     # priority names exist, are unique, and lead the queries() ordering
     assert len(_DRIVER_PRIORITY) == len(set(_DRIVER_PRIORITY))
-    # the 49 carried-over names must all fit inside the 50-slot window;
-    # round-6 additions beyond slot 50 wait for the round-7 rotation
-    assert len(_DRIVER_PRIORITY) >= 50
     missing = [n for n in _DRIVER_PRIORITY if n not in ops]
     assert not missing, f"priority names not registered: {missing}"
     assert names[: len(_DRIVER_PRIORITY)] == _DRIVER_PRIORITY
     window = set(names[:50])
     must_check = {
-        # verdict r5 item 1: the 49 never-driver-verified round-4 additions
+        # verdict r6 item 1: the 29 round-6 additions missing driver rows
         # (category leads; the ledger test pins the full set)
-        "ann_recall_eval", "dedup_recall_eval", "dedup_minhash_bucketed_probe",
-        "set_similarity_prefix_join", "shingle_containment_pairs",
-        "runtime_bloom_filter_join", "join_null_safe",
-        "customer_rfm_segmentation", "part_abc_classification",
-        "skipgram_cooccurrence", "size_balanced_shards",
-        "graph_bfs_distances", "graph_triangle_count", "graph_label_propagation",
-        "graph_common_neighbors", "gopher_quality_rules", "k_anonymity_check",
-        "stream_corpus_ingest", "stream_windowed_topk",
-        "gram_power_iteration", "embedding_random_projection",
-        "poisson_bootstrap_mean", "bottomk_sample_per_group",
+        "chi_square_contingency", "psi_population_stability",
+        "ngram_lm_perplexity", "token_label_mutual_information",
+        "bpe_merge_steps", "tokenizer_apply_bpe", "interval_overlap_join",
+        "dedup_paragraph_rewrite", "score_calibration_reliability",
+        "corpus_js_divergence", "token_drift_topk", "join_cardinality_estimate",
+        "span_corruption_masking", "graph_random_walk_pairs",
+        "stream_psi_drift_monitor", "rag_chunk_index_build",
+        "corpus_version_diff", "contamination_filter_rewrite",
+        "intersect_except_all_bags", "mlm_token_masking",
+        "source_concentration_metrics", "kaplan_meier_retention",
+        "preference_pair_construction", "window_funnel_timeout",
+        "lsh_parameter_sweep", "dedup_cluster_size_histogram",
+        "langid_confusion_matrix", "welch_t_test_pairs",
+        "embedding_centroid_outliers",
     }
     assert must_check <= window
     # oracle_sql() ordering must mirror queries() so the driver pairs them
@@ -106,8 +107,8 @@ def test_driver_priority_window():
 
 def test_driver_coverage_ledger():
     """Rotation ledger: every registered operator must reach a driver
-    CORRECTNESS row within ceil(N/50) rounds.  Rounds 1-4 verified the
-    frozen ``_DRIVER_VERIFIED_PRIOR`` set (union of CORRECTNESS_r01-r04
+    CORRECTNESS row within ceil(N/50) rounds.  Rounds 1-6 verified the
+    frozen ``_DRIVER_VERIFIED_PRIOR`` set (union of CORRECTNESS_r01-r06
     key sets; r05 duplicated r04's window); the priority list holds
     every remaining never-verified name IN ORDER (the driver consumes a
     50-slot prefix per round), so priority + prior must cover the whole
@@ -127,6 +128,7 @@ def test_driver_coverage_ledger():
         if f.name in (
             "CORRECTNESS_r01.json", "CORRECTNESS_r02.json",
             "CORRECTNESS_r03.json", "CORRECTNESS_r04.json",
+            "CORRECTNESS_r05.json", "CORRECTNESS_r06.json",
         ):
             actual_prior |= set(json.loads(f.read_text()))
     if actual_prior:  # ledger frozen in-code must match the artifacts
