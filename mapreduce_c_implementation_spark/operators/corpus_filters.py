@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from mapreduce_c_implementation_spark.functions.text import (
     DUCKDB_TOKENIZE,
@@ -911,6 +912,320 @@ def contamination_filter_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((1 - F.col("dropped")) * F.col("n_toks"))
             .cast("long")
             .alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL-level hygiene: canonicalization, URL dedup, blocklists, per-host caps.
+# The fixture has no URL column, so a deterministic messy URL is DERIVED
+# in-query from (doc_id, source, leading tokens) with doc_id-driven noise
+# (scheme, www, default port, tracking params, fragments, trailing slash,
+# case) — identical construction on both engines, so the thing under test
+# is the canonicalization pipeline itself, exactly like corpus_version_diff
+# derives its two snapshots from one fixture.
+# ---------------------------------------------------------------------------
+
+# Messy raw URL per document (DuckDB form; the Spark builder mirrors it
+# column-op for column-op).  Duplicate canonical URLs arise whenever two
+# docs share (source, first two tokens) — frequent under the fixture's
+# small vocabulary — while the noise fields differ by doc_id.
+_URL_RAW_SQL = f"""
+    urls AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 13 = 0 THEN upper(u0) ELSE u0 END AS raw_url
+      FROM (
+        SELECT doc_id, source,
+               (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+               || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+               || source || '.example.com'
+               || (CASE WHEN doc_id % 10 = 0 THEN ':443' ELSE '' END)
+               || '/' || {_TOK}[1]
+               || (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END)
+               || (CASE WHEN doc_id % 11 = 0 AND doc_id % 4 = 1
+                        THEN '?page=2&utm_source=feed'
+                        WHEN doc_id % 11 = 0 THEN '?page=2'
+                        WHEN doc_id % 4 = 1 THEN '?utm_source=feed'
+                        ELSE '' END)
+               || (CASE WHEN doc_id % 7 = 0 THEN '#sec1' ELSE '' END) AS u0
+        FROM documents
+      )
+    )
+"""
+
+# Canonicalization chain (DuckDB form).  Order matters: fragment before
+# tracking-param removal (patterns use [^&#]); dangling ?/& cleanup after;
+# default-port and slash-before-query via LITERAL replace (no regex
+# dialect risk); trailing slash last.  DuckDB regexp_replace is
+# first-match-only without the 'g' flag — Spark is always global, so the
+# one multi-occurrence pattern (tracking params) carries 'g' here.
+_URL_CANON_SQL = """
+    regexp_replace(
+      replace(
+        replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(lower(raw_url), '^https?://', ''),
+                  '^www\\.', ''),
+                '#.*$', ''),
+              '(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&?', '', 'g'),
+            '[?&]+$', ''),
+          ':443/', '/'),
+        '/?', '?'),
+      '/+$', '')
+"""
+
+
+def _spark_url_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, raw_url, canonical_url, host) — the Spark mirror
+    of ``_URL_RAW_SQL`` + ``_URL_CANON_SQL``."""
+    d = parallel_scan(spark, sf_dir, "documents")
+    ts = tokenize(F.col("text"))
+    u0 = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https://")).otherwise(
+            F.lit("http://")
+        ),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".example.com"),
+        F.when(F.col("doc_id") % 10 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/"),
+        F.element_at(ts, 1),
+        F.when(F.col("doc_id") % 2 == 1, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            (F.col("doc_id") % 11 == 0) & (F.col("doc_id") % 4 == 1),
+            F.lit("?page=2&utm_source=feed"),
+        )
+        .when(F.col("doc_id") % 11 == 0, F.lit("?page=2"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("?utm_source=feed"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("#sec1")).otherwise(F.lit("")),
+    )
+    raw = F.when(F.col("doc_id") % 13 == 0, F.upper(u0)).otherwise(u0)
+    canon = F.regexp_replace(
+        F.replace(
+            F.replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_replace(
+                            F.regexp_replace(
+                                F.regexp_replace(
+                                    F.lower(F.col("raw_url")),
+                                    F.lit("^https?://"),
+                                    F.lit(""),
+                                ),
+                                F.lit(r"^www\."),
+                                F.lit(""),
+                            ),
+                            F.lit("#.*$"),
+                            F.lit(""),
+                        ),
+                        F.lit("(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&?"),
+                        F.lit(""),
+                    ),
+                    F.lit("[?&]+$"),
+                    F.lit(""),
+                ),
+                F.lit(":443/"),
+                F.lit("/"),
+            ),
+            F.lit("/?"),
+            F.lit("?"),
+        ),
+        F.lit("/+$"),
+        F.lit(""),
+    )
+    return (
+        d.select("doc_id", "source", raw.alias("raw_url"))
+        .withColumn("canonical_url", canon)
+        .withColumn("host", F.expr("split_part(canonical_url, '/', 1)"))
+    )
+
+
+@register(
+    "url_canonicalize_dedup",
+    oracle_sql=f"""
+    WITH {_URL_RAW_SQL.strip()},
+    canon AS (
+      SELECT doc_id, raw_url, {_URL_CANON_SQL.strip()} AS canonical_url
+      FROM urls
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT raw_url) AS BIGINT) AS n_raw_variants,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM canon
+    GROUP BY canonical_url
+    ORDER BY canonical_url
+    """,
+    tags=("url", "dedup", "canonicalize", "pipeline"),
+)
+def url_canonicalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-level keep-first dedup — the C4/
+    CommonCrawl pre-step that runs BEFORE any content hashing: lowercase,
+    strip scheme / leading www. / default port / tracking parameters
+    (utm_*, fbclid, gclid, ref) / fragments / trailing slashes, KEEPING
+    real query parameters (?page=2 survives), then group fetches by
+    canonical URL and keep the smallest doc_id.  [[text_canonicalize_dedup]]
+    is the same keep-first contract one stage later (content-level).
+
+    Scale shape: the canonicalizer is a chain of whole-stage-codegen
+    string ops (regex + literal replaces, no UDF); the dedup is ONE
+    groupBy on the canonical string — the dedup_exact shuffle profile.
+    Cross-engine trap documented in ``_URL_CANON_SQL``: DuckDB
+    regexp_replace needs the explicit 'g' flag where Spark is global by
+    default.
+    """
+    u = _spark_url_table(spark, sf_dir)
+    return (
+        u.groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("raw_url").cast("long").alias("n_raw_variants"),
+            F.min("doc_id").cast("long").alias("keeper_doc_id"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
+# (host, path-prefix) blocklist: '' blocks the whole host.  K rows,
+# broadcast; at 100 TB a real blocklist is still ~1e5 rows — broadcast.
+_URL_BLOCKLIST = [
+    ("src1.example.com", ""),
+    ("src17.example.com", ""),
+    ("src0.example.com", "/spark"),
+]
+
+
+@register(
+    "url_blocklist_filter",
+    oracle_sql=f"""
+    WITH {_URL_RAW_SQL.strip()},
+    canon AS (
+      SELECT doc_id, source, {_URL_CANON_SQL.strip()} AS canonical_url
+      FROM urls
+    ),
+    parts AS (
+      SELECT doc_id, source, canonical_url,
+             split_part(canonical_url, '/', 1) AS host,
+             substr(canonical_url, length(split_part(canonical_url, '/', 1)) + 1)
+               AS path
+      FROM canon
+    ),
+    bl(bhost, bprefix) AS (
+      VALUES {", ".join(f"('{h}', '{p}')" for h, p in _URL_BLOCKLIST)}
+    ),
+    flagged AS (
+      SELECT p.doc_id, p.source,
+             CASE WHEN EXISTS (
+               SELECT 1 FROM bl
+               WHERE bl.bhost = p.host AND starts_with(p.path, bl.bprefix)
+             ) THEN 1 ELSE 0 END AS blocked
+      FROM parts p
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(blocked) AS BIGINT) AS n_blocked,
+           CAST(sum(1 - blocked) AS BIGINT) AS n_kept
+    FROM flagged GROUP BY source ORDER BY source
+    """,
+    tags=("url", "filter", "blocklist", "pipeline"),
+)
+def url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/prefix blocklist filter over canonical URLs — the opt-out /
+    spam-list stage: a (host, path-prefix) rule table removes whole hosts
+    (prefix '') or URL subtrees (prefix '/spark'), reported per source.
+
+    Scale shape: the blocklist is a K-row BROADCAST joined on the equi
+    host key with the prefix check as the join residual — a
+    BroadcastHashJoin, never a nested loop, and still broadcastable at a
+    real blocklist's ~1e5 rows.  The doc side is touched once.
+    """
+    u = _spark_url_table(spark, sf_dir).withColumn(
+        "path", F.expr("substring(canonical_url, length(host) + 1)")
+    )
+    bl = spark.createDataFrame(_URL_BLOCKLIST, ["bhost", "bprefix"])
+    hit = (
+        u.join(
+            F.broadcast(bl),
+            (F.col("host") == F.col("bhost"))
+            & F.col("path").startswith(F.col("bprefix")),
+            "left_semi",
+        )
+        .select("doc_id")
+        .withColumn("blocked", F.lit(1))
+    )
+    return (
+        u.select("doc_id", "source")
+        .join(hit, "doc_id", "left")
+        .select("source", F.coalesce("blocked", F.lit(0)).alias("blocked"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_total"),
+            F.sum("blocked").cast("long").alias("n_blocked"),
+            F.sum(1 - F.col("blocked")).cast("long").alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+# Per-host document cap (C4 keeps the first N pages per host).
+DOMAIN_CAP = 16
+
+
+@register(
+    "domain_cap_rewrite",
+    oracle_sql=f"""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN rn <= {DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN rn <= {DOMAIN_CAP} THEN n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars,
+           CAST(max(CASE WHEN rn <= {DOMAIN_CAP} THEN doc_id END) AS BIGINT)
+             AS last_kept_doc
+    FROM ranked GROUP BY source ORDER BY source
+    """,
+    tags=("url", "filter", "cap", "pipeline"),
+)
+def domain_cap_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host document cap — keep only the first {DOMAIN_CAP} documents
+    per source (by doc_id), the C4-style guard against any one host
+    dominating the corpus.  Complements [[source_concentration_metrics]]
+    (which MEASURES dominance) with the rewrite that enforces the cap.
+
+    Scale shape: one row_number window PARTITIONED BY the host key — a
+    keyed shuffle, no global sort.  A pathological mega-host makes its
+    partition hot, but mega-hosts are exactly what the cap discards: the
+    production refinement is a per-host count pre-pass that routes only
+    hosts over the cap through the rank (the [[bottomk_sample_per_group]]
+    bound), leaving the long tail rank-free.
+    """
+    d = parallel_scan(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    ranked = d.select("doc_id", "source", "n_chars").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    kept = F.col("rn") <= DOMAIN_CAP
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_total"),
+            F.sum(kept.cast("int")).cast("long").alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("kept_chars"),
+            F.max(F.when(kept, F.col("doc_id"))).cast("long").alias(
+                "last_kept_doc"
+            ),
         )
         .orderBy("source")
     )
