@@ -2959,3 +2959,446 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("actual", "predicted")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batching economics + classifier-based quality filtering
+# ---------------------------------------------------------------------------
+
+# Power-of-two padding widths for length-bucketed batching.
+_BUCKET_WIDTHS = [8, 16, 32, 64, 128, 256, 512]
+_BUCKET_CASE_SQL = (
+    "CASE "
+    + " ".join(f"WHEN n_toks <= {w} THEN {w}" for w in _BUCKET_WIDTHS)
+    + " ELSE 1024 END"
+)
+
+
+@register(
+    "length_bucket_batching",
+    oracle_sql=f"""
+    WITH toks AS (
+      SELECT doc_id, len({_TOK}) AS n_toks FROM documents
+    ),
+    bucketed AS (
+      SELECT doc_id, n_toks, {_BUCKET_CASE_SQL} AS width FROM toks
+      WHERE n_toks > 0
+    )
+    SELECT width,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS real_tokens,
+           CAST(count(*) * width AS BIGINT) AS padded_tokens,
+           CAST((count(*) * width - sum(n_toks)) * 1000000
+                // (count(*) * width) AS BIGINT) AS pad_waste_ppm,
+           CAST((count(*) * width + {PACK_BUDGET} - 1) // {PACK_BUDGET}
+                AS BIGINT) AS n_batches
+    FROM bucketed GROUP BY width ORDER BY width
+    """,
+    tags=("text", "batching", "pipeline"),
+)
+def length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching economics: documents fall into
+    power-of-two padding buckets (pad-to-width batching, the standard
+    alternative to [[sequence_packing]]), and each bucket reports its
+    real vs padded token mass, padding waste in ppm, and how many
+    {PACK_BUDGET}-token batches it fills.  Reading the waste column
+    against sequence_packing's near-zero waste is the classic
+    pack-vs-pad trade studied before every pretraining run.
+
+    Exactness: pure integer arithmetic — the CASE ladder replaces any
+    float log2 (whose cross-engine rounding at exact powers of two is
+    a documented hazard); waste is a non-negative floor division.
+    Scale shape: one scan -> per-doc token count -> a ≤{len(_BUCKET_WIDTHS) + 1}-row
+    aggregate; map-side combined, nothing data-sized shuffles.
+    """
+    d = parallel_scan(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.size(tokenize(F.col("text"))).alias("n_toks")
+    ).filter(F.col("n_toks") > 0)
+    width = F.expr(_BUCKET_CASE_SQL)
+    return (
+        toks.select("n_toks", width.alias("width"))
+        .groupBy("width")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("real_tokens"),
+            (F.count("*") * F.col("width")).cast("long").alias("padded_tokens"),
+            F.expr(
+                "CAST((count(*) * width - sum(n_toks)) * 1000000"
+                " div (count(*) * width) AS BIGINT)"
+            ).alias("pad_waste_ppm"),
+            F.expr(
+                f"CAST((count(*) * width + {PACK_BUDGET} - 1)"
+                f" div {PACK_BUDGET} AS BIGINT)"
+            ).alias("n_batches"),
+        )
+        .orderBy("width")
+    )
+
+
+# "Pretrained" linear quality classifier: HASH_DIM buckets, per-bucket
+# weight derived from md5 of the bucket id (a frozen public surrogate
+# for fastText-style trained weights), score in micro-units per token.
+QC_WEIGHT_RANGE = 100_000  # +/- 0.1 in micro units
+
+
+@register(
+    "quality_classifier_inference",
+    oracle_sql=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOK}) AS t FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             (CAST('0x' || substr(md5('w' ||
+                CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)
+                     % {HASH_DIM} AS VARCHAR)), 1, 8) AS BIGINT)
+              % {2 * QC_WEIGHT_RANGE + 1}) - {QC_WEIGHT_RANGE} AS w_micro
+      FROM tok
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(w_micro) AS BIGINT) AS score_sum_micro,
+           CAST((sum(w_micro) + 1000000000 * count(*)) // count(*)
+                - 1000000000 AS BIGINT) AS avg_w_micro,
+           CASE WHEN sum(w_micro) >= 0 THEN 1 ELSE 0 END AS passed
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("text", "quality", "classifier", "pipeline"),
+)
+def quality_classifier_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier INFERENCE over hashed bag-of-words
+    features — the fastText-style "score every document with a trained
+    filter model" stage (CCNet/GPT-3 pipelines).  The weight vector is
+    a frozen {HASH_DIM}-bucket table whose entries derive from md5 of
+    the bucket id — a deterministic public stand-in for trained weights
+    with the exact runtime shape of the real thing.
+
+    Scale shape: bucket = hash(token) % {HASH_DIM} and weight =
+    f(bucket) are both computed IN-ROW (the [[hashing_trick_features]]
+    trick composed with a closed-form weight), so inference is a pure
+    map + per-doc aggregate: NO weight table is joined, broadcast, or
+    even materialized.  With externally trained weights the same plan
+    broadcasts a {HASH_DIM}-row table — constant-size by construction.
+    The signed average uses the +1e9-offset floor division so Spark
+    div (truncate) agrees with DuckDB // (floor) on negative sums.
+    """
+    d = parallel_scan(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("t"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("long")
+        % HASH_DIM
+    )
+    w_micro = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("w"), bucket.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % (2 * QC_WEIGHT_RANGE + 1)
+        - QC_WEIGHT_RANGE
+    )
+    return (
+        tok.select("doc_id", w_micro.alias("w_micro"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("w_micro").cast("long").alias("score_sum_micro"),
+            F.expr(
+                "CAST((sum(w_micro) + 1000000000L * count(*)) div count(*)"
+                " - 1000000000L AS BIGINT)"
+            ).alias("avg_w_micro"),
+            F.expr(
+                "CASE WHEN sum(w_micro) >= 0 THEN 1 ELSE 0 END"
+            ).alias("passed"),
+        )
+    )
+
+
+@register(
+    "nb_quality_classifier_train_apply",
+    oracle_sql=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest({_TOK}) AS t FROM documents
+    ),
+    train_tok AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_pos, t
+      FROM tok WHERE doc_id % 2 = 0
+    ),
+    cls AS (
+      SELECT t, sum(is_pos) AS c_pos, sum(1 - is_pos) AS c_neg
+      FROM train_tok GROUP BY t
+    ),
+    tot AS (
+      SELECT sum(c_pos) AS n_pos, sum(c_neg) AS n_neg, count(*) AS v FROM cls
+    ),
+    prior AS (
+      SELECT CAST(round(ln(
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1 AS DOUBLE)
+               / (sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) + 1))
+               * 1000000) AS BIGINT) AS prior_micro
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    lo AS (
+      SELECT cls.t,
+             CAST(round(ln(CAST(c_pos + 1 AS DOUBLE) / (n_pos + v)) * 1000000)
+                  AS BIGINT)
+             - CAST(round(ln(CAST(c_neg + 1 AS DOUBLE) / (n_neg + v)) * 1000000)
+                    AS BIGINT) AS lo_micro
+      FROM cls, tot
+    ),
+    dflt AS (
+      SELECT CAST(round(ln(1.0 / (n_pos + v)) * 1000000) AS BIGINT)
+             - CAST(round(ln(1.0 / (n_neg + v)) * 1000000) AS BIGINT)
+               AS default_micro
+      FROM tot
+    ),
+    scored AS (
+      SELECT a.doc_id,
+             max(CASE WHEN a.lang = 'en' THEN 1 ELSE 0 END) AS actual,
+             CAST(max(p.prior_micro)
+                  + sum(coalesce(lo.lo_micro, d.default_micro)) AS BIGINT)
+               AS score_micro
+      FROM (SELECT doc_id, lang, t FROM tok WHERE doc_id % 2 = 1) a
+      LEFT JOIN lo ON lo.t = a.t
+      CROSS JOIN dflt d CROSS JOIN prior p
+      GROUP BY a.doc_id
+    )
+    SELECT actual,
+           CASE WHEN score_micro >= 0 THEN 1 ELSE 0 END AS predicted,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST((sum(score_micro) + 1000000000000 * count(*)) // count(*)
+                - 1000000000000 AS BIGINT) AS avg_score_micro
+    FROM scored GROUP BY actual, predicted ORDER BY actual, predicted
+    """,
+    tags=("text", "quality", "classifier", "train-apply", "pipeline"),
+)
+def nb_quality_classifier_train_apply(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Naive-Bayes quality classifier, TRAINED and APPLIED in one job —
+    the in-engine closure of the filter-model loop ([[bpe_merge_steps]]
+    -> [[tokenizer_apply_bpe]] did this for tokenizers): add-one-smoothed
+    per-token log-odds are learned on the even-doc_id half (label: is the
+    document English), applied to the odd half, and reported as a 2x2
+    confusion table with mean scores.  [[quality_classifier_inference]]
+    is the frozen-weights twin; this one derives the weights from data.
+
+    Exactness: every log is frozen to integer micro-nats at the
+    vocabulary grain before any per-doc sum; unseen tokens take the
+    closed-form smoothed default ln(1/(n+V)) difference; the signed
+    mean uses the +1e12-offset floor division (truncate == floor once
+    shifted non-negative).
+
+    Scale shape: training is ONE vocabulary-grain aggregate; the model
+    IS that table, and it shuffle-joins back to the apply-half token
+    stream ([[unigram_logprob_score]]'s rule — never broadcast an
+    unbounded vocabulary); totals, default, and prior ride three 1-row
+    broadcasts.  Corpus touched twice (train pass, apply pass), nothing
+    pairwise anywhere.
+    """
+    d = parallel_scan(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(tokenize(F.col("text"))).alias("t")
+    )
+    is_pos = F.when(F.col("lang") == "en", 1).otherwise(0)
+    train_tok = tok.filter(F.col("doc_id") % 2 == 0).select(
+        is_pos.alias("is_pos"), "t"
+    )
+    cls = train_tok.groupBy("t").agg(
+        F.sum("is_pos").alias("c_pos"),
+        F.sum(F.lit(1) - F.col("is_pos")).alias("c_neg"),
+    )
+    tot = cls.agg(
+        F.sum("c_pos").alias("n_pos"),
+        F.sum("c_neg").alias("n_neg"),
+        F.count("*").alias("v"),
+    )
+    prior = (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .agg(
+            F.expr(
+                "CAST(round(ln("
+                "CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1"
+                " AS DOUBLE)"
+                " / (sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) + 1))"
+                " * 1000000) AS BIGINT)"
+            ).alias("prior_micro")
+        )
+    )
+    lo = cls.crossJoin(F.broadcast(tot)).select(
+        "t",
+        (
+            F.expr(
+                "CAST(round(ln(CAST(c_pos + 1 AS DOUBLE) / (n_pos + v))"
+                " * 1000000) AS BIGINT)"
+            )
+            - F.expr(
+                "CAST(round(ln(CAST(c_neg + 1 AS DOUBLE) / (n_neg + v))"
+                " * 1000000) AS BIGINT)"
+            )
+        ).alias("lo_micro"),
+    )
+    dflt = tot.select(
+        (
+            F.expr("CAST(round(ln(1.0 / (n_pos + v)) * 1000000) AS BIGINT)")
+            - F.expr("CAST(round(ln(1.0 / (n_neg + v)) * 1000000) AS BIGINT)")
+        ).alias("default_micro")
+    )
+    scored = (
+        tok.filter(F.col("doc_id") % 2 == 1)
+        .join(lo, "t", "left")
+        .crossJoin(F.broadcast(dflt))
+        .crossJoin(F.broadcast(prior))
+        .groupBy("doc_id")
+        .agg(
+            F.max(is_pos).alias("actual"),
+            (
+                F.max("prior_micro")
+                + F.sum(F.coalesce("lo_micro", "default_micro"))
+            )
+            .cast("long")
+            .alias("score_micro"),
+        )
+    )
+    return (
+        scored.select(
+            "actual",
+            F.when(F.col("score_micro") >= 0, 1).otherwise(0).alias("predicted"),
+            "score_micro",
+        )
+        .groupBy("actual", "predicted")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.expr(
+                "CAST((sum(score_micro) + 1000000000000L * count(*))"
+                " div count(*) - 1000000000000L AS BIGINT)"
+            ).alias("avg_score_micro"),
+        )
+        .orderBy("actual", "predicted")
+    )
+
+
+@register(
+    "perplexity_filter_rewrite",
+    oracle_sql=f"""
+    WITH toks AS (SELECT doc_id, source, {_TOK} AS ts FROM documents),
+    big AS (
+      SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+      FROM (SELECT doc_id, ts,
+                   unnest(generate_series(1, len(ts) - 1)) AS i
+            FROM toks)
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2),
+    c1 AS (SELECT w1, sum(c) AS h FROM c12 GROUP BY w1),
+    v AS (SELECT count(DISTINCT t) AS vs
+          FROM (SELECT unnest(ts) AS t FROM toks)),
+    lp AS (
+      SELECT c12.w1, c12.w2,
+             CAST(round(ln(CAST(c12.c + 1 AS DOUBLE) / (c1.h + v.vs))
+                        * 1000000) AS BIGINT) AS lp_micro
+      FROM c12 JOIN c1 ON c1.w1 = c12.w1 CROSS JOIN v
+    ),
+    doc_scores AS (
+      SELECT big.doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(-sum(lp.lp_micro) // count(*) AS BIGINT) AS avg_neg_micro
+      FROM big JOIN lp ON lp.w1 = big.w1 AND lp.w2 = big.w2
+      GROUP BY big.doc_id
+    ),
+    thresh AS (
+      SELECT CAST(sum(avg_neg_micro) // count(*) AS BIGINT) AS cut
+      FROM doc_scores
+    )
+    SELECT t.source,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN s.avg_neg_micro <= th.cut THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN s.avg_neg_micro <= th.cut
+                    THEN s.n_bigrams ELSE 0 END) AS BIGINT) AS kept_bigrams,
+           CAST(max(th.cut) AS BIGINT) AS cut_micro
+    FROM toks t
+    JOIN doc_scores s ON s.doc_id = t.doc_id
+    CROSS JOIN thresh th
+    GROUP BY t.source ORDER BY t.source
+    """,
+    tags=("text", "lm", "filter", "rewrite", "pipeline"),
+)
+def perplexity_filter_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-based corpus FILTER — the CCNet recipe closed into a
+    rewrite: score every document with the [[ngram_lm_perplexity]]
+    bigram model, derive the cut as the corpus MEAN of the per-doc
+    average negative log-prob (one integer floor division — an exact,
+    engine-stable stand-in for CCNet's head/middle/tail percentile
+    cuts), and keep the documents at or below it, reported per source.
+
+    Scale shape: identical to ngram_lm_perplexity through the per-doc
+    score table (vocabulary-bounded exchanges, in-row pair generation),
+    plus one 1-row broadcast threshold and one source-grain rollup.
+    The threshold derives from a SCORE-TABLE aggregate (doc-grain, not
+    token-grain), so the second pass costs nothing data-sized.
+    """
+    d = compute_scan(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", tokenize(F.col("text")).alias("ts")
+    )
+    ts = F.col("ts")
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.slice(ts, 1, F.greatest(F.size(ts) - 1, F.lit(0))),
+                lambda x, i: F.struct(
+                    x.alias("w1"), F.element_at(ts, i + 2).alias("w2")
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    c12 = big.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    c1 = c12.groupBy("w1").agg(F.sum("c").alias("h"))
+    v = toks.select(F.explode(ts).alias("t")).agg(
+        F.countDistinct("t").alias("vs")
+    )
+    lp = (
+        c12.join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "w1",
+            "w2",
+            F.expr(
+                "CAST(round(ln(CAST(c + 1 AS DOUBLE) / (h + vs))"
+                " * 1000000) AS BIGINT)"
+            ).alias("lp_micro"),
+        )
+    )
+    doc_scores = (
+        big.join(lp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.expr("CAST(-sum(lp_micro) div count(*) AS BIGINT)").alias(
+                "avg_neg_micro"
+            ),
+        )
+    )
+    thresh = doc_scores.agg(
+        F.expr("CAST(sum(avg_neg_micro) div count(*) AS BIGINT)").alias("cut")
+    )
+    kept = F.col("avg_neg_micro") <= F.col("cut")
+    return (
+        toks.select("doc_id", "source")
+        .join(doc_scores, "doc_id")
+        .crossJoin(F.broadcast(thresh))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_total"),
+            F.sum(kept.cast("int")).cast("long").alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_bigrams")).otherwise(0))
+            .cast("long")
+            .alias("kept_bigrams"),
+            F.max("cut").cast("long").alias("cut_micro"),
+        )
+        .orderBy("source")
+    )
