@@ -1229,3 +1229,157 @@ def domain_cap_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Bloom-filter contamination screen: M-bit filter, K md5-slice probes.
+BLOOM_M = 65536
+BLOOM_K = 3
+
+
+@register(
+    "bloom_contamination_screen",
+    oracle_sql=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOK} AS tokens FROM documents
+    ),
+    shingled AS (
+      SELECT doc_id,
+             unnest(list_distinct({duckdb_ngrams("tokens", CONTAM_K)})) AS sh
+      FROM toks
+    ),
+    eval_sh AS (
+      SELECT DISTINCT sh FROM shingled WHERE doc_id % {EVAL_MOD} = 0
+    ),
+    bloom AS (
+      SELECT DISTINCT pos FROM (
+        SELECT unnest([
+          CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) % {BLOOM_M},
+          CAST('0x' || substr(md5(sh), 9, 8) AS BIGINT) % {BLOOM_M},
+          CAST('0x' || substr(md5(sh), 17, 8) AS BIGINT) % {BLOOM_M}
+        ]) AS pos FROM eval_sh
+      )
+    ),
+    train_sh AS (
+      SELECT doc_id, sh,
+             CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) % {BLOOM_M} AS p0,
+             CAST('0x' || substr(md5(sh), 9, 8) AS BIGINT) % {BLOOM_M} AS p1,
+             CAST('0x' || substr(md5(sh), 17, 8) AS BIGINT) % {BLOOM_M} AS p2
+      FROM shingled WHERE doc_id % {EVAL_MOD} <> 0
+    ),
+    verdicts AS (
+      SELECT t.doc_id, t.sh,
+             CASE WHEN EXISTS (SELECT 1 FROM bloom b WHERE b.pos = t.p0)
+                   AND EXISTS (SELECT 1 FROM bloom b WHERE b.pos = t.p1)
+                   AND EXISTS (SELECT 1 FROM bloom b WHERE b.pos = t.p2)
+                  THEN 1 ELSE 0 END AS bloom_hit,
+             CASE WHEN EXISTS (SELECT 1 FROM eval_sh e WHERE e.sh = t.sh)
+                  THEN 1 ELSE 0 END AS exact_hit
+      FROM train_sh t
+    )
+    SELECT CAST((SELECT count(*) FROM eval_sh) AS BIGINT) AS n_eval_shingles,
+           CAST((SELECT count(*) FROM bloom) AS BIGINT) AS n_bits_set,
+           CAST(count(*) AS BIGINT) AS n_train_shingles,
+           CAST(sum(bloom_hit) AS BIGINT) AS n_bloom_hits,
+           CAST(sum(exact_hit) AS BIGINT) AS n_exact_hits,
+           CAST(sum(bloom_hit) - sum(exact_hit) AS BIGINT) AS n_false_pos,
+           CAST((sum(bloom_hit) - sum(exact_hit)) * 1000000
+                // greatest(count(*) - sum(exact_hit), 1) AS BIGINT)
+             AS fp_rate_ppm
+    FROM verdicts
+    """,
+    tags=("contamination", "bloom", "sketch", "pipeline"),
+)
+def bloom_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter contamination screen: the eval slice's shingle set is
+    folded into an {BLOOM_M}-bit Bloom filter ({BLOOM_K} md5-slice
+    probes per shingle), every training shingle is screened against it,
+    and the result is reconciled against [[contamination_ngram_overlap]]'s
+    exact equi-join answer — reporting hits, exact hits, and the
+    measured false-positive rate.  Zero false NEGATIVES by construction
+    (a Bloom filter never misses a member); the op's one output row
+    quantifies the FP cost of making the screen constant-memory.
+
+    Scale shape: THIS is why the op exists — the exact screen must
+    shuffle-join a corpus-growing eval-shingle set, while the Bloom set
+    is at most {BLOOM_M} distinct bit positions NO MATTER how large the
+    eval suite grows, so the position table always BROADCASTS.  Each
+    training shingle probes it {BLOOM_K} times in one semi-join pass
+    (position explode -> match-count == probe-count).  The exact column
+    here is the audit; production runs bloom-only.
+    """
+    d = parallel_scan(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokenize(F.col("text")).alias("tokens"))
+    shingled = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(ngrams(F.col("tokens"), CONTAM_K))
+        ).alias("sh"),
+    )
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+
+    def pos(i: int):
+        return (
+            F.conv(F.substring(F.md5(F.col("sh")), 1 + 8 * i, 8), 16, 10)
+            .cast("long")
+            % BLOOM_M
+        )
+
+    eval_sh = shingled.filter(is_eval).select("sh").distinct()
+    bloom = (
+        eval_sh.select(
+            F.explode(F.array(pos(0), pos(1), pos(2))).alias("pos")
+        )
+        .distinct()
+    )
+    bloom_n = bloom.agg(F.count("*").alias("n_bits_set"))
+    eval_n = eval_sh.agg(F.count("*").alias("n_eval_shingles"))
+    train = shingled.filter(~is_eval).select(
+        "doc_id", "sh", pos(0).alias("p0"), pos(1).alias("p1"), pos(2).alias("p2")
+    )
+    probes = train.select(
+        "doc_id",
+        "sh",
+        F.explode(F.array_distinct(F.array("p0", "p1", "p2"))).alias("pos"),
+    ).withColumn("n_probe", F.count("*").over(
+        Window.partitionBy("doc_id", "sh")
+    ))
+    matched = (
+        probes.join(F.broadcast(bloom.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("doc_id", "sh")
+        .agg(
+            (F.sum(F.coalesce("hit", F.lit(0))) == F.max("n_probe"))
+            .cast("int")
+            .alias("bloom_hit")
+        )
+    )
+    exact = (
+        train.select("doc_id", "sh")
+        .join(eval_sh.withColumn("ehit", F.lit(1)), "sh", "left")
+        .select("doc_id", "sh", F.coalesce("ehit", F.lit(0)).alias("exact_hit"))
+    )
+    verdicts = matched.join(exact, ["doc_id", "sh"])
+    return (
+        verdicts.agg(
+            F.count("*").cast("long").alias("n_train_shingles"),
+            F.sum("bloom_hit").cast("long").alias("n_bloom_hits"),
+            F.sum("exact_hit").cast("long").alias("n_exact_hits"),
+            (F.sum("bloom_hit") - F.sum("exact_hit"))
+            .cast("long")
+            .alias("n_false_pos"),
+            F.expr(
+                "CAST((sum(bloom_hit) - sum(exact_hit)) * 1000000"
+                " div greatest(count(*) - sum(exact_hit), 1L) AS BIGINT)"
+            ).alias("fp_rate_ppm"),
+        )
+        .crossJoin(F.broadcast(eval_n))
+        .crossJoin(F.broadcast(bloom_n))
+        .select(
+            F.col("n_eval_shingles").cast("long").alias("n_eval_shingles"),
+            F.col("n_bits_set").cast("long").alias("n_bits_set"),
+            "n_train_shingles",
+            "n_bloom_hits",
+            "n_exact_hits",
+            "n_false_pos",
+            "fp_rate_ppm",
+        )
+    )

@@ -773,3 +773,79 @@ def graph_random_walk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "start", "step", F.col("cur").cast("long").alias("node")
     ).orderBy("start", "step")
+
+
+@register(
+    "graph_adamic_adar",
+    oracle_sql=f"""
+    WITH {_SQL_GRAPH_CTES.strip()},
+    adj AS (
+      SELECT DISTINCT u, v FROM (
+        SELECT src AS u, dst AS v FROM edges WHERE src <> dst
+        UNION ALL
+        SELECT dst AS u, src AS v FROM edges WHERE src <> dst
+      )
+    ),
+    deg AS (SELECT u, count(*) AS d FROM adj GROUP BY u),
+    pair_terms AS (
+      SELECT a.u AS node_a, b.u AS node_b,
+             CAST(round(1000000.0 / ln(CAST(dw.d AS DOUBLE))) AS BIGINT)
+               AS aa_micro
+      FROM adj a
+      JOIN adj b ON a.v = b.v AND a.u < b.u
+      JOIN deg dw ON dw.u = a.v
+      WHERE dw.d >= 2
+    )
+    SELECT node_a, node_b,
+           CAST(count(*) AS BIGINT) AS n_common,
+           CAST(sum(aa_micro) AS BIGINT) AS adamic_adar_micro
+    FROM pair_terms
+    GROUP BY node_a, node_b
+    ORDER BY node_a, node_b
+    """,
+    tags=("graph", "link-prediction", "join"),
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link-prediction score over the undirected trade
+    graph: AA(a,b) = Σ_{{w ∈ CN(a,b)}} 1/ln(deg(w)) — the
+    degree-discounted refinement of [[graph_common_neighbors]] (a rare
+    shared neighbor is stronger evidence than a hub every node
+    touches).  Degree-1 neighbors are excluded (ln 1 = 0 would divide
+    by zero; a degree-1 node cannot be a COMMON neighbor anyway, so the
+    filter is semantics-free belt-and-braces).
+
+    Exactness: each neighbor's 1/ln(d) is frozen to integer micro-units
+    ONCE at the node grain, then summed — the per-pair score is an
+    exact integer add in any order.  Scale shape: the identical
+    two-path self-join as common-neighbors with the degree table folded
+    onto the SHARED-neighbor column pre-aggregation; the same
+    lower-degree-endpoint ordering bounds fan-out on power-law graphs.
+    """
+    edges = _trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    adj = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+    )
+    deg = adj.groupBy("u").agg(F.count("*").alias("d"))
+    dw = deg.select(F.col("u").alias("v"), F.col("d").alias("dw"))
+    a = adj.select(F.col("u").alias("node_a"), "v")
+    b = adj.select(F.col("u").alias("node_b"), "v")
+    return (
+        a.join(b, "v")
+        .filter(F.col("node_a") < F.col("node_b"))
+        .join(F.broadcast(dw), "v")
+        .filter(F.col("dw") >= 2)
+        .withColumn(
+            "aa_micro",
+            F.expr(
+                "CAST(round(1000000.0 / ln(CAST(dw AS DOUBLE))) AS BIGINT)"
+            ),
+        )
+        .groupBy("node_a", "node_b")
+        .agg(
+            F.count("*").cast("long").alias("n_common"),
+            F.sum("aa_micro").cast("long").alias("adamic_adar_micro"),
+        )
+        .orderBy("node_a", "node_b")
+    )

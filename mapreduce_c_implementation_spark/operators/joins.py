@@ -761,3 +761,90 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" - sum(prod)) * 10000 div sum(prod) AS BIGINT)"
         ).alias("est_err_bp"),
     )
+
+
+# Fuzzy lookup: FUZZY_K probe names (derived: one char deleted from the
+# first parts' names), matched against the whole part table by edit
+# distance within a cheap block.
+FUZZY_K = 20
+FUZZY_MAX_DIST = 2
+
+
+@register(
+    "join_fuzzy_levenshtein",
+    oracle_sql=f"""
+    WITH probes AS (
+      SELECT p_partkey AS probe_id,
+             substr(p_name, 1, 3) || substr(p_name, 5) AS probe_name
+      FROM part WHERE p_partkey < {FUZZY_K}
+    ),
+    cand AS (
+      SELECT pr.probe_id, pr.probe_name, p.p_partkey, p.p_name,
+             levenshtein(pr.probe_name, p.p_name) AS dist
+      FROM probes pr
+      JOIN part p ON substr(p.p_name, 1, 3) = substr(pr.probe_name, 1, 3)
+      WHERE levenshtein(pr.probe_name, p.p_name) <= {FUZZY_MAX_DIST}
+    ),
+    best AS (
+      SELECT probe_id, probe_name, p_partkey, p_name, dist,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY dist, p_partkey) AS rn
+      FROM cand
+    )
+    SELECT probe_id, probe_name,
+           CAST(p_partkey AS BIGINT) AS match_partkey,
+           p_name AS match_name,
+           CAST(dist AS BIGINT) AS dist
+    FROM best WHERE rn = 1 ORDER BY probe_id
+    """,
+    tags=("join", "fuzzy", "levenshtein"),
+)
+def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy-match lookup: {FUZZY_K} corrupted probe names (one
+    character deleted from real part names — derived, so the op runs on
+    fixture data alone) are resolved against the part table by
+    Levenshtein distance ≤ {FUZZY_MAX_DIST}, best match per probe with
+    a total-order tie-break (distance, then partkey).  The entity-
+    resolution primitive [[record_linkage_blocked]] uses for name
+    fields, surfaced as its own operator.
+
+    Scale shape: the naive form is probes × parts — a nested loop.  The
+    BLOCK (equi-join on the first 3 characters, which a single-char
+    deletion at position ≥ 4 provably preserves) turns it into a
+    BroadcastHashJoin on the block key with the edit distance as the
+    join residual, so each probe scans only its block.  At dictionary
+    scale the same plan holds with the probe side broadcast; blocks
+    bound the candidate set the way LSH bands do for MinHash.
+    Levenshtein is exact integer edit distance in both engines.
+    """
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    probes = p.filter(F.col("p_partkey") < FUZZY_K).select(
+        F.col("p_partkey").alias("probe_id"),
+        F.concat(
+            F.substring("p_name", 1, 3), F.expr("substring(p_name, 5)")
+        ).alias("probe_name"),
+    )
+    cand = (
+        p.join(
+            F.broadcast(probes),
+            F.substring(F.col("p_name"), 1, 3)
+            == F.substring(F.col("probe_name"), 1, 3),
+        )
+        .withColumn("dist", F.levenshtein("probe_name", "p_name"))
+        .filter(F.col("dist") <= FUZZY_MAX_DIST)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("probe_id").orderBy("dist", "p_partkey")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "probe_id",
+            "probe_name",
+            F.col("p_partkey").cast("long").alias("match_partkey"),
+            F.col("p_name").alias("match_name"),
+            F.col("dist").cast("long").alias("dist"),
+        )
+        .orderBy("probe_id")
+    )

@@ -493,3 +493,93 @@ def bottomk_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_chars").cast("long").alias("n_chars"))
         .orderBy("source", "rk")
     )
+
+
+# Temperature-scaled source mixing (alpha = 0.5, i.e. sqrt scaling).
+MIX_TOKEN_TARGET = 100_000
+
+
+@register(
+    "source_temperature_mixing",
+    oracle_sql=f"""
+    WITH per_source AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len({DUCKDB_TOKENIZE.format(col="text")})) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    scaled AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000) AS BIGINT)
+               AS s_milli
+      FROM per_source
+    ),
+    tot AS (
+      SELECT sum(n_tokens) AS tot_tokens, sum(s_milli) AS tot_s FROM scaled
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST(n_tokens * 1000000 // tot_tokens AS BIGINT) AS prop_ppm,
+           CAST(s_milli * 1000000 // tot_s AS BIGINT) AS temp_ppm,
+           CAST(({MIX_TOKEN_TARGET} * s_milli) // tot_s AS BIGINT)
+             AS budget_tokens,
+           CAST(({MIX_TOKEN_TARGET} * s_milli * 1000) // (tot_s * n_tokens)
+                AS BIGINT) AS epochs_milli
+    FROM scaled, tot
+    ORDER BY source
+    """,
+    tags=("sampling", "mixing", "pipeline"),
+)
+def source_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing weights (α = 0.5): each source's
+    sampling share is proportional to sqrt(its token count) — the
+    multilingual/multi-source rebalancing rule (UniMax-style) that
+    up-weights small sources without letting any source dominate.
+    Reports both the proportional share and the temperature share in
+    ppm, plus each source's token budget out of {MIX_TOKEN_TARGET} and
+    the implied epoch count (epochs > 1.0 ⇒ the source repeats —
+    the oversampling [[source_token_budget_mix]] caps).
+
+    Exactness: sqrt is IEEE-exact in both engines (correctly rounded by
+    spec, unlike ln); frozen to milli-units once per SOURCE, then every
+    share is a non-negative integer floor division (Spark div ==
+    DuckDB // for non-negative operands).  Scale shape: one corpus scan -> source-grain aggregate;
+    everything after runs on a |sources|-row table with a 1-row
+    broadcast of totals.
+    """
+    d = parallel_scan(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(tokenize(F.col("text")))).cast("long").alias("n_tokens"),
+    )
+    scaled = per_source.withColumn(
+        "s_milli",
+        F.expr(
+            "CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000) AS BIGINT)"
+        ),
+    )
+    tot = scaled.agg(
+        F.sum("n_tokens").alias("tot_tokens"), F.sum("s_milli").alias("tot_s")
+    )
+    return (
+        scaled.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr(
+                "CAST(n_tokens * 1000000L div tot_tokens AS BIGINT)"
+            ).alias("prop_ppm"),
+            F.expr(
+                "CAST(s_milli * 1000000L div tot_s AS BIGINT)"
+            ).alias("temp_ppm"),
+            F.expr(
+                f"CAST(({MIX_TOKEN_TARGET}L * s_milli) div tot_s AS BIGINT)"
+            ).alias("budget_tokens"),
+            F.expr(
+                f"CAST(({MIX_TOKEN_TARGET}L * s_milli * 1000)"
+                f" div (tot_s * n_tokens) AS BIGINT)"
+            ).alias("epochs_milli"),
+        )
+        .orderBy("source")
+    )

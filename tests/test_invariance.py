@@ -187,6 +187,20 @@ SWEPT_OPS = [
     "langid_confusion_matrix",
     "welch_t_test_pairs",
     "embedding_centroid_outliers",
+    # round-7 wave: URL hygiene, binned stats, classifier filters,
+    # bloom screen, batching economics, fuzzy/blocked joins, mixing.
+    "url_canonicalize_dedup",
+    "url_blocklist_filter",
+    "domain_cap_rewrite",
+    "ks_two_sample_binned",
+    "quality_classifier_inference",
+    "nb_quality_classifier_train_apply",
+    "perplexity_filter_rewrite",
+    "bloom_contamination_screen",
+    "length_bucket_batching",
+    "join_fuzzy_levenshtein",
+    "graph_adamic_adar",
+    "source_temperature_mixing",
 ]
 
 

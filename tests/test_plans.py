@@ -237,6 +237,17 @@ _NESTED_LOOP_EXEMPT = {
     "welch_t_test_pairs",
     # 1-row centroid-array + count broadcasts
     "embedding_centroid_outliers",
+    # 1-row (n_a, n_b) totals broadcast onto the bounded bin-domain ECDF
+    "ks_two_sample_binned",
+    # three 1-row broadcasts: class totals, smoothed default, prior
+    "nb_quality_classifier_train_apply",
+    # 1-row vocab broadcast (inherited LM shape) + 1-row threshold
+    "perplexity_filter_rewrite",
+    # 1-row totals broadcast for the ppm shares
+    "source_temperature_mixing",
+    # 1-row eval-shingle / bit-count broadcasts folded onto the 1-row
+    # result; the bloom probe itself is a broadcast HASH join on pos
+    "bloom_contamination_screen",
 }
 
 # Modules whose query_fns build lazy plans (streaming/io execute jobs
