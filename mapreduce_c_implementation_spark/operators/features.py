@@ -326,3 +326,56 @@ def feature_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_mktsegment", "n_rows", "enc_cents")
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "feature_rank_normalize",
+    oracle_sql="""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rnk,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(rnk AS BIGINT) AS rnk,
+           CAST((rnk - 1) * 1000000 // greatest(n - 1, 1) AS BIGINT)
+             AS rank_ppm
+    FROM ranked
+    """,
+    tags=("features", "normalize", "pipeline"),
+)
+def feature_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group rank (quantile) normalization: each document's length
+    maps to its within-source rank position in [0, 1e6] ppm — the
+    distribution-free normalizer (quantile transform) that makes a
+    feature comparable ACROSS sources with different length regimes,
+    where [[feature_minmax_scale]]'s linear map stays hostage to each
+    group's outliers.  Ties break on doc_id, so the map is a total
+    order and bit-reproducible.
+
+    Scale shape: one row_number + count window PARTITIONED BY the
+    group key — the same keyed shuffle every per-group rank op here
+    uses; no global window.  The ppm is a non-negative integer floor
+    division (truncate == floor).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wc = Window.partitionBy("source")
+    return d.select("doc_id", "source", "n_chars").select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.count("*").over(wc).alias("n"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "rnk",
+        F.expr(
+            "CAST((rnk - 1) * 1000000L div greatest(n - 1, 1L) AS BIGINT)"
+        ).alias("rank_ppm"),
+    )

@@ -1084,3 +1084,87 @@ def ks_two_sample_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div (max(n_a) * max(n_b)) AS BIGINT)"
         ).alias("d_ppm"),
     )
+
+
+@register(
+    "cvm_two_sample_binned",
+    oracle_sql=f"""
+    WITH pts AS (
+      SELECT least({KS_N_BINS} - 1,
+                   CAST(floor(value / {KS_BIN_WIDTH}) AS INTEGER)) AS bin,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a
+      FROM events
+    ),
+    tot AS (SELECT sum(is_a) AS n_a, sum(1 - is_a) AS n_b FROM pts),
+    per_bin AS (
+      SELECT bin, sum(is_a) AS c_a, sum(1 - is_a) AS c_b
+      FROM pts GROUP BY bin
+    ),
+    ecdf AS (
+      SELECT bin, c_a, c_b,
+             sum(c_a) OVER (ORDER BY bin) AS cum_a,
+             sum(c_b) OVER (ORDER BY bin) AS cum_b
+      FROM per_bin
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(max(n_a) AS BIGINT) AS n_a,
+           CAST(max(n_b) AS BIGINT) AS n_b,
+           CAST(sum(CAST(c_a + c_b AS HUGEINT)
+                    * (cum_a * n_b - cum_b * n_a)
+                    * (cum_a * n_b - cum_b * n_a)) * 1000000
+                // (CAST(max(n_a) + max(n_b) AS HUGEINT)
+                    * max(n_a) * max(n_a) * max(n_b) * max(n_b))
+             AS BIGINT) AS omega2_micro
+    FROM ecdf, tot
+    """,
+    tags=("stats", "drift", "cvm", "binned"),
+)
+def cvm_two_sample_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-binned two-sample Cramér-von Mises statistic over the same
+    bounded bin domain as [[ks_two_sample_binned]]: ω² =
+    Σ_bins (pooled mass fraction) · (F_a - F_b)² — the WHOLE-curve
+    companion to KS's single worst gap (CvM integrates every ECDF
+    deviation, so it catches broad small shifts KS's max misses).
+
+    Exactness: the squared gap is the cross-multiplied integer
+    (cum_a·n_b - cum_b·n_a)², accumulated through HUGEINT /
+    DECIMAL(38,0) (the [[group_linear_regression]] headroom rule — the
+    weighted square reaches ~1e23 at sf0.1) and floor-divided once by
+    the exact normalizer (n_a+n_b)·n_a²·n_b².  Scale shape: identical
+    to the binned KS — per-bin counts, a ≤{KS_N_BINS}-row window,
+    1-row totals broadcast.
+    """
+    pts = load_table(spark, sf_dir, "events").select(
+        F.least(
+            F.lit(KS_N_BINS - 1),
+            F.floor(F.col("value") / KS_BIN_WIDTH).cast("int"),
+        ).alias("bin"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_a"),
+    )
+    per_bin = pts.groupBy("bin").agg(
+        F.sum("is_a").alias("c_a"),
+        F.sum(F.lit(1) - F.col("is_a")).alias("c_b"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = per_bin.select(
+        "c_a",
+        "c_b",
+        F.sum("c_a").over(w).alias("cum_a"),
+        F.sum("c_b").over(w).alias("cum_b"),
+    )
+    tot = pts.agg(
+        F.sum("is_a").alias("n_a"),
+        F.sum(F.lit(1) - F.col("is_a")).alias("n_b"),
+    )
+    return ecdf.crossJoin(F.broadcast(tot)).agg(
+        F.count("*").cast("long").alias("n_bins"),
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        F.expr(
+            "CAST(sum(CAST(c_a + c_b AS DECIMAL(38,0))"
+            " * (cum_a * n_b - cum_b * n_a)"
+            " * (cum_a * n_b - cum_b * n_a)) * 1000000"
+            " div (CAST(max(n_a) + max(n_b) AS DECIMAL(38,0))"
+            " * max(n_a) * max(n_a) * max(n_b) * max(n_b)) AS BIGINT)"
+        ).alias("omega2_micro"),
+    )

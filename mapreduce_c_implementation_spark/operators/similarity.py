@@ -1746,3 +1746,88 @@ def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dist2_micro2"), "vec_id")
         .limit(EMB_OUTLIER_TOPK)
     )
+
+
+# Deterministic pair sample for the cosine histogram: vectors whose
+# md5(vec_id) lands in 1/COS_SAMPLE_MOD of hash space, all pairs among
+# them.
+COS_SAMPLE_MOD = 16
+
+
+@register(
+    "cosine_similarity_histogram",
+    oracle_sql=f"""
+    WITH {_SQL_NORMS},
+    sampled AS (
+      SELECT vec_id, embedding, nrm FROM norms
+      WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT)
+            % {COS_SAMPLE_MOD} = 0
+    ),
+    pairs AS (
+      SELECT CAST(floor(round(
+               {_SQL_DOT.format(a="a.embedding", b="b.embedding")}
+               / (a.nrm * b.nrm), 6) * 10) AS BIGINT) AS bin
+      FROM sampled a JOIN sampled b ON a.vec_id < b.vec_id
+    ),
+    tot AS (SELECT count(*) AS n FROM pairs)
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(*) * 1000000 // max(t.n) AS BIGINT) AS share_ppm
+    FROM pairs, tot t
+    GROUP BY bin ORDER BY bin
+    """,
+    tags=("similarity", "calibration", "histogram", "pipeline"),
+)
+def cosine_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine distribution histogram over a deterministic
+    md5-sampled vector subset (1/{COS_SAMPLE_MOD} of hash space, all
+    pairs within the sample) — the calibration curve every similarity
+    threshold is read off of: where [[semdedup_cells]]' dedup cut or
+    [[dedup_embedding_cosine]]'s 0.95 sits relative to the background
+    similarity mass.  Bins are 0.1-wide (cosine rounded to 6 places
+    first, so the floor is engine-stable).
+
+    Scale shape: the all-pairs product exists ONLY inside the
+    hash-bounded sample — the [[ann_recall_eval]] calibration pattern:
+    production fixes the sample COUNT (tighten the mod as the corpus
+    grows), so pair cost is a constant budget, never corpus-quadratic.
+    One 1-row total broadcasts for the ppm shares.
+    """
+    norms = _norms(spark, sf_dir)
+    sampled = norms.filter(
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % COS_SAMPLE_MOD
+        == 0
+    ).select("vec_id", "embedding", "nrm")
+    a = sampled.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = sampled.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cos = F.round(
+        _spark_dot(F.col("emb_a"), F.col("emb_b"))
+        / (F.col("nrm_a") * F.col("nrm_b")),
+        6,
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
+        F.floor(cos * 10).cast("long").alias("bin")
+    )
+    tot = pairs.agg(F.count("*").alias("n"))
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.expr(
+                "CAST(count(*) * 1000000L div max(n) AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+        .orderBy("bin")
+    )

@@ -3402,3 +3402,87 @@ def perplexity_filter_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "corpus_entropy_rate",
+    oracle_sql=f"""
+    WITH toks AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+    big AS (
+      SELECT ts[i] AS w1, ts[i + 1] AS w2
+      FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+            FROM toks)
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2),
+    c1 AS (SELECT w1, sum(c) AS h FROM c12 GROUP BY w1),
+    n AS (SELECT sum(c) AS nb FROM c12)
+    SELECT CAST(max(n.nb) AS BIGINT) AS n_bigrams,
+           CAST(count(*) AS BIGINT) AS vocab_bigrams,
+           CAST(-sum(c12.c * CAST(round(ln(CAST(c12.c AS DOUBLE) / c1.h)
+                                        * 1000000) AS BIGINT)) // max(n.nb)
+                AS BIGINT) AS cond_entropy_micro,
+           CAST(-sum(CASE WHEN c12.w2 = first_w2.mw THEN
+                   c1.h * CAST(round(ln(CAST(c1.h AS DOUBLE) / n.nb)
+                                     * 1000000) AS BIGINT) ELSE 0 END)
+                // max(n.nb) AS BIGINT) AS history_entropy_micro
+    FROM c12
+    JOIN c1 ON c1.w1 = c12.w1
+    JOIN (SELECT w1, min(w2) AS mw FROM c12 GROUP BY w1) first_w2
+      ON first_w2.w1 = c12.w1
+    CROSS JOIN n
+    """,
+    tags=("text", "lm", "entropy", "pipeline"),
+)
+def corpus_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram entropy rate H(w₂|w₁) = -Σ p(w₁,w₂)·ln p(w₂|w₁),
+    plus the history entropy H(w₁) — the information-theoretic
+    compressibility summary of the corpus ([[ngram_lm_perplexity]]
+    scores DOCUMENTS against the model; this scores the MODEL itself,
+    the number a tokenizer/LM capacity plan starts from).
+
+    Exactness: each conditional log is frozen to micro-nats at the
+    BIGRAM-VOCABULARY grain, weighted by its integer count, negated
+    before the floor division (cookbook rule for negative log sums).
+    The history term weights each w₁ exactly once via the min-w₂
+    marker row — no separate unigram pass, no double count.
+
+    Scale shape: the corpus collapses to the bigram-count table in one
+    map-side-combined aggregate; every later join (history counts,
+    marker rows) is vocabulary-grain, and the total rides a 1-row
+    broadcast.  Output is a single row at any corpus size.
+    """
+    d = compute_scan(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokenize(F.col("text")).alias("ts"))
+    ts = F.col("ts")
+    big = toks.select(
+        F.explode(
+            F.transform(
+                F.slice(ts, 1, F.greatest(F.size(ts) - 1, F.lit(0))),
+                lambda x, i: F.struct(
+                    x.alias("w1"), F.element_at(ts, i + 2).alias("w2")
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    c12 = big.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    c1 = c12.groupBy("w1").agg(F.sum("c").alias("h"))
+    first_w2 = c12.groupBy("w1").agg(F.min("w2").alias("mw"))
+    n = c12.agg(F.sum("c").alias("nb"))
+    return (
+        c12.join(c1, "w1")
+        .join(first_w2, "w1")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.max("nb").cast("long").alias("n_bigrams"),
+            F.count("*").cast("long").alias("vocab_bigrams"),
+            F.expr(
+                "CAST(-sum(c * CAST(round(ln(CAST(c AS DOUBLE) / h)"
+                " * 1000000) AS BIGINT)) div max(nb) AS BIGINT)"
+            ).alias("cond_entropy_micro"),
+            F.expr(
+                "CAST(-sum(CASE WHEN w2 = mw THEN"
+                " h * CAST(round(ln(CAST(h AS DOUBLE) / nb)"
+                " * 1000000) AS BIGINT) ELSE 0 END) div max(nb) AS BIGINT)"
+            ).alias("history_entropy_micro"),
+        )
+    )

@@ -140,6 +140,10 @@ _DRIVER_PRIORITY = [
     "join_fuzzy_levenshtein",
     "graph_adamic_adar",
     "source_temperature_mixing",
+    "cvm_two_sample_binned",
+    "corpus_entropy_rate",
+    "feature_rank_normalize",
+    "cosine_similarity_histogram",
 ]
 
 # Operators hard-verified by the driver in prior rounds (the union of

@@ -74,6 +74,26 @@ PROBE_OPS = [
     "span_corruption_masking",
     "rag_chunk_index_build",
     "contamination_filter_rewrite",
+    # round-6 third wave (verdict r6 item 4): the remaining unprobed
+    # additions — hash-decided MLM masking (pure map), survival / t-test
+    # / confusion statistics (group-grain reduces), DPO pair windows,
+    # and the degree-bounded random-walk joins.
+    "mlm_token_masking",
+    "kaplan_meier_retention",
+    "welch_t_test_pairs",
+    "langid_confusion_matrix",
+    "preference_pair_construction",
+    "graph_random_walk_pairs",
+    # round-7 additions with non-trivial shapes: URL canonical groupBy,
+    # bloom probe (broadcast bit-set join), NB train+apply (vocab-grain
+    # shuffle join), perplexity filter (LM + threshold), per-host cap
+    # window, blocked fuzzy join.
+    "url_canonicalize_dedup",
+    "bloom_contamination_screen",
+    "nb_quality_classifier_train_apply",
+    "perplexity_filter_rewrite",
+    "domain_cap_rewrite",
+    "join_fuzzy_levenshtein",
 ]
 
 

@@ -201,6 +201,10 @@ SWEPT_OPS = [
     "join_fuzzy_levenshtein",
     "graph_adamic_adar",
     "source_temperature_mixing",
+    "cvm_two_sample_binned",
+    "corpus_entropy_rate",
+    "feature_rank_normalize",
+    "cosine_similarity_histogram",
 ]
 
 

@@ -248,6 +248,14 @@ _NESTED_LOOP_EXEMPT = {
     # 1-row eval-shingle / bit-count broadcasts folded onto the 1-row
     # result; the bloom probe itself is a broadcast HASH join on pos
     "bloom_contamination_screen",
+    # 1-row totals broadcast onto the bounded bin-domain ECDF (KS twin)
+    "cvm_two_sample_binned",
+    # 1-row bigram-total broadcast for the entropy normalizers
+    "corpus_entropy_rate",
+    # hash-bounded sample all-pairs (the ann_recall_eval calibration
+    # pattern: pair cost is a fixed budget, never corpus-quadratic)
+    # + 1-row pair-total broadcast
+    "cosine_similarity_histogram",
 }
 
 # Modules whose query_fns build lazy plans (streaming/io execute jobs
