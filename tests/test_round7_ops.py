@@ -1,0 +1,135 @@
+"""Semantic contracts for the round-7 operators — intent checks that the
+cross-engine oracle diff (tests/test_operators_vs_oracle.py) cannot see:
+the oracle proves Spark == DuckDB, these prove both equal the SPEC.
+"""
+
+from __future__ import annotations
+
+from mapreduce_c_implementation_spark.operators.corpus_filters import (
+    DOMAIN_CAP,
+)
+from mapreduce_c_implementation_spark.registry import get_operator
+
+
+def _rows(spark, sf_dir, name):
+    return get_operator(name).query_fn(spark, sf_dir).collect()
+
+
+def test_url_canonical_normalization_contract(spark, sf_correct):
+    """Canonical URLs carry no scheme/www/port/tracking/fragment noise
+    and no trailing slash, while REAL query params survive."""
+    rows = _rows(spark, sf_correct, "url_canonicalize_dedup")
+    urls = [r.canonical_url for r in rows]
+    assert urls, "no canonical urls produced"
+    for u in urls:
+        assert not u.startswith("http"), u
+        assert not u.startswith("www."), u
+        assert "#" not in u, u
+        assert "utm_" not in u, u
+        assert ":443" not in u, u
+        assert not u.endswith("/"), u
+        assert u == u.lower(), u
+    # the non-tracking ?page=2 param must survive canonicalization
+    assert any("?page=2" in u for u in urls)
+    # and the derivation must actually produce collapsible variants
+    assert any(r.n_raw_variants > 1 for r in rows)
+
+
+def test_url_blocklist_blocks_whole_hosts_and_prefixes(spark, sf_correct):
+    rows = {r.source: r for r in _rows(spark, sf_correct, "url_blocklist_filter")}
+    # whole-host rules: every src1/src17 doc blocked
+    for src in ("src1", "src17"):
+        assert rows[src].n_blocked == rows[src].n_total
+        assert rows[src].n_kept == 0
+    # prefix rule on src0 blocks a strict, non-empty subset
+    assert 0 < rows["src0"].n_blocked < rows["src0"].n_total
+    # untouched hosts keep everything
+    assert rows["src5"].n_blocked == 0
+
+
+def test_domain_cap_keeps_exactly_cap(spark, sf_correct):
+    for r in _rows(spark, sf_correct, "domain_cap_rewrite"):
+        assert r.n_kept == min(r.n_total, DOMAIN_CAP)
+        assert r.last_kept_doc is not None
+
+
+def test_bloom_screen_no_false_negatives(spark, sf_correct):
+    """A Bloom filter may over-flag but can never miss a member."""
+    (r,) = _rows(spark, sf_correct, "bloom_contamination_screen")
+    assert r.n_bloom_hits >= r.n_exact_hits
+    assert r.n_false_pos == r.n_bloom_hits - r.n_exact_hits
+    assert r.n_false_pos >= 0
+    assert 0 < r.n_bits_set <= 3 * r.n_eval_shingles
+
+
+def test_fuzzy_lookup_finds_near_match_for_every_probe(spark, sf_correct):
+    rows = _rows(spark, sf_correct, "join_fuzzy_levenshtein")
+    from mapreduce_c_implementation_spark.operators.joins import FUZZY_K
+
+    assert len(rows) == FUZZY_K
+    # each probe was derived by deleting one char from a real name, so a
+    # match at distance <= 1 always exists inside its block
+    assert all(r.dist <= 1 for r in rows)
+
+
+def test_binned_two_sample_stats_are_bounded(spark, sf_correct):
+    (ks,) = _rows(spark, sf_correct, "ks_two_sample_binned")
+    assert 0 <= ks.d_ppm <= 1_000_000
+    assert ks.n_bins <= 64
+    (cvm,) = _rows(spark, sf_correct, "cvm_two_sample_binned")
+    assert 0 <= cvm.omega2_micro <= 1_000_000
+    assert (cvm.n_a, cvm.n_b) == (ks.n_a, ks.n_b)
+
+
+def test_rank_normalize_spans_full_unit_interval(spark, sf_correct):
+    rows = _rows(spark, sf_correct, "feature_rank_normalize")
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        ppms = sorted(r.rank_ppm for r in rs)
+        assert ppms[0] == 0, src
+        assert ppms[-1] == 1_000_000, src
+        ranks = sorted(r.rnk for r in rs)
+        assert ranks == list(range(1, len(rs) + 1)), src
+
+
+def test_temperature_mixing_flattens_shares(spark, sf_correct):
+    rows = _rows(spark, sf_correct, "source_temperature_mixing")
+    total_temp = sum(r.temp_ppm for r in rows)
+    # shares floor-divide, so the sum undershoots 1e6 by < |sources|
+    assert 1_000_000 - len(rows) <= total_temp <= 1_000_000
+    # sqrt temperature moves every share toward the mean: the smallest
+    # source gains share, the largest loses it
+    smallest = min(rows, key=lambda r: r.n_tokens)
+    largest = max(rows, key=lambda r: r.n_tokens)
+    assert smallest.temp_ppm >= smallest.prop_ppm
+    assert largest.temp_ppm <= largest.prop_ppm
+
+
+def test_nb_classifier_covers_the_apply_half(spark, sf_correct):
+    rows = _rows(spark, sf_correct, "nb_quality_classifier_train_apply")
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    n_odd = docs.filter("doc_id % 2 = 1").count()
+    assert sum(r.n_docs for r in rows) == n_odd
+    assert all(r.actual in (0, 1) and r.predicted in (0, 1) for r in rows)
+
+
+def test_length_buckets_pad_upward_only(spark, sf_correct):
+    rows = _rows(spark, sf_correct, "length_bucket_batching")
+    for r in rows:
+        assert r.width & (r.width - 1) == 0, "width must be a power of two"
+        assert r.padded_tokens >= r.real_tokens
+        assert 0 <= r.pad_waste_ppm < 1_000_000
+        assert r.n_batches >= 1
+
+
+def test_entropy_rate_bounds(spark, sf_correct):
+    import math
+
+    (r,) = _rows(spark, sf_correct, "corpus_entropy_rate")
+    assert r.n_bigrams > 0
+    assert 0 <= r.cond_entropy_micro
+    assert 0 <= r.history_entropy_micro
+    # both entropies are bounded by ln(respective support size)
+    assert r.cond_entropy_micro <= math.log(r.vocab_bigrams) * 1e6
