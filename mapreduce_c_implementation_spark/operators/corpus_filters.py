@@ -1383,3 +1383,165 @@ def bloom_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fp_rate_ppm",
         )
     )
+
+
+# Line/template boilerplate removal, n-gram formulation (the fixture
+# text has no newlines, so the "repeated line" unit is a token 4-gram).
+# A 4-gram is boilerplate within a source when it appears in >=
+# BOILER_PCT% of that source's documents.  The fixture corpus is
+# synthetic random text with no real boilerplate, so — exactly like
+# the [[url_canonicalize_dedup]] family synthesizes URLs — each source's
+# header/footer template is injected deterministically in-query:
+# doc_id % 3 != 0 gets a 5-token per-source header, doc_id % 2 == 0 a
+# 5-token global footer.
+BOILER_PCT = 30
+_BOILER_FOOTER = ("follow", "us", "on", "spark", "today")
+_BOILER_AUG_SQL = """
+    aug AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 3 <> 0
+                  THEN ['about', source, 'daily', 'news', 'digest']
+                  ELSE CAST([] AS VARCHAR[]) END
+             || {tok}
+             || CASE WHEN doc_id % 2 = 0
+                     THEN ['follow', 'us', 'on', 'spark', 'today']
+                     ELSE CAST([] AS VARCHAR[]) END AS ts
+      FROM documents
+    )
+"""
+
+
+@register(
+    "boilerplate_ngram_removal",
+    oracle_sql=f"""
+    WITH {_BOILER_AUG_SQL.format(tok=_TOK).strip()},
+    grams AS (
+      SELECT doc_id, source, unnest({duckdb_ngrams("ts", 4)}) AS g
+      FROM aug
+    ),
+    src_counts AS (
+      SELECT source, count(*) AS nd FROM aug GROUP BY source
+    ),
+    boiler AS (
+      SELECT gr.source, gr.g
+      FROM grams gr JOIN src_counts sc USING (source)
+      GROUP BY gr.source, gr.g, sc.nd
+      HAVING count(DISTINCT gr.doc_id) * 100 >= {BOILER_PCT} * sc.nd
+    ),
+    bsets AS (
+      SELECT source, list(DISTINCT g ORDER BY g) AS bset
+      FROM boiler GROUP BY source
+    ),
+    marked AS (
+      SELECT a.doc_id, a.source, a.ts,
+             coalesce(b.bset, CAST([] AS VARCHAR[])) AS bset,
+             len(a.ts) AS n,
+             list_transform(generate_series(1, len(a.ts)), p ->
+               CASE WHEN len(a.ts) >= 4 THEN
+                 len(list_filter(
+                   generate_series(greatest(p - 3, 1), least(p, len(a.ts) - 3)),
+                   i -> list_contains(coalesce(b.bset, CAST([] AS VARCHAR[])),
+                                      array_to_string(list_slice(a.ts, i, i + 3),
+                                                      ' ')))) > 0
+               ELSE false END) AS cov
+      FROM aug a LEFT JOIN bsets b USING (source)
+    )
+    SELECT doc_id, source,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(cov, c -> c)) AS BIGINT) AS n_covered,
+           CAST(n - len(list_filter(cov, c -> c)) AS BIGINT) AS n_kept,
+           array_to_string(
+             list_filter(list_transform(generate_series(1, n),
+                                        p -> CASE WHEN cov[p] THEN NULL
+                                                  ELSE ts[p] END),
+                         x -> x IS NOT NULL), ' ') AS kept_text
+    FROM marked
+    """,
+    tags=("text", "boilerplate", "rewrite", "pipeline"),
+)
+def boilerplate_ngram_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate removal with corpus REWRITE — the C4 /
+    trafilatura "strip repeated page furniture" stage: a token 4-gram
+    is boilerplate within a source when it occurs in >= {BOILER_PCT}%
+    of the source's documents (header menus, subscribe footers, cookie
+    banners); every token position covered by a boilerplate-gram
+    occurrence is dropped and the document is reassembled from the
+    survivors.  [[dedup_paragraph_rewrite]] removes cross-document
+    REPEATS; this removes within-source TEMPLATES — the two rewrites
+    real pipelines chain.
+
+    Scale shape: one gram-grain map-side-combined groupBy builds the
+    per-source boilerplate set (gram-digest keyed, the dedup_exact
+    shuffle); the set is tiny by construction (only >={BOILER_PCT}%-
+    frequent grams survive) so it broadcast-joins back on source, and
+    the rewrite is pure in-row array arithmetic — no token-grain
+    shuffle ever forms.  The covered-position mask recomputes at most
+    4 gram lookups per token against the broadcast set (bounded
+    constant, not the [[skipgram_cooccurrence]] re-tokenization trap —
+    the token array is materialized once).
+    """
+    d = parallel_scan(spark, sf_dir, "documents")
+    header = F.array(
+        F.lit("about"), F.col("source"), F.lit("daily"), F.lit("news"), F.lit("digest")
+    )
+    footer = F.array(*[F.lit(w) for w in _BOILER_FOOTER])
+    empty = F.array().cast("array<string>")
+    aug = d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.when(F.col("doc_id") % 3 != 0, header).otherwise(empty),
+            tokenize(F.col("text")),
+            F.when(F.col("doc_id") % 2 == 0, footer).otherwise(empty),
+        ).alias("ts"),
+    )
+    grams = aug.select("doc_id", "source", F.explode(ngrams(F.col("ts"), 4)).alias("g"))
+    src_counts = aug.groupBy("source").agg(F.count("*").alias("nd"))
+    boiler = (
+        grams.groupBy("source", "g")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .join(F.broadcast(src_counts), "source")
+        .filter(F.col("df") * 100 >= BOILER_PCT * F.col("nd"))
+    )
+    bsets = boiler.groupBy("source").agg(
+        F.array_sort(F.collect_set("g")).alias("bset")
+    )
+    marked = (
+        aug.join(F.broadcast(bsets), "source", "left")
+        .withColumn("bset", F.coalesce(F.col("bset"), empty))
+        .withColumn("n", F.size("ts"))
+        .withColumn(
+            "cov",
+            F.transform(
+                F.sequence(F.lit(1), F.col("n")),
+                lambda p: F.when(
+                    F.col("n") >= 4,
+                    F.exists(
+                        F.sequence(
+                            F.greatest(p - 3, F.lit(1)),
+                            F.least(p, F.col("n") - 3),
+                        ),
+                        lambda i: F.array_contains(
+                            F.col("bset"),
+                            F.concat_ws(" ", F.slice(F.col("ts"), i, 4)),
+                        ),
+                    ),
+                ).otherwise(F.lit(False)),
+            ),
+        )
+    )
+    n_cov = F.size(F.filter(F.col("cov"), lambda c: c))
+    kept = F.filter(
+        F.zip_with(
+            F.col("ts"), F.col("cov"), lambda t, c: F.when(~c, t)
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return marked.select(
+        "doc_id",
+        "source",
+        F.col("n").cast("long").alias("n_tokens"),
+        n_cov.cast("long").alias("n_covered"),
+        (F.col("n") - n_cov).cast("long").alias("n_kept"),
+        F.concat_ws(" ", kept).alias("kept_text"),
+    )

@@ -1168,3 +1168,110 @@ def cvm_two_sample_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * max(n_a) * max(n_a) * max(n_b) * max(n_b)) AS BIGINT)"
         ).alias("omega2_micro"),
     )
+
+
+@register(
+    "mann_whitney_u_binned",
+    oracle_sql=f"""
+    WITH pts AS (
+      SELECT least({KS_N_BINS} - 1,
+                   CAST(floor(value / {KS_BIN_WIDTH}) AS INTEGER)) AS bin,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a
+      FROM events
+    ),
+    tot AS (SELECT sum(is_a) AS n_a, sum(1 - is_a) AS n_b FROM pts),
+    per_bin AS (
+      SELECT bin, sum(is_a) AS c_a, sum(is_a) + sum(1 - is_a) AS c_t
+      FROM pts GROUP BY bin
+    ),
+    ranked AS (
+      SELECT c_a, c_t,
+             sum(c_t) OVER (ORDER BY bin) - c_t AS cum_prev
+      FROM per_bin
+    ),
+    terms AS (
+      SELECT sum(c_a * (2 * cum_prev + c_t + 1)) AS r2_a,
+             sum(CAST(c_t AS DECIMAL(38,0)) * c_t * c_t - c_t) AS ties
+      FROM ranked
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+           CAST(ties AS BIGINT) AS tie_cubes,
+           CAST(round(
+             (CAST(r2_a - n_a * (n_a + 1) AS DOUBLE) - CAST(n_a AS DOUBLE) * n_b)
+             / (2 * sqrt(
+                 CAST(n_a AS DOUBLE) * n_b / 12.0
+                 * ((n_a + n_b + 1)
+                    - CAST(ties AS DOUBLE)
+                      / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))))
+             * 1000) AS BIGINT) AS z_milli
+    FROM terms, tot
+    """,
+    tags=("stats", "hypothesis-test", "rank", "binned"),
+)
+def mann_whitney_u_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (normal approximation, tie-corrected)
+    over the same bounded {KS_N_BINS}-bin domain as [[ks_two_sample_binned]]:
+    the NONPARAMETRIC location test between purchase and non-purchase
+    event values — the rank-based complement to [[welch_t_test_pairs]]
+    (no normality assumption) and to KS/CvM (location direction, not
+    just distribution difference).  Binning makes every bin one massive
+    tie, which the midrank formulation handles exactly: a bin's 2x
+    average rank is 2*cum_prev + c_t + 1, so the doubled rank sum
+    R2_a = sum c_a * (2*cum_prev + c_t + 1) stays integer, and
+    2*U_a = R2_a - n_a*(n_a+1).
+
+    Exactness: rank sums and the tie correction sum(t^3 - t) are exact
+    integers (DECIMAL(38,0) headroom — t^3 reaches ~1e14 at sf0.1 and
+    ~1e23 at 100 TB, the [[cvm_two_sample_binned]] rule); z is ONE
+    pinned double expression over those integers, frozen to milli.
+
+    Scale shape: per-bin counts via map-side-combined groupBy, a
+    <={KS_N_BINS}-row ordered window, 1-row totals broadcast — constant
+    post-aggregate work at any corpus size.
+    """
+    pts = load_table(spark, sf_dir, "events").select(
+        F.least(
+            F.lit(KS_N_BINS - 1),
+            F.floor(F.col("value") / KS_BIN_WIDTH).cast("int"),
+        ).alias("bin"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_a"),
+    )
+    per_bin = pts.groupBy("bin").agg(
+        F.sum("is_a").alias("c_a"),
+        F.count("*").alias("c_t"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = per_bin.select(
+        "c_a",
+        "c_t",
+        (F.sum("c_t").over(w) - F.col("c_t")).alias("cum_prev"),
+    )
+    terms = ranked.agg(
+        F.sum(F.col("c_a") * (2 * F.col("cum_prev") + F.col("c_t") + 1)).alias("r2_a"),
+        F.sum(
+            F.col("c_t").cast("decimal(38,0)") * F.col("c_t") * F.col("c_t")
+            - F.col("c_t")
+        ).alias("ties"),
+    )
+    tot = pts.agg(
+        F.sum("is_a").alias("n_a"),
+        F.sum(F.lit(1) - F.col("is_a")).alias("n_b"),
+    )
+    return terms.crossJoin(F.broadcast(tot)).select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.expr("CAST(r2_a - n_a * (n_a + 1) AS BIGINT)").alias("u2_a"),
+        F.col("ties").cast("long").alias("tie_cubes"),
+        F.expr(
+            "CAST(round("
+            " (CAST(r2_a - n_a * (n_a + 1) AS DOUBLE) - CAST(n_a AS DOUBLE) * n_b)"
+            " / (2 * sqrt("
+            "     CAST(n_a AS DOUBLE) * n_b / 12.0"
+            "     * ((n_a + n_b + 1)"
+            "        - CAST(ties AS DOUBLE)"
+            "          / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))))"
+            " * 1000) AS BIGINT)"
+        ).alias("z_milli"),
+    )

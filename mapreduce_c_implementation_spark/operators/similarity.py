@@ -1831,3 +1831,137 @@ def cosine_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# Hard-negative mining uses a WIDER candidate pool than ann_lsh_bucketed:
+# 4 of the 6 hyperplanes (16 buckets), because a positive needs a
+# same-LABEL neighbor in-bucket and 64-way bucketing leaves too few.
+HN_PLANES = 4
+
+_SQL_HN_BUCKET = " + ".join(
+    f"(CASE WHEN {_plane_dot_sql(j, 'embedding')} > 0 THEN {1 << j} ELSE 0 END)"
+    for j in range(HN_PLANES)
+)
+
+
+@register(
+    "hard_negative_mining",
+    oracle_sql=f"""
+    WITH {_SQL_NORMS},
+    bucketed AS (
+      SELECT vec_id, label, embedding, nrm,
+             CAST({_SQL_HN_BUCKET} AS BIGINT) AS bucket
+      FROM norms
+    ),
+    cand AS (
+      SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
+             c.vec_id AS cand_id, c.label AS cand_label,
+             round({_SQL_DOT.format(a="q.embedding", b="c.embedding")}
+                   / (q.nrm * c.nrm), 6) AS cosine
+      FROM bucketed q JOIN bucketed c
+        ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      WHERE q.vec_id % 17 = 0
+    ),
+    best AS (
+      SELECT anchor_id, anchor_label, cand_id, cand_label, cosine,
+             row_number() OVER (
+               PARTITION BY anchor_id, (cand_label = anchor_label)
+               ORDER BY cosine DESC, cand_id ASC) AS rk
+      FROM cand
+    )
+    SELECT p.anchor_id, p.anchor_label,
+           p.cand_id AS positive_id, p.cosine AS positive_cos,
+           n.cand_id AS negative_id, n.cosine AS negative_cos,
+           CAST(round((p.cosine - n.cosine) * 1000000) AS BIGINT)
+             AS margin_micro
+    FROM best p JOIN best n USING (anchor_id)
+    WHERE p.rk = 1 AND p.cand_label = p.anchor_label
+      AND n.rk = 1 AND n.cand_label <> n.anchor_label
+    """,
+    tags=("similarity", "contrastive", "mining", "pipeline"),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding-model training:
+    for each anchor (vec_id % 17 = 0), the most-similar SAME-label
+    in-bucket vector becomes the positive and the most-similar
+    DIFFERENT-label one the hard negative, emitting the
+    (anchor, positive, hard-negative) triplet with its cosine margin —
+    the batch-mining step behind sentence-encoder and retrieval-model
+    training (in-batch negatives are easy; the ones that teach are the
+    near-miss wrong-label neighbors).  Anchors lacking either a
+    positive or a negative in-bucket produce no triplet (recall is the
+    [[ann_recall_eval]] trade, tuned here by widening to {HN_PLANES}
+    of the {N_PLANES} LSH planes — 2^{HN_PLANES} buckets).
+
+    Scale shape: candidate generation is the [[ann_lsh_bucketed]]
+    equi-join on the bucket id — never all-pairs; per-anchor argmax is
+    a two-sided row_number window partitioned by (anchor, same-label),
+    keyed on the anchor id.  At 100 TB the bucket count rises with the
+    plane count; the join stays linear in candidates.
+    """
+    norms = _norms(spark, sf_dir)
+    bucket = None
+    for j in range(HN_PLANES):
+        bit = F.when(_plane_dot_spark(j, F.col("embedding")) > 0, 1 << j).otherwise(0)
+        bucket = bit if bucket is None else bucket + bit
+    bucketed = norms.select(
+        "vec_id", "label", "embedding", "nrm", bucket.cast("long").alias("bucket")
+    )
+    q = bucketed.filter(F.col("vec_id") % 17 == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("bucket").alias("q_bucket"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cand_label"),
+        F.col("bucket").alias("c_bucket"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    cos = F.round(
+        _spark_dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")),
+        6,
+    )
+    cand = (
+        c.join(
+            F.broadcast(q),
+            (F.col("q_bucket") == F.col("c_bucket"))
+            & (F.col("anchor_id") != F.col("cand_id")),
+        )
+        .select("anchor_id", "anchor_label", "cand_id", "cand_label", cos.alias("cosine"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(
+        "anchor_id", F.col("cand_label") == F.col("anchor_label")
+    ).orderBy(F.desc("cosine"), F.asc("cand_id"))
+    best = cand.select("*", F.row_number().over(w).alias("rk"))
+    p = best.filter(
+        (F.col("rk") == 1) & (F.col("cand_label") == F.col("anchor_label"))
+    ).select(
+        "anchor_id",
+        "anchor_label",
+        F.col("cand_id").alias("positive_id"),
+        F.col("cosine").alias("positive_cos"),
+    )
+    ng = best.filter(
+        (F.col("rk") == 1) & (F.col("cand_label") != F.col("anchor_label"))
+    ).select(
+        "anchor_id",
+        F.col("cand_id").alias("negative_id"),
+        F.col("cosine").alias("negative_cos"),
+    )
+    return p.join(ng, "anchor_id").select(
+        "anchor_id",
+        "anchor_label",
+        "positive_id",
+        "positive_cos",
+        "negative_id",
+        "negative_cos",
+        F.round((F.col("positive_cos") - F.col("negative_cos")) * 1000000)
+        .cast("long")
+        .alias("margin_micro"),
+    )

@@ -3486,3 +3486,247 @@ def corpus_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("history_entropy_micro"),
         )
     )
+
+
+# Inter-rater agreement: two independent rule-based quality raters,
+# thresholded at their fixture medians so both split the corpus
+# roughly in half (a degenerate all-agree table would make kappa
+# undefined).  Rater A = English-stopword share; rater B = type-token
+# ratio.  Swap in any learned scorer pair — the contract is the 2x2
+# table + chance-corrected agreement, not the raters.
+KAPPA_STOP_BP = 540
+KAPPA_TTR_BP = 4600
+
+
+@register(
+    "cohen_kappa_agreement",
+    oracle_sql=f"""
+    WITH rated AS (
+      SELECT CASE WHEN len(list_intersect(ts,
+                       ['the','a','and','of','to','is','fast','slow']))
+                    * 10000 // len(ts) >= {KAPPA_STOP_BP}
+             THEN 1 ELSE 0 END AS ra,
+             CASE WHEN len(list_distinct(ts)) * 10000 // len(ts)
+                    >= {KAPPA_TTR_BP}
+             THEN 1 ELSE 0 END AS rb
+      FROM (SELECT {_TOK} AS ts FROM documents)
+      WHERE len(ts) > 0
+    ),
+    cells AS (
+      SELECT count(*) AS n,
+             sum(ra * rb) AS n11,
+             sum(ra * (1 - rb)) AS n10,
+             sum((1 - ra) * rb) AS n01,
+             sum((1 - ra) * (1 - rb)) AS n00
+      FROM rated
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(n11 AS BIGINT) AS n11,
+           CAST(n10 AS BIGINT) AS n10,
+           CAST(n01 AS BIGINT) AS n01,
+           CAST(n00 AS BIGINT) AS n00,
+           CAST((n11 + n00) * 1000000 // n AS BIGINT) AS po_ppm,
+           CAST(((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+                * 1000000 // (n * n) AS BIGINT) AS pe_ppm,
+           CAST(round(
+             (CAST(n11 + n00 AS DOUBLE) / n
+              - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                 + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))
+                / (CAST(n AS DOUBLE) * n))
+             / (1 - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                     + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))
+                    / (CAST(n AS DOUBLE) * n))
+             * 1000) AS BIGINT) AS kappa_milli
+    FROM cells
+    """,
+    tags=("text", "annotation", "agreement", "pipeline"),
+)
+def cohen_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two independent rule-based document raters
+    (rater A: English-stopword share >= {KAPPA_STOP_BP} bp; rater B:
+    type-token ratio >= {KAPPA_TTR_BP} bp) — the inter-annotator
+    agreement statistic every human- or LLM-labeled preference/quality
+    set reports before its labels train a reward model ([[
+    preference_pair_construction]] consumes such labels; [[
+    langid_confusion_matrix]] is the same discipline for one labeler
+    vs truth).  Kappa corrects raw agreement p_o for the agreement
+    p_e two independent raters would reach by chance from their
+    marginal rates.
+
+    Exactness: the 2x2 table is exact integer counts; p_o/p_e are ppm
+    floor divisions; kappa is ONE pinned double expression over the
+    exact counts, frozen to milli ([[welch_t_test_pairs]] rule).
+
+    Scale shape: a narrow per-row map (two threshold bits) into a
+    single map-side-combined 1-row aggregate — scan-bound, no shuffle
+    beyond the 4-cell partial merge.
+    """
+    d = compute_scan(spark, sf_dir, "documents")
+    ts = F.col("ts")
+    rated = (
+        d.select(tokenize(F.col("text")).alias("ts"))
+        .filter(F.size(ts) > 0)
+        .select(
+            F.when(
+                F.expr(
+                    "size(array_intersect(ts, array('the','a','and','of','to','is','fast','slow')))"
+                    f" * 10000 div size(ts) >= {KAPPA_STOP_BP}"
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("ra"),
+            F.when(
+                F.expr(f"size(array_distinct(ts)) * 10000 div size(ts) >= {KAPPA_TTR_BP}"),
+                1,
+            )
+            .otherwise(0)
+            .alias("rb"),
+        )
+    )
+    cells = rated.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("ra") * F.col("rb")).alias("n11"),
+        F.sum(F.col("ra") * (1 - F.col("rb"))).alias("n10"),
+        F.sum((1 - F.col("ra")) * F.col("rb")).alias("n01"),
+        F.sum((1 - F.col("ra")) * (1 - F.col("rb"))).alias("n00"),
+    )
+    return cells.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n11").cast("long").alias("n11"),
+        F.col("n10").cast("long").alias("n10"),
+        F.col("n01").cast("long").alias("n01"),
+        F.col("n00").cast("long").alias("n00"),
+        F.expr("CAST((n11 + n00) * 1000000 div n AS BIGINT)").alias("po_ppm"),
+        F.expr(
+            "CAST(((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))"
+            " * 1000000 div (n * n) AS BIGINT)"
+        ).alias("pe_ppm"),
+        F.expr(
+            "CAST(round("
+            " (CAST(n11 + n00 AS DOUBLE) / n"
+            "  - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)"
+            "     + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))"
+            "    / (CAST(n AS DOUBLE) * n))"
+            " / (1 - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)"
+            "         + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))"
+            "        / (CAST(n AS DOUBLE) * n))"
+            " * 1000) AS BIGINT)"
+        ).alias("kappa_milli"),
+    )
+
+
+# Fill-in-the-middle: FIM_RATE_PCT% of documents are reordered into
+# prefix/suffix/middle (PSM) form; two md5(doc_id) draws pick the cut
+# points.  SantaCoder/InCoder-style FIM keeps the rest verbatim so the
+# model sees both objectives.
+FIM_RATE_PCT = 50
+
+
+@register(
+    "fim_transformation",
+    oracle_sql=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOK} AS ts FROM documents
+      WHERE len({_TOK}) > 0
+    ),
+    cut AS (
+      SELECT doc_id, ts,
+             CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_fim'),
+                                           1, 4) AS BIGINT) % 100 < {FIM_RATE_PCT}
+                  THEN 1 ELSE 0 END AS is_fim,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_c1'), 1, 4)
+                  AS BIGINT) % (len(ts) + 1) AS h1,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_c2'), 1, 4)
+                  AS BIGINT) % (len(ts) + 1) AS h2
+      FROM toks
+    ),
+    shaped AS (
+      SELECT doc_id, ts, is_fim,
+             is_fim * least(h1, h2) AS c1,
+             is_fim * greatest(h1, h2) AS c2
+      FROM cut
+    )
+    SELECT doc_id,
+           CAST(len(ts) AS BIGINT) AS n_tokens,
+           CAST(is_fim AS BIGINT) AS is_fim,
+           CAST(c1 AS BIGINT) AS cut1,
+           CAST(c2 AS BIGINT) AS cut2,
+           CAST(is_fim * (c2 - c1) AS BIGINT) AS n_middle,
+           CASE WHEN is_fim = 1 THEN array_to_string(
+                  ['<fim_prefix>'] || list_slice(ts, 1, c1)
+                  || ['<fim_suffix>'] || list_slice(ts, c2 + 1, len(ts))
+                  || ['<fim_middle>'] || list_slice(ts, c1 + 1, c2), ' ')
+                ELSE array_to_string(ts, ' ') END AS fim_text
+    FROM shaped
+    """,
+    tags=("text", "masking", "fim", "pipeline"),
+)
+def fim_transformation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle (FIM) example generation: {FIM_RATE_PCT}% of
+    documents (an md5(doc_id) draw) are reordered into PSM form —
+    <fim_prefix> P <fim_suffix> S <fim_middle> M, where two md5 draws
+    over 0..n_tokens pick the middle span [c1, c2) — and the rest pass
+    through verbatim, the mixed objective code models train with
+    (Bavarian et al.'s "FIM-rate" transform).  The document-level
+    counterpart of [[span_corruption_masking]] (T5 spans) and
+    [[mlm_token_masking]] (BERT positions), with the same no-RNG
+    discipline: every decision replays bit-identically on any engine,
+    partitioning, or retry.
+
+    Scale shape: pure in-row array slicing on the materialized token
+    column — one narrow map, no shuffle.  cut1/cut2/n_middle pin the
+    span choice and fim_text pins the reassembly, so a single flipped
+    hash bucket or off-by-one slice fails the oracle.
+    """
+    d = compute_scan(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokenize(F.col("text")).alias("ts")).filter(
+        F.size("ts") > 0
+    )
+
+    def _h(tag: str) -> Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(tag))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    n = F.size(F.col("ts")).cast("long")
+    cut = toks.select(
+        "doc_id",
+        "ts",
+        F.when(_h("_fim") % 100 < FIM_RATE_PCT, 1).otherwise(0).alias("is_fim"),
+        (_h("_c1") % (n + 1)).alias("h1"),
+        (_h("_c2") % (n + 1)).alias("h2"),
+    )
+    shaped = cut.select(
+        "doc_id",
+        "ts",
+        "is_fim",
+        (F.col("is_fim") * F.least("h1", "h2")).alias("c1"),
+        (F.col("is_fim") * F.greatest("h1", "h2")).alias("c2"),
+    )
+    ts = F.col("ts")
+    c1 = F.col("c1")
+    c2 = F.col("c2")
+    fim_toks = F.concat(
+        F.array(F.lit("<fim_prefix>")),
+        F.slice(ts, 1, c1.cast("int")),
+        F.array(F.lit("<fim_suffix>")),
+        F.slice(ts, (c2 + 1).cast("int"), F.size(ts)),
+        F.array(F.lit("<fim_middle>")),
+        F.slice(ts, (c1 + 1).cast("int"), (c2 - c1).cast("int")),
+    )
+    return shaped.select(
+        "doc_id",
+        F.size(ts).cast("long").alias("n_tokens"),
+        F.col("is_fim").cast("long").alias("is_fim"),
+        c1.cast("long").alias("cut1"),
+        c2.cast("long").alias("cut2"),
+        (F.col("is_fim") * (c2 - c1)).cast("long").alias("n_middle"),
+        F.when(F.col("is_fim") == 1, F.concat_ws(" ", fim_toks))
+        .otherwise(F.concat_ws(" ", ts))
+        .alias("fim_text"),
+    )

@@ -144,6 +144,11 @@ _DRIVER_PRIORITY = [
     "corpus_entropy_rate",
     "feature_rank_normalize",
     "cosine_similarity_histogram",
+    "mann_whitney_u_binned",
+    "cohen_kappa_agreement",
+    "fim_transformation",
+    "boilerplate_ngram_removal",
+    "hard_negative_mining",
 ]
 
 # Operators hard-verified by the driver in prior rounds (the union of

@@ -205,6 +205,13 @@ SWEPT_OPS = [
     "corpus_entropy_rate",
     "feature_rank_normalize",
     "cosine_similarity_histogram",
+    # round-7 second wave: rank/agreement stats, hash-decided FIM cuts,
+    # template removal, and LSH-mined triplets all claim invariance.
+    "mann_whitney_u_binned",
+    "cohen_kappa_agreement",
+    "fim_transformation",
+    "boilerplate_ngram_removal",
+    "hard_negative_mining",
 ]
 
 

@@ -256,6 +256,9 @@ _NESTED_LOOP_EXEMPT = {
     # pattern: pair cost is a fixed budget, never corpus-quadratic)
     # + 1-row pair-total broadcast
     "cosine_similarity_histogram",
+    # 1-row (n_a, n_b) totals broadcast onto the 1-row rank-sum terms
+    # (the binned-KS/CvM twin)
+    "mann_whitney_u_binned",
 }
 
 # Modules whose query_fns build lazy plans (streaming/io execute jobs

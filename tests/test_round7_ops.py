@@ -133,3 +133,70 @@ def test_entropy_rate_bounds(spark, sf_correct):
     assert 0 <= r.history_entropy_micro
     # both entropies are bounded by ln(respective support size)
     assert r.cond_entropy_micro <= math.log(r.vocab_bigrams) * 1e6
+
+
+def test_mann_whitney_bounds_and_totals(spark, sf_correct):
+    (r,) = _rows(spark, sf_correct, "mann_whitney_u_binned")
+    n_events = spark.read.parquet(f"{sf_correct}/events.parquet").count()
+    assert r.n_a + r.n_b == n_events
+    # 2U is bounded by 2 * n_a * n_b; ties only shrink the variance
+    assert 0 <= r.u2_a <= 2 * r.n_a * r.n_b
+    assert r.tie_cubes >= 0
+    assert r.z_milli is not None
+
+
+def test_cohen_kappa_table_is_consistent(spark, sf_correct):
+    (r,) = _rows(spark, sf_correct, "cohen_kappa_agreement")
+    assert r.n11 + r.n10 + r.n01 + r.n00 == r.n
+    assert r.po_ppm == (r.n11 + r.n00) * 1_000_000 // r.n
+    assert -1000 <= r.kappa_milli <= 1000
+    # the fixture thresholds sit at the medians: both raters must
+    # actually split the corpus (no degenerate all-one-cell table)
+    assert r.n11 > 0 and r.n00 > 0 and r.n10 + r.n01 > 0
+
+
+def test_fim_reorders_only_selected_docs(spark, sf_correct):
+    from mapreduce_c_implementation_spark.operators.textanalysis import FIM_RATE_PCT
+
+    rows = _rows(spark, sf_correct, "fim_transformation")
+    fim = [r for r in rows if r.is_fim == 1]
+    plain = [r for r in rows if r.is_fim == 0]
+    # the md5 draw should land near the configured rate
+    assert abs(len(fim) / len(rows) * 100 - FIM_RATE_PCT) < 10
+    for r in fim:
+        assert 0 <= r.cut1 <= r.cut2 <= r.n_tokens
+        assert r.n_middle == r.cut2 - r.cut1
+        assert r.fim_text.startswith("<fim_prefix>")
+        # PSM adds exactly the three sentinels, no token lost
+        assert len(r.fim_text.split(" ")) == r.n_tokens + 3
+    for r in plain:
+        assert "<fim_" not in r.fim_text
+        assert len(r.fim_text.split(" ")) == r.n_tokens
+
+
+def test_boilerplate_templates_are_stripped(spark, sf_correct):
+    rows = _rows(spark, sf_correct, "boilerplate_ngram_removal")
+    assert sum(r.n_covered for r in rows) > 0
+    for r in rows:
+        assert r.n_kept == r.n_tokens - r.n_covered
+        # the injected footer (>=30% of every source) must never survive
+        assert "follow us on spark today" not in r.kept_text
+        # nor the injected per-source header
+        assert not r.kept_text.startswith(f"about {r.source} daily news digest")
+        if r.doc_id % 3 != 0 or r.doc_id % 2 == 0:
+            assert r.n_covered >= 5, r.doc_id
+
+
+def test_hard_negatives_have_wrong_label_positives_right(spark, sf_correct):
+    rows = _rows(spark, sf_correct, "hard_negative_mining")
+    assert rows, "no triplets mined"
+    labels = {
+        r.vec_id: r.label
+        for r in spark.read.parquet(f"{sf_correct}/embeddings.parquet").collect()
+    }
+    for r in rows:
+        assert r.anchor_id % 17 == 0
+        assert r.anchor_id not in (r.positive_id, r.negative_id)
+        assert labels[r.positive_id] == r.anchor_label
+        assert labels[r.negative_id] != r.anchor_label
+        assert r.margin_micro == round((r.positive_cos - r.negative_cos) * 1_000_000)
