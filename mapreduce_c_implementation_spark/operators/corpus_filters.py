@@ -1545,3 +1545,155 @@ def boilerplate_ngram_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") - n_cov).cast("long").alias("n_kept"),
         F.concat_ws(" ", kept).alias("kept_text"),
     )
+
+
+@register(
+    "duplicate_token_run_collapse",
+    oracle_sql=f"""
+    WITH toks AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+    pos AS (
+      SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i FROM toks
+    ),
+    kept AS (
+      SELECT doc_id, i, ts[i] AS t FROM pos
+      WHERE i = 1 OR ts[i] <> ts[i - 1]
+    )
+    SELECT t.doc_id,
+           CAST(len(t.ts) AS BIGINT) AS n_tokens,
+           CAST(len(t.ts) - count(k.i) AS BIGINT) AS n_collapsed,
+           coalesce(string_agg(k.t, ' ' ORDER BY k.i), '') AS kept_text
+    FROM toks t LEFT JOIN kept k ON k.doc_id = t.doc_id
+    GROUP BY t.doc_id, len(t.ts)
+    """,
+    tags=("corpus", "rewrite", "hygiene", "pipeline"),
+)
+def duplicate_token_run_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-document repeated-run collapse: consecutive occurrences of the
+    same token fold to one ("very very very" -> "very") — the cheap
+    intra-document repetition cleanup that runs BEFORE the corpus-level
+    passes ([[repetition_ngram_stats]] measures repetition,
+    [[boilerplate_ngram_removal]] strips cross-document templates; this
+    op rewrites the stutter class those leave behind).  Keeps the FIRST
+    token of each run, so document prefixes (and any prefix-keyed
+    fingerprint) are stable.
+
+    Exactness: keep token i iff i is first or differs from token i-1 —
+    a pure positional predicate, no hashing, no thresholds.  The Spark
+    side evaluates it as an indexed array lambda (the ``(x, i)`` form of
+    ``F.filter``); the oracle unrolls the same predicate over
+    ``generate_series`` positions.
+
+    Scale shape: a per-row map — zero shuffle, whole-stage codegen; at
+    100 TB the cost is one pass over the text bytes, and it pipelines
+    into whatever downstream scan consumes the rewritten text.
+    """
+    d = parallel_scan(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokenize(F.col("text")).alias("ts"))
+    ts = F.col("ts")
+    kept = F.filter(
+        ts,
+        lambda x, i: (i == F.lit(0))
+        | (x != F.element_at(ts, F.greatest(i, F.lit(1)))),
+    )
+    return toks.select(
+        "doc_id",
+        F.size(ts).cast("long").alias("n_tokens"),
+        (F.size(ts) - F.size(kept)).cast("long").alias("n_collapsed"),
+        F.concat_ws(" ", kept).alias("kept_text"),
+    )
+
+
+# Cross-source contamination shingle width: the same 5-gram grain the
+# train/eval contamination ops use — wide enough that shared shingles
+# mean copied phrasing, not shared vocabulary.
+XSRC_NGRAM = 5
+
+
+@register(
+    "cross_source_contamination_matrix",
+    oracle_sql=f"""
+    WITH toks AS (SELECT source, {_TOK} AS ts FROM documents),
+    sh AS (
+      SELECT DISTINCT source, md5(g) AS h
+      FROM (SELECT source, unnest({duckdb_ngrams('ts', 5)}) AS g FROM toks)
+    ),
+    tot AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY source)
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS shared,
+           CAST(max(ta.n_sh) AS BIGINT) AS n_a,
+           CAST(max(tb.n_sh) AS BIGINT) AS n_b,
+           CAST(count(*) * 1000000
+                // (max(ta.n_sh) + max(tb.n_sh) - count(*)) AS BIGINT)
+             AS jaccard_ppm
+    FROM sh a
+    JOIN sh b ON a.h = b.h AND a.source < b.source
+    JOIN tot ta ON ta.source = a.source
+    JOIN tot tb ON tb.source = b.source
+    GROUP BY a.source, b.source
+    """,
+    tags=("corpus", "contamination", "dedup", "pipeline"),
+)
+def cross_source_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-by-source contamination matrix: for every source pair,
+    the count of shared distinct {XSRC_NGRAM}-gram shingles and the
+    shingle-set Jaccard — the table that answers "which of my corpus
+    sources copy from each other" before mixing weights are set
+    ([[source_temperature_mixing]]) or provenance-keyed dedup order is
+    chosen ([[dedup_keep_representatives]]).  Train/eval leakage is the
+    same computation with splits as the grouping key
+    ([[cross_split_leakage_audit]]); this is the source-provenance form.
+
+    Exactness: shingle sets are DISTINCT (source, md5(5-gram)) pairs,
+    so a phrase repeated a thousand times in both sources still counts
+    once; Jaccard is a ppm floor division over non-negative counts.
+
+    Scale shape: corpus -> distinct (source, shingle) is one
+    shingle-grain aggregate; the matrix join is an equi-join ON THE
+    SHINGLE HASH over those distinct sets, so per-shingle fan-out is
+    bounded by the number of sources carrying it (<= S per side, S =
+    #sources, a catalog-bounded constant) — never document-quadratic.
+    Totals are source-grain (S rows, broadcast).  Output is S*(S-1)/2
+    rows at any corpus size.
+    """
+    d = parallel_scan(spark, sf_dir, "documents")
+    sh = (
+        d.select(
+            "source",
+            F.explode(ngrams(tokenize(F.col("text")), XSRC_NGRAM)).alias("g"),
+        )
+        .select("source", F.md5("g").alias("h"))
+        .distinct()
+    )
+    tot = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    ta = tot.select(
+        F.col("source").alias("source_a"), F.col("n_sh").alias("n_a")
+    )
+    tb = tot.select(
+        F.col("source").alias("source_b"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .selectExpr(
+            "source_a",
+            "source_b",
+            "shared",
+            "CAST(n_a AS BIGINT) AS n_a",
+            "CAST(n_b AS BIGINT) AS n_b",
+            "CAST(shared * 1000000 div (n_a + n_b - shared) AS BIGINT)"
+            " AS jaccard_ppm",
+        )
+    )

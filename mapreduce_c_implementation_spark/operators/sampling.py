@@ -583,3 +583,96 @@ def source_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Curriculum ordering: docs per training shard, and the width (in
+# milli-chars of mean token length) of each difficulty range bucket
+# used by the two-pass distributed global rank.
+CURR_SHARD_DOCS = 64
+CURR_BUCKET_MILLI = 250
+
+
+@register(
+    "curriculum_data_ordering",
+    oracle_sql=f"""
+    WITH toks AS (SELECT doc_id, {DUCKDB_TOKENIZE.format(col="text")} AS ts
+                  FROM documents),
+    per AS (
+      SELECT doc_id, CAST(len(ts) AS BIGINT) AS nt,
+             CAST(list_sum(list_transform(ts, t -> length(t))) AS BIGINT)
+               AS tc
+      FROM toks WHERE len(ts) > 0
+    ),
+    diff AS (SELECT doc_id, tc * 1000 // nt AS difficulty_milli FROM per),
+    rk AS (
+      SELECT doc_id, difficulty_milli,
+             row_number() OVER (ORDER BY difficulty_milli, doc_id)
+               AS curriculum_rank
+      FROM diff
+    )
+    SELECT doc_id,
+           CAST(difficulty_milli AS BIGINT) AS difficulty_milli,
+           CAST(curriculum_rank AS BIGINT) AS curriculum_rank,
+           CAST((curriculum_rank - 1) // {CURR_SHARD_DOCS} AS BIGINT)
+             AS shard_id
+    FROM rk
+    """,
+    tags=("sampling", "curriculum", "pipeline"),
+)
+def curriculum_data_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering: every document gets its exact global
+    rank under an easy-to-hard difficulty key (mean token length in
+    milli-chars — swap in a perplexity from [[ngram_lm_perplexity]] or a
+    classifier score from [[quality_classifier_inference]]; the contract
+    is the ordering, not the metric), then shards of {CURR_SHARD_DOCS}
+    consecutive docs — the deterministic shard manifest a curriculum
+    training loader consumes in shard_id order.
+
+    Exactness: rank ties break on doc_id, so the order is total and the
+    oracle's textbook global ``row_number()`` is reproduced bit-for-bit.
+
+    Scale shape: the global rank is computed the SCALABLE two-pass way,
+    never as one unpartitioned window: documents hash into difficulty
+    RANGE buckets (``difficulty div {CURR_BUCKET_MILLI}`` — a pure
+    function of the value, so every tie lands in one bucket and buckets
+    are totally ordered), rank = within-bucket row_number (keyed
+    shuffle) + broadcast prefix-count offset (bucket-grain table, rows
+    = value-domain/{CURR_BUCKET_MILLI}, tiny at any corpus size).  Same
+    pattern as sequence_packing/zorder_layout; at 100 TB with a skewed
+    score distribution the fixed-width cuts generalize to
+    approxQuantile cuts — the bucket table stays tiny either way.
+    """
+    d = parallel_scan(spark, sf_dir, "documents")
+    per = (
+        d.select("doc_id", tokenize(F.col("text")).alias("ts"))
+        .select(
+            "doc_id",
+            F.size("ts").cast("long").alias("nt"),
+            F.aggregate(
+                F.transform(F.col("ts"), F.length),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ).alias("tc"),
+        )
+        .filter(F.col("nt") > 0)
+    )
+    diff = per.selectExpr(
+        "doc_id", "tc * 1000 div nt AS difficulty_milli"
+    ).withColumn("bk", F.expr(f"difficulty_milli div {CURR_BUCKET_MILLI}"))
+    w_in = Window.partitionBy("bk").orderBy("difficulty_milli", "doc_id")
+    within = diff.withColumn("rin", F.row_number().over(w_in))
+    sizes = diff.groupBy("bk").agg(F.count("*").alias("c"))
+    w_pfx = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = sizes.select(
+        "bk", F.coalesce(F.sum("c").over(w_pfx), F.lit(0)).alias("off")
+    )
+    return (
+        within.join(F.broadcast(prefix), "bk")
+        .selectExpr(
+            "doc_id",
+            "CAST(difficulty_milli AS BIGINT) AS difficulty_milli",
+            "CAST(off + rin AS BIGINT) AS curriculum_rank",
+            f"CAST((off + rin - 1) div {CURR_SHARD_DOCS} AS BIGINT)"
+            " AS shard_id",
+        )
+    )

@@ -1965,3 +1965,107 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("margin_micro"),
     )
+
+
+# Whitening freeze scale: raw float components freeze to milli-units
+# (symmetric half-up floor(x*1000+0.5), the repo's float-tie-safe form)
+# before any aggregation, so every moment is an exact integer.
+WHITEN_SCALE = 1000
+
+_WHITEN_VARNUM = (
+    "CAST(n AS DECIMAL(38,0)) * ssq - CAST(s AS DECIMAL(38,0)) * s"
+)
+
+
+@register(
+    "embedding_dimension_whitening",
+    oracle_sql=f"""
+    WITH vals AS (
+      SELECT vec_id, i - 1 AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * {WHITEN_SCALE}.0
+                        + 0.5) AS BIGINT) AS vi
+      FROM (SELECT vec_id, embedding,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM embeddings)
+    ),
+    stats AS (
+      SELECT dim, count(*) AS n, sum(vi) AS s, sum(vi * vi) AS ssq
+      FROM vals GROUP BY dim
+    ),
+    z AS (
+      SELECT vec_id, v.dim,
+             CASE WHEN {_WHITEN_VARNUM} = 0 THEN 0
+                  ELSE CAST(floor(1000000.0 * (n * vi - s)
+                       / sqrt(CAST({_WHITEN_VARNUM} AS DOUBLE))
+                       + 0.5) AS BIGINT)
+             END AS z_micro
+      FROM vals v JOIN stats st ON st.dim = v.dim
+    )
+    SELECT vec_id,
+           count(*) AS n_dims,
+           CAST(sum((dim + 1) * z_micro) AS BIGINT) AS whiten_checksum,
+           CAST(max(CASE WHEN dim = 0 THEN z_micro END) AS BIGINT)
+             AS z0_micro
+    FROM z GROUP BY vec_id
+    """,
+    tags=("similarity", "embeddings", "normalize", "pipeline"),
+)
+def embedding_dimension_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension (diagonal) whitening of the embedding table: each
+    component standardizes to z = (x - mean_d)/std_d — the preprocessing
+    that stops high-variance dimensions from dominating cosine/L2
+    retrieval ([[ann_bruteforce_topk]]) and centroid assignment
+    ([[kmeans_lloyd]]); full-covariance whitening adds the rotation from
+    [[gram_power_iteration]]'s spectral pass on top of this scaling.
+
+    Exactness: components freeze to exact milli-integers first, so the
+    per-dimension moments (n, s=Σv, ssq=Σv²) are exact integer
+    aggregates in any order; z = (n·v − s)/√(n·ssq − s²) is then one
+    deterministic double expression per cell (the variance numerator is
+    computed in DECIMAL(38,0) — n·ssq overflows int64 at ~1e12-vector
+    corpora — and IEEE /,√ on identical inputs are identical in both
+    engines; ties freeze via floor(x+0.5), never round()).  Zero-variance
+    dimensions whiten to 0 instead of dividing by zero.
+
+    Scale shape: corpus -> (dim, n, s, ssq) is a map-side-combined
+    aggregate to a d-row table (d = embedding width, a constant);
+    whitening joins that d-row table back BROADCAST and rewrites each
+    cell in place — one pass over the embedding bytes, no corpus-sized
+    shuffle.  Output is vector-grain: dim count, a position-weighted
+    checksum of the whitened vector, and the dim-0 component.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    vals = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "vec_id",
+        "dim",
+        F.expr(
+            f"CAST(floor(CAST(v AS DOUBLE) * {WHITEN_SCALE}.0 + 0.5)"
+            " AS BIGINT)"
+        ).alias("vi"),
+    )
+    stats = vals.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("vi").alias("s"),
+        F.sum(F.expr("vi * vi")).alias("ssq"),
+    )
+    z = vals.join(F.broadcast(stats), "dim").select(
+        "vec_id",
+        "dim",
+        F.expr(
+            f"CASE WHEN {_WHITEN_VARNUM} = 0 THEN 0"
+            f" ELSE CAST(floor(1000000.0 * (n * vi - s)"
+            f" / sqrt(CAST({_WHITEN_VARNUM} AS DOUBLE)) + 0.5) AS BIGINT)"
+            " END"
+        ).alias("z_micro"),
+    )
+    return z.groupBy("vec_id").agg(
+        F.count("*").cast("long").alias("n_dims"),
+        F.sum(F.expr("(dim + 1) * z_micro")).cast("long").alias(
+            "whiten_checksum"
+        ),
+        F.max(F.when(F.col("dim") == 0, F.col("z_micro")))
+        .cast("long")
+        .alias("z0_micro"),
+    )

@@ -3730,3 +3730,98 @@ def fim_transformation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat_ws(" ", ts))
         .alias("fim_text"),
     )
+
+
+@register(
+    "tokenizer_fertility_stats",
+    oracle_sql=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_TOK} AS ts FROM documents
+    ),
+    per_doc AS (
+      SELECT source,
+             CAST(len(ts) AS BIGINT) AS n_toks,
+             CAST(coalesce(list_sum(list_transform(ts, t -> length(t))), 0)
+                  AS BIGINT) AS tok_chars
+      FROM toks
+    ),
+    vocab AS (
+      SELECT source, count(DISTINCT t) AS vocab
+      FROM (SELECT source, unnest(ts) AS t FROM toks)
+      GROUP BY source
+    )
+    SELECT p.source,
+           count(*) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           CAST(sum(tok_chars) AS BIGINT) AS token_chars,
+           CAST(max(v.vocab) AS BIGINT) AS vocab,
+           CAST(sum(tok_chars) * 1000 // sum(n_toks) AS BIGINT)
+             AS chars_per_token_milli,
+           CAST(sum(n_toks) * 1000 // count(*) AS BIGINT)
+             AS tokens_per_doc_milli,
+           CAST(sum(n_toks) * 1000 // max(v.vocab) AS BIGINT)
+             AS token_type_ratio_milli
+    FROM per_doc p JOIN vocab v ON v.source = p.source
+    GROUP BY p.source
+    """,
+    tags=("text", "tokenizer", "pipeline"),
+)
+def tokenizer_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility report per source: chars-per-token (the
+    inverse-fertility number tokenizer comparisons are decided on),
+    tokens-per-doc, and the corpus-level token/type ratio.  This is the
+    table you regenerate for each tokenizer candidate
+    ([[tokenizer_apply_bpe]] swaps the tokenizer; [[vocab_coverage_topk]]
+    reports the coverage side) before committing a vocabulary to a
+    training run — a source whose chars/token is far off the corpus
+    mean is the one whose text the tokenizer fragments.
+
+    Exactness: token character totals come from an integer fold over
+    per-token lengths (no whitespace arithmetic assumptions), and every
+    ratio is a milli-scaled non-negative integer floor division.
+
+    Scale shape: the per-doc branch is a map + source-grain aggregate
+    (map-side combined); the vocabulary branch is one distinct over
+    (source, token) — token-vocabulary-grain, the same shuffle class as
+    every LM op here — then a source-grain count.  The final join is
+    source-grain (tiny), broadcast by AQE.
+    """
+    d = parallel_scan(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", tokenize(F.col("text")).alias("ts"))
+    per_doc = toks.select(
+        "source",
+        F.size("ts").cast("long").alias("n_toks"),
+        F.aggregate(
+            F.transform(F.col("ts"), F.length),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("tok_chars"),
+    )
+    vocab = (
+        toks.select("source", F.explode("ts").alias("t"))
+        .distinct()
+        .groupBy("source")
+        .agg(F.count("*").alias("vocab"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.sum("tok_chars").cast("long").alias("token_chars"),
+        )
+        .join(vocab, "source")
+        .selectExpr(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "token_chars",
+            "CAST(vocab AS BIGINT) AS vocab",
+            "CAST(token_chars * 1000 div n_tokens AS BIGINT)"
+            " AS chars_per_token_milli",
+            "CAST(n_tokens * 1000 div n_docs AS BIGINT)"
+            " AS tokens_per_doc_milli",
+            "CAST(n_tokens * 1000 div vocab AS BIGINT)"
+            " AS token_type_ratio_milli",
+        )
+    )

@@ -149,6 +149,13 @@ _DRIVER_PRIORITY = [
     "fim_transformation",
     "boilerplate_ngram_removal",
     "hard_negative_mining",
+    # round-7 third wave — past the 50-slot r7 window by construction;
+    # first in line for the round-8 rotation.
+    "tokenizer_fertility_stats",
+    "duplicate_token_run_collapse",
+    "cross_source_contamination_matrix",
+    "curriculum_data_ordering",
+    "embedding_dimension_whitening",
 ]
 
 # Operators hard-verified by the driver in prior rounds (the union of

@@ -212,6 +212,13 @@ SWEPT_OPS = [
     "fim_transformation",
     "boilerplate_ngram_removal",
     "hard_negative_mining",
+    # round-7 third wave: fertility report, run collapse, source
+    # matrix, two-pass curriculum rank, dimension whitening.
+    "tokenizer_fertility_stats",
+    "duplicate_token_run_collapse",
+    "cross_source_contamination_matrix",
+    "curriculum_data_ordering",
+    "embedding_dimension_whitening",
 ]
 
 

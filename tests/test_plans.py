@@ -675,3 +675,41 @@ def test_bpe_merge_steps_no_corpus_rescan(spark, sf_correct):
     plan = physical_plan(df)
     assert "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_curriculum_rank_is_distributed(spark, sf_correct):
+    """Curriculum ordering: the exact global difficulty rank must be
+    the two-pass distributed form — row_number inside hash-partitioned
+    difficulty range buckets (bk); the ONLY SinglePartition exchange
+    allowed is the bucket-size prefix table (rows = value-domain /
+    CURR_BUCKET_MILLI)."""
+    df = get_operator("curriculum_data_ordering").query_fn(spark, sf_correct)
+    plan = physical_plan(df)
+    assert "hashpartitioning(bk" in plan, plan
+    assert _single_partition_exchanges(df) <= 1, plan
+
+
+def test_whitening_stats_join_broadcasts(spark, sf_correct):
+    """Dimension whitening: the d-row moment table joins back
+    BROADCAST — the corpus-sized (vec_id, dim) stream must never
+    shuffle for it, and no SinglePartition exchange may appear (the
+    moments are an ordinary partial/final aggregate)."""
+    df = get_operator("embedding_dimension_whitening").query_fn(
+        spark, sf_correct
+    )
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert _single_partition_exchanges(df) == 0, plan
+
+
+def test_cross_source_matrix_is_equijoin(spark, sf_correct):
+    """The source-pair matrix joins distinct shingle sets ON THE HASH
+    (equi-join; the source inequality rides as a post-filter) — a
+    nested-loop over shingle sets would be the quadratic scale-killer."""
+    df = get_operator("cross_source_contamination_matrix").query_fn(
+        spark, sf_correct
+    )
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -200,3 +200,68 @@ def test_hard_negatives_have_wrong_label_positives_right(spark, sf_correct):
         assert labels[r.positive_id] == r.anchor_label
         assert labels[r.negative_id] != r.anchor_label
         assert r.margin_micro == round((r.positive_cos - r.negative_cos) * 1_000_000)
+
+
+def test_fertility_ratios_are_consistent(spark, sf_correct):
+    rows = _rows(spark, sf_correct, "tokenizer_fertility_stats")
+    assert sum(r.n_docs for r in rows) == 500
+    for r in rows:
+        assert r.chars_per_token_milli == r.token_chars * 1000 // r.n_tokens
+        assert r.tokens_per_doc_milli == r.n_tokens * 1000 // r.n_docs
+        assert 0 < r.vocab <= r.n_tokens
+        # fixture tokens are short English-ish words
+        assert 1000 <= r.chars_per_token_milli <= 10000
+
+
+def test_run_collapse_removes_exactly_adjacent_dups(spark, sf_correct):
+    rows = _rows(spark, sf_correct, "duplicate_token_run_collapse")
+    assert sum(r.n_collapsed for r in rows) > 0, "fixture has no runs?"
+    for r in rows:
+        kept = r.kept_text.split(" ") if r.kept_text else []
+        assert len(kept) == r.n_tokens - r.n_collapsed
+        # no adjacent duplicates survive
+        assert all(a != b for a, b in zip(kept, kept[1:]))
+
+
+def test_cross_source_matrix_bounds(spark, sf_correct):
+    rows = _rows(spark, sf_correct, "cross_source_contamination_matrix")
+    assert rows, "no overlapping source pairs"
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert 0 < r.shared <= min(r.n_a, r.n_b)
+        assert (
+            r.jaccard_ppm
+            == r.shared * 1_000_000 // (r.n_a + r.n_b - r.shared)
+        )
+
+
+def test_curriculum_rank_is_a_permutation(spark, sf_correct):
+    from mapreduce_c_implementation_spark.operators.sampling import (
+        CURR_SHARD_DOCS,
+    )
+
+    rows = sorted(
+        _rows(spark, sf_correct, "curriculum_data_ordering"),
+        key=lambda r: r.curriculum_rank,
+    )
+    assert [r.curriculum_rank for r in rows] == list(range(1, len(rows) + 1))
+    # difficulty is non-decreasing along the curriculum
+    diffs = [r.difficulty_milli for r in rows]
+    assert diffs == sorted(diffs)
+    # shards are consecutive rank blocks of CURR_SHARD_DOCS
+    for r in rows:
+        assert r.shard_id == (r.curriculum_rank - 1) // CURR_SHARD_DOCS
+
+
+def test_whitening_z_is_standardized(spark, sf_correct):
+    rows = _rows(spark, sf_correct, "embedding_dimension_whitening")
+    assert len(rows) == 500
+    dims = {r.n_dims for r in rows}
+    assert dims == {rows[0].n_dims}, "ragged embedding widths?"
+    # dim-0 standardizes: mean(z0) ~ 0 and spread ~ 1e6 micro-units
+    z0 = [r.z0_micro for r in rows]
+    n = len(z0)
+    mean = sum(z0) / n
+    var = sum((z - mean) ** 2 for z in z0) / n
+    assert abs(mean) < 200_000, mean
+    assert 0.5e6 < var**0.5 < 1.5e6, var**0.5
