@@ -1686,3 +1686,63 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_copies")
     )
+
+
+@register(
+    "dedup_soft_weighting",
+    oracle_sql=f"""
+    WITH per AS (
+      SELECT doc_id, md5(text) AS digest,
+             CAST(len({_TOK}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    clusters AS (
+      SELECT digest, count(*) AS n_copies FROM per GROUP BY digest
+    )
+    SELECT per.doc_id,
+           CAST(clusters.n_copies AS BIGINT) AS n_copies,
+           CAST(1000000 // clusters.n_copies AS BIGINT) AS weight_ppm,
+           per.n_tokens,
+           CAST(per.n_tokens * 1000 // clusters.n_copies AS BIGINT)
+             AS effective_tokens_milli
+    FROM per JOIN clusters ON per.digest = clusters.digest
+    """,
+    tags=("dedup", "sampling", "pipeline"),
+)
+def dedup_soft_weighting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication: instead of DELETING duplicates
+    ([[dedup_keep_representatives]]), every document in an
+    exact-content cluster of size n gets sampling weight 1/n (in ppm),
+    so each distinct text contributes exactly one expected copy to the
+    training mix — the downweighting recipe used when hard removal is
+    too aggressive (common crawl snapshots where duplication itself
+    carries signal).  effective_tokens_milli is the doc's token count
+    under that weight — summed over the corpus it gives the EFFECTIVE
+    (post-dedup) token budget without rewriting a byte.  Reference
+    analog: the flagship's dedup combiner
+    (/root/reference/src/mapreduce.c:137-160) removes; this weights.
+
+    Exactness: all-integer floor arithmetic; cluster size via
+    order-insensitive count.
+
+    Scale shape: one scan computing (digest, n_tokens) in-row, a
+    digest-grain count (16-byte digests shuffle, map-side combined),
+    and a digest equi-join back — the [[dedup_exact]] plan plus one
+    join; payloads never shuffle twice.  For NEAR-dup soft weighting
+    swap the digest for the [[dedup_cc_stars]] component label — the
+    weighting join is unchanged.
+    """
+    per = parallel_scan(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5("text").alias("digest"),
+        F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    clusters = per.groupBy("digest").agg(F.count("*").alias("n_copies"))
+    return per.join(clusters, "digest").selectExpr(
+        "doc_id",
+        "CAST(n_copies AS BIGINT) AS n_copies",
+        "CAST(1000000 div n_copies AS BIGINT) AS weight_ppm",
+        "n_tokens",
+        "CAST(n_tokens * 1000 div n_copies AS BIGINT)"
+        " AS effective_tokens_milli",
+    )

@@ -1275,3 +1275,98 @@ def mann_whitney_u_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000) AS BIGINT)"
         ).alias("z_milli"),
     )
+
+
+# Differentially-private release: epsilon (x1000, integer basis) and
+# the seed-space width for the deterministic inverse-CDF draw.
+DP_EPS_MILLI = 1000  # epsilon = 1.0; sensitivity 1 => scale b = 1/eps
+DP_SEED_SPACE = 1048576  # 2^20 — 5 hex digits of md5(source)
+
+
+@register(
+    "dp_laplace_source_histogram",
+    oracle_sql=f"""
+    WITH counts AS (
+      SELECT source, count(*) AS n_true FROM documents GROUP BY source
+    ),
+    seeded AS (
+      SELECT source, n_true,
+             (CAST('0x' || substr(md5(source), 1, 5) AS BIGINT)
+              % {DP_SEED_SPACE} + 0.5) / {DP_SEED_SPACE} - 0.5 AS u
+      FROM counts
+    ),
+    noised AS (
+      SELECT source, CAST(n_true AS BIGINT) AS n_true,
+             CAST(round(-sign(u) * ln(1 - 2 * abs(u))
+                        * 1000000.0 / {DP_EPS_MILLI}) AS BIGINT)
+               AS noise_milli
+      FROM seeded
+    )
+    SELECT source, n_true, noise_milli,
+           n_true * 1000 + noise_milli AS released_milli
+    FROM noised
+    ORDER BY source
+    """,
+    tags=("privacy", "stats", "pipeline"),
+)
+def dp_laplace_source_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private histogram release: per-source document
+    counts with Laplace(1/eps) noise (eps = {DP_EPS_MILLI} milli,
+    sensitivity 1 — each document contributes to exactly one cell),
+    the mechanism a pipeline uses to publish corpus-composition stats
+    about a sensitive collection.  Completes the privacy ladder next to
+    [[pii_redaction]] (scrub) and [[k_anonymity_check]] (audit): this
+    one RELEASES.  Reference analog: none (LLM-pipeline surface per
+    the brief).
+
+    The noise draw is the inverse-CDF transform
+    ``-b * sign(u) * ln(1 - 2|u|)`` on u ~ Uniform(-0.5, 0.5) — but u
+    comes from md5(source) (seed-space 2^20, offset by 0.5 so |u| never
+    reaches 0.5 and the log never hits 0), NOT from rand(): the release
+    is reproducible on any engine, any run, any partitioning — the
+    deterministic-sampling contract of [[stratified_sample]] applied to
+    noise.  (A production release would re-key the seed per publication
+    and drop n_true from the output; both columns are kept here so the
+    oracle can pin the mechanism end-to-end.)
+
+    Exactness: one ln() per GROUP (not per row), rounded to integer
+    milli immediately — the engines' libm vs java.lang.Math ulp
+    divergence cannot survive the rounding except on exact .5
+    boundaries, which the fixed seed space makes a measure-zero
+    non-event pinned by the oracle run.
+
+    Scale shape: a source-grain count (map-side combined, #sources rows
+    out) and an in-row noise expression at group grain.  Nothing else.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_true"))
+    u = (
+        (
+            F.conv(F.substring(F.md5(F.col("source")), 1, 5), 16, 10)
+            .cast("long")
+            % DP_SEED_SPACE
+            + F.lit(0.5)
+        )
+        / F.lit(float(DP_SEED_SPACE))
+        - F.lit(0.5)
+    )
+    noise_milli = F.round(
+        -F.signum(u)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u))
+        * F.lit(1000000.0)
+        / F.lit(float(DP_EPS_MILLI))
+    ).cast("long")
+    return (
+        counts.select(
+            "source",
+            F.col("n_true").cast("long").alias("n_true"),
+            noise_milli.alias("noise_milli"),
+        )
+        .selectExpr(
+            "source",
+            "n_true",
+            "noise_milli",
+            "n_true * 1000 + noise_milli AS released_milli",
+        )
+        .orderBy("source")
+    )

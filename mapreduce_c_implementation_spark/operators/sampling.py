@@ -676,3 +676,142 @@ def curriculum_data_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS shard_id",
         )
     )
+
+
+# DSIR (Data Selection with Importance Resampling, Xie et al. 2023,
+# arXiv:2302.03169): hashed n-gram bag features, per-bucket
+# log-likelihood ratio between a small TARGET distribution and the raw
+# corpus, per-document importance weight = sum of its tokens' bucket
+# log-ratios.  Bucket count and the selection budget:
+DSIR_BUCKETS = 64
+DSIR_TOP_K = 100
+# Target domain for the fixture: English documents (stand-in for "the
+# curated corpus whose distribution we want the selection to match").
+DSIR_TARGET_PRED = "lang = 'en'"
+
+
+@register(
+    "dsir_importance_resampling",
+    oracle_sql=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest({_TOK}) AS t FROM documents
+    ),
+    bucketed AS (
+      SELECT doc_id, lang,
+             CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % {DSIR_BUCKETS}
+               AS b
+      FROM tok
+    ),
+    raw AS (SELECT b, count(*) AS cr FROM bucketed GROUP BY b),
+    tgt AS (
+      SELECT b, count(*) AS ct FROM bucketed
+      WHERE {DSIR_TARGET_PRED} GROUP BY b
+    ),
+    tots AS (
+      SELECT (SELECT sum(cr) FROM raw) AS nr,
+             (SELECT coalesce(sum(ct), 0) FROM tgt) AS nt
+    ),
+    ratio AS (
+      SELECT raw.b,
+             CAST(round(
+               ln((coalesce(tgt.ct, 0) + 1.0)
+                  / (tots.nt + {DSIR_BUCKETS}))
+               - ln((raw.cr + 1.0) / (tots.nr + {DSIR_BUCKETS})), 6)
+             AS DECIMAL(18,6)) AS logr
+      FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tots
+    ),
+    scored AS (
+      SELECT bucketed.doc_id,
+             count(*) AS n_tokens,
+             CAST(CAST(sum(ratio.logr) AS DECIMAL(30,6)) AS DOUBLE)
+               AS dsir_logratio
+      FROM bucketed JOIN ratio ON bucketed.b = ratio.b
+      GROUP BY bucketed.doc_id
+    )
+    SELECT doc_id, n_tokens, dsir_logratio
+    FROM scored
+    ORDER BY dsir_logratio DESC, doc_id
+    LIMIT {DSIR_TOP_K}
+    """,
+    tags=("sampling", "selection", "pipeline"),
+)
+def dsir_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): score every raw document
+    by how target-like its hashed n-gram bag is — per-bucket
+    log-likelihood ratio ln(p_target/p_raw) with add-one smoothing over
+    {DSIR_BUCKETS} hash buckets — and keep the {DSIR_TOP_K} best.  The
+    fixture's target distribution is ``{DSIR_TARGET_PRED}``; in
+    production it is the curated corpus the pretraining mix should
+    imitate.  Reference analog: none (LLM-pipeline surface per the
+    brief; selection discipline mirrors the deterministic-sampling
+    contract of [[stratified_sample]]).
+
+    Exactness: bucket log-ratios round to DECIMAL(18,6) before the
+    per-doc DECIMAL(30,6) sum, so no float fold-order can diverge
+    between engines or partitionings (same rule as
+    [[unigram_logprob_score]]); the head is totally ordered by
+    (score, doc_id).
+
+    Scale shape: the feature space is CONSTANT-size by construction
+    (the hashing trick — no vocabulary table, nothing to OOM), so the
+    whole selection is: one explode -> bucket-grain counts (map-side
+    combined, {DSIR_BUCKETS} rows out), a {DSIR_BUCKETS}-row broadcast
+    ratio table joined back onto the exploded tokens, a per-doc
+    DECIMAL sum, and a TakeOrderedAndProject head — zero corpus-sized
+    shuffles.  At 100 TB the top-k head generalizes to the paper's
+    sampling form: keep docs with score above a broadcast quantile cut
+    (see [[quality_classifier_inference]] for that rewrite shape).
+    """
+    d = parallel_scan(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(tokenize(F.col("text"))).alias("t"),
+    )
+    bucketed = tok.select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("long")
+            % DSIR_BUCKETS
+        ).alias("b"),
+    )
+    raw = bucketed.groupBy("b").agg(F.count("*").alias("cr"))
+    tgt = (
+        bucketed.filter(F.expr(DSIR_TARGET_PRED))
+        .groupBy("b")
+        .agg(F.count("*").alias("ct"))
+    )
+    tots = raw.agg(F.sum("cr").alias("nr")).crossJoin(
+        F.broadcast(tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt")))
+    )
+    ratio = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("nt") + F.lit(float(DSIR_BUCKETS)))
+                )
+                - F.log(
+                    (F.col("cr") + F.lit(1.0))
+                    / (F.col("nr") + F.lit(float(DSIR_BUCKETS)))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("logr"),
+        )
+    )
+    scored = (
+        bucketed.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("logr").cast("decimal(30,6)").cast("double")
+            .alias("dsir_logratio"),
+        )
+    )
+    return scored.orderBy(F.desc("dsir_logratio"), "doc_id").limit(DSIR_TOP_K)

@@ -3825,3 +3825,81 @@ def tokenizer_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS token_type_ratio_milli",
         )
     )
+
+
+# n-gram novelty: order of the shingle and the ppm basis.
+NOVELTY_N = 2
+
+
+@register(
+    "ngram_novelty_score",
+    oracle_sql=f"""
+    WITH toks AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+    shingles AS (
+      SELECT doc_id, unnest(list_distinct({duckdb_ngrams('ts', NOVELTY_N)}))
+               AS sh
+      FROM toks
+    ),
+    firsts AS (SELECT sh, min(doc_id) AS first_doc FROM shingles GROUP BY sh)
+    SELECT shingles.doc_id,
+           count(*) AS n_distinct_ngrams,
+           CAST(sum(CASE WHEN firsts.first_doc = shingles.doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS novel_ngrams,
+           CAST(sum(CASE WHEN firsts.first_doc = shingles.doc_id
+                         THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS novelty_ppm
+    FROM shingles JOIN firsts ON shingles.sh = firsts.sh
+    GROUP BY shingles.doc_id
+    """,
+    tags=("text", "dedup", "scoring", "pipeline"),
+)
+def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction (in ppm) of a
+    document's distinct {NOVELTY_N}-grams whose FIRST corpus occurrence
+    (min doc_id — the fixture's stand-in for ingestion order) is this
+    document.  Low novelty means the document is mostly re-treading
+    earlier text — the streaming-order complement of
+    [[dedup_ngram_jaccard]] (which scores pairs) and the
+    memorization-risk screen used when deciding what a later crawl
+    snapshot actually adds.  Reference analog: none (LLM-pipeline
+    surface per the brief).
+
+    Exactness: all-integer (counts and floor-div ppm) — no float
+    anywhere; min(doc_id) is order-insensitive, so any partitioning
+    yields the same firsts.
+
+    Scale shape: explode distinct shingles -> shingle-grain min()
+    aggregate (map-side combined) -> shingle equi-join back -> per-doc
+    counts.  The firsts table is shingle-vocabulary-sized, so it
+    SHUFFLE-joins on the shingle (the [[unigram_logprob_score]] /
+    [[tfidf_top_terms]] rule: never broadcast an unbounded
+    vocabulary); nothing quadratic, nothing corpus-sized on one node.
+    At 100 TB with a true ingestion timestamp, swap min(doc_id) for
+    min(ingest_ts, doc_id) — the plan is unchanged.
+    """
+    d = parallel_scan(spark, sf_dir, "documents")
+    shingles = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(ngrams(tokenize(F.col("text")), NOVELTY_N))
+        ).alias("sh"),
+    )
+    firsts = shingles.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        shingles.join(firsts, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_distinct_ngrams"),
+            novel.cast("long").alias("novel_ngrams"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_distinct_ngrams",
+            "novel_ngrams",
+            "CAST(novel_ngrams * 1000000 div n_distinct_ngrams AS BIGINT)"
+            " AS novelty_ppm",
+        )
+    )

@@ -564,3 +564,106 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t_days")
     )
+
+
+@register(
+    "cusum_changepoint_scan",
+    oracle_sql="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             count(*) AS n,
+             sum(CAST(round(value * 100) AS BIGINT)) AS s
+      FROM events GROUP BY d
+    ),
+    pfx AS (
+      SELECT d,
+             sum(n) OVER w AS n1,
+             sum(s) OVER w AS s1,
+             sum(n) OVER () AS nt,
+             sum(s) OVER () AS st
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    stat AS (
+      SELECT d, CAST(n1 AS BIGINT) AS n_cum,
+             CAST(abs(s1 * nt - st * n1) AS BIGINT) AS cusum_abs
+      FROM pfx WHERE n1 < nt
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, n_cum, cusum_abs,
+           cusum_abs = (SELECT max(cusum_abs) FROM stat) AS is_peak
+    FROM stat
+    ORDER BY day
+    """,
+    tags=("timeseries", "stats", "pipeline"),
+)
+def cusum_changepoint_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift changepoint scan over the daily event-value
+    series: for every candidate split day t the statistic
+    |S1*N - S*N1| — the cumulative deviation from the global mean,
+    cross-multiplied so it is an EXACT integer (it equals
+    N*N1*(N-N1)*|mean_before - mean_overall| without a single
+    division) — peaks at the most likely mean-shift day (is_peak).
+    The screen a pipeline runs over ingest-volume or quality-score
+    series to catch a crawl snapshot going bad mid-stream; pairs with
+    [[seasonal_decompose_daily]] (which models the series) and
+    [[token_drift_topk]] (which localizes WHAT drifted).  Reference
+    analog: none (LLM-pipeline surface per the brief).
+
+    Exactness: event values quantize to integer cents once
+    (round(value*100), the [[event_attribution_windows]] rule), so all
+    prefix sums and the cross-multiplied statistic are exact BIGINTs —
+    no float fold-order anywhere.  At fixture scale the products stay
+    ~1e14; at 100 TB rescale to DECIMAL(38,0) exactly as
+    [[part_abc_classification]] does.
+
+    Scale shape: the corpus-sized work is one day-grain aggregate
+    (map-side combined; #days rows out).  The cumulative windows run
+    on the DAY-GRAIN table, whose row count is bounded by the calendar
+    span regardless of corpus size — the same bounded-domain argument
+    as [[ks_two_sample]], with the same escape hatch (coarser time
+    buckets) if the grain were ever unbounded.  The peak is a 1-row
+    broadcast.
+    """
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            F.col("ts").cast("date").alias("d"),
+            F.round(F.col("value") * 100).cast("long").alias("vc"),
+        )
+        .groupBy("d")
+        .agg(F.count("*").alias("n"), F.sum("vc").alias("s"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    tot = daily.agg(
+        F.sum("n").alias("nt"), F.sum("s").alias("st")
+    )
+    pfx = (
+        daily.select(
+            "d",
+            F.sum("n").over(w).alias("n1"),
+            F.sum("s").over(w).alias("s1"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("n1") < F.col("nt"))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("n1").cast("long").alias("n_cum"),
+            F.abs(F.col("s1") * F.col("nt") - F.col("st") * F.col("n1"))
+            .cast("long")
+            .alias("cusum_abs"),
+        )
+    )
+    peak = pfx.agg(F.max("cusum_abs").alias("mx"))
+    return (
+        pfx.crossJoin(F.broadcast(peak))
+        .select(
+            "day",
+            "n_cum",
+            "cusum_abs",
+            (F.col("cusum_abs") == F.col("mx")).alias("is_peak"),
+        )
+        .orderBy("day")
+    )

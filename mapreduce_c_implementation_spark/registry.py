@@ -156,6 +156,13 @@ _DRIVER_PRIORITY = [
     "cross_source_contamination_matrix",
     "curriculum_data_ordering",
     "embedding_dimension_whitening",
+    # round-7 fourth wave — data-selection, novelty, soft-dedup,
+    # changepoint, and DP-release ops; round-8 rotation queue.
+    "dsir_importance_resampling",
+    "ngram_novelty_score",
+    "dedup_soft_weighting",
+    "cusum_changepoint_scan",
+    "dp_laplace_source_histogram",
 ]
 
 # Operators hard-verified by the driver in prior rounds (the union of

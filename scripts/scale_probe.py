@@ -94,6 +94,19 @@ PROBE_OPS = [
     "perplexity_filter_rewrite",
     "domain_cap_rewrite",
     "join_fuzzy_levenshtein",
+    # round-7 second/third waves: cross-doc template join (boilerplate),
+    # LSH triplet mining, rank/entropy stats, FIM row map, the
+    # cross-source shingle matrix, the two-pass curriculum rank, and
+    # dimension whitening (d-row broadcast join).
+    "boilerplate_ngram_removal",
+    "hard_negative_mining",
+    "feature_rank_normalize",
+    "corpus_entropy_rate",
+    "fim_transformation",
+    "cross_source_contamination_matrix",
+    "curriculum_data_ordering",
+    "embedding_dimension_whitening",
+    "duplicate_token_run_collapse",
 ]
 
 

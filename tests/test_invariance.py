@@ -219,6 +219,14 @@ SWEPT_OPS = [
     "cross_source_contamination_matrix",
     "curriculum_data_ordering",
     "embedding_dimension_whitening",
+    # round-7 fourth wave: DSIR selection (decimal-sum scores + total
+    # order), novelty firsts, soft-dedup weights, integer CUSUM scan,
+    # and the hash-seeded DP release.
+    "dsir_importance_resampling",
+    "ngram_novelty_score",
+    "dedup_soft_weighting",
+    "cusum_changepoint_scan",
+    "dp_laplace_source_histogram",
 ]
 
 

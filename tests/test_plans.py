@@ -259,6 +259,11 @@ _NESTED_LOOP_EXEMPT = {
     # 1-row (n_a, n_b) totals broadcast onto the 1-row rank-sum terms
     # (the binned-KS/CvM twin)
     "mann_whitney_u_binned",
+    # two 1-row broadcasts: (target, raw) token totals for the
+    # smoothing denominators — single-row nested-loop sides
+    "dsir_importance_resampling",
+    # 1-row corpus totals + 1-row peak broadcast onto the day-grain scan
+    "cusum_changepoint_scan",
 }
 
 # Modules whose query_fns build lazy plans (streaming/io execute jobs

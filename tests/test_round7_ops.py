@@ -265,3 +265,97 @@ def test_whitening_z_is_standardized(spark, sf_correct):
     var = sum((z - mean) ** 2 for z in z0) / n
     assert abs(mean) < 200_000, mean
     assert 0.5e6 < var**0.5 < 1.5e6, var**0.5
+
+
+def test_dsir_selection_skews_toward_target(spark, sf_correct):
+    """DSIR's whole point: the selected head is enriched in the target
+    distribution (lang='en') relative to the raw corpus, scores come
+    back in non-increasing order, and the head is exactly TOP_K."""
+    from mapreduce_c_implementation_spark.operators.sampling import DSIR_TOP_K
+
+    rows = _rows(spark, sf_correct, "dsir_importance_resampling")
+    assert len(rows) == DSIR_TOP_K
+    scores = [r.dsir_logratio for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    langs = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    sel_en = sum(1 for r in rows if langs[r.doc_id] == "en") / len(rows)
+    corpus_en = sum(1 for v in langs.values() if v == "en") / len(langs)
+    assert sel_en > corpus_en, (sel_en, corpus_en)
+
+
+def test_novelty_firsts_partition_the_shingle_vocabulary(spark, sf_correct):
+    """The earliest doc scores 1.0 novelty; per-doc novel counts are
+    bounded by distinct counts; summed novel counts equal the corpus
+    distinct-shingle vocabulary (each shingle is novel exactly once)."""
+    rows = _rows(spark, sf_correct, "ngram_novelty_score")
+    assert rows
+    by_doc = {r.doc_id: r for r in rows}
+    first = by_doc[min(by_doc)]
+    assert first.novelty_ppm == 1_000_000
+    for r in rows:
+        assert 0 <= r.novel_ngrams <= r.n_distinct_ngrams
+    from mapreduce_c_implementation_spark.functions.text import ngrams, tokenize
+    from mapreduce_c_implementation_spark.operators.textanalysis import NOVELTY_N
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    vocab = (
+        docs.select(
+            F.explode(
+                F.array_distinct(ngrams(tokenize(F.col("text")), NOVELTY_N))
+            ).alias("sh")
+        )
+        .agg(F.count_distinct("sh"))
+        .collect()[0][0]
+    )
+    assert sum(r.novel_ngrams for r in rows) == vocab
+
+
+def test_soft_dedup_weights_sum_to_one_per_cluster(spark, sf_correct):
+    """Every exact-content cluster's weights total 1e6 ppm up to floor
+    loss (< n_copies), and every document keeps a row."""
+    rows = _rows(spark, sf_correct, "dedup_soft_weighting")
+    n_docs = spark.read.parquet(f"{sf_correct}/documents.parquet").count()
+    assert len(rows) == n_docs
+    from collections import defaultdict
+
+    clusters = defaultdict(list)
+    for r in rows:
+        assert r.weight_ppm == 1_000_000 // r.n_copies
+        clusters[(r.n_copies, r.weight_ppm)].append(r)
+    for (n, w), members in clusters.items():
+        assert len(members) % n == 0  # whole clusters of size n
+        total = n * w
+        assert 1_000_000 - n < total <= 1_000_000
+
+
+def test_cusum_scan_prefixes_and_peak(spark, sf_correct):
+    """Prefix counts strictly increase, the final (complete) prefix is
+    excluded, and at least one row carries the peak flag with the
+    maximal statistic."""
+    rows = _rows(spark, sf_correct, "cusum_changepoint_scan")
+    assert rows
+    cums = [r.n_cum for r in rows]
+    assert cums == sorted(cums) and len(set(cums)) == len(cums)
+    n_events = spark.read.parquet(f"{sf_correct}/events.parquet").count()
+    assert cums[-1] < n_events
+    mx = max(r.cusum_abs for r in rows)
+    peaks = [r for r in rows if r.is_peak]
+    assert peaks and all(r.cusum_abs == mx for r in peaks)
+
+
+def test_dp_release_noise_is_bounded_laplace(spark, sf_correct):
+    """released = true + noise; |noise| is bounded by the seed-space
+    tail ln(2^21)/eps; totals reconcile with the corpus."""
+    import math
+
+    rows = _rows(spark, sf_correct, "dp_laplace_source_histogram")
+    n_docs = spark.read.parquet(f"{sf_correct}/documents.parquet").count()
+    assert sum(r.n_true for r in rows) == n_docs
+    bound = math.log(2 * 1048576) * 1000  # b=1, |u| <= 0.5 - 1/2^21
+    for r in rows:
+        assert r.released_milli == r.n_true * 1000 + r.noise_milli
+        assert abs(r.noise_milli) <= bound
+    # noise must actually vary across cells (it is a per-source draw)
+    assert len({r.noise_milli for r in rows}) > 1
