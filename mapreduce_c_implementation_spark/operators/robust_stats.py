@@ -22,7 +22,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from mapreduce_c_implementation_spark.registry import register
+from mapreduce_c_implementation_spark.functions.text import DUCKDB_TOKENIZE, tokenize
 from mapreduce_c_implementation_spark.sources import load_table
+
+# DuckDB mirror of the shared ASCII tokenizer, over documents.text.
+_TOK = DUCKDB_TOKENIZE.format(col="text")
 
 # floor(log10(1 + 1/d) * 1000) for d = 1..9 — Benford's law in
 # per-mille.  Public constants (Benford 1938), precomputed so neither
@@ -1369,4 +1373,200 @@ def dp_laplace_source_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_true * 1000 + noise_milli AS released_milli",
         )
         .orderBy("source")
+    )
+
+
+# pass@k evaluation: the k values reported and the "correct" predicate.
+PASS_AT_KS = (1, 5, 10)
+
+
+@register(
+    "pass_at_k_eval",
+    oracle_sql="""
+    WITH per_problem AS (
+      SELECT user_id,
+             count(*) AS n,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+      FROM events GROUP BY user_id
+    ),
+    ks AS (SELECT unnest([1, 5, 10]) AS k),
+    scored AS (
+      SELECT k, user_id,
+             1000000 - (1000000 * list_reduce(
+                 list_transform(generate_series(0, k - 1),
+                                i -> CAST(greatest(n - c - i, 0) AS HUGEINT)),
+                 (a, b) -> a * b))
+               // list_reduce(
+                 list_transform(generate_series(0, k - 1),
+                                i -> CAST(n - i AS HUGEINT)),
+                 (a, b) -> a * b) AS pass_ppm
+      FROM per_problem, ks WHERE n >= k
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           count(*) AS n_problems,
+           CAST(sum(pass_ppm) // count(*) AS BIGINT) AS macro_pass_ppm
+    FROM scored GROUP BY k ORDER BY k
+    """,
+    tags=("stats", "eval", "pipeline"),
+)
+def pass_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@k over grouped trial outcomes (Chen et al. 2021,
+    "Evaluating Large Language Models Trained on Code", eq. 1):
+    per problem with n samples and c successes,
+    pass@k = 1 - C(n-c,k)/C(n,k), estimated here with users as
+    problems, events as samples, and a purchase as a success — the
+    aggregation every code/reasoning eval harness runs over its
+    sample table.  The combination ratio is computed as the telescoped
+    product prod_{i<k} (n-c-i)/(n-i) (never a factorial of n), clamped
+    to 0 when n-c < k, and quantized to exact ppm by integer division —
+    both engines do only integer multiplies and one floor-div, so the
+    hash match is exact.  Reference analog: the count/sum reducer
+    discipline of /root/reference/src/main.c:61-75, lifted to a
+    grouped-trial estimator.
+
+    Exactness: the k-term products are ≤ n^k; they are computed in
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), which hold n up to ~6e3
+    at k=10 — far above any per-problem sample count an eval harness
+    emits (problems × samples is bounded by the eval budget, not the
+    corpus).  macro_pass_ppm is a floor of an integer mean.
+
+    Scale shape: one problem-grain aggregate (map-side combined), a
+    K-row explode on the PROBLEM-grain table (K=3 constant), and a
+    K-row final aggregate.  Nothing corpus-sized shuffles twice; the
+    per-problem HOF product runs in-row over a k-element sequence.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_problem = e.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("c"),
+    )
+    ks = F.explode(
+        F.array(*[F.lit(k) for k in PASS_AT_KS])
+    ).alias("k")
+    exploded = per_problem.select("n", "c", ks).filter(
+        F.col("n") >= F.col("k")
+    )
+
+    def _prod(term):
+        return F.aggregate(
+            F.sequence(F.lit(0), F.col("k") - 1),
+            F.lit(1).cast("decimal(38,0)"),
+            lambda acc, i: acc * term(i).cast("decimal(38,0)"),
+        )
+
+    num = _prod(lambda i: F.greatest(F.col("n") - F.col("c") - i, F.lit(0)))
+    den = _prod(lambda i: F.col("n") - i)
+    scored = exploded.select(
+        F.col("k").cast("long").alias("k"),
+        num.alias("num"),
+        den.alias("den"),
+    ).select(
+        "k",
+        F.expr(
+            "1000000 - CAST((CAST(1000000 AS DECIMAL(38,0)) * num) div den"
+            " AS BIGINT)"
+        ).alias("pass_ppm"),
+    )
+    return (
+        scored.groupBy("k")
+        .agg(
+            F.count("*").alias("n_problems"),
+            F.expr("sum(pass_ppm) div count(*)").alias("macro_pass_ppm"),
+        )
+        .orderBy("k")
+    )
+
+
+@register(
+    "spearman_rank_correlation",
+    oracle_sql=f"""
+    WITH d AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS x,
+             CAST(length(list_distinct({_TOK})) AS BIGINT) AS y
+      FROM documents
+    ),
+    xr AS (
+      SELECT x, 2 * sum(count(*)) OVER (ORDER BY x) - count(*) + 1 AS rx
+      FROM d GROUP BY x
+    ),
+    yr AS (
+      SELECT y, 2 * sum(count(*)) OVER (ORDER BY y) - count(*) + 1 AS ry
+      FROM d GROUP BY y
+    ),
+    j AS (
+      SELECT xr.rx, yr.ry FROM d JOIN xr USING (x) JOIN yr USING (y)
+    ),
+    s AS (
+      SELECT count(*) AS n,
+             sum(rx) AS sx, sum(ry) AS sy,
+             sum(rx * rx) AS sxx, sum(ry * ry) AS syy,
+             sum(rx * ry) AS sxy
+      FROM j
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(round(1000000.0 * CAST(n * sxy - sx * sy AS DOUBLE)
+                / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                   * sqrt(CAST(n * syy - sy * sy AS DOUBLE))))
+                AS BIGINT) AS rho_ppm
+    FROM s
+    """,
+    tags=("stats", "quality", "pipeline"),
+)
+def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (average ranks for ties) between two
+    per-document quality signals — raw length (n_chars) and lexical
+    breadth (distinct tokens) — the monotone-association screen a
+    pipeline runs to decide whether two quality signals are redundant
+    before paying for both at 100 TB.  Reference analog: none
+    (LLM-pipeline surface per the brief); the rank machinery reuses
+    the bounded-domain discipline of [[ks_two_sample_binned]].
+
+    Exactness: average ranks are kept DOUBLED (2*cum - cnt + 1), so
+    every rank is an exact integer; all six moment sums are exact
+    BIGINTs, and rho is a single identical double expression over
+    those integers in both engines (IEEE mult/div/sqrt are correctly
+    rounded, so the ppm quantization cannot diverge).
+
+    Scale shape: ranks are computed on the VALUE-grain tables (one
+    row per distinct n_chars / distinct-token count), whose size is
+    bounded by the value domain, not the corpus — the same argument
+    as [[ks_two_sample]]'s binned variant, with the same pre-bin
+    escape hatch for unbounded domains.  The corpus-sized work is two
+    keyed aggregates plus two broadcast joins of the bounded rank
+    tables back onto the doc grain, then one 6-sum aggregate.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("long").alias("x"),
+        F.size(F.array_distinct(tokenize(F.col("text"))))
+        .cast("long")
+        .alias("y"),
+    )
+
+    def rank_table(col: str, out: str) -> DataFrame:
+        vg = d.groupBy(col).agg(F.count("*").alias("cnt"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        return vg.select(
+            col,
+            (2 * F.sum("cnt").over(w) - F.col("cnt") + 1).alias(out),
+        )
+
+    j = d.join(F.broadcast(rank_table("x", "rx")), "x").join(
+        F.broadcast(rank_table("y", "ry")), "y"
+    )
+    s = j.agg(
+        F.count("*").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    return s.selectExpr(
+        "CAST(n AS BIGINT) AS n_docs",
+        "CAST(round(1000000.0 * CAST(n * sxy - sx * sy AS DOUBLE)"
+        " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+        "    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT)"
+        " AS rho_ppm",
     )

@@ -815,3 +815,120 @@ def dsir_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("dsir_logratio"), "doc_id").limit(DSIR_TOP_K)
+
+
+# Group-holdout split thresholds in md5 basis points: train < 8000,
+# val < 9000, test otherwise — and the stratified fold count.
+GROUP_SPLIT_BP = (8000, 9000)
+KFOLD_K = 5
+
+
+@register(
+    "group_holdout_split",
+    oracle_sql=f"""
+    WITH g AS (
+      SELECT source,
+             CAST('0x' || substr(md5(source), 1, 4) AS BIGINT) % 10000 AS bp,
+             count(*) AS n
+      FROM documents GROUP BY source
+    )
+    SELECT CASE WHEN bp < {GROUP_SPLIT_BP[0]} THEN 'train'
+                WHEN bp < {GROUP_SPLIT_BP[1]} THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_sources,
+           CAST(sum(n) AS BIGINT) AS n_docs
+    FROM g GROUP BY split ORDER BY split
+    """,
+    tags=("sampling", "split", "pipeline"),
+)
+def group_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe holdout split: the hash that decides train/val/test
+    is taken over the GROUP key (source — the domain/site analog), not
+    the document, so every document from a source lands in the same
+    split by construction.  Doc-level hashing ([[deterministic_split]])
+    leaks near-duplicates across splits whenever a site hosts its own
+    mirrors; group-level hashing is the standard fix (GroupKFold /
+    group-shuffle-split semantics), and [[cross_split_leakage_audit]]
+    is the detector this op makes pass.  Reference analog: none
+    (LLM-pipeline surface per the brief).
+
+    Determinism/exactness: the same md5-basis-point rule as every
+    sampler in this module — integer bucket compare, no rand() — so
+    the assignment is reproducible on any engine and partitioning.
+
+    Scale shape: one source-grain aggregate (map-side combined; one
+    row per source), then a 3-row rollup of the source table.  The
+    corpus is scanned once; the split decision never touches doc
+    grain, so a 100 TB corpus costs one combine-heavy aggregate.
+    """
+    d = parallel_scan(spark, sf_dir, "documents")
+    bp = (
+        F.conv(F.substring(F.md5(F.col("source")), 1, 4), 16, 10).cast("long")
+        % 10000
+    )
+    g = d.groupBy("source").agg(F.count("*").alias("n")).select(
+        bp.alias("bp"), F.col("n")
+    )
+    split = (
+        F.when(F.col("bp") < GROUP_SPLIT_BP[0], "train")
+        .when(F.col("bp") < GROUP_SPLIT_BP[1], "val")
+        .otherwise("test")
+    )
+    return (
+        g.select(split.alias("split"), "n")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_sources"),
+            F.sum("n").cast("long").alias("n_docs"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "stratified_kfold_assign",
+    oracle_sql=f"""
+    WITH ranked AS (
+      SELECT lang,
+             (row_number() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1)
+               % {KFOLD_K} AS fold
+      FROM documents
+    )
+    SELECT CAST(fold AS BIGINT) AS fold, lang, count(*) AS n_docs
+    FROM ranked GROUP BY fold, lang ORDER BY fold, lang
+    """,
+    tags=("sampling", "split", "pipeline"),
+)
+def stratified_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified k-fold assignment (K={KFOLD_K}): within each lang
+    stratum documents are ordered by md5(doc_id) (a deterministic
+    shuffle) and dealt round-robin, so every fold holds each stratum's
+    count to within one document — the exact-balance contract
+    cross-validation needs, which plain hash-mod assignment
+    ([[deterministic_split]]) only meets in expectation.  Reference
+    analog: none (LLM-pipeline surface per the brief).
+
+    Scale shape: one window partitioned BY STRATUM (the same
+    per-group shuffle the top-k family uses) plus a fold×stratum
+    aggregate.  A stratum is as big as the corpus share of that lang,
+    so at 100 TB the exact deal is the expensive-but-correct path; if
+    ±epsilon balance is acceptable, hash-mod assignment (no window)
+    is the documented cheap alternative — the same trade
+    [[customer_rfm_segmentation]] resolves with its two-pass rank.
+    """
+    d = parallel_scan(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select(
+            "lang",
+            ((F.row_number().over(w) - 1) % KFOLD_K)
+            .cast("long")
+            .alias("fold"),
+        )
+        .groupBy("fold", "lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("fold", "lang")
+    )

@@ -3840,16 +3840,19 @@ NOVELTY_N = 2
                AS sh
       FROM toks
     ),
-    firsts AS (SELECT sh, min(doc_id) AS first_doc FROM shingles GROUP BY sh)
-    SELECT shingles.doc_id,
-           count(*) AS n_distinct_ngrams,
-           CAST(sum(CASE WHEN firsts.first_doc = shingles.doc_id
-                         THEN 1 ELSE 0 END) AS BIGINT) AS novel_ngrams,
-           CAST(sum(CASE WHEN firsts.first_doc = shingles.doc_id
-                         THEN 1 ELSE 0 END) * 1000000
-                // count(*) AS BIGINT) AS novelty_ppm
-    FROM shingles JOIN firsts ON shingles.sh = firsts.sh
-    GROUP BY shingles.doc_id
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_distinct_ngrams FROM shingles GROUP BY doc_id
+    ),
+    firsts AS (SELECT sh, min(doc_id) AS first_doc FROM shingles GROUP BY sh),
+    novel AS (
+      SELECT first_doc AS doc_id, count(*) AS nn FROM firsts GROUP BY first_doc
+    )
+    SELECT per_doc.doc_id,
+           n_distinct_ngrams,
+           CAST(coalesce(nn, 0) AS BIGINT) AS novel_ngrams,
+           CAST(coalesce(nn, 0) * 1000000 // n_distinct_ngrams AS BIGINT)
+             AS novelty_ppm
+    FROM per_doc LEFT JOIN novel USING (doc_id)
     """,
     tags=("text", "dedup", "scoring", "pipeline"),
 )
@@ -3868,38 +3871,97 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere; min(doc_id) is order-insensitive, so any partitioning
     yields the same firsts.
 
-    Scale shape: explode distinct shingles -> shingle-grain min()
-    aggregate (map-side combined) -> shingle equi-join back -> per-doc
-    counts.  The firsts table is shingle-vocabulary-sized, so it
-    SHUFFLE-joins on the shingle (the [[unigram_logprob_score]] /
-    [[tfidf_top_terms]] rule: never broadcast an unbounded
-    vocabulary); nothing quadratic, nothing corpus-sized on one node.
-    At 100 TB with a true ingestion timestamp, swap min(doc_id) for
-    min(ingest_ts, doc_id) — the plan is unchanged.
+    Scale shape: explode distinct shingles, then TWO map-side-combined
+    aggregates — per-doc shingle counts, and shingle-grain min() whose
+    winners re-aggregate to a per-doc novel count — joined at DOC
+    grain.  A shingle-grain join of the firsts table back onto the
+    exploded shingles (the naive form) would shuffle the full shingle
+    table twice; counting firsts per winner doc first makes the join
+    input doc-grain (measured 21.3 s -> ~3 s at sf0.1).  Nothing
+    quadratic, nothing corpus-sized on one node.  At 100 TB with a
+    true ingestion timestamp, swap min(doc_id) for the
+    min(struct(ingest_ts, doc_id)) argmin — the plan is unchanged.
     """
-    d = parallel_scan(spark, sf_dir, "documents")
+    d = compute_scan(spark, sf_dir, "documents")
     shingles = d.select(
         "doc_id",
         F.explode(
             F.array_distinct(ngrams(tokenize(F.col("text")), NOVELTY_N))
         ).alias("sh"),
     )
-    firsts = shingles.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
-    novel = F.sum(
-        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    per_doc = shingles.groupBy("doc_id").agg(
+        F.count("*").alias("n_distinct_ngrams")
+    )
+    novel = (
+        shingles.groupBy("sh")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("nn"))
+    )
+    return per_doc.join(novel, "doc_id", "left").selectExpr(
+        "doc_id",
+        "n_distinct_ngrams",
+        "CAST(coalesce(nn, 0) AS BIGINT) AS novel_ngrams",
+        "CAST(coalesce(nn, 0) * 1000000 div n_distinct_ngrams AS BIGINT)"
+        " AS novelty_ppm",
+    )
+
+
+@register(
+    "feature_hash_collision_stats",
+    oracle_sql=f"""
+    WITH tok AS (
+      SELECT unnest({_TOK}) AS t FROM documents
+    ),
+    vocab AS (
+      SELECT t, count(*) AS occ FROM tok GROUP BY t
+    ),
+    bucketed AS (
+      SELECT CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % {HASH_DIM} AS dim,
+             occ
+      FROM vocab
+    )
+    SELECT dim,
+           count(*) AS n_tokens,
+           CAST(sum(occ) AS BIGINT) AS n_occurrences,
+           count(*) > 1 AS has_collision
+    FROM bucketed GROUP BY dim ORDER BY dim
+    """,
+    tags=("text", "features", "pipeline"),
+)
+def feature_hash_collision_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collision audit for the hashing trick: per feature dimension,
+    how many DISTINCT vocabulary tokens fold into it and how much
+    occurrence mass they carry — the diagnostic that tells you whether
+    [[hashing_trick_features]]'s fixed dimensionality is destroying
+    signal (many heavy tokens sharing a bucket) or safely sparse, and
+    therefore whether to grow HASH_DIM before a 100 TB featurize run.
+    Reference analog: the word->count reducer of
+    /root/reference/src/main.c:61-75, re-keyed by hash bucket.
+
+    Scale shape: one token-grain aggregate builds the vocabulary (the
+    same vocabulary-sized shuffle [[tfidf_top_terms]] pays — never
+    broadcast), then the bucket fold is an in-row map and the final
+    aggregate is HASH_DIM rows.  Nothing doc-grain survives the first
+    combine-heavy groupBy.
+    """
+    d = parallel_scan(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(tokenize(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("occ"))
+    )
+    dim = (
+        F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("long")
+        % HASH_DIM
     )
     return (
-        shingles.join(firsts, "sh")
-        .groupBy("doc_id")
+        vocab.select(dim.alias("dim"), "occ")
+        .groupBy("dim")
         .agg(
-            F.count("*").alias("n_distinct_ngrams"),
-            novel.cast("long").alias("novel_ngrams"),
+            F.count("*").alias("n_tokens"),
+            F.sum("occ").cast("long").alias("n_occurrences"),
+            (F.count("*") > 1).alias("has_collision"),
         )
-        .selectExpr(
-            "doc_id",
-            "n_distinct_ngrams",
-            "novel_ngrams",
-            "CAST(novel_ngrams * 1000000 div n_distinct_ngrams AS BIGINT)"
-            " AS novelty_ppm",
-        )
+        .orderBy("dim")
     )

@@ -163,6 +163,13 @@ _DRIVER_PRIORITY = [
     "dedup_soft_weighting",
     "cusum_changepoint_scan",
     "dp_laplace_source_histogram",
+    # round-7 fifth wave — eval, association, and split ops;
+    # round-8 rotation queue.
+    "pass_at_k_eval",
+    "spearman_rank_correlation",
+    "group_holdout_split",
+    "stratified_kfold_assign",
+    "feature_hash_collision_stats",
 ]
 
 # Operators hard-verified by the driver in prior rounds (the union of

@@ -107,6 +107,23 @@ PROBE_OPS = [
     "curriculum_data_ordering",
     "embedding_dimension_whitening",
     "duplicate_token_run_collapse",
+    # round-7 fourth wave: DSIR's two 1-row total broadcasts, the
+    # novelty first-occurrence shuffle, soft-dedup digest groupBy,
+    # the day-grain CUSUM scan, and the source-grain DP release.
+    "dsir_importance_resampling",
+    "ngram_novelty_score",
+    "dedup_soft_weighting",
+    "cusum_changepoint_scan",
+    "dp_laplace_source_histogram",
+    # round-7 fifth wave: pass@k's problem-grain HOF products, the
+    # Spearman value-grain rank joins, both split assigners (the
+    # k-fold one carries the per-stratum window), and the
+    # vocabulary-grain collision fold.
+    "pass_at_k_eval",
+    "spearman_rank_correlation",
+    "group_holdout_split",
+    "stratified_kfold_assign",
+    "feature_hash_collision_stats",
 ]
 
 

@@ -227,6 +227,13 @@ SWEPT_OPS = [
     "dedup_soft_weighting",
     "cusum_changepoint_scan",
     "dp_laplace_source_histogram",
+    # round-7 fifth wave: pass@k's integer products, the doubled-rank
+    # Spearman moments, both deterministic splits, and the bucket fold.
+    "pass_at_k_eval",
+    "spearman_rank_correlation",
+    "group_holdout_split",
+    "stratified_kfold_assign",
+    "feature_hash_collision_stats",
 ]
 
 

@@ -359,3 +359,134 @@ def test_dp_release_noise_is_bounded_laplace(spark, sf_correct):
         assert abs(r.noise_milli) <= bound
     # noise must actually vary across cells (it is a per-source draw)
     assert len({r.noise_milli for r in rows}) > 1
+
+
+def test_pass_at_k_matches_bruteforce(spark, sf_correct):
+    """Recompute pass@k per user in plain Python (exact fractions) and
+    check the macro mean; k=1's macro must equal the mean per-user
+    success rate, and pass@k must be monotone non-decreasing in k."""
+    from fractions import Fraction
+
+    rows = {r.k: r for r in _rows(spark, sf_correct, "pass_at_k_eval")}
+    assert set(rows) == {1, 5, 10}
+    events = (
+        spark.read.parquet(f"{sf_correct}/events.parquet")
+        .select("user_id", "event_type")
+        .collect()
+    )
+    from collections import Counter
+
+    n = Counter(r.user_id for r in events)
+    c = Counter(r.user_id for r in events if r.event_type == "purchase")
+    for k, row in rows.items():
+        ppms = []
+        for u, nu in n.items():
+            if nu < k:
+                continue
+            cu = c.get(u, 0)
+            frac = Fraction(1)
+            for i in range(k):
+                frac *= Fraction(max(nu - cu - i, 0), nu - i)
+            ppms.append(1_000_000 - (1_000_000 * frac.numerator) // frac.denominator)
+        assert row.n_problems == len(ppms)
+        assert row.macro_pass_ppm == sum(ppms) // len(ppms), k
+    assert rows[1].macro_pass_ppm <= rows[5].macro_pass_ppm <= rows[10].macro_pass_ppm
+
+
+def test_spearman_matches_scipy_free_reference(spark, sf_correct):
+    """Recompute Spearman rho with average ranks in plain Python and
+    check the ppm quantization; rho must be strongly positive (length
+    vs distinct tokens) and within [-1, 1]."""
+    row = _rows(spark, sf_correct, "spearman_rank_correlation")[0]
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet").collect()
+    from mapreduce_c_implementation_spark.functions.text import (
+        MAX_TOKEN_CHARS,
+    )
+    import re
+
+    xs, ys = [], []
+    for d in docs:
+        toks = {
+            t[:MAX_TOKEN_CHARS].lower()
+            for t in re.findall("[a-zA-Z0-9]+", d.text)
+        }
+        xs.append(d.n_chars)
+        ys.append(len(toks))
+
+    def avg_ranks(v):
+        order = sorted(range(len(v)), key=lambda i: v[i])
+        ranks = [0.0] * len(v)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and v[order[j + 1]] == v[order[i]]:
+                j += 1
+            r = (i + j) / 2 + 1
+            for t in range(i, j + 1):
+                ranks[order[t]] = r
+            i = j + 1
+        return ranks
+
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    nn = len(rx)
+    mx, my = sum(rx) / nn, sum(ry) / nn
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = (
+        sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)
+    ) ** 0.5
+    rho = num / den
+    assert row.n_docs == nn
+    assert abs(row.rho_ppm - round(rho * 1_000_000)) <= 1, (row.rho_ppm, rho)
+    assert 0 < row.rho_ppm <= 1_000_000
+
+
+def test_group_holdout_split_is_leakage_safe(spark, sf_correct):
+    """Every source appears in exactly one split; totals reconcile."""
+    rows = _rows(spark, sf_correct, "group_holdout_split")
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    n_docs = docs.count()
+    n_sources = docs.select("source").distinct().count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert sum(r.n_sources for r in rows) == n_sources
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+
+
+def test_kfold_strata_balance_within_one(spark, sf_correct):
+    """Within each lang, fold sizes differ by at most one doc, every
+    fold id in [0, K) appears, and totals reconcile."""
+    from mapreduce_c_implementation_spark.operators.sampling import KFOLD_K
+
+    rows = _rows(spark, sf_correct, "stratified_kfold_assign")
+    from collections import defaultdict
+
+    per_lang = defaultdict(dict)
+    for r in rows:
+        per_lang[r.lang][r.fold] = r.n_docs
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    lang_tot = {
+        r.lang: r.c
+        for r in docs.groupBy("lang").count().withColumnRenamed("count", "c").collect()
+    }
+    for lang, folds in per_lang.items():
+        assert set(folds) == set(range(KFOLD_K)), lang
+        sizes = list(folds.values())
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        assert sum(sizes) == lang_tot[lang]
+
+
+def test_hash_collision_stats_reconcile_with_vocabulary(spark, sf_correct):
+    """Bucket token counts sum to the vocabulary size, occurrence mass
+    sums to the corpus token count, and has_collision <=> n_tokens>1."""
+    rows = _rows(spark, sf_correct, "feature_hash_collision_stats")
+    from mapreduce_c_implementation_spark.functions.text import tokenize
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    tok = docs.select(F.explode(tokenize(F.col("text"))).alias("t"))
+    vocab, total = tok.agg(
+        F.count_distinct("t"), F.count("*")
+    ).collect()[0]
+    assert sum(r.n_tokens for r in rows) == vocab
+    assert sum(r.n_occurrences for r in rows) == total
+    for r in rows:
+        assert r.has_collision == (r.n_tokens > 1)
