@@ -1392,14 +1392,15 @@ PASS_AT_KS = (1, 5, 10)
     ks AS (SELECT unnest([1, 5, 10]) AS k),
     scored AS (
       SELECT k, user_id,
-             1000000 - (1000000 * list_reduce(
-                 list_transform(generate_series(0, k - 1),
-                                i -> CAST(greatest(n - c - i, 0) AS HUGEINT)),
-                 (a, b) -> a * b))
-               // list_reduce(
-                 list_transform(generate_series(0, k - 1),
-                                i -> CAST(n - i AS HUGEINT)),
-                 (a, b) -> a * b) AS pass_ppm
+             1000000 - CAST(floor(1000000.0 *
+               (CAST(list_reduce(
+                  list_transform(generate_series(0, k - 1),
+                                 i -> CAST(greatest(n - c - i, 0) AS HUGEINT)),
+                  (a, b) -> a * b) AS DOUBLE)
+                / CAST(list_reduce(
+                  list_transform(generate_series(0, k - 1),
+                                 i -> CAST(n - i AS HUGEINT)),
+                  (a, b) -> a * b) AS DOUBLE))) AS BIGINT) AS pass_ppm
       FROM per_problem, ks WHERE n >= k
     )
     SELECT CAST(k AS BIGINT) AS k,
@@ -1418,17 +1419,21 @@ def pass_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation every code/reasoning eval harness runs over its
     sample table.  The combination ratio is computed as the telescoped
     product prod_{i<k} (n-c-i)/(n-i) (never a factorial of n), clamped
-    to 0 when n-c < k, and quantized to exact ppm by integer division —
-    both engines do only integer multiplies and one floor-div, so the
-    hash match is exact.  Reference analog: the count/sum reducer
+    to 0 when n-c < k.  Reference analog: the count/sum reducer
     discipline of /root/reference/src/main.c:61-75, lifted to a
     grouped-trial estimator.
 
-    Exactness: the k-term products are ≤ n^k; they are computed in
-    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), which hold n up to ~6e3
-    at k=10 — far above any per-problem sample count an eval harness
-    emits (problems × samples is bounded by the eval budget, not the
-    corpus).  macro_pass_ppm is a floor of an integer mean.
+    Exactness: the k-term numerator/denominator products are EXACT
+    (DECIMAL(38,0) on Spark, HUGEINT on DuckDB — both hold n up to
+    ~6e3 at k=10, far above any per-problem sample budget an eval
+    harness emits; the 32x probe caught that multiplying the decimal
+    by 1e6 before the divide blows that headroom at n~2e3).  The ppm
+    quantization is floor(1e6 * num/den) with ONE double division of
+    those exact integers — identical IEEE operations in identical
+    order on both engines, so the hash match is deterministic; a
+    harness with per-problem n beyond the decimal headroom would move
+    the products to log space (sum of ln terms) and accept last-ulp
+    ppm ties.  macro_pass_ppm is a floor of an integer mean.
 
     Scale shape: one problem-grain aggregate (map-side combined), a
     K-row explode on the PROBLEM-grain table (K=3 constant), and a
@@ -1465,8 +1470,8 @@ def pass_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "k",
         F.expr(
-            "1000000 - CAST((CAST(1000000 AS DECIMAL(38,0)) * num) div den"
-            " AS BIGINT)"
+            "1000000 - CAST(floor(1000000.0 *"
+            " (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))) AS BIGINT)"
         ).alias("pass_ppm"),
     )
     return (

@@ -365,8 +365,6 @@ def test_pass_at_k_matches_bruteforce(spark, sf_correct):
     """Recompute pass@k per user in plain Python (exact fractions) and
     check the macro mean; k=1's macro must equal the mean per-user
     success rate, and pass@k must be monotone non-decreasing in k."""
-    from fractions import Fraction
-
     rows = {r.k: r for r in _rows(spark, sf_correct, "pass_at_k_eval")}
     assert set(rows) == {1, 5, 10}
     events = (
@@ -378,16 +376,24 @@ def test_pass_at_k_matches_bruteforce(spark, sf_correct):
 
     n = Counter(r.user_id for r in events)
     c = Counter(r.user_id for r in events if r.event_type == "purchase")
+    import math
+
     for k, row in rows.items():
         ppms = []
         for u, nu in n.items():
             if nu < k:
                 continue
             cu = c.get(u, 0)
-            frac = Fraction(1)
+            num = den = 1
             for i in range(k):
-                frac *= Fraction(max(nu - cu - i, 0), nu - i)
-            ppms.append(1_000_000 - (1_000_000 * frac.numerator) // frac.denominator)
+                num *= max(nu - cu - i, 0)
+                den *= nu - i
+            # mirror the engines: exact UNREDUCED integer products,
+            # ONE double division, floor of the 1e6-scaled ratio
+            ppms.append(
+                1_000_000
+                - math.floor(1_000_000.0 * (float(num) / float(den)))
+            )
         assert row.n_problems == len(ppms)
         assert row.macro_pass_ppm == sum(ppms) // len(ppms), k
     assert rows[1].macro_pass_ppm <= rows[5].macro_pass_ppm <= rows[10].macro_pass_ppm
