@@ -1501,10 +1501,11 @@ def pass_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d GROUP BY y
     ),
     j AS (
-      SELECT xr.rx, yr.ry FROM d JOIN xr USING (x) JOIN yr USING (y)
+      SELECT CAST(xr.rx AS HUGEINT) AS rx, CAST(yr.ry AS HUGEINT) AS ry
+      FROM d JOIN xr USING (x) JOIN yr USING (y)
     ),
     s AS (
-      SELECT count(*) AS n,
+      SELECT CAST(count(*) AS HUGEINT) AS n,
              sum(rx) AS sx, sum(ry) AS sy,
              sum(rx * rx) AS sxx, sum(ry * ry) AS syy,
              sum(rx * ry) AS sxy
@@ -1529,9 +1530,14 @@ def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bounded-domain discipline of [[ks_two_sample_binned]].
 
     Exactness: average ranks are kept DOUBLED (2*cum - cnt + 1), so
-    every rank is an exact integer; all six moment sums are exact
-    BIGINTs, and rho is a single identical double expression over
-    those integers in both engines (IEEE mult/div/sqrt are correctly
+    every rank is an exact integer; all six moment sums and the
+    n*Sxx - Sx^2 style cross terms are computed in DECIMAL(38,0)
+    (Spark) / HUGEINT (DuckDB) — BIGINT moments overflow near 150k
+    rows (the 32x probe caught n*Sxx ~ 8e20), while 38-digit headroom
+    holds to ~1e9 rows (4n^4 <= 1e38); beyond that, rank-bin the
+    value domain first (the same pre-bin escape hatch as the KS
+    family).  rho is then one identical double expression over those
+    exact integers in both engines (IEEE mult/div/sqrt are correctly
     rounded, so the ppm quantization cannot diverge).
 
     Scale shape: ranks are computed on the VALUE-grain tables (one
@@ -1557,11 +1563,16 @@ def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (2 * F.sum("cnt").over(w) - F.col("cnt") + 1).alias(out),
         )
 
-    j = d.join(F.broadcast(rank_table("x", "rx")), "x").join(
-        F.broadcast(rank_table("y", "ry")), "y"
+    j = (
+        d.join(F.broadcast(rank_table("x", "rx")), "x")
+        .join(F.broadcast(rank_table("y", "ry")), "y")
+        .select(
+            F.col("rx").cast("decimal(18,0)").alias("rx"),
+            F.col("ry").cast("decimal(18,0)").alias("ry"),
+        )
     )
     s = j.agg(
-        F.count("*").alias("n"),
+        F.count("*").cast("decimal(38,0)").alias("n"),
         F.sum("rx").alias("sx"),
         F.sum("ry").alias("sy"),
         F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
