@@ -3883,10 +3883,15 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     min(struct(ingest_ts, doc_id)) argmin — the plan is unchanged.
     """
     d = compute_scan(spark, sf_dir, "documents")
-    shingles = d.select(
+    # bind the token array to a column BEFORE the n-gram HOF — ngrams()
+    # reads its input once per gram element, and feeding the raw
+    # tokenize() expression re-runs the regex per gram (the skipgram
+    # rule, docs/SCALING.md Findings; measured 13.7x -> linear at 32x)
+    toks = d.select("doc_id", tokenize(F.col("text")).alias("ts"))
+    shingles = toks.select(
         "doc_id",
         F.explode(
-            F.array_distinct(ngrams(tokenize(F.col("text")), NOVELTY_N))
+            F.array_distinct(ngrams(F.col("ts"), NOVELTY_N))
         ).alias("sh"),
     )
     per_doc = shingles.groupBy("doc_id").agg(
