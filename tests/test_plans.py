@@ -718,3 +718,26 @@ def test_cross_source_matrix_is_equijoin(spark, sf_correct):
     plan = physical_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_no_expression_fed_ngram_hofs():
+    """Source lint: the ngrams() higher-order function reads its input
+    once per gram element, so feeding it the raw tokenize() expression
+    re-runs the regex tokenizer per gram — the re-tokenization trap
+    that cost skipgram 10x (round 6) and novelty/contamination-matrix
+    13.7x/19.2x at 32x (round 7, docs/SCALING.md Findings).  Bind the
+    token array to a column first; this sweep keeps the rule enforced
+    repo-wide.
+    """
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parents[1] / "mapreduce_c_implementation_spark"
+    offenders = []
+    for py in pkg.rglob("*.py"):
+        src = py.read_text()
+        if "ngrams(tokenize(" in src:
+            offenders.append(str(py))
+    assert not offenders, (
+        "ngrams() fed a raw tokenize() expression (re-tokenizes per "
+        f"gram — bind the token array to a column first): {offenders}"
+    )
