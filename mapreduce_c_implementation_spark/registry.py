@@ -84,96 +84,40 @@ def register(
 
 # The driver's CORRECTNESS gate verifies a bounded prefix of ``queries()``
 # (50 names per round).  Names listed here are emitted FIRST, in this
-# order; everything else follows in registration order.  Rounds 1-6
-# together hard-verified 249 unique operators (CORRECTNESS_r01-r06;
+# order; everything else follows in registration order.  Rounds 1-7
+# together hard-verified 299 unique operators (CORRECTNESS_r01-r07;
 # round 5's window duplicated round 4's, re-confirming the same 50 —
-# their union is frozen in ``_DRIVER_VERIFIED_PRIOR``).  The ROUND-7
-# window starts with the 29 round-6 additions that missed the r6 window
-# (in the order queued last round), followed by any round-7 additions —
-# after the r7 artifact lands, fold its keys into
-# ``_DRIVER_VERIFIED_PRIOR`` and promote the tail to the head of this
+# their union is frozen in ``_DRIVER_VERIFIED_PRIOR``).  The ROUND-8
+# window starts with the 15 round-7 additions that missed the r7 window
+# (in the order queued last round), followed by round-8 additions —
+# after the r8 artifact lands, fold its keys into
+# ``_DRIVER_VERIFIED_PRIOR`` and promote any tail to the head of this
 # list.  The rotated-out ops keep their in-repo oracle coverage
 # (tests/test_operators_vs_oracle.py runs every registered operator),
 # and tests/test_extensions.py's coverage-ledger test asserts
 # prior + this list covers the full registry.
 _DRIVER_PRIORITY = [
-    # round-6 additions not yet driver-verified — head of the r7 window
-    "chi_square_contingency",
-    "psi_population_stability",
-    "ngram_lm_perplexity",
-    "token_label_mutual_information",
-    "bpe_merge_steps",
-    "interval_overlap_join",
-    "dedup_paragraph_rewrite",
-    "score_calibration_reliability",
-    "tokenizer_apply_bpe",
-    "corpus_js_divergence",
-    "token_drift_topk",
-    "join_cardinality_estimate",
-    "span_corruption_masking",
-    "graph_random_walk_pairs",
-    "stream_psi_drift_monitor",
-    "rag_chunk_index_build",
-    "corpus_version_diff",
-    "contamination_filter_rewrite",
-    "intersect_except_all_bags",
-    "mlm_token_masking",
-    "source_concentration_metrics",
-    "kaplan_meier_retention",
-    "preference_pair_construction",
-    "window_funnel_timeout",
-    "lsh_parameter_sweep",
-    "dedup_cluster_size_histogram",
-    "langid_confusion_matrix",
-    "welch_t_test_pairs",
-    "embedding_centroid_outliers",
-    # round-7 additions, in priority order
-    "url_canonicalize_dedup",
-    "url_blocklist_filter",
-    "domain_cap_rewrite",
-    "ks_two_sample_binned",
-    "quality_classifier_inference",
-    "nb_quality_classifier_train_apply",
-    "perplexity_filter_rewrite",
-    "bloom_contamination_screen",
-    "length_bucket_batching",
-    "join_fuzzy_levenshtein",
-    "graph_adamic_adar",
-    "source_temperature_mixing",
-    "cvm_two_sample_binned",
-    "corpus_entropy_rate",
-    "feature_rank_normalize",
-    "cosine_similarity_histogram",
-    "mann_whitney_u_binned",
-    "cohen_kappa_agreement",
-    "fim_transformation",
-    "boilerplate_ngram_removal",
-    "hard_negative_mining",
-    # round-7 third wave — past the 50-slot r7 window by construction;
-    # first in line for the round-8 rotation.
+    # round-7 additions not yet driver-verified — head of the r8 window
     "tokenizer_fertility_stats",
     "duplicate_token_run_collapse",
     "cross_source_contamination_matrix",
     "curriculum_data_ordering",
     "embedding_dimension_whitening",
-    # round-7 fourth wave — data-selection, novelty, soft-dedup,
-    # changepoint, and DP-release ops; round-8 rotation queue.
     "dsir_importance_resampling",
     "ngram_novelty_score",
     "dedup_soft_weighting",
     "cusum_changepoint_scan",
     "dp_laplace_source_histogram",
-    # round-7 fifth wave — eval, association, and split ops;
-    # round-8 rotation queue.
     "pass_at_k_eval",
     "spearman_rank_correlation",
     "group_holdout_split",
     "stratified_kfold_assign",
     "feature_hash_collision_stats",
+    # round-8 additions, in priority order (appended as they land)
 ]
 
 # Operators hard-verified by the driver in prior rounds (the union of
-# CORRECTNESS_r01..r06 key sets; CORRECTNESS_r05 duplicated r04's window,
+# CORRECTNESS_r01..r07 key sets; CORRECTNESS_r05 duplicated r04's window,
 # all green at their latest check).  Used by the coverage-ledger
 # test to prove the rotation schedule reaches every registered operator.
 _DRIVER_VERIFIED_PRIOR = frozenset({
@@ -258,6 +202,24 @@ _DRIVER_VERIFIED_PRIOR = frozenset({
     "stream_corpus_ingest", "stream_windowed_topk", "text_canonicalize_dedup",
     "time_weighted_avg", "vocab_coverage_topk", "winsorized_group_stats",
     "zipf_rank_frequency",
+    # round 7 (CORRECTNESS_r07.json — all 50 green, rows+schema+hash)
+    "bloom_contamination_screen", "boilerplate_ngram_removal", "bpe_merge_steps",
+    "chi_square_contingency", "cohen_kappa_agreement", "contamination_filter_rewrite",
+    "corpus_entropy_rate", "corpus_js_divergence", "corpus_version_diff",
+    "cosine_similarity_histogram", "cvm_two_sample_binned", "dedup_cluster_size_histogram",
+    "dedup_paragraph_rewrite", "domain_cap_rewrite", "embedding_centroid_outliers",
+    "feature_rank_normalize", "fim_transformation", "graph_adamic_adar",
+    "graph_random_walk_pairs", "hard_negative_mining", "intersect_except_all_bags",
+    "interval_overlap_join", "join_cardinality_estimate", "join_fuzzy_levenshtein",
+    "kaplan_meier_retention", "ks_two_sample_binned", "langid_confusion_matrix",
+    "length_bucket_batching", "lsh_parameter_sweep", "mann_whitney_u_binned",
+    "mlm_token_masking", "nb_quality_classifier_train_apply", "ngram_lm_perplexity",
+    "perplexity_filter_rewrite", "preference_pair_construction", "psi_population_stability",
+    "quality_classifier_inference", "rag_chunk_index_build", "score_calibration_reliability",
+    "source_concentration_metrics", "source_temperature_mixing", "span_corruption_masking",
+    "stream_psi_drift_monitor", "token_drift_topk", "token_label_mutual_information",
+    "tokenizer_apply_bpe", "url_blocklist_filter", "url_canonicalize_dedup",
+    "welch_t_test_pairs", "window_funnel_timeout",
 })
 
 

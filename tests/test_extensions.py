@@ -66,9 +66,9 @@ def test_dedup_exact_identity_when_no_dups(spark, sf_correct):
 
 def test_driver_priority_window():
     """The driver's CORRECTNESS gate checks a 50-query prefix of queries().
-    Round 7 rotates the 29 round-6 additions that queued behind the r6
+    Round 8 rotates the 15 round-7 additions that queued behind the r7
     window to the head (completing hard verification of every operator
-    registered through round 6); round-7 additions follow in the same
+    registered through round 7); round-8 additions follow in the same
     window — pin the ordering here."""
     import __spark_entry__ as se
     from mapreduce_c_implementation_spark.registry import _DRIVER_PRIORITY, all_operators
@@ -82,22 +82,15 @@ def test_driver_priority_window():
     assert names[: len(_DRIVER_PRIORITY)] == _DRIVER_PRIORITY
     window = set(names[:50])
     must_check = {
-        # verdict r6 item 1: the 29 round-6 additions missing driver rows
-        # (category leads; the ledger test pins the full set)
-        "chi_square_contingency", "psi_population_stability",
-        "ngram_lm_perplexity", "token_label_mutual_information",
-        "bpe_merge_steps", "tokenizer_apply_bpe", "interval_overlap_join",
-        "dedup_paragraph_rewrite", "score_calibration_reliability",
-        "corpus_js_divergence", "token_drift_topk", "join_cardinality_estimate",
-        "span_corruption_masking", "graph_random_walk_pairs",
-        "stream_psi_drift_monitor", "rag_chunk_index_build",
-        "corpus_version_diff", "contamination_filter_rewrite",
-        "intersect_except_all_bags", "mlm_token_masking",
-        "source_concentration_metrics", "kaplan_meier_retention",
-        "preference_pair_construction", "window_funnel_timeout",
-        "lsh_parameter_sweep", "dedup_cluster_size_histogram",
-        "langid_confusion_matrix", "welch_t_test_pairs",
-        "embedding_centroid_outliers",
+        # verdict r7 item 1: the 15 round-7 additions missing driver rows
+        "tokenizer_fertility_stats", "duplicate_token_run_collapse",
+        "cross_source_contamination_matrix", "curriculum_data_ordering",
+        "embedding_dimension_whitening", "dsir_importance_resampling",
+        "ngram_novelty_score", "dedup_soft_weighting",
+        "cusum_changepoint_scan", "dp_laplace_source_histogram",
+        "pass_at_k_eval", "spearman_rank_correlation",
+        "group_holdout_split", "stratified_kfold_assign",
+        "feature_hash_collision_stats",
     }
     assert must_check <= window
     # oracle_sql() ordering must mirror queries() so the driver pairs them
@@ -107,8 +100,8 @@ def test_driver_priority_window():
 
 def test_driver_coverage_ledger():
     """Rotation ledger: every registered operator must reach a driver
-    CORRECTNESS row within ceil(N/50) rounds.  Rounds 1-6 verified the
-    frozen ``_DRIVER_VERIFIED_PRIOR`` set (union of CORRECTNESS_r01-r06
+    CORRECTNESS row within ceil(N/50) rounds.  Rounds 1-7 verified the
+    frozen ``_DRIVER_VERIFIED_PRIOR`` set (union of CORRECTNESS_r01-r07
     key sets; r05 duplicated r04's window); the priority list holds
     every remaining never-verified name IN ORDER (the driver consumes a
     50-slot prefix per round), so priority + prior must cover the whole
@@ -129,6 +122,7 @@ def test_driver_coverage_ledger():
             "CORRECTNESS_r01.json", "CORRECTNESS_r02.json",
             "CORRECTNESS_r03.json", "CORRECTNESS_r04.json",
             "CORRECTNESS_r05.json", "CORRECTNESS_r06.json",
+            "CORRECTNESS_r07.json",
         ):
             actual_prior |= set(json.loads(f.read_text()))
     if actual_prior:  # ledger frozen in-code must match the artifacts
