@@ -1194,16 +1194,17 @@ def cvm_two_sample_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM per_bin
     ),
     terms AS (
-      SELECT sum(c_a * (2 * cum_prev + c_t + 1)) AS r2_a,
+      SELECT sum(CAST(c_a AS DECIMAL(38,0)) * (2 * cum_prev + c_t + 1)) AS r2_a,
              sum(CAST(c_t AS DECIMAL(38,0)) * c_t * c_t - c_t) AS ties
       FROM ranked
     )
     SELECT CAST(n_a AS BIGINT) AS n_a,
            CAST(n_b AS BIGINT) AS n_b,
-           CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+           CAST(r2_a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1) AS BIGINT) AS u2_a,
            CAST(ties AS BIGINT) AS tie_cubes,
            CAST(round(
-             (CAST(r2_a - n_a * (n_a + 1) AS DOUBLE) - CAST(n_a AS DOUBLE) * n_b)
+             (CAST(r2_a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1) AS DOUBLE)
+              - CAST(n_a AS DOUBLE) * n_b)
              / (2 * sqrt(
                  CAST(n_a AS DOUBLE) * n_b / 12.0
                  * ((n_a + n_b + 1)
@@ -1227,9 +1228,11 @@ def mann_whitney_u_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     2*U_a = R2_a - n_a*(n_a+1).
 
     Exactness: rank sums and the tie correction sum(t^3 - t) are exact
-    integers (DECIMAL(38,0) headroom — t^3 reaches ~1e14 at sf0.1 and
-    ~1e23 at 100 TB, the [[cvm_two_sample_binned]] rule); z is ONE
-    pinned double expression over those integers, frozen to milli.
+    integers — BOTH summed in DECIMAL(38,0) (r2_a ~ 2n^2 would wrap
+    BIGINT past ~2e9 events; t^3 reaches ~1e14 at sf0.1 and ~1e23 at
+    100 TB, the [[cvm_two_sample_binned]] rule), and n_a*(n_a+1) is
+    computed in decimal too; z is ONE pinned double expression over
+    those integers, frozen to milli.
 
     Scale shape: per-bin counts via map-side-combined groupBy, a
     <={KS_N_BINS}-row ordered window, 1-row totals broadcast — constant
@@ -1253,7 +1256,10 @@ def mann_whitney_u_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("c_t").over(w) - F.col("c_t")).alias("cum_prev"),
     )
     terms = ranked.agg(
-        F.sum(F.col("c_a") * (2 * F.col("cum_prev") + F.col("c_t") + 1)).alias("r2_a"),
+        F.sum(
+            F.col("c_a").cast("decimal(38,0)")
+            * (2 * F.col("cum_prev") + F.col("c_t") + 1)
+        ).alias("r2_a"),
         F.sum(
             F.col("c_t").cast("decimal(38,0)") * F.col("c_t") * F.col("c_t")
             - F.col("c_t")
@@ -1266,11 +1272,14 @@ def mann_whitney_u_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.crossJoin(F.broadcast(tot)).select(
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
-        F.expr("CAST(r2_a - n_a * (n_a + 1) AS BIGINT)").alias("u2_a"),
+        F.expr(
+            "CAST(r2_a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1) AS BIGINT)"
+        ).alias("u2_a"),
         F.col("ties").cast("long").alias("tie_cubes"),
         F.expr(
             "CAST(round("
-            " (CAST(r2_a - n_a * (n_a + 1) AS DOUBLE) - CAST(n_a AS DOUBLE) * n_b)"
+            " (CAST(r2_a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1) AS DOUBLE)"
+            "  - CAST(n_a AS DOUBLE) * n_b)"
             " / (2 * sqrt("
             "     CAST(n_a AS DOUBLE) * n_b / 12.0"
             "     * ((n_a + n_b + 1)"
@@ -1546,13 +1555,21 @@ def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     as [[ks_two_sample]]'s binned variant, with the same pre-bin
     escape hatch for unbounded domains.  The corpus-sized work is two
     keyed aggregates plus two broadcast joins of the bounded rank
-    tables back onto the doc grain, then one 6-sum aggregate.
+    tables back onto the doc grain, then one 6-sum aggregate.  The
+    tokenized (x, y) projection is CACHED: it feeds three consumers
+    (both rank tables and the probe side), and without the cache each
+    one re-runs the regex tokenizer + array_distinct — the op's
+    dominant cost — over the full corpus scan.
     """
-    d = load_table(spark, sf_dir, "documents").select(
-        F.col("n_chars").cast("long").alias("x"),
-        F.size(F.array_distinct(tokenize(F.col("text"))))
-        .cast("long")
-        .alias("y"),
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.col("n_chars").cast("long").alias("x"),
+            F.size(F.array_distinct(tokenize(F.col("text"))))
+            .cast("long")
+            .alias("y"),
+        )
+        .cache()
     )
 
     def rank_table(col: str, out: str) -> DataFrame:

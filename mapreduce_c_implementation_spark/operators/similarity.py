@@ -1925,9 +1925,13 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         _spark_dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")),
         6,
     )
+    # No broadcast hint on q: the anchor side is corpus/17 — forcing it
+    # driver-side would OOM the driver at scale.  The bucket equi-key
+    # lets Catalyst/AQE pick the join strategy (it will still broadcast
+    # when the anchor side is measured-small at runtime).
     cand = (
         c.join(
-            F.broadcast(q),
+            q,
             (F.col("q_bucket") == F.col("c_bucket"))
             & (F.col("anchor_id") != F.col("cand_id")),
         )

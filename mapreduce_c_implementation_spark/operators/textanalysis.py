@@ -3526,8 +3526,9 @@ KAPPA_TTR_BP = 4600
            CAST(n01 AS BIGINT) AS n01,
            CAST(n00 AS BIGINT) AS n00,
            CAST((n11 + n00) * 1000000 // n AS BIGINT) AS po_ppm,
-           CAST(((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
-                * 1000000 // (n * n) AS BIGINT) AS pe_ppm,
+           CAST((CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+                 + CAST(n01 + n00 AS HUGEINT) * (n10 + n00))
+                * 1000000 // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_ppm,
            CAST(round(
              (CAST(n11 + n00 AS DOUBLE) / n
               - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
@@ -3554,8 +3555,11 @@ def cohen_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     marginal rates.
 
     Exactness: the 2x2 table is exact integer counts; p_o/p_e are ppm
-    floor divisions; kappa is ONE pinned double expression over the
-    exact counts, frozen to milli ([[welch_t_test_pairs]] rule).
+    floor divisions — the p_e marginal products (~n^2 * 1e6) route
+    through DECIMAL(38,0) / HUGEINT so they stay exact past the ~3e6-doc
+    BIGINT wrap point ([[cvm_two_sample_binned]] headroom rule); kappa
+    is ONE pinned double expression over the exact counts, frozen to
+    milli ([[welch_t_test_pairs]] rule).
 
     Scale shape: a narrow per-row map (two threshold bits) into a
     single map-side-combined 1-row aggregate — scan-bound, no shuffle
@@ -3599,8 +3603,9 @@ def cohen_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n00").cast("long").alias("n00"),
         F.expr("CAST((n11 + n00) * 1000000 div n AS BIGINT)").alias("po_ppm"),
         F.expr(
-            "CAST(((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))"
-            " * 1000000 div (n * n) AS BIGINT)"
+            "CAST((CAST(n11 + n10 AS DECIMAL(38,0)) * (n11 + n01)"
+            " + CAST(n01 + n00 AS DECIMAL(38,0)) * (n10 + n00))"
+            " * 1000000 div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
         ).alias("pe_ppm"),
         F.expr(
             "CAST(round("

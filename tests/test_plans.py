@@ -741,3 +741,19 @@ def test_no_expression_fed_ngram_hofs():
         "ngrams() fed a raw tokenize() expression (re-tokenizes per "
         f"gram — bind the token array to a column first): {offenders}"
     )
+
+
+def test_hard_negative_mining_anchor_side_not_hinted(spark, sf_correct):
+    """Round-8 de-weak (verdict item 2): the anchor side is corpus/17 —
+    a FORCED broadcast hint would pin it driver-side at any scale.  The
+    logical plan must carry no broadcast hint; the candidate join must
+    stay an equi-join on the bucket key (AQE may still pick a broadcast
+    build when the measured size is small — that's runtime-gated, which
+    is exactly the point)."""
+    op = get_operator("hard_negative_mining")
+    df = op.query_fn(spark, sf_correct)
+    logical = df._jdf.queryExecution().logical().toString()
+    assert "hint" not in logical.lower(), logical
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
