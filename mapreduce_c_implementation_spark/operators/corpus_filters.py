@@ -491,6 +491,223 @@ def cross_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "leakage_split_repair",
+    oracle_sql=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5(array_to_string({_TOK}[1:{LEAK_PREFIX_TOKENS}], ' '))
+               AS content_key,
+             CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                       AS BIGINT) % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+                  WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                       AS BIGINT) % 100 < {SPLIT_TRAIN_PCT + SPLIT_VALID_PCT}
+                    THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    leaked AS (
+      SELECT content_key,
+             arg_min(split, doc_id) AS new_split
+      FROM keyed
+      GROUP BY content_key
+      HAVING count(DISTINCT split) > 1
+    )
+    SELECT k.doc_id, k.content_key,
+           k.split AS old_split, l.new_split,
+           CAST(CASE WHEN k.split <> l.new_split THEN 1 ELSE 0 END AS BIGINT)
+             AS moved
+    FROM keyed k JOIN leaked l USING (content_key)
+    """,
+    tags=("text", "split", "repair", "pipeline"),
+)
+def leakage_split_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware split REPAIR — the fix for what
+    [[cross_split_leakage_audit]] detects: every fingerprint group that
+    straddles splits is reassigned WHOLE to one canonical split (the
+    split of its min-doc_id member — deterministic and
+    engine-independent), closing the audit->fix loop the way
+    [[contamination_filter_rewrite]] did for eval contamination.
+    Emits the repair table (doc_id, old/new split, moved flag) a
+    pipeline would apply as the authoritative split override; after
+    applying it, the audit's leaked count is zero by construction
+    (pinned by test).
+
+    Scale shape: the audit's digest-keyed groupBy (16-byte keys, split
+    tag payload) with an arg-min canonical pick, then ONE equi-join of
+    the leaked-group table back to the keyed docs on the digest.  The
+    leaked table is duplicate-groups-only — far smaller than the
+    corpus — and everything shuffles on the digest key; no windows, no
+    driver state.
+    """
+    d = parallel_scan(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VALID_PCT, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    keyed = d.select(
+        "doc_id",
+        F.md5(
+            F.array_join(
+                F.slice(tokenize(F.col("text")), 1, LEAK_PREFIX_TOKENS), " "
+            )
+        ).alias("content_key"),
+        split.alias("split"),
+    )
+    leaked = (
+        keyed.groupBy("content_key")
+        .agg(
+            F.expr("min_by(split, doc_id)").alias("new_split"),
+            F.count_distinct("split").alias("n_splits"),
+        )
+        .filter(F.col("n_splits") > 1)
+        .select("content_key", "new_split")
+    )
+    return keyed.join(leaked, "content_key").select(
+        "doc_id",
+        "content_key",
+        F.col("split").alias("old_split"),
+        "new_split",
+        F.when(F.col("split") != F.col("new_split"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("moved"),
+    )
+
+
+@register(
+    "substring_overlap_spans",
+    oracle_sql=f"""
+    WITH wins AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS i,
+             md5(substr(text, i, {SUBSTR_WIN})) AS win_hash
+      FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - {SUBSTR_WIN - 1})) AS i
+        FROM documents WHERE length(text) >= {SUBSTR_WIN}
+      )
+      WHERE CAST('0x' || substr(md5(substr(text, i, {SUBSTR_GRAM})), 1, 4)
+                 AS BIGINT) % {SUBSTR_STRIDE} = 0
+    ),
+    dup AS (
+      SELECT win_hash FROM wins
+      GROUP BY win_hash HAVING count(DISTINCT doc_id) >= 2
+    ),
+    occ AS (
+      SELECT w.doc_id, w.i FROM wins w JOIN dup USING (win_hash)
+    ),
+    flagged AS (
+      SELECT doc_id, i,
+             CASE WHEN max(i + {SUBSTR_WIN}) OVER (
+                    PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= i
+                  THEN 0 ELSE 1 END AS new_span
+      FROM occ
+    ),
+    islands AS (
+      SELECT doc_id, i,
+             sum(new_span) OVER (
+               PARTITION BY doc_id ORDER BY i
+               ROWS UNBOUNDED PRECEDING) AS span_id
+      FROM flagged
+    )
+    SELECT doc_id,
+           CAST(span_id AS BIGINT) AS span_id,
+           CAST(min(i) AS BIGINT) AS span_start,
+           CAST(max(i) + {SUBSTR_WIN} AS BIGINT) AS span_end,
+           CAST(max(i) + {SUBSTR_WIN} - min(i) AS BIGINT) AS span_len,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM islands
+    GROUP BY doc_id, span_id
+    """,
+    tags=("text", "dedup", "substring", "spans", "pipeline"),
+)
+def substring_overlap_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-grain exact-substring overlap extraction — the partial-
+    overlap TRIMMING companion to [[exact_substring_duplicates]]: for
+    every content-anchored {SUBSTR_WIN}-char window seen in >= 2
+    distinct documents, keep each occurrence's OFFSET, then merge
+    per-document overlapping-or-adjacent duplicated windows into
+    maximal spans (gaps-and-islands) — exactly the byte ranges a
+    suffix-array-style dedup would cut out of each document while
+    keeping the novel remainder (the "deduplicating training data"
+    partial-dedup move, vs whole-doc dropping).
+
+    Scale shape: the anchored-window flatMap shuffles (digest, offset)
+    pairs once to find multi-doc windows, one digest-keyed equi-join
+    back to occurrences (dup side is duplicate digests only), then a
+    DOC-partitioned window sort for the island merge — per-document
+    work, bounded by the heaviest single document, never cross-doc.
+    The doc-grain span table is what a trimming rewrite would apply
+    with one substring pass.
+    """
+    d = parallel_scan(spark, sf_dir, "documents")
+    positions = F.when(
+        F.length("text") >= SUBSTR_WIN,
+        F.sequence(F.lit(1), F.length("text") - (SUBSTR_WIN - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    gram_hash = F.conv(
+        F.substring(
+            F.md5(F.substring(F.col("text"), F.col("i"), SUBSTR_GRAM)), 1, 4
+        ),
+        16,
+        10,
+    ).cast("long")
+    wins = (
+        d.select("doc_id", "text", F.explode(positions).alias("i"))
+        .filter(gram_hash % SUBSTR_STRIDE == 0)
+        .select(
+            "doc_id",
+            F.col("i").cast("long").alias("i"),
+            F.md5(F.substring(F.col("text"), F.col("i"), SUBSTR_WIN)).alias(
+                "win_hash"
+            ),
+        )
+        .cache()
+    )
+    dup = (
+        wins.groupBy("win_hash")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("win_hash")
+    )
+    occ = wins.join(dup, "win_hash").select("doc_id", "i")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = occ.select(
+        "doc_id",
+        "i",
+        F.when(
+            F.max(F.col("i") + SUBSTR_WIN).over(w_prev) >= F.col("i"), 0
+        )
+        .otherwise(1)
+        .alias("new_span"),
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.select(
+        "doc_id", "i", F.sum("new_span").over(w_run).alias("span_id")
+    )
+    return islands.groupBy("doc_id", "span_id").agg(
+        F.min("i").alias("span_start"),
+        (F.max("i") + SUBSTR_WIN).alias("span_end"),
+        (F.max("i") + SUBSTR_WIN - F.min("i")).alias("span_len"),
+        F.count("*").alias("n_windows"),
+    )
+
+
 # k-anonymity bar: a quasi-identifier combination shared by fewer than
 # K individuals re-identifies them.
 K_ANON = 5

@@ -733,6 +733,120 @@ def dedup_keep_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Quality scorer constants shared with textanalysis's classifier (the
+# import is deferred to the function body only for the query_fn; the
+# constants are safe at module scope — textanalysis has no dedup import).
+from mapreduce_c_implementation_spark.operators.textanalysis import (  # noqa: E402
+    HASH_DIM as _QC_HASH_DIM,
+    QC_WEIGHT_RANGE as _QC_WEIGHT_RANGE,
+)
+
+
+@register(
+    "dedup_quality_representatives",
+    oracle_sql=f"""
+    WITH RECURSIVE
+    {_SQL_MINHASH_CTES},
+    edges AS (
+      SELECT doc_a, doc_b FROM mhpairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM mhpairs
+    ),
+    reach(doc, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.doc_b, r.lab FROM reach r JOIN edges e ON e.doc_a = r.doc
+    ),
+    labs AS (
+      SELECT doc AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY doc
+    ),
+    qtok AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents),
+    qscore AS (
+      SELECT doc_id,
+             sum((CAST('0x' || substr(md5('w' ||
+                    CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)
+                         % {_QC_HASH_DIM} AS VARCHAR)), 1, 8) AS BIGINT)
+                  % {2 * _QC_WEIGHT_RANGE + 1}) - {_QC_WEIGHT_RANGE}) AS score
+      FROM qtok GROUP BY doc_id
+    ),
+    member AS (
+      SELECT l.cluster_id, l.doc_id, coalesce(q.score, 0) AS score
+      FROM labs l LEFT JOIN qscore q USING (doc_id)
+    ),
+    best AS (
+      SELECT cluster_id, count(*) AS cluster_size,
+             max(score) AS kept_score_micro
+      FROM member GROUP BY cluster_id
+    )
+    SELECT CAST(b.cluster_id AS BIGINT) AS cluster_id,
+           CAST(b.cluster_size AS BIGINT) AS cluster_size,
+           CAST(min(m.doc_id) AS BIGINT) AS kept_doc_id,
+           CAST(b.kept_score_micro AS BIGINT) AS kept_score_micro
+    FROM best b JOIN member m
+      ON m.cluster_id = b.cluster_id AND m.score = b.kept_score_micro
+    GROUP BY b.cluster_id, b.cluster_size, b.kept_score_micro
+    """,
+    tags=("dedup", "clusters", "quality", "pipeline"),
+)
+def dedup_quality_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster representative selection: instead of
+    [[dedup_keep_representatives]]'s min-doc_id rule, each near-dup
+    component keeps its HIGHEST-QUALITY member by
+    [[quality_classifier_inference]]'s score (ties broken by min
+    doc_id — stable, engine-independent).  This is the production
+    choice: when a cluster holds a clean original and a boilerplate-
+    wrapped mirror, min-id keeps whichever scraped first; argmax-by-
+    quality keeps the one worth training on.
+
+    Shape: cluster labels ([[dedup_cc_stars]], O(log n) rounds) joined
+    doc-grain to the classifier scores (left join + coalesce 0 — docs
+    with zero tokens score 0), then a two-step cluster-grain argmax:
+    a map-side-combined (count, max score) aggregate and one probe
+    join back on (cluster_id, score) to resolve the min-id tie.  Both
+    steps key on cluster_id, already far smaller than the corpus; the
+    member table is cached because the argmax consumes it twice and
+    its upstream (token explode + per-token md5 scoring) is the
+    dominant cost.  At 100 TB every stage is an equi-keyed exchange —
+    no windows over the full corpus, no driver-side state.
+    """
+    from mapreduce_c_implementation_spark.operators.textanalysis import (
+        quality_classifier_inference,
+    )
+
+    labels = dedup_cc_stars(spark, sf_dir)
+    scores = quality_classifier_inference(spark, sf_dir).select(
+        "doc_id", F.col("score_sum_micro").alias("score")
+    )
+    member = (
+        labels.join(scores, "doc_id", "left")
+        .select(
+            "cluster_id",
+            "doc_id",
+            F.coalesce(F.col("score"), F.lit(0)).cast("long").alias("score"),
+        )
+        .cache()
+    )
+    best = member.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("cluster_size"),
+        F.max("score").alias("kept_score_micro"),
+    )
+    return (
+        best.join(
+            member,
+            (best.cluster_id == member.cluster_id)
+            & (best.kept_score_micro == member.score),
+        )
+        .groupBy(best.cluster_id, "cluster_size", "kept_score_micro")
+        .agg(F.min("doc_id").cast("long").alias("kept_doc_id"))
+        .select(
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            "cluster_size",
+            "kept_doc_id",
+            F.col("kept_score_micro").cast("long").alias("kept_score_micro"),
+        )
+    )
+
+
 # Edit-distance threshold for the record-linkage verifier.
 LINK_MAX_DIST = 3
 

@@ -2388,6 +2388,165 @@ def score_calibration_reliability(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "isotonic_calibration_rewrite",
+    oracle_sql=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             len(list_intersect(ts, ['the','a','and','of','to','is','fast','slow']))
+               * 10000 // len(ts) AS score_bp
+      FROM (SELECT doc_id, lang, {_TOK} AS ts FROM documents)
+      WHERE len(ts) > 0
+    ),
+    binned AS (
+      SELECT doc_id, y, score_bp,
+             least(score_bp // {CAL_BIN_BP}, {CAL_NBINS - 1}) AS bin
+      FROM scored
+    ),
+    bins AS (
+      SELECT bin, count(*) AS n, sum(y) AS n_pos FROM binned GROUP BY bin
+    ),
+    pref AS (
+      SELECT bin, n, n_pos,
+             sum(n) OVER (ORDER BY bin) AS cn,
+             sum(n_pos) OVER (ORDER BY bin) AS cp
+      FROM bins
+    ),
+    segs AS (
+      SELECT j.bin AS jb, k.bin AS kb,
+             (k.cp - j.cp + j.n_pos) * 1000000
+               // (k.cn - j.cn + j.n) AS m_ppm
+      FROM pref j JOIN pref k ON k.bin >= j.bin
+    ),
+    mins AS (
+      SELECT i.bin AS bin, s.jb, min(s.m_ppm) AS lo
+      FROM bins i JOIN segs s ON s.jb <= i.bin AND s.kb >= i.bin
+      GROUP BY i.bin, s.jb
+    ),
+    iso AS (
+      SELECT bin, max(lo) AS iso_rate_ppm FROM mins GROUP BY bin
+    ),
+    rates AS (
+      SELECT b.bin, i.iso_rate_ppm,
+             b.n_pos * 1000000 // b.n AS raw_rate_ppm
+      FROM bins b JOIN iso i USING (bin)
+    )
+    SELECT d.doc_id,
+           CAST(d.score_bp AS BIGINT) AS score_bp,
+           CAST(d.bin AS BIGINT) AS bin,
+           CAST(r.raw_rate_ppm AS BIGINT) AS raw_rate_ppm,
+           CAST(r.iso_rate_ppm AS BIGINT) AS iso_rate_ppm
+    FROM binned d JOIN rates r USING (bin)
+    """,
+    tags=("text", "calibration", "rewrite", "pipeline"),
+)
+def isotonic_calibration_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV-style) score recalibration applied back to the
+    corpus: [[score_calibration_reliability]] MEASURES miscalibration;
+    this op FIXES it, replacing each {CAL_BIN_BP}-bp score bin's raw
+    positive rate with the monotone-regression fit and broadcasting the
+    corrected probability back onto every document — the rewrite a
+    pipeline runs so a learned quality threshold means the same thing
+    across the score range.
+
+    Isotonic fit WITHOUT iteration: instead of the sequential
+    pool-adjacent-violators loop (which doesn't parallelize and has no
+    SQL analog), the fit uses the max-min closed form
+    ``iso(i) = max_{{j<=i}} min_{{k>=i}} mean(y over bins j..k)`` —
+    provably equal to PAV on real means, applied here to ppm
+    floor-divided means identically in both engines (the max of mins
+    over integer values is exact, and monotonicity holds for ANY m(j,k)
+    since growing j-sets and shrinking k-sets are nested).  Segment
+    means come from prefix sums over the {CAL_NBINS}-row bin table, so
+    the triple (j, i, k) enumeration is a {CAL_NBINS}^3 = 8000-cell
+    constant-size join — never corpus-sized.
+
+    Scale shape: one corpus scan -> {CAL_NBINS}-cell aggregate ->
+    constant-size bin-triple joins (BNLJ over a <={CAL_NBINS}-row side
+    by construction) -> one broadcast join back to doc grain.  The
+    corpus is touched exactly twice (score map, rewrite join), both
+    scan-shaped.
+    """
+    d = compute_scan(spark, sf_dir, "documents")
+    ts = F.col("ts")
+    scored = (
+        d.select("doc_id", "lang", tokenize(F.col("text")).alias("ts"))
+        .filter(F.size(ts) > 0)
+        .select(
+            "doc_id",
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+            (
+                F.size(
+                    F.array_intersect(
+                        ts, F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])
+                    )
+                )
+                * 10000
+            ).alias("num"),
+            F.size(ts).alias("den"),
+        )
+        .select("doc_id", "y", F.expr("num div den").alias("score_bp"))
+    )
+    binned = scored.select(
+        "doc_id",
+        "y",
+        "score_bp",
+        F.least(
+            F.expr(f"score_bp div {CAL_BIN_BP}"), F.lit(CAL_NBINS - 1)
+        ).alias("bin"),
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count("*").alias("n"), F.sum("y").alias("n_pos")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pref = bins.select(
+        "bin", "n", "n_pos",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("n_pos").over(w).alias("cp"),
+    )
+    jt = pref.select(
+        F.col("bin").alias("jb"),
+        F.col("n").alias("jn"),
+        F.col("n_pos").alias("jnp"),
+        F.col("cn").alias("jcn"),
+        F.col("cp").alias("jcp"),
+    )
+    kt = pref.select(
+        F.col("bin").alias("kb"),
+        F.col("cn").alias("kcn"),
+        F.col("cp").alias("kcp"),
+    )
+    segs = jt.join(kt, F.col("kb") >= F.col("jb")).select(
+        "jb",
+        "kb",
+        F.expr(
+            "(kcp - jcp + jnp) * 1000000 div (kcn - jcn + jn)"
+        ).alias("m_ppm"),
+    )
+    mins = (
+        bins.select(F.col("bin").alias("ibin"))
+        .join(segs, (F.col("jb") <= F.col("ibin")) & (F.col("kb") >= F.col("ibin")))
+        .groupBy("ibin", "jb")
+        .agg(F.min("m_ppm").alias("lo"))
+    )
+    iso = mins.groupBy("ibin").agg(F.max("lo").alias("iso_rate_ppm"))
+    rates = bins.join(iso, bins.bin == iso.ibin).select(
+        "bin",
+        F.expr("n_pos * 1000000 div n").alias("raw_rate_ppm"),
+        "iso_rate_ppm",
+    )
+    return binned.join(F.broadcast(rates), "bin").select(
+        "doc_id",
+        F.col("score_bp").cast("long").alias("score_bp"),
+        F.col("bin").cast("long").alias("bin"),
+        F.col("raw_rate_ppm").cast("long").alias("raw_rate_ppm"),
+        F.col("iso_rate_ppm").cast("long").alias("iso_rate_ppm"),
+    )
+
+
 # T5-style span corruption: SPAN_BLOCK-token blocks, one SPAN_LEN-token
 # masked span per block at a content-hashed offset (0..SPAN_BLOCK-
 # SPAN_LEN), sentinel <extra_id_b> numbered by block.  Block-local

@@ -114,6 +114,10 @@ _DRIVER_PRIORITY = [
     "stratified_kfold_assign",
     "feature_hash_collision_stats",
     # round-8 additions, in priority order (appended as they land)
+    "dedup_quality_representatives",
+    "isotonic_calibration_rewrite",
+    "leakage_split_repair",
+    "substring_overlap_spans",
 ]
 
 # Operators hard-verified by the driver in prior rounds (the union of

@@ -234,6 +234,12 @@ SWEPT_OPS = [
     "group_holdout_split",
     "stratified_kfold_assign",
     "feature_hash_collision_stats",
+    # round-8 wave: quality-argmax representatives, the max-min isotonic
+    # fit, digest-keyed split repair, and the span-merge islands.
+    "dedup_quality_representatives",
+    "isotonic_calibration_rewrite",
+    "leakage_split_repair",
+    "substring_overlap_spans",
 ]
 
 

@@ -264,6 +264,9 @@ _NESTED_LOOP_EXEMPT = {
     "dsir_importance_resampling",
     # 1-row corpus totals + 1-row peak broadcast onto the day-grain scan
     "cusum_changepoint_scan",
+    # constant-size bin-triple enumeration (<=20-row sides by
+    # construction) for the max-min isotonic closed form
+    "isotonic_calibration_rewrite",
 }
 
 # Modules whose query_fns build lazy plans (streaming/io execute jobs

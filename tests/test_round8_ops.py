@@ -1,0 +1,139 @@
+"""Semantic contracts for the round-8 operators — intent checks the
+cross-engine oracle diff (tests/test_operators_vs_oracle.py) cannot see:
+the oracle proves Spark == DuckDB, these prove both equal the SPEC.
+"""
+
+from __future__ import annotations
+
+from mapreduce_c_implementation_spark.operators.corpus_filters import SUBSTR_WIN
+from mapreduce_c_implementation_spark.registry import get_operator
+
+
+def _rows(spark, sf_dir, name):
+    return get_operator(name).query_fn(spark, sf_dir).collect()
+
+
+def test_quality_representatives_argmax_contract(spark, sf_correct):
+    """The kept doc is a cluster member whose classifier score equals the
+    cluster max (min doc_id among ties), and cluster partitioning is
+    identical to the min-id representative op's."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_c_implementation_spark.operators.dedup import dedup_cc_stars
+    from mapreduce_c_implementation_spark.operators.textanalysis import (
+        quality_classifier_inference,
+    )
+
+    reps = {r.cluster_id: r for r in _rows(spark, sf_correct, "dedup_quality_representatives")}
+    assert reps
+
+    # same clusters + sizes as the min-id variant (labels are shared)
+    minid = {
+        r.doc_id: r.cluster_size
+        for r in _rows(spark, sf_correct, "dedup_keep_representatives")
+    }
+    assert {c: r.cluster_size for c, r in reps.items()} == minid
+
+    labels = dedup_cc_stars(spark, sf_correct)
+    scores = quality_classifier_inference(spark, sf_correct).select(
+        "doc_id", "score_sum_micro"
+    )
+    member = (
+        labels.join(scores, "doc_id", "left")
+        .select(
+            "cluster_id",
+            "doc_id",
+            F.coalesce("score_sum_micro", F.lit(0)).alias("score"),
+        )
+        .collect()
+    )
+    by_cluster: dict = {}
+    for m in member:
+        by_cluster.setdefault(m.cluster_id, []).append((m.score, m.doc_id))
+    for cid, r in reps.items():
+        best_score = max(s for s, _ in by_cluster[cid])
+        best_doc = min(d for s, d in by_cluster[cid] if s == best_score)
+        assert r.kept_score_micro == best_score, cid
+        assert r.kept_doc_id == best_doc, cid
+    # the quality rule must actually diverge from min-id somewhere on a
+    # multi-doc cluster, or the op is vacuous on this fixture
+    multi = [c for c, r in reps.items() if r.cluster_size > 1]
+    assert multi, "fixture has no multi-doc near-dup clusters"
+    assert any(reps[c].kept_doc_id != c for c in multi), (
+        "argmax-by-quality never disagreed with min-id — check the score join"
+    )
+
+
+def test_isotonic_fit_is_monotone_and_bounded(spark, sf_correct):
+    """The calibrated rate must be non-decreasing in the score bin
+    (the whole point of isotonic regression) and bounded by the raw
+    bin rates' range (a PAV invariant)."""
+    rows = _rows(spark, sf_correct, "isotonic_calibration_rewrite")
+    assert rows
+    per_bin = {}
+    for r in rows:
+        per_bin[r.bin] = (r.raw_rate_ppm, r.iso_rate_ppm)
+    bins = sorted(per_bin)
+    iso = [per_bin[b][1] for b in bins]
+    raw = [per_bin[b][0] for b in bins]
+    assert iso == sorted(iso), f"isotonic fit not monotone: {list(zip(bins, iso))}"
+    assert min(raw) <= min(iso) and max(iso) <= max(raw)
+    assert all(0 <= v <= 1_000_000 for v in iso)
+    # the fixture's raw curve must have at least one violation for the
+    # fit to actually pool (otherwise iso == raw and the op is a no-op)
+    if raw != sorted(raw):
+        assert iso != raw, "raw curve has violations but the fit changed nothing"
+
+
+def test_leakage_repair_closes_the_audit(spark, sf_correct):
+    """After applying the repair, every previously leaked fingerprint
+    group lives in exactly one split; every leaked group from the audit
+    is covered; moved docs are a strict, non-empty subset."""
+    audit = _rows(spark, sf_correct, "cross_split_leakage_audit")
+    leaked_keys = {r.content_key for r in audit if r.leaked == 1}
+    assert leaked_keys, "fixture has no cross-split leaks to repair"
+
+    repair = _rows(spark, sf_correct, "leakage_split_repair")
+    assert {r.content_key for r in repair} == leaked_keys
+
+    by_key: dict = {}
+    for r in repair:
+        by_key.setdefault(r.content_key, []).append(r)
+    n_moved = 0
+    for key, members in by_key.items():
+        new_splits = {m.new_split for m in members}
+        assert len(new_splits) == 1, f"group {key} repaired into {new_splits}"
+        # canonical split is the min-doc_id member's original split
+        canon = min(members, key=lambda m: m.doc_id)
+        assert new_splits == {canon.old_split}, key
+        for m in members:
+            assert m.moved == (1 if m.old_split != m.new_split else 0)
+        n_moved += sum(m.moved for m in members)
+    assert n_moved > 0, "a leaked group must move at least one doc"
+
+
+def test_overlap_spans_are_maximal_disjoint_windows(spark, sf_correct):
+    """Per-doc spans are disjoint, non-adjacent (else they'd have been
+    merged), at least one window wide, and consistent with the window
+    counts of exact_substring_duplicates."""
+    rows = _rows(spark, sf_correct, "substring_overlap_spans")
+    assert rows
+    by_doc: dict = {}
+    for r in rows:
+        assert r.span_len == r.span_end - r.span_start
+        assert r.span_len >= SUBSTR_WIN
+        assert r.n_windows >= 1
+        by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    for doc, spans in by_doc.items():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            # a next span starting at or before the previous end would
+            # have been merged into it
+            assert s2 > e1, f"doc {doc}: spans [{s1},{e1}) and [{s2},{e2})"
+    # total duplicated-window occurrences must match the pair detector's
+    n_span_windows = sum(r.n_windows for r in rows)
+    dup_occurrences = sum(
+        r.n_occurrences
+        for r in _rows(spark, sf_correct, "exact_substring_duplicates")
+    )
+    assert n_span_windows == dup_occurrences
