@@ -708,6 +708,181 @@ def substring_overlap_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Safety-filter surrogate lexicon (the fixture is benign word salad, so
+# a real toxicity list would never fire; these stand in with the exact
+# runtime shape — two terms present in the fixture vocabulary, one
+# absent to exercise the zero path) and the drop threshold.
+TOX_TERMS = ("slow", "big", "crash")
+TOX_MAX_PPM = 60_000
+
+
+@register(
+    "toxicity_wordlist_filter",
+    oracle_sql=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOK} AS ts FROM documents
+      WHERE len({_TOK}) > 0
+    )
+    SELECT doc_id,
+           CAST(len(ts) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(ts, t -> list_contains(
+                  {list(TOX_TERMS)!r}, t))) AS BIGINT) AS n_flagged,
+           CAST(len(list_filter(ts, t -> list_contains(
+                  {list(TOX_TERMS)!r}, t))) * 1000000 // len(ts) AS BIGINT)
+             AS flagged_ppm,
+           CASE WHEN len(list_filter(ts, t -> list_contains(
+                  {list(TOX_TERMS)!r}, t))) * 1000000 // len(ts)
+                  >= {TOX_MAX_PPM}
+                THEN 'drop' ELSE 'keep' END AS verdict
+    FROM toks
+    """,
+    tags=("text", "safety", "filter", "pipeline"),
+)
+def toxicity_wordlist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wordlist-based safety filtering — the unsafe-content screen every
+    pretraining pipeline runs next to quality filtering ([[
+    gopher_quality_rules]] is the fluency twin; this is the lexicon
+    gate): per document, the count and ppm density of lexicon hits and
+    a keep/drop verdict at {TOX_MAX_PPM} ppm.  The lexicon here is a
+    frozen {len(TOX_TERMS)}-term surrogate (the fixture corpus is
+    benign); a production list swaps in via the same array literal —
+    at realistic lexicon sizes (~1e3-1e4 terms) the array_contains
+    scan becomes a broadcast hash join of the exploded token stream
+    against the term table, same plan class as [[url_blocklist_filter]].
+
+    Shape: one narrow in-row map (token-array filter, no explode) into
+    the doc-grain result — scan-bound, zero shuffles, whole-stage
+    codegen end to end.  The ppm division is integer floor in both
+    engines.
+    """
+    d = compute_scan(spark, sf_dir, "documents")
+    ts = tokenize(F.col("text"))
+    terms = F.array(*[F.lit(t) for t in TOX_TERMS])
+    toks = d.select("doc_id", ts.alias("ts")).filter(F.size("ts") > 0)
+    n_flagged = F.size(
+        F.filter(F.col("ts"), lambda t: F.array_contains(terms, t))
+    ).cast("long")
+    return toks.select(
+        "doc_id",
+        F.size("ts").cast("long").alias("n_tokens"),
+        n_flagged.alias("n_flagged"),
+        F.expr(
+            f"CAST(size(filter(ts, t -> array_contains("
+            f"array{TOX_TERMS}, t))) * 1000000 div size(ts) AS BIGINT)"
+        ).alias("flagged_ppm"),
+        F.when(
+            F.expr(
+                f"size(filter(ts, t -> array_contains("
+                f"array{TOX_TERMS}, t))) * 1000000 div size(ts)"
+            )
+            >= TOX_MAX_PPM,
+            "drop",
+        )
+        .otherwise("keep")
+        .alias("verdict"),
+    )
+
+
+# Winnowing (MOSS-style) fingerprint selection: token {WINNOW_GRAM}-gram
+# hashes, and every window of {WINNOW_W} consecutive gram hashes selects
+# its minimum — guaranteeing at least one fingerprint per window (the
+# coverage guarantee mod-p sampling lacks) while keeping density ~2/(W+1).
+WINNOW_GRAM = 3
+WINNOW_W = 8
+
+
+@register(
+    "winnowing_fingerprint_dedup",
+    oracle_sql=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOK} AS ts FROM documents
+      WHERE len({_TOK}) >= {WINNOW_GRAM}
+    ),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos,
+             CAST('0x' || substr(md5(array_to_string(
+               list_slice(ts, i, i + {WINNOW_GRAM - 1}), ' ')), 1, 12)
+               AS BIGINT) AS gh
+      FROM (SELECT doc_id, ts,
+                   unnest(generate_series(1, len(ts) - {WINNOW_GRAM - 1})) AS i
+            FROM toks)
+    ),
+    winmin AS (
+      SELECT doc_id, pos, gh,
+             min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN {WINNOW_W - 1} PRECEDING
+                           AND CURRENT ROW) AS wm
+      FROM grams
+    ),
+    selected AS (
+      SELECT doc_id, pos, gh FROM winmin
+      WHERE pos >= {WINNOW_W - 1} AND gh = wm
+    )
+    SELECT gh AS fingerprint,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_selected,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM selected
+    GROUP BY gh
+    HAVING count(DISTINCT doc_id) >= 2
+    """,
+    tags=("text", "dedup", "fingerprint", "pipeline"),
+)
+def winnowing_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (the MOSS algorithm): hash every
+    token {WINNOW_GRAM}-gram, slide a {WINNOW_W}-gram window, select
+    each window's MINIMUM hash, and report fingerprints selected in
+    >= 2 distinct documents.  Winnowing's guarantee — at least one
+    fingerprint in every window — means any shared run of
+    {WINNOW_W + WINNOW_GRAM - 1}+ tokens is ALWAYS detected, the
+    coverage contract that [[exact_substring_duplicates]]'s mod-stride
+    anchoring only meets in expectation (its misses vanish with run
+    length; winnowing's are zero).  The two are the standard
+    recall/cost pair for exact-overlap mining.
+
+    Scale shape: gram hashing is a per-doc in-row flatMap; the window
+    minimum is DOC-partitioned (bounded by the longest document, never
+    cross-doc); only selected fingerprints — density ~2/({WINNOW_W}+1)
+    of gram positions — shuffle to the final digest-keyed groupBy.
+    Same exchange class as the substring detector, with the window
+    pass traded for the coverage guarantee.
+    """
+    d = compute_scan(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokenize(F.col("text")).alias("ts")).filter(
+        F.size("ts") >= WINNOW_GRAM
+    )
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(ngrams(F.col("ts"), WINNOW_GRAM)).alias("pos", "gram"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5(F.col("gram")), 1, 12), 16, 10)
+        .cast("long")
+        .alias("gh"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(WINNOW_W - 1), 0)
+    )
+    selected = (
+        grams.select("doc_id", "pos", "gh", F.min("gh").over(w).alias("wm"))
+        .filter((F.col("pos") >= WINNOW_W - 1) & (F.col("gh") == F.col("wm")))
+    )
+    return (
+        selected.groupBy(F.col("gh").alias("fingerprint"))
+        .agg(
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_selected"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
 # k-anonymity bar: a quasi-identifier combination shared by fewer than
 # K individuals re-identifies them.
 K_ANON = 5

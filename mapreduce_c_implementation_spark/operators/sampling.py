@@ -31,7 +31,7 @@ from pyspark.sql.window import Window
 
 from mapreduce_c_implementation_spark.functions.text import DUCKDB_TOKENIZE, tokenize
 from mapreduce_c_implementation_spark.registry import register
-from mapreduce_c_implementation_spark.sources.tables import parallel_scan
+from mapreduce_c_implementation_spark.sources.tables import compute_scan, parallel_scan
 
 _TOK = DUCKDB_TOKENIZE.format(col="text")
 
@@ -931,4 +931,219 @@ def stratified_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fold", "lang")
         .agg(F.count("*").alias("n_docs"))
         .orderBy("fold", "lang")
+    )
+
+
+# DoReMi-style domain reweighting: one exponentiated-gradient step on
+# the source mixture, eta = 1 (folded into the update).  Excess loss is
+# proxied by per-source average token surprisal under the corpus
+# unigram LM — the "hard domains get upweighted" signal of the paper,
+# computable without a trained reference model.
+@register(
+    "doremi_domain_reweighting",
+    oracle_sql=f"""
+    WITH tok AS (
+      SELECT source, unnest({_TOK}) AS t FROM documents
+    ),
+    st AS (
+      SELECT source, t, count(*) AS c FROM tok GROUP BY source, t
+    ),
+    vocab AS (
+      SELECT t, sum(c) AS ct FROM st GROUP BY t
+    ),
+    tot AS (SELECT sum(ct) AS n FROM vocab),
+    lt AS (
+      SELECT t,
+             CAST(round(ln(CAST(n AS DOUBLE) / ct) * 1000000) AS BIGINT)
+               AS l_micro
+      FROM vocab, tot
+    ),
+    src AS (
+      SELECT source, sum(c) AS n_s,
+             sum(CAST(c AS HUGEINT) * l_micro) AS s_s
+      FROM st JOIN lt USING (t) GROUP BY source
+    ),
+    gstats AS (SELECT sum(s_s) AS g, sum(n_s) AS n FROM src),
+    ex AS (
+      SELECT source, n_s,
+             n_s * 1000000 // n AS base_weight_ppm,
+             s_s // n_s - g // n AS excess_micro,
+             CAST(round(exp(
+               (CAST(round(ln(CAST(n_s AS DOUBLE) / n) * 1000000) AS BIGINT)
+                + (s_s // n_s - g // n)) / 1000000.0) * 1000000) AS BIGINT)
+               AS u_micro
+      FROM src, gstats
+    ),
+    norm AS (SELECT sum(u_micro) AS su FROM ex)
+    SELECT source,
+           CAST(n_s AS BIGINT) AS n_tokens,
+           CAST(base_weight_ppm AS BIGINT) AS base_weight_ppm,
+           CAST(excess_micro AS BIGINT) AS excess_micro,
+           CAST(u_micro * 1000000 // su AS BIGINT) AS new_weight_ppm
+    FROM ex, norm ORDER BY source
+    """,
+    tags=("sampling", "mixing", "doremi", "pipeline"),
+)
+def doremi_domain_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain (source) reweighting — ONE exponentiated-
+    gradient step: new_w_s ∝ base_w_s * exp(eta * excess_s), eta = 1,
+    where base_w is the token share and excess_s is the source's mean
+    token surprisal under the corpus unigram LM minus the global mean
+    (the hard-domain signal; the paper's reference-model excess loss
+    drops in as a column swap).  Complements [[source_temperature_
+    mixing]] (temperature is loss-blind) and [[source_token_budget_
+    mix]] (budget allocation consumes these weights).
+
+    Exactness: per-token surprisal is frozen to integer micro-nats at
+    the VOCAB grain; source sums route c * l_micro through
+    DECIMAL(38,0)/HUGEINT (the product reaches ~3e19 at 100 TB — past
+    BIGINT); the only other doubles are one pinned ln per source and
+    one pinned exp per source, both frozen to integers BEFORE the
+    exact-integer ppm normalization, so no float fold-order exists.
+
+    Scale shape: (source, token)-grain counts (map-side combined), a
+    vocab-grain aggregate + equi-join, then source-grain arithmetic
+    with three 1-row broadcasts (corpus total, global surprisal,
+    weight normalizer) — the corpus is scanned once; everything after
+    the first aggregate is vocabulary- or source-sized.
+    """
+    d = parallel_scan(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(tokenize(F.col("text"))).alias("t"))
+    st = tok.groupBy("source", "t").agg(F.count("*").alias("c"))
+    vocab = st.groupBy("t").agg(F.sum("c").alias("ct"))
+    tot = vocab.agg(F.sum("ct").alias("n"))
+    lt = vocab.crossJoin(F.broadcast(tot)).select(
+        "t",
+        F.expr(
+            "CAST(round(ln(CAST(n AS DOUBLE) / ct) * 1000000) AS BIGINT)"
+        ).alias("l_micro"),
+    )
+    src = (
+        st.join(lt, "t")
+        .groupBy("source")
+        .agg(
+            F.sum("c").alias("n_s"),
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("l_micro")).alias(
+                "s_s"
+            ),
+        )
+    )
+    glob = src.agg(F.sum("s_s").alias("g"), F.sum("n_s").alias("n"))
+    ex = src.crossJoin(F.broadcast(glob)).select(
+        "source",
+        "n_s",
+        F.expr("n_s * 1000000 div n").alias("base_weight_ppm"),
+        F.expr("CAST(s_s div n_s - g div n AS BIGINT)").alias("excess_micro"),
+        F.expr(
+            "CAST(round(exp("
+            " (CAST(round(ln(CAST(n_s AS DOUBLE) / n) * 1000000) AS BIGINT)"
+            "  + CAST(s_s div n_s - g div n AS BIGINT)) / 1000000.0)"
+            " * 1000000) AS BIGINT)"
+        ).alias("u_micro"),
+    )
+    norm = ex.agg(F.sum("u_micro").alias("su"))
+    return (
+        ex.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            F.col("n_s").cast("long").alias("n_tokens"),
+            F.col("base_weight_ppm").cast("long").alias("base_weight_ppm"),
+            "excess_micro",
+            F.expr("CAST(u_micro * 1000000 div su AS BIGINT)").alias(
+                "new_weight_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# Best-of-n rejection sampling: BON_N consecutive doc_ids form one
+# "prompt group" (the fixture stand-in for n samples of one prompt);
+# reward = English-stopword share in basis points (the calibration
+# family's rule — a learned reward model's scores join in identically).
+BON_N = 4
+
+
+@register(
+    "best_of_n_rejection_sampling",
+    oracle_sql=f"""
+    WITH scored AS (
+      SELECT doc_id, doc_id // {BON_N} AS prompt_id,
+             len(list_intersect(ts, ['the','a','and','of','to','is','fast','slow']))
+               * 10000 // len(ts) AS reward_bp
+      FROM (SELECT doc_id, {_TOK} AS ts FROM documents)
+      WHERE len(ts) > 0
+    ),
+    ranked AS (
+      SELECT prompt_id, doc_id, reward_bp,
+             row_number() OVER (PARTITION BY prompt_id
+                                ORDER BY reward_bp DESC, doc_id ASC) AS rk,
+             count(*) OVER (PARTITION BY prompt_id) AS n_samples,
+             sum(reward_bp) OVER (PARTITION BY prompt_id) AS sum_bp
+      FROM scored
+    )
+    SELECT prompt_id,
+           CAST(n_samples AS BIGINT) AS n_samples,
+           doc_id AS best_doc_id,
+           CAST(reward_bp AS BIGINT) AS best_reward_bp,
+           CAST(sum_bp // n_samples AS BIGINT) AS mean_reward_bp,
+           CAST(reward_bp - sum_bp // n_samples AS BIGINT) AS gain_bp
+    FROM ranked WHERE rk = 1
+    """,
+    tags=("sampling", "rlhf", "rejection", "pipeline"),
+)
+def best_of_n_rejection_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-n rejection sampling — the RLHF/distillation data-
+    construction step: each prompt group keeps its highest-reward
+    sample (min doc_id on ties) and reports the reward gain over the
+    group mean, the quantity that decides whether best-of-n is worth
+    n inferences.  Groups are {BON_N} consecutive doc_ids (fixture
+    pairing); reward is the stopword-share rule ([[score_calibration_
+    reliability]]'s scorer) — a reward model's scores are a column
+    swap.  [[preference_pair_construction]] builds pairwise data from
+    the same grouping; this op builds SFT-style winners.
+
+    Exactness: integer bp rewards, floor-division means, row_number
+    with a total order (reward DESC, doc_id ASC) — no ties left to the
+    engine.
+
+    Scale shape: one narrow scored map, one prompt-keyed window over
+    {BON_N}-row partitions (the [[window_topk_per_group]] shape) —
+    a single prompt-grain exchange, no corpus-sized state.
+    """
+    d = compute_scan(spark, sf_dir, "documents")
+    ts = F.col("ts")
+    scored = (
+        d.select("doc_id", tokenize(F.col("text")).alias("ts"))
+        .filter(F.size(ts) > 0)
+        .select(
+            "doc_id",
+            F.expr(f"doc_id div {BON_N}").alias("prompt_id"),
+            F.expr(
+                "size(array_intersect(ts,"
+                " array('the','a','and','of','to','is','fast','slow')))"
+                " * 10000 div size(ts)"
+            ).alias("reward_bp"),
+        )
+    )
+    wp = Window.partitionBy("prompt_id")
+    ranked = scored.select(
+        "prompt_id",
+        "doc_id",
+        "reward_bp",
+        F.row_number()
+        .over(wp.orderBy(F.desc("reward_bp"), F.asc("doc_id")))
+        .alias("rk"),
+        F.count("*").over(wp).alias("n_samples"),
+        F.sum("reward_bp").over(wp).alias("sum_bp"),
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        "prompt_id",
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.col("doc_id").alias("best_doc_id"),
+        F.col("reward_bp").cast("long").alias("best_reward_bp"),
+        F.expr("CAST(sum_bp div n_samples AS BIGINT)").alias("mean_reward_bp"),
+        F.expr(
+            "CAST(reward_bp - sum_bp div n_samples AS BIGINT)"
+        ).alias("gain_bp"),
     )

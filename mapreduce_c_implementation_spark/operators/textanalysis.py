@@ -2547,6 +2547,158 @@ def isotonic_calibration_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Generation-eval overlap metrics: candidate = even doc_id, reference =
+# the following odd doc_id (a deterministic fixture pairing; production
+# pair tables come from the eval harness and join in identically).
+@register(
+    "generation_eval_overlap",
+    oracle_sql=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOK} AS ts FROM documents
+      WHERE len({_TOK}) > 0
+    ),
+    pairs AS (
+      SELECT c.doc_id // 2 AS pair_id,
+             c.doc_id AS cand_id, r.doc_id AS ref_id,
+             c.ts AS cts, r.ts AS rts
+      FROM toks c JOIN toks r ON r.doc_id = c.doc_id + 1
+      WHERE c.doc_id % 2 = 0
+    ),
+    c1 AS (
+      SELECT pair_id, t AS g, count(*) AS cc
+      FROM (SELECT pair_id, unnest(cts) AS t FROM pairs)
+      GROUP BY pair_id, t
+    ),
+    r1 AS (
+      SELECT pair_id, t AS g, count(*) AS rc
+      FROM (SELECT pair_id, unnest(rts) AS t FROM pairs)
+      GROUP BY pair_id, t
+    ),
+    o1 AS (
+      SELECT pair_id, sum(least(cc, rc)) AS o
+      FROM c1 JOIN r1 USING (pair_id, g) GROUP BY pair_id
+    ),
+    c2 AS (
+      SELECT pair_id, g, count(*) AS cc
+      FROM (SELECT pair_id, unnest({duckdb_ngrams("cts", 2)}) AS g FROM pairs)
+      GROUP BY pair_id, g
+    ),
+    r2 AS (
+      SELECT pair_id, g, count(*) AS rc
+      FROM (SELECT pair_id, unnest({duckdb_ngrams("rts", 2)}) AS g FROM pairs)
+      GROUP BY pair_id, g
+    ),
+    o2 AS (
+      SELECT pair_id, sum(least(cc, rc)) AS o
+      FROM c2 JOIN r2 USING (pair_id, g) GROUP BY pair_id
+    )
+    SELECT p.pair_id, p.cand_id, p.ref_id,
+           CAST(coalesce(o1.o, 0) AS BIGINT) AS overlap1,
+           CAST(coalesce(o1.o, 0) * 2 * 1000000
+                // (len(p.cts) + len(p.rts)) AS BIGINT) AS rouge1_f_ppm,
+           CAST(coalesce(o2.o, 0) AS BIGINT) AS overlap2,
+           CAST(CASE WHEN len(p.cts) + len(p.rts) <= 2 THEN 0
+                ELSE coalesce(o2.o, 0) * 2 * 1000000
+                     // (len(p.cts) + len(p.rts) - 2) END AS BIGINT)
+             AS rouge2_f_ppm,
+           CAST(CASE WHEN md5(array_to_string(p.cts, ' '))
+                        = md5(array_to_string(p.rts, ' '))
+                THEN 1 ELSE 0 END AS BIGINT) AS exact_match
+    FROM pairs p
+    LEFT JOIN o1 ON o1.pair_id = p.pair_id
+    LEFT JOIN o2 ON o2.pair_id = p.pair_id
+    """,
+    tags=("text", "eval", "rouge", "pipeline"),
+)
+def generation_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generation-eval overlap metrics — ROUGE-1/ROUGE-2 F1 (clipped
+    n-gram overlap, the summarization/QA eval standard) and exact-match
+    — per (candidate, reference) pair, completing the eval family next
+    to [[pass_at_k_eval]] (execution grain) and
+    [[langid_confusion_matrix]] (label grain).  The fixture pairs each
+    even doc with its successor; a production run swaps in the eval
+    harness's pair table and the plan is unchanged.
+
+    Metric exactness: clipped overlap sum_g min(c_cand, c_ref) is an
+    exact integer from two (pair, gram)-grain counts; F1 = 2*overlap /
+    (|cand| + |ref|) is one ppm floor division (bigram totals are
+    len-1 per side, zero-guarded).  Exact match pins the full token
+    stream through md5.
+
+    Scale shape: the pair join is doc-grain equi (successor id); gram
+    counts are (pair, gram)-keyed map-side-combined aggregates; the
+    clipped overlap is an equi-join of the two count tables on (pair,
+    gram) — every stage keys on the pair or the gram digest, nothing
+    quadratic, no windows.  Per-pair work is bounded by the longer
+    document.
+    """
+    d = compute_scan(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokenize(F.col("text")).alias("ts")).filter(
+        F.size("ts") > 0
+    )
+    cand = toks.filter(F.col("doc_id") % 2 == 0).select(
+        F.expr("doc_id div 2").alias("pair_id"),
+        F.col("doc_id").alias("cand_id"),
+        F.col("ts").alias("cts"),
+    )
+    ref = toks.filter(F.col("doc_id") % 2 == 1).select(
+        F.expr("doc_id div 2").alias("pair_id"),
+        F.col("doc_id").alias("ref_id"),
+        F.col("ts").alias("rts"),
+    )
+    pairs = cand.join(ref, "pair_id").cache()
+
+    def clipped(col_c: str, col_r: str, n: int) -> DataFrame:
+        src_c = pairs.select(
+            "pair_id",
+            F.explode(
+                F.col(col_c) if n == 1 else ngrams(F.col(col_c), n)
+            ).alias("g"),
+        ).groupBy("pair_id", "g").agg(F.count("*").alias("cc"))
+        src_r = pairs.select(
+            "pair_id",
+            F.explode(
+                F.col(col_r) if n == 1 else ngrams(F.col(col_r), n)
+            ).alias("g"),
+        ).groupBy("pair_id", "g").agg(F.count("*").alias("rc"))
+        return (
+            src_c.join(src_r, ["pair_id", "g"])
+            .groupBy("pair_id")
+            .agg(F.sum(F.least("cc", "rc")).alias("o"))
+        )
+
+    o1 = clipped("cts", "rts", 1).withColumnRenamed("o", "o1")
+    o2 = clipped("cts", "rts", 2).withColumnRenamed("o", "o2")
+    return (
+        pairs.join(o1, "pair_id", "left")
+        .join(o2, "pair_id", "left")
+        .select(
+            "pair_id",
+            "cand_id",
+            "ref_id",
+            F.coalesce("o1", F.lit(0)).cast("long").alias("overlap1"),
+            F.expr(
+                "CAST(coalesce(o1, 0) * 2 * 1000000"
+                " div (size(cts) + size(rts)) AS BIGINT)"
+            ).alias("rouge1_f_ppm"),
+            F.coalesce("o2", F.lit(0)).cast("long").alias("overlap2"),
+            F.expr(
+                "CAST(CASE WHEN size(cts) + size(rts) <= 2 THEN 0"
+                " ELSE coalesce(o2, 0) * 2 * 1000000"
+                " div (size(cts) + size(rts) - 2) END AS BIGINT)"
+            ).alias("rouge2_f_ppm"),
+            F.when(
+                F.md5(F.array_join("cts", " "))
+                == F.md5(F.array_join("rts", " ")),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("exact_match"),
+        )
+    )
+
+
 # T5-style span corruption: SPAN_BLOCK-token blocks, one SPAN_LEN-token
 # masked span per block at a content-hashed offset (0..SPAN_BLOCK-
 # SPAN_LEN), sentinel <extra_id_b> numbered by block.  Block-local

@@ -118,6 +118,11 @@ _DRIVER_PRIORITY = [
     "isotonic_calibration_rewrite",
     "leakage_split_repair",
     "substring_overlap_spans",
+    "toxicity_wordlist_filter",
+    "winnowing_fingerprint_dedup",
+    "generation_eval_overlap",
+    "doremi_domain_reweighting",
+    "best_of_n_rejection_sampling",
 ]
 
 # Operators hard-verified by the driver in prior rounds (the union of

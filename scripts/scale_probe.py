@@ -124,6 +124,26 @@ PROBE_OPS = [
     "group_holdout_split",
     "stratified_kfold_assign",
     "feature_hash_collision_stats",
+    # round-7 closure (verdict r7 item 5): the remaining unprobed
+    # additions — all bin/group-grain reduces or broadcast-residual
+    # joins of families already probed, now with numbers.
+    "url_blocklist_filter",
+    "ks_two_sample_binned",
+    "quality_classifier_inference",
+    "length_bucket_batching",
+    "graph_adamic_adar",
+    "source_temperature_mixing",
+    "cvm_two_sample_binned",
+    "cosine_similarity_histogram",
+    "mann_whitney_u_binned",
+    "cohen_kappa_agreement",
+    # round-8 wave: cluster-grain quality argmax, the constant-size
+    # isotonic bin-triple join + doc rewrite, digest-keyed split
+    # repair, and the doc-partitioned span merge.
+    "dedup_quality_representatives",
+    "isotonic_calibration_rewrite",
+    "leakage_split_repair",
+    "substring_overlap_spans",
 ]
 
 

@@ -240,6 +240,14 @@ SWEPT_OPS = [
     "isotonic_calibration_rewrite",
     "leakage_split_repair",
     "substring_overlap_spans",
+    # round-8 second wave: lexicon filter map, doc-partitioned winnowing
+    # windows, pair-keyed overlap counts, source-grain EG step, and the
+    # prompt-grain best-of-n window.
+    "toxicity_wordlist_filter",
+    "winnowing_fingerprint_dedup",
+    "generation_eval_overlap",
+    "doremi_domain_reweighting",
+    "best_of_n_rejection_sampling",
 ]
 
 

@@ -267,6 +267,9 @@ _NESTED_LOOP_EXEMPT = {
     # constant-size bin-triple enumeration (<=20-row sides by
     # construction) for the max-min isotonic closed form
     "isotonic_calibration_rewrite",
+    # three 1-row broadcasts (corpus total, global surprisal, weight
+    # normalizer) — single-row nested-loop sides by construction
+    "doremi_domain_reweighting",
 }
 
 # Modules whose query_fns build lazy plans (streaming/io execute jobs

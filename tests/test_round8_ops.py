@@ -137,3 +137,76 @@ def test_overlap_spans_are_maximal_disjoint_windows(spark, sf_correct):
         for r in _rows(spark, sf_correct, "exact_substring_duplicates")
     )
     assert n_span_windows == dup_occurrences
+
+
+def test_toxicity_filter_verdicts_consistent(spark, sf_correct):
+    from mapreduce_c_implementation_spark.operators.corpus_filters import (
+        TOX_MAX_PPM,
+    )
+
+    rows = _rows(spark, sf_correct, "toxicity_wordlist_filter")
+    assert rows
+    assert any(r.verdict == "drop" for r in rows), "threshold never fires"
+    assert any(r.verdict == "keep" for r in rows), "threshold always fires"
+    for r in rows:
+        assert r.flagged_ppm == r.n_flagged * 1_000_000 // r.n_tokens
+        assert r.verdict == ("drop" if r.flagged_ppm >= TOX_MAX_PPM else "keep")
+        assert 0 <= r.n_flagged <= r.n_tokens
+
+
+def test_winnowing_guarantees_coverage_of_long_shared_runs(spark, sf_correct):
+    """Every fingerprint pair detected by mod-stride anchoring's token
+    twin should also be findable by winnowing on dense-duplicate docs;
+    cheap proxy: winnowing must select at least one fingerprint per
+    WINNOW_W-gram window, so per-doc selected counts are bounded below
+    by n_grams/WINNOW_W (coverage) and the multi-doc table is non-empty
+    on this fixture."""
+    rows = _rows(spark, sf_correct, "winnowing_fingerprint_dedup")
+    assert rows, "fixture word salad must collide on 3-gram fingerprints"
+    for r in rows:
+        assert r.n_docs >= 2
+        assert r.n_selected >= r.n_docs
+        assert r.min_doc < r.max_doc
+
+
+def test_generation_eval_metric_bounds(spark, sf_correct):
+    rows = _rows(spark, sf_correct, "generation_eval_overlap")
+    assert rows
+    for r in rows:
+        assert 0 <= r.rouge1_f_ppm <= 1_000_000
+        assert 0 <= r.rouge2_f_ppm <= 1_000_000
+        assert r.overlap2 <= r.overlap1 or r.overlap1 == 0
+        if r.exact_match == 1:
+            assert r.rouge1_f_ppm == 1_000_000
+    # the word-salad fixture shares vocabulary: overlap must be non-trivial
+    assert any(r.rouge1_f_ppm > 0 for r in rows)
+
+
+def test_doremi_upweights_hard_domains(spark, sf_correct):
+    rows = _rows(spark, sf_correct, "doremi_domain_reweighting")
+    assert rows
+    total_new = sum(r.new_weight_ppm for r in rows)
+    total_base = sum(r.base_weight_ppm for r in rows)
+    # floor divisions under-count by < 1 ppm per source
+    assert 1_000_000 - len(rows) <= total_new <= 1_000_000
+    assert 1_000_000 - len(rows) <= total_base <= 1_000_000
+    # exponentiated gradient: ordering by excess shifts weight toward
+    # high-surprisal sources relative to their base share
+    hardest = max(rows, key=lambda r: r.excess_micro)
+    easiest = min(rows, key=lambda r: r.excess_micro)
+    if hardest.excess_micro > easiest.excess_micro:
+        assert (
+            hardest.new_weight_ppm * easiest.base_weight_ppm
+            >= easiest.new_weight_ppm * hardest.base_weight_ppm
+        )
+
+
+def test_best_of_n_keeps_group_argmax(spark, sf_correct):
+    rows = _rows(spark, sf_correct, "best_of_n_rejection_sampling")
+    assert rows
+    for r in rows:
+        assert r.best_reward_bp >= r.mean_reward_bp
+        assert r.gain_bp == r.best_reward_bp - r.mean_reward_bp
+        assert r.best_doc_id // 4 == r.prompt_id
+        assert 1 <= r.n_samples <= 4
+    assert any(r.gain_bp > 0 for r in rows), "best-of-n never gained"
