@@ -1147,3 +1147,125 @@ def best_of_n_rejection_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(reward_bp - sum_bp div n_samples AS BIGINT)"
         ).alias("gain_bp"),
     )
+
+
+# Pairwise-preference rating aggregation (arena-style): matches are the
+# same consecutive-doc pairing as generation_eval_overlap, contestants
+# are sources, the winner is the higher stopword-share reward, and the
+# rating is the +1-smoothed log-odds of (doubled) wins vs losses with
+# ties counted half — the Bradley-Terry sufficient statistic for a
+# round-robin-ish schedule, in integer milli-nats.
+@register(
+    "elo_pairwise_ratings",
+    oracle_sql=f"""
+    WITH scored AS (
+      SELECT doc_id, doc_id // 2 AS pair_id, source,
+             len(list_intersect(ts, ['the','a','and','of','to','is','fast','slow']))
+               * 10000 // len(ts) AS reward_bp
+      FROM (SELECT doc_id, source, {_TOK} AS ts FROM documents)
+      WHERE len(ts) > 0
+    ),
+    matches AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             a.reward_bp AS r_a, b.reward_bp AS r_b
+      FROM scored a JOIN scored b
+        ON b.pair_id = a.pair_id AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+      WHERE a.source <> b.source
+    ),
+    sides AS (
+      SELECT src_a AS source,
+             CASE WHEN r_a > r_b THEN 1 ELSE 0 END AS w,
+             CASE WHEN r_a < r_b THEN 1 ELSE 0 END AS l,
+             CASE WHEN r_a = r_b THEN 1 ELSE 0 END AS t
+      FROM matches
+      UNION ALL
+      SELECT src_b AS source,
+             CASE WHEN r_b > r_a THEN 1 ELSE 0 END AS w,
+             CASE WHEN r_b < r_a THEN 1 ELSE 0 END AS l,
+             CASE WHEN r_a = r_b THEN 1 ELSE 0 END AS t
+      FROM matches
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(sum(w) AS BIGINT) AS n_wins,
+           CAST(sum(l) AS BIGINT) AS n_losses,
+           CAST(sum(t) AS BIGINT) AS n_ties,
+           CAST(round(ln(CAST(2 * sum(w) + sum(t) + 1 AS DOUBLE)
+                         / (2 * sum(l) + sum(t) + 1)) * 1000) AS BIGINT)
+             AS rating_milli
+    FROM sides GROUP BY source ORDER BY source
+    """,
+    tags=("sampling", "rlhf", "rating", "pipeline"),
+)
+def elo_pairwise_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arena-style pairwise-preference rating aggregation: consecutive-
+    doc matches ([[generation_eval_overlap]]'s pairing) between
+    DIFFERENT sources are decided by the stopword-share reward
+    ([[best_of_n_rejection_sampling]]'s scorer — human/LLM-judge
+    verdicts join in as a column swap), and each source's rating is the
+    smoothed log-odds ln((2W+T+1)/(2L+T+1)) in milli-nats — the
+    Bradley-Terry sufficient statistic under a balanced schedule, and
+    the leaderboard reduction every preference-data pipeline reports
+    over [[preference_pair_construction]]'s output.
+
+    Exactness: wins/losses/ties are exact integer counts; the rating is
+    ONE pinned log over those integers, frozen to milli.  Ties count
+    half via the doubled form — no fractional arithmetic.
+
+    Scale shape: one narrow scored map, a pair-keyed equi self-join
+    (successor id), a 2x union to per-side grain, and a source-grain
+    map-side-combined aggregate — no windows, nothing quadratic.
+    """
+    d = compute_scan(spark, sf_dir, "documents")
+    scored = (
+        d.select("doc_id", "source", tokenize(F.col("text")).alias("ts"))
+        .filter(F.size("ts") > 0)
+        .select(
+            "doc_id",
+            F.expr("doc_id div 2").alias("pair_id"),
+            "source",
+            F.expr(
+                "size(array_intersect(ts,"
+                " array('the','a','and','of','to','is','fast','slow')))"
+                " * 10000 div size(ts)"
+            ).alias("reward_bp"),
+        )
+    )
+    a = scored.filter(F.col("doc_id") % 2 == 0).select(
+        "pair_id",
+        F.col("source").alias("src_a"),
+        F.col("reward_bp").alias("r_a"),
+    )
+    b = scored.filter(F.col("doc_id") % 2 == 1).select(
+        "pair_id",
+        F.col("source").alias("src_b"),
+        F.col("reward_bp").alias("r_b"),
+    )
+    matches = a.join(b, "pair_id").filter(F.col("src_a") != F.col("src_b"))
+    side_a = matches.select(
+        F.col("src_a").alias("source"),
+        F.when(F.col("r_a") > F.col("r_b"), 1).otherwise(0).alias("w"),
+        F.when(F.col("r_a") < F.col("r_b"), 1).otherwise(0).alias("l"),
+        F.when(F.col("r_a") == F.col("r_b"), 1).otherwise(0).alias("t"),
+    )
+    side_b = matches.select(
+        F.col("src_b").alias("source"),
+        F.when(F.col("r_b") > F.col("r_a"), 1).otherwise(0).alias("w"),
+        F.when(F.col("r_b") < F.col("r_a"), 1).otherwise(0).alias("l"),
+        F.when(F.col("r_a") == F.col("r_b"), 1).otherwise(0).alias("t"),
+    )
+    return (
+        side_a.unionByName(side_b)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_matches"),
+            F.sum("w").cast("long").alias("n_wins"),
+            F.sum("l").cast("long").alias("n_losses"),
+            F.sum("t").cast("long").alias("n_ties"),
+            F.expr(
+                "CAST(round(ln(CAST(2 * sum(w) + sum(t) + 1 AS DOUBLE)"
+                " / (2 * sum(l) + sum(t) + 1)) * 1000) AS BIGINT)"
+            ).alias("rating_milli"),
+        )
+        .orderBy("source")
+    )

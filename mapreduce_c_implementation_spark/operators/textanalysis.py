@@ -2547,6 +2547,155 @@ def isotonic_calibration_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "lm_holdout_perplexity",
+    oracle_sql=f"""
+    WITH toks AS (SELECT doc_id, source, {_TOK} AS ts FROM documents),
+    train_tok AS (
+      SELECT unnest(ts) AS t FROM toks
+      WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                 AS BIGINT) % 2 = 0
+    ),
+    vocab AS (SELECT t, count(*) AS c FROM train_tok GROUP BY t),
+    stats AS (
+      SELECT sum(c) AS n, count(*) AS v FROM vocab
+    ),
+    lt AS (
+      SELECT t,
+             CAST(round(ln(CAST(n + v AS DOUBLE) / (c + 1)) * 1000000)
+                  AS BIGINT) AS nll_micro
+      FROM vocab, stats
+    ),
+    dflt AS (
+      SELECT CAST(round(ln(CAST(n + v AS DOUBLE)) * 1000000) AS BIGINT)
+               AS d_micro
+      FROM stats
+    ),
+    held AS (
+      SELECT source, unnest(ts) AS t FROM toks
+      WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                 AS BIGINT) % 2 = 1
+    ),
+    st AS (
+      SELECT source, t, count(*) AS c FROM held GROUP BY source, t
+    ),
+    j AS (
+      SELECT st.source, st.c,
+             CASE WHEN lt.t IS NULL THEN st.c ELSE 0 END AS oov,
+             CAST(st.c AS HUGEINT) * coalesce(lt.nll_micro, d.d_micro)
+               AS nll
+      FROM st LEFT JOIN lt ON lt.t = st.t CROSS JOIN dflt d
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(sum(oov) AS BIGINT) AS n_oov,
+           CAST(sum(oov) * 1000000 // sum(c) AS BIGINT) AS oov_ppm,
+           CAST(sum(nll) // sum(c) AS BIGINT) AS avg_nll_micro,
+           CAST(round(exp((sum(nll) // sum(c)) / 1000000.0) * 1000)
+                AS BIGINT) AS ppl_milli
+    FROM j GROUP BY source ORDER BY source
+    """,
+    tags=("text", "lm", "eval", "holdout", "pipeline"),
+)
+def lm_holdout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out perplexity of a corpus-trained unigram LM, reported per
+    source with OOV rates — the train/eval discipline missing from the
+    in-sample scorers ([[unigram_logprob_score]],
+    [[ngram_lm_perplexity]] score the data they were fit on): the LM is
+    fit on the md5-even half of documents (add-one smoothing over the
+    train vocabulary — a hash split, so membership is independent of
+    the fixture's round-robin source assignment), evaluated on the
+    md5-odd half, and unseen tokens take the smoothed
+    default mass — the same split-then-score loop as
+    [[nb_quality_classifier_train_apply]], for perplexity.  Per-source
+    rows make it the domain-difficulty table a mixture tuner reads next
+    to [[doremi_domain_reweighting]].
+
+    Exactness: per-vocab-token NLL is frozen to integer micro-nats; the
+    (source, token)-grain sums route c * nll_micro through
+    DECIMAL(38,0)/HUGEINT (the DoReMi headroom rule); the perplexity is
+    ONE pinned exp over the exact integer average, frozen to milli.
+
+    Scale shape: train counts are a vocab-grain map-side-combined
+    aggregate; held-out tokens aggregate to (source, token) grain and
+    LEFT-equi-join the vocabulary (vocab-sized shuffle join — never a
+    broadcast of an unbounded vocab); (N, V) and the OOV default ride
+    1-row broadcasts.  Source-grain output.
+    """
+    d = parallel_scan(spark, sf_dir, "documents")
+    # md5-hash split (the deterministic_split convention), NOT doc_id
+    # parity: the fixture assigns sources round-robin by doc_id, so a
+    # parity split would confound split membership with source and
+    # halve the per-source output coverage.
+    is_train = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 2
+        == 0
+    )
+    toks = d.select(
+        "doc_id", "source", tokenize(F.col("text")).alias("ts"), is_train.alias("tr")
+    )
+    vocab = (
+        toks.filter(F.col("tr"))
+        .select(F.explode("ts").alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    stats = vocab.agg(F.sum("c").alias("n"), F.count("*").alias("v"))
+    lt = vocab.crossJoin(F.broadcast(stats)).select(
+        "t",
+        F.expr(
+            "CAST(round(ln(CAST(n + v AS DOUBLE) / (c + 1)) * 1000000)"
+            " AS BIGINT)"
+        ).alias("nll_micro"),
+    )
+    dflt = stats.select(
+        F.expr(
+            "CAST(round(ln(CAST(n + v AS DOUBLE)) * 1000000) AS BIGINT)"
+        ).alias("d_micro")
+    )
+    st = (
+        toks.filter(~F.col("tr"))
+        .select("source", F.explode("ts").alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count("*").alias("c"))
+    )
+    j = (
+        st.join(lt, "t", "left")
+        .crossJoin(F.broadcast(dflt))
+        .select(
+            "source",
+            "c",
+            F.when(F.col("nll_micro").isNull(), F.col("c"))
+            .otherwise(0)
+            .alias("oov"),
+            (
+                F.col("c").cast("decimal(38,0)")
+                * F.coalesce("nll_micro", "d_micro")
+            ).alias("nll"),
+        )
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum("oov").cast("long").alias("n_oov"),
+            F.expr("CAST(sum(oov) * 1000000 div sum(c) AS BIGINT)").alias(
+                "oov_ppm"
+            ),
+            F.expr("CAST(sum(nll) div sum(c) AS BIGINT)").alias(
+                "avg_nll_micro"
+            ),
+            F.expr(
+                "CAST(round(exp(CAST(sum(nll) div sum(c) AS BIGINT)"
+                " / 1000000.0) * 1000) AS BIGINT)"
+            ).alias("ppl_milli"),
+        )
+        .orderBy("source")
+    )
+
+
 # Generation-eval overlap metrics: candidate = even doc_id, reference =
 # the following odd doc_id (a deterministic fixture pairing; production
 # pair tables come from the eval harness and join in identically).

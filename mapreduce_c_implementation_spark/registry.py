@@ -123,6 +123,8 @@ _DRIVER_PRIORITY = [
     "generation_eval_overlap",
     "doremi_domain_reweighting",
     "best_of_n_rejection_sampling",
+    "lm_holdout_perplexity",
+    "elo_pairwise_ratings",
 ]
 
 # Operators hard-verified by the driver in prior rounds (the union of

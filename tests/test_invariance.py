@@ -248,6 +248,10 @@ SWEPT_OPS = [
     "generation_eval_overlap",
     "doremi_domain_reweighting",
     "best_of_n_rejection_sampling",
+    # round-8 third wave: vocab-join holdout scoring and the pair-keyed
+    # match aggregation.
+    "lm_holdout_perplexity",
+    "elo_pairwise_ratings",
 ]
 
 

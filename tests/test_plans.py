@@ -270,6 +270,8 @@ _NESTED_LOOP_EXEMPT = {
     # three 1-row broadcasts (corpus total, global surprisal, weight
     # normalizer) — single-row nested-loop sides by construction
     "doremi_domain_reweighting",
+    # 1-row (N, V) stats + 1-row OOV-default broadcasts (the LM shape)
+    "lm_holdout_perplexity",
 }
 
 # Modules whose query_fns build lazy plans (streaming/io execute jobs

@@ -210,3 +210,35 @@ def test_best_of_n_keeps_group_argmax(spark, sf_correct):
         assert r.best_doc_id // 4 == r.prompt_id
         assert 1 <= r.n_samples <= 4
     assert any(r.gain_bp > 0 for r in rows), "best-of-n never gained"
+
+
+def test_lm_holdout_scores_unseen_mass(spark, sf_correct):
+    rows = _rows(spark, sf_correct, "lm_holdout_perplexity")
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert r.oov_ppm == r.n_oov * 1_000_000 // r.n_tokens
+        assert r.avg_nll_micro > 0
+        # ppl = exp(avg_nll) must exceed 1 (milli > 1000)
+        assert r.ppl_milli > 1000
+    # held-out perplexity must not be degenerate: at least one source
+    # with in-vocabulary tokens (oov < 100%)
+    assert any(r.oov_ppm < 1_000_000 for r in rows)
+
+
+def test_elo_ratings_are_consistent(spark, sf_correct):
+    rows = _rows(spark, sf_correct, "elo_pairwise_ratings")
+    assert rows
+    total_w = sum(r.n_wins for r in rows)
+    total_l = sum(r.n_losses for r in rows)
+    total_t = sum(r.n_ties for r in rows)
+    # every match contributes one win+loss or two ties
+    assert total_w == total_l
+    assert total_t % 2 == 0
+    assert sum(r.n_matches for r in rows) == total_w + total_l + total_t
+    for r in rows:
+        assert r.n_matches == r.n_wins + r.n_losses + r.n_ties
+        if r.n_wins > r.n_losses:
+            assert r.rating_milli > 0
+        if r.n_wins < r.n_losses:
+            assert r.rating_milli < 0
