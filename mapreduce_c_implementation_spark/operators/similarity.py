@@ -1748,10 +1748,12 @@ def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Deterministic pair sample for the cosine histogram: vectors whose
-# md5(vec_id) lands in 1/COS_SAMPLE_MOD of hash space, all pairs among
-# them.
-COS_SAMPLE_MOD = 16
+# Deterministic pair sample for the cosine histogram: the mod is derived
+# in-plan as greatest(1, n_vectors div COS_TARGET_SAMPLE), so the
+# expected sample count stays ~COS_TARGET_SAMPLE at any corpus size and
+# the all-pairs budget is constant (at the sf0.1 fixture's 2000 vectors
+# the derived mod is 16 — identical to the pre-fix behavior there).
+COS_TARGET_SAMPLE = 125
 
 
 @register(
@@ -1761,7 +1763,8 @@ COS_SAMPLE_MOD = 16
     sampled AS (
       SELECT vec_id, embedding, nrm FROM norms
       WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT)
-            % {COS_SAMPLE_MOD} = 0
+            % greatest(1, (SELECT count(*) FROM embeddings)
+                          // {COS_TARGET_SAMPLE}) = 0
     ),
     pairs AS (
       SELECT CAST(floor(round(
@@ -1780,27 +1783,37 @@ COS_SAMPLE_MOD = 16
 )
 def cosine_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise-cosine distribution histogram over a deterministic
-    md5-sampled vector subset (1/{COS_SAMPLE_MOD} of hash space, all
-    pairs within the sample) — the calibration curve every similarity
-    threshold is read off of: where [[semdedup_cells]]' dedup cut or
-    [[dedup_embedding_cosine]]'s 0.95 sits relative to the background
-    similarity mass.  Bins are 0.1-wide (cosine rounded to 6 places
-    first, so the floor is engine-stable).
+    md5-sampled vector subset (all pairs within the sample) — the
+    calibration curve every similarity threshold is read off of: where
+    [[semdedup_cells]]' dedup cut or [[dedup_embedding_cosine]]'s 0.95
+    sits relative to the background similarity mass.  Bins are 0.1-wide
+    (cosine rounded to 6 places first, so the floor is engine-stable).
 
     Scale shape: the all-pairs product exists ONLY inside the
-    hash-bounded sample — the [[ann_recall_eval]] calibration pattern:
-    production fixes the sample COUNT (tighten the mod as the corpus
-    grows), so pair cost is a constant budget, never corpus-quadratic.
-    One 1-row total broadcasts for the ppm shares.
+    hash-bounded sample, and the sample COUNT is fixed BY CONSTRUCTION:
+    the mod is derived in-plan as greatest(1, n_vectors div
+    {COS_TARGET_SAMPLE}), so the expected sample stays ~{COS_TARGET_SAMPLE}
+    vectors and pair cost is a constant ~{COS_TARGET_SAMPLE}^2/2 budget
+    at ANY corpus size (the 32x probe caught the earlier fixed-RATE
+    sample going quadratic — 5.8x wall at 32x; docs/SCALING.md
+    Findings).  One 1-row count broadcast derives the mod; one 1-row
+    total broadcasts for the ppm shares.
     """
     norms = _norms(spark, sf_dir)
-    sampled = norms.filter(
-        F.conv(
-            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
-        ).cast("long")
-        % COS_SAMPLE_MOD
-        == 0
-    ).select("vec_id", "embedding", "nrm")
+    nrow = norms.agg(F.count("*").alias("nv"))
+    sampled = (
+        norms.crossJoin(F.broadcast(nrow))
+        .filter(
+            F.conv(
+                F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % F.greatest(F.lit(1), F.expr(f"nv div {COS_TARGET_SAMPLE}"))
+            == 0
+        )
+        .select("vec_id", "embedding", "nrm")
+    )
     a = sampled.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("emb_a"),

@@ -144,6 +144,17 @@ PROBE_OPS = [
     "isotonic_calibration_rewrite",
     "leakage_split_repair",
     "substring_overlap_spans",
+    # round-8 second/third waves: lexicon filter, winnowing windows,
+    # pair-keyed overlap eval, EG mixture step, prompt-grain argmax,
+    # holdout LM scoring, match-rating aggregation — plus the cosine
+    # histogram re-probed after its fixed-budget sample fix.
+    "toxicity_wordlist_filter",
+    "winnowing_fingerprint_dedup",
+    "generation_eval_overlap",
+    "doremi_domain_reweighting",
+    "best_of_n_rejection_sampling",
+    "lm_holdout_perplexity",
+    "elo_pairwise_ratings",
 ]
 
 
