@@ -124,6 +124,16 @@ HEADLINE = [
     "token_label_mutual_information",
     "ks_two_sample",
     "psi_population_stability",
+    # round-8 wave: audit-to-fix loops, fingerprinting, eval metrics,
+    # and mixture optimization
+    "dedup_quality_representatives",
+    "isotonic_calibration_rewrite",
+    "leakage_split_repair",
+    "substring_overlap_spans",
+    "winnowing_fingerprint_dedup",
+    "generation_eval_overlap",
+    "doremi_domain_reweighting",
+    "lm_holdout_perplexity",
 ]
 
 

@@ -2086,3 +2086,75 @@ def embedding_dimension_whitening(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("long")
         .alias("z0_micro"),
     )
+
+
+# Diversity-preserving cap for dense semantic regions: each LSH sign
+# bucket keeps at most DIV_CAP vectors, chosen by md5(vec_id) rank —
+# deterministic, content-independent within the bucket.
+DIV_CAP = 8
+
+
+@register(
+    "cluster_capped_diversity_sample",
+    oracle_sql=f"""
+    WITH {_SQL_NORMS},
+    bucketed AS (
+      SELECT vec_id, CAST({_SQL_BUCKET} AS BIGINT) AS bucket
+      FROM norms
+    ),
+    ranked AS (
+      SELECT vec_id, bucket,
+             row_number() OVER (PARTITION BY bucket
+                                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               AS rk,
+             count(*) OVER (PARTITION BY bucket) AS n_bucket
+      FROM bucketed
+    )
+    SELECT vec_id, bucket, CAST(rk AS BIGINT) AS rk,
+           CAST(n_bucket AS BIGINT) AS n_bucket
+    FROM ranked WHERE rk <= {DIV_CAP}
+    """,
+    tags=("similarity", "sampling", "diversity", "pipeline"),
+)
+def cluster_capped_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-preserving downsampling: cap every semantic region (an
+    LSH sign bucket over the {N_PLANES} hyperplanes — 2^{N_PLANES}
+    cells) at {DIV_CAP} vectors, chosen by md5(vec_id) rank.  Dense
+    regions (boilerplate clusters, template farms) are clipped while
+    sparse regions survive whole — the semantic-coverage counterpart of
+    [[domain_cap_rewrite]] (which caps by HOST) and the keep-everything
+    complement of [[semdedup_cells]] (which drops by pairwise cosine
+    within a cell; this op never computes pairs at all).
+
+    Determinism: the in-bucket order is md5(vec_id) with a vec_id
+    tiebreak — a total order, reproducible on any engine/partitioning.
+
+    Scale shape: bucket assignment is an in-row integer fold; the cap
+    is one bucket-partitioned window (row_number + count over
+    2^{N_PLANES}-way partitions).  At 100 TB the plane count grows with
+    log(n) (the [[hard_negative_mining]] rule), keeping per-bucket
+    partitions bounded; no joins, no pair products.
+    """
+    norms = _norms(spark, sf_dir)
+    bucket = None
+    for j in range(N_PLANES):
+        bit = F.when(_plane_dot_spark(j, F.col("embedding")) > 0, 1 << j).otherwise(0)
+        bucket = bit if bucket is None else bucket + bit
+    bucketed = norms.select("vec_id", bucket.cast("long").alias("bucket"))
+    from pyspark.sql.window import Window
+
+    wb = Window.partitionBy("bucket")
+    ranked = bucketed.select(
+        "vec_id",
+        "bucket",
+        F.row_number()
+        .over(wb.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id")))
+        .alias("rk"),
+        F.count("*").over(wb).alias("n_bucket"),
+    )
+    return ranked.filter(F.col("rk") <= DIV_CAP).select(
+        "vec_id",
+        "bucket",
+        F.col("rk").cast("long").alias("rk"),
+        F.col("n_bucket").cast("long").alias("n_bucket"),
+    )

@@ -4435,3 +4435,230 @@ def feature_hash_collision_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# Kneser-Ney absolute discount (the KenLM default family); 0.75 is the
+# textbook discount, written as the exact double 3/4 in both engines.
+KN_DISCOUNT = 0.75
+
+
+@register(
+    "kneser_ney_bigram_lm",
+    oracle_sql=f"""
+    WITH toks AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+    big AS (
+      SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+      FROM (SELECT doc_id, ts,
+                   unnest(generate_series(1, len(ts) - 1)) AS i
+            FROM toks)
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2),
+    hist AS (
+      SELECT w1, sum(c) AS h, count(*) AS n1f FROM c12 GROUP BY w1
+    ),
+    cont AS (SELECT w2, count(*) AS n1b FROM c12 GROUP BY w2),
+    tt AS (SELECT count(*) AS t FROM c12),
+    lp AS (
+      SELECT c12.w1, c12.w2,
+             CAST(round(ln(
+               (greatest(CAST(c12.c AS DOUBLE) - {KN_DISCOUNT}, 0.0)
+                + {KN_DISCOUNT} * hist.n1f * cont.n1b / tt.t)
+               / hist.h) * 1000000) AS BIGINT) AS lp_micro
+      FROM c12
+      JOIN hist ON hist.w1 = c12.w1
+      JOIN cont ON cont.w2 = c12.w2
+      CROSS JOIN tt
+    )
+    SELECT big.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(-sum(lp.lp_micro) AS BIGINT) AS neg_logprob_micro,
+           CAST(-sum(lp.lp_micro) // count(*) AS BIGINT)
+             AS avg_neg_logprob_micro
+    FROM big JOIN lp ON lp.w1 = big.w1 AND lp.w2 = big.w2
+    GROUP BY big.doc_id
+    """,
+    tags=("text", "lm", "scoring", "kneser-ney", "pipeline"),
+)
+def kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney-smoothed bigram LM scoring per document — the
+    production smoothing family (KenLM's default) next to
+    [[ngram_lm_perplexity]]'s add-one baseline: absolute discount
+    D={KN_DISCOUNT} with CONTINUATION-count backoff,
+    p(w2|w1) = (max(c12-D, 0) + D*N1+(w1,*)*Pcont(w2)) / h(w1),
+    Pcont(w2) = N1+(*,w2) / |bigram types| — the "how many contexts
+    does w2 complete" signal that makes KN outrank raw-frequency
+    backoff for quality filtering.
+
+    Exactness: every model quantity (c12, h, N1+ forward/backward,
+    type total) is an exact integer at the bigram-TYPE grain; the
+    probability is ONE pinned double expression over them, frozen to
+    integer micro-nats before the per-doc sum ([[ngram_lm_perplexity]]
+    discipline) — so per-doc sums are order-free integer adds.
+
+    Scale shape: identical exchange plan to the add-one LM (bigram
+    stream -> type-grain counts -> type-grain shuffle joins back to
+    the stream) plus two extra vocab-grain aggregates (forward and
+    backward continuation counts) and one 1-row type-total broadcast.
+    Nothing new shuffles at corpus grain.
+    """
+    d = compute_scan(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokenize(F.col("text")).alias("ts"))
+    ts = F.col("ts")
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.slice(ts, 1, F.greatest(F.size(ts) - 1, F.lit(0))),
+                lambda x, i: F.struct(
+                    x.alias("w1"), F.element_at(ts, i + 2).alias("w2")
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c12 = big.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    hist = c12.groupBy("w1").agg(
+        F.sum("c").alias("h"), F.count("*").alias("n1f")
+    )
+    cont = c12.groupBy("w2").agg(F.count("*").alias("n1b"))
+    tt = c12.agg(F.count("*").alias("t"))
+    lp = (
+        c12.join(hist, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "w1",
+            "w2",
+            # D suffixes: a bare 0.75 literal parses as DECIMAL in Spark
+            # SQL, dragging the whole mixture term through decimal
+            # division (wrong scale, wrong rounding) — the oracle parses
+            # it as double, so every probability diverged at ~1e-10.
+            F.expr(
+                f"CAST(round(ln("
+                f"(greatest(CAST(c AS DOUBLE) - {KN_DISCOUNT}D, 0.0D)"
+                f" + {KN_DISCOUNT}D * n1f * n1b / t)"
+                f" / h) * 1000000) AS BIGINT)"
+            ).alias("lp_micro"),
+        )
+    )
+    return (
+        big.join(lp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            (-F.sum("lp_micro")).cast("long").alias("neg_logprob_micro"),
+            F.expr(
+                "CAST(-sum(lp_micro) div count(*) AS BIGINT)"
+            ).alias("avg_neg_logprob_micro"),
+        )
+    )
+
+
+@register(
+    "quality_signal_ensemble_rank",
+    oracle_sql=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             len(list_intersect(ts, ['the','a','and','of','to','is','fast','slow']))
+               * 10000 // len(ts) AS s1,
+             len(list_distinct(ts)) * 10000 // len(ts) AS s2,
+             list_sum(list_transform(ts, t -> length(t))) * 1000
+               // len(ts) AS s3
+      FROM (SELECT doc_id, {_TOK} AS ts FROM documents)
+      WHERE len(ts) > 0
+    ),
+    n AS (SELECT count(*) AS nd FROM scored),
+    r1 AS (
+      SELECT s1, 2 * sum(count(*)) OVER (ORDER BY s1) - count(*) + 1 AS r
+      FROM scored GROUP BY s1
+    ),
+    r2 AS (
+      SELECT s2, 2 * sum(count(*)) OVER (ORDER BY s2) - count(*) + 1 AS r
+      FROM scored GROUP BY s2
+    ),
+    r3 AS (
+      SELECT s3, 2 * sum(count(*)) OVER (ORDER BY s3) - count(*) + 1 AS r
+      FROM scored GROUP BY s3
+    )
+    SELECT d.doc_id,
+           CAST(d.s1 AS BIGINT) AS s1_bp,
+           CAST(d.s2 AS BIGINT) AS s2_bp,
+           CAST(d.s3 AS BIGINT) AS s3_milli,
+           CAST((r1.r * 500000 // n.nd
+                 + r2.r * 500000 // n.nd
+                 + r3.r * 500000 // n.nd) // 3 AS BIGINT) AS ensemble_ppm
+    FROM scored d
+    JOIN r1 USING (s1) JOIN r2 USING (s2) JOIN r3 USING (s3)
+    CROSS JOIN n
+    """,
+    tags=("text", "quality", "ensemble", "pipeline"),
+)
+def quality_signal_ensemble_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-average quality-signal ENSEMBLE — the way pipelines combine
+    incommensurable quality signals (a bp share, a ratio, a length
+    statistic) without hand-tuned scale factors: each document's three
+    signals (stopword share, type-token ratio, mean token length) are
+    converted to corpus PERCENTILES via average ranks and averaged in
+    ppm.  Rank-averaging is the ensemble rule behind "aggregate of
+    weak quality filters" setups; [[spearman_rank_correlation]] is the
+    pre-check that the signals aren't redundant, and the ensemble
+    column drops into [[quality_bucket_sample]] / threshold rewrites.
+
+    Exactness: average ranks are kept DOUBLED (2*cum - cnt + 1 — the
+    Spearman discipline), so every rank and every ppm percentile is an
+    exact integer; the ensemble is a 3-way integer mean.
+
+    Scale shape: one scored scan (cached — it feeds three rank tables
+    and the probe side), three VALUE-grain rank tables (bounded by the
+    signal domains, not the corpus) broadcast back onto the doc grain,
+    and one 1-row count broadcast.  The corpus shuffles zero times; the
+    three rank joins are the [[spearman_rank_correlation]] shape.
+    """
+    d = compute_scan(spark, sf_dir, "documents")
+    scored = (
+        d.select("doc_id", tokenize(F.col("text")).alias("ts"))
+        .filter(F.size("ts") > 0)
+        .select(
+            "doc_id",
+            F.expr(
+                "size(array_intersect(ts,"
+                " array('the','a','and','of','to','is','fast','slow')))"
+                " * 10000 div size(ts)"
+            ).alias("s1"),
+            F.expr(
+                "size(array_distinct(ts)) * 10000 div size(ts)"
+            ).alias("s2"),
+            F.expr(
+                "aggregate(ts, 0L, (acc, t) -> acc + length(t)) * 1000"
+                " div size(ts)"
+            ).alias("s3"),
+        )
+        .cache()
+    )
+    n = scored.agg(F.count("*").alias("nd"))
+
+    def rank_table(col: str) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        vg = scored.groupBy(col).agg(F.count("*").alias("cnt"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        return vg.select(
+            col, (2 * F.sum("cnt").over(w) - F.col("cnt") + 1).alias(f"r_{col}")
+        )
+
+    return (
+        scored.join(F.broadcast(rank_table("s1")), "s1")
+        .join(F.broadcast(rank_table("s2")), "s2")
+        .join(F.broadcast(rank_table("s3")), "s3")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.col("s1").cast("long").alias("s1_bp"),
+            F.col("s2").cast("long").alias("s2_bp"),
+            F.col("s3").cast("long").alias("s3_milli"),
+            F.expr(
+                "CAST((r_s1 * 500000 div nd"
+                " + r_s2 * 500000 div nd"
+                " + r_s3 * 500000 div nd) div 3 AS BIGINT)"
+            ).alias("ensemble_ppm"),
+        )
+    )

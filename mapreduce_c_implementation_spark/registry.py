@@ -125,6 +125,9 @@ _DRIVER_PRIORITY = [
     "best_of_n_rejection_sampling",
     "lm_holdout_perplexity",
     "elo_pairwise_ratings",
+    "cluster_capped_diversity_sample",
+    "kneser_ney_bigram_lm",
+    "quality_signal_ensemble_rank",
 ]
 
 # Operators hard-verified by the driver in prior rounds (the union of

@@ -252,6 +252,11 @@ SWEPT_OPS = [
     # match aggregation.
     "lm_holdout_perplexity",
     "elo_pairwise_ratings",
+    # round-8 fourth wave: bucket-capped diversity window, KN type-grain
+    # model joins, and the triple rank-table ensemble.
+    "cluster_capped_diversity_sample",
+    "kneser_ney_bigram_lm",
+    "quality_signal_ensemble_rank",
 ]
 
 

@@ -272,6 +272,10 @@ _NESTED_LOOP_EXEMPT = {
     "doremi_domain_reweighting",
     # 1-row (N, V) stats + 1-row OOV-default broadcasts (the LM shape)
     "lm_holdout_perplexity",
+    # 1-row bigram-type-total broadcast (the LM shape)
+    "kneser_ney_bigram_lm",
+    # 1-row doc-count broadcast for the percentile normalizer
+    "quality_signal_ensemble_rank",
 }
 
 # Modules whose query_fns build lazy plans (streaming/io execute jobs

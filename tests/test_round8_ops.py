@@ -242,3 +242,62 @@ def test_elo_ratings_are_consistent(spark, sf_correct):
             assert r.rating_milli > 0
         if r.n_wins < r.n_losses:
             assert r.rating_milli < 0
+
+
+def test_diversity_cap_binds_on_dense_buckets(spark, sf_correct):
+    from mapreduce_c_implementation_spark.operators.similarity import DIV_CAP
+
+    rows = _rows(spark, sf_correct, "cluster_capped_diversity_sample")
+    assert rows
+    by_bucket: dict = {}
+    for r in rows:
+        assert 1 <= r.rk <= DIV_CAP
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for bucket, members in by_bucket.items():
+        n_bucket = members[0].n_bucket
+        assert all(m.n_bucket == n_bucket for m in members)
+        assert len(members) == min(n_bucket, DIV_CAP)
+    # the cap must actually bind somewhere on this fixture
+    assert any(m[0].n_bucket > DIV_CAP for m in by_bucket.values())
+
+
+def test_kneser_ney_scores_are_valid_nll(spark, sf_correct):
+    """KN probabilities are in (0, 1), so every per-doc NLL is positive;
+    the KN ranking must correlate with (but not equal) the add-one LM's."""
+    kn = {r.doc_id: r for r in _rows(spark, sf_correct, "kneser_ney_bigram_lm")}
+    addone = {
+        r.doc_id: r.avg_neg_logprob_micro
+        for r in _rows(spark, sf_correct, "ngram_lm_perplexity")
+    }
+    assert kn
+    for r in kn.values():
+        assert r.neg_logprob_micro > 0
+        assert r.avg_neg_logprob_micro > 0
+        assert r.n_bigrams >= 1
+    assert set(kn) == set(addone)
+    # different smoothing must produce different numbers somewhere
+    assert any(
+        kn[d].avg_neg_logprob_micro != addone[d] for d in kn
+    ), "KN degenerated to the add-one model"
+
+
+def test_ensemble_rank_is_percentile_average(spark, sf_correct):
+    rows = _rows(spark, sf_correct, "quality_signal_ensemble_rank")
+    assert rows
+    n = len(rows)
+    for r in rows:
+        assert 0 < r.ensemble_ppm < 1_000_000
+    # a doc that dominates another on ALL THREE signals must not rank lower
+    import random
+
+    rng = random.Random(8)
+    sample = rng.sample(rows, min(60, n))
+    checked = 0
+    for a in sample:
+        for b in sample:
+            if (
+                a.s1_bp > b.s1_bp and a.s2_bp > b.s2_bp and a.s3_milli > b.s3_milli
+            ):
+                assert a.ensemble_ppm > b.ensemble_ppm, (a, b)
+                checked += 1
+    assert checked > 0
