@@ -539,6 +539,8 @@ def leakage_split_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaked table is duplicate-groups-only — far smaller than the
     corpus — and everything shuffles on the digest key; no windows, no
     driver state.
+
+    Reference analog: none (LLM-pipeline surface per the brief); the rewrite extends the reference's filter-inside-Map idiom (/root/reference/src/main.c:39-56).
     """
     d = parallel_scan(spark, sf_dir, "documents")
     bucket = (
@@ -646,6 +648,8 @@ def substring_overlap_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     work, bounded by the heaviest single document, never cross-doc.
     The doc-grain span table is what a trimming rewrite would apply
     with one substring pass.
+
+    Reference analog: none (LLM-pipeline surface per the brief).
     """
     d = parallel_scan(spark, sf_dir, "documents")
     positions = F.when(
@@ -754,6 +758,8 @@ def toxicity_wordlist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the doc-grain result — scan-bound, zero shuffles, whole-stage
     codegen end to end.  The ppm division is integer floor in both
     engines.
+
+    Reference analog: the filter-inside-Map idiom (/root/reference/src/main.c:39-56) applied to a lexicon gate; LLM-pipeline surface per the brief.
     """
     d = compute_scan(spark, sf_dir, "documents")
     ts = tokenize(F.col("text"))
@@ -847,6 +853,8 @@ def winnowing_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     of gram positions — shuffle to the final digest-keyed groupBy.
     Same exchange class as the substring detector, with the window
     pass traded for the coverage guarantee.
+
+    Reference analog: none (LLM-pipeline surface per the brief; algorithm per Schleimer et al.'s winnowing paper).
     """
     d = compute_scan(spark, sf_dir, "documents")
     toks = d.select("doc_id", tokenize(F.col("text")).alias("ts")).filter(

@@ -808,6 +808,8 @@ def dedup_quality_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     its upstream (token explode + per-token md5 scoring) is the
     dominant cost.  At 100 TB every stage is an equi-keyed exchange —
     no windows over the full corpus, no driver-side state.
+
+    Reference analog: none beyond the dedup combiner idiom (/root/reference/src/job.c:1 compiled-in callbacks); LLM-pipeline surface per the brief.
     """
     from mapreduce_c_implementation_spark.operators.textanalysis import (
         quality_classifier_inference,

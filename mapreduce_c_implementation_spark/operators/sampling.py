@@ -1006,6 +1006,8 @@ def doremi_domain_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
     with three 1-row broadcasts (corpus total, global surprisal,
     weight normalizer) — the corpus is scanned once; everything after
     the first aggregate is vocabulary- or source-sized.
+
+    Reference analog: none (LLM-pipeline surface per the brief; update rule per the DoReMi paper).
     """
     d = parallel_scan(spark, sf_dir, "documents")
     tok = d.select("source", F.explode(tokenize(F.col("text"))).alias("t"))
@@ -1110,6 +1112,8 @@ def best_of_n_rejection_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one narrow scored map, one prompt-keyed window over
     {BON_N}-row partitions (the [[window_topk_per_group]] shape) —
     a single prompt-grain exchange, no corpus-sized state.
+
+    Reference analog: none (LLM-pipeline surface per the brief).
     """
     d = compute_scan(spark, sf_dir, "documents")
     ts = F.col("ts")
@@ -1215,6 +1219,8 @@ def elo_pairwise_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one narrow scored map, a pair-keyed equi self-join
     (successor id), a 2x union to per-side grain, and a source-grain
     map-side-combined aggregate — no windows, nothing quadratic.
+
+    Reference analog: none (LLM-pipeline surface per the brief).
     """
     d = compute_scan(spark, sf_dir, "documents")
     scored = (

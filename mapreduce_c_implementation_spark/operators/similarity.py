@@ -2134,6 +2134,8 @@ def cluster_capped_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFra
     2^{N_PLANES}-way partitions).  At 100 TB the plane count grows with
     log(n) (the [[hard_negative_mining]] rule), keeping per-bucket
     partitions bounded; no joins, no pair products.
+
+    Reference analog: none (LLM-pipeline surface per the brief).
     """
     norms = _norms(spark, sf_dir)
     bucket = None

@@ -2467,6 +2467,8 @@ def isotonic_calibration_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction) -> one broadcast join back to doc grain.  The
     corpus is touched exactly twice (score map, rewrite join), both
     scan-shaped.
+
+    Reference analog: none (LLM-pipeline surface per the brief).
     """
     d = compute_scan(spark, sf_dir, "documents")
     ts = F.col("ts")
@@ -2621,6 +2623,8 @@ def lm_holdout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT-equi-join the vocabulary (vocab-sized shuffle join — never a
     broadcast of an unbounded vocab); (N, V) and the OOV default ride
     1-row broadcasts.  Source-grain output.
+
+    Reference analog: the sequential-oracle differential discipline (/root/reference/SimpleInvertedIndex/inverted_index.c:1) applied to model fitting; LLM-pipeline surface per the brief.
     """
     d = parallel_scan(spark, sf_dir, "documents")
     # md5-hash split (the deterministic_split convention), NOT doc_id
@@ -2780,6 +2784,8 @@ def generation_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram) — every stage keys on the pair or the gram digest, nothing
     quadratic, no windows.  Per-pair work is bounded by the longer
     document.
+
+    Reference analog: none (LLM-pipeline surface per the brief).
     """
     d = compute_scan(spark, sf_dir, "documents")
     toks = d.select("doc_id", tokenize(F.col("text")).alias("ts")).filter(
@@ -4500,6 +4506,8 @@ def kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stream) plus two extra vocab-grain aggregates (forward and
     backward continuation counts) and one 1-row type-total broadcast.
     Nothing new shuffles at corpus grain.
+
+    Reference analog: none (LLM-pipeline surface per the brief; smoothing per Kneser & Ney / KenLM).
     """
     d = compute_scan(spark, sf_dir, "documents")
     toks = d.select("doc_id", tokenize(F.col("text")).alias("ts"))
@@ -4612,6 +4620,8 @@ def quality_signal_ensemble_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal domains, not the corpus) broadcast back onto the doc grain,
     and one 1-row count broadcast.  The corpus shuffles zero times; the
     three rank joins are the [[spearman_rank_correlation]] shape.
+
+    Reference analog: none (LLM-pipeline surface per the brief).
     """
     d = compute_scan(spark, sf_dir, "documents")
     scored = (
