@@ -583,10 +583,11 @@ def leakage_split_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "substring_overlap_spans",
-    oracle_sql=f"""
-    WITH wins AS (
+# Shared CTE chain for the span family: anchored duplicate windows ->
+# per-doc overlapping-window islands (used by substring_overlap_spans
+# and the trim rewrite built on top of it).
+_SQL_SPAN_CTES = f"""
+    wins AS (
       SELECT doc_id, CAST(i AS BIGINT) AS i,
              md5(substr(text, i, {SUBSTR_WIN})) AS win_hash
       FROM (
@@ -619,6 +620,13 @@ def leakage_split_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS UNBOUNDED PRECEDING) AS span_id
       FROM flagged
     )
+"""
+
+
+@register(
+    "substring_overlap_spans",
+    oracle_sql=f"""
+    WITH {_SQL_SPAN_CTES.strip()}
     SELECT doc_id,
            CAST(span_id AS BIGINT) AS span_id,
            CAST(min(i) AS BIGINT) AS span_start,
@@ -709,6 +717,131 @@ def substring_overlap_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("i") + SUBSTR_WIN).alias("span_end"),
         (F.max("i") + SUBSTR_WIN - F.min("i")).alias("span_len"),
         F.count("*").alias("n_windows"),
+    )
+
+
+@register(
+    "substring_trim_rewrite",
+    oracle_sql=f"""
+    WITH {_SQL_SPAN_CTES.strip()},
+    spans AS (
+      SELECT doc_id, min(i) AS s, max(i) + {SUBSTR_WIN} AS e
+      FROM islands GROUP BY doc_id, span_id
+    ),
+    gaps AS (
+      SELECT doc_id,
+             lag(e, 1, 1) OVER (PARTITION BY doc_id ORDER BY s) AS gs,
+             s AS ge
+      FROM spans
+      UNION ALL
+      SELECT doc_id, max(e) AS gs, NULL AS ge FROM spans GROUP BY doc_id
+    ),
+    chunks AS (
+      SELECT g.doc_id, g.gs,
+             substr(d.text, CAST(g.gs AS INTEGER),
+                    CAST(coalesce(g.ge, length(d.text) + 1) - g.gs
+                         AS INTEGER)) AS chunk
+      FROM gaps g JOIN documents d USING (doc_id)
+      WHERE coalesce(g.ge, length(d.text) + 1) > g.gs
+    ),
+    trimmed AS (
+      SELECT doc_id, string_agg(chunk, '' ORDER BY gs) AS kept_text
+      FROM chunks GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT doc_id, count(*) AS n_spans, sum(e - s) AS cut_chars
+      FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_cut_spans,
+           CAST(coalesce(st.cut_chars, 0) AS BIGINT) AS n_cut_chars,
+           CAST(length(d.text) - coalesce(st.cut_chars, 0) AS BIGINT)
+             AS kept_chars,
+           md5(coalesce(t.kept_text, d.text)) AS trimmed_md5
+    FROM documents d
+    LEFT JOIN trimmed t USING (doc_id)
+    LEFT JOIN stats st USING (doc_id)
+    """,
+    tags=("text", "dedup", "substring", "rewrite", "pipeline"),
+)
+def substring_trim_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap TRIM rewrite — the fix for what
+    [[substring_overlap_spans]] extracts: every document's maximal
+    cross-document duplicated spans are CUT OUT and the novel remainder
+    is stitched back together, the "deduplicating training data"
+    partial-dedup move that salvages documents whole-doc dedup would
+    drop.  Closes the span-extraction->fix loop the way
+    [[leakage_split_repair]] closed the leakage audit and
+    [[contamination_filter_rewrite]] closed the contamination audit.
+    The md5 of the reassembled text pins every cut position and the
+    stitch order; untouched documents pass through verbatim (their md5
+    is the raw text's).  Reference analog: none (LLM-pipeline surface
+    per the brief).
+
+    Scale shape: the span table is doc-grain and small (duplicated
+    regions only); gaps derive from one doc-partitioned lag window; the
+    reassembly is an ordered string_agg per document (each chunk is a
+    single in-row substring against the joined text) — all keyed on
+    doc_id, bounded by the heaviest single document.  The corpus is
+    scanned twice (span detection, chunk extraction), both scan-shaped.
+    """
+    spans = substring_overlap_spans(spark, sf_dir).select(
+        "doc_id",
+        F.col("span_start").alias("s"),
+        F.col("span_end").alias("e"),
+    )
+    d = parallel_scan(spark, sf_dir, "documents").select("doc_id", "text")
+    w = Window.partitionBy("doc_id").orderBy("s")
+    gaps_mid = spans.select(
+        "doc_id",
+        F.lag("e", 1, 1).over(w).alias("gs"),
+        F.col("s").alias("ge"),
+    )
+    gaps_tail = spans.groupBy("doc_id").agg(
+        F.max("e").alias("gs"), F.lit(None).cast("long").alias("ge")
+    )
+    gaps = gaps_mid.unionByName(gaps_tail)
+    chunks = (
+        gaps.join(d, "doc_id")
+        .filter(
+            F.coalesce(F.col("ge"), F.length("text") + 1) > F.col("gs")
+        )
+        .select(
+            "doc_id",
+            "gs",
+            F.expr(
+                "substring(text, CAST(gs AS INT),"
+                " CAST(coalesce(ge, length(text) + 1) - gs AS INT))"
+            ).alias("chunk"),
+        )
+    )
+    trimmed = chunks.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("gs", "chunk"))),
+                lambda x: x["chunk"],
+            ),
+            "",
+        ).alias("kept_text")
+    )
+    stats = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s")).alias("cut_chars"),
+    )
+    return (
+        d.join(trimmed, "doc_id", "left")
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_cut_spans"),
+            F.coalesce("cut_chars", F.lit(0))
+            .cast("long")
+            .alias("n_cut_chars"),
+            (F.length("text") - F.coalesce("cut_chars", F.lit(0)))
+            .cast("long")
+            .alias("kept_chars"),
+            F.md5(F.coalesce("kept_text", "text")).alias("trimmed_md5"),
+        )
     )
 
 

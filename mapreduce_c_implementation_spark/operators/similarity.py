@@ -2160,3 +2160,151 @@ def cluster_capped_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("rk").cast("long").alias("rk"),
         F.col("n_bucket").cast("long").alias("n_bucket"),
     )
+
+
+# Matryoshka truncation: score recall of the first MRL_DIMS dimensions
+# against the full-width exact top-k, per probe query.
+MRL_DIMS = 16
+MRL_K = 5
+
+_SQL_MRL_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    f"list_transform(generate_series(1, {MRL_DIMS}), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+    "(acc, x) -> acc + x)"
+)
+
+
+@register(
+    "matryoshka_truncation_recall",
+    oracle_sql=f"""
+    WITH {_SQL_NORMS},
+    tnorms AS (
+      SELECT vec_id, embedding,
+             sqrt({_SQL_MRL_DOT.format(a="embedding", b="embedding")}) AS tnrm
+      FROM embeddings
+    ),
+    full_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round({_SQL_DOT.format(a="q.embedding", b="c.embedding")}
+                                / (q.nrm * c.nrm), 6) DESC, c.vec_id ASC) AS rk
+        FROM norms q JOIN norms c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+      ) WHERE rk <= {MRL_K}
+    ),
+    trunc_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round({_SQL_MRL_DOT.format(a="q.embedding", b="c.embedding")}
+                                / (q.tnrm * c.tnrm), 6) DESC, c.vec_id ASC) AS rk
+        FROM tnorms q JOIN tnorms c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+      ) WHERE rk <= {MRL_K}
+    )
+    SELECT f.query_id,
+           CAST(count(t.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(count(t.neighbor_id) * 1000000 // {MRL_K} AS BIGINT)
+             AS recall_ppm
+    FROM full_top f
+    LEFT JOIN trunc_top t
+      ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id
+    """,
+    tags=("similarity", "eval", "matryoshka", "pipeline"),
+)
+def matryoshka_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka/truncated-embedding retrieval eval: recall@{MRL_K} of
+    the first-{MRL_DIMS}-dimensions cosine top-k against the full-width
+    exact top-k, per probe query — the measurement behind the
+    "store 16 of 64 dims, re-rank the shortlist" MRL deployment trade,
+    and the dimensional twin of [[ann_recall_eval]] (which scores the
+    LSH index) and [[embedding_quantize_int8]] (which shrinks width by
+    precision instead of dimension).  Reference analog: none
+    (LLM-pipeline surface per the brief; per Kusupati et al.'s
+    Matryoshka representation learning).
+
+    Exactness: both top-k lists use round(cosine, 6) with a vec_id
+    tiebreak — total orders, so the set intersection and the ppm
+    recall are exact integers.
+
+    Scale shape: inherits [[ann_bruteforce_topk]]'s documented exact
+    cross product on BOTH sides (probe set fixed at {N_QUERIES}
+    queries — the calibration budget); the truncated pass reads only
+    the first {MRL_DIMS} components in-row.  Production swaps the
+    brute-force sides for the IVF/LSH index probes and keeps this
+    op as the ground-truth calibration.
+    """
+    from pyspark.sql.window import Window
+
+    def topk(dot_fn, nrm_col: str, base: DataFrame) -> DataFrame:
+        q = base.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col(nrm_col).alias("q_nrm"),
+        )
+        c = base.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col(nrm_col).alias("c_nrm"),
+        )
+        cos = F.round(
+            dot_fn(F.col("q_emb"), F.col("c_emb"))
+            / (F.col("q_nrm") * F.col("c_nrm")),
+            6,
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id")
+        )
+        return (
+            q.join(c, F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", cos.alias("cosine"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.row_number().over(w).alias("rk"),
+            )
+            .filter(F.col("rk") <= MRL_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    def trunc_dot(a, b):
+        return F.aggregate(
+            F.zip_with(
+                F.slice(a, 1, MRL_DIMS),
+                F.slice(b, 1, MRL_DIMS),
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    norms = _norms(spark, sf_dir)
+    tnorms = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.sqrt(trunc_dot(F.col("embedding"), F.col("embedding"))).alias("tnrm"),
+    )
+    full_top = topk(_spark_dot, "nrm", norms)
+    trunc_top = topk(trunc_dot, "tnrm", tnorms).withColumnRenamed(
+        "neighbor_id", "t_neighbor_id"
+    )
+    return (
+        full_top.join(
+            trunc_top,
+            (full_top.query_id == trunc_top.query_id)
+            & (F.col("neighbor_id") == F.col("t_neighbor_id")),
+            "left",
+        )
+        .groupBy(full_top.query_id)
+        .agg(
+            F.count("t_neighbor_id").cast("long").alias("n_hits"),
+            F.expr(
+                f"CAST(count(t_neighbor_id) * 1000000 div {MRL_K} AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+    )

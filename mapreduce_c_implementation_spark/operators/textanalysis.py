@@ -4672,3 +4672,138 @@ def quality_signal_ensemble_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ensemble_ppm"),
         )
     )
+
+
+# Count-min sketch geometry: D independent md5-derived hash rows of W
+# counters each, probed for the exact top-K tokens.  W=16 is sized to the
+# fixture's ~31-token vocabulary so counter collisions — the thing the
+# audit measures — actually occur; production widens W with the expected
+# distinct count (error ~ N/W per the CM bound), which only LOWERS the
+# one-sided overcount this op reports.
+CM_D = 4
+CM_W = 16
+CM_TOPK = 20
+
+
+@register(
+    "count_min_sketch_tokens",
+    oracle_sql=f"""
+    WITH tok AS (
+      SELECT unnest({_TOK}) AS t FROM documents
+    ),
+    cells AS (
+      SELECT j,
+             CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '_' || t), 1, 8)
+                  AS BIGINT) % {CM_W} AS col,
+             count(*) AS n
+      FROM tok, (SELECT unnest(generate_series(0, {CM_D - 1})) AS j)
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT t, count(*) AS exact_count FROM tok GROUP BY t
+      ORDER BY exact_count DESC, t ASC LIMIT {CM_TOPK}
+    ),
+    probes AS (
+      SELECT e.t, e.exact_count, j.j,
+             CAST('0x' || substr(md5(CAST(j.j AS VARCHAR) || '_' || e.t), 1, 8)
+                  AS BIGINT) % {CM_W} AS col
+      FROM exact e, (SELECT unnest(generate_series(0, {CM_D - 1})) AS j) j
+    )
+    SELECT p.t AS token,
+           CAST(max(p.exact_count) AS BIGINT) AS exact_count,
+           CAST(min(c.n) AS BIGINT) AS cm_estimate,
+           CAST(min(c.n) - max(p.exact_count) AS BIGINT) AS overcount
+    FROM probes p JOIN cells c ON c.j = p.j AND c.col = p.col
+    GROUP BY p.t
+    """,
+    tags=("sketch", "approx", "heavy-hitters", "pipeline"),
+)
+def count_min_sketch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch built IN-ENGINE ({CM_D} md5-derived hash rows x
+    {CM_W} counters — a {CM_D * CM_W}-cell integer matrix, mergeable by
+    cell-wise addition) and audited against exact counts for the top
+    {CM_TOPK} tokens: estimate = min over rows of the hashed cell, and
+    the one-sided error (CM never undercounts) is reported per probe.
+    Complements the library sketches ([[hll_sketch_mergeable]] for
+    distinct, [[approx_heavy_hitters]] for approx_top_k) with a sketch
+    whose every counter is visible and oracle-checkable — the
+    constant-memory frequency structure a streaming pipeline keeps per
+    shard and merges at the coordinator.  Reference analog: none
+    (LLM-pipeline surface per the brief; structure per Cormode &
+    Muthukrishnan).
+
+    Exactness: all integers — cell counts are exact sums, the estimate
+    is an integer min, and the probe set is pinned by a total order
+    (count DESC, token ASC).
+
+    Scale shape: the sketch build is a map-side-combined groupBy over
+    {CM_D}x the token stream onto {CM_D * CM_W} cells — constant-size
+    output at any corpus; probes are {CM_TOPK * CM_D} rows joined
+    against the broadcast cell table.  One vocab-grain exchange for the
+    exact side (the audit; production would probe without it).
+    """
+    d = parallel_scan(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokenize(F.col("text"))).alias("t"))
+
+    def col_for(j, t):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{j}_"), t)), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % CM_W
+        )
+
+    cells = (
+        tok.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            col_for(j, F.col("t")).alias("col"),
+                        )
+                        for j in range(CM_D)
+                    ]
+                )
+            ).alias("jc")
+        )
+        .select(F.col("jc.j").alias("j"), F.col("jc.col").alias("col"))
+        .groupBy("j", "col")
+        .agg(F.count("*").alias("n"))
+    )
+    exact = (
+        tok.groupBy("t")
+        .agg(F.count("*").alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("t"))
+        .limit(CM_TOPK)
+    )
+    probes = exact.select(
+        "t",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        col_for(j, F.col("t")).alias("col"),
+                    )
+                    for j in range(CM_D)
+                ]
+            )
+        ).alias("jc"),
+    ).select("t", "exact_count", F.col("jc.j").alias("j"), F.col("jc.col").alias("col"))
+    return (
+        probes.join(F.broadcast(cells), ["j", "col"])
+        .groupBy(F.col("t").alias("token"))
+        .agg(
+            F.max("exact_count").cast("long").alias("exact_count"),
+            F.min("n").cast("long").alias("cm_estimate"),
+            (F.min("n") - F.max("exact_count"))
+            .cast("long")
+            .alias("overcount"),
+        )
+    )

@@ -128,6 +128,9 @@ _DRIVER_PRIORITY = [
     "cluster_capped_diversity_sample",
     "kneser_ney_bigram_lm",
     "quality_signal_ensemble_rank",
+    "substring_trim_rewrite",
+    "count_min_sketch_tokens",
+    "matryoshka_truncation_recall",
 ]
 
 # Operators hard-verified by the driver in prior rounds (the union of

@@ -159,6 +159,9 @@ PROBE_OPS = [
     "cluster_capped_diversity_sample",
     "kneser_ney_bigram_lm",
     "quality_signal_ensemble_rank",
+    "substring_trim_rewrite",
+    "count_min_sketch_tokens",
+    "matryoshka_truncation_recall",
 ]
 
 

@@ -257,6 +257,11 @@ SWEPT_OPS = [
     "cluster_capped_diversity_sample",
     "kneser_ney_bigram_lm",
     "quality_signal_ensemble_rank",
+    # round-8 fifth wave: ordered span stitching, constant-cell sketch
+    # build, and the dual-ground-truth recall eval.
+    "substring_trim_rewrite",
+    "count_min_sketch_tokens",
+    "matryoshka_truncation_recall",
 ]
 
 

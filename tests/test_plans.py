@@ -276,6 +276,9 @@ _NESTED_LOOP_EXEMPT = {
     "kneser_ney_bigram_lm",
     # 1-row doc-count broadcast for the percentile normalizer
     "quality_signal_ensemble_rank",
+    # inherits ann_bruteforce_topk's documented exact cross product on
+    # both (full and truncated) ground-truth sides
+    "matryoshka_truncation_recall",
 }
 
 # Modules whose query_fns build lazy plans (streaming/io execute jobs

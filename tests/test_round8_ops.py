@@ -301,3 +301,65 @@ def test_ensemble_rank_is_percentile_average(spark, sf_correct):
                 assert a.ensemble_ppm > b.ensemble_ppm, (a, b)
                 checked += 1
     assert checked > 0
+
+
+def test_trim_rewrite_reconstructs_exact_remainder(spark, sf_correct):
+    """Recompute one trimmed doc in Python from the span table and the
+    raw text: the op's md5 must match the ground-truth stitch."""
+    import hashlib
+
+    spans = {}
+    for r in _rows(spark, sf_correct, "substring_overlap_spans"):
+        spans.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    rows = {r.doc_id: r for r in _rows(spark, sf_correct, "substring_trim_rewrite")}
+    texts = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_correct}/documents.parquet").collect()
+    }
+    assert set(rows) == set(texts)
+    checked_cut = 0
+    for doc_id, r in rows.items():
+        text = texts[doc_id]
+        cut = sorted(spans.get(doc_id, []))
+        expected = ""
+        pos = 1  # 1-based char offsets, span_end exclusive
+        for s, e in cut:
+            expected += text[pos - 1 : s - 1]
+            pos = e
+        expected += text[pos - 1 :]
+        assert r.n_cut_spans == len(cut)
+        assert r.kept_chars == len(expected)
+        assert r.n_cut_chars == len(text) - len(expected)
+        assert r.trimmed_md5 == hashlib.md5(expected.encode()).hexdigest(), doc_id
+        if cut:
+            checked_cut += 1
+    assert checked_cut > 0, "no doc was actually trimmed on this fixture"
+
+
+def test_count_min_never_undercounts(spark, sf_correct):
+    from mapreduce_c_implementation_spark.operators.textanalysis import CM_TOPK
+
+    rows = _rows(spark, sf_correct, "count_min_sketch_tokens")
+    assert len(rows) == CM_TOPK
+    for r in rows:
+        assert r.cm_estimate >= r.exact_count, r.token
+        assert r.overcount == r.cm_estimate - r.exact_count
+    # with 64 counters vs a larger vocabulary, collisions must exist
+    assert any(r.overcount > 0 for r in rows), "no collision — sketch too wide?"
+
+
+def test_matryoshka_recall_bounds(spark, sf_correct):
+    from mapreduce_c_implementation_spark.operators.similarity import (
+        MRL_K,
+        N_QUERIES,
+    )
+
+    rows = _rows(spark, sf_correct, "matryoshka_truncation_recall")
+    assert len(rows) == N_QUERIES
+    for r in rows:
+        assert 0 <= r.n_hits <= MRL_K
+        assert r.recall_ppm == r.n_hits * 1_000_000 // MRL_K
+    # truncating 64 -> 16 dims on random-ish embeddings must lose SOME
+    # neighbor somewhere (else the eval is vacuous)
+    assert any(r.n_hits < MRL_K for r in rows)
+    assert any(r.n_hits > 0 for r in rows)
