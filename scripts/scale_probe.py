@@ -155,7 +155,6 @@ PROBE_OPS = [
     "best_of_n_rejection_sampling",
     "lm_holdout_perplexity",
     "elo_pairwise_ratings",
-    "cosine_similarity_histogram",
     "cluster_capped_diversity_sample",
     "kneser_ney_bigram_lm",
     "quality_signal_ensemble_rank",
