@@ -134,6 +134,15 @@ HEADLINE = [
     "generation_eval_overlap",
     "doremi_domain_reweighting",
     "lm_holdout_perplexity",
+    "toxicity_wordlist_filter",
+    "best_of_n_rejection_sampling",
+    "elo_pairwise_ratings",
+    "cluster_capped_diversity_sample",
+    "kneser_ney_bigram_lm",
+    "quality_signal_ensemble_rank",
+    "substring_trim_rewrite",
+    "count_min_sketch_tokens",
+    "matryoshka_truncation_recall",
 ]
 
 
