@@ -131,6 +131,8 @@ _DRIVER_PRIORITY = [
     "substring_trim_rewrite",
     "count_min_sketch_tokens",
     "matryoshka_truncation_recall",
+    "stream_rate_anomaly_monitor",
+    "entity_resolution_clusters",
 ]
 
 # Operators hard-verified by the driver in prior rounds (the union of

@@ -1223,3 +1223,130 @@ def stream_psi_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("window_start", "window_end", "n_events", "psi_pico")
     )
+
+
+# Rate-anomaly monitor: the monitored event class and the chi-square(1)
+# 95% alert bar (3.841) in milli.
+RATE_MON_TYPE = "purchase"
+RATE_ALERT_Z2_MILLI = 3841
+
+_SQL_RATE_Z2 = (
+    "CAST(rate_ppm - base_ppm AS HUGEINT) * (rate_ppm - base_ppm) * n * 1000"
+    " // (base_ppm * (1000000 - base_ppm))"
+)
+
+
+@register(
+    "stream_rate_anomaly_monitor",
+    oracle_sql=f"""
+    WITH {_SQL_WM1.strip()},
+    kept AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+             CASE WHEN event_type = '{RATE_MON_TYPE}' THEN 1 ELSE 0 END AS hit
+      FROM events, wm
+      WHERE NOT ({_SQL_IS_LATE_ARRIVAL}
+                 AND time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR <= wm.w1)
+    ),
+    win AS (
+      SELECT window_start, count(*) AS n, sum(hit) AS k
+      FROM kept GROUP BY 1
+    ),
+    base AS (
+      SELECT count(*) AS nb,
+             sum(CASE WHEN event_type = '{RATE_MON_TYPE}' THEN 1 ELSE 0 END)
+               AS kb
+      FROM events
+    ),
+    scored AS (
+      SELECT w.window_start, w.n, w.k,
+             w.k * 1000000 // w.n AS rate_ppm,
+             b.kb * 1000000 // b.nb AS base_ppm
+      FROM win w CROSS JOIN base b
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(k AS BIGINT) AS n_hits,
+           CAST(rate_ppm AS BIGINT) AS rate_ppm,
+           CAST(base_ppm AS BIGINT) AS base_rate_ppm,
+           CAST({_SQL_RATE_Z2} AS BIGINT) AS z2_milli,
+           CAST(CASE WHEN {_SQL_RATE_Z2} >= {RATE_ALERT_Z2_MILLI}
+                THEN 1 ELSE 0 END AS BIGINT) AS alert
+    FROM scored
+    """,
+    tags=("streaming", "anomaly", "rate", "pipeline"),
+)
+def stream_rate_anomaly_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-on RATE-anomaly monitor: per 1-hour event-time window, the
+    '{RATE_MON_TYPE}' share of events is tested against the full-history
+    baseline rate with an integer one-proportion z-square
+    (d_ppm^2 * n / (p*(1-p)), milli units; alert at the chi-square(1)
+    95% bar {RATE_ALERT_Z2_MILLI} milli) — the conversion-rate-drop /
+    traffic-mix alert that complements [[stream_psi_drift_monitor]]
+    (whole-distribution drift) with a targeted CLASS-rate test, the
+    streaming form of [[event_daily_anomaly]]'s integer z^2 rule.
+    Reference analog: none (SURVEY §2.2 streaming surface).
+
+    The STREAMING stage is the watermarked per-window (count, hits)
+    pair — bounded state, append-mode flush on window close, late rows
+    dropped by the standard rule.  The z^2 is computed on the flushed
+    sink against the 1-row broadcast baseline in exact integer
+    arithmetic (ppm floor rates, DECIMAL(38,0)/HUGEINT for the
+    d^2 * n * 1000 product, which passes ~1e27 at 100 TB window
+    volumes), so the oracle is the exact batch semantics.
+    """
+
+    def build(stream):
+        hit = F.when(F.col("event_type") == RATE_MON_TYPE, 1).otherwise(0)
+        # sentinel rows aggregate too (their far-future window is
+        # excluded from the sink; pre-agg filtering would push below
+        # EventTimeWatermark and stall the last real window's flush).
+        return (
+            stream.withWatermark("ts", WATERMARK_DELAY)
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count("*").alias("n"), F.sum(hit).alias("k"))
+        )
+
+    t = _run_stream(spark, sf_dir, build)
+    win = t.filter(
+        F.col("window.start") < F.lit(SENTINEL_TS).cast("timestamp")
+    ).select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "n",
+        "k",
+    )
+    base = load_table(spark, sf_dir, "events").agg(
+        F.count("*").alias("nb"),
+        F.sum(
+            F.when(F.col("event_type") == RATE_MON_TYPE, 1).otherwise(0)
+        ).alias("kb"),
+    )
+    z2 = (
+        "CAST(rate_ppm - base_ppm AS DECIMAL(38,0)) * (rate_ppm - base_ppm)"
+        " * n * 1000 div (base_ppm * (1000000 - base_ppm))"
+    )
+    return (
+        win.crossJoin(F.broadcast(base))
+        .select(
+            "window_start",
+            "window_end",
+            "n",
+            "k",
+            F.expr("k * 1000000 div n").alias("rate_ppm"),
+            F.expr("kb * 1000000 div nb").alias("base_ppm"),
+        )
+        .select(
+            "window_start",
+            "window_end",
+            F.col("n").cast("long").alias("n_events"),
+            F.col("k").cast("long").alias("n_hits"),
+            F.col("rate_ppm").cast("long").alias("rate_ppm"),
+            F.col("base_ppm").cast("long").alias("base_rate_ppm"),
+            F.expr(f"CAST({z2} AS BIGINT)").alias("z2_milli"),
+            F.expr(
+                f"CAST(CASE WHEN {z2} >= {RATE_ALERT_Z2_MILLI}"
+                " THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("alert"),
+        )
+    )

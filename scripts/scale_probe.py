@@ -161,6 +161,7 @@ PROBE_OPS = [
     "substring_trim_rewrite",
     "count_min_sketch_tokens",
     "matryoshka_truncation_recall",
+    "entity_resolution_clusters",
 ]
 
 

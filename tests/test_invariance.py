@@ -262,6 +262,9 @@ SWEPT_OPS = [
     "substring_trim_rewrite",
     "count_min_sketch_tokens",
     "matryoshka_truncation_recall",
+    # round-8 sixth wave: blocked-linkage CC rollup (the streaming rate
+    # monitor is covered by test_streaming's provider/restart harness).
+    "entity_resolution_clusters",
 ]
 
 

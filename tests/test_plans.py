@@ -772,3 +772,26 @@ def test_hard_negative_mining_anchor_side_not_hinted(spark, sf_correct):
     plan = physical_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ensemble_rank_tables_broadcast(spark, sf_correct):
+    """The three value-grain rank tables (bounded by the signal domains)
+    and the 1-row count must all broadcast — the corpus side must never
+    shuffle for the percentile joins."""
+    df = get_operator("quality_signal_ensemble_rank").query_fn(spark, sf_correct)
+    assert_broadcast_join(df, expect=3)
+
+
+def test_trim_rewrite_never_nested_loops(spark, sf_correct):
+    """The span/gap/chunk chain is doc_id-equi-keyed end to end."""
+    df = get_operator("substring_trim_rewrite").query_fn(spark, sf_correct)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_count_min_cells_broadcast_to_probes(spark, sf_correct):
+    """The 64-cell sketch table broadcasts onto the 80-row probe set;
+    nothing corpus-sized reaches the probe join."""
+    df = get_operator("count_min_sketch_tokens").query_fn(spark, sf_correct)
+    assert_broadcast_join(df, expect=1)

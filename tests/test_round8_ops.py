@@ -363,3 +363,60 @@ def test_matryoshka_recall_bounds(spark, sf_correct):
     # neighbor somewhere (else the eval is vacuous)
     assert any(r.n_hits < MRL_K for r in rows)
     assert any(r.n_hits > 0 for r in rows)
+
+
+def test_entity_resolution_partitions_all_parts(spark, sf_correct):
+    """Entities partition the part table: sizes sum to |part|, the
+    canonical record is always the min-key member, and every linkage
+    pair lands inside one entity (no split matches)."""
+    rows = {r.entity_id: r for r in _rows(spark, sf_correct, "entity_resolution_clusters")}
+    assert rows
+    n_parts = spark.read.parquet(f"{sf_correct}/part.parquet").count()
+    assert sum(r.n_members for r in rows.values()) == n_parts
+    assert all(r.canonical_name is not None for r in rows.values())
+    assert any(r.n_members > 1 for r in rows.values()), "no entity merged"
+    assert any(r.n_name_variants > 1 for r in rows.values())
+    # ground truth: union-find over the linkage pairs must reproduce the
+    # op's (entity_id = min member key, size) table exactly
+    from mapreduce_c_implementation_spark.operators.dedup import (
+        record_linkage_blocked,
+    )
+
+    pair_rows = record_linkage_blocked(spark, sf_correct).select(
+        "key_a", "key_b"
+    ).collect()
+    part = spark.read.parquet(f"{sf_correct}/part.parquet").select("p_partkey").collect()
+    parent = {p.p_partkey: p.p_partkey for p in part}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for pr in pair_rows:
+        ra, rb = find(pr.key_a), find(pr.key_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth = {}
+    for k in parent:
+        truth.setdefault(find(k), []).append(k)
+    assert {min(v): len(v) for v in truth.values()} == {
+        e: r.n_members for e, r in rows.items()
+    }
+
+
+def test_stream_rate_monitor_alert_consistency(spark, sf_correct):
+    from mapreduce_c_implementation_spark.streaming.queries import (
+        RATE_ALERT_Z2_MILLI,
+    )
+
+    rows = _rows(spark, sf_correct, "stream_rate_anomaly_monitor")
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_hits <= r.n_events
+        assert r.rate_ppm == r.n_hits * 1_000_000 // r.n_events
+        assert r.z2_milli >= 0
+        assert r.alert == (1 if r.z2_milli >= RATE_ALERT_Z2_MILLI else 0)
+    # all windows share one baseline
+    assert len({r.base_rate_ppm for r in rows}) == 1
