@@ -379,3 +379,99 @@ def feature_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((rnk - 1) * 1000000L div greatest(n - 1, 1L) AS BIGINT)"
         ).alias("rank_ppm"),
     )
+
+
+# WOE/IV screen: fixed-width n_chars buckets (global-ntile-free, the
+# feature_quantile_bins de-weak rule), binary label = doc is English.
+WOE_BUCKET_W = 100
+WOE_NBUCKETS = 10
+
+
+@register(
+    "woe_information_value",
+    oracle_sql=f"""
+    WITH labeled AS (
+      SELECT least(n_chars // {WOE_BUCKET_W}, {WOE_NBUCKETS - 1}) AS bucket,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    cells AS (
+      SELECT bucket, sum(y) AS pos, sum(1 - y) AS neg
+      FROM labeled GROUP BY bucket
+    ),
+    tot AS (
+      SELECT sum(pos) AS np, sum(neg) AS nn, count(*) AS b FROM cells
+    )
+    SELECT c.bucket,
+           CAST(c.pos AS BIGINT) AS n_pos,
+           CAST(c.neg AS BIGINT) AS n_neg,
+           CAST(round(ln((CAST(c.pos + 1 AS DOUBLE) / (t.np + t.b))
+                         / (CAST(c.neg + 1 AS DOUBLE) / (t.nn + t.b)))
+                      * 1000000) AS BIGINT) AS woe_micro,
+           CAST(((c.pos + 1) * 1000000 // (t.np + t.b)
+                 - (c.neg + 1) * 1000000 // (t.nn + t.b))
+                * CAST(round(ln((CAST(c.pos + 1 AS DOUBLE) / (t.np + t.b))
+                                / (CAST(c.neg + 1 AS DOUBLE) / (t.nn + t.b)))
+                             * 1000000) AS BIGINT) AS BIGINT) AS iv_pico
+    FROM cells c CROSS JOIN tot t
+    ORDER BY c.bucket
+    """,
+    tags=("features", "selection", "woe", "pipeline"),
+)
+def woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value feature screen: document
+    length falls into {WOE_NBUCKETS} fixed {WOE_BUCKET_W}-char buckets,
+    and each bucket reports its add-one-smoothed WOE
+    ln((pos_share)/(neg_share)) in micro-nats plus its IV contribution
+    (share-delta x WOE, pico units; IV = the column sum) against the
+    binary is-English label — the classic monotone-feature screen a
+    pipeline runs before spending on a learned quality model, and the
+    bucketed-continuous-feature sibling of
+    [[token_label_mutual_information]] (token grain) and
+    [[chi_square_contingency]] (categorical grain).  Reference analog:
+    none (LLM-pipeline surface per the brief).
+
+    Exactness: counts are exact integers; each WOE is ONE pinned ln
+    over smoothed integer ratios frozen to micro; shares are ppm floor
+    divisions, so the IV product is an exact integer in pico units.
+    Fixed-width buckets, not quantiles — a global-sort ntile is a
+    single-partition bottleneck at scale (the [[feature_quantile_bins]]
+    de-weak rule).
+
+    Scale shape: one narrow scan -> {WOE_NBUCKETS}-cell map-side-
+    combined aggregate -> 1-row totals broadcast.  Constant
+    post-aggregate work at any corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    labeled = d.select(
+        F.least(
+            F.expr(f"n_chars div {WOE_BUCKET_W}"), F.lit(WOE_NBUCKETS - 1)
+        ).alias("bucket"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    cells = labeled.groupBy("bucket").agg(
+        F.sum("y").alias("pos"), F.sum(F.lit(1) - F.col("y")).alias("neg")
+    )
+    tot = cells.agg(
+        F.sum("pos").alias("np"), F.sum("neg").alias("nn"),
+        F.count("*").alias("b"),
+    )
+    woe = (
+        "CAST(round(ln((CAST(pos + 1 AS DOUBLE) / (np + b))"
+        " / (CAST(neg + 1 AS DOUBLE) / (nn + b))) * 1000000) AS BIGINT)"
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.col("pos").cast("long").alias("n_pos"),
+            F.col("neg").cast("long").alias("n_neg"),
+            F.expr(woe).alias("woe_micro"),
+            F.expr(
+                "CAST(((pos + 1) * 1000000 div (np + b)"
+                f" - (neg + 1) * 1000000 div (nn + b)) * {woe}"
+                " AS BIGINT)"
+            ).alias("iv_pico"),
+        )
+        .orderBy("bucket")
+    )

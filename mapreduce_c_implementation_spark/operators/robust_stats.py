@@ -24,6 +24,7 @@ from pyspark.sql.window import Window
 from mapreduce_c_implementation_spark.registry import register
 from mapreduce_c_implementation_spark.functions.text import DUCKDB_TOKENIZE, tokenize
 from mapreduce_c_implementation_spark.sources import load_table
+from mapreduce_c_implementation_spark.sources.tables import compute_scan
 
 # DuckDB mirror of the shared ASCII tokenizer, over documents.text.
 _TOK = DUCKDB_TOKENIZE.format(col="text")
@@ -1602,4 +1603,134 @@ def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
         "    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT)"
         " AS rho_ppm",
+    )
+
+
+# Split-conformal miscoverage target (alpha = 10%), in basis points.
+CONF_ALPHA_BP = 1000
+
+
+@register(
+    "conformal_prediction_threshold",
+    oracle_sql=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                       AS BIGINT) % 2 = 0 THEN 'cal' ELSE 'test' END AS part,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             10000 - len(list_intersect(ts,
+               ['the','a','and','of','to','is','fast','slow']))
+               * 10000 // len(ts) AS nonconf_bp
+      FROM (SELECT doc_id, lang, {_TOK} AS ts FROM documents)
+      WHERE len(ts) > 0
+    ),
+    cal AS (
+      SELECT nonconf_bp,
+             row_number() OVER (ORDER BY nonconf_bp, doc_id) AS rk,
+             count(*) OVER () AS n
+      FROM scored WHERE part = 'cal' AND y = 1
+    ),
+    thr AS (
+      SELECT nonconf_bp AS q_bp, n AS n_cal FROM cal
+      WHERE rk = least(n, CAST(ceil((n + 1) * (10000 - {CONF_ALPHA_BP})
+                                    / 10000.0) AS BIGINT))
+    )
+    SELECT t.q_bp AS threshold_bp,
+           CAST(t.n_cal AS BIGINT) AS n_cal,
+           CAST(count(*) AS BIGINT) AS n_test_pos,
+           CAST(sum(CASE WHEN s.nonconf_bp <= t.q_bp THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_covered,
+           CAST(sum(CASE WHEN s.nonconf_bp <= t.q_bp THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS coverage_ppm
+    FROM scored s CROSS JOIN thr t
+    WHERE s.part = 'test' AND s.y = 1
+    GROUP BY t.q_bp, t.n_cal
+    """,
+    tags=("stats", "conformal", "eval", "pipeline"),
+)
+def conformal_prediction_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction: the calibration half (md5-hash split,
+    positives only) supplies the exact ceil((n+1)(1-alpha))/n order
+    statistic of the nonconformity score (here 10000 - stopword-share
+    bp — low score = conforms to English), and the held-out half
+    reports EMPIRICAL coverage at that threshold — the
+    distribution-free >= 1-alpha guarantee (alpha = {CONF_ALPHA_BP} bp)
+    every deployed quality/safety classifier should ship with, and the
+    finite-sample counterpart of [[score_calibration_reliability]]'s
+    asymptotic curve.  Reference analog: none (LLM-pipeline surface
+    per the brief; split-conformal per Vovk / Lei et al.).
+
+    Exactness: the threshold is an exact order statistic picked by
+    row_number under a total order (score, doc_id); coverage is an
+    integer ppm floor division — no interpolation, no floats.
+
+    Scale shape: one scored scan; the calibration quantile is one
+    ordered window over the calibration-positive subset (at 100 TB:
+    the two-pass distributed rank of [[customer_rfm_segmentation]], or
+    approx_percentile with a documented tolerance); the test-side
+    coverage is a map-side-combined aggregate against the broadcast
+    1-row threshold.
+    """
+    d = compute_scan(spark, sf_dir, "documents")
+    part = F.when(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 2
+        == 0,
+        "cal",
+    ).otherwise("test")
+    scored = (
+        d.select("doc_id", "lang", tokenize(F.col("text")).alias("ts"))
+        .filter(F.size("ts") > 0)
+        .select(
+            "doc_id",
+            part.alias("part"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+            F.expr(
+                "10000 - size(array_intersect(ts,"
+                " array('the','a','and','of','to','is','fast','slow')))"
+                " * 10000 div size(ts)"
+            ).alias("nonconf_bp"),
+        )
+    )
+    cal = scored.filter((F.col("part") == "cal") & (F.col("y") == 1))
+    w = Window.orderBy("nonconf_bp", "doc_id")
+    ranked = cal.select(
+        "nonconf_bp",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    thr = ranked.filter(
+        F.col("rk")
+        == F.least(
+            F.col("n"),
+            F.expr(
+                f"CAST(ceil((n + 1) * (10000 - {CONF_ALPHA_BP}) / 10000.0)"
+                " AS BIGINT)"
+            ),
+        )
+    ).select(F.col("nonconf_bp").alias("q_bp"), F.col("n").alias("n_cal"))
+    test = scored.filter((F.col("part") == "test") & (F.col("y") == 1))
+    return (
+        test.crossJoin(F.broadcast(thr))
+        .groupBy("q_bp", "n_cal")
+        .agg(
+            F.count("*").cast("long").alias("n_test_pos"),
+            F.sum(
+                F.when(F.col("nonconf_bp") <= F.col("q_bp"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_covered"),
+            F.expr(
+                "CAST(sum(CASE WHEN nonconf_bp <= q_bp THEN 1 ELSE 0 END)"
+                " * 1000000 div count(*) AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+        .select(
+            F.col("q_bp").cast("long").alias("threshold_bp"),
+            F.col("n_cal").cast("long").alias("n_cal"),
+            "n_test_pos",
+            "n_covered",
+            "coverage_ppm",
+        )
     )

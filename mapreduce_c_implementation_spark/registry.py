@@ -133,6 +133,8 @@ _DRIVER_PRIORITY = [
     "matryoshka_truncation_recall",
     "stream_rate_anomaly_monitor",
     "entity_resolution_clusters",
+    "conformal_prediction_threshold",
+    "woe_information_value",
 ]
 
 # Operators hard-verified by the driver in prior rounds (the union of

@@ -162,6 +162,8 @@ PROBE_OPS = [
     "count_min_sketch_tokens",
     "matryoshka_truncation_recall",
     "entity_resolution_clusters",
+    "conformal_prediction_threshold",
+    "woe_information_value",
 ]
 
 

@@ -265,6 +265,10 @@ SWEPT_OPS = [
     # round-8 sixth wave: blocked-linkage CC rollup (the streaming rate
     # monitor is covered by test_streaming's provider/restart harness).
     "entity_resolution_clusters",
+    # round-8 seventh wave: exact order-statistic threshold + coverage,
+    # and the fixed-bucket WOE cells.
+    "conformal_prediction_threshold",
+    "woe_information_value",
 ]
 
 

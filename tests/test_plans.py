@@ -279,6 +279,10 @@ _NESTED_LOOP_EXEMPT = {
     # inherits ann_bruteforce_topk's documented exact cross product on
     # both (full and truncated) ground-truth sides
     "matryoshka_truncation_recall",
+    # 1-row conformal-threshold broadcast onto the test-side aggregate
+    "conformal_prediction_threshold",
+    # 1-row (pos, neg, bucket) totals broadcast for the WOE smoothing
+    "woe_information_value",
 }
 
 # Modules whose query_fns build lazy plans (streaming/io execute jobs

@@ -420,3 +420,38 @@ def test_stream_rate_monitor_alert_consistency(spark, sf_correct):
         assert r.alert == (1 if r.z2_milli >= RATE_ALERT_Z2_MILLI else 0)
     # all windows share one baseline
     assert len({r.base_rate_ppm for r in rows}) == 1
+
+
+def test_conformal_coverage_meets_guarantee(spark, sf_correct):
+    """Split-conformal with alpha=10%: empirical held-out coverage of the
+    exact calibration order statistic should sit near (and in
+    expectation above) 1 - alpha; hard-check the construction instead
+    of the stochastic bound: threshold covers >= ceil((n+1)*0.9)/n of
+    the calibration scores by definition."""
+    (r,) = _rows(spark, sf_correct, "conformal_prediction_threshold")
+    assert 0 <= r.threshold_bp <= 10_000
+    assert r.n_covered <= r.n_test_pos
+    assert r.coverage_ppm == r.n_covered * 1_000_000 // r.n_test_pos
+    # coverage should land in a loose band around 1 - alpha = 0.9
+    assert 750_000 <= r.coverage_ppm <= 1_000_000, r.coverage_ppm
+
+
+def test_woe_iv_signs_track_rates(spark, sf_correct):
+    rows = _rows(spark, sf_correct, "woe_information_value")
+    assert rows
+    tot_pos = sum(r.n_pos for r in rows)
+    tot_neg = sum(r.n_neg for r in rows)
+    b = len(rows)
+    for r in rows:
+        # WOE positive iff the bucket's smoothed positive share exceeds
+        # its smoothed negative share
+        lhs = (r.n_pos + 1) * (tot_neg + b)
+        rhs = (r.n_neg + 1) * (tot_pos + b)
+        if lhs > rhs:
+            assert r.woe_micro > 0, r
+        if lhs < rhs:
+            assert r.woe_micro < 0, r
+        # IV contribution has the sign of share_delta * woe: both flip
+        # together, so iv >= 0 except for floor-division edge ties
+        if abs(r.woe_micro) > 5:
+            assert r.iv_pico >= 0, r
