@@ -66,12 +66,16 @@ def test_dedup_exact_identity_when_no_dups(spark, sf_correct):
 
 def test_driver_priority_window():
     """The driver's CORRECTNESS gate checks a 50-query prefix of queries().
-    Round 8 rotates the 15 round-7 additions that queued behind the r7
-    window to the head (completing hard verification of every operator
-    registered through round 7); round-8 additions follow in the same
-    window — pin the ordering here."""
+    With the full registry hard-verified through round 8, the round-9
+    window is: new round-9 additions FIRST, then the regression
+    re-verification queue resuming (registration order) at
+    ``grouping_sets_sales`` — pin the ordering here."""
     import __spark_entry__ as se
-    from mapreduce_c_implementation_spark.registry import _DRIVER_PRIORITY, all_operators
+    from mapreduce_c_implementation_spark.registry import (
+        _DRIVER_NEW_THIS_ROUND,
+        _DRIVER_PRIORITY,
+        all_operators,
+    )
 
     names = list(se.queries())
     ops = all_operators()
@@ -81,18 +85,10 @@ def test_driver_priority_window():
     assert not missing, f"priority names not registered: {missing}"
     assert names[: len(_DRIVER_PRIORITY)] == _DRIVER_PRIORITY
     window = set(names[:50])
-    must_check = {
-        # verdict r7 item 1: the 15 round-7 additions missing driver rows
-        "tokenizer_fertility_stats", "duplicate_token_run_collapse",
-        "cross_source_contamination_matrix", "curriculum_data_ordering",
-        "embedding_dimension_whitening", "dsir_importance_resampling",
-        "ngram_novelty_score", "dedup_soft_weighting",
-        "cusum_changepoint_scan", "dp_laplace_source_histogram",
-        "pass_at_k_eval", "spearman_rank_correlation",
-        "group_holdout_split", "stratified_kfold_assign",
-        "feature_hash_collision_stats",
-    }
-    assert must_check <= window
+    # every new round-9 operator must land inside the verified window
+    assert set(_DRIVER_NEW_THIS_ROUND) <= window
+    # the regression queue resumes exactly where round 8 stopped
+    assert names[len(_DRIVER_NEW_THIS_ROUND)] == "grouping_sets_sales"
     # oracle_sql() ordering must mirror queries() so the driver pairs them
     osql = list(se.oracle_sql())
     assert [n for n in names if n in set(osql)] == osql
@@ -100,17 +96,20 @@ def test_driver_priority_window():
 
 def test_driver_coverage_ledger():
     """Rotation ledger: every registered operator must reach a driver
-    CORRECTNESS row within ceil(N/50) rounds.  Rounds 1-7 verified the
-    frozen ``_DRIVER_VERIFIED_PRIOR`` set (union of CORRECTNESS_r01-r07
-    key sets; r05 duplicated r04's window); the priority list holds
-    every remaining never-verified name IN ORDER (the driver consumes a
-    50-slot prefix per round), so priority + prior must cover the whole
-    registry — no operator can hide outside the rotation."""
+    CORRECTNESS row within ceil(N/50) rounds.  Rounds 1-8 verified the
+    frozen ``_DRIVER_VERIFIED_PRIOR`` set (union of CORRECTNESS_r01-r08
+    key sets; r05 duplicated r04's window).  From round 9 the window is
+    new-ops-first plus a regression re-verification queue; the ledger
+    invariant becomes: prior + new covers the whole registry, the
+    regression queue re-checks only already-verified names, and new
+    names never waste a slot on an already-verified operator."""
     import json
     import pathlib
 
     from mapreduce_c_implementation_spark.registry import (
+        _DRIVER_NEW_THIS_ROUND,
         _DRIVER_PRIORITY,
+        _DRIVER_REGRESSION,
         _DRIVER_VERIFIED_PRIOR,
         all_operators,
     )
@@ -122,20 +121,22 @@ def test_driver_coverage_ledger():
             "CORRECTNESS_r01.json", "CORRECTNESS_r02.json",
             "CORRECTNESS_r03.json", "CORRECTNESS_r04.json",
             "CORRECTNESS_r05.json", "CORRECTNESS_r06.json",
-            "CORRECTNESS_r07.json",
+            "CORRECTNESS_r07.json", "CORRECTNESS_r08.json",
         ):
             actual_prior |= set(json.loads(f.read_text()))
     if actual_prior:  # ledger frozen in-code must match the artifacts
         assert actual_prior == set(_DRIVER_VERIFIED_PRIOR)
 
     ops = set(all_operators())
-    window = set(_DRIVER_PRIORITY)
-    # the window must not waste slots on already-verified or ghost names
-    assert not (window & _DRIVER_VERIFIED_PRIOR), "window wastes verified slots"
-    assert window <= ops
-    leftover = ops - _DRIVER_VERIFIED_PRIOR - window
+    new = set(_DRIVER_NEW_THIS_ROUND)
+    # new slots must not be wasted on already-verified or ghost names
+    assert not (new & _DRIVER_VERIFIED_PRIOR), "new list wastes verified slots"
+    assert set(_DRIVER_PRIORITY) <= ops
+    # the regression queue re-checks only names with a prior green row
+    assert set(_DRIVER_REGRESSION) <= _DRIVER_VERIFIED_PRIOR
+    leftover = ops - _DRIVER_VERIFIED_PRIOR - new
     assert not leftover, (
-        f"{len(leftover)} operators escaped the final round-6 window: "
+        f"{len(leftover)} operators escaped the rotation: "
         f"{sorted(leftover)[:10]}..."
     )
 
