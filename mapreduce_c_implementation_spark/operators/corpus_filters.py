@@ -907,12 +907,12 @@ def toxicity_wordlist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_flagged.alias("n_flagged"),
         F.expr(
             f"CAST(size(filter(ts, t -> array_contains("
-            f"array{TOX_TERMS}, t))) * 1000000 div size(ts) AS BIGINT)"
+            f"array{TOX_TERMS}, t))) AS BIGINT) * 1000000 div size(ts)"
         ).alias("flagged_ppm"),
         F.when(
             F.expr(
-                f"size(filter(ts, t -> array_contains("
-                f"array{TOX_TERMS}, t))) * 1000000 div size(ts)"
+                f"CAST(size(filter(ts, t -> array_contains("
+                f"array{TOX_TERMS}, t))) AS BIGINT) * 1000000 div size(ts)"
             )
             >= TOX_MAX_PPM,
             "drop",

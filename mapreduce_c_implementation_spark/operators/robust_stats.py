@@ -1687,9 +1687,9 @@ def conformal_prediction_threshold(spark: SparkSession, sf_dir: str) -> DataFram
             part.alias("part"),
             F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
             F.expr(
-                "10000 - size(array_intersect(ts,"
+                "10000 - CAST(size(array_intersect(ts,"
                 " array('the','a','and','of','to','is','fast','slow')))"
-                " * 10000 div size(ts)"
+                " AS BIGINT) * 10000 div size(ts)"
             ).alias("nonconf_bp"),
         )
     )

@@ -1124,9 +1124,9 @@ def best_of_n_rejection_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.expr(f"doc_id div {BON_N}").alias("prompt_id"),
             F.expr(
-                "size(array_intersect(ts,"
+                "CAST(size(array_intersect(ts,"
                 " array('the','a','and','of','to','is','fast','slow')))"
-                " * 10000 div size(ts)"
+                " AS BIGINT) * 10000 div size(ts)"
             ).alias("reward_bp"),
         )
     )
@@ -1231,9 +1231,9 @@ def elo_pairwise_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("doc_id div 2").alias("pair_id"),
             "source",
             F.expr(
-                "size(array_intersect(ts,"
+                "CAST(size(array_intersect(ts,"
                 " array('the','a','and','of','to','is','fast','slow')))"
-                " * 10000 div size(ts)"
+                " AS BIGINT) * 10000 div size(ts)"
             ).alias("reward_bp"),
         )
     )

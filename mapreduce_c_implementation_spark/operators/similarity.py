@@ -2180,9 +2180,11 @@ _SQL_MRL_DOT = (
     oracle_sql=f"""
     WITH {_SQL_NORMS},
     tnorms AS (
-      SELECT vec_id, embedding,
-             sqrt({_SQL_MRL_DOT.format(a="embedding", b="embedding")}) AS tnrm
-      FROM embeddings
+      SELECT * FROM (
+        SELECT vec_id, embedding,
+               sqrt({_SQL_MRL_DOT.format(a="embedding", b="embedding")}) AS tnrm
+        FROM embeddings
+      ) WHERE tnrm > 0
     ),
     full_top AS (
       SELECT query_id, neighbor_id FROM (
@@ -2284,10 +2286,18 @@ def matryoshka_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     norms = _norms(spark, sf_dir)
-    tnorms = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "embedding",
-        F.sqrt(trunc_dot(F.col("embedding"), F.col("embedding"))).alias("tnrm"),
+    # Zero-truncated-norm guard: a vector whose first MRL_DIMS components
+    # are all zero has tnrm = 0, and 0/0 diverges across engines (Spark
+    # non-ANSI NULL vs DuckDB inf/error) — drop such vectors from the
+    # truncated side in BOTH engines (the oracle's tnorms CTE mirrors it).
+    tnorms = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "embedding",
+            F.sqrt(trunc_dot(F.col("embedding"), F.col("embedding"))).alias("tnrm"),
+        )
+        .filter(F.col("tnrm") > 0)
     )
     full_top = topk(_spark_dot, "nrm", norms)
     trunc_top = topk(trunc_dot, "tnrm", tnorms).withColumnRenamed(

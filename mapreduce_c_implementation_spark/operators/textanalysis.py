@@ -1436,7 +1436,7 @@ def lexical_diversity_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tok.cast("long").alias("n_tokens"),
         n_typ.cast("long").alias("n_types"),
         hapax.cast("long").alias("n_hapax"),
-        F.when(n_tok > 0, F.expr("size(array_distinct(ts)) * 10000 div size(ts)"))
+        F.when(n_tok > 0, F.expr("CAST(size(array_distinct(ts)) AS BIGINT) * 10000 div size(ts)"))
         .otherwise(0)
         .cast("long")
         .alias("ttr_bp"),
@@ -3299,8 +3299,8 @@ def preference_pair_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "source",
             F.expr(
-                "size(array_intersect(ts, array('the','a','and','of','to',"
-                "'is','fast','slow'))) * 10000 div size(ts)"
+                "CAST(size(array_intersect(ts, array('the','a','and','of','to',"
+                "'is','fast','slow'))) AS BIGINT) * 10000 div size(ts)"
             ).alias("score_bp"),
         )
     )
@@ -4039,7 +4039,7 @@ def cohen_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.when(
                 F.expr(
-                    "size(array_intersect(ts, array('the','a','and','of','to','is','fast','slow')))"
+                    "CAST(size(array_intersect(ts, array('the','a','and','of','to','is','fast','slow'))) AS BIGINT)"
                     f" * 10000 div size(ts) >= {KAPPA_STOP_BP}"
                 ),
                 1,
@@ -4047,7 +4047,7 @@ def cohen_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
             .alias("ra"),
             F.when(
-                F.expr(f"size(array_distinct(ts)) * 10000 div size(ts) >= {KAPPA_TTR_BP}"),
+                F.expr(f"CAST(size(array_distinct(ts)) AS BIGINT) * 10000 div size(ts) >= {KAPPA_TTR_BP}"),
                 1,
             )
             .otherwise(0)
@@ -4630,12 +4630,12 @@ def quality_signal_ensemble_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.expr(
-                "size(array_intersect(ts,"
+                "CAST(size(array_intersect(ts,"
                 " array('the','a','and','of','to','is','fast','slow')))"
-                " * 10000 div size(ts)"
+                " AS BIGINT) * 10000 div size(ts)"
             ).alias("s1"),
             F.expr(
-                "size(array_distinct(ts)) * 10000 div size(ts)"
+                "CAST(size(array_distinct(ts)) AS BIGINT) * 10000 div size(ts)"
             ).alias("s2"),
             F.expr(
                 "aggregate(ts, 0L, (acc, t) -> acc + length(t)) * 1000"

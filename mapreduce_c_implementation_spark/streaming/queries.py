@@ -1230,9 +1230,14 @@ def stream_psi_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 RATE_MON_TYPE = "purchase"
 RATE_ALERT_Z2_MILLI = 3841
 
+# A degenerate baseline (the monitored class at exactly 0% or 100% of
+# history) zeroes the variance term p*(1-p); the engines then diverge
+# (Spark div -> NULL, DuckDB // -> error), so both sides pin z^2 = 0
+# ("no variance, no test") via the same CASE guard.
 _SQL_RATE_Z2 = (
-    "CAST(rate_ppm - base_ppm AS HUGEINT) * (rate_ppm - base_ppm) * n * 1000"
-    " // (base_ppm * (1000000 - base_ppm))"
+    "CASE WHEN base_ppm IN (0, 1000000) THEN 0"
+    " ELSE CAST(rate_ppm - base_ppm AS HUGEINT) * (rate_ppm - base_ppm) * n * 1000"
+    " // (base_ppm * (1000000 - base_ppm)) END"
 )
 
 
@@ -1322,9 +1327,11 @@ def stream_rate_anomaly_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == RATE_MON_TYPE, 1).otherwise(0)
         ).alias("kb"),
     )
+    # Degenerate-baseline guard mirrors _SQL_RATE_Z2 (see comment there).
     z2 = (
-        "CAST(rate_ppm - base_ppm AS DECIMAL(38,0)) * (rate_ppm - base_ppm)"
-        " * n * 1000 div (base_ppm * (1000000 - base_ppm))"
+        "CASE WHEN base_ppm IN (0, 1000000) THEN 0"
+        " ELSE CAST(rate_ppm - base_ppm AS DECIMAL(38,0)) * (rate_ppm - base_ppm)"
+        " * n * 1000 div (base_ppm * (1000000 - base_ppm)) END"
     )
     return (
         win.crossJoin(F.broadcast(base))
