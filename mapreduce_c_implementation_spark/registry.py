@@ -106,8 +106,13 @@ _DRIVER_NEW_THIS_ROUND: list[str] = []
 
 # Regression re-verification queue: registration order, resuming where
 # round 8's re-check window stopped (after ``cube_sales``).  Names past
-# the 50-slot window simply roll to the next round's cursor.
+# the 50-slot window simply roll to the next round's cursor.  The two
+# round-9 REWRITES jump the queue (the verdict's de-weak of the
+# record-linkage blocking changed both ops' outputs — they need fresh
+# driver rows, not a stale green).
 _DRIVER_REGRESSION = [
+    "record_linkage_blocked",
+    "entity_resolution_clusters",
     "grouping_sets_sales", "approx_count_distinct_check", "approx_quantile_check",
     "histogram_events", "variance_stats", "argmax_minmax_by", "percentile_cont_groups",
     "group_mad_outliers", "expectation_checks", "key_skew_profile", "hll_sketch_mergeable",

@@ -87,8 +87,14 @@ def test_driver_priority_window():
     window = set(names[:50])
     # every new round-9 operator must land inside the verified window
     assert set(_DRIVER_NEW_THIS_ROUND) <= window
-    # the regression queue resumes exactly where round 8 stopped
-    assert names[len(_DRIVER_NEW_THIS_ROUND)] == "grouping_sets_sales"
+    # the round-9 rewrites jump the regression queue, which then
+    # resumes exactly where round 8 stopped
+    head = names[len(_DRIVER_NEW_THIS_ROUND):][:3]
+    assert head == [
+        "record_linkage_blocked",
+        "entity_resolution_clusters",
+        "grouping_sets_sales",
+    ]
     # oracle_sql() ordering must mirror queries() so the driver pairs them
     osql = list(se.oracle_sql())
     assert [n for n in names if n in set(osql)] == osql

@@ -366,9 +366,10 @@ def test_matryoshka_recall_bounds(spark, sf_correct):
 
 
 def test_entity_resolution_partitions_all_parts(spark, sf_correct):
-    """Entities partition the part table: sizes sum to |part|, the
-    canonical record is always the min-key member, and every linkage
-    pair lands inside one entity (no split matches)."""
+    """Entities partition the part table: member counts sum to |part|,
+    the canonical record is always the min-key member's name, and
+    union-find over the value-grain linkage pairs reproduces the op's
+    (entity_id, n_members, n_name_variants) table exactly."""
     rows = {r.entity_id: r for r in _rows(spark, sf_correct, "entity_resolution_clusters")}
     assert rows
     n_parts = spark.read.parquet(f"{sf_correct}/part.parquet").count()
@@ -376,17 +377,24 @@ def test_entity_resolution_partitions_all_parts(spark, sf_correct):
     assert all(r.canonical_name is not None for r in rows.values())
     assert any(r.n_members > 1 for r in rows.values()), "no entity merged"
     assert any(r.n_name_variants > 1 for r in rows.values())
-    # ground truth: union-find over the linkage pairs must reproduce the
-    # op's (entity_id = min member key, size) table exactly
+    # ground truth: union-find over the NAME-grain linkage pairs (the
+    # value-grain contract: every row of a name follows its name's
+    # component; unmatched names are one entity per NAME)
     from mapreduce_c_implementation_spark.operators.dedup import (
         record_linkage_blocked,
     )
 
-    pair_rows = record_linkage_blocked(spark, sf_correct).select(
-        "key_a", "key_b"
-    ).collect()
-    part = spark.read.parquet(f"{sf_correct}/part.parquet").select("p_partkey").collect()
-    parent = {p.p_partkey: p.p_partkey for p in part}
+    pair_rows = record_linkage_blocked(spark, sf_correct).collect()
+    part = (
+        spark.read.parquet(f"{sf_correct}/part.parquet")
+        .select("p_partkey", "p_name")
+        .collect()
+    )
+    rep, cnt = {}, {}
+    for p in part:
+        rep[p.p_name] = min(rep.get(p.p_name, p.p_partkey), p.p_partkey)
+        cnt[p.p_name] = cnt.get(p.p_name, 0) + 1
+    parent = {k: k for k in rep.values()}
 
     def find(x):
         while parent[x] != x:
@@ -395,15 +403,17 @@ def test_entity_resolution_partitions_all_parts(spark, sf_correct):
         return x
 
     for pr in pair_rows:
+        assert pr.key_a == rep[pr.name_a] and pr.key_b == rep[pr.name_b]
+        assert (pr.n_rows_a, pr.n_rows_b) == (cnt[pr.name_a], cnt[pr.name_b])
         ra, rb = find(pr.key_a), find(pr.key_b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     truth = {}
-    for k in parent:
-        truth.setdefault(find(k), []).append(k)
-    assert {min(v): len(v) for v in truth.values()} == {
-        e: r.n_members for e, r in rows.items()
-    }
+    for name, r in rep.items():
+        root = find(r)  # min-key root (unions always point max -> min)
+        members, variants = truth.get(root, (0, 0))
+        truth[root] = (members + cnt[name], variants + 1)
+    assert truth == {e: (r.n_members, r.n_name_variants) for e, r in rows.items()}
 
 
 def test_stream_rate_monitor_alert_consistency(spark, sf_correct):
