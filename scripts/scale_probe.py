@@ -7,6 +7,17 @@ by DATA, not by plan pathology (a super-linear ratio flags an
 accidental quadratic — the thing that kills a 100 TB run).
 
 Writes docs/SCALING.md.  Usage: python scripts/scale_probe.py [K]
+
+DIMENSION axis (round-9, verdict r8 item 3): the default probe
+replicates FACT/corpus tables and holds dimensions fixed — which is
+exactly what hid the round-8 entity-resolution quadratic (its cost
+grew with `part`, which the probe never grew).  `python
+scripts/scale_probe.py --dims [D]` replicates `part` and `supplier`
+D-fold instead (facts fixed) and times the dimension-joined operator
+set; it also stages a name-space-GROWN part variant (replica names
+prefixed, so distinct-name count actually grows D-fold) to measure the
+record-linkage blocking selectivity rather than assume it.  Writes a
+`## dims Dx` section.
 """
 
 from __future__ import annotations
@@ -19,7 +30,9 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-K = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+DIMS_MODE = len(sys.argv) > 1 and sys.argv[1] == "--dims"
+_k_arg = sys.argv[2] if DIMS_MODE else (sys.argv[1] if len(sys.argv) > 1 else None)
+K = int(_k_arg) if _k_arg else (8 if DIMS_MODE else 4)
 SF_DIR = "/root/testdata/sf0.1"
 REPS = 2
 
@@ -167,6 +180,108 @@ PROBE_OPS = [
 ]
 
 
+# Dimension-axis probe set: every op whose cost is driven by the
+# part/supplier DIMENSION tables (the axis the default probe holds
+# fixed).  record_linkage_blocked appears twice: once under catalog
+# replication (same name space — the value-grain compaction must hold
+# cost ~flat) and once under name-space growth (staged separately).
+DIM_PROBE_OPS = [
+    "record_linkage_blocked",
+    "entity_resolution_clusters",
+    "join_fuzzy_levenshtein",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q16_supplier_counts",
+]
+DIM_TABLES = {"part": ("p_partkey", "p_name"), "supplier": ("s_suppkey", None)}
+
+
+def stage_dims(spark, out_dir: str, grow_names: bool) -> None:
+    """Replicate part/supplier K-fold (keys shifted; facts copied
+    verbatim).  With grow_names, replica r > 0 gets names prefixed
+    'v{r} ' so the DISTINCT-name space grows K-fold too — the axis that
+    measures blocking selectivity instead of value-grain compaction."""
+    from pyspark.sql import functions as F
+
+    for table in TABLES:
+        df = spark.read.parquet(f"{SF_DIR}/{table}.parquet")
+        if table in DIM_TABLES:
+            key, name_col = DIM_TABLES[table]
+            span = df.agg(F.max(key)).collect()[0][0] + 1
+            parts = []
+            for r in range(K):
+                p = df.withColumn(key, F.col(key) + F.lit(r * span))
+                if grow_names and name_col and r > 0:
+                    p = p.withColumn(
+                        name_col, F.concat(F.lit(f"v{r} "), F.col(name_col))
+                    )
+                parts.append(p)
+            big = parts[0]
+            for p in parts[1:]:
+                big = big.unionByName(p)
+        else:
+            big = df  # facts stay fixed — isolating the dimension axis
+        big.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
+
+
+def main_dims() -> None:
+    from mapreduce_c_implementation_spark.registry import all_operators
+    from mapreduce_c_implementation_spark.session import build_session
+
+    spark = build_session("scale_probe_dims")
+    reg = all_operators()
+    ops = {n: reg[n] for n in DIM_PROBE_OPS}
+    staged = tempfile.mkdtemp(prefix="scale_probe_dim_")
+    staged_names = tempfile.mkdtemp(prefix="scale_probe_dimn_")
+    try:
+        stage_dims(spark, staged, grow_names=False)
+        stage_dims(spark, staged_names, grow_names=True)
+        base = time_ops(spark, ops, SF_DIR)
+        big = time_ops(spark, ops, staged)
+        link_ops = {n: reg[n] for n in ("record_linkage_blocked", "entity_resolution_clusters")}
+        grown = time_ops(spark, link_ops, staged_names)
+        section = [
+            "",
+            f"## dims {K}x",
+            "",
+            f"`part`/`supplier` replicated {K}x (facts fixed).  Rows marked",
+            "*names grown* use the name-space-grown staging (replica names",
+            f"prefixed — {K}x distinct names), the axis that measures the",
+            "linkage blocking selectivity.",
+            "",
+            f"| Operator | 1x wall (s) | dims {K}x wall (s) | ratio |",
+            "|---|---|---|---|",
+        ]
+        for n in DIM_PROBE_OPS:
+            ratio = round(big[n] / base[n], 2) if base[n] else float("nan")
+            section.append(f"| `{n}` | {base[n]} | {big[n]} | {ratio}x |")
+        for n in link_ops:
+            ratio = round(grown[n] / base[n], 2) if base[n] else float("nan")
+            section.append(
+                f"| `{n}` *(names grown)* | {base[n]} | {grown[n]} | {ratio}x |"
+            )
+        out = Path(__file__).resolve().parents[1] / "docs" / "SCALING.md"
+        text = out.read_text() if out.exists() else "# Scaling probe\n"
+        marker = f"\n## dims {K}x\n"
+        if marker in text:  # replace the stale section in place
+            head, _, rest = text.partition(marker)
+            tail = ""
+            nxt = rest.find("\n## ")
+            if nxt != -1:
+                tail = rest[nxt:]
+            text = head + "\n".join(section) + "\n" + tail
+        else:
+            text = text.rstrip("\n") + "\n" + "\n".join(section) + "\n"
+        out.write_text(text)
+        print(f"wrote {out}")
+        for ln in section[8:]:
+            print(ln)
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+        shutil.rmtree(staged_names, ignore_errors=True)
+    spark.stop()
+
+
 def stage(spark, out_dir: str) -> None:
     from pyspark.sql import functions as F
 
@@ -260,4 +375,4 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    main_dims() if DIMS_MODE else main()
