@@ -143,6 +143,10 @@ HEADLINE = [
     "substring_trim_rewrite",
     "count_min_sketch_tokens",
     "matryoshka_truncation_recall",
+    # round-9 additions
+    "suffix_array_ranked_lcp",
+    "substring_exact_spans",
+    "quantile_sketch_mergeable",
 ]
 
 

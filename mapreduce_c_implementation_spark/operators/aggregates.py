@@ -911,3 +911,130 @@ def approx_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("word", "cnt", F.lit(True).alias("in_topk"))
         .orderBy(F.desc("cnt"), "word")
     )
+
+
+# --- Round 9: mergeable quantile sketch --------------------------------
+#
+# Fixed-boundary histogram sketch: the deterministic member of the
+# KLL / t-digest family.  Because bin boundaries are DATA-INDEPENDENT
+# literals (width QSK_WIDTH cents), per-group sketches merge by plain
+# counter addition — the same mergeability contract KLL compactors and
+# t-digest centroid buffers provide, minus their randomized/greedy
+# placement (which would break the cross-engine hash gate).  Estimate
+# error is bounded by one bin width BY CONSTRUCTION.
+QSK_WIDTH = 20_000  # bin width in cents ($200); l_extendedprice < $110k
+QSK_QS = (10, 25, 50, 75, 90, 99)  # report percentiles
+
+
+from pyspark.sql.window import Window as _W  # noqa: E402  (sketch rollup)
+
+
+@register(
+    "quantile_sketch_mergeable",
+    oracle_sql=f"""
+    WITH pts AS (
+      SELECT l_returnflag AS grp,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM lineitem
+    ),
+    sketch AS (
+      SELECT grp, v // {QSK_WIDTH} AS bin, count(*) AS cnt
+      FROM pts GROUP BY 1, 2
+    ),
+    merged AS (
+      SELECT grp, bin, cnt FROM sketch
+      UNION ALL
+      SELECT 'ALL' AS grp, bin, sum(cnt) AS cnt FROM sketch GROUP BY bin
+    ),
+    cum AS (
+      SELECT grp, bin, cnt,
+             sum(cnt) OVER (PARTITION BY grp) AS n,
+             coalesce(sum(cnt) OVER (
+               PARTITION BY grp ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM merged
+    )
+    SELECT grp,
+           CAST(q_pct AS BIGINT) AS q_pct,
+           CAST(bin * {QSK_WIDTH}
+                + ((n - 1) * q_pct // 100 - cb) * {QSK_WIDTH} // cnt
+                AS BIGINT) AS est_cents,
+           CAST(n AS BIGINT) AS n
+    FROM cum, unnest([{", ".join(str(q) for q in QSK_QS)}]) AS t(q_pct)
+    WHERE (n - 1) * q_pct // 100 >= cb
+      AND (n - 1) * q_pct // 100 < cb + cnt
+    """,
+    tags=("aggregate", "sketch", "quantile", "mergeable"),
+)
+def quantile_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch over order-line prices: per-group
+    fixed-boundary histograms (width {QSK_WIDTH} cents) whose counters
+    ADD — the per-returnflag sketches and the corpus-wide 'ALL' row are
+    read off the SAME sketch table, no second scan (the rollup property
+    KLL/t-digest are built for, in their deterministic fixed-bin
+    special case; completes the sketch shelf next to
+    [[hll_sketch_mergeable]] and [[count_min_sketch_tokens]]).
+    Percentile q is located by 0-based rank (n-1)*q//100 in the
+    cumulative sketch and linearly interpolated INSIDE the bin with
+    integer arithmetic — estimate error <= one bin width by
+    construction (asserted against the exact order statistic in
+    tests/test_round9_ops.py).
+
+    Scale shape: the sketch build is ONE map-side-combined aggregate
+    collapsing every partition to <= |groups| x |bins| counter rows
+    (~550 bins here) before the exchange — the reference's combiner
+    discipline (/root/reference/src/buffer.c:107-116) applied to a
+    sketch, and the exact reason the merge stage touches kilobytes at
+    any corpus size.  Quantile extraction windows run over the bounded
+    sketch table, never the data.  At 100 TB per-executor sketches
+    stream into the same 550-counter merge; changing accuracy is one
+    literal.
+
+    Reference analog: src/reduce.c:64-84 (per-group fold) — here the
+    fold state is the whole distribution, not one scalar.
+    """
+    pts = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("v"),
+    )
+    sketch = (
+        pts.select("grp", F.expr(f"v div {QSK_WIDTH}").alias("bin"))
+        .groupBy("grp", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    merged = sketch.unionAll(
+        sketch.groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(F.lit("ALL").alias("grp"), "bin", "cnt")
+    )
+    w_n = _W.partitionBy("grp")
+    w_cum = (
+        _W.partitionBy("grp")
+        .orderBy("bin")
+        .rowsBetween(_W.unboundedPreceding, -1)
+    )
+    cum = merged.select(
+        "grp",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w_n).alias("n"),
+        F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).alias("cb"),
+    )
+    qs = F.explode(F.array(*[F.lit(q) for q in QSK_QS])).alias("q_pct")
+    r = F.expr("(n - 1) * q_pct div 100")
+    return (
+        cum.select("*", qs)
+        .filter((r >= F.col("cb")) & (r < F.col("cb") + F.col("cnt")))
+        .select(
+            "grp",
+            F.col("q_pct").cast("long").alias("q_pct"),
+            F.expr(
+                f"CAST(bin * {QSK_WIDTH}"
+                f" + ((n - 1) * q_pct div 100 - cb) * {QSK_WIDTH} div cnt"
+                f" AS BIGINT)"
+            ).alias("est_cents"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )

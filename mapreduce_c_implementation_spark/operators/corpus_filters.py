@@ -2251,3 +2251,269 @@ def cross_source_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataF
             " AS jaccard_ppm",
         )
     )
+
+
+# --- Round 9: exact substring dedup (suffix-array family) -------------
+#
+# The anchored family above ([[exact_substring_duplicates]],
+# [[substring_overlap_spans]]) trades recall for a ~1/stride cost cut.
+# These two operators are the EXACT tier: every position is a suffix,
+# no anchors, no misses — the "Deduplicating Training Data" suffix-array
+# construction re-expressed as relational ops.  A duplicated substring
+# of length >= SUFFIX_MINLEN exists iff some SUFFIX_MINLEN-char gram
+# occurs at >= 2 positions, and the MAXIMAL match length at a position
+# is the larger LCP against its rank-order neighbors within the shared
+# gram bucket (the suffix-array LCP property: the nearest suffixes in
+# sorted order realize the longest common prefixes).
+SUFFIX_MINLEN = 20  # detection grain: minimal duplicated-substring length
+SUFFIX_K = 64  # suffix key depth: match lengths reported up to this cap
+
+# Prefix-bisection LCP: after step s the prefix [1, l] is known equal;
+# probe [1, l + s].  Steps sum to 127 > SUFFIX_K, so equal keys resolve
+# to the length cap via the trailing least().  O(log K) substring
+# comparisons instead of the O(K^2) monotone-count fold.
+_LCP_STEPS = (64, 32, 16, 8, 4, 2, 1)
+
+
+def lcp_step_exprs(a: str, b: str, prefix: str, out: str) -> list[tuple[str, str]]:
+    """[(alias, sql)] chain computing least-capped LCP(a, b) by prefix
+    bisection.  Identical SQL text drives both engines: Spark consumes
+    the steps as chained projections, the DuckDB oracle as lateral
+    column aliases in one SELECT."""
+    steps: list[tuple[str, str]] = []
+    prev = "0"
+    for k, s in enumerate(_LCP_STEPS):
+        alias = f"{prefix}{k}"
+        steps.append(
+            (
+                alias,
+                f"{prev} + (CASE WHEN substr({a}, 1, {prev} + {s})"
+                f" = substr({b}, 1, {prev} + {s}) THEN {s} ELSE 0 END)",
+            )
+        )
+        prev = alias
+    steps.append((out, f"least({prev}, length({a}), length({b}))"))
+    return steps
+
+
+def _sql_lateral(steps: list[tuple[str, str]]) -> str:
+    return ",\n             ".join(f"{sql} AS {alias}" for alias, sql in steps)
+
+
+_SQL_SUFFIXES = f"""
+    suf AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS i,
+             substr(text, i, {SUFFIX_MINLEN}) AS bucket,
+             substr(text, i, {SUFFIX_K}) AS sk
+      FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - {SUFFIX_MINLEN - 1})) AS i
+        FROM documents WHERE length(text) >= {SUFFIX_MINLEN}
+      )
+    )
+"""
+
+
+@register(
+    "suffix_array_ranked_lcp",
+    oracle_sql=f"""
+    WITH {_SQL_SUFFIXES.strip()},
+    nbr AS (
+      SELECT doc_id, i, sk,
+             coalesce(lag(sk) OVER w, '') AS prev_sk,
+             coalesce(lead(sk) OVER w, '') AS next_sk
+      FROM (SELECT *, count(*) OVER (PARTITION BY bucket) AS nb FROM suf)
+      WHERE nb >= 2
+      WINDOW w AS (PARTITION BY bucket ORDER BY sk, doc_id, i)
+    ),
+    lcp AS (
+      SELECT doc_id, i,
+             {_sql_lateral(lcp_step_exprs("sk", "prev_sk", "_p", "lcp_prev"))},
+             {_sql_lateral(lcp_step_exprs("sk", "next_sk", "_n", "lcp_next"))},
+             greatest(lcp_prev, lcp_next) AS match_len
+      FROM nbr
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_dup_suffixes,
+           CAST(max(match_len) AS BIGINT) AS max_match_len,
+           CAST(min(CASE WHEN match_len = mx THEN i END) AS BIGINT) AS argmax_pos
+    FROM (SELECT *, max(match_len) OVER (PARTITION BY doc_id) AS mx FROM lcp)
+    GROUP BY doc_id
+    """,
+    tags=("text", "dedup", "substring", "suffix", "pipeline"),
+)
+def suffix_array_ranked_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix ranking with neighbor LCP — the EXACT maximal-duplicated-
+    match report the stride-anchored screens cannot give: every
+    position is a suffix keyed by its first {SUFFIX_K} chars; suffixes
+    sharing a {SUFFIX_MINLEN}-char leading gram (>= 2 occurrences
+    anywhere in the corpus, same- or cross-document) are ranked within
+    the gram bucket, and each takes the larger prefix-bisection LCP
+    against its two rank neighbors — by the suffix-array LCP property
+    that IS its maximal duplicated-match length (capped at
+    {SUFFIX_K - 1}).  Doc-grain rollup: duplicated-suffix count, max
+    match length, and the earliest position achieving it.
+
+    Scale shape: suffix enumeration is an in-row flatMap (one row per
+    corpus char, each carrying <= {SUFFIX_MINLEN + SUFFIX_K} chars —
+    the linear-space trick vs materializing real suffixes); ONE
+    exchange on the gram bucket serves both the duplicate screen
+    (windowed count) and the rank sort (bucket-partitioned window —
+    global suffix order is never needed: neighbors with LCP >=
+    {SUFFIX_MINLEN} share the bucket by construction, so bucket-local
+    adjacency is exact).  LCP is O(log K) substring probes, only on
+    duplicated suffixes (~15% of positions on this fixture).  The
+    doc-grain window + groupBy share the second exchange.  At 100 TB
+    the per-position substring would come from a rolling scan inside
+    mapInPandas; keys, buckets, and output are unchanged.
+
+    Reference analog: none (LLM-pipeline surface per the brief);
+    completes the round-8 span family's exactness ladder.
+    """
+    d = parallel_scan(spark, sf_dir, "documents")
+    positions = F.when(
+        F.length("text") >= SUFFIX_MINLEN,
+        F.sequence(F.lit(1), F.length("text") - (SUFFIX_MINLEN - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    suf = d.select("doc_id", "text", F.explode(positions).alias("i")).select(
+        "doc_id",
+        F.col("i").cast("long").alias("i"),
+        F.substring(F.col("text"), F.col("i"), SUFFIX_MINLEN).alias("bucket"),
+        F.substring(F.col("text"), F.col("i"), SUFFIX_K).alias("sk"),
+    )
+    w_bucket = Window.partitionBy("bucket")
+    w_rank = Window.partitionBy("bucket").orderBy("sk", "doc_id", "i")
+    nbr = (
+        suf.withColumn("nb", F.count("*").over(w_bucket))
+        .filter(F.col("nb") >= 2)
+        .withColumn("prev_sk", F.coalesce(F.lag("sk").over(w_rank), F.lit("")))
+        .withColumn("next_sk", F.coalesce(F.lead("sk").over(w_rank), F.lit("")))
+        .select("doc_id", "i", "sk", "prev_sk", "next_sk")
+    )
+    for alias, sql in lcp_step_exprs("sk", "prev_sk", "_p", "lcp_prev"):
+        nbr = nbr.withColumn(alias, F.expr(sql))
+    for alias, sql in lcp_step_exprs("sk", "next_sk", "_n", "lcp_next"):
+        nbr = nbr.withColumn(alias, F.expr(sql))
+    lcp = nbr.select(
+        "doc_id",
+        "i",
+        F.greatest("lcp_prev", "lcp_next").alias("match_len"),
+    )
+    w_doc = Window.partitionBy("doc_id")
+    return (
+        lcp.withColumn("mx", F.max("match_len").over(w_doc))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_dup_suffixes"),
+            F.max("match_len").cast("long").alias("max_match_len"),
+            F.min(F.when(F.col("match_len") == F.col("mx"), F.col("i")))
+            .cast("long")
+            .alias("argmax_pos"),
+        )
+    )
+
+
+@register(
+    "substring_exact_spans",
+    oracle_sql=f"""
+    WITH {_SQL_SUFFIXES.strip()},
+    dup AS (
+      SELECT bucket FROM suf
+      GROUP BY bucket HAVING count(DISTINCT doc_id) >= 2
+    ),
+    occ AS (
+      SELECT s.doc_id, s.i FROM suf s JOIN dup USING (bucket)
+    ),
+    flagged AS (
+      SELECT doc_id, i,
+             CASE WHEN max(i + {SUFFIX_MINLEN}) OVER (
+                    PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= i
+                  THEN 0 ELSE 1 END AS new_span
+      FROM occ
+    ),
+    islands AS (
+      SELECT doc_id, i,
+             sum(new_span) OVER (
+               PARTITION BY doc_id ORDER BY i
+               ROWS UNBOUNDED PRECEDING) AS span_id
+      FROM flagged
+    )
+    SELECT doc_id,
+           CAST(span_id AS BIGINT) AS span_id,
+           CAST(min(i) AS BIGINT) AS span_start,
+           CAST(max(i) + {SUFFIX_MINLEN} AS BIGINT) AS span_end,
+           CAST(max(i) + {SUFFIX_MINLEN} - min(i) AS BIGINT) AS span_len,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM islands
+    GROUP BY doc_id, span_id
+    """,
+    tags=("text", "dedup", "substring", "spans", "pipeline"),
+)
+def substring_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT cross-document duplicated-span extraction — the stride-free
+    upgrade of [[substring_overlap_spans]]: every {SUFFIX_MINLEN}-char
+    gram (at EVERY position, no anchors) seen in >= 2 distinct
+    documents marks its occurrence, and per-document overlapping-or-
+    adjacent marks merge into maximal spans (gaps-and-islands).  Unlike
+    the anchored screen, no shared run of length >= {SUFFIX_MINLEN} can
+    be missed, and span boundaries are exact to the character — these
+    are precisely the byte ranges suffix-array dedup would trim.
+
+    Scale shape: one row per corpus char carrying a raw
+    {SUFFIX_MINLEN}-char gram (shorter than a hex digest — no hashing
+    needed for exactness), one gram-keyed exchange for the distinct-doc
+    screen, one equi-join back (duplicate grams only), then the
+    doc-partitioned island merge — per-document window work bounded by
+    the heaviest single document.  Exactness costs stride(=
+    {SUBSTR_STRIDE}) times the anchored op's shuffle volume, linear
+    either way; run the anchored screen first and this tier on the
+    flagged partition subset at 100 TB.
+
+    Reference analog: none (LLM-pipeline surface per the brief).
+    """
+    d = parallel_scan(spark, sf_dir, "documents")
+    positions = F.when(
+        F.length("text") >= SUFFIX_MINLEN,
+        F.sequence(F.lit(1), F.length("text") - (SUFFIX_MINLEN - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    suf = d.select("doc_id", "text", F.explode(positions).alias("i")).select(
+        "doc_id",
+        F.col("i").cast("long").alias("i"),
+        F.substring(F.col("text"), F.col("i"), SUFFIX_MINLEN).alias("bucket"),
+    )
+    dup = (
+        suf.groupBy("bucket")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("bucket")
+    )
+    occ = suf.join(dup, "bucket").select("doc_id", "i")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = occ.select(
+        "doc_id",
+        "i",
+        F.when(
+            F.max(F.col("i") + SUFFIX_MINLEN).over(w_prev) >= F.col("i"), 0
+        )
+        .otherwise(1)
+        .alias("new_span"),
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.select(
+        "doc_id", "i", F.sum("new_span").over(w_run).alias("span_id")
+    )
+    return islands.groupBy("doc_id", "span_id").agg(
+        F.min("i").alias("span_start"),
+        (F.max("i") + SUFFIX_MINLEN).alias("span_end"),
+        (F.max("i") + SUFFIX_MINLEN - F.min("i")).alias("span_len"),
+        F.count("*").alias("n_windows"),
+    )

@@ -102,7 +102,13 @@ def register(
 # prior + new covers the full registry.
 
 # Round-9 additions, in priority order (appended as they land).
-_DRIVER_NEW_THIS_ROUND: list[str] = []
+_DRIVER_NEW_THIS_ROUND: list[str] = [
+    "suffix_array_ranked_lcp",
+    "substring_exact_spans",
+    "quantile_sketch_mergeable",
+    "stream_quantile_sketch_windows",
+    "stream_asof_join",
+]
 
 # Regression re-verification queue: registration order, resuming where
 # round 8's re-check window stopped (after ``cube_sales``).  Names past

@@ -1357,3 +1357,225 @@ def stream_rate_anomaly_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("alert"),
         )
     )
+
+
+# --- Round 9: streaming mergeable quantile sketch ----------------------
+#
+# The streaming twin of operators/aggregates.py's
+# [[quantile_sketch_mergeable]]: because fixed-boundary histogram
+# counters merge by addition, the sketch is maintainable INCREMENTALLY
+# by a plain watermarked windowed count — each micro-batch's partial
+# counters fold into window state exactly like the batch map-side
+# combine.  events.value < $600, so $20 cells give <= ~30 counters of
+# state per window.
+QSK_EV_WIDTH = 2_000  # bin width in value-cents ($20)
+QSK_EV_QS = (50, 90)  # percentiles served per window
+
+
+@register(
+    "stream_quantile_sketch_windows",
+    oracle_sql=f"""
+    WITH {{wm}},
+    kept AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+             CAST(floor(value * 100) AS BIGINT) // {QSK_EV_WIDTH} AS bin
+      FROM events, wm
+      WHERE NOT ({{late}}
+                 AND time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR <= wm.w1)
+    ),
+    sketch AS (
+      SELECT window_start, bin, count(*) AS cnt
+      FROM kept GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT window_start, bin, cnt,
+             sum(cnt) OVER (PARTITION BY window_start) AS n,
+             coalesce(sum(cnt) OVER (
+               PARTITION BY window_start ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM sketch
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           CAST(q_pct AS BIGINT) AS q_pct,
+           CAST(bin * {QSK_EV_WIDTH}
+                + ((n - 1) * q_pct // 100 - cb) * {QSK_EV_WIDTH} // cnt
+                AS BIGINT) AS est_cents,
+           CAST(n AS BIGINT) AS n
+    FROM cum, unnest([{", ".join(str(q) for q in QSK_EV_QS)}]) AS t(q_pct)
+    WHERE (n - 1) * q_pct // 100 >= cb
+      AND (n - 1) * q_pct // 100 < cb + cnt
+    """.format(wm=_SQL_WM1.strip(), late=_SQL_IS_LATE_ARRIVAL),
+    tags=("streaming", "sketch", "quantile", "window"),
+)
+def stream_quantile_sketch_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window streaming quantile sketch: a watermarked 1-hour
+    windowed count over fixed ${QSK_EV_WIDTH // 100} value cells IS the
+    sketch — mergeable counters mean micro-batch partials fold into
+    window state with no custom stateful operator, and state per window
+    is bounded by the cell count (~30), not the event count.  On window
+    close the append-mode sink holds the final per-window sketch;
+    p{QSK_EV_QS[0]}/p{QSK_EV_QS[1]} are read off the flushed counters
+    with the same integer rank-interpolation as the batch op (error <=
+    one cell by construction) — the Druid-style split where the STREAM
+    maintains summaries and the serving read extracts quantiles from
+    bounded state.  Late rows follow the standard window-close drop
+    rule; the sentinel's own window never flushes and is excluded.
+
+    Reference analog: none (SURVEY §2.2 streaming surface); the
+    counter-fold is the reference combiner discipline
+    (/root/reference/src/buffer.c:107-116) applied to window state.
+    """
+
+    def build(stream):
+        bin_ = F.expr(f"CAST(floor(value * 100) AS BIGINT) div {QSK_EV_WIDTH}")
+        return (
+            stream.withWatermark("ts", WATERMARK_DELAY)
+            .groupBy(F.window("ts", "1 hour"), bin_.alias("bin"))
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    t = _run_stream(spark, sf_dir, build)
+    sketch = t.filter(
+        F.col("window.start") < F.lit(SENTINEL_TS).cast("timestamp")
+    ).select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "bin",
+        "cnt",
+    )
+    from pyspark.sql.window import Window as _W
+
+    w_n = _W.partitionBy("window_start")
+    w_cum = (
+        _W.partitionBy("window_start")
+        .orderBy("bin")
+        .rowsBetween(_W.unboundedPreceding, -1)
+    )
+    cum = sketch.select(
+        "window_start",
+        "window_end",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w_n).alias("n"),
+        F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).alias("cb"),
+    )
+    qs = F.explode(F.array(*[F.lit(q) for q in QSK_EV_QS])).alias("q_pct")
+    r = F.expr("(n - 1) * q_pct div 100")
+    return (
+        cum.select("*", qs)
+        .filter((r >= F.col("cb")) & (r < F.col("cb") + F.col("cnt")))
+        .select(
+            "window_start",
+            "window_end",
+            F.col("q_pct").cast("long").alias("q_pct"),
+            F.expr(
+                f"CAST(bin * {QSK_EV_WIDTH}"
+                f" + ((n - 1) * q_pct div 100 - cb) * {QSK_EV_WIDTH} div cnt"
+                f" AS BIGINT)"
+            ).alias("est_cents"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+
+
+@register(
+    "stream_asof_join",
+    oracle_sql="""
+    WITH c AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'click'
+        AND NOT (ts < TIMESTAMP '2024-01-20 00:00:00' AND event_id % 10 = 7)
+    ),
+    p AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+        AND NOT (ts < TIMESTAMP '2024-01-20 00:00:00' AND event_id % 10 = 7)
+    ),
+    j AS (
+      SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+             p.event_id AS p_id, p.ts AS p_ts, p.value AS p_value
+      FROM c JOIN p
+        ON p.user_id = c.user_id
+       AND p.ts <= c.ts AND p.ts >= c.ts - INTERVAL 2 HOUR
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY click_id
+                                   ORDER BY p_ts DESC, p_id DESC) AS rn
+      FROM j
+    )
+    SELECT user_id, click_id, click_ts,
+           p_id AS purchase_id, p_value AS purchase_value
+    FROM r WHERE rn = 1
+    """,
+    tags=("streaming", "join", "asof", "stream-stream"),
+)
+def stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream AS-OF join: each click is attributed to the LATEST
+    purchase by the same user at-or-before it within a 2-hour lookback
+    — the time-series point-in-time join, streaming form.  Spark has no
+    native as-of operator; this is the canonical decomposition into two
+    chained STATEFUL operators (Spark 3.4+ watermark propagation):
+    (1) a watermarked time-interval stream-stream join bounding state
+    to the lookback, then (2) a windowed streaming aggregation taking
+    the per-click lexicographic max of (purchase_ts, purchase_id,
+    value) — associative across micro-batches, so arrival order cannot
+    change the winner.  Append mode end to end: a click emits exactly
+    once, when its window closes.
+
+    Clicks with no purchase in the lookback drop (inner as-of); ties on
+    purchase_ts break by the higher event_id in BOTH engines.  Late
+    held-back rows are excluded up front on both sides as in
+    [[stream_stream_join]] (two-watermark lateness interplay is not
+    oracle-tractable; lateness semantics are the windowed ops' job).
+
+    Scale shape: join state is bounded by the 2-hour interval per the
+    join condition; agg state by the 1-hour window + watermark — both
+    keyed on user/click, so the pipeline shuffles twice and holds
+    O(active-interval) state regardless of stream length.
+
+    Reference analog: none (SURVEY §2.2 streaming surface).
+    """
+
+    def side(event_type: str, prefix: str):
+        return (
+            _staged_stream(spark, sf_dir)
+            .filter(
+                ~(
+                    (F.col("ts") < F.lit("2024-01-20").cast("timestamp"))
+                    & (F.col("event_id") % 10 == 7)
+                )
+            )
+            .filter(F.col("event_type").isin([event_type, SENTINEL_TYPE]))
+            .select(
+                F.col("user_id").alias(f"{prefix}_user_id"),
+                F.col("event_id").alias(f"{prefix}_event_id"),
+                F.col("value").alias(f"{prefix}_value"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", WATERMARK_DELAY)
+        )
+
+    clicks = side("click", "c")
+    purchases = side("purchase", "p")
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user_id") == F.col("c_user_id"))
+        & (F.col("p_ts") <= F.col("c_ts"))
+        & (F.col("p_ts") >= F.col("c_ts") - F.expr("INTERVAL 2 HOURS")),
+        "inner",
+    )
+    best = joined.groupBy(
+        F.window("c_ts", "1 hour"), "c_user_id", "c_event_id"
+    ).agg(
+        F.max(F.struct("p_ts", "p_event_id", "p_value")).alias("m"),
+        F.max("c_ts").alias("click_ts"),
+    )
+    t = _drain_to_table(spark, best)
+    return t.filter(F.col("c_user_id") != -1).select(
+        F.col("c_user_id").alias("user_id"),
+        F.col("c_event_id").alias("click_id"),
+        "click_ts",
+        F.col("m.p_event_id").alias("purchase_id"),
+        F.col("m.p_value").alias("purchase_value"),
+    )

@@ -269,6 +269,12 @@ SWEPT_OPS = [
     # and the fixed-bucket WOE cells.
     "conformal_prediction_threshold",
     "woe_information_value",
+    # round-9 first wave: bucket-partitioned suffix ranking, stride-free
+    # island merge, and the fixed-bin sketch rollup (streaming twins are
+    # covered by test_streaming's provider/restart harness).
+    "suffix_array_ranked_lcp",
+    "substring_exact_spans",
+    "quantile_sketch_mergeable",
 ]
 
 

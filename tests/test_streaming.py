@@ -67,7 +67,9 @@ def test_rocksdb_state_store_provider_invariance(spark, sf_correct):
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     )
     orig = spark.conf.get(provider_conf)
-    for name in ["stream_tumbling_window", "stream_stateful_totals"]:
+    # stream_asof_join covers the chained stateful pipeline (interval
+    # join -> windowed max) under RocksDB, not just single-operator state.
+    for name in ["stream_tumbling_window", "stream_stateful_totals", "stream_asof_join"]:
         op = get_operator(name)
         baseline = canonical_rows(op.query_fn(spark, sf_correct).toPandas())
         try:
