@@ -147,6 +147,11 @@ HEADLINE = [
     "suffix_array_ranked_lcp",
     "substring_exact_spans",
     "quantile_sketch_mergeable",
+    "association_rules_parts",
+    "ndcg_ranking_eval",
+    "generation_cer_eval",
+    "brier_score_decomposition",
+    "paired_bootstrap_significance",
 ]
 
 

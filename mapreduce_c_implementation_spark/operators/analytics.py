@@ -2083,3 +2083,129 @@ def window_funnel_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_users"))
         .orderBy("funnel_level")
     )
+
+
+# --- Round 9: market-basket association rules ---------------------------
+#
+# Apriori with the ONLY prune that matters at scale: items below the
+# support floor never reach the pair join (the anti-monotone property —
+# a pair can't be frequent if either item isn't), so within-basket pair
+# fan-out runs on the pruned basket.  Per-basket pair count is bounded
+# by basket size squared (TPC-H orders carry <= 7 lines), never by
+# catalog size.
+ARULE_MIN_ITEM_ORDERS = 3  # item support floor (distinct baskets)
+ARULE_MIN_PAIR_ORDERS = 2  # pair support floor
+
+
+@register(
+    "association_rules_parts",
+    oracle_sql=f"""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    items AS (
+      SELECT p, count(*) AS n_item FROM baskets
+      GROUP BY p HAVING count(*) >= {ARULE_MIN_ITEM_ORDERS}
+    ),
+    freq AS (
+      SELECT b.o, b.p, i.n_item FROM baskets b JOIN items i USING (p)
+    ),
+    pairs AS (
+      SELECT a.p AS pa, b.p AS pb,
+             max(a.n_item) AS n_a, max(b.n_item) AS n_b,
+             count(*) AS n_pair
+      FROM freq a JOIN freq b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p HAVING count(*) >= {ARULE_MIN_PAIR_ORDERS}
+    ),
+    directed AS (
+      SELECT pa AS antecedent, pb AS consequent, n_a AS n_ante,
+             n_b AS n_cons, n_pair FROM pairs
+      UNION ALL
+      SELECT pb, pa, n_b, n_a, n_pair FROM pairs
+    ),
+    total AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM lineitem)
+    SELECT antecedent, consequent,
+           CAST(n_ante AS BIGINT) AS n_ante,
+           CAST(n_cons AS BIGINT) AS n_cons,
+           CAST(n_pair AS BIGINT) AS n_pair,
+           CAST(n_pair * 1000000 // n_ante AS BIGINT) AS confidence_ppm,
+           CAST(CAST(n_pair AS HUGEINT) * n_baskets * 1000000
+                // (CAST(n_ante AS HUGEINT) * n_cons) AS BIGINT)
+             AS lift_ppm
+    FROM directed, total
+    """,
+    tags=("analytics", "basket", "apriori", "rules"),
+)
+def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: parts
+    co-ordered in >= {ARULE_MIN_PAIR_ORDERS} orders, reported in both
+    rule directions with integer-exact support, confidence, and lift
+    (ppm floors; the pair*N product routes through DECIMAL(38,0) — at
+    100 TB basket counts it passes int64).
+
+    Scale shape: the Apriori anti-monotone prune runs FIRST — one
+    part-keyed aggregate drops infrequent items before any pair is
+    formed (the reference's shrink-before-the-expensive-stage combiner
+    discipline, /root/reference/src/main.c:62-81) — then the pair stage
+    is a basket-keyed equi self-join whose per-basket fan-out is
+    bounded by basket size squared (<= 7 lines per TPC-H order), never
+    by catalog size; pair support is one more keyed aggregate.  The
+    1-row basket total broadcasts.  No candidate generation loop is
+    needed at the 2-itemset grain; k-itemsets would iterate this same
+    prune-join-count round.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    )
+    baskets = li.distinct()
+    items = (
+        baskets.groupBy("p")
+        .agg(F.count("*").alias("n_item"))
+        .filter(F.col("n_item") >= ARULE_MIN_ITEM_ORDERS)
+    )
+    freq = baskets.join(items, "p").select("o", "p", "n_item")
+    a = freq.select(
+        F.col("o"), F.col("p").alias("pa"), F.col("n_item").alias("na")
+    )
+    b = freq.select(
+        F.col("o"), F.col("p").alias("pb"), F.col("n_item").alias("nb")
+    )
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(
+            F.max("na").alias("n_a"),
+            F.max("nb").alias("n_b"),
+            F.count("*").alias("n_pair"),
+        )
+        .filter(F.col("n_pair") >= ARULE_MIN_PAIR_ORDERS)
+    )
+    directed = pairs.select(
+        F.col("pa").alias("antecedent"),
+        F.col("pb").alias("consequent"),
+        F.col("n_a").alias("n_ante"),
+        F.col("n_b").alias("n_cons"),
+        "n_pair",
+    ).unionAll(
+        pairs.select(
+            F.col("pb").alias("antecedent"),
+            F.col("pa").alias("consequent"),
+            F.col("n_b").alias("n_ante"),
+            F.col("n_a").alias("n_cons"),
+            "n_pair",
+        )
+    )
+    total = li.agg(F.count_distinct("o").alias("n_baskets"))
+    return directed.crossJoin(F.broadcast(total)).select(
+        "antecedent",
+        "consequent",
+        F.col("n_ante").cast("long").alias("n_ante"),
+        F.col("n_cons").cast("long").alias("n_cons"),
+        F.col("n_pair").cast("long").alias("n_pair"),
+        F.expr("n_pair * 1000000 div n_ante").cast("long").alias("confidence_ppm"),
+        F.expr(
+            "CAST(CAST(n_pair AS DECIMAL(38,0)) * n_baskets * 1000000"
+            " div (CAST(n_ante AS DECIMAL(38,0)) * n_cons) AS BIGINT)"
+        ).alias("lift_ppm"),
+    )

@@ -1275,3 +1275,158 @@ def elo_pairwise_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- Round 9: paired bootstrap significance -----------------------------
+#
+# Paired-example system comparison (the eval-harness significance test:
+# "is scorer A really better than scorer B, or is the delta noise?"),
+# via the same deterministic Poisson(1) machinery as
+# [[poisson_bootstrap_mean]] but over per-document metric DELTAS and
+# with enough replicates for a sign-counting p-value.
+PB_REPLICATES = 64
+_PB_STOP_SQL = "['the','a','and','of','to','is','fast','slow']"
+
+
+@register(
+    "paired_bootstrap_significance",
+    oracle_sql=f"""
+    WITH toks AS (
+      SELECT doc_id, {{tok}} AS ts FROM documents
+    ),
+    deltas AS (
+      SELECT doc_id,
+             len(list_distinct(ts)) * 1000000 // len(ts)
+             - len(list_filter(ts, t -> NOT list_contains({_PB_STOP_SQL}, t)))
+               * 1000000 // len(ts) AS d
+      FROM toks WHERE len(ts) > 0
+    ),
+    reps AS (
+      SELECT r.r AS replicate,
+             sum(CAST({_boot_w_sql(
+                 "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' "
+                 "|| CAST(r.r AS VARCHAR)), 1, 6) AS BIGINT) % " + str(_BOOT_SCALE)
+             )} AS HUGEINT) * d) AS swd
+      FROM deltas CROSS JOIN
+           (SELECT unnest(generate_series(0, {PB_REPLICATES - 1})) AS r) r
+      GROUP BY r.r
+    ),
+    point AS (
+      SELECT count(*) AS n_docs, sum(CAST(d AS HUGEINT)) AS sd FROM deltas
+    )
+    SELECT CAST(p.n_docs AS BIGINT) AS n_docs,
+           CAST({PB_REPLICATES} AS BIGINT) AS b,
+           CAST(CASE WHEN p.sd > 0 THEN 1 WHEN p.sd < 0 THEN -1 ELSE 0 END
+                AS BIGINT) AS point_sign,
+           CAST(abs(p.sd) // p.n_docs AS BIGINT) AS point_abs_mean_ppm,
+           CAST(sum(CASE WHEN r.swd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(sum(CASE WHEN r.swd < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+           CAST(least(1000,
+                2 * least(sum(CASE WHEN r.swd <= 0 THEN 1 ELSE 0 END),
+                          sum(CASE WHEN r.swd >= 0 THEN 1 ELSE 0 END))
+                  * 1000 // {PB_REPLICATES}) AS BIGINT) AS p_two_sided_milli
+    FROM reps r CROSS JOIN point p
+    GROUP BY p.n_docs, p.sd
+    """.format(tok=_TOK),
+    tags=("sampling", "bootstrap", "significance", "eval", "pipeline"),
+)
+def paired_bootstrap_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired Poisson-bootstrap significance test between two per-
+    document quality scorers (A = type-token ratio, B = content-word
+    share, both integer ppm): each of {PB_REPLICATES} replicates
+    reweights the per-document DELTAS with deterministic Poisson(1)
+    weights, and the two-sided p-value is the sign-count rule
+    2 * min(#(delta_b <= 0), #(delta_b >= 0)) / B — the "is A really
+    better than B on this corpus" gate every eval harness needs before
+    a leaderboard claim.  Pairing matters: resampling deltas (not each
+    system independently) cancels per-document difficulty, the whole
+    point of the paired test.
+
+    Determinism: deltas are integer ppm floors; weights are the
+    [[poisson_bootstrap_mean]] md5 inverse-CDF lookup (same thresholds,
+    same literals); replicate sums route through HUGEINT/DECIMAL(38,0)
+    (weight-5 ppm-scale products pass int64 at 100 TB doc counts); the
+    p-value is an integer milli floor.  Sign conventions avoid signed
+    division entirely (Spark div truncates, DuckDB // floors — they
+    diverge on negatives, so only |sum| is ever divided).
+
+    Scale shape: the replicate dimension is an in-row explode (fan-out
+    {PB_REPLICATES}, constant), the replicate table is a {PB_REPLICATES}-
+    group map-side-combined aggregate, and the point estimate is a
+    1-row broadcast — one corpus pass, constant output, no window.
+
+    Reference analog: none (LLM-pipeline eval surface per the brief).
+    """
+    d = compute_scan(spark, sf_dir, "documents")
+    ts = F.col("ts")
+    deltas = (
+        d.select("doc_id", tokenize(F.col("text")).alias("ts"))
+        .filter(F.size(ts) > 0)
+        .select(
+            "doc_id",
+            F.expr(
+                "size(array_distinct(ts)) * 1000000 div size(ts)"
+                " - size(filter(ts, t -> NOT array_contains("
+                "array('the','a','and','of','to','is','fast','slow'), t)))"
+                " * 1000000 div size(ts)"
+            ).alias("d"),
+        )
+    )
+    reps_col = F.explode(
+        F.sequence(F.lit(0), F.lit(PB_REPLICATES - 1))
+    ).alias("replicate")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("doc_id").cast("string"),
+                        F.col("replicate").cast("string"),
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _BOOT_SCALE
+    )
+    w = F.lit(5)
+    for wt, t in reversed(list(enumerate(BOOT_CDF_THRESHOLDS))):
+        w = F.when(u < t, wt).otherwise(w)
+    reps = (
+        deltas.select("doc_id", "d", reps_col)
+        .select("replicate", w.cast("long").alias("w"), "d")
+        .groupBy("replicate")
+        .agg(F.sum(F.expr("CAST(w AS DECIMAL(38,0)) * d")).alias("swd"))
+    )
+    point = deltas.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.expr("CAST(d AS DECIMAL(38,0))")).alias("sd"),
+    )
+    return (
+        reps.crossJoin(F.broadcast(point))
+        .groupBy("n_docs", "sd")
+        .agg(
+            F.sum(F.when(F.col("swd") > 0, 1).otherwise(0)).alias("n_pos"),
+            F.sum(F.when(F.col("swd") < 0, 1).otherwise(0)).alias("n_neg"),
+            F.sum(F.when(F.col("swd") <= 0, 1).otherwise(0)).alias("n_le"),
+            F.sum(F.when(F.col("swd") >= 0, 1).otherwise(0)).alias("n_ge"),
+        )
+        .select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.lit(PB_REPLICATES).cast("long").alias("b"),
+            F.signum("sd").cast("long").alias("point_sign"),
+            F.expr("CAST(abs(sd) div n_docs AS BIGINT)").alias(
+                "point_abs_mean_ppm"
+            ),
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.col("n_neg").cast("long").alias("n_neg"),
+            F.expr(
+                f"CAST(least(1000, 2 * least(n_le, n_ge) * 1000"
+                f" div {PB_REPLICATES}) AS BIGINT)"
+            ).alias("p_two_sided_milli"),
+        )
+    )

@@ -2318,3 +2318,172 @@ def matryoshka_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_ppm"),
         )
     )
+
+
+# --- Round 9: graded ranking eval (nDCG@K / MRR@K) ----------------------
+#
+# Discount literals floor(1e6 / log2(rank+1)) and their prefix sums are
+# baked ONCE in Python and embedded as the same integers in both
+# engines, so DCG is exact integer arithmetic — no float sum whose
+# order could differ across engines or partitionings.
+NDCG_K = 10
+NDCG_DISC_MICRO = (
+    1000000, 630929, 500000, 430676, 386852,
+    356207, 333333, 315464, 301029, 289064,
+)
+_NDCG_PREFIX = tuple(
+    sum(NDCG_DISC_MICRO[:k]) for k in range(NDCG_K + 1)
+)  # (0, 1000000, 1630929, ...)
+_SQL_DISC = "[" + ", ".join(str(d) for d in NDCG_DISC_MICRO) + "]"
+_SQL_PREFIX = "[" + ", ".join(str(p) for p in _NDCG_PREFIX) + "]"
+_SQL_GAIN = "(CASE rel WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END)"
+
+
+@register(
+    "ndcg_ranking_eval",
+    oracle_sql=f"""
+    WITH {_SQL_NORMS},
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round({_SQL_DOT.format(a="q.embedding", b="c.embedding")}
+                   / (q.nrm * c.nrm), 6) AS cosine,
+             CASE WHEN c.label = q.label THEN 2
+                  WHEN abs(c.label - q.label) = 1 THEN 1
+                  ELSE 0 END AS rel
+      FROM norms q JOIN norms c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+      FROM scored
+    ),
+    topk AS (
+      SELECT query_id,
+             sum({_SQL_GAIN} * list_extract({_SQL_DISC}, CAST(rnk AS INTEGER))) AS dcg_micro,
+             min(CASE WHEN rel > 0 THEN rnk END) AS first_rel_rank,
+             sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS n_rel_at_k
+      FROM ranked WHERE rnk <= {NDCG_K} GROUP BY query_id
+    ),
+    cnt AS (
+      SELECT query_id,
+             sum(CASE WHEN rel = 2 THEN 1 ELSE 0 END) AS n2,
+             sum(CASE WHEN rel = 1 THEN 1 ELSE 0 END) AS n1
+      FROM scored GROUP BY query_id
+    ),
+    idcg AS (
+      SELECT t.query_id, t.dcg_micro, t.first_rel_rank, t.n_rel_at_k,
+             3 * list_extract({_SQL_PREFIX}, CAST(least(c.n2, {NDCG_K}) + 1 AS INTEGER))
+             + (list_extract({_SQL_PREFIX}, CAST(least(c.n2 + c.n1, {NDCG_K}) + 1 AS INTEGER))
+                - list_extract({_SQL_PREFIX}, CAST(least(c.n2, {NDCG_K}) + 1 AS INTEGER)))
+               AS idcg_micro
+      FROM topk t JOIN cnt c USING (query_id)
+    )
+    SELECT query_id,
+           CAST(dcg_micro AS BIGINT) AS dcg_micro,
+           CAST(idcg_micro AS BIGINT) AS idcg_micro,
+           CAST(CASE WHEN idcg_micro > 0
+                THEN dcg_micro * 1000000 // idcg_micro ELSE 0 END AS BIGINT)
+             AS ndcg_ppm,
+           CAST(coalesce(1000000 // first_rel_rank, 0) AS BIGINT) AS mrr_micro,
+           CAST(n_rel_at_k AS BIGINT) AS n_rel_at_k
+    FROM idcg
+    """,
+    tags=("similarity", "eval", "ranking", "ndcg", "pipeline"),
+)
+def ndcg_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded retrieval-quality eval: nDCG@{NDCG_K} and MRR@{NDCG_K}
+    per probe query over the exact cosine ranking, with graded
+    relevance from label distance (same label = 2, adjacent = 1) — the
+    eval loop that grades [[ann_lsh_bucketed]]/[[ann_ivf_coarse]]-class
+    retrieval beyond [[ann_recall_eval]]'s binary overlap.  The ideal
+    DCG comes from the FULL candidate relevance counts (best possible
+    ordering truncated at K), computed from prefix-sum literals — no
+    second ranking pass.  All discounts are integer micro-units baked
+    identically into both engines; nDCG is a single ppm floor division.
+
+    Scale shape: identical to [[ann_bruteforce_topk]] — the bounded
+    probe set broadcasts against the distributed corpus, per-query
+    ranking is a window top-k, and the relevance counts fold into the
+    SAME per-query grain (a {N_QUERIES}-row broadcast join).  Swapping
+    the exact ranker for a celled ANN ranker changes one upstream CTE,
+    not the eval.
+
+    Reference analog: none (LLM-pipeline eval surface per the brief).
+    """
+    norms = _norms(spark, sf_dir)
+    q = norms.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    c = norms.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    cos = F.round(
+        _spark_dot(F.col("q_emb"), F.col("c_emb"))
+        / (F.col("q_nrm") * F.col("c_nrm")),
+        6,
+    )
+    rel = (
+        F.when(F.col("c_label") == F.col("q_label"), 2)
+        .when(F.abs(F.col("c_label") - F.col("q_label")) == 1, 1)
+        .otherwise(0)
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"), rel.alias("rel"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    ranked = scored.select("*", F.row_number().over(w).alias("rnk"))
+    disc = F.array(*[F.lit(d) for d in NDCG_DISC_MICRO])
+    gain = F.expr(_SQL_GAIN)
+    topk = (
+        ranked.filter(F.col("rnk") <= NDCG_K)
+        .groupBy("query_id")
+        .agg(
+            F.sum(gain * F.element_at(disc, F.col("rnk"))).alias("dcg_micro"),
+            F.min(F.when(F.col("rel") > 0, F.col("rnk"))).alias("first_rel_rank"),
+            F.sum(F.when(F.col("rel") > 0, 1).otherwise(0)).alias("n_rel_at_k"),
+        )
+    )
+    cnt = scored.groupBy("query_id").agg(
+        F.sum(F.when(F.col("rel") == 2, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(F.col("rel") == 1, 1).otherwise(0)).alias("n1"),
+    )
+    prefix = F.array(*[F.lit(p) for p in _NDCG_PREFIX])
+    p_n2 = F.element_at(prefix, (F.least(F.col("n2"), F.lit(NDCG_K)) + 1).cast("int"))
+    p_n21 = F.element_at(
+        prefix, (F.least(F.col("n2") + F.col("n1"), F.lit(NDCG_K)) + 1).cast("int")
+    )
+    return (
+        topk.join(cnt, "query_id")
+        .withColumn("idcg_micro", F.lit(3) * p_n2 + (p_n21 - p_n2))
+        .select(
+            "query_id",
+            F.col("dcg_micro").cast("long").alias("dcg_micro"),
+            F.col("idcg_micro").cast("long").alias("idcg_micro"),
+            F.when(
+                F.col("idcg_micro") > 0,
+                F.expr("dcg_micro * 1000000 div idcg_micro"),
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("ndcg_ppm"),
+            F.coalesce(
+                F.expr("1000000 div first_rel_rank"), F.lit(0)
+            )
+            .cast("long")
+            .alias("mrr_micro"),
+            F.col("n_rel_at_k").cast("long").alias("n_rel_at_k"),
+        )
+    )

@@ -4807,3 +4807,211 @@ def count_min_sketch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overcount"),
         )
     )
+
+
+# --- Round 9: character-error-rate generation eval ----------------------
+#
+# "Generation" is a deterministic corruption of the canonical reference
+# (every 7th token dropped), so the eval harness — pairing, edit
+# distance, ppm normalization, corpus rollup — is real and oracle-
+# checkable without a model in the container.
+CER_DROP_MOD = 7  # drop tokens at 1-based positions ≡ 0 (mod 7)
+
+
+@register(
+    "generation_cer_eval",
+    oracle_sql=f"""
+    WITH toks AS (
+      SELECT doc_id, {{tok}} AS ts FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id,
+             list_aggregate(ts, 'string_agg', ' ') AS ref,
+             list_aggregate(
+               list_filter(ts, (t, i) -> i % {CER_DROP_MOD} <> 0),
+               'string_agg', ' ') AS gen
+      FROM toks WHERE len(ts) > 0
+    )
+    SELECT doc_id,
+           CAST(length(ref) AS BIGINT) AS ref_len,
+           CAST(levenshtein(coalesce(gen, ''), ref) AS BIGINT) AS lev_dist,
+           CAST(levenshtein(coalesce(gen, ''), ref) * 1000000 // length(ref)
+                AS BIGINT) AS cer_ppm
+    FROM pairs
+    """.format(tok=_TOK),
+    tags=("text", "eval", "cer", "pipeline"),
+)
+def generation_cer_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-error-rate eval between a generation and its reference:
+    per document, CER = levenshtein(gen, ref) / |ref| in ppm, over the
+    canonical token-joined reference and a deterministic corruption
+    (every {CER_DROP_MOD}th token dropped) standing in for model output
+    — the ASR/OCR/generation-fidelity metric, built on the SAME
+    engine-native unit-cost edit distance both engines ship, and the
+    doc-grain table a [[poisson_bootstrap_mean]]-style rollup would
+    summarize with confidence intervals.
+
+    Scale shape: entirely in-row (tokenize, rebuild, one levenshtein
+    per document) — zero shuffles; output is doc-grain.  The DP is
+    quadratic in DOCUMENT length, bounded by the corpus max-doc cap
+    (553 chars here; a real pipeline gates [[gopher_quality_rules]]
+    length limits upstream), never by corpus size — the classic
+    embarrassingly-parallel eval map.
+
+    Reference analog: none (LLM-pipeline eval surface per the brief).
+    """
+    d = compute_scan(spark, sf_dir, "documents")
+    ts = tokenize(F.col("text"))
+    pairs = (
+        d.select("doc_id", ts.alias("ts"))
+        .filter(F.size("ts") > 0)
+        .select(
+            "doc_id",
+            F.array_join("ts", " ").alias("ref"),
+            F.array_join(
+                F.filter("ts", lambda t, i: (i + 1) % CER_DROP_MOD != 0), " "
+            ).alias("gen"),
+        )
+    )
+    lev = F.levenshtein(F.coalesce("gen", F.lit("")), F.col("ref"))
+    return pairs.select(
+        "doc_id",
+        F.length("ref").cast("long").alias("ref_len"),
+        lev.cast("long").alias("lev_dist"),
+        F.expr(
+            "CAST(levenshtein(coalesce(gen, ''), ref) * 1000000"
+            " div length(ref) AS BIGINT)"
+        ).alias("cer_ppm"),
+    )
+
+
+@register(
+    "brier_score_decomposition",
+    oracle_sql=f"""
+    WITH scored AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             len(list_intersect(ts, ['the','a','and','of','to','is','fast','slow']))
+               * 10000 // len(ts) AS score_bp
+      FROM (SELECT lang, {{tok}} AS ts FROM documents)
+      WHERE len(ts) > 0
+    ),
+    tot AS (
+      SELECT count(*) AS n, sum(y) AS npos,
+             sum(CAST(score_bp - 10000 * y AS HUGEINT)
+                 * (score_bp - 10000 * y)) AS sdd
+      FROM scored
+    ),
+    bins AS (
+      SELECT least(score_bp // {CAL_BIN_BP}, {CAL_NBINS - 1}) AS bin,
+             count(*) AS nk, sum(score_bp) AS sk, sum(y) AS hk
+      FROM scored GROUP BY 1
+    ),
+    terms AS (
+      SELECT t.n, t.npos, t.sdd,
+             b.sk * 100 // b.nk - b.hk * 1000000 // b.nk AS rel_d,
+             b.hk * 1000000 // b.nk - t.npos * 1000000 // t.n AS res_d,
+             b.nk
+      FROM bins b CROSS JOIN tot t
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n,
+           CAST(max(npos) AS BIGINT) AS n_pos,
+           CAST(max(sdd) // (100 * max(n)) AS BIGINT) AS brier_ppm,
+           CAST(sum(CAST(rel_d AS HUGEINT) * rel_d * nk)
+                // (1000000 * max(n)) AS BIGINT) AS reliability_ppm,
+           CAST(sum(CAST(res_d AS HUGEINT) * res_d * nk)
+                // (1000000 * max(n)) AS BIGINT) AS resolution_ppm,
+           CAST(CAST(max(npos) AS HUGEINT) * (max(n) - max(npos)) * 1000000
+                // (CAST(max(n) AS HUGEINT) * max(n)) AS BIGINT)
+             AS uncertainty_ppm
+    FROM terms
+    """.format(tok=_TOK),
+    tags=("text", "calibration", "brier", "statistics", "pipeline"),
+)
+def brier_score_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score for the stopword-share
+    quality scorer against the English proxy label: BRIER (mean squared
+    error of the probability, exact — no binning) plus the binned
+    RELIABILITY (calibration error — how far bin mean scores sit from
+    bin event rates), RESOLUTION (how much bin rates spread around the
+    base rate — the scorer's discriminative power), and UNCERTAINTY
+    (base-rate variance), with brier ≈ reliability - resolution +
+    uncertainty up to binning/floor residue.  The one-number companion
+    to [[score_calibration_reliability]]'s per-bin diagram: calibration
+    dashboards alert on THIS row.
+
+    All-integer ppm: bin means and rates floor to ppm first (<= 1 ppm
+    flooring residue, deterministic in both engines), squared terms
+    route through DECIMAL(38,0)/HUGEINT (bin counts at 100 TB push the
+    rate-squared products past int64), and every division is a
+    non-negative-operand floor.
+
+    Scale shape: one narrow per-row map, ONE map-side-combined
+    {CAL_NBINS}-cell aggregate plus a 1-row total broadcast onto the
+    bin table — the whole decomposition reads the corpus once; windows
+    never appear.
+
+    Reference analog: none (LLM-pipeline eval surface per the brief).
+    """
+    d = compute_scan(spark, sf_dir, "documents")
+    ts = F.col("ts")
+    scored = (
+        d.select("lang", tokenize(F.col("text")).alias("ts"))
+        .filter(F.size(ts) > 0)
+        .select(
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+            (
+                F.size(
+                    F.array_intersect(
+                        ts, F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])
+                    )
+                )
+                * 10000
+            ).alias("num"),
+            F.size(ts).alias("den"),
+        )
+        .select("y", F.expr("num div den").alias("score_bp"))
+    )
+    tot = scored.agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("npos"),
+        F.sum(
+            F.expr(
+                "CAST(score_bp - 10000 * y AS DECIMAL(38,0))"
+                " * (score_bp - 10000 * y)"
+            )
+        ).alias("sdd"),
+    )
+    bins = scored.groupBy(
+        F.least(
+            F.expr(f"score_bp div {CAL_BIN_BP}"), F.lit(CAL_NBINS - 1)
+        ).alias("bin")
+    ).agg(
+        F.count("*").alias("nk"),
+        F.sum("score_bp").alias("sk"),
+        F.sum("y").alias("hk"),
+    )
+    terms = bins.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "npos",
+        "sdd",
+        "nk",
+        F.expr("sk * 100 div nk - hk * 1000000 div nk").alias("rel_d"),
+        F.expr("hk * 1000000 div nk - npos * 1000000 div n").alias("res_d"),
+    )
+    return terms.agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("npos").cast("long").alias("n_pos"),
+        F.expr("CAST(max(sdd) div (100 * max(n)) AS BIGINT)").alias("brier_ppm"),
+        F.expr(
+            "CAST(sum(CAST(rel_d AS DECIMAL(38,0)) * rel_d * nk)"
+            " div (1000000 * max(n)) AS BIGINT)"
+        ).alias("reliability_ppm"),
+        F.expr(
+            "CAST(sum(CAST(res_d AS DECIMAL(38,0)) * res_d * nk)"
+            " div (1000000 * max(n)) AS BIGINT)"
+        ).alias("resolution_ppm"),
+        F.expr(
+            "CAST(CAST(max(npos) AS DECIMAL(38,0)) * (max(n) - max(npos))"
+            " * 1000000 div (CAST(max(n) AS DECIMAL(38,0)) * max(n)) AS BIGINT)"
+        ).alias("uncertainty_ppm"),
+    )

@@ -108,6 +108,11 @@ _DRIVER_NEW_THIS_ROUND: list[str] = [
     "quantile_sketch_mergeable",
     "stream_quantile_sketch_windows",
     "stream_asof_join",
+    "association_rules_parts",
+    "ndcg_ranking_eval",
+    "generation_cer_eval",
+    "brier_score_decomposition",
+    "paired_bootstrap_significance",
 ]
 
 # Regression re-verification queue: registration order, resuming where

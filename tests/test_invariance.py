@@ -275,6 +275,14 @@ SWEPT_OPS = [
     "suffix_array_ranked_lcp",
     "substring_exact_spans",
     "quantile_sketch_mergeable",
+    # round-9 second wave: Apriori-pruned pair join, integer-DCG ranking
+    # eval, in-row edit-distance map, bin-table decomposition, and the
+    # replicate-grain paired bootstrap.
+    "association_rules_parts",
+    "ndcg_ranking_eval",
+    "generation_cer_eval",
+    "brier_score_decomposition",
+    "paired_bootstrap_significance",
 ]
 
 

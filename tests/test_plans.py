@@ -283,6 +283,15 @@ _NESTED_LOOP_EXEMPT = {
     "conformal_prediction_threshold",
     # 1-row (pos, neg, bucket) totals broadcast for the WOE smoothing
     "woe_information_value",
+    # 1-row basket-total broadcast for the lift normalizer (the pair
+    # join itself is a basket-keyed equi join)
+    "association_rules_parts",
+    # inherits ann_bruteforce_topk's documented probe-set cross product
+    "ndcg_ranking_eval",
+    # 1-row (n, npos, sdd) total broadcast onto the 20-bin table
+    "brier_score_decomposition",
+    # 1-row point-estimate broadcast onto the 64-replicate table
+    "paired_bootstrap_significance",
 }
 
 # Modules whose query_fns build lazy plans (streaming/io execute jobs

@@ -196,3 +196,271 @@ def test_stream_asof_join_matches_batch_bruteforce(spark, sf_correct):
     }
     assert got == expected
     assert expected, "fixture must produce as-of matches"
+
+
+TOKEN_RE = __import__("re").compile(r"([A-Za-z0-9]{1,255})[A-Za-z0-9]*")
+
+
+def _tok(text: str) -> list[str]:
+    return [m.group(1).lower() for m in TOKEN_RE.finditer(text)]
+
+
+def test_association_rules_matches_bruteforce(spark, sf_smoke):
+    """Rule table equals the Python Apriori brute force: distinct-part
+    baskets, support floors, both directions, integer ppm floors."""
+    from mapreduce_c_implementation_spark.operators.analytics import (
+        ARULE_MIN_ITEM_ORDERS,
+        ARULE_MIN_PAIR_ORDERS,
+    )
+
+    con = duckdb.connect()
+    try:
+        li = con.sql(
+            f"SELECT DISTINCT l_orderkey, l_partkey FROM '{sf_smoke}/lineitem.parquet'"
+        ).fetchall()
+        n_baskets = con.sql(
+            f"SELECT count(DISTINCT l_orderkey) FROM '{sf_smoke}/lineitem.parquet'"
+        ).fetchone()[0]
+    finally:
+        con.close()
+    baskets = defaultdict(set)
+    item_n = defaultdict(int)
+    for o, p in li:
+        baskets[o].add(p)
+        item_n[p] += 1
+    freq = {p for p, n in item_n.items() if n >= ARULE_MIN_ITEM_ORDERS}
+    pair_n = defaultdict(int)
+    for parts in baskets.values():
+        fs = sorted(p for p in parts if p in freq)
+        for i, pa in enumerate(fs):
+            for pb in fs[i + 1 :]:
+                pair_n[(pa, pb)] += 1
+    expected = set()
+    for (pa, pb), np_ in pair_n.items():
+        if np_ < ARULE_MIN_PAIR_ORDERS:
+            continue
+        for a, b in [(pa, pb), (pb, pa)]:
+            na, nb = item_n[a], item_n[b]
+            expected.add(
+                (a, b, na, nb, np_,
+                 np_ * 1000000 // na,
+                 np_ * n_baskets * 1000000 // (na * nb))
+            )
+    got = {
+        (r.antecedent, r.consequent, r.n_ante, r.n_cons, r.n_pair,
+         r.confidence_ppm, r.lift_ppm)
+        for r in _rows(spark, sf_smoke, "association_rules_parts")
+    }
+    assert got == expected
+    assert expected, "fixture must contain frequent pairs"
+
+
+def test_ndcg_matches_bruteforce(spark, sf_smoke):
+    """Per-query nDCG/MRR equals a Python replay with the exact same
+    fold-order dot products and HALF_UP round-6 cosines."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mapreduce_c_implementation_spark.operators.similarity import (
+        _NDCG_PREFIX,
+        N_QUERIES,
+        NDCG_DISC_MICRO,
+        NDCG_K,
+    )
+
+    con = duckdb.connect()
+    try:
+        vecs = con.sql(
+            f"SELECT vec_id, embedding, label FROM '{sf_smoke}/embeddings.parquet'"
+        ).fetchall()
+    finally:
+        con.close()
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    norms = {v: dot(e, e) ** 0.5 for v, e, _ in vecs}
+    expected = {}
+    for qv, qe, ql in vecs:
+        if qv >= N_QUERIES:
+            continue
+        scored = []
+        for cv, ce, cl in vecs:
+            if cv == qv:
+                continue
+            cos = dot(qe, ce) / (norms[qv] * norms[cv])
+            cos6 = float(
+                Decimal(repr(cos)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+            )
+            rel = 2 if cl == ql else (1 if abs(cl - ql) == 1 else 0)
+            scored.append((-cos6, cv, rel))
+        scored.sort()
+        topk = scored[:NDCG_K]
+        gain = {2: 3, 1: 1, 0: 0}
+        dcg = sum(gain[r] * NDCG_DISC_MICRO[i] for i, (_, _, r) in enumerate(topk))
+        first = next((i + 1 for i, (_, _, r) in enumerate(topk) if r > 0), None)
+        n2 = sum(1 for _, _, r in scored if r == 2)
+        n1 = sum(1 for _, _, r in scored if r == 1)
+        p2 = _NDCG_PREFIX[min(n2, NDCG_K)]
+        p21 = _NDCG_PREFIX[min(n2 + n1, NDCG_K)]
+        idcg = 3 * p2 + (p21 - p2)
+        expected[qv] = (
+            dcg,
+            idcg,
+            dcg * 1000000 // idcg if idcg > 0 else 0,
+            1000000 // first if first else 0,
+            sum(1 for _, _, r in topk if r > 0),
+        )
+    got = {
+        r.query_id: (r.dcg_micro, r.idcg_micro, r.ndcg_ppm, r.mrr_micro,
+                     r.n_rel_at_k)
+        for r in _rows(spark, sf_smoke, "ndcg_ranking_eval")
+    }
+    assert got == expected
+    assert all(v[0] <= v[1] for v in got.values())  # DCG <= IDCG
+
+
+def test_generation_cer_matches_bruteforce(spark, sf_smoke):
+    """CER rows equal a Python levenshtein replay on a doc sample."""
+    from mapreduce_c_implementation_spark.operators.textanalysis import (
+        CER_DROP_MOD,
+    )
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    docs = _docs(sf_smoke)
+    got = {r.doc_id: r for r in _rows(spark, sf_smoke, "generation_cer_eval")}
+    sample = sorted(docs)[::20][:25]
+    checked = 0
+    for doc_id in sample:
+        ts = _tok(docs[doc_id])
+        if not ts:
+            assert doc_id not in got
+            continue
+        ref = " ".join(ts)
+        gen = " ".join(t for i, t in enumerate(ts, 1) if i % CER_DROP_MOD != 0)
+        d = lev(gen, ref)
+        r = got[doc_id]
+        assert (r.ref_len, r.lev_dist, r.cer_ppm) == (
+            len(ref), d, d * 1000000 // len(ref)
+        ), doc_id
+        checked += 1
+    assert checked >= 20
+
+
+def test_brier_decomposition_matches_bruteforce(spark, sf_smoke):
+    """All four decomposition terms equal the Python integer replay,
+    and the Murphy identity holds up to binning/floor residue."""
+    import duckdb as _dd
+
+    from mapreduce_c_implementation_spark.operators.textanalysis import (
+        CAL_BIN_BP,
+        CAL_NBINS,
+        LANG_PROFILES,
+    )
+
+    con = _dd.connect()
+    try:
+        rows = con.sql(
+            f"SELECT doc_id, text, lang FROM '{sf_smoke}/documents.parquet'"
+        ).fetchall()
+    finally:
+        con.close()
+    stop = set(LANG_PROFILES["en"])
+    pts = []
+    for _, text, lang in rows:
+        ts = _tok(text)
+        if not ts:
+            continue
+        score_bp = len(set(ts) & stop) * 10000 // len(ts)
+        pts.append((1 if lang == "en" else 0, score_bp))
+    n = len(pts)
+    npos = sum(y for y, _ in pts)
+    sdd = sum((s - 10000 * y) ** 2 for y, s in pts)
+    bins = defaultdict(lambda: [0, 0, 0])
+    for y, s in pts:
+        b = bins[min(s // CAL_BIN_BP, CAL_NBINS - 1)]
+        b[0] += 1
+        b[1] += s
+        b[2] += y
+    base_ppm = npos * 1000000 // n
+    rel = sum(
+        (sk * 100 // nk - hk * 1000000 // nk) ** 2 * nk
+        for nk, sk, hk in bins.values()
+    ) // (1000000 * n)
+    res = sum(
+        (hk * 1000000 // nk - base_ppm) ** 2 * nk
+        for nk, sk, hk in bins.values()
+    ) // (1000000 * n)
+    unc = npos * (n - npos) * 1000000 // (n * n)
+    brier = sdd // (100 * n)
+    (r,) = _rows(spark, sf_smoke, "brier_score_decomposition")
+    assert (r.n, r.n_pos, r.brier_ppm, r.reliability_ppm,
+            r.resolution_ppm, r.uncertainty_ppm) == (n, npos, brier, rel, res, unc)
+    # Murphy identity up to within-bin variance + flooring residue
+    assert abs(r.brier_ppm - (r.reliability_ppm - r.resolution_ppm
+                              + r.uncertainty_ppm)) < 30000
+
+
+def test_paired_bootstrap_matches_bruteforce(spark, sf_smoke):
+    """Replicate weighting, sign counts, and the p-value equal a Python
+    md5 replay of the deterministic Poisson machinery."""
+    import hashlib
+
+    from mapreduce_c_implementation_spark.operators.sampling import (
+        _BOOT_SCALE,
+        BOOT_CDF_THRESHOLDS,
+        PB_REPLICATES,
+    )
+    from mapreduce_c_implementation_spark.operators.textanalysis import (
+        LANG_PROFILES,
+    )
+
+    docs = _docs(sf_smoke)
+    stop = set(LANG_PROFILES["en"])
+    deltas = {}
+    for doc_id, text in docs.items():
+        ts = _tok(text)
+        if not ts:
+            continue
+        a = len(set(ts)) * 1000000 // len(ts)
+        b = sum(1 for t in ts if t not in stop) * 1000000 // len(ts)
+        deltas[doc_id] = a - b
+
+    def weight(doc_id, r):
+        u = int(
+            hashlib.md5(f"{doc_id}:{r}".encode()).hexdigest()[:6], 16
+        ) % _BOOT_SCALE
+        for w, t in enumerate(BOOT_CDF_THRESHOLDS):
+            if u < t:
+                return w
+        return 5
+
+    swd = [
+        sum(weight(d, r) * dd for d, dd in deltas.items())
+        for r in range(PB_REPLICATES)
+    ]
+    sd = sum(deltas.values())
+    n_le = sum(1 for s in swd if s <= 0)
+    n_ge = sum(1 for s in swd if s >= 0)
+    (r,) = _rows(spark, sf_smoke, "paired_bootstrap_significance")
+    assert r.n_docs == len(deltas)
+    assert r.b == PB_REPLICATES
+    assert r.point_sign == (1 if sd > 0 else -1 if sd < 0 else 0)
+    assert r.point_abs_mean_ppm == abs(sd) // len(deltas)
+    assert r.n_pos == sum(1 for s in swd if s > 0)
+    assert r.n_neg == sum(1 for s in swd if s < 0)
+    assert r.p_two_sided_milli == min(
+        1000, 2 * min(n_le, n_ge) * 1000 // PB_REPLICATES
+    )
