@@ -152,6 +152,9 @@ HEADLINE = [
     "generation_cer_eval",
     "brier_score_decomposition",
     "paired_bootstrap_significance",
+    "autocorrelation_daily_values",
+    "theil_sen_daily_trend",
+    "substring_exact_trim_rewrite",
 ]
 
 

@@ -757,7 +757,9 @@ def substring_overlap_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(coalesce(st.cut_chars, 0) AS BIGINT) AS n_cut_chars,
            CAST(length(d.text) - coalesce(st.cut_chars, 0) AS BIGINT)
              AS kept_chars,
-           md5(coalesce(t.kept_text, d.text)) AS trimmed_md5
+           md5(coalesce(t.kept_text,
+                        CASE WHEN st.doc_id IS NOT NULL THEN '' ELSE d.text END))
+             AS trimmed_md5
     FROM documents d
     LEFT JOIN trimmed t USING (doc_id)
     LEFT JOIN stats st USING (doc_id)
@@ -840,7 +842,16 @@ def substring_trim_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.length("text") - F.coalesce("cut_chars", F.lit(0)))
             .cast("long")
             .alias("kept_chars"),
-            F.md5(F.coalesce("kept_text", "text")).alias("trimmed_md5"),
+            F.md5(
+                F.coalesce(
+                    "kept_text",
+                    # a fully-cut document has spans but no chunks: its
+                    # trimmed text is EMPTY, not the raw passthrough
+                    F.when(F.col("n_spans").isNotNull(), F.lit("")).otherwise(
+                        F.col("text")
+                    ),
+                )
+            ).alias("trimmed_md5"),
         )
     )
 
@@ -2516,4 +2527,165 @@ def substring_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("i") + SUFFIX_MINLEN).alias("span_end"),
         (F.max("i") + SUFFIX_MINLEN - F.min("i")).alias("span_len"),
         F.count("*").alias("n_windows"),
+    )
+
+
+# Exact-tier islands chain (the substring_exact_spans CTEs), shared by
+# the exact trim rewrite.
+_SQL_EXACT_SPAN_CTES = f"""
+    {_SQL_SUFFIXES.strip()},
+    xdup AS (
+      SELECT bucket FROM suf
+      GROUP BY bucket HAVING count(DISTINCT doc_id) >= 2
+    ),
+    xocc AS (
+      SELECT s.doc_id, s.i FROM suf s JOIN xdup USING (bucket)
+    ),
+    xflagged AS (
+      SELECT doc_id, i,
+             CASE WHEN max(i + {SUFFIX_MINLEN}) OVER (
+                    PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= i
+                  THEN 0 ELSE 1 END AS new_span
+      FROM xocc
+    ),
+    xislands AS (
+      SELECT doc_id, i,
+             sum(new_span) OVER (
+               PARTITION BY doc_id ORDER BY i
+               ROWS UNBOUNDED PRECEDING) AS span_id
+      FROM xflagged
+    )
+"""
+
+
+@register(
+    "substring_exact_trim_rewrite",
+    oracle_sql=f"""
+    WITH {_SQL_EXACT_SPAN_CTES.strip()},
+    spans AS (
+      SELECT doc_id, min(i) AS s, max(i) + {SUFFIX_MINLEN} AS e
+      FROM xislands GROUP BY doc_id, span_id
+    ),
+    gaps AS (
+      SELECT doc_id,
+             lag(e, 1, 1) OVER (PARTITION BY doc_id ORDER BY s) AS gs,
+             s AS ge
+      FROM spans
+      UNION ALL
+      SELECT doc_id, max(e) AS gs, NULL AS ge FROM spans GROUP BY doc_id
+    ),
+    chunks AS (
+      SELECT g.doc_id, g.gs,
+             substr(d.text, CAST(g.gs AS INTEGER),
+                    CAST(coalesce(g.ge, length(d.text) + 1) - g.gs
+                         AS INTEGER)) AS chunk
+      FROM gaps g JOIN documents d USING (doc_id)
+      WHERE coalesce(g.ge, length(d.text) + 1) > g.gs
+    ),
+    trimmed AS (
+      SELECT doc_id, string_agg(chunk, '' ORDER BY gs) AS kept_text
+      FROM chunks GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT doc_id, count(*) AS n_spans, sum(e - s) AS cut_chars
+      FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_cut_spans,
+           CAST(coalesce(st.cut_chars, 0) AS BIGINT) AS n_cut_chars,
+           CAST(length(d.text) - coalesce(st.cut_chars, 0) AS BIGINT)
+             AS kept_chars,
+           md5(coalesce(t.kept_text,
+                        CASE WHEN st.doc_id IS NOT NULL THEN '' ELSE d.text END))
+             AS trimmed_md5
+    FROM documents d
+    LEFT JOIN trimmed t USING (doc_id)
+    LEFT JOIN stats st USING (doc_id)
+    """,
+    tags=("text", "dedup", "substring", "rewrite", "pipeline"),
+)
+def substring_exact_trim_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-tier partial-overlap trim: [[substring_trim_rewrite]]'s
+    cut-and-stitch applied to [[substring_exact_spans]]' stride-free
+    span table instead of the anchored approximation — every byte range
+    duplicated across >= 2 documents at >= {SUFFIX_MINLEN} chars is cut
+    with no anchor misses, completing the exact ladder (detect
+    [[suffix_array_ranked_lcp]] -> extract [[substring_exact_spans]] ->
+    fix here), the full "deduplicating training data" loop at exact
+    grain.  The md5 pins every cut position and stitch order; untouched
+    documents pass through verbatim.
+
+    Scale shape: identical to the anchored trim — doc-grain span table,
+    one doc-partitioned lag window for gaps, ordered per-doc string_agg
+    stitch — except span detection pays the exact tier's stride-times
+    shuffle volume (see [[substring_exact_spans]]); run the anchored
+    rewrite corpus-wide and this tier on flagged subsets at 100 TB.
+
+    Reference analog: none (LLM-pipeline surface per the brief).
+    """
+    spans = substring_exact_spans(spark, sf_dir).select(
+        "doc_id",
+        F.col("span_start").alias("s"),
+        F.col("span_end").alias("e"),
+    )
+    d = parallel_scan(spark, sf_dir, "documents").select("doc_id", "text")
+    w = Window.partitionBy("doc_id").orderBy("s")
+    gaps_mid = spans.select(
+        "doc_id",
+        F.lag("e", 1, 1).over(w).alias("gs"),
+        F.col("s").alias("ge"),
+    )
+    gaps_tail = spans.groupBy("doc_id").agg(
+        F.max("e").alias("gs"), F.lit(None).cast("long").alias("ge")
+    )
+    gaps = gaps_mid.unionByName(gaps_tail)
+    chunks = (
+        gaps.join(d, "doc_id")
+        .filter(F.coalesce(F.col("ge"), F.length("text") + 1) > F.col("gs"))
+        .select(
+            "doc_id",
+            "gs",
+            F.expr(
+                "substring(text, CAST(gs AS INT),"
+                " CAST(coalesce(ge, length(text) + 1) - gs AS INT))"
+            ).alias("chunk"),
+        )
+    )
+    trimmed = chunks.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("gs", "chunk"))),
+                lambda x: x["chunk"],
+            ),
+            "",
+        ).alias("kept_text")
+    )
+    stats = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s")).alias("cut_chars"),
+    )
+    return (
+        d.join(trimmed, "doc_id", "left")
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_cut_spans"),
+            F.coalesce("cut_chars", F.lit(0))
+            .cast("long")
+            .alias("n_cut_chars"),
+            (F.length("text") - F.coalesce("cut_chars", F.lit(0)))
+            .cast("long")
+            .alias("kept_chars"),
+            F.md5(
+                F.coalesce(
+                    "kept_text",
+                    # a fully-cut document has spans but no chunks: its
+                    # trimmed text is EMPTY, not the raw passthrough
+                    F.when(F.col("n_spans").isNotNull(), F.lit("")).otherwise(
+                        F.col("text")
+                    ),
+                )
+            ).alias("trimmed_md5"),
+        )
     )

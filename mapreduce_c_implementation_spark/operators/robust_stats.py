@@ -1734,3 +1734,139 @@ def conformal_prediction_threshold(spark: SparkSession, sf_dir: str) -> DataFram
             "coverage_ppm",
         )
     )
+
+
+# --- Round 9: Theil–Sen robust trend -------------------------------------
+#
+# Median-of-pairwise-slopes trend over the daily value series — the
+# robust companion to [[group_linear_regression]]'s OLS (one whale day
+# cannot move the slope; breakdown point ~29%).  Signed integer
+# division diverges across engines (Spark div truncates, DuckDB //
+# floors), so each slope is floored via the offset trick:
+# (dy*SCALE + dx*OFF) div dx - OFF with dx > 0 keeps the numerator
+# positive, where trunc == floor in both engines.
+TS_SLOPE_SCALE = 1000  # milli-cents per day
+_TS_OFF = 10**12
+
+
+@register(
+    "theil_sen_daily_trend",
+    oracle_sql=f"""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) AS x,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY 1
+    ),
+    slopes AS (
+      SELECT a.x AS xi, a.v AS vi, b.x AS xj, b.v AS vj,
+             ((b.v - a.v) * {TS_SLOPE_SCALE} + (b.x - a.x) * {_TS_OFF})
+               // (b.x - a.x) - {_TS_OFF} AS m
+      FROM daily a JOIN daily b ON b.x > a.x
+    ),
+    med_m AS (
+      SELECT m AS slope_milli FROM (
+        SELECT m, row_number() OVER (ORDER BY m, xi, xj) AS rn,
+               count(*) OVER () AS n
+        FROM slopes
+      ) WHERE rn - 1 = (n - 1) // 2
+    ),
+    resid AS (
+      SELECT d.v * {TS_SLOPE_SCALE} - s.slope_milli * d.x AS b0, d.x
+      FROM daily d CROSS JOIN med_m s
+    ),
+    med_b AS (
+      SELECT b0 AS intercept_milli FROM (
+        SELECT b0, row_number() OVER (ORDER BY b0, x) AS rn,
+               count(*) OVER () AS n
+        FROM resid
+      ) WHERE rn - 1 = (n - 1) // 2
+    )
+    SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+           CAST((SELECT count(*) FROM slopes) AS BIGINT) AS n_pairs,
+           CAST(m.slope_milli AS BIGINT) AS slope_milli,
+           CAST(b.intercept_milli AS BIGINT) AS intercept_milli
+    FROM med_m m CROSS JOIN med_b b
+    """,
+    tags=("stats", "robust", "trend", "timeseries"),
+)
+def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen trend of daily event value: the exact lower median of
+    all pairwise day-to-day slopes (milli-cents/day) plus the matching
+    median intercept — the robust regression line reporting pipelines
+    fit when OLS ([[group_linear_regression]]) would chase one outlier
+    day; up to ~29% of days can be corrupt before the estimate moves.
+
+    Exactness: slopes are integer milli-cents floored identically in
+    both engines via the positive-numerator offset trick (signed
+    division NEVER crosses an engine boundary); medians are
+    percentile_disc order statistics (row_number against (n-1)//2)
+    with full total-order tie-breaks.
+
+    Scale shape: the corpus-sized stage is the one map-side-combined
+    DAY-grain aggregate; the pairwise slope join, rank windows, and
+    medians all run on the calendar-bounded day table (<= ~K^2/2 pairs
+    for K days — bounded at ANY corpus volume; for multi-decade K the
+    repeated-median variant per-day windows the same table).  The
+    1-row slope median broadcasts into the residual pass.
+
+    Reference analog: none (SURVEY §2.2 analytics surface).
+    """
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(
+            F.expr("CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)")
+            .alias("v")
+        )
+        .select(
+            F.datediff(F.col("d").cast("date"), F.lit("1970-01-01")).alias("x"),
+            "v",
+        )
+    )
+    a = daily.select(F.col("x").alias("xi"), F.col("v").alias("vi"))
+    b = daily.select(F.col("x").alias("xj"), F.col("v").alias("vj"))
+    slopes = a.join(b, F.col("xj") > F.col("xi")).select(
+        "xi",
+        "xj",
+        F.expr(
+            f"((vj - vi) * {TS_SLOPE_SCALE} + (xj - xi) * {_TS_OFF})"
+            f" div (xj - xi) - {_TS_OFF}"
+        ).alias("m"),
+    )
+    w_m = Window.orderBy("m", "xi", "xj")
+    med_m = (
+        slopes.select(
+            "m",
+            (F.row_number().over(w_m) - 1).alias("rn"),
+            F.count("*").over(Window.partitionBy()).alias("n"),
+        )
+        .filter(F.expr("rn = (n - 1) div 2"))
+        .select(F.col("m").alias("slope_milli"))
+    )
+    resid = daily.crossJoin(F.broadcast(med_m)).select(
+        F.expr(f"v * {TS_SLOPE_SCALE} - slope_milli * x").alias("b0"), "x"
+    )
+    w_b = Window.orderBy("b0", "x")
+    med_b = (
+        resid.select(
+            "b0",
+            (F.row_number().over(w_b) - 1).alias("rn"),
+            F.count("*").over(Window.partitionBy()).alias("n"),
+        )
+        .filter(F.expr("rn = (n - 1) div 2"))
+        .select(F.col("b0").alias("intercept_milli"))
+    )
+    counts = daily.agg(F.count("*").cast("long").alias("n_days")).crossJoin(
+        slopes.agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(med_m))
+        .crossJoin(F.broadcast(med_b))
+        .select(
+            "n_days",
+            "n_pairs",
+            F.col("slope_milli").cast("long").alias("slope_milli"),
+            F.col("intercept_milli").cast("long").alias("intercept_milli"),
+        )
+    )

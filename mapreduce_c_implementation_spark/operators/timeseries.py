@@ -667,3 +667,133 @@ def cusum_changepoint_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --- Round 9: autocorrelation function ----------------------------------
+#
+# ACF over the daily value series, reported as signed r^2 in ppm from
+# the five Pearson power sums — the [[group_linear_regression]]
+# "regression as a monoid" discipline applied per LAG, so no float
+# mean, no sqrt, no summation-order hazard.  Daily totals are floored
+# to $10 units before the moment products: num^2 * 1e6 then stays ~1e34
+# << DECIMAL(38,0); larger deployments rescale v first (the documented
+# headroom rule).
+ACF_MAX_LAG = 7
+ACF_V_UNIT = 1000  # cents per value unit ($10)
+
+
+@register(
+    "autocorrelation_daily_values",
+    oracle_sql=f"""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) // {ACF_V_UNIT}
+                  AS BIGINT) AS v
+      FROM events GROUP BY 1
+    ),
+    idx AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(d AS DATE)) AS x, v
+      FROM daily
+    ),
+    pairs AS (
+      SELECT l.lag, a.v AS va, b.v AS vb
+      FROM idx a
+      CROSS JOIN (SELECT unnest(generate_series(1, {ACF_MAX_LAG})) AS lag) l
+      JOIN idx b ON b.x = a.x + l.lag
+    ),
+    moms AS (
+      SELECT lag, count(*) AS n,
+             sum(CAST(va AS HUGEINT)) AS sx, sum(CAST(vb AS HUGEINT)) AS sy,
+             sum(CAST(va AS HUGEINT) * va) AS sxx,
+             sum(CAST(vb AS HUGEINT) * vb) AS syy,
+             sum(CAST(va AS HUGEINT) * vb) AS sxy
+      FROM pairs GROUP BY lag
+    ),
+    parts AS (
+      SELECT lag, n,
+             n * sxy - sx * sy AS num,
+             (n * sxx - sx * sx) * (n * syy - sy * sy) AS den
+      FROM moms
+    )
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(n AS BIGINT) AS n_pairs,
+           CAST(CASE WHEN den > 0 AND num > 0 THEN 1
+                     WHEN den > 0 AND num < 0 THEN -1 ELSE 0 END AS BIGINT)
+             AS r_sign,
+           CAST(CASE WHEN den > 0 THEN num * num * 1000000 // den
+                ELSE 0 END AS BIGINT) AS r2_ppm
+    FROM parts
+    """,
+    tags=("timeseries", "acf", "statistics"),
+)
+def autocorrelation_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily event-value series at lags
+    1..{ACF_MAX_LAG}: for each lag k, Pearson correlation between
+    (day t, day t+k) daily totals, reported as sign + r^2 in ppm from
+    exact integer power sums — the seasonality detector that tells a
+    forecasting pipeline which lag features matter
+    (complements [[seasonality_month_index]]'s calendar profile with a
+    lag-domain view).  Only EXISTING day pairs correlate (calendar gaps
+    shorten n_pairs, they don't zero-fill).
+
+    Exactness: daily totals floor to $10 units, the five power sums per
+    lag are one keyed aggregate in HUGEINT/DECIMAL(38,0), and
+    r^2 = num^2/den is a single non-negative integer ppm floor — the
+    [[group_linear_regression]] no-float-moments discipline.
+
+    Scale shape: the event scan collapses to the DAY grain first (one
+    map-side-combined aggregate — the only corpus-sized stage); the
+    {ACF_MAX_LAG}-way lag fan-out and self-join run on the bounded
+    day-grain table (calendar-sized at ANY corpus volume), and the
+    moment aggregate outputs {ACF_MAX_LAG} rows.
+
+    Reference analog: none (SURVEY §2.2 analytics surface).
+    """
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(
+            F.expr(
+                f"CAST(sum(CAST(floor(value * 100) AS BIGINT))"
+                f" div {ACF_V_UNIT} AS BIGINT)"
+            ).alias("v")
+        )
+    )
+    idx = daily.select(
+        F.datediff(F.col("d").cast("date"), F.lit("1970-01-01")).alias("x"), "v"
+    )
+    lags = F.explode(F.sequence(F.lit(1), F.lit(ACF_MAX_LAG))).alias("lag")
+    a = idx.select("*", lags).select(
+        "lag", F.col("x").alias("xa"), F.col("v").alias("va")
+    )
+    b = idx.select(F.col("x").alias("xb"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("xb") == F.col("xa") + F.col("lag"))
+    moms = pairs.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("CAST(va AS DECIMAL(38,0))")).alias("sx"),
+        F.sum(F.expr("CAST(vb AS DECIMAL(38,0))")).alias("sy"),
+        F.sum(F.expr("CAST(va AS DECIMAL(38,0)) * va")).alias("sxx"),
+        F.sum(F.expr("CAST(vb AS DECIMAL(38,0)) * vb")).alias("syy"),
+        F.sum(F.expr("CAST(va AS DECIMAL(38,0)) * vb")).alias("sxy"),
+    )
+    parts = moms.select(
+        "lag",
+        "n",
+        F.expr("n * sxy - sx * sy").alias("num"),
+        F.expr("(n * sxx - sx * sx) * (n * syy - sy * sy)").alias("den"),
+    )
+    return parts.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").cast("long").alias("n_pairs"),
+        F.when((F.col("den") > 0) & (F.col("num") > 0), 1)
+        .when((F.col("den") > 0) & (F.col("num") < 0), -1)
+        .otherwise(0)
+        .cast("long")
+        .alias("r_sign"),
+        F.when(
+            F.col("den") > 0, F.expr("num * num * 1000000 div den")
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("r2_ppm"),
+    )

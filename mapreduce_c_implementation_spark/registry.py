@@ -113,6 +113,9 @@ _DRIVER_NEW_THIS_ROUND: list[str] = [
     "generation_cer_eval",
     "brier_score_decomposition",
     "paired_bootstrap_significance",
+    "autocorrelation_daily_values",
+    "theil_sen_daily_trend",
+    "substring_exact_trim_rewrite",
 ]
 
 # Regression re-verification queue: registration order, resuming where

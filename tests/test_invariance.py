@@ -283,6 +283,11 @@ SWEPT_OPS = [
     "generation_cer_eval",
     "brier_score_decomposition",
     "paired_bootstrap_significance",
+    # round-9 third wave: day-grain moment joins, the bounded pairwise
+    # slope medians, and the exact-tier cut-and-stitch.
+    "autocorrelation_daily_values",
+    "theil_sen_daily_trend",
+    "substring_exact_trim_rewrite",
 ]
 
 

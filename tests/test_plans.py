@@ -292,6 +292,9 @@ _NESTED_LOOP_EXEMPT = {
     "brier_score_decomposition",
     # 1-row point-estimate broadcast onto the 64-replicate table
     "paired_bootstrap_significance",
+    # calendar-bounded day-table pairwise slope join (xj > xi) + 1-row
+    # median broadcasts — both sides bounded by construction
+    "theil_sen_daily_trend",
 }
 
 # Modules whose query_fns build lazy plans (streaming/io execute jobs

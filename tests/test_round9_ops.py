@@ -464,3 +464,118 @@ def test_paired_bootstrap_matches_bruteforce(spark, sf_smoke):
     assert r.p_two_sided_milli == min(
         1000, 2 * min(n_le, n_ge) * 1000 // PB_REPLICATES
     )
+
+
+def _daily_cents(sf_dir):
+    con = duckdb.connect()
+    try:
+        return dict(
+            con.sql(
+                f"""SELECT date_diff('day', DATE '1970-01-01',
+                                     CAST(date_trunc('day', ts) AS DATE)),
+                           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                    FROM '{sf_dir}/events.parquet' GROUP BY 1"""
+            ).fetchall()
+        )
+    finally:
+        con.close()
+
+
+def test_autocorrelation_matches_bruteforce(spark, sf_smoke):
+    """Per-lag power sums and the signed r^2 ppm equal a Python replay
+    over the day-grain series."""
+    from mapreduce_c_implementation_spark.operators.timeseries import (
+        ACF_MAX_LAG,
+        ACF_V_UNIT,
+    )
+
+    daily = {x: c // ACF_V_UNIT for x, c in _daily_cents(sf_smoke).items()}
+    expected = {}
+    for lag in range(1, ACF_MAX_LAG + 1):
+        pairs = [
+            (daily[x], daily[x + lag]) for x in daily if x + lag in daily
+        ]
+        n = len(pairs)
+        sx = sum(a for a, _ in pairs)
+        sy = sum(b for _, b in pairs)
+        sxx = sum(a * a for a, _ in pairs)
+        syy = sum(b * b for _, b in pairs)
+        sxy = sum(a * b for a, b in pairs)
+        num = n * sxy - sx * sy
+        den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+        sign = 0 if den <= 0 else (1 if num > 0 else -1 if num < 0 else 0)
+        r2 = num * num * 1000000 // den if den > 0 else 0
+        expected[lag] = (n, sign, r2)
+    got = {
+        r.lag: (r.n_pairs, r.r_sign, r.r2_ppm)
+        for r in _rows(spark, sf_smoke, "autocorrelation_daily_values")
+    }
+    assert got == expected
+    assert len(got) == ACF_MAX_LAG
+
+
+def test_theil_sen_matches_bruteforce(spark, sf_smoke):
+    """Slope/intercept medians equal the Python pairwise replay with
+    the same offset-floored integer slopes."""
+    from mapreduce_c_implementation_spark.operators.robust_stats import (
+        _TS_OFF,
+        TS_SLOPE_SCALE,
+    )
+
+    daily = _daily_cents(sf_smoke)
+    xs = sorted(daily)
+    slopes = []
+    for i, xi in enumerate(xs):
+        for xj in xs[i + 1 :]:
+            dy, dx = daily[xj] - daily[xi], xj - xi
+            m = (dy * TS_SLOPE_SCALE + dx * _TS_OFF) // dx - _TS_OFF
+            slopes.append((m, xi, xj))
+    slopes.sort()
+    med_m = slopes[(len(slopes) - 1) // 2][0]
+    resid = sorted(
+        (daily[x] * TS_SLOPE_SCALE - med_m * x, x) for x in xs
+    )
+    med_b = resid[(len(resid) - 1) // 2][0]
+    (r,) = _rows(spark, sf_smoke, "theil_sen_daily_trend")
+    assert (r.n_days, r.n_pairs, r.slope_milli, r.intercept_milli) == (
+        len(xs), len(slopes), med_m, med_b
+    )
+
+
+def test_exact_trim_rewrite_matches_bruteforce(spark, sf_smoke):
+    """Trimmed md5 / cut stats equal a Python rebuild from the exact
+    brute-force spans, for every document."""
+    import hashlib
+
+    docs = _docs(sf_smoke)
+    marks = defaultdict(list)
+    for gram, members in _suffix_buckets(docs).items():
+        if len({d for d, _, _ in members}) >= 2:
+            for doc_id, pos, _ in members:
+                marks[doc_id].append(pos)
+    spans = defaultdict(list)
+    for doc_id, positions in marks.items():
+        positions.sort()
+        start, end = None, None
+        for p in positions:
+            if start is None or p > end:
+                if start is not None:
+                    spans[doc_id].append((start, end))
+                start = p
+            end = p + SUFFIX_MINLEN
+        spans[doc_id].append((start, end))
+    got = {r.doc_id: r for r in _rows(spark, sf_smoke, "substring_exact_trim_rewrite")}
+    assert set(got) == set(docs)
+    for doc_id, text in docs.items():
+        ss = spans.get(doc_id, [])
+        kept = ""
+        prev_end = 1
+        for s, e in ss:
+            kept += text[prev_end - 1 : s - 1]
+            prev_end = e
+        kept += text[prev_end - 1 :]
+        r = got[doc_id]
+        assert r.n_cut_spans == len(ss), doc_id
+        assert r.n_cut_chars == sum(e - s for s, e in ss), doc_id
+        assert r.kept_chars == len(text) - sum(e - s for s, e in ss), doc_id
+        assert r.trimmed_md5 == hashlib.md5(kept.encode()).hexdigest(), doc_id
