@@ -1003,6 +1003,7 @@ def quantile_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts.select("grp", F.expr(f"v div {QSK_WIDTH}").alias("bin"))
         .groupBy("grp", "bin")
         .agg(F.count("*").alias("cnt"))
+        .cache()  # bounded (|groups| x ~550 bins); consumed twice (per-grp + ALL)
     )
     merged = sketch.unionAll(
         sketch.groupBy("bin")

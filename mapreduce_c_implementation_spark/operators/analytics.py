@@ -2157,7 +2157,9 @@ def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     )
-    baskets = li.distinct()
+    # consumed three times (item counts, both pair sides) plus the
+    # basket total below — cache so the scan+distinct runs once
+    baskets = li.distinct().cache()
     items = (
         baskets.groupBy("p")
         .agg(F.count("*").alias("n_item"))
@@ -2196,7 +2198,7 @@ def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pair",
         )
     )
-    total = li.agg(F.count_distinct("o").alias("n_baskets"))
+    total = baskets.agg(F.count_distinct("o").alias("n_baskets"))
     return directed.crossJoin(F.broadcast(total)).select(
         "antecedent",
         "consequent",

@@ -2624,10 +2624,16 @@ def substring_exact_trim_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analog: none (LLM-pipeline surface per the brief).
     """
-    spans = substring_exact_spans(spark, sf_dir).select(
-        "doc_id",
-        F.col("span_start").alias("s"),
-        F.col("span_end").alias("e"),
+    spans = (
+        substring_exact_spans(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.col("span_start").alias("s"),
+            F.col("span_end").alias("e"),
+        )
+        # doc-grain and small, but its LINEAGE is the full exact-tier
+        # suffix pipeline — cache so gaps/tail/stats don't recompute it
+        .cache()
     )
     d = parallel_scan(spark, sf_dir, "documents").select("doc_id", "text")
     w = Window.partitionBy("doc_id").orderBy("s")

@@ -1823,6 +1823,7 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.col("d").cast("date"), F.lit("1970-01-01")).alias("x"),
             "v",
         )
+        .cache()  # calendar-bounded; consumed by both pair sides + resid + count
     )
     a = daily.select(F.col("x").alias("xi"), F.col("v").alias("vi"))
     b = daily.select(F.col("x").alias("xj"), F.col("v").alias("vj"))
@@ -1833,7 +1834,7 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"((vj - vi) * {TS_SLOPE_SCALE} + (xj - xi) * {_TS_OFF})"
             f" div (xj - xi) - {_TS_OFF}"
         ).alias("m"),
-    )
+    ).cache()  # K^2/2-bounded; consumed by the median and the pair count
     w_m = Window.orderBy("m", "xi", "xj")
     med_m = (
         slopes.select(

@@ -2447,16 +2447,22 @@ def ndcg_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = scored.select("*", F.row_number().over(w).alias("rnk"))
     disc = F.array(*[F.lit(d) for d in NDCG_DISC_MICRO])
     gain = F.expr(_SQL_GAIN)
-    topk = (
-        ranked.filter(F.col("rnk") <= NDCG_K)
-        .groupBy("query_id")
-        .agg(
-            F.sum(gain * F.element_at(disc, F.col("rnk"))).alias("dcg_micro"),
-            F.min(F.when(F.col("rel") > 0, F.col("rnk"))).alias("first_rel_rank"),
-            F.sum(F.when(F.col("rel") > 0, 1).otherwise(0)).alias("n_rel_at_k"),
-        )
-    )
-    cnt = scored.groupBy("query_id").agg(
+    in_k = F.col("rnk") <= NDCG_K
+    # ONE conditional aggregate over the ranked table serves both the
+    # top-K metrics and the full-candidate relevance counts — the rank
+    # window and the groupBy share the query_id exchange, and the
+    # scoring pass runs once (a topk/counts branch pair would rescore
+    # the corpus twice).
+    per_q = ranked.groupBy("query_id").agg(
+        F.sum(
+            F.when(in_k, gain * F.element_at(disc, F.col("rnk"))).otherwise(0)
+        ).alias("dcg_micro"),
+        F.min(F.when((F.col("rel") > 0) & in_k, F.col("rnk"))).alias(
+            "first_rel_rank"
+        ),
+        F.sum(F.when((F.col("rel") > 0) & in_k, 1).otherwise(0)).alias(
+            "n_rel_at_k"
+        ),
         F.sum(F.when(F.col("rel") == 2, 1).otherwise(0)).alias("n2"),
         F.sum(F.when(F.col("rel") == 1, 1).otherwise(0)).alias("n1"),
     )
@@ -2466,8 +2472,7 @@ def ndcg_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix, (F.least(F.col("n2") + F.col("n1"), F.lit(NDCG_K)) + 1).cast("int")
     )
     return (
-        topk.join(cnt, "query_id")
-        .withColumn("idcg_micro", F.lit(3) * p_n2 + (p_n21 - p_n2))
+        per_q.withColumn("idcg_micro", F.lit(3) * p_n2 + (p_n21 - p_n2))
         .select(
             "query_id",
             F.col("dcg_micro").cast("long").alias("dcg_micro"),
