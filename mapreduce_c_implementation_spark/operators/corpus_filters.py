@@ -2428,12 +2428,13 @@ def suffix_array_ranked_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
     "substring_exact_spans",
     oracle_sql=f"""
     WITH {_SQL_SUFFIXES.strip()},
-    dup AS (
-      SELECT bucket FROM suf
-      GROUP BY bucket HAVING count(DISTINCT doc_id) >= 2
-    ),
     occ AS (
-      SELECT s.doc_id, s.i FROM suf s JOIN dup USING (bucket)
+      SELECT doc_id, i FROM (
+        SELECT doc_id, i,
+               min(doc_id) OVER (PARTITION BY bucket) AS mn,
+               max(doc_id) OVER (PARTITION BY bucket) AS mx
+        FROM suf
+      ) WHERE mn <> mx
     ),
     flagged AS (
       SELECT doc_id, i,
@@ -2473,10 +2474,11 @@ def substring_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one row per corpus char carrying a raw
     {SUFFIX_MINLEN}-char gram (shorter than a hex digest — no hashing
-    needed for exactness), one gram-keyed exchange for the distinct-doc
-    screen, one equi-join back (duplicate grams only), then the
-    doc-partitioned island merge — per-document window work bounded by
-    the heaviest single document.  Exactness costs stride(=
+    needed for exactness); the cross-doc screen is min(doc) != max(doc)
+    over ONE gram-keyed window — a single exchange, no count-distinct
+    aggregate and no join back (which would re-run the position explode
+    twice) — then the doc-partitioned island merge, bounded by the
+    heaviest single document.  Exactness costs stride(=
     {SUBSTR_STRIDE}) times the anchored op's shuffle volume, linear
     either way; run the anchored screen first and this tier on the
     flagged partition subset at 100 TB.
@@ -2493,13 +2495,17 @@ def substring_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("i").cast("long").alias("i"),
         F.substring(F.col("text"), F.col("i"), SUFFIX_MINLEN).alias("bucket"),
     )
-    dup = (
-        suf.groupBy("bucket")
-        .agg(F.count_distinct("doc_id").alias("n_docs"))
-        .filter(F.col("n_docs") >= 2)
-        .select("bucket")
+    # ">= 2 distinct docs" == min(doc) != max(doc) within the gram
+    # bucket: ONE window over one bucket exchange, instead of a
+    # count_distinct aggregate plus a join back that would re-run the
+    # position explode a second time.
+    w_bucket = Window.partitionBy("bucket")
+    occ = (
+        suf.withColumn("mn", F.min("doc_id").over(w_bucket))
+        .withColumn("mx", F.max("doc_id").over(w_bucket))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("doc_id", "i")
     )
-    occ = suf.join(dup, "bucket").select("doc_id", "i")
     w_prev = (
         Window.partitionBy("doc_id")
         .orderBy("i")
@@ -2534,12 +2540,13 @@ def substring_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the exact trim rewrite.
 _SQL_EXACT_SPAN_CTES = f"""
     {_SQL_SUFFIXES.strip()},
-    xdup AS (
-      SELECT bucket FROM suf
-      GROUP BY bucket HAVING count(DISTINCT doc_id) >= 2
-    ),
     xocc AS (
-      SELECT s.doc_id, s.i FROM suf s JOIN xdup USING (bucket)
+      SELECT doc_id, i FROM (
+        SELECT doc_id, i,
+               min(doc_id) OVER (PARTITION BY bucket) AS mn,
+               max(doc_id) OVER (PARTITION BY bucket) AS mx
+        FROM suf
+      ) WHERE mn <> mx
     ),
     xflagged AS (
       SELECT doc_id, i,

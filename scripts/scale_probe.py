@@ -177,6 +177,23 @@ PROBE_OPS = [
     "entity_resolution_clusters",
     "conformal_prediction_threshold",
     "woe_information_value",
+    # round-9 wave: the exact suffix tier (all-position enumeration is
+    # the family's cost ceiling — probe that it stays linear), the
+    # sketch rollup, the Apriori pair join, the ranked eval, the
+    # in-row CER map, the bin-table decomposition, the replicate
+    # bootstrap, the day-grain ACF/Theil-Sen pair (calendar-bounded
+    # pair stages must hold ~flat), and the exact trim.
+    "suffix_array_ranked_lcp",
+    "substring_exact_spans",
+    "substring_exact_trim_rewrite",
+    "quantile_sketch_mergeable",
+    "association_rules_parts",
+    "ndcg_ranking_eval",
+    "generation_cer_eval",
+    "brier_score_decomposition",
+    "paired_bootstrap_significance",
+    "autocorrelation_daily_values",
+    "theil_sen_daily_trend",
 ]
 
 
