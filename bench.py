@@ -155,6 +155,9 @@ HEADLINE = [
     "autocorrelation_daily_values",
     "theil_sen_daily_trend",
     "substring_exact_trim_rewrite",
+    "knn_classification_eval",
+    "kcenter_greedy_coreset",
+    "multimodal_cdc_chunk_dedup",
 ]
 
 

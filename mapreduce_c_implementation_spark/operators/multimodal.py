@@ -390,3 +390,153 @@ def multimodal_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("simhash")
     )
+
+
+# --- Round 9: content-defined chunk dedup over binary payloads ----------
+#
+# FastCDC-style storage dedup at SUB-file grain: chunk boundaries are
+# chosen by CONTENT (an 8-byte window whose md5 prefix hits 0 mod
+# CDC_MOD), so a shared byte run chunks identically in every payload
+# containing it no matter its offset — the property fixed-size blocks
+# lack and the reason backup/lakehouse dedup uses CDC.  Whole-payload
+# dedup is [[multimodal_cas_index]]; this recovers the bytes it cannot.
+CDC_GRAM = 8
+CDC_MOD = 64  # expected chunk length in bytes
+_CDC_OWNER_SCALE = 100_000  # > max payload length; packs (doc_id, start)
+
+
+@register(
+    "multimodal_cdc_chunk_dedup",
+    oracle_sql=f"""
+    WITH p AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    anchors AS (
+      SELECT doc_id, i FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(2, n - {CDC_GRAM - 1})) AS i
+        FROM p WHERE n >= {CDC_GRAM + 1}
+      )
+      WHERE CAST('0x' || substr(md5(substr(text, i, {CDC_GRAM})), 1, 4)
+                 AS BIGINT) % {CDC_MOD} = 0
+    ),
+    bounds AS (
+      SELECT doc_id, CAST(1 AS BIGINT) AS s FROM p
+      UNION ALL SELECT doc_id, CAST(i AS BIGINT) FROM anchors
+    ),
+    chunks AS (
+      SELECT b.doc_id, b.s,
+             coalesce(lead(b.s) OVER (PARTITION BY b.doc_id ORDER BY b.s),
+                      p.n + 1) AS e,
+             p.text
+      FROM bounds b JOIN p USING (doc_id)
+    ),
+    occ AS (
+      SELECT doc_id, s, e - s AS len,
+             md5(substr(text, s, e - s)) AS dig
+      FROM chunks
+    ),
+    own AS (
+      SELECT dig, count(*) AS n_copies,
+             min(doc_id * {_CDC_OWNER_SCALE} + s) AS owner
+      FROM occ GROUP BY dig
+    )
+    SELECT o.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(o.len) AS BIGINT) AS payload_bytes,
+           CAST(sum(CASE WHEN w.n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           CAST(sum(CASE WHEN o.doc_id * {_CDC_OWNER_SCALE} + o.s <> w.owner
+                    THEN o.len ELSE 0 END) AS BIGINT) AS reclaimable_bytes
+    FROM occ o JOIN own w USING (dig)
+    GROUP BY o.doc_id
+    """,
+    tags=("multimodal", "dedup", "cdc", "storage", "pipeline"),
+)
+def multimodal_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup over binary payloads: each payload
+    splits at content-chosen boundaries (md5 of the {CDC_GRAM}-byte
+    window ≡ 0 mod {CDC_MOD}, expected ~{CDC_MOD}-byte chunks), chunk
+    digests dedup corpus-wide, and each document reports its chunk
+    count, duplicated-chunk count, and RECLAIMABLE bytes (every copy
+    except the (min doc, min offset) owner's) — sub-file storage dedup
+    for multimodal shards, alignment-independent by construction
+    because boundaries travel with the bytes.  The oracle runs the
+    byte-identical computation on the text column (payloads are the
+    documents' UTF-8 bytes — same bytes, same md5s).
+
+    Scale shape: boundary detection is an in-row flatMap (one md5 per
+    byte — a rolling Gear/Karp-Rabin hash inside mapInPandas at 100 TB,
+    same boundaries contract); chunk assembly is one doc-keyed window +
+    join (payload bytes stay within their doc's partition); dedup is
+    one digest-keyed aggregate joined back digest-keyed.  Nothing
+    quadratic; chunk digests, not payload bytes, cross the wire in the
+    dedup exchange.
+
+    Reference analog: none (SURVEY §2.2 multimodal surface).
+    """
+    p = _payload_df(spark, sf_dir).select("doc_id", "payload", "n_bytes")
+    positions = F.when(
+        F.col("n_bytes") >= CDC_GRAM + 1,
+        F.sequence(F.lit(2), F.col("n_bytes").cast("int") - (CDC_GRAM - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    gram_hash = F.conv(
+        F.substring(
+            F.md5(F.expr(f"substring(payload, i, {CDC_GRAM})")), 1, 4
+        ),
+        16,
+        10,
+    ).cast("long")
+    anchors = (
+        p.select("doc_id", "payload", F.explode(positions).alias("i"))
+        .filter(gram_hash % CDC_MOD == 0)
+        .select("doc_id", F.col("i").cast("long").alias("s"))
+    )
+    bounds = p.select(
+        "doc_id", F.lit(1).cast("long").alias("s")
+    ).unionByName(anchors)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("s")
+    # window over the NARROW (doc_id, s) table, payload joined after —
+    # chunk boundaries shuffle, payload bytes don't
+    spans = bounds.select(
+        "doc_id", "s", F.lead("s").over(w).alias("next_s")
+    )
+    chunks = spans.join(p, "doc_id").select(
+        "doc_id",
+        "s",
+        F.coalesce(
+            F.col("next_s"), F.col("n_bytes").cast("long") + 1
+        ).alias("e"),
+        "payload",
+    )
+    occ = chunks.select(
+        "doc_id",
+        "s",
+        (F.col("e") - F.col("s")).alias("len"),
+        F.md5(
+            F.expr("substring(payload, CAST(s AS INT), CAST(e - s AS INT))")
+        ).alias("dig"),
+    )
+    own = occ.groupBy("dig").agg(
+        F.count("*").alias("n_copies"),
+        F.min(F.expr(f"doc_id * {_CDC_OWNER_SCALE} + s")).alias("owner"),
+    )
+    return (
+        occ.join(own, "dig")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum("len").cast("long").alias("payload_bytes"),
+            F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_chunks"),
+            F.sum(
+                F.when(
+                    F.expr(f"doc_id * {_CDC_OWNER_SCALE} + s") != F.col("owner"),
+                    F.col("len"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("reclaimable_bytes"),
+        )
+    )

@@ -2492,3 +2492,232 @@ def ndcg_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_rel_at_k").cast("long").alias("n_rel_at_k"),
         )
     )
+
+
+# --- Round 9: kNN classification eval + k-center coreset ----------------
+KNN_N_QUERIES = 50  # held-out probe budget (fixed, corpus-independent)
+KNN_K = 5
+
+
+@register(
+    "knn_classification_eval",
+    oracle_sql=f"""
+    WITH {_SQL_NORMS},
+    scored AS (
+      SELECT q.vec_id AS query_id, q.label AS true_label,
+             c.vec_id AS neighbor_id, c.label AS c_label,
+             round({_SQL_DOT.format(a="q.embedding", b="c.embedding")}
+                   / (q.nrm * c.nrm), 6) AS cosine
+      FROM norms q JOIN norms c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < {KNN_N_QUERIES} AND c.vec_id >= {KNN_N_QUERIES}
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+      FROM scored
+    ),
+    votes AS (
+      SELECT query_id, true_label, c_label, count(*) AS v
+      FROM ranked WHERE rnk <= {KNN_K}
+      GROUP BY query_id, true_label, c_label
+    ),
+    pred AS (
+      SELECT query_id, true_label, c_label AS pred_label
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY v DESC, c_label ASC) AS pr
+            FROM votes)
+      WHERE pr = 1
+    )
+    SELECT true_label, pred_label,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN true_label = pred_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct
+    FROM pred
+    GROUP BY true_label, pred_label
+    """,
+    tags=("similarity", "eval", "knn", "classification", "pipeline"),
+)
+def knn_classification_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classifier eval: each of the {KNN_N_QUERIES} held-out probe
+    vectors is labeled by the majority label of its {KNN_K} nearest
+    corpus neighbors (exact cosine; vote ties break to the smaller
+    label, rank ties to the smaller id), and the output is the
+    confusion table (true_label, pred_label, n) — the
+    label-consistency eval that grades an embedding space for
+    classification the way [[ndcg_ranking_eval]] grades it for
+    ranking, and the neighborhood-consensus signal label-noise
+    screens are built on.  The probe set is EXCLUDED from the
+    neighbor corpus (held-out, no self-leakage).
+
+    Scale shape: the [[ann_bruteforce_topk]] pattern — a fixed
+    {KNN_N_QUERIES}-probe broadcast against the distributed corpus,
+    per-query window top-k, then two bounded aggregates (votes, then
+    the label-domain confusion cells).  Swap the exact ranker for the
+    celled ANN to trade recall for a candidate cut; the vote and
+    confusion stages are unchanged.
+
+    Reference analog: none (LLM-pipeline eval surface per the brief).
+    """
+    norms = _norms(spark, sf_dir)
+    q = norms.filter(F.col("vec_id") < KNN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    c = norms.filter(F.col("vec_id") >= KNN_N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    cos = F.round(
+        _spark_dot(F.col("q_emb"), F.col("c_emb"))
+        / (F.col("q_nrm") * F.col("c_nrm")),
+        6,
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "true_label", "neighbor_id", "c_label", cos.alias("cosine")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    votes = (
+        scored.select("*", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= KNN_K)
+        .groupBy("query_id", "true_label", "c_label")
+        .agg(F.count("*").alias("v"))
+    )
+    w_v = Window.partitionBy("query_id").orderBy(
+        F.desc("v"), F.asc("c_label")
+    )
+    pred = (
+        votes.select("*", F.row_number().over(w_v).alias("pr"))
+        .filter(F.col("pr") == 1)
+        .select("query_id", "true_label", F.col("c_label").alias("pred_label"))
+    )
+    return pred.groupBy("true_label", "pred_label").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("true_label") == F.col("pred_label"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_correct"),
+    )
+
+
+K_CENTERS = 8  # coreset size (maximin / farthest-point traversal)
+
+
+def _kcenter_oracle() -> str:
+    """Unrolled fixed-K farthest-point traversal in DuckDB SQL — the
+    [[graph_pagerank_nations]] unrolling idiom: each round takes the
+    argmax-of-min-distance row and relaxes every point's distance
+    against it.  Distances are the shared fold-order dot product, so
+    every double is bit-identical to the Spark plan's."""
+    dot_pc = _SQL_DOT.format(a="p.embedding", b="c.embedding")
+    ctes = [
+        "pts AS (SELECT vec_id, embedding, "
+        + _SQL_DOT.format(a="embedding", b="embedding")
+        + " AS n2 FROM embeddings)",
+        "c0 AS (SELECT vec_id, embedding, n2 FROM pts ORDER BY vec_id LIMIT 1)",
+        f"d1 AS (SELECT p.vec_id, p.embedding, p.n2,"
+        f" p.n2 + c.n2 - 2 * {dot_pc} AS md FROM pts p CROSS JOIN c0 c)",
+    ]
+    sel = ["SELECT 0 AS round, vec_id, 0.0 AS min_dist_r6 FROM c0"]
+    for r in range(1, K_CENTERS):
+        ctes.append(
+            f"c{r} AS (SELECT vec_id, embedding, n2, md FROM d{r}"
+            f" ORDER BY md DESC, vec_id ASC LIMIT 1)"
+        )
+        sel.append(
+            f"SELECT {r} AS round, vec_id, round(md, 6) AS min_dist_r6 FROM c{r}"
+        )
+        if r < K_CENTERS - 1:
+            ctes.append(
+                f"d{r + 1} AS (SELECT p.vec_id, p.embedding, p.n2,"
+                f" least(p.md, p.n2 + c.n2 - 2 * {dot_pc}) AS md"
+                f" FROM d{r} p CROSS JOIN c{r} c)"
+            )
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n    "
+        + "\n    UNION ALL ".join(sel)
+    )
+
+
+@register(
+    "kcenter_greedy_coreset",
+    oracle_sql=_kcenter_oracle(),
+    tags=("similarity", "coreset", "sampling", "iterative", "pipeline"),
+)
+def kcenter_greedy_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center greedy (farthest-point traversal) coreset selection:
+    starting from the lowest id, each of {K_CENTERS} rounds picks the
+    vector FARTHEST (max over points of min squared L2 distance to the
+    chosen set) from everything chosen so far — the classic 2-approx
+    maximin cover used for diverse training-data selection and
+    active-learning coresets (Sener & Savarese's core-set approach),
+    and the diversity-first complement to [[cluster_capped_diversity_
+    sample]]'s density capping.  Output: (round, vec_id, min_dist) per
+    selected center — the selection trace, with each center's coverage
+    radius.
+
+    Determinism: distances are the shared sequential-fold dot product
+    (bit-identical doubles in both engines), argmax ties break to the
+    smaller id, and only the OUTPUT distance is rounded.
+
+    Scale shape: each round is one in-row distance relax against a
+    1-row broadcast center plus a TakeOrdered(1) argmax — no shuffle
+    beyond the top-1 reduction; the distance table is localCheckpoint-
+    truncated per round exactly like [[graph_bfs_distances]]' frontier
+    (lazy chains double per round otherwise).  K corpus passes total,
+    embarrassingly parallel; at a billion vectors the same loop holds
+    with the checkpoint on reliable storage, or the relax fuses into
+    [[ann_ivf_coarse]] cells for a sub-scan variant.
+
+    Reference analog: none (LLM-pipeline surface per the brief).
+    """
+    pts = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        _spark_dot(F.col("embedding"), F.col("embedding")).alias("n2"),
+    )
+    c = pts.orderBy("vec_id").limit(1).localCheckpoint()
+
+    def relax(d: DataFrame, center: DataFrame) -> DataFrame:
+        cc = F.broadcast(
+            center.select(
+                F.col("embedding").alias("c_emb"), F.col("n2").alias("c_n2")
+            )
+        )
+        dist = (
+            F.col("n2")
+            + F.col("c_n2")
+            - F.lit(2.0) * _spark_dot(F.col("embedding"), F.col("c_emb"))
+        )
+        base = d.crossJoin(cc)
+        md = dist if "md" not in d.columns else F.least(F.col("md"), dist)
+        return base.select(
+            "vec_id", "embedding", "n2", md.alias("md")
+        ).localCheckpoint()
+
+    out = c.select(
+        F.lit(0).cast("long").alias("round"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.lit(0.0).alias("min_dist_r6"),
+    )
+    d = relax(pts, c)
+    for r in range(1, K_CENTERS):
+        cr = d.orderBy(F.desc("md"), F.asc("vec_id")).limit(1).localCheckpoint()
+        out = out.unionByName(
+            cr.select(
+                F.lit(r).cast("long").alias("round"),
+                F.col("vec_id").cast("long").alias("vec_id"),
+                F.round("md", 6).alias("min_dist_r6"),
+            )
+        )
+        if r < K_CENTERS - 1:
+            d = relax(d, cr)
+    return out

@@ -116,6 +116,9 @@ _DRIVER_NEW_THIS_ROUND: list[str] = [
     "autocorrelation_daily_values",
     "theil_sen_daily_trend",
     "substring_exact_trim_rewrite",
+    "knn_classification_eval",
+    "kcenter_greedy_coreset",
+    "multimodal_cdc_chunk_dedup",
 ]
 
 # Regression re-verification queue: registration order, resuming where

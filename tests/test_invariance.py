@@ -288,6 +288,11 @@ SWEPT_OPS = [
     "autocorrelation_daily_values",
     "theil_sen_daily_trend",
     "substring_exact_trim_rewrite",
+    # round-9 fourth wave: probe-broadcast vote windows, the
+    # checkpointed maximin traversal, and the boundary-window CDC.
+    "knn_classification_eval",
+    "kcenter_greedy_coreset",
+    "multimodal_cdc_chunk_dedup",
 ]
 
 

@@ -295,6 +295,11 @@ _NESTED_LOOP_EXEMPT = {
     # calendar-bounded day-table pairwise slope join (xj > xi) + 1-row
     # median broadcasts — both sides bounded by construction
     "theil_sen_daily_trend",
+    # inherits ann_bruteforce_topk's documented probe-set cross product
+    "knn_classification_eval",
+    # per-round 1-row center broadcast (the relax step's nested-loop
+    # side is exactly one row by construction)
+    "kcenter_greedy_coreset",
 }
 
 # Modules whose query_fns build lazy plans (streaming/io execute jobs

@@ -579,3 +579,141 @@ def test_exact_trim_rewrite_matches_bruteforce(spark, sf_smoke):
         assert r.n_cut_chars == sum(e - s for s, e in ss), doc_id
         assert r.kept_chars == len(text) - sum(e - s for s, e in ss), doc_id
         assert r.trimmed_md5 == hashlib.md5(kept.encode()).hexdigest(), doc_id
+
+
+def _vecs(sf_dir):
+    con = duckdb.connect()
+    try:
+        return con.sql(
+            f"SELECT vec_id, embedding, label FROM '{sf_dir}/embeddings.parquet'"
+        ).fetchall()
+    finally:
+        con.close()
+
+
+def _fold_dot(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def _round6(x: float) -> float:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+def test_knn_classification_matches_bruteforce(spark, sf_smoke):
+    """Confusion table equals the Python replay: top-5 cosine vote over
+    the held-out corpus, ties to the smaller label/id."""
+    from collections import Counter
+
+    from mapreduce_c_implementation_spark.operators.similarity import (
+        KNN_K,
+        KNN_N_QUERIES,
+    )
+
+    vecs = _vecs(sf_smoke)
+    norms = {v: _fold_dot(e, e) ** 0.5 for v, e, _ in vecs}
+    confusion = Counter()
+    for qv, qe, ql in vecs:
+        if qv >= KNN_N_QUERIES:
+            continue
+        scored = sorted(
+            (-_round6(_fold_dot(qe, ce) / (norms[qv] * norms[cv])), cv, cl)
+            for cv, ce, cl in vecs
+            if cv >= KNN_N_QUERIES
+        )[:KNN_K]
+        votes = Counter(cl for _, _, cl in scored)
+        pred = min(votes, key=lambda l: (-votes[l], l))
+        confusion[(ql, pred)] += 1
+    got = {
+        (r.true_label, r.pred_label): (r.n, r.n_correct)
+        for r in _rows(spark, sf_smoke, "knn_classification_eval")
+    }
+    expected = {
+        (t, p): (n, n if t == p else 0) for (t, p), n in confusion.items()
+    }
+    assert got == expected
+    assert sum(n for n, _ in got.values()) == KNN_N_QUERIES
+
+
+def test_kcenter_matches_bruteforce(spark, sf_smoke):
+    """Selection trace equals the Python farthest-point traversal with
+    the same fold-order distances."""
+    from mapreduce_c_implementation_spark.operators.similarity import K_CENTERS
+
+    vecs = _vecs(sf_smoke)
+    n2 = {v: _fold_dot(e, e) for v, e, _ in vecs}
+    emb = {v: e for v, e, _ in vecs}
+    chosen = [min(emb)]
+    md = {}
+    trace = [(0, chosen[0], 0.0)]
+    for r in range(1, K_CENTERS):
+        c = chosen[-1]
+        for v in emb:
+            dist = n2[v] + n2[c] - 2.0 * _fold_dot(emb[v], emb[c])
+            md[v] = dist if v not in md else min(md[v], dist)
+        best = max(emb, key=lambda v: (md[v], -v))
+        chosen.append(best)
+        trace.append((r, best, _round6(md[best])))
+    got = sorted(
+        (r.round, r.vec_id, r.min_dist_r6)
+        for r in _rows(spark, sf_smoke, "kcenter_greedy_coreset")
+    )
+    assert got == sorted(trace)
+    # maximin property: coverage radius is non-increasing
+    dists = [d for _, _, d in got[1:]]
+    assert dists == sorted(dists, reverse=True)
+
+
+def test_cdc_chunk_dedup_matches_bruteforce(spark, sf_smoke):
+    """Doc rollups equal the Python CDC replay (boundaries, digests,
+    owner rule), and chunks tile each payload exactly."""
+    import hashlib
+
+    from mapreduce_c_implementation_spark.operators.multimodal import (
+        _CDC_OWNER_SCALE,
+        CDC_GRAM,
+        CDC_MOD,
+    )
+
+    docs = _docs(sf_smoke)
+    occ = []
+    for doc_id, text in docs.items():
+        n = len(text)
+        bounds = [1]
+        for i in range(2, n - CDC_GRAM + 2):
+            h = int(
+                hashlib.md5(text[i - 1 : i - 1 + CDC_GRAM].encode()).hexdigest()[:4],
+                16,
+            )
+            if h % CDC_MOD == 0:
+                bounds.append(i)
+        bounds.append(n + 1)
+        for s, e in zip(bounds, bounds[1:]):
+            occ.append(
+                (doc_id, s, e - s,
+                 hashlib.md5(text[s - 1 : e - 1].encode()).hexdigest())
+            )
+        assert sum(e - s for s, e in zip(bounds, bounds[1:])) == n
+    owners, copies = {}, defaultdict(int)
+    for doc_id, s, ln, dig in occ:
+        copies[dig] += 1
+        key = doc_id * _CDC_OWNER_SCALE + s
+        owners[dig] = min(owners.get(dig, key), key)
+    expected = {}
+    for doc_id, s, ln, dig in occ:
+        e = expected.setdefault(doc_id, [0, 0, 0, 0])
+        e[0] += 1
+        e[1] += ln
+        e[2] += 1 if copies[dig] > 1 else 0
+        e[3] += ln if doc_id * _CDC_OWNER_SCALE + s != owners[dig] else 0
+    got = {
+        r.doc_id: [r.n_chunks, r.payload_bytes, r.n_dup_chunks,
+                   r.reclaimable_bytes]
+        for r in _rows(spark, sf_smoke, "multimodal_cdc_chunk_dedup")
+    }
+    assert got == expected
+    assert any(e[3] > 0 for e in expected.values()), "fixture must dedup bytes"
