@@ -194,6 +194,12 @@ PROBE_OPS = [
     "paired_bootstrap_significance",
     "autocorrelation_daily_values",
     "theil_sen_daily_trend",
+    # round-9 fourth wave: probe-broadcast kNN vote, the K-round
+    # maximin traversal (K corpus passes — must stay ~linear), and the
+    # per-byte CDC boundary scan.
+    "knn_classification_eval",
+    "kcenter_greedy_coreset",
+    "multimodal_cdc_chunk_dedup",
 ]
 
 
