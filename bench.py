@@ -158,6 +158,7 @@ HEADLINE = [
     "knn_classification_eval",
     "kcenter_greedy_coreset",
     "multimodal_cdc_chunk_dedup",
+    "negative_sampling_table",
 ]
 
 

@@ -1430,3 +1430,99 @@ def paired_bootstrap_significance(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("p_two_sided_milli"),
         )
     )
+
+
+# --- Round 9: word2vec-style negative-sampling table --------------------
+#
+# Unigram^0.75 smoothing without a float pow: c^0.75 == sqrt(c * sqrt(c)),
+# and IEEE sqrt/multiply are bit-exact in both engines (the
+# [[source_temperature_mixing]] sqrt-freeze discipline), frozen to
+# integer milli-weights before any aggregation.
+NEG_SMOOTH_SCALE = 1000  # milli-weights
+
+
+@register(
+    "negative_sampling_table",
+    oracle_sql=f"""
+    WITH toks AS (
+      SELECT unnest({{tok}}) AS token FROM documents
+    ),
+    counts AS (
+      SELECT token, count(*) AS cnt FROM toks GROUP BY token
+    ),
+    weighted AS (
+      SELECT token, cnt,
+             CAST(floor({NEG_SMOOTH_SCALE} * sqrt(cnt * sqrt(cnt)))
+                  AS BIGINT) AS weight_milli
+      FROM counts
+    ),
+    cum AS (
+      SELECT token, cnt, weight_milli,
+             coalesce(sum(weight_milli) OVER (
+               ORDER BY token
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before_milli,
+             sum(weight_milli) OVER () AS total_milli
+      FROM weighted
+    )
+    SELECT token, CAST(cnt AS BIGINT) AS cnt, weight_milli,
+           CAST(cum_before_milli AS BIGINT) AS cum_before_milli,
+           CAST(weight_milli * 1000000 // total_milli AS BIGINT) AS prob_ppm
+    FROM cum
+    """.format(tok=_TOK),
+    tags=("sampling", "word2vec", "negative-sampling", "pipeline"),
+)
+def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-sampling distribution table — the word2vec / contrastive
+    training prep: unigram counts smoothed by the 3/4 power (frequent
+    words damped, rare words boosted), frozen to integer milli-weights,
+    with the CUMULATIVE range each token owns — a sampler draws
+    u in [0, total) and binary-searches cum_before, which is exactly
+    how the word2vec unigram table works; [[skipgram_cooccurrence]]
+    supplies the positives this table pairs negatives against.
+
+    Determinism: c^0.75 is computed as sqrt(c * sqrt(c)) — IEEE sqrt
+    and multiply are bit-exact cross-engine, no pow/exp/ln — then
+    floored to milli BEFORE summation, so the cumulative ranges and
+    ppm probabilities are pure integers.
+
+    Scale shape: one map-side-combined token aggregate (the word_count
+    shuffle), then windows over the VOCABULARY-grain table (bounded by
+    type count, not corpus size — the [[kneser_ney_bigram_lm]]
+    type-grain rule); the cumulative window's token order is the
+    table's binary-search key.
+
+    Reference analog: src/main.c:61-75 (word-count reduce) — this is
+    that aggregate with a smoothing epilogue.
+    """
+    d = compute_scan(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    weighted = counts.select(
+        "token",
+        "cnt",
+        F.floor(
+            NEG_SMOOTH_SCALE * F.sqrt(F.col("cnt") * F.sqrt(F.col("cnt")))
+        )
+        .cast("long")
+        .alias("weight_milli"),
+    )
+    w_cum = (
+        Window.orderBy("token").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy()
+    return weighted.select(
+        "token",
+        F.col("cnt").cast("long").alias("cnt"),
+        "weight_milli",
+        F.coalesce(F.sum("weight_milli").over(w_cum), F.lit(0))
+        .cast("long")
+        .alias("cum_before_milli"),
+        F.expr(
+            "CAST(weight_milli * 1000000 div "
+            "sum(weight_milli) OVER () AS BIGINT)"
+        ).alias("prob_ppm"),
+    )

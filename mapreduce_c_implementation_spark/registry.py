@@ -119,6 +119,7 @@ _DRIVER_NEW_THIS_ROUND: list[str] = [
     "knn_classification_eval",
     "kcenter_greedy_coreset",
     "multimodal_cdc_chunk_dedup",
+    "negative_sampling_table",
 ]
 
 # Regression re-verification queue: registration order, resuming where

@@ -200,6 +200,7 @@ PROBE_OPS = [
     "knn_classification_eval",
     "kcenter_greedy_coreset",
     "multimodal_cdc_chunk_dedup",
+    "negative_sampling_table",
 ]
 
 

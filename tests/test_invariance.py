@@ -293,6 +293,8 @@ SWEPT_OPS = [
     "knn_classification_eval",
     "kcenter_greedy_coreset",
     "multimodal_cdc_chunk_dedup",
+    # round-9 fifth wave: vocab-grain smoothing windows.
+    "negative_sampling_table",
 ]
 
 

@@ -717,3 +717,36 @@ def test_cdc_chunk_dedup_matches_bruteforce(spark, sf_smoke):
     }
     assert got == expected
     assert any(e[3] > 0 for e in expected.values()), "fixture must dedup bytes"
+
+
+def test_negative_sampling_table_matches_bruteforce(spark, sf_smoke):
+    """Smoothed weights, cumulative ranges, and ppm probabilities equal
+    the Python replay (sqrt-exact 3/4 power, integer freezes)."""
+    import math
+
+    from mapreduce_c_implementation_spark.operators.sampling import (
+        NEG_SMOOTH_SCALE,
+    )
+
+    docs = _docs(sf_smoke)
+    counts = defaultdict(int)
+    for text in docs.values():
+        for t in _tok(text):
+            counts[t] += 1
+    weights = {
+        t: math.floor(NEG_SMOOTH_SCALE * math.sqrt(c * math.sqrt(c)))
+        for t, c in counts.items()
+    }
+    total = sum(weights.values())
+    expected, cum = {}, 0
+    for t in sorted(weights):
+        expected[t] = (counts[t], weights[t], cum, weights[t] * 1000000 // total)
+        cum += weights[t]
+    got = {
+        r.token: (r.cnt, r.weight_milli, r.cum_before_milli, r.prob_ppm)
+        for r in _rows(spark, sf_smoke, "negative_sampling_table")
+    }
+    assert got == expected
+    # ranges tile [0, total): every token's range starts where the
+    # previous ends
+    assert cum == total
