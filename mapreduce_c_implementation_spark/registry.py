@@ -101,7 +101,11 @@ def register(
 # and tests/test_extensions.py's coverage-ledger test asserts
 # prior + new covers the full registry.
 
-# Round-9 additions, in priority order (appended as they land).
+# Round-9 additions, in priority order (appended as they land).  With
+# 17 new names, the 50-slot window = these 17 + the first 33 of
+# ``_DRIVER_REGRESSION`` (the two round-9 REWRITES, then the
+# regression cursor from ``grouping_sets_sales``); the rest roll to
+# round 10's cursor.
 _DRIVER_NEW_THIS_ROUND: list[str] = [
     "suffix_array_ranked_lcp",
     "substring_exact_spans",
