@@ -1439,6 +1439,11 @@ def paired_bootstrap_significance(spark: SparkSession, sf_dir: str) -> DataFrame
 # [[source_temperature_mixing]] sqrt-freeze discipline), frozen to
 # integer milli-weights before any aggregation.
 NEG_SMOOTH_SCALE = 1000  # milli-weights
+# Token-prefix width for the distributed cumulative sum's range buckets
+# (lexicographic prefix = a pure, order-preserving function of the sort
+# key, so buckets are totally ordered and every token lands in exactly
+# one — the curriculum_data_ordering bucketing rule applied to strings).
+NEG_BUCKET_PREFIX = 2
 
 
 @register(
@@ -1487,10 +1492,19 @@ def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ppm probabilities are pure integers.
 
     Scale shape: one map-side-combined token aggregate (the word_count
-    shuffle), then windows over the VOCABULARY-grain table (bounded by
-    type count, not corpus size — the [[kneser_ney_bigram_lm]]
-    type-grain rule); the cumulative window's token order is the
-    table's binary-search key.
+    shuffle), then the cumulative ranges are computed the SCALABLE
+    two-pass way — NEVER as one unpartitioned window over the
+    vocabulary (a 100 TB web corpus has 10^8-10^9 raw types, hapax
+    heavy): tokens hash-shuffle into lexicographic {NEG_BUCKET_PREFIX}-
+    char-prefix range buckets (order-preserving, totally ordered, ties
+    impossible across buckets), the within-bucket running sum is a
+    keyed window, and the bucket-total prefix table (rows <= alphabet^
+    {NEG_BUCKET_PREFIX}, tiny at any corpus size) broadcasts back with
+    the grand total riding in the same window pass — the
+    [[curriculum_data_ordering]] / [[zorder_layout]] pattern.  A
+    production word2vec table would also apply a min-count floor,
+    which bounds the table further; omitted here to keep the exact
+    unigram distribution.
 
     Reference analog: src/main.c:61-75 (word-count reduce) — this is
     that aggregate with a smoothing epilogue.
@@ -1509,20 +1523,41 @@ def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("weight_milli"),
+    ).withColumn("bk", F.substring("token", 1, NEG_BUCKET_PREFIX))
+    # pass 1: per-bucket totals -> tiny prefix table (offset before each
+    # bucket + grand total, one window over the bucket-grain table)
+    sizes = weighted.groupBy("bk").agg(
+        F.sum("weight_milli").alias("wsum")
     )
-    w_cum = (
-        Window.orderBy("token").rowsBetween(Window.unboundedPreceding, -1)
+    w_pfx = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)
+    w_tot = Window.orderBy("bk").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    w_all = Window.partitionBy()
-    return weighted.select(
-        "token",
-        F.col("cnt").cast("long").alias("cnt"),
-        "weight_milli",
-        F.coalesce(F.sum("weight_milli").over(w_cum), F.lit(0))
-        .cast("long")
-        .alias("cum_before_milli"),
-        F.expr(
-            "CAST(weight_milli * 1000000 div "
-            "sum(weight_milli) OVER () AS BIGINT)"
-        ).alias("prob_ppm"),
+    prefix = sizes.select(
+        "bk",
+        F.coalesce(F.sum("wsum").over(w_pfx), F.lit(0)).alias("off"),
+        F.sum("wsum").over(w_tot).alias("total_milli"),
+    )
+    # pass 2: within-bucket running sum (keyed shuffle) + broadcast offset
+    w_in = (
+        Window.partitionBy("bk")
+        .orderBy("token")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        weighted.withColumn(
+            "cum_in", F.coalesce(F.sum("weight_milli").over(w_in), F.lit(0))
+        )
+        .join(F.broadcast(prefix), "bk")
+        .select(
+            "token",
+            F.col("cnt").cast("long").alias("cnt"),
+            "weight_milli",
+            (F.col("off") + F.col("cum_in"))
+            .cast("long")
+            .alias("cum_before_milli"),
+            F.expr(
+                "CAST(weight_milli * 1000000 div total_milli AS BIGINT)"
+            ).alias("prob_ppm"),
+        )
     )

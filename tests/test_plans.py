@@ -816,3 +816,15 @@ def test_count_min_cells_broadcast_to_probes(spark, sf_correct):
     nothing corpus-sized reaches the probe join."""
     df = get_operator("count_min_sketch_tokens").query_fn(spark, sf_correct)
     assert_broadcast_join(df, expect=1)
+
+
+def test_negative_sampling_cumsum_is_distributed(spark, sf_correct):
+    """Negative-sampling table: the vocabulary-grain cumulative ranges
+    must be the two-pass prefix sum — running sums inside
+    hash-partitioned token-prefix buckets (bk); only the bucket-total
+    prefix table (rows <= alphabet^NEG_BUCKET_PREFIX) may cross a
+    SinglePartition exchange."""
+    df = get_operator("negative_sampling_table").query_fn(spark, sf_correct)
+    plan = physical_plan(df)
+    assert "hashpartitioning(bk" in plan, plan
+    assert _single_partition_exchanges(df) <= 1, plan
