@@ -2361,8 +2361,11 @@ def suffix_array_ranked_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere in the corpus, same- or cross-document) are ranked within
     the gram bucket, and each takes the larger prefix-bisection LCP
     against its two rank neighbors — by the suffix-array LCP property
-    that IS its maximal duplicated-match length (capped at
-    {SUFFIX_K - 1}).  Doc-grain rollup: duplicated-suffix count, max
+    that IS its maximal duplicated-match length (capped at {SUFFIX_K}:
+    the prefix-bisection steps sum to {SUFFIX_K} * 2 - 1 probes and
+    fully equal {SUFFIX_K}-char keys report {SUFFIX_K}, the trailing
+    least() only re-caps at key length).  Doc-grain rollup:
+    duplicated-suffix count, max
     match length, and the earliest position achieving it.
 
     Scale shape: suffix enumeration is an in-row flatMap (one row per

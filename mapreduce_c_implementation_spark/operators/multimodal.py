@@ -402,20 +402,22 @@ def multimodal_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup is [[multimodal_cas_index]]; this recovers the bytes it cannot.
 CDC_GRAM = 8
 CDC_MOD = 64  # expected chunk length in bytes
-_CDC_OWNER_SCALE = 100_000  # > max payload length; packs (doc_id, start)
 
 
 @register(
     "multimodal_cdc_chunk_dedup",
     oracle_sql=f"""
-    WITH p AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    WITH p AS (SELECT doc_id, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS n
+               FROM documents),
     anchors AS (
       SELECT doc_id, i FROM (
-        SELECT doc_id, text,
+        SELECT doc_id, hx,
                unnest(generate_series(2, n - {CDC_GRAM - 1})) AS i
         FROM p WHERE n >= {CDC_GRAM + 1}
       )
-      WHERE CAST('0x' || substr(md5(substr(text, i, {CDC_GRAM})), 1, 4)
+      WHERE CAST('0x' || substr(md5(substr(hx, 2 * i - 1, {2 * CDC_GRAM})),
+                                1, 4)
                  AS BIGINT) % {CDC_MOD} = 0
     ),
     bounds AS (
@@ -426,17 +428,18 @@ _CDC_OWNER_SCALE = 100_000  # > max payload length; packs (doc_id, start)
       SELECT b.doc_id, b.s,
              coalesce(lead(b.s) OVER (PARTITION BY b.doc_id ORDER BY b.s),
                       p.n + 1) AS e,
-             p.text
+             p.hx
       FROM bounds b JOIN p USING (doc_id)
     ),
     occ AS (
       SELECT doc_id, s, e - s AS len,
-             md5(substr(text, s, e - s)) AS dig
+             md5(substr(hx, CAST(2 * s - 1 AS BIGINT),
+                        CAST(2 * (e - s) AS BIGINT))) AS dig
       FROM chunks
     ),
     own AS (
       SELECT dig, count(*) AS n_copies,
-             min(doc_id * {_CDC_OWNER_SCALE} + s) AS owner
+             min({{'doc_id': doc_id, 's': s}}) AS owner
       FROM occ GROUP BY dig
     )
     SELECT o.doc_id,
@@ -444,7 +447,7 @@ _CDC_OWNER_SCALE = 100_000  # > max payload length; packs (doc_id, start)
            CAST(sum(o.len) AS BIGINT) AS payload_bytes,
            CAST(sum(CASE WHEN w.n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_dup_chunks,
-           CAST(sum(CASE WHEN o.doc_id * {_CDC_OWNER_SCALE} + o.s <> w.owner
+           CAST(sum(CASE WHEN {{'doc_id': o.doc_id, 's': o.s}} <> w.owner
                     THEN o.len ELSE 0 END) AS BIGINT) AS reclaimable_bytes
     FROM occ o JOIN own w USING (dig)
     GROUP BY o.doc_id
@@ -457,11 +460,15 @@ def multimodal_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     window ≡ 0 mod {CDC_MOD}, expected ~{CDC_MOD}-byte chunks), chunk
     digests dedup corpus-wide, and each document reports its chunk
     count, duplicated-chunk count, and RECLAIMABLE bytes (every copy
-    except the (min doc, min offset) owner's) — sub-file storage dedup
-    for multimodal shards, alignment-independent by construction
-    because boundaries travel with the bytes.  The oracle runs the
-    byte-identical computation on the text column (payloads are the
-    documents' UTF-8 bytes — same bytes, same md5s).
+    except the lexicographically-min (doc_id, s) owner's — a STRUCT
+    min, never a scalar packing, so owner identity is collision-free
+    at any payload length) — sub-file storage dedup for multimodal
+    shards, alignment-independent by construction because boundaries
+    travel with the bytes.  Both engines index the UTF-8 PAYLOAD by
+    BYTES and digest the hex encoding of each byte range (DuckDB's
+    md5 only accepts VARCHAR, hex is the common representation both
+    compute bit-identically), so the comparison holds on non-ASCII
+    corpora, matching multimodal_ingest's byte discipline.
 
     Scale shape: boundary detection is an in-row flatMap (one md5 per
     byte — a rolling Gear/Karp-Rabin hash inside mapInPandas at 100 TB,
@@ -473,20 +480,22 @@ def multimodal_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analog: none (SURVEY §2.2 multimodal surface).
     """
-    p = _payload_df(spark, sf_dir).select("doc_id", "payload", "n_bytes")
+    p = _payload_df(spark, sf_dir).select(
+        "doc_id", F.hex("payload").alias("hx"), "n_bytes"
+    )
     positions = F.when(
         F.col("n_bytes") >= CDC_GRAM + 1,
         F.sequence(F.lit(2), F.col("n_bytes").cast("int") - (CDC_GRAM - 1)),
     ).otherwise(F.array().cast("array<int>"))
     gram_hash = F.conv(
         F.substring(
-            F.md5(F.expr(f"substring(payload, i, {CDC_GRAM})")), 1, 4
+            F.md5(F.expr(f"substring(hx, 2 * i - 1, {2 * CDC_GRAM})")), 1, 4
         ),
         16,
         10,
     ).cast("long")
     anchors = (
-        p.select("doc_id", "payload", F.explode(positions).alias("i"))
+        p.select("doc_id", "hx", F.explode(positions).alias("i"))
         .filter(gram_hash % CDC_MOD == 0)
         .select("doc_id", F.col("i").cast("long").alias("s"))
     )
@@ -507,19 +516,24 @@ def multimodal_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(
             F.col("next_s"), F.col("n_bytes").cast("long") + 1
         ).alias("e"),
-        "payload",
+        "hx",
     )
     occ = chunks.select(
         "doc_id",
         "s",
         (F.col("e") - F.col("s")).alias("len"),
         F.md5(
-            F.expr("substring(payload, CAST(s AS INT), CAST(e - s AS INT))")
+            F.expr(
+                "substring(hx, CAST(2 * s - 1 AS INT),"
+                " CAST(2 * (e - s) AS INT))"
+            )
         ).alias("dig"),
     )
+    # collision-free owner identity: lexicographic min over the
+    # (doc_id, s) STRUCT — never a scalar packing
     own = occ.groupBy("dig").agg(
         F.count("*").alias("n_copies"),
-        F.min(F.expr(f"doc_id * {_CDC_OWNER_SCALE} + s")).alias("owner"),
+        F.min(F.struct(F.col("doc_id"), F.col("s"))).alias("owner"),
     )
     return (
         occ.join(own, "dig")
@@ -532,7 +546,7 @@ def multimodal_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_dup_chunks"),
             F.sum(
                 F.when(
-                    F.expr(f"doc_id * {_CDC_OWNER_SCALE} + s") != F.col("owner"),
+                    F.struct(F.col("doc_id"), F.col("s")) != F.col("owner"),
                     F.col("len"),
                 ).otherwise(0)
             )

@@ -1742,11 +1742,13 @@ def conformal_prediction_threshold(spark: SparkSession, sf_dir: str) -> DataFram
 # robust companion to [[group_linear_regression]]'s OLS (one whale day
 # cannot move the slope; breakdown point ~29%).  Signed integer
 # division diverges across engines (Spark div truncates, DuckDB //
-# floors), so each slope is floored via the offset trick:
-# (dy*SCALE + dx*OFF) div dx - OFF with dx > 0 keeps the numerator
-# positive, where trunc == floor in both engines.
+# floors), so each slope is floored via the SIGN/ABS SPLIT, which is
+# exact at ANY magnitude (the additive-offset trick only emulates
+# floor while dy*SCALE >= -dx*OFF — a >$10M one-day swing breaks it):
+# dy >= 0 -> (dy*SCALE) div dx; dy < 0 -> -((-dy*SCALE + dx - 1) div
+# dx).  Every numerator is non-negative, where trunc == floor in both
+# engines.
 TS_SLOPE_SCALE = 1000  # milli-cents per day
-_TS_OFF = 10**12
 
 
 @register(
@@ -1760,8 +1762,11 @@ _TS_OFF = 10**12
     ),
     slopes AS (
       SELECT a.x AS xi, a.v AS vi, b.x AS xj, b.v AS vj,
-             ((b.v - a.v) * {TS_SLOPE_SCALE} + (b.x - a.x) * {_TS_OFF})
-               // (b.x - a.x) - {_TS_OFF} AS m
+             CASE WHEN b.v >= a.v
+                  THEN ((b.v - a.v) * {TS_SLOPE_SCALE}) // (b.x - a.x)
+                  ELSE -(((a.v - b.v) * {TS_SLOPE_SCALE} + (b.x - a.x) - 1)
+                         // (b.x - a.x))
+             END AS m
       FROM daily a JOIN daily b ON b.x > a.x
     ),
     med_m AS (
@@ -1798,8 +1803,10 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     day; up to ~29% of days can be corrupt before the estimate moves.
 
     Exactness: slopes are integer milli-cents floored identically in
-    both engines via the positive-numerator offset trick (signed
-    division NEVER crosses an engine boundary); medians are
+    both engines via the sign/abs split — every numerator that reaches
+    a div is non-negative, where trunc == floor, at ANY swing
+    magnitude (signed division NEVER crosses an engine boundary, and
+    no additive-offset validity bound exists to outgrow); medians are
     percentile_disc order statistics (row_number against (n-1)//2)
     with full total-order tie-breaks.
 
@@ -1831,8 +1838,10 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "xi",
         "xj",
         F.expr(
-            f"((vj - vi) * {TS_SLOPE_SCALE} + (xj - xi) * {_TS_OFF})"
-            f" div (xj - xi) - {_TS_OFF}"
+            f"CASE WHEN vj >= vi"
+            f" THEN ((vj - vi) * {TS_SLOPE_SCALE}) div (xj - xi)"
+            f" ELSE -(((vi - vj) * {TS_SLOPE_SCALE} + (xj - xi) - 1)"
+            f" div (xj - xi)) END"
         ).alias("m"),
     ).cache()  # K^2/2-bounded; consumed by the median and the pair count
     w_m = Window.orderBy("m", "xi", "xj")

@@ -3,6 +3,8 @@ oracle diffs (which test_operators_vs_oracle.py covers)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from mapreduce_c_implementation_spark.registry import get_operator
@@ -334,3 +336,74 @@ def test_iterative_ops_detect_convergence_early(spark, sf_correct):
 
     dedup_connected_components(spark, sf_correct).collect()
     assert dedup_connected_components.last_rounds < CC_ROUNDS
+
+
+def test_cdc_chunk_dedup_non_ascii_parity(spark, tmp_path):
+    """The CDC chunk digests are BYTE-indexed hex digests in both
+    engines: the full Spark-vs-DuckDB differential must hold on a
+    non-ASCII corpus (multi-byte chars split by chunk boundaries),
+    which the ASCII driver fixture cannot exercise (ADVICE r9)."""
+    import shutil
+
+    from tests.oracle import assert_matches_oracle
+
+    src = "/root/testdata/sf0.001"
+    fix = tmp_path / "fixture"
+    fix.mkdir()
+    for f in os.listdir(src):
+        if f != "documents.parquet":
+            shutil.copy(f"{src}/{f}", fix / f)
+    shared = "中文テキスト mélange Ωß÷ shared run of bytes across docs " * 9
+    texts = [
+        shared + "suffix één",
+        "préfix " + shared,
+        "unique düplikat-frei Ω" * 11,
+        shared + shared,
+    ]
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": pd.array(range(len(texts)), dtype="int64"),
+            "text": texts,
+            "lang": ["xx"] * len(texts),
+            "source": [f"src{i}" for i in range(len(texts))],
+            "n_chars": pd.array([len(t) for t in texts], dtype="int64"),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(pdf), fix / "documents.parquet")
+    assert_matches_oracle(spark, "multimodal_cdc_chunk_dedup", str(fix))
+
+
+def test_theil_sen_floor_exact_at_extreme_swings(spark):
+    """The sign/abs-split slope floors EXACTLY like Python // for
+    arbitrarily large one-day swings in BOTH engines — the additive-
+    offset trick it replaced diverged once dy*SCALE < -dx*OFF
+    (ADVICE r9)."""
+    import duckdb
+
+    from mapreduce_c_implementation_spark.operators.robust_stats import (
+        TS_SLOPE_SCALE,
+    )
+
+    cases = [
+        (-(10**13), 1), (10**13, 1), (-(10**13) - 1, 3), (-7, 3), (7, 3),
+        (-1, 7), (0, 5), (-(10**15), 9), (10**15 - 1, 9),
+    ]
+    expr = (
+        f"CASE WHEN dy >= 0 THEN (dy * {TS_SLOPE_SCALE}) {{div}} dx"
+        f" ELSE -(((-dy) * {TS_SLOPE_SCALE} + dx - 1) {{div}} dx) END"
+    )
+    expected = [(dy * TS_SLOPE_SCALE) // dx for dy, dx in cases]
+    duck = duckdb.connect().execute(
+        "SELECT " + expr.format(div="//") + " FROM (SELECT "
+        "unnest(?) AS dy, unnest(?) AS dx)",
+        [[c[0] for c in cases], [c[1] for c in cases]],
+    ).fetchall()
+    assert [r[0] for r in duck] == expected
+    sdf = spark.createDataFrame(cases, "dy long, dx long").selectExpr(
+        expr.format(div="div") + " AS m"
+    )
+    assert [r.m for r in sdf.collect()] == expected

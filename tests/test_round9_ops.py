@@ -516,9 +516,9 @@ def test_autocorrelation_matches_bruteforce(spark, sf_smoke):
 
 def test_theil_sen_matches_bruteforce(spark, sf_smoke):
     """Slope/intercept medians equal the Python pairwise replay with
-    the same offset-floored integer slopes."""
+    true floor-divided integer slopes (Python // IS floor — the exact
+    semantics the engines' sign/abs split reproduces)."""
     from mapreduce_c_implementation_spark.operators.robust_stats import (
-        _TS_OFF,
         TS_SLOPE_SCALE,
     )
 
@@ -528,7 +528,7 @@ def test_theil_sen_matches_bruteforce(spark, sf_smoke):
     for i, xi in enumerate(xs):
         for xj in xs[i + 1 :]:
             dy, dx = daily[xj] - daily[xi], xj - xi
-            m = (dy * TS_SLOPE_SCALE + dx * _TS_OFF) // dx - _TS_OFF
+            m = (dy * TS_SLOPE_SCALE) // dx
             slopes.append((m, xi, xj))
     slopes.sort()
     med_m = slopes[(len(slopes) - 1) // 2][0]
@@ -669,12 +669,12 @@ def test_kcenter_matches_bruteforce(spark, sf_smoke):
 
 
 def test_cdc_chunk_dedup_matches_bruteforce(spark, sf_smoke):
-    """Doc rollups equal the Python CDC replay (boundaries, digests,
-    owner rule), and chunks tile each payload exactly."""
+    """Doc rollups equal the Python CDC replay (BYTE-indexed boundaries,
+    hex digests, (doc_id, s)-struct owner rule), and chunks tile each
+    payload exactly."""
     import hashlib
 
     from mapreduce_c_implementation_spark.operators.multimodal import (
-        _CDC_OWNER_SCALE,
         CDC_GRAM,
         CDC_MOD,
     )
@@ -682,26 +682,26 @@ def test_cdc_chunk_dedup_matches_bruteforce(spark, sf_smoke):
     docs = _docs(sf_smoke)
     occ = []
     for doc_id, text in docs.items():
-        n = len(text)
+        payload = text.encode("utf-8")
+        n = len(payload)
         bounds = [1]
         for i in range(2, n - CDC_GRAM + 2):
-            h = int(
-                hashlib.md5(text[i - 1 : i - 1 + CDC_GRAM].encode()).hexdigest()[:4],
-                16,
-            )
+            window_hex = payload[i - 1 : i - 1 + CDC_GRAM].hex().upper()
+            h = int(hashlib.md5(window_hex.encode()).hexdigest()[:4], 16)
             if h % CDC_MOD == 0:
                 bounds.append(i)
         bounds.append(n + 1)
         for s, e in zip(bounds, bounds[1:]):
+            chunk_hex = payload[s - 1 : e - 1].hex().upper()
             occ.append(
                 (doc_id, s, e - s,
-                 hashlib.md5(text[s - 1 : e - 1].encode()).hexdigest())
+                 hashlib.md5(chunk_hex.encode()).hexdigest())
             )
         assert sum(e - s for s, e in zip(bounds, bounds[1:])) == n
     owners, copies = {}, defaultdict(int)
     for doc_id, s, ln, dig in occ:
         copies[dig] += 1
-        key = doc_id * _CDC_OWNER_SCALE + s
+        key = (doc_id, s)
         owners[dig] = min(owners.get(dig, key), key)
     expected = {}
     for doc_id, s, ln, dig in occ:
@@ -709,7 +709,7 @@ def test_cdc_chunk_dedup_matches_bruteforce(spark, sf_smoke):
         e[0] += 1
         e[1] += ln
         e[2] += 1 if copies[dig] > 1 else 0
-        e[3] += ln if doc_id * _CDC_OWNER_SCALE + s != owners[dig] else 0
+        e[3] += ln if (doc_id, s) != owners[dig] else 0
     got = {
         r.doc_id: [r.n_chunks, r.payload_bytes, r.n_dup_chunks,
                    r.reclaimable_bytes]
