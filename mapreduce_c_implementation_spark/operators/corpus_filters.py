@@ -2705,3 +2705,296 @@ def substring_exact_trim_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("trimmed_md5"),
         )
     )
+
+
+# --- Round 10: the tiered exact-substring pipeline, executable ----------
+#
+# The exact tier's docstrings prescribe "run the anchored screen first,
+# the exact tier only on flagged docs" as the 100 TB deployment shape.
+# This operator IS that composition, registered and oracle-checked:
+# stage 1 anchors (1/SUBSTR_STRIDE of positions) flag candidate docs;
+# stage 2 runs the stride-free suffix spans + trim ONLY on the flagged
+# subset; unflagged documents pass through verbatim.
+
+
+@register(
+    "substring_tiered_trim_rewrite",
+    oracle_sql=f"""
+    WITH wins AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS i,
+             md5(substr(text, i, {SUBSTR_WIN})) AS win_hash
+      FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - {SUBSTR_WIN - 1})) AS i
+        FROM documents WHERE length(text) >= {SUBSTR_WIN}
+      )
+      WHERE CAST('0x' || substr(md5(substr(text, i, {SUBSTR_GRAM})), 1, 4)
+                 AS BIGINT) % {SUBSTR_STRIDE} = 0
+    ),
+    flagged_docs AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY win_hash) AS mn,
+               max(doc_id) OVER (PARTITION BY win_hash) AS mx
+        FROM wins
+      ) WHERE mn <> mx
+    ),
+    fdocs AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN flagged_docs USING (doc_id)
+    ),
+    suf AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS i,
+             substr(text, i, {SUFFIX_MINLEN}) AS bucket
+      FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - {SUFFIX_MINLEN - 1}))
+                 AS i
+        FROM fdocs WHERE length(text) >= {SUFFIX_MINLEN}
+      )
+    ),
+    xocc AS (
+      SELECT doc_id, i FROM (
+        SELECT doc_id, i,
+               min(doc_id) OVER (PARTITION BY bucket) AS mn,
+               max(doc_id) OVER (PARTITION BY bucket) AS mx
+        FROM suf
+      ) WHERE mn <> mx
+    ),
+    xflagged AS (
+      SELECT doc_id, i,
+             CASE WHEN max(i + {SUFFIX_MINLEN}) OVER (
+                    PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= i
+                  THEN 0 ELSE 1 END AS new_span
+      FROM xocc
+    ),
+    xislands AS (
+      SELECT doc_id, i,
+             sum(new_span) OVER (
+               PARTITION BY doc_id ORDER BY i
+               ROWS UNBOUNDED PRECEDING) AS span_id
+      FROM xflagged
+    ),
+    spans AS (
+      SELECT doc_id, min(i) AS s, max(i) + {SUFFIX_MINLEN} AS e
+      FROM xislands GROUP BY doc_id, span_id
+    ),
+    gaps AS (
+      SELECT doc_id,
+             lag(e, 1, 1) OVER (PARTITION BY doc_id ORDER BY s) AS gs,
+             s AS ge
+      FROM spans
+      UNION ALL
+      SELECT doc_id, max(e) AS gs, NULL AS ge FROM spans GROUP BY doc_id
+    ),
+    chunks AS (
+      SELECT g.doc_id, g.gs,
+             substr(d.text, CAST(g.gs AS INTEGER),
+                    CAST(coalesce(g.ge, length(d.text) + 1) - g.gs
+                         AS INTEGER)) AS chunk
+      FROM gaps g JOIN documents d USING (doc_id)
+      WHERE coalesce(g.ge, length(d.text) + 1) > g.gs
+    ),
+    trimmed AS (
+      SELECT doc_id, string_agg(chunk, '' ORDER BY gs) AS kept_text
+      FROM chunks GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT doc_id, count(*) AS n_spans, sum(e - s) AS cut_chars
+      FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS flagged,
+           CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_cut_spans,
+           CAST(coalesce(st.cut_chars, 0) AS BIGINT) AS n_cut_chars,
+           CAST(length(d.text) - coalesce(st.cut_chars, 0) AS BIGINT)
+             AS kept_chars,
+           md5(coalesce(t.kept_text,
+                        CASE WHEN st.doc_id IS NOT NULL THEN '' ELSE d.text END))
+             AS trimmed_md5
+    FROM documents d
+    LEFT JOIN flagged_docs f USING (doc_id)
+    LEFT JOIN trimmed t USING (doc_id)
+    LEFT JOIN stats st USING (doc_id)
+    """,
+    tags=("text", "dedup", "substring", "rewrite", "tiered", "pipeline"),
+)
+def substring_tiered_trim_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered exact-substring trim — the 100 TB deployment composition
+    of the suffix family, EXECUTABLE instead of docstring prose: the
+    cheap anchored screen (every {SUBSTR_WIN}-char window at 1/
+    {SUBSTR_STRIDE} content-chosen anchor positions, ~1/{SUBSTR_STRIDE}
+    of the exact tier's shuffle volume) flags candidate documents —
+    any doc sharing an anchored window with a second doc — and the
+    stride-free exact tier ([[substring_exact_spans]]' suffix-gram
+    spans + [[substring_exact_trim_rewrite]]'s cut-and-stitch) runs
+    ONLY on the flagged subset.  Unflagged docs pass through verbatim
+    (md5(text) pins that).  Any shared run >= {SUBSTR_WIN} chars
+    contains an anchored window with probability ~1 - exp(-{SUBSTR_WIN
+    - SUBSTR_GRAM + 1}/{SUBSTR_STRIDE}), so the screen's misses are
+    short overlaps; within the flagged subset the trim is exact to the
+    character at >= {SUFFIX_MINLEN}-char grain.
+
+    Scale shape: stage 1 is the anchored op's single digest-keyed
+    window exchange over ~1/{SUBSTR_STRIDE} of positions; the flag
+    table is DOC-grain (ids only) and semi-joins the corpus (no
+    payload duplication); stage 2 pays the exact tier's per-char
+    shuffle only on the flagged fraction (dup-heavy shards), which is
+    what makes the exact tier corpus-wide-safe at 100 TB — the
+    composition caps exact-tier bytes at screen-positive bytes.
+
+    Reference analog: none (LLM-pipeline surface per the brief);
+    executes the deployment guidance of [[suffix_array_ranked_lcp]].
+    """
+    d = parallel_scan(spark, sf_dir, "documents").select("doc_id", "text")
+    # stage 1: anchored screen -> flagged doc ids (one digest-keyed
+    # window exchange; min!=max is the cross-doc rule, no count-distinct)
+    positions_a = F.when(
+        F.length("text") >= SUBSTR_WIN,
+        F.sequence(F.lit(1), F.length("text") - (SUBSTR_WIN - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    gram_hash = F.conv(
+        F.substring(
+            F.md5(F.substring(F.col("text"), F.col("i"), SUBSTR_GRAM)), 1, 4
+        ),
+        16,
+        10,
+    ).cast("long")
+    wins = (
+        d.select("doc_id", "text", F.explode(positions_a).alias("i"))
+        .filter(gram_hash % SUBSTR_STRIDE == 0)
+        .select(
+            "doc_id",
+            F.md5(F.substring(F.col("text"), F.col("i"), SUBSTR_WIN)).alias(
+                "win_hash"
+            ),
+        )
+    )
+    w_h = Window.partitionBy("win_hash")
+    flagged_docs = (
+        wins.withColumn("mn", F.min("doc_id").over(w_h))
+        .withColumn("mx", F.max("doc_id").over(w_h))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("doc_id")
+        .distinct()
+        # doc-grain id table, consumed by the semi-join and the final flag
+        .cache()
+    )
+    fdocs = d.join(flagged_docs, "doc_id", "semi")
+    # stage 2: exact suffix spans on the flagged subset only
+    positions_x = F.when(
+        F.length("text") >= SUFFIX_MINLEN,
+        F.sequence(F.lit(1), F.length("text") - (SUFFIX_MINLEN - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    suf = fdocs.select(
+        "doc_id", "text", F.explode(positions_x).alias("i")
+    ).select(
+        "doc_id",
+        F.col("i").cast("long").alias("i"),
+        F.substring(F.col("text"), F.col("i"), SUFFIX_MINLEN).alias("bucket"),
+    )
+    w_bucket = Window.partitionBy("bucket")
+    occ = (
+        suf.withColumn("mn", F.min("doc_id").over(w_bucket))
+        .withColumn("mx", F.max("doc_id").over(w_bucket))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("doc_id", "i")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged_pos = occ.select(
+        "doc_id",
+        "i",
+        F.when(
+            F.max(F.col("i") + SUFFIX_MINLEN).over(w_prev) >= F.col("i"), 0
+        )
+        .otherwise(1)
+        .alias("new_span"),
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    spans = (
+        flagged_pos.select(
+            "doc_id", "i", F.sum("new_span").over(w_run).alias("span_id")
+        )
+        .groupBy("doc_id", "span_id")
+        .agg(
+            F.min("i").alias("s"),
+            (F.max("i") + SUFFIX_MINLEN).alias("e"),
+        )
+        .select("doc_id", "s", "e")
+        # doc-grain and small, but its lineage is the exact-tier suffix
+        # pipeline — cache so gaps/tail/stats don't recompute it
+        .cache()
+    )
+    w_s = Window.partitionBy("doc_id").orderBy("s")
+    gaps_mid = spans.select(
+        "doc_id",
+        F.lag("e", 1, 1).over(w_s).alias("gs"),
+        F.col("s").alias("ge"),
+    )
+    gaps_tail = spans.groupBy("doc_id").agg(
+        F.max("e").alias("gs"), F.lit(None).cast("long").alias("ge")
+    )
+    gaps = gaps_mid.unionByName(gaps_tail)
+    chunks = (
+        gaps.join(d, "doc_id")
+        .filter(F.coalesce(F.col("ge"), F.length("text") + 1) > F.col("gs"))
+        .select(
+            "doc_id",
+            "gs",
+            F.expr(
+                "substring(text, CAST(gs AS INT),"
+                " CAST(coalesce(ge, length(text) + 1) - gs AS INT))"
+            ).alias("chunk"),
+        )
+    )
+    trimmed = chunks.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("gs", "chunk"))),
+                lambda x: x["chunk"],
+            ),
+            "",
+        ).alias("kept_text")
+    )
+    stats = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s")).alias("cut_chars"),
+    )
+    return (
+        d.join(
+            flagged_docs.withColumn("flag", F.lit(1)), "doc_id", "left"
+        )
+        .join(trimmed, "doc_id", "left")
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("flag", F.lit(0)).cast("long").alias("flagged"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_cut_spans"),
+            F.coalesce("cut_chars", F.lit(0))
+            .cast("long")
+            .alias("n_cut_chars"),
+            (F.length("text") - F.coalesce("cut_chars", F.lit(0)))
+            .cast("long")
+            .alias("kept_chars"),
+            F.md5(
+                F.coalesce(
+                    "kept_text",
+                    # a fully-cut flagged document has spans but no
+                    # chunks: its trimmed text is EMPTY, not passthrough
+                    F.when(F.col("n_spans").isNotNull(), F.lit("")).otherwise(
+                        F.col("text")
+                    ),
+                )
+            ).alias("trimmed_md5"),
+        )
+    )
