@@ -1561,3 +1561,117 @@ def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("prob_ppm"),
         )
     )
+
+
+# --- Round 10: priority sampling (weighted without-replacement) ----------
+#
+# Priority sampling (Duffield, Lund & Thorup, "Priority sampling for
+# estimation of arbitrary subset sums", JACM 2007): item i with weight
+# w_i draws u_i ~ U(0,1] and gets priority q_i = w_i / u_i; the sample
+# is the top-K priorities and tau = the (K+1)-th; the Horvitz-Thompson
+# style estimate for every sampled item is max(w_i, tau), which is
+# unbiased for any subset sum.  Determinism: u is the md5-derived
+# integer in [1, PRIO_U_SCALE] and the priority is frozen to the
+# integer w * PRIO_U_SCALE div u with doc_id tie-breaks.
+PRIO_SAMPLE_K = 64
+PRIO_U_SCALE = 1 << 20
+
+
+@register(
+    "priority_sample_weighted",
+    oracle_sql=f"""
+    WITH w AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % {PRIO_U_SCALE} + 1 AS u
+      FROM documents
+    ),
+    pri AS (
+      SELECT doc_id, weight, u,
+             weight * {PRIO_U_SCALE} // u AS priority
+      FROM w
+    ),
+    ranked AS (
+      SELECT doc_id, weight, u, priority,
+             row_number() OVER (ORDER BY priority DESC, doc_id) AS rn
+      FROM pri
+    ),
+    top AS (
+      SELECT * FROM ranked WHERE rn <= {PRIO_SAMPLE_K + 1}
+    ),
+    tau AS (
+      SELECT coalesce(max(CASE WHEN rn = {PRIO_SAMPLE_K + 1}
+                                THEN priority END), 0) AS tau
+      FROM top
+    )
+    SELECT t.doc_id, t.weight, CAST(t.u AS BIGINT) AS u,
+           CAST(t.priority AS BIGINT) AS priority,
+           CAST(t.rn AS BIGINT) AS sample_rank,
+           CAST(greatest(t.weight, x.tau) AS BIGINT) AS est_weight
+    FROM top t CROSS JOIN tau x
+    WHERE t.rn <= {PRIO_SAMPLE_K}
+    """,
+    tags=("sampling", "weighted", "priority", "pipeline"),
+)
+def priority_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling — weighted without-replacement document sample
+    with an UNBIASED subset-sum estimator (Duffield-Lund-Thorup): each
+    doc's priority is weight/u for an md5-derived deterministic
+    u in (0,1], the sample is the top-{PRIO_SAMPLE_K} priorities, and
+    every sampled doc carries est_weight = max(weight, tau) with tau =
+    the ({PRIO_SAMPLE_K + 1})-th priority — summing est_weight over any
+    sampled subset estimates that subset's true weight, the one-pass
+    weighted-sampling primitive a corpus-mixing pipeline audits with
+    ([[source_token_budget_mix]] decides budgets; this VERIFIES them
+    from a bounded sample).  Priorities are frozen integers
+    (w * {PRIO_U_SCALE} div u, doc_id tie-breaks), so the sample is a
+    pure function of the corpus.
+
+    Scale shape: one narrow map computes (weight, u, priority); the
+    top-(K+1) is TakeOrdered (per-partition heads + driver merge of
+    K+1-row fronts — NO global sort, NO SinglePartition exchange of
+    the corpus); tau and ranks live on the (K+1)-row front.  At 100 TB
+    this is the textbook one-pass distributed weighted sample.
+
+    Reference analog: none (LLM-pipeline sampling surface).
+    """
+    d = parallel_scan(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("weight")
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % PRIO_U_SCALE
+        + 1
+    )
+    pri = d.select(
+        "doc_id",
+        "weight",
+        u.alias("u"),
+        F.expr(f"weight * {PRIO_U_SCALE} div"
+               f" (CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8),"
+               f" 16, 10) AS BIGINT) % {PRIO_U_SCALE} + 1)").alias("priority"),
+    )
+    top = pri.orderBy(F.desc("priority"), "doc_id").limit(PRIO_SAMPLE_K + 1)
+    w_rn = Window.orderBy(F.desc("priority"), "doc_id")
+    w_all = Window.partitionBy()
+    ranked = top.withColumn("rn", F.row_number().over(w_rn)).withColumn(
+        "tau",
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("rn") == PRIO_SAMPLE_K + 1, F.col("priority")
+                )
+            ).over(w_all),
+            F.lit(0),
+        ),
+    )
+    return ranked.filter(F.col("rn") <= PRIO_SAMPLE_K).select(
+        "doc_id",
+        "weight",
+        F.col("u").cast("long").alias("u"),
+        F.col("priority").cast("long").alias("priority"),
+        F.col("rn").cast("long").alias("sample_rank"),
+        F.greatest("weight", "tau").cast("long").alias("est_weight"),
+    )

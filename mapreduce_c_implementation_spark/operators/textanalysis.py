@@ -5015,3 +5015,314 @@ def brier_score_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 div (CAST(max(n) AS DECIMAL(38,0)) * max(n)) AS BIGINT)"
         ).alias("uncertainty_ppm"),
     )
+
+
+# --- Round 10: ROUGE-N generation-overlap eval ---------------------------
+#
+# ROUGE-N (Lin 2004): clipped n-gram overlap between a generation and
+# its reference.  With o = sum_g min(cnt_gen(g), cnt_ref(g)),
+# P = o/|gen_ngrams|, R = o/|ref_ngrams|, and F1 = 2PR/(P+R) =
+# 2o/(|gen|+|ref|) — a pure integer closed form, no float division.
+# The generation is the same deterministic corruption
+# generation_cer_eval uses (every CER_DROP_MOD-th token dropped).
+
+
+@register(
+    "rouge_n_overlap_eval",
+    oracle_sql=f"""
+    WITH toks AS (
+      SELECT doc_id, {{tok}} AS ts FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, ts AS ref_ts,
+             list_filter(ts, (t, i) -> i % {{mod}} <> 0) AS gen_ts
+      FROM toks WHERE len(ts) > 0
+    ),
+    ref1 AS (
+      SELECT doc_id, g, count(*) AS c
+      FROM (SELECT doc_id, unnest(ref_ts) AS g FROM pairs) GROUP BY 1, 2
+    ),
+    gen1 AS (
+      SELECT doc_id, g, count(*) AS c
+      FROM (SELECT doc_id, unnest(gen_ts) AS g FROM pairs) GROUP BY 1, 2
+    ),
+    ref2 AS (
+      SELECT doc_id, g, count(*) AS c
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 list_filter(ref_ts, (t, i) -> i < len(ref_ts)),
+                 (t, i) -> t || ' ' || ref_ts[i + 1])) AS g
+        FROM pairs
+      ) GROUP BY 1, 2
+    ),
+    gen2 AS (
+      SELECT doc_id, g, count(*) AS c
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 list_filter(gen_ts, (t, i) -> i < len(gen_ts)),
+                 (t, i) -> t || ' ' || gen_ts[i + 1])) AS g
+        FROM pairs
+      ) GROUP BY 1, 2
+    ),
+    m1 AS (
+      SELECT r.doc_id, sum(least(r.c, g.c)) AS o
+      FROM ref1 r JOIN gen1 g USING (doc_id, g) GROUP BY 1
+    ),
+    m2 AS (
+      SELECT r.doc_id, sum(least(r.c, g.c)) AS o
+      FROM ref2 r JOIN gen2 g USING (doc_id, g) GROUP BY 1
+    ),
+    tot AS (
+      SELECT doc_id,
+             CAST(len(ref_ts) AS BIGINT) AS r1_ref,
+             CAST(len(gen_ts) AS BIGINT) AS r1_gen,
+             CAST(greatest(len(ref_ts) - 1, 0) AS BIGINT) AS r2_ref,
+             CAST(greatest(len(gen_ts) - 1, 0) AS BIGINT) AS r2_gen
+      FROM pairs
+    )
+    SELECT t.doc_id,
+           CAST(coalesce(m1.o, 0) AS BIGINT) AS r1_match,
+           t.r1_ref, t.r1_gen,
+           CAST(coalesce(m1.o, 0) * 2000000 // (t.r1_ref + t.r1_gen)
+                AS BIGINT) AS rouge1_f1_ppm,
+           CAST(coalesce(m2.o, 0) AS BIGINT) AS r2_match,
+           t.r2_ref, t.r2_gen,
+           CAST(CASE WHEN t.r2_ref + t.r2_gen > 0
+                     THEN coalesce(m2.o, 0) * 2000000 // (t.r2_ref + t.r2_gen)
+                     ELSE 0 END AS BIGINT) AS rouge2_f1_ppm
+    FROM tot t
+    LEFT JOIN m1 USING (doc_id)
+    LEFT JOIN m2 USING (doc_id)
+    """.format(tok=_TOK, mod=CER_DROP_MOD),
+    tags=("text", "eval", "rouge", "pipeline"),
+)
+def rouge_n_overlap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1/ROUGE-2 generation-overlap eval: per document, the
+    clipped unigram and bigram overlap between the reference (the
+    token-joined text) and a deterministic generation (every
+    {CER_DROP_MOD}th token dropped — the [[generation_cer_eval]]
+    corruption, so the two metrics grade the SAME pairs), with F1 in
+    the integer closed form 2*overlap*1e6 div (|ref|+|gen|) — no float
+    path, bit-equal across engines.  Complements the edit-distance
+    view: [[generation_cer_eval]] is position-sensitive, ROUGE is
+    bag-of-ngrams.
+
+    Scale shape: n-gram counts are (doc_id, gram)-keyed map-side-
+    combined aggregates; the clip is a (doc_id, gram) equi-join —
+    everything keyed and linear, the doc-grain rollup shares the
+    doc_id exchange.  No quadratic stage (vs CER's per-doc DP), so the
+    ROUGE pass is the cheap one to run corpus-wide at 100 TB.
+
+    Reference analog: none (LLM-pipeline eval surface per the brief).
+    """
+    d = compute_scan(spark, sf_dir, "documents")
+    ts = tokenize(F.col("text"))
+    pairs = (
+        d.select("doc_id", ts.alias("ref_ts"))
+        .filter(F.size("ref_ts") > 0)
+        .select(
+            "doc_id",
+            "ref_ts",
+            F.filter(
+                "ref_ts", lambda t, i: (i + 1) % CER_DROP_MOD != 0
+            ).alias("gen_ts"),
+        )
+        # token arrays consumed by four explodes + the totals row
+        .cache()
+    )
+
+    def _bigrams(col: str):
+        return F.expr(
+            f"transform(slice({col}, 1, greatest(size({col}) - 1, 0)),"
+            f" (t, i) -> concat(t, ' ', element_at({col}, i + 2)))"
+        )
+
+    def _counts(col, alias):
+        return (
+            pairs.select("doc_id", F.explode(col).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias(alias))
+        )
+
+    m1 = (
+        _counts(F.col("ref_ts"), "cr")
+        .join(_counts(F.col("gen_ts"), "cg"), ["doc_id", "g"])
+        .groupBy("doc_id")
+        .agg(F.sum(F.least("cr", "cg")).alias("o1"))
+    )
+    m2 = (
+        _counts(_bigrams("ref_ts"), "cr")
+        .join(_counts(_bigrams("gen_ts"), "cg"), ["doc_id", "g"])
+        .groupBy("doc_id")
+        .agg(F.sum(F.least("cr", "cg")).alias("o2"))
+    )
+    tot = pairs.select(
+        "doc_id",
+        F.size("ref_ts").cast("long").alias("r1_ref"),
+        F.size("gen_ts").cast("long").alias("r1_gen"),
+        F.greatest(F.size("ref_ts") - 1, F.lit(0))
+        .cast("long")
+        .alias("r2_ref"),
+        F.greatest(F.size("gen_ts") - 1, F.lit(0))
+        .cast("long")
+        .alias("r2_gen"),
+    )
+    return (
+        tot.join(m1, "doc_id", "left")
+        .join(m2, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("o1", F.lit(0)).cast("long").alias("r1_match"),
+            "r1_ref",
+            "r1_gen",
+            F.expr(
+                "CAST(coalesce(o1, 0) * 2000000 div (r1_ref + r1_gen)"
+                " AS BIGINT)"
+            ).alias("rouge1_f1_ppm"),
+            F.coalesce("o2", F.lit(0)).cast("long").alias("r2_match"),
+            "r2_ref",
+            "r2_gen",
+            F.expr(
+                "CAST(CASE WHEN r2_ref + r2_gen > 0"
+                " THEN coalesce(o2, 0) * 2000000 div (r2_ref + r2_gen)"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("rouge2_f1_ppm"),
+        )
+    )
+
+
+# --- Round 10: decision-threshold sweep (F1-optimal operating point) -----
+#
+# Classifier deployment step: given a quality score and a binary label,
+# sweep every realized threshold and report the full operating curve
+# plus the F1-argmax row — the "pick the filter cutoff" move every
+# quality-classifier pipeline performs after calibration.  The score
+# domain is basis points (<= 10001 distinct values), so the sweep table
+# is VALUE-grain bounded regardless of corpus size.
+_F1_STOPS = "array('the','a','and','of','to','is','fast','slow')"
+_F1_STOPS_DUCK = "['the','a','and','of','to','is','fast','slow']"
+
+
+@register(
+    "f1_threshold_sweep",
+    oracle_sql=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             10000 - CAST(len(list_intersect({{tok}}, {_F1_STOPS_DUCK}))
+                          AS BIGINT) * 10000 // len({{tok}}) AS score_bp
+      FROM documents WHERE len({{tok}}) > 0
+    ),
+    grain AS (
+      SELECT score_bp,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(count(*) - sum(y) AS BIGINT) AS n_neg
+      FROM scored GROUP BY score_bp
+    ),
+    cum AS (
+      SELECT score_bp,
+             sum(n_pos) OVER (ORDER BY score_bp DESC
+               ROWS UNBOUNDED PRECEDING) AS tp,
+             sum(n_neg) OVER (ORDER BY score_bp DESC
+               ROWS UNBOUNDED PRECEDING) AS fp,
+             sum(n_pos) OVER () AS p
+      FROM grain
+    ),
+    curve AS (
+      SELECT score_bp AS threshold_bp,
+             CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+             CAST(p - tp AS BIGINT) AS fn,
+             CAST(tp * 1000000 // (tp + fp) AS BIGINT) AS precision_ppm,
+             CAST(tp * 1000000 // p AS BIGINT) AS recall_ppm,
+             CAST(2 * tp * 1000000 // (2 * tp + fp + (p - tp)) AS BIGINT)
+               AS f1_ppm
+      FROM cum
+    )
+    SELECT threshold_bp, tp, fp, fn, precision_ppm, recall_ppm, f1_ppm,
+           CAST(CASE WHEN {{{{'f': f1_ppm, 't': threshold_bp}}}} =
+                  (SELECT max({{{{'f': f1_ppm, 't': threshold_bp}}}})
+                   FROM curve)
+                THEN 1 ELSE 0 END AS BIGINT) AS is_best
+    FROM curve
+    """.format(tok=_TOK),
+    tags=("text", "eval", "threshold", "classifier", "pipeline"),
+)
+def f1_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point sweep for a quality filter: every realized score
+    threshold with its TP/FP/FN, precision, recall, F1 (ppm) for the
+    predict-positive-if-score>=threshold rule against the lang=='en'
+    label, plus the F1-argmax flag (ties break to the HIGHEST
+    threshold — prefer the stricter filter) — the step that turns
+    [[score_calibration_reliability]]'s calibrated score into the
+    deployed cutoff a [[quality_classifier_inference]] filter applies.
+
+    Scale shape: one doc-grain scoring map, one map-side-combined
+    aggregate onto the SCORE grain (<= 10001 basis-point values —
+    bounded at any corpus size), then cumulative windows over that
+    bounded value table (the fixed-bin exception to the no-global-
+    window rule).  Nothing corpus-sized crosses the curve stage.
+
+    Reference analog: none (LLM-pipeline eval surface per the brief).
+    """
+    from pyspark.sql.window import Window
+
+    d = compute_scan(spark, sf_dir, "documents")
+    ts = tokenize(F.col("text"))
+    scored = (
+        d.select("doc_id", "lang", ts.alias("ts"))
+        .filter(F.size("ts") > 0)
+        .select(
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+            F.expr(
+                f"10000 - CAST(size(array_intersect(ts, {_F1_STOPS}))"
+                " AS BIGINT) * 10000 div size(ts)"
+            ).alias("score_bp"),
+        )
+    )
+    grain = scored.groupBy("score_bp").agg(
+        F.sum("y").cast("long").alias("n_pos"),
+        (F.count("*") - F.sum("y")).cast("long").alias("n_neg"),
+    )
+    w_cum = Window.orderBy(F.desc("score_bp")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    cum = grain.select(
+        F.col("score_bp").alias("threshold_bp"),
+        F.sum("n_pos").over(w_cum).alias("tp"),
+        F.sum("n_neg").over(w_cum).alias("fp"),
+        F.sum("n_pos").over(w_all).alias("p"),
+    )
+    curve = cum.select(
+        "threshold_bp",
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        (F.col("p") - F.col("tp")).cast("long").alias("fn"),
+        F.expr("CAST(tp * 1000000 div (tp + fp) AS BIGINT)").alias(
+            "precision_ppm"
+        ),
+        F.expr("CAST(tp * 1000000 div p AS BIGINT)").alias("recall_ppm"),
+        F.expr(
+            "CAST(2 * tp * 1000000 div (2 * tp + fp + (p - tp)) AS BIGINT)"
+        ).alias("f1_ppm"),
+    ).cache()  # bounded value-grain curve, consumed twice (best + emit)
+    best = curve.agg(
+        F.max(F.struct("f1_ppm", "threshold_bp")).alias("b")
+    )
+    return curve.crossJoin(F.broadcast(best)).select(
+        "threshold_bp",
+        "tp",
+        "fp",
+        "fn",
+        "precision_ppm",
+        "recall_ppm",
+        "f1_ppm",
+        F.when(
+            F.struct("f1_ppm", "threshold_bp") == F.col("b"), 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("is_best"),
+    )
