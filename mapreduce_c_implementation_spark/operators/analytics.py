@@ -2211,3 +2211,145 @@ def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (CAST(n_ante AS DECIMAL(38,0)) * n_cons) AS BIGINT)"
         ).alias("lift_ppm"),
     )
+
+
+# --- Round 10: sequential pattern mining (ordered pairs) -----------------
+#
+# Sequential-pattern support at the "a happens before b" grain
+# (AprioriAll / GSP's length-2 patterns, Agrawal & Srikant 1995-96):
+# a user SUPPORTS pattern a->b iff some occurrence of a precedes some
+# occurrence of b in their event stream — equivalently iff the user's
+# FIRST a precedes their LAST b.  That reduction is what keeps the op
+# linear: per-(user, type) extremes, never position pairs.  Unlike
+# [[event_transition_matrix]] (adjacent steps only), this counts
+# long-range order.
+SEQPAT_MIN_SUP = 3  # Apriori: prune event types under this user support
+
+
+@register(
+    "sequential_pattern_mining",
+    oracle_sql=f"""
+    WITH occ AS (
+      SELECT user_id, event_type,
+             min({{'ts': ts, 'e': event_id}}) AS first_occ,
+             max({{'ts': ts, 'e': event_id}}) AS last_occ
+      FROM events GROUP BY user_id, event_type
+    ),
+    sup1 AS (
+      SELECT event_type, count(*) AS n_users_item FROM occ
+      GROUP BY event_type HAVING count(*) >= {SEQPAT_MIN_SUP}
+    ),
+    focc AS (
+      SELECT o.* FROM occ o JOIN sup1 USING (event_type)
+    ),
+    pairs AS (
+      SELECT a.event_type AS antecedent, b.event_type AS consequent,
+             count(*) AS n_users_both
+      FROM focc a JOIN focc b
+        ON a.user_id = b.user_id AND a.event_type <> b.event_type
+      WHERE a.first_occ < b.last_occ
+      GROUP BY 1, 2
+    ),
+    n AS (SELECT count(DISTINCT user_id) AS n_users FROM events)
+    SELECT p.antecedent, p.consequent,
+           CAST(p.n_users_both AS BIGINT) AS n_users_both,
+           CAST(sa.n_users_item AS BIGINT) AS n_users_a,
+           CAST(sb.n_users_item AS BIGINT) AS n_users_b,
+           CAST(p.n_users_both * 1000000 // n.n_users AS BIGINT)
+             AS support_ppm,
+           CAST(p.n_users_both * 1000000 // sa.n_users_item AS BIGINT)
+             AS confidence_ppm,
+           CAST(p.n_users_both * n.n_users * 1000 //
+                (sa.n_users_item * sb.n_users_item) AS BIGINT)
+             AS lift_milli
+    FROM pairs p
+    JOIN sup1 sa ON sa.event_type = p.antecedent
+    JOIN sup1 sb ON sb.event_type = p.consequent
+    CROSS JOIN n
+    """,
+    tags=("analytics", "sequence", "patterns", "pipeline"),
+)
+def sequential_pattern_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-2 sequential patterns over user event streams: for every
+    ordered type pair (a -> b), the number of users whose first a
+    precedes their last b, with support/confidence (ppm) and lift
+    (milli) — the GSP/AprioriAll building block, counting LONG-RANGE
+    order that [[event_transition_matrix]]'s adjacent-step grain
+    cannot see ([[event_funnel]] fixes one pattern; this mines all).
+
+    Exactness: occurrence order is the total (ts, event_id) struct
+    order, so ts ties cannot diverge between engines.
+
+    Scale shape: the corpus-sized stage is ONE map-side-combined
+    aggregate to the (user, type) grain with struct min/max; the
+    Apriori 1-item prune ([[association_rules_parts]]' combiner
+    discipline) cuts infrequent types BEFORE the pair stage; the pair
+    stage is a user-keyed self-join bounded by (types-per-user)^2 —
+    type-catalog grain, never events^2.  Support rollup is keyed on
+    the bounded (a, b) pair grain.
+
+    Reference analog: none (SURVEY §2.2 analytics surface).
+    """
+    e = load_table(spark, sf_dir, "events")
+    occ = e.groupBy("user_id", "event_type").agg(
+        F.min(F.struct(F.col("ts"), F.col("event_id"))).alias("first_occ"),
+        F.max(F.struct(F.col("ts"), F.col("event_id"))).alias("last_occ"),
+    )
+    sup1 = (
+        occ.groupBy("event_type")
+        .agg(F.count("*").alias("n_users_item"))
+        .filter(F.col("n_users_item") >= SEQPAT_MIN_SUP)
+        # type-catalog grain: broadcast into the prune and the rollup
+        .cache()
+    )
+    focc = occ.join(F.broadcast(sup1.select("event_type")), "event_type")
+    a = focc.select(
+        "user_id",
+        F.col("event_type").alias("antecedent"),
+        F.col("first_occ").alias("fa"),
+    )
+    b = focc.select(
+        "user_id",
+        F.col("event_type").alias("consequent"),
+        F.col("last_occ").alias("lb"),
+    )
+    pairs = (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("antecedent") != F.col("consequent"))
+            & (F.col("fa") < F.col("lb"))
+        )
+        .groupBy("antecedent", "consequent")
+        .agg(F.count("*").alias("n_users_both"))
+    )
+    n = e.agg(F.count_distinct("user_id").alias("n_users"))
+    sa = sup1.select(
+        F.col("event_type").alias("antecedent"),
+        F.col("n_users_item").alias("n_users_a"),
+    )
+    sb = sup1.select(
+        F.col("event_type").alias("consequent"),
+        F.col("n_users_item").alias("n_users_b"),
+    )
+    return (
+        pairs.join(F.broadcast(sa), "antecedent")
+        .join(F.broadcast(sb), "consequent")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("n_users_both").cast("long").alias("n_users_both"),
+            F.col("n_users_a").cast("long").alias("n_users_a"),
+            F.col("n_users_b").cast("long").alias("n_users_b"),
+            F.expr(
+                "CAST(n_users_both * 1000000 div n_users AS BIGINT)"
+            ).alias("support_ppm"),
+            F.expr(
+                "CAST(n_users_both * 1000000 div n_users_a AS BIGINT)"
+            ).alias("confidence_ppm"),
+            F.expr(
+                "CAST(n_users_both * n_users * 1000"
+                " div (n_users_a * n_users_b) AS BIGINT)"
+            ).alias("lift_milli"),
+        )
+    )

@@ -5326,3 +5326,209 @@ def f1_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("is_best"),
     )
+
+
+# --- Round 10: confident-learning label-noise audit ----------------------
+#
+# Confident learning (Northcutt, Jiang & Chuang, "Confident Learning:
+# Estimating Uncertainty in Dataset Labels", JAIR 2021), binary form:
+# per-class confidence thresholds t_j = mean self-confidence of class j
+# among examples LABELED j; the confident joint counts example (noisy
+# label i, confident class j) pairs where p_j >= t_j, argmax-assigned —
+# the off-diagonal cells estimate label ERRORS without any clean data.
+# The class-en confidence is the English-stopword rate (bp); class-
+# other confidence is its complement.  Thresholds floor to integers
+# (sum div count) so both engines compute the identical joint.
+_CL_STOPS = "array('the','a','and','of','to','is','in','it')"
+_CL_STOPS_DUCK = "['the','a','and','of','to','is','in','it']"
+
+
+@register(
+    "confident_learning_label_noise",
+    oracle_sql=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS label,
+             CAST(len(list_intersect({{tok}}, {_CL_STOPS_DUCK}))
+                  AS BIGINT) * 10000 // len({{tok}}) AS p_en_bp
+      FROM documents WHERE len({{tok}}) > 0
+    ),
+    thr AS (
+      SELECT
+        (SELECT sum(p_en_bp) // count(*) FROM scored
+         WHERE label = 'en') AS t_en,
+        (SELECT sum(10000 - p_en_bp) // count(*) FROM scored
+         WHERE label = 'other') AS t_other
+    ),
+    assigned AS (
+      SELECT s.label,
+             CASE
+               WHEN s.p_en_bp >= x.t_en
+                    AND (10000 - s.p_en_bp < x.t_other
+                         OR s.p_en_bp >= 10000 - s.p_en_bp) THEN 'en'
+               WHEN 10000 - s.p_en_bp >= x.t_other THEN 'other'
+             END AS confident_class
+      FROM scored s CROSS JOIN thr x
+    )
+    SELECT label, confident_class,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(CASE WHEN label <> confident_class THEN 1 ELSE 0 END
+                AS BIGINT) AS is_error_cell,
+           CAST(count(*) * 1000000 //
+                sum(count(*)) OVER (PARTITION BY label) AS BIGINT)
+             AS label_share_ppm
+    FROM assigned
+    WHERE confident_class IS NOT NULL
+    GROUP BY label, confident_class
+    """.format(tok=_TOK),
+    tags=("text", "labels", "noise", "classifier", "pipeline"),
+)
+def confident_learning_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confident-joint label-noise audit (confident learning, binary):
+    per-class mean-self-confidence thresholds over the NOISY labels,
+    then every document lands in a (given label, confident class) cell
+    when its class confidence clears that class's threshold (argmax on
+    double-qualifiers, en on ties); off-diagonal cells are the
+    estimated mislabeled populations — the label-quality gate a
+    training pipeline runs before trusting [[feature_target_encode]] /
+    [[nb_quality_classifier_train_apply]] supervision, with zero clean
+    examples required.
+
+    Scale shape: one doc-grain scoring map; thresholds are two scalar
+    aggregates (map-side combined) broadcast back; the joint is a
+    4-cell aggregate.  Nothing wider than the corpus scan itself.
+
+    Reference analog: none (LLM-pipeline labels surface per the brief).
+    """
+    d = compute_scan(spark, sf_dir, "documents")
+    ts = tokenize(F.col("text"))
+    scored = (
+        d.select("doc_id", "lang", ts.alias("ts"))
+        .filter(F.size("ts") > 0)
+        .select(
+            F.when(F.col("lang") == "en", "en")
+            .otherwise("other")
+            .alias("label"),
+            F.expr(
+                f"CAST(size(array_intersect(ts, {_CL_STOPS})) AS BIGINT)"
+                " * 10000 div size(ts)"
+            ).alias("p_en_bp"),
+        )
+        # doc-grain 2-column stream: consumed by both thresholds + joint
+        .cache()
+    )
+    t_en = scored.filter(F.col("label") == "en").agg(
+        F.expr("sum(p_en_bp) div count(*)").alias("t_en")
+    )
+    t_other = scored.filter(F.col("label") == "other").agg(
+        F.expr("sum(10000 - p_en_bp) div count(*)").alias("t_other")
+    )
+    thr = t_en.crossJoin(t_other)
+    assigned = scored.crossJoin(F.broadcast(thr)).select(
+        "label",
+        F.when(
+            (F.col("p_en_bp") >= F.col("t_en"))
+            & (
+                (10000 - F.col("p_en_bp") < F.col("t_other"))
+                | (F.col("p_en_bp") >= 10000 - F.col("p_en_bp"))
+            ),
+            "en",
+        )
+        .when(10000 - F.col("p_en_bp") >= F.col("t_other"), "other")
+        .alias("confident_class"),
+    )
+    return (
+        assigned.filter(F.col("confident_class").isNotNull())
+        .groupBy("label", "confident_class")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .select(
+            "label",
+            "confident_class",
+            "n_docs",
+            F.when(F.col("label") != F.col("confident_class"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("is_error_cell"),
+            F.expr(
+                "CAST(n_docs * 1000000 div"
+                " sum(n_docs) OVER (PARTITION BY label) AS BIGINT)"
+            ).alias("label_share_ppm"),
+        )
+    )
+
+
+# --- Round 10: character-class corpus profile ----------------------------
+
+
+@register(
+    "char_class_profile",
+    oracle_sql="""
+    WITH per AS (
+      SELECT source, lang,
+             CAST(length(text) AS BIGINT) AS n,
+             CAST(length(text) - length(regexp_replace(text, '[A-Za-z]',
+                  '', 'g')) AS BIGINT) AS a,
+             CAST(length(text) - length(regexp_replace(text, '[0-9]',
+                  '', 'g')) AS BIGINT) AS d,
+             CAST(length(text) - length(replace(text, ' ', ''))
+                  AS BIGINT) AS s
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS n_chars,
+           CAST(sum(a) * 1000000 // sum(n) AS BIGINT) AS alpha_ppm,
+           CAST(sum(d) * 1000000 // sum(n) AS BIGINT) AS digit_ppm,
+           CAST(sum(s) * 1000000 // sum(n) AS BIGINT) AS space_ppm,
+           CAST((sum(n) - sum(a) - sum(d) - sum(s)) * 1000000 // sum(n)
+                AS BIGINT) AS other_ppm
+    FROM per GROUP BY source, lang
+    """,
+    tags=("text", "profile", "corpus", "pipeline"),
+)
+def char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition per (source, lang): alpha / digit /
+    space / other shares in ppm plus doc and char counts — the corpus
+    MIX profile a data-card reports and an ingestion gate alarms on
+    (a source whose digit or other share jumps is scraping tables or
+    binary junk; pairs with [[gopher_quality_rules]]' per-doc gates
+    and [[dataset_card_stats]]' rollup).
+
+    Scale shape: class counts are in-row regexp_replace length deltas
+    (one pass per class, no per-char explode, no array
+    materialization); the rollup is one map-side-combined aggregate on
+    the tiny (source, lang) grain.  The scan stays whole-stage-codegen
+    JVM work end to end.
+
+    Reference analog: none (corpus-profiling surface per the brief).
+    """
+    d = compute_scan(spark, sf_dir, "documents")
+    n = F.length("text")
+    a = n - F.length(F.regexp_replace("text", "[A-Za-z]", ""))
+    g = n - F.length(F.regexp_replace("text", "[0-9]", ""))
+    s = n - F.length(F.regexp_replace("text", " ", ""))
+    per = d.filter(n > 0).select(
+        "source",
+        "lang",
+        n.cast("long").alias("n"),
+        a.cast("long").alias("a"),
+        g.cast("long").alias("d"),
+        s.cast("long").alias("s"),
+    )
+    return per.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("n_chars"),
+        F.expr("CAST(sum(a) * 1000000 div sum(n) AS BIGINT)").alias(
+            "alpha_ppm"
+        ),
+        F.expr("CAST(sum(d) * 1000000 div sum(n) AS BIGINT)").alias(
+            "digit_ppm"
+        ),
+        F.expr("CAST(sum(s) * 1000000 div sum(n) AS BIGINT)").alias(
+            "space_ppm"
+        ),
+        F.expr(
+            "CAST((sum(n) - sum(a) - sum(d) - sum(s)) * 1000000"
+            " div sum(n) AS BIGINT)"
+        ).alias("other_ppm"),
+    )
