@@ -2353,3 +2353,309 @@ def sequential_pattern_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift_milli"),
         )
     )
+
+
+# --- Round 10: Gini concentration of the key-frequency distribution ------
+#
+# Lorenz/Gini skew diagnostic over token frequencies: with counts
+# c_1 <= ... <= c_n (ascending rank i) and T = sum c_i, Gini =
+# 2*sum(i*c_i)/(n*T) - (n+1)/n — 0 for a uniform vocabulary, -> 1 for
+# one dominant key.  The single number that tells a shuffle planner
+# (and [[key_skew_profile]]'s per-key view, [[zipf_rank_frequency]]'s
+# fit) HOW skewed the whole key domain is.  The global ascending rank
+# is the two-pass bucketed form (log2-count range buckets).
+
+
+@register(
+    "key_gini_concentration",
+    oracle_sql=f"""
+    WITH counts AS (
+      SELECT t AS token, count(*) AS cnt
+      FROM (SELECT unnest({DUCKDB_TOKENIZE.format(col="text")}) AS t
+            FROM documents)
+      GROUP BY t
+    ),
+    ranked AS (
+      SELECT cnt,
+             row_number() OVER (ORDER BY cnt, token) AS rk
+      FROM counts
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(cnt) AS HUGEINT) AS t,
+             sum(CAST(rk AS HUGEINT) * cnt) AS s
+      FROM ranked
+    ),
+    shares AS (
+      SELECT sum(CASE WHEN r.rk > x.n - 10 THEN r.cnt ELSE 0 END) AS top10,
+             sum(CASE WHEN r.rk > x.n - greatest(x.n // 100, 1)
+                      THEN r.cnt ELSE 0 END) AS top1pct
+      FROM ranked r CROSS JOIN tot x
+    )
+    SELECT CAST(n AS BIGINT) AS n_keys,
+           CAST(t AS BIGINT) AS total_count,
+           CAST((2 * s - (n + 1) * t) * 1000000 // (n * t) AS BIGINT)
+             AS gini_ppm,
+           CAST(CAST(top10 AS HUGEINT) * 1000000 // t AS BIGINT)
+             AS top10_share_ppm,
+           CAST(CAST(top1pct AS HUGEINT) * 1000000 // t AS BIGINT)
+             AS top1pct_share_ppm
+    FROM tot CROSS JOIN shares
+    """,
+    tags=("analytics", "skew", "gini", "profile"),
+)
+def key_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient (+ top-10 and top-1% Lorenz shares) of the
+    token-frequency distribution — the corpus-level skew summary that
+    prices salting/AQE decisions before a key-heavy shuffle: Gini near
+    0 means uniform keys (hash partitioning is fine), near 1 means a
+    handful of whales ([[skew_join_salted]] territory).  All ratios
+    ppm-frozen; the wide sum runs in DECIMAL(38,0)/HUGEINT (rank*count
+    reaches ~1e18 at web-corpus vocabulary sizes — BIGINT would wrap).
+
+    Scale shape: one map-side-combined token count (the word_count
+    shuffle), then the global ascending rank is the TWO-PASS bucketed
+    form — row_number inside log2(count) range buckets (a pure
+    order-preserving function of the sort key; ~40 buckets at any
+    corpus size) plus a broadcast bucket-offset prefix table — never
+    an unpartitioned vocabulary window ([[negative_sampling_table]]'s
+    rule).  The final rollup is a 1-row partial/final aggregate.
+
+    Reference analog: none (SURVEY §2.2 analytics surface).
+    """
+    from pyspark.sql.window import Window
+
+    d = parallel_scan(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("bk", F.expr("length(bin(cnt)) - 1"))
+    )
+    w_in = Window.partitionBy("bk").orderBy("cnt", "token")
+    within = counts.withColumn("rin", F.row_number().over(w_in))
+    sizes = counts.groupBy("bk").agg(F.count("*").alias("c"))
+    w_pfx = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = sizes.select(
+        "bk", F.coalesce(F.sum("c").over(w_pfx), F.lit(0)).alias("off")
+    )
+    ranked = within.join(F.broadcast(prefix), "bk").select(
+        "cnt", (F.col("off") + F.col("rin")).alias("rk")
+    )
+    agg = ranked.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("cnt").cast("decimal(38,0)").alias("t"),
+        F.sum(F.expr("CAST(rk AS DECIMAL(38,0)) * cnt")).alias("s"),
+    )
+    # top-share sums need n first: broadcast the 1-row totals back
+    shares = ranked.crossJoin(F.broadcast(agg)).agg(
+        F.sum(
+            F.when(F.expr("rk > n - 10"), F.col("cnt")).otherwise(0)
+        ).alias("top10"),
+        F.sum(
+            F.when(
+                F.expr("rk > n - greatest(CAST(n AS BIGINT) div 100, 1)"),
+                F.col("cnt"),
+            ).otherwise(0)
+        ).alias("top1pct"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(shares))
+        .select(
+            F.col("n").cast("long").alias("n_keys"),
+            F.col("t").cast("long").alias("total_count"),
+            F.expr(
+                "CAST((2 * s - (n + 1) * t) * 1000000 div (n * t)"
+                " AS BIGINT)"
+            ).alias("gini_ppm"),
+            F.expr(
+                "CAST(CAST(top10 AS DECIMAL(38,0)) * 1000000 div t"
+                " AS BIGINT)"
+            ).alias("top10_share_ppm"),
+            F.expr(
+                "CAST(CAST(top1pct AS DECIMAL(38,0)) * 1000000 div t"
+                " AS BIGINT)"
+            ).alias("top1pct_share_ppm"),
+        )
+    )
+
+
+# --- Round 10: Hilbert-curve layout (z-order's better-locality sibling) --
+#
+# Hilbert index via the classic xy2d bit loop (Wikipedia "Hilbert
+# curve", the Butz/Lawder construction), unrolled to HB_ORDER chained
+# projections of pure integer arithmetic in BOTH engines — one Project
+# (Spark) / CTE (DuckDB) per bit level, because single-SELECT lateral
+# aliases inline x/y twice per level (2^HB_ORDER expression blowup,
+# measured as a hang in both engines).  The quadrant term (3*rx) XOR
+# ry is rewritten arithmetically as 3*rx + ry - 2*rx*ry (identical on
+# {0,1} inputs) because ^ means power in DuckDB.
+HB_ORDER = 8  # bits per dimension -> 16-bit Hilbert key, 256x256 cells
+HB_N = 1 << HB_ORDER
+HB_BUCKETS = 16
+HB_RB_BITS = 8  # range buckets for the two-pass global rank
+
+
+def _hilbert_duck_ctes() -> str:
+    """The same bit loop as chained CTEs for the DuckDB oracle — one
+    CTE per bit level.  DuckDB expands LATERAL column aliases by
+    textual substitution, so a single 40-alias SELECT would double the
+    x/y expressions per level (2^HB_ORDER blowup, measured: minutes vs
+    10 ms); CTE boundaries bind by column reference instead.  Emits
+    h{HB_ORDER - 1} .. h0; h0 carries hd."""
+    ctes = []
+    px, py, pd, prev = "xk", "yd", "0", "hdims"
+    for k in range(HB_ORDER - 1, -1, -1):
+        s = 1 << k
+        rx, ry = f"rx{k}", f"ry{k}"
+        ctes.append(f"""h{k} AS (
+      SELECT o_orderkey, o_custkey, o_orderdate,
+             (({px}) // {s}) % 2 AS {rx},
+             (({py}) // {s}) % 2 AS {ry},
+             {pd} + {s * s} * (3 * ((({px}) // {s}) % 2)
+                              + (({py}) // {s}) % 2
+                              - 2 * (((({px}) // {s}) % 2)
+                                     * ((({py}) // {s}) % 2))) AS d{k},
+             CASE WHEN (({py}) // {s}) % 2 = 0
+                  THEN (CASE WHEN (({px}) // {s}) % 2 = 1
+                        THEN {HB_N - 1} - ({py}) ELSE ({py}) END)
+                  ELSE ({px}) END AS x{k},
+             CASE WHEN (({py}) // {s}) % 2 = 0
+                  THEN (CASE WHEN (({px}) // {s}) % 2 = 1
+                        THEN {HB_N - 1} - ({px}) ELSE ({px}) END)
+                  ELSE ({py}) END AS y{k}
+      FROM {prev})""")
+        px, py, pd, prev = f"x{k}", f"y{k}", f"d{k}", f"h{k}"
+    return ",\n    ".join(ctes)
+
+
+@register(
+    "hilbert_curve_layout",
+    oracle_sql=f"""
+    WITH hdims AS (
+      SELECT o_orderkey,
+             o_custkey % {HB_N} AS xk,
+             CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT)
+               % {HB_N} AS yd,
+             o_custkey, o_orderdate
+      FROM orders
+    ),
+    {_hilbert_duck_ctes()},
+    hvals AS (
+      SELECT o_orderkey, o_custkey, o_orderdate, d0 AS hd FROM h0
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (ORDER BY hd, o_orderkey) AS rn,
+             count(*) OVER () AS n
+      FROM hvals
+    )
+    SELECT CAST(((rn - 1) * {HB_BUCKETS}) // n AS BIGINT) AS bucket,
+           count(*) AS n_rows,
+           min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+           min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
+    FROM ranked
+    GROUP BY 1
+    """,
+    tags=("layout", "hilbert", "pipeline"),
+)
+def hilbert_curve_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve data layout: orders keyed by (customer, order-day)
+    map onto the {HB_ORDER}-order Hilbert curve and split into
+    {HB_BUCKETS} equal-count files, each reporting its min/max on both
+    dimensions — [[zorder_layout]] with the curve that never jumps
+    (Hilbert neighbors are always grid neighbors, so per-file min/max
+    envelopes are tighter and data-skipping prunes more; the layout
+    Delta/Iceberg clustering offers above Z-order).  The index is the
+    classic xy2d bit loop as pure integer column arithmetic — an
+    aggregate() fold on the Spark side, per-level CTEs in the oracle —
+    no UDF; both avoid the lateral-alias unroll whose per-level x/y
+    inlining is exponential in HB_ORDER.
+
+    Scale shape: the Hilbert index is in-row whole-stage-codegen
+    arithmetic; the global equal-count split is the TWO-PASS bucketed
+    rank (row_number inside hd range buckets + broadcast prefix
+    table — [[zorder_layout]]'s exact pattern); the rollup shares the
+    bucket exchange.  No unpartitioned corpus window anywhere.
+
+    Reference analog: none (SURVEY §2.2 layout surface).
+    """
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    dims = o.selectExpr(
+        "o_orderkey",
+        f"o_custkey % {HB_N} AS xk",
+        f"CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+        f" AS BIGINT) % {HB_N} AS yd",
+        "o_custkey",
+        "o_orderdate",
+    )
+    # The bit loop as ONE aggregate() fold over the bit indices — a
+    # RUNTIME loop in a linear-size expression.  Never unroll it into a
+    # lateral-alias SELECT or a withColumn chain: analysis inlines each
+    # level's x/y into the next (both referenced twice), a
+    # 2^{HB_ORDER} expression blowup measured as a multi-minute hang in
+    # both engines.  (DuckDB's reduce() lacks struct accumulators, so
+    # the oracle unrolls per-CTE instead — CTE boundaries bind by
+    # reference, no inlining.)
+    fold = f"""
+    aggregate(
+      sequence({HB_ORDER - 1}, 0, -1),
+      named_struct('x', CAST(xk AS BIGINT), 'y', CAST(yd AS BIGINT),
+                   'd', CAST(0 AS BIGINT)),
+      (acc, k) -> named_struct(
+        'x', CASE WHEN (acc.y div shiftleft(1, k)) % 2 = 0
+                  THEN (CASE WHEN (acc.x div shiftleft(1, k)) % 2 = 1
+                        THEN {HB_N - 1} - acc.y ELSE acc.y END)
+                  ELSE acc.x END,
+        'y', CASE WHEN (acc.y div shiftleft(1, k)) % 2 = 0
+                  THEN (CASE WHEN (acc.x div shiftleft(1, k)) % 2 = 1
+                        THEN {HB_N - 1} - acc.x ELSE acc.x END)
+                  ELSE acc.y END,
+        'd', acc.d + CAST(shiftleft(1, 2 * k) AS BIGINT) * (
+               3 * ((acc.x div shiftleft(1, k)) % 2)
+               + (acc.y div shiftleft(1, k)) % 2
+               - 2 * ((acc.x div shiftleft(1, k)) % 2)
+                   * ((acc.y div shiftleft(1, k)) % 2))),
+      acc -> acc.d) AS hd
+    """
+    hvals = dims.selectExpr(
+        "o_orderkey", "o_custkey", "o_orderdate", fold
+    ).withColumn(
+        "rb", F.expr(f"hd div {1 << (2 * HB_ORDER - HB_RB_BITS)}")
+    )
+    w_in = Window.partitionBy("rb").orderBy("hd", "o_orderkey")
+    within = hvals.withColumn("rn_in", F.row_number().over(w_in))
+    totals = hvals.groupBy("rb").agg(F.count("*").alias("rb_cnt"))
+    w_pfx = Window.orderBy("rb").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("rb").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    prefix = totals.select(
+        "rb",
+        F.coalesce(F.sum("rb_cnt").over(w_pfx), F.lit(0)).alias("offset"),
+        F.sum("rb_cnt").over(w_all).alias("n"),
+    )
+    ranked = within.join(F.broadcast(prefix), "rb").select(
+        "o_custkey",
+        "o_orderdate",
+        (F.col("offset") + F.col("rn_in")).alias("rn"),
+        "n",
+    )
+    return (
+        ranked.selectExpr(
+            f"((rn - 1) * {HB_BUCKETS}) div n AS bucket",
+            "o_custkey",
+            "o_orderdate",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_custkey").alias("min_cust"),
+            F.max("o_custkey").alias("max_cust"),
+            F.min("o_orderdate").alias("min_date"),
+            F.max("o_orderdate").alias("max_date"),
+        )
+    )

@@ -1675,3 +1675,160 @@ def priority_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rn").cast("long").alias("sample_rank"),
         F.greatest("weight", "tau").cast("long").alias("est_weight"),
     )
+
+
+# --- Round 10: UniMax budget allocation (water-filling, epoch caps) ------
+#
+# UniMax sampling (Chung et al., "UniMax: Fairer and More Effective
+# Language Sampling for Large-Scale Multilingual Pretraining", ICLR
+# 2023): spread a total token budget UNIFORMLY across sources, except
+# no source may exceed its epoch cap — the water-filling allocation.
+# Closed form, no iteration: sort languages by size ascending; caps bind
+# smallest-first, so the capped prefix is the longest prefix where
+# cap_k * (languages remaining at k) <= budget remaining at k, and every
+# uncapped language gets the equal share of what the capped prefix left.
+# The budget is 4/5 of total corpus tokens and the cap is 0.6 epochs
+# (milli units), so both branches exercise on any fixture.
+UNIMAX_CAP_MILLI = 1200  # max epochs per language, in milli-epochs
+UNIMAX_BUDGET_NUM, UNIMAX_BUDGET_DEN = 4, 5  # budget = 4/5 of corpus
+
+
+@register(
+    "unimax_budget_allocation",
+    oracle_sql=f"""
+    WITH per AS (
+      SELECT lang,
+             CAST(sum(len({{tok}})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    sized AS (
+      SELECT lang, n_tokens,
+             n_tokens * {UNIMAX_CAP_MILLI} // 1000 AS cap_tokens,
+             row_number() OVER (ORDER BY n_tokens, lang) AS rn,
+             count(*) OVER () AS n_src,
+             (sum(n_tokens) OVER ()) * {UNIMAX_BUDGET_NUM}
+               // {UNIMAX_BUDGET_DEN} AS budget,
+             coalesce(sum(n_tokens * {UNIMAX_CAP_MILLI} // 1000) OVER (
+               ORDER BY n_tokens, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS pre_caps
+      FROM per
+    ),
+    marked AS (
+      SELECT *,
+             CASE WHEN cap_tokens * (n_src - rn + 1) <= budget - pre_caps
+                  THEN rn ELSE 0 END AS ok_rn
+      FROM sized
+    ),
+    m AS (
+      SELECT max(ok_rn) AS m,
+             coalesce(max(CASE WHEN ok_rn > 0 THEN pre_caps + cap_tokens
+                          END), 0) AS capped_total
+      FROM marked
+    )
+    SELECT s.lang, s.n_tokens,
+           CAST(s.cap_tokens AS BIGINT) AS cap_tokens,
+           CAST(CASE WHEN s.rn <= m.m THEN 1 ELSE 0 END AS BIGINT)
+             AS is_capped,
+           CAST(CASE WHEN s.rn <= m.m THEN s.cap_tokens
+                     ELSE least(s.cap_tokens,
+                                (s.budget - m.capped_total)
+                                  // (s.n_src - m.m))
+                END AS BIGINT) AS budget_tokens,
+           CAST(CASE WHEN s.rn <= m.m THEN s.cap_tokens
+                     ELSE least(s.cap_tokens,
+                                (s.budget - m.capped_total)
+                                  // (s.n_src - m.m))
+                END * 1000 // s.n_tokens AS BIGINT) AS epochs_milli
+    FROM sized s CROSS JOIN m
+    """.format(tok=_TOK),
+    tags=("sampling", "mixing", "unimax", "pipeline"),
+)
+def unimax_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax corpus mixing: allocate {UNIMAX_BUDGET_NUM}/
+    {UNIMAX_BUDGET_DEN} of the corpus token budget across languages as
+    uniformly as possible subject to a {UNIMAX_CAP_MILLI}-milli-epoch
+    per-language cap — the water-filling allocation, in closed form:
+    caps bind smallest-language-first, the capped prefix is the longest
+    ascending prefix whose cap times remaining languages fits the
+    remaining budget, and every uncapped language splits the remainder
+    equally.  The fairer alternative to
+    [[source_temperature_mixing]]'s power-law weights (no tuned
+    temperature; repetition bounded by the epoch cap directly).
+
+    Scale shape: the corpus-sized stage is one map-side-combined
+    token-count aggregate onto the LANGUAGE grain; everything after
+    (sort, prefix sums, the m search, shares) runs on the tiny language
+    table — the bounded-table exception to the no-global-window rule.
+
+    Reference analog: none (LLM-pipeline mixing surface per the brief).
+    """
+    d = compute_scan(spark, sf_dir, "documents")
+    per = (
+        d.select("lang", tokenize(F.col("text")).alias("ts"))
+        .groupBy("lang")
+        .agg(F.sum(F.size("ts")).cast("long").alias("n_tokens"))
+    )
+    w_ord = Window.orderBy("n_tokens", "lang")
+    w_all = Window.partitionBy()
+    w_pre = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    sized = per.select(
+        "lang",
+        "n_tokens",
+        F.expr(f"n_tokens * {UNIMAX_CAP_MILLI} div 1000").alias(
+            "cap_tokens"
+        ),
+        F.row_number().over(w_ord).alias("rn"),
+        F.count("*").over(w_all).alias("n_src"),
+        F.expr(
+            f"sum(n_tokens) OVER () * {UNIMAX_BUDGET_NUM}"
+            f" div {UNIMAX_BUDGET_DEN}"
+        ).alias("budget"),
+        F.coalesce(
+            F.sum(
+                F.expr(f"n_tokens * {UNIMAX_CAP_MILLI} div 1000")
+            ).over(w_pre),
+            F.lit(0),
+        ).alias("pre_caps"),
+    ).cache()  # source-grain table, consumed by m and the emit
+    marked = sized.withColumn(
+        "ok_rn",
+        F.when(
+            F.col("cap_tokens") * (F.col("n_src") - F.col("rn") + 1)
+            <= F.col("budget") - F.col("pre_caps"),
+            F.col("rn"),
+        ).otherwise(0),
+    )
+    m = marked.agg(
+        F.max("ok_rn").alias("m"),
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("ok_rn") > 0,
+                    F.col("pre_caps") + F.col("cap_tokens"),
+                )
+            ),
+            F.lit(0),
+        ).alias("capped_total"),
+    )
+    alloc = F.expr(
+        "CASE WHEN rn <= m THEN cap_tokens"
+        " ELSE least(cap_tokens,"
+        " (budget - capped_total) div (n_src - m)) END"
+    )
+    return sized.crossJoin(F.broadcast(m)).select(
+        "lang",
+        "n_tokens",
+        F.col("cap_tokens").cast("long").alias("cap_tokens"),
+        F.when(F.col("rn") <= F.col("m"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_capped"),
+        alloc.cast("long").alias("budget_tokens"),
+        F.expr(
+            "CAST((CASE WHEN rn <= m THEN cap_tokens"
+            " ELSE least(cap_tokens,"
+            " (budget - capped_total) div (n_src - m)) END) * 1000"
+            " div n_tokens AS BIGINT)"
+        ).alias("epochs_milli"),
+    )

@@ -122,3 +122,65 @@ def test_tiered_trim_passthrough_for_unflagged(spark, sf_smoke):
                 r.trimmed_md5
                 == hashlib.md5(docs[r.doc_id].encode()).hexdigest()
             )
+
+
+def _xy2d(n, x, y):
+    d, s = 0, n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_layout_matches_bruteforce(spark, sf_smoke):
+    """Bucket rollups equal a full Python xy2d replay: equal-count
+    buckets over the true Hilbert order, and every key pair lands in
+    the bucket its curve position dictates."""
+    from mapreduce_c_implementation_spark.operators.analytics import (
+        HB_BUCKETS,
+        HB_N,
+    )
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) "
+        f"FROM '{sf_smoke}/orders.parquet'"
+    ).fetchall()
+    con.close()
+    import datetime
+
+    epoch = datetime.date(1970, 1, 1)
+    keyed = sorted(
+        (
+            _xy2d(HB_N, ck % HB_N, (dt - epoch).days % HB_N),
+            ok,
+            ck,
+            dt,
+        )
+        for ok, ck, dt in rows
+    )
+    n = len(keyed)
+    expected = {}
+    for i, (hd, ok, ck, dt) in enumerate(keyed):
+        b = (i * HB_BUCKETS) // n
+        e = expected.setdefault(b, [0, None, None, None, None])
+        e[0] += 1
+        e[1] = ck if e[1] is None else min(e[1], ck)
+        e[2] = ck if e[2] is None else max(e[2], ck)
+        e[3] = dt if e[3] is None else min(e[3], dt)
+        e[4] = dt if e[4] is None else max(e[4], dt)
+    got = {
+        r.bucket: [
+            r.n_rows, r.min_cust, r.max_cust,
+            r.min_date.date() if hasattr(r.min_date, "date") else r.min_date,
+            r.max_date.date() if hasattr(r.max_date, "date") else r.max_date,
+        ]
+        for r in _rows(spark, sf_smoke, "hilbert_curve_layout")
+    }
+    assert got == {b: list(v) for b, v in expected.items()}
