@@ -2998,3 +2998,79 @@ def substring_tiered_trim_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("trimmed_md5"),
         )
     )
+
+
+# --- Round 10: l-diversity (the k-anonymity companion) -------------------
+#
+# l-diversity (Machanavajjhala et al., "l-Diversity: Privacy Beyond
+# k-Anonymity", ICDE 2006): a quasi-identifier group can be k-anonymous
+# yet leak its sensitive attribute when every member shares one value
+# (the homogeneity attack).  Distinct l-diversity requires >= L
+# distinct sensitive values per group; entropy l-diversity is reported
+# here as the exact ppm-frozen max-share (entropy >= log L is implied
+# by max-share <= 1/L for the distinct criterion's strong form).
+L_DIVERSITY = 3  # sensitive attribute: account-balance sign+band
+
+
+@register(
+    "l_diversity_check",
+    oracle_sql=f"""
+    WITH t AS (
+      SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+             CAST(floor(c_acctbal / 2000) AS BIGINT) AS sens
+      FROM customer
+    ),
+    per_val AS (
+      SELECT nationkey, mktsegment, sens, count(*) AS c
+      FROM t GROUP BY 1, 2, 3
+    )
+    SELECT nationkey, mktsegment,
+           CAST(sum(c) AS BIGINT) AS group_size,
+           CAST(count(*) AS BIGINT) AS n_sensitive_values,
+           CAST(max(c) * 1000000 // sum(c) AS BIGINT) AS max_share_ppm,
+           CAST(CASE WHEN count(*) >= {L_DIVERSITY} THEN 1 ELSE 0 END
+                AS BIGINT) AS l_diverse
+    FROM per_val
+    GROUP BY nationkey, mktsegment
+    """,
+    tags=("privacy", "audit", "pipeline"),
+)
+def l_diversity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity audit over the [[k_anonymity_check]]
+    quasi-identifier groups (nation x market segment): per group, the
+    number of DISTINCT sensitive values (account-balance band) and the
+    max single-value share (ppm) — a group failing l >= {L_DIVERSITY}
+    is k-anonymous in size yet still leaks its members' sensitive
+    attribute to anyone who knows the quasi-identifiers (the
+    homogeneity attack l-diversity exists to block).
+
+    Scale shape: two stacked map-side-combined aggregates — rows
+    collapse to the (QI, sensitive-value) grain in pass one, then to
+    the QI grain; both keyed, nothing corpus-sized crosses the second
+    exchange.  The same shape k_anonymity_check already runs.
+
+    Reference analog: none (privacy-audit surface per the brief).
+    """
+    from mapreduce_c_implementation_spark.sources import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    per_val = (
+        c.select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.expr("CAST(floor(c_acctbal / 2000) AS BIGINT)").alias("sens"),
+        )
+        .groupBy("nationkey", "mktsegment", "sens")
+        .agg(F.count("*").alias("c"))
+    )
+    return per_val.groupBy("nationkey", "mktsegment").agg(
+        F.sum("c").cast("long").alias("group_size"),
+        F.count("*").cast("long").alias("n_sensitive_values"),
+        F.expr("CAST(max(c) * 1000000 div sum(c) AS BIGINT)").alias(
+            "max_share_ppm"
+        ),
+        F.expr(
+            f"CAST(CASE WHEN count(*) >= {L_DIVERSITY} THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("l_diverse"),
+    )

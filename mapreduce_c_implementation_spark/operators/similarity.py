@@ -2721,3 +2721,154 @@ def kcenter_greedy_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         if r < K_CENTERS - 1:
             d = relax(d, cr)
     return out
+
+
+# --- Round 10: weighted sparse-cosine pairs (DAAT postings join) ----------
+#
+# Term-at-a-time sparse similarity: tf/df-weighted document vectors
+# (idf as exact 1/df — no transcendental log, so weights are pure
+# integers: w_milli = tf * 1000 div df), document norms as IEEE sqrt of
+# integer sums (bit-exact both engines), pair dot products via the
+# postings self-join.  The working vocabulary drops terms with df >
+# TFIDF_DF_CAP (stop-like postings — the classic DAAT posting-length
+# prune), which bounds per-term pair fan-out at DF_CAP^2.
+TFIDF_DF_CAP = 40
+TFIDF_COS_MIN_PPM = 200_000
+
+
+@register(
+    "tfidf_cosine_pairs",
+    oracle_sql="""
+    WITH toks AS (
+      SELECT doc_id, {tok} AS ts FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, t AS term, count(*) AS tf
+      FROM (SELECT doc_id,
+                   unnest(list_transform(
+                     list_filter(ts, (t, i) -> i < len(ts)),
+                     (t, i) -> t || ' ' || ts[i + 1])) AS t
+            FROM toks)
+      GROUP BY doc_id, t
+    ),
+    df AS (
+      SELECT term, count(*) AS df FROM tf
+      GROUP BY term HAVING count(*) <= {cap}
+    ),
+    w AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * 1000 // df.df AS w_milli
+      FROM tf JOIN df USING (term)
+    ),
+    norms AS (
+      SELECT doc_id, sum(w_milli * w_milli) AS ssq
+      FROM w GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             sum(a.w_milli * b.w_milli) AS dot,
+             count(*) AS n_shared_terms
+      FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d.doc_a, d.doc_b,
+           CAST(d.n_shared_terms AS BIGINT) AS n_shared_terms,
+           CAST(d.dot AS BIGINT) AS dot,
+           CAST(floor(d.dot * 1000000.0 / (sqrt(na.ssq) * sqrt(nb.ssq)))
+                AS BIGINT) AS cosine_ppm
+    FROM dots d
+    JOIN norms na ON na.doc_id = d.doc_a
+    JOIN norms nb ON nb.doc_id = d.doc_b
+    WHERE d.n_shared_terms >= 2
+      AND floor(d.dot * 1000000.0 / (sqrt(na.ssq) * sqrt(nb.ssq)))
+          >= {minppm}
+    """.format(
+        tok="list_transform(list_filter(string_split_regex(text,"
+        " '[^a-zA-Z0-9]+'), t -> t <> ''),"
+        " t -> lower(substr(t, 1, 255)))",
+        cap=TFIDF_DF_CAP,
+        minppm=TFIDF_COS_MIN_PPM,
+    ),
+    tags=("similarity", "tfidf", "sparse", "pipeline"),
+)
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sparse-cosine document pairs — the term-keyed (DAAT)
+    sparse companion to [[dedup_embedding_cosine]]'s dense path and
+    [[set_similarity_prefix_join]]'s unweighted Jaccard: tf/df-weighted
+    vectors (idf frozen as exact 1/df, no log), cosine >=
+    {TFIDF_COS_MIN_PPM} ppm with >= 2 shared terms (a single shared
+    hapax makes a trivially-colinear pair) via postings self-join.  Weights are pure
+    integers, norms are IEEE sqrt of integer sums, and the final ratio
+    is floor-frozen — bit-equal across engines.
+
+    Scale shape: tf and df are map-side-combined keyed aggregates; the
+    df > {TFIDF_DF_CAP} posting cap removes stop-like terms BEFORE the
+    pair stage (the DAAT prune), bounding per-term fan-out at
+    {TFIDF_DF_CAP}^2; the dot-product join is term-keyed equi (never
+    all-pairs), the norm joins doc-keyed equi.  At web scale the cap
+    is the knob: shuffle volume is sum(df^2) over the kept vocabulary.
+
+    Reference analog: none (LLM-pipeline similarity surface).
+    """
+    from mapreduce_c_implementation_spark.functions.text import tokenize
+
+    d = load_table(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "transform(slice(ts, 1, greatest(size(ts) - 1, 0)),"
+        " (t, i) -> concat(t, ' ', element_at(ts, i + 2)))"
+    )
+    tf = (
+        d.select("doc_id", tokenize(F.col("text")).alias("ts"))
+        .select("doc_id", F.explode(bigrams).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= TFIDF_DF_CAP)
+    )
+    w = tf.join(df_t, "term").select(
+        "doc_id", "term", F.expr("tf * 1000 div df").alias("w_milli")
+    ).cache()  # kept-vocabulary postings: feed norms AND both join sides
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("w_milli") * F.col("w_milli")).alias("ssq")
+    )
+    a = w.select(
+        F.col("term"), F.col("doc_id").alias("doc_a"),
+        F.col("w_milli").alias("wa"),
+    )
+    b = w.select(
+        F.col("term"), F.col("doc_id").alias("doc_b"),
+        F.col("w_milli").alias("wb"),
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.col("wa") * F.col("wb")).alias("dot"),
+            F.count("*").alias("n_shared_terms"),
+        )
+    )
+    na = norms.select(
+        F.col("doc_id").alias("doc_a"), F.col("ssq").alias("ssq_a")
+    )
+    nb = norms.select(
+        F.col("doc_id").alias("doc_b"), F.col("ssq").alias("ssq_b")
+    )
+    cos = F.expr(
+        "floor(dot * 1000000.0 / (sqrt(ssq_a) * sqrt(ssq_b)))"
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter((F.col("n_shared_terms") >= 2) & (cos >= TFIDF_COS_MIN_PPM))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared_terms").cast("long").alias("n_shared_terms"),
+            F.col("dot").cast("long").alias("dot"),
+            cos.cast("long").alias("cosine_ppm"),
+        )
+    )
