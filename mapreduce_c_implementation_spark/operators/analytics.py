@@ -2659,3 +2659,126 @@ def hilbert_curve_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderdate").alias("max_date"),
         )
     )
+
+
+# --- Round 10: difference-in-differences ----------------------------------
+#
+# The canonical quasi-experimental estimator (Card & Krueger 1994
+# design): outcome change in a TREATED group minus the change in a
+# CONTROL group across a cutoff, cancelling shared time trends.
+# Treatment here is data-derived (users who hit an 'error' event before
+# the cutoff), outcome is mean purchase value; means are floor-frozen
+# milli-cents so the estimate is pure integer arithmetic.
+DID_CUTOFF = "2024-01-16"
+
+
+@register(
+    "diff_in_differences_events",
+    oracle_sql=f"""
+    WITH treated AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'error' AND ts < TIMESTAMP '{DID_CUTOFF}'
+    ),
+    outcomes AS (
+      SELECT CASE WHEN t.user_id IS NOT NULL THEN 1 ELSE 0 END AS grp,
+             CASE WHEN e.ts >= TIMESTAMP '{DID_CUTOFF}' THEN 1 ELSE 0 END
+               AS post,
+             CAST(floor(e.value * 100) AS BIGINT) AS cents
+      FROM events e LEFT JOIN treated t USING (user_id)
+      WHERE e.event_type = 'purchase'
+    ),
+    cells AS (
+      SELECT grp, post, count(*) AS n,
+             sum(cents) * 1000 // count(*) AS mean_milli
+      FROM outcomes GROUP BY grp, post
+    )
+    SELECT
+      CAST(max(CASE WHEN grp = 1 AND post = 0 THEN n END) AS BIGINT)
+        AS n_treated_pre,
+      CAST(max(CASE WHEN grp = 1 AND post = 1 THEN n END) AS BIGINT)
+        AS n_treated_post,
+      CAST(max(CASE WHEN grp = 0 AND post = 0 THEN n END) AS BIGINT)
+        AS n_control_pre,
+      CAST(max(CASE WHEN grp = 0 AND post = 1 THEN n END) AS BIGINT)
+        AS n_control_post,
+      CAST(max(CASE WHEN grp = 1 AND post = 0 THEN mean_milli END)
+           AS BIGINT) AS treated_pre_milli,
+      CAST(max(CASE WHEN grp = 1 AND post = 1 THEN mean_milli END)
+           AS BIGINT) AS treated_post_milli,
+      CAST(max(CASE WHEN grp = 0 AND post = 0 THEN mean_milli END)
+           AS BIGINT) AS control_pre_milli,
+      CAST(max(CASE WHEN grp = 0 AND post = 1 THEN mean_milli END)
+           AS BIGINT) AS control_post_milli,
+      CAST(max(CASE WHEN grp = 1 AND post = 1 THEN mean_milli END)
+           - max(CASE WHEN grp = 1 AND post = 0 THEN mean_milli END)
+           - max(CASE WHEN grp = 0 AND post = 1 THEN mean_milli END)
+           + max(CASE WHEN grp = 0 AND post = 0 THEN mean_milli END)
+           AS BIGINT) AS did_milli
+    FROM cells
+    """,
+    tags=("analytics", "causal", "did", "pipeline"),
+)
+def diff_in_differences_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: mean purchase value (floor-frozen
+    milli-cents) in the 2x2 (treated x pre/post-{DID_CUTOFF}) design,
+    where treatment = the user hit an 'error' event before the cutoff;
+    did_milli = (T_post - T_pre) - (C_post - C_pre) cancels the shared
+    time trend — the causal-read companion to
+    [[event_attribution_last_touch]]'s correlational view and the
+    analysis [[welch_t_test_pairs]] would significance-test.
+
+    Scale shape: the treated set is a user-grain DISTINCT (ids only)
+    left-joined onto the purchase stream user-keyed; cells collapse via
+    one map-side-combined 4-cell aggregate; the estimate is a 1-row
+    pivot.  Nothing wider than the events scan.
+
+    Reference analog: none (SURVEY §2.2 analytics surface).
+    """
+    e = load_table(spark, sf_dir, "events")
+    treated = (
+        e.filter(
+            (F.col("event_type") == "error")
+            & (F.col("ts") < F.lit(DID_CUTOFF).cast("timestamp"))
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("is_treated", F.lit(1))
+    )
+    outcomes = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(treated, "user_id", "left")
+        .select(
+            F.coalesce("is_treated", F.lit(0)).alias("grp"),
+            F.when(
+                F.col("ts") >= F.lit(DID_CUTOFF).cast("timestamp"), 1
+            )
+            .otherwise(0)
+            .alias("post"),
+            F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+        )
+    )
+    cells = outcomes.groupBy("grp", "post").agg(
+        F.count("*").alias("n"),
+        F.expr("sum(cents) * 1000 div count(*)").alias("mean_milli"),
+    )
+    cell = lambda g, p, col: F.max(  # noqa: E731
+        F.when((F.col("grp") == g) & (F.col("post") == p), F.col(col))
+    )
+    return cells.agg(
+        cell(1, 0, "n").cast("long").alias("n_treated_pre"),
+        cell(1, 1, "n").cast("long").alias("n_treated_post"),
+        cell(0, 0, "n").cast("long").alias("n_control_pre"),
+        cell(0, 1, "n").cast("long").alias("n_control_post"),
+        cell(1, 0, "mean_milli").cast("long").alias("treated_pre_milli"),
+        cell(1, 1, "mean_milli").cast("long").alias("treated_post_milli"),
+        cell(0, 0, "mean_milli").cast("long").alias("control_pre_milli"),
+        cell(0, 1, "mean_milli").cast("long").alias("control_post_milli"),
+        (
+            cell(1, 1, "mean_milli")
+            - cell(1, 0, "mean_milli")
+            - cell(0, 1, "mean_milli")
+            + cell(0, 0, "mean_milli")
+        )
+        .cast("long")
+        .alias("did_milli"),
+    )

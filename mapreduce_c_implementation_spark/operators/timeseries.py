@@ -797,3 +797,82 @@ def autocorrelation_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("r2_ppm"),
     )
+
+
+# --- Round 10: burstiness (Fano factor) per event type --------------------
+#
+# Dispersion of daily arrival counts: Fano factor F = Var/Mean over the
+# day-grain count series.  F == 1 is Poisson (memoryless arrivals);
+# F > 1 is bursty/clumped, F < 1 regular — the number an anomaly
+# monitor tunes its thresholds by.  Integer closed form over the
+# calendar-bounded series: with K days and daily counts c_i,
+# fano_milli = (K * sum(c^2) - (sum c)^2) * 1000 div (K * sum c) —
+# population variance over mean, no float path.
+
+
+@register(
+    "event_burstiness_fano",
+    oracle_sql="""
+    WITH days AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT event_type,
+             CAST(sum(c) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS n_active_days,
+             CAST(date_diff('day', min(d), max(d)) + 1 AS BIGINT) AS k,
+             CAST(sum(c * c) AS BIGINT) AS ssq
+      FROM days GROUP BY event_type
+    )
+    SELECT event_type, n_events, n_active_days, k AS n_days,
+           CAST(n_events * 1000 // k AS BIGINT) AS mean_milli,
+           CAST((k * ssq - n_events * n_events) * 1000
+                // (k * n_events) AS BIGINT) AS fano_milli
+    FROM span
+    """,
+    tags=("timeseries", "burstiness", "profile"),
+)
+def event_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness profile per event type: the Fano factor (variance /
+    mean of the daily-count series over the type's active calendar
+    span, zero-days included via the closed form) in milli —
+    F ~ 1000 means Poisson arrivals, far above means clumping, below
+    means regular — the dispersion baseline
+    [[event_daily_anomaly]]'s z-thresholds and
+    [[stream_rate_anomaly_monitor]]'s alarms should be calibrated
+    against.  Pure integer arithmetic: days with zero events
+    contribute zero to both sums, so (K*ssq - n^2) over the full
+    span K needs no gap-filling join.
+
+    Scale shape: one map-side-combined aggregate to the (type, day)
+    grain, then a type-grain rollup — both keyed; the series length
+    only grows with the calendar, never the corpus.
+
+    Reference analog: none (SURVEY §2.2 analytics surface).
+    """
+    e = load_table(spark, sf_dir, "events")
+    days = e.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+    ).agg(F.count("*").alias("c"))
+    span = days.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_active_days"),
+        (F.datediff(F.max("d"), F.min("d")) + 1)
+        .cast("long")
+        .alias("k"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ssq"),
+    )
+    return span.select(
+        "event_type",
+        "n_events",
+        "n_active_days",
+        F.col("k").alias("n_days"),
+        F.expr("CAST(n_events * 1000 div k AS BIGINT)").alias("mean_milli"),
+        F.expr(
+            "CAST((k * ssq - n_events * n_events) * 1000"
+            " div (k * n_events) AS BIGINT)"
+        ).alias("fano_milli"),
+    )
