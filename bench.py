@@ -159,6 +159,24 @@ HEADLINE = [
     "kcenter_greedy_coreset",
     "multimodal_cdc_chunk_dedup",
     "negative_sampling_table",
+    # round-10 additions + the r9 linkage de-weak (verdict r9 #3:
+    # bench must track ops most recently rewritten for performance)
+    "substring_tiered_trim_rewrite",
+    "priority_sample_weighted",
+    "rouge_n_overlap_eval",
+    "f1_threshold_sweep",
+    "confident_learning_label_noise",
+    "char_class_profile",
+    "sequential_pattern_mining",
+    "unimax_budget_allocation",
+    "key_gini_concentration",
+    "hilbert_curve_layout",
+    "l_diversity_check",
+    "tfidf_cosine_pairs",
+    "event_burstiness_fano",
+    "diff_in_differences_events",
+    "record_linkage_blocked",
+    "entity_resolution_clusters",
 ]
 
 

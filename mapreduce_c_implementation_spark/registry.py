@@ -84,16 +84,17 @@ def register(
 
 # The driver's CORRECTNESS gate verifies a bounded prefix of ``queries()``
 # (50 names per round).  Names listed here are emitted FIRST, in this
-# order; everything else follows in registration order.  Rounds 1-8
-# together hard-verified ALL 335 operators registered through round 8
-# (CORRECTNESS_r01-r08; round 5's window duplicated round 4's — their
+# order; everything else follows in registration order.  Rounds 1-9
+# together hard-verified ALL 352 operators registered through round 9
+# (CORRECTNESS_r01-r09; round 5's window duplicated round 4's — their
 # union is frozen in ``_DRIVER_VERIFIED_PRIOR``).  With first-time
 # verification complete, the window becomes a REGRESSION ROTATION:
 # new round-N additions go in ``_DRIVER_NEW_THIS_ROUND`` (verified
 # first), and the remaining slots re-verify previously-green operators
-# oldest-first in registration order — round 8's regression re-checks
-# covered ``tokenize_flatmap`` .. ``cube_sales``; round 9 resumes at
-# ``grouping_sets_sales`` (``_DRIVER_REGRESSION``).  After each round's
+# oldest-first in registration order — round 9's regression re-checks
+# covered ``grouping_sets_sales`` .. ``join_cardinality_estimate``;
+# round 10 resumes at ``join_fuzzy_levenshtein`` after the three
+# round-10 rewrites (``_DRIVER_REGRESSION``).  After each round's
 # artifact lands, fold any first-time keys into
 # ``_DRIVER_VERIFIED_PRIOR`` and advance the regression cursor.  The
 # rotated-out ops keep their in-repo oracle coverage
@@ -101,53 +102,51 @@ def register(
 # and tests/test_extensions.py's coverage-ledger test asserts
 # prior + new covers the full registry.
 
-# Round-9 additions, in priority order (appended as they land).  With
-# 17 new names, the 50-slot window = these 17 + the first 33 of
-# ``_DRIVER_REGRESSION`` (the two round-9 REWRITES, then the
-# regression cursor from ``grouping_sets_sales``); the rest roll to
-# round 10's cursor.
+# Round-10 additions, in priority order (appended as they land).  With
+# 14 new names and 3 rewrite re-checks leading the regression queue,
+# the 50-slot window = these 14 + the 3 rewrites + the first 33 of the
+# regression cursor (resuming at ``join_fuzzy_levenshtein`` where round
+# 9's window stopped); the rest roll to round 11's cursor.
 _DRIVER_NEW_THIS_ROUND: list[str] = [
-    "suffix_array_ranked_lcp",
-    "substring_exact_spans",
-    "quantile_sketch_mergeable",
-    "stream_quantile_sketch_windows",
-    "stream_asof_join",
-    "association_rules_parts",
-    "ndcg_ranking_eval",
-    "generation_cer_eval",
-    "brier_score_decomposition",
-    "paired_bootstrap_significance",
-    "autocorrelation_daily_values",
-    "theil_sen_daily_trend",
-    "substring_exact_trim_rewrite",
-    "knn_classification_eval",
-    "kcenter_greedy_coreset",
-    "multimodal_cdc_chunk_dedup",
-    "negative_sampling_table",
+    "substring_tiered_trim_rewrite",
+    "priority_sample_weighted",
+    "rouge_n_overlap_eval",
+    "f1_threshold_sweep",
+    "confident_learning_label_noise",
+    "char_class_profile",
+    "sequential_pattern_mining",
+    "unimax_budget_allocation",
+    "key_gini_concentration",
+    "hilbert_curve_layout",
+    "l_diversity_check",
+    "tfidf_cosine_pairs",
+    "event_burstiness_fano",
+    "diff_in_differences_events",
 ]
 
 # Regression re-verification queue: registration order, resuming where
-# round 8's re-check window stopped (after ``cube_sales``).  Names past
-# the 50-slot window simply roll to the next round's cursor.  The two
-# round-9 REWRITES jump the queue (the verdict's de-weak of the
-# record-linkage blocking changed both ops' outputs — they need fresh
-# driver rows, not a stale green).
+# round 9's re-check window stopped (after ``join_cardinality_estimate``).
+# Names past the 50-slot window simply roll to the next round's cursor.
+# The three round-10 REWRITES jump the queue: multimodal_cdc_chunk_dedup
+# changed output (byte-hex digests + struct owner — ADVICE r9 fixes),
+# negative_sampling_table and theil_sen_daily_trend were re-planned /
+# re-floored with identical fixture output but need fresh driver rows
+# post-rewrite.
 _DRIVER_REGRESSION = [
-    "record_linkage_blocked",
-    "entity_resolution_clusters",
-    "grouping_sets_sales", "approx_count_distinct_check", "approx_quantile_check",
-    "histogram_events", "variance_stats", "argmax_minmax_by", "percentile_cont_groups",
-    "group_mad_outliers", "expectation_checks", "key_skew_profile", "hll_sketch_mergeable",
-    "cube_grouping_id", "bitmap_exact_distinct", "try_arithmetic_safety", "listagg_ordered",
-    "approx_heavy_hitters", "join_star_broadcast", "join_orders_lineitem", "join_left_outer",
-    "join_semi", "join_anti", "join_full_outer", "join_cross", "join_range_bucketed",
-    "join_asof_nearest", "bucketed_join_colocated", "skew_join_salted", "join_asof_keyed",
-    "join_null_safe", "interval_overlap_join", "join_cardinality_estimate",
+    "multimodal_cdc_chunk_dedup",
+    "negative_sampling_table",
+    "theil_sen_daily_trend",
     "join_fuzzy_levenshtein", "window_topk_per_group", "window_lag_lead",
     "window_running_sum", "window_rank_percent", "window_moving_avg", "window_ntile_cume",
     "sessionize_batch", "window_value_functions", "window_range_frame", "window_time_range",
     "time_gap_fill_ffill", "union_all_slices", "union_distinct_customers",
     "intersect_active_customers", "except_lapsed_customers", "merge_upsert_scd1",
+    "intersect_except_all_bags", "string_functions", "date_functions", "math_functions",
+    "json_functions", "array_functions", "conditional_functions", "filter_project_pushdown",
+    "map_functions", "regex_functions", "null_semantics", "explode_outer_tokens",
+    "higher_order_functions", "variant_json_shred", "map_higher_order_functions",
+    "udtf_tokenize", "pandas_udf_scalar_score", "grouped_agg_pandas_udf",
+    "apply_in_pandas_zscore", "row_python_udf_format",
 ]
 
 _DRIVER_PRIORITY = _DRIVER_NEW_THIS_ROUND + _DRIVER_REGRESSION
@@ -273,6 +272,17 @@ _DRIVER_VERIFIED_PRIOR = frozenset({
     "count_min_sketch_tokens", "matryoshka_truncation_recall",
     "stream_rate_anomaly_monitor", "entity_resolution_clusters",
     "conformal_prediction_threshold", "woe_information_value",
+    # round 9 (CORRECTNESS_r09.json — 17 first-time keys; the window's
+    # other 33 rows were the 2 linkage rewrites + regression re-checks
+    # of names already listed above)
+    "suffix_array_ranked_lcp", "substring_exact_spans",
+    "quantile_sketch_mergeable", "stream_quantile_sketch_windows",
+    "stream_asof_join", "association_rules_parts", "ndcg_ranking_eval",
+    "generation_cer_eval", "brier_score_decomposition",
+    "paired_bootstrap_significance", "autocorrelation_daily_values",
+    "theil_sen_daily_trend", "substring_exact_trim_rewrite",
+    "knn_classification_eval", "kcenter_greedy_coreset",
+    "multimodal_cdc_chunk_dedup", "negative_sampling_table",
 })
 
 

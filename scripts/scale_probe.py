@@ -201,6 +201,21 @@ PROBE_OPS = [
     "kcenter_greedy_coreset",
     "multimodal_cdc_chunk_dedup",
     "negative_sampling_table",
+    # round-10 additions
+    "substring_tiered_trim_rewrite",
+    "priority_sample_weighted",
+    "rouge_n_overlap_eval",
+    "f1_threshold_sweep",
+    "confident_learning_label_noise",
+    "char_class_profile",
+    "sequential_pattern_mining",
+    "unimax_budget_allocation",
+    "key_gini_concentration",
+    "hilbert_curve_layout",
+    "l_diversity_check",
+    "tfidf_cosine_pairs",
+    "event_burstiness_fano",
+    "diff_in_differences_events",
 ]
 
 

@@ -68,10 +68,11 @@ def test_dedup_exact_identity_when_no_dups(spark, sf_correct):
 
 def test_driver_priority_window():
     """The driver's CORRECTNESS gate checks a 50-query prefix of queries().
-    With the full registry hard-verified through round 8, the round-9
-    window is: new round-9 additions FIRST, then the regression
-    re-verification queue resuming (registration order) at
-    ``grouping_sets_sales`` — pin the ordering here."""
+    With the full registry hard-verified through round 9, the round-10
+    window is: new round-10 additions FIRST, then the three round-10
+    rewrites, then the regression re-verification queue resuming
+    (registration order) at ``join_fuzzy_levenshtein`` — pin the
+    ordering here."""
     import __spark_entry__ as se
     from mapreduce_c_implementation_spark.registry import (
         _DRIVER_NEW_THIS_ROUND,
@@ -87,15 +88,16 @@ def test_driver_priority_window():
     assert not missing, f"priority names not registered: {missing}"
     assert names[: len(_DRIVER_PRIORITY)] == _DRIVER_PRIORITY
     window = set(names[:50])
-    # every new round-9 operator must land inside the verified window
+    # every new round-10 operator must land inside the verified window
     assert set(_DRIVER_NEW_THIS_ROUND) <= window
-    # the round-9 rewrites jump the regression queue, which then
-    # resumes exactly where round 8 stopped
-    head = names[len(_DRIVER_NEW_THIS_ROUND):][:3]
+    # the round-10 rewrites jump the regression queue, which then
+    # resumes exactly where round 9 stopped
+    head = names[len(_DRIVER_NEW_THIS_ROUND):][:4]
     assert head == [
-        "record_linkage_blocked",
-        "entity_resolution_clusters",
-        "grouping_sets_sales",
+        "multimodal_cdc_chunk_dedup",
+        "negative_sampling_table",
+        "theil_sen_daily_trend",
+        "join_fuzzy_levenshtein",
     ]
     # oracle_sql() ordering must mirror queries() so the driver pairs them
     osql = list(se.oracle_sql())
@@ -104,8 +106,8 @@ def test_driver_priority_window():
 
 def test_driver_coverage_ledger():
     """Rotation ledger: every registered operator must reach a driver
-    CORRECTNESS row within ceil(N/50) rounds.  Rounds 1-8 verified the
-    frozen ``_DRIVER_VERIFIED_PRIOR`` set (union of CORRECTNESS_r01-r08
+    CORRECTNESS row within ceil(N/50) rounds.  Rounds 1-9 verified the
+    frozen ``_DRIVER_VERIFIED_PRIOR`` set (union of CORRECTNESS_r01-r09
     key sets; r05 duplicated r04's window).  From round 9 the window is
     new-ops-first plus a regression re-verification queue; the ledger
     invariant becomes: prior + new covers the whole registry, the
@@ -130,6 +132,7 @@ def test_driver_coverage_ledger():
             "CORRECTNESS_r03.json", "CORRECTNESS_r04.json",
             "CORRECTNESS_r05.json", "CORRECTNESS_r06.json",
             "CORRECTNESS_r07.json", "CORRECTNESS_r08.json",
+            "CORRECTNESS_r09.json",
         ):
             actual_prior |= set(json.loads(f.read_text()))
     if actual_prior:  # ledger frozen in-code must match the artifacts

@@ -295,6 +295,23 @@ SWEPT_OPS = [
     "multimodal_cdc_chunk_dedup",
     # round-9 fifth wave: vocab-grain smoothing windows.
     "negative_sampling_table",
+    # round-10 wave: the tiered exact pipeline, postings/pair joins,
+    # two-pass bucketed ranks, bounded-table water-filling, and the
+    # keyed 2x2 / type-grain rollups.
+    "substring_tiered_trim_rewrite",
+    "priority_sample_weighted",
+    "rouge_n_overlap_eval",
+    "f1_threshold_sweep",
+    "confident_learning_label_noise",
+    "char_class_profile",
+    "sequential_pattern_mining",
+    "unimax_budget_allocation",
+    "key_gini_concentration",
+    "hilbert_curve_layout",
+    "l_diversity_check",
+    "tfidf_cosine_pairs",
+    "event_burstiness_fano",
+    "diff_in_differences_events",
 ]
 
 
