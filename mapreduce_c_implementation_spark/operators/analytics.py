@@ -2666,18 +2666,24 @@ def hilbert_curve_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The canonical quasi-experimental estimator (Card & Krueger 1994
 # design): outcome change in a TREATED group minus the change in a
 # CONTROL group across a cutoff, cancelling shared time trends.
-# Treatment here is data-derived (users who hit an 'error' event before
-# the cutoff), outcome is mean purchase value; means are floor-frozen
-# milli-cents so the estimate is pure integer arithmetic.
+# Treatment here is data-derived (users whose pre-cutoff error count
+# exceeds the floor-average across erroring users — the split stays
+# two-sided at any fixture scale), outcome is mean purchase value;
+# means are floor-frozen milli-cents, pure integer arithmetic.
 DID_CUTOFF = "2024-01-16"
 
 
 @register(
     "diff_in_differences_events",
     oracle_sql=f"""
-    WITH treated AS (
-      SELECT DISTINCT user_id FROM events
+    WITH errs AS (
+      SELECT user_id, count(*) AS c FROM events
       WHERE event_type = 'error' AND ts < TIMESTAMP '{DID_CUTOFF}'
+      GROUP BY user_id
+    ),
+    avgc AS (SELECT sum(c) // count(*) AS a FROM errs),
+    treated AS (
+      SELECT user_id FROM errs CROSS JOIN avgc WHERE c > a
     ),
     outcomes AS (
       SELECT CASE WHEN t.user_id IS NOT NULL THEN 1 ELSE 0 END AS grp,
@@ -2721,13 +2727,14 @@ DID_CUTOFF = "2024-01-16"
 def diff_in_differences_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Difference-in-differences: mean purchase value (floor-frozen
     milli-cents) in the 2x2 (treated x pre/post-{DID_CUTOFF}) design,
-    where treatment = the user hit an 'error' event before the cutoff;
+    where treatment = the user's pre-cutoff error count exceeds the
+    floor-average across erroring users;
     did_milli = (T_post - T_pre) - (C_post - C_pre) cancels the shared
     time trend — the causal-read companion to
     [[event_attribution_last_touch]]'s correlational view and the
     analysis [[welch_t_test_pairs]] would significance-test.
 
-    Scale shape: the treated set is a user-grain DISTINCT (ids only)
+    Scale shape: the treated set is a user-grain aggregate (ids only)
     left-joined onto the purchase stream user-keyed; cells collapse via
     one map-side-combined 4-cell aggregate; the estimate is a 1-row
     pivot.  Nothing wider than the events scan.
@@ -2735,13 +2742,19 @@ def diff_in_differences_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analog: none (SURVEY §2.2 analytics surface).
     """
     e = load_table(spark, sf_dir, "events")
-    treated = (
+    errs = (
         e.filter(
             (F.col("event_type") == "error")
             & (F.col("ts") < F.lit(DID_CUTOFF).cast("timestamp"))
         )
+        .groupBy("user_id")
+        .agg(F.count("*").alias("c"))
+    )
+    avgc = errs.agg(F.expr("sum(c) div count(*)").alias("a"))
+    treated = (
+        errs.crossJoin(F.broadcast(avgc))
+        .filter(F.col("c") > F.col("a"))
         .select("user_id")
-        .distinct()
         .withColumn("is_treated", F.lit(1))
     )
     outcomes = (
