@@ -2294,7 +2294,7 @@ def sequential_pattern_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = e.groupBy("user_id", "event_type").agg(
         F.min(F.struct(F.col("ts"), F.col("event_id"))).alias("first_occ"),
         F.max(F.struct(F.col("ts"), F.col("event_id"))).alias("last_occ"),
-    )
+    ).cache()  # (user, type)-grain extremes: feed the prune + both sides
     sup1 = (
         occ.groupBy("event_type")
         .agg(F.count("*").alias("n_users_item"))
@@ -2441,7 +2441,7 @@ def key_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = within.join(F.broadcast(prefix), "bk").select(
         "cnt", (F.col("off") + F.col("rin")).alias("rk")
-    )
+    ).cache()  # vocab-grain rank table, consumed by totals AND shares
     agg = ranked.agg(
         F.count("*").cast("decimal(38,0)").alias("n"),
         F.sum("cnt").cast("decimal(38,0)").alias("t"),

@@ -828,3 +828,48 @@ def test_negative_sampling_cumsum_is_distributed(spark, sf_correct):
     plan = physical_plan(df)
     assert "hashpartitioning(bk" in plan, plan
     assert _single_partition_exchanges(df) <= 1, plan
+
+
+def test_hilbert_rank_is_distributed(spark, sf_correct):
+    """Hilbert layout: the global equal-count rank must be the two-pass
+    form — row_number inside hash-partitioned hd range buckets; the
+    ONLY SinglePartition exchange allowed is the bucket prefix table
+    (<= 2^HB_RB_BITS rows)."""
+    df = get_operator("hilbert_curve_layout").query_fn(spark, sf_correct)
+    plan = physical_plan(df)
+    assert "hashpartitioning(rb" in plan, plan
+    assert _single_partition_exchanges(df) <= 1, plan
+
+
+def test_tiered_trim_stays_keyed(spark, sf_correct):
+    """The tiered exact-substring pipeline is equi-keyed end to end:
+    digest/gram/doc exchanges only, no nested-loop or cartesian stage
+    anywhere in screen -> flag -> exact tier -> stitch."""
+    df = get_operator("substring_tiered_trim_rewrite").query_fn(
+        spark, sf_correct
+    )
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert _single_partition_exchanges(df) == 0, plan
+
+
+def test_tfidf_pairs_stay_term_keyed(spark, sf_correct):
+    """Sparse-cosine pairs: the dot-product stage is a term-keyed
+    equi-join (posting lists), the norm joins doc-keyed — never
+    all-pairs."""
+    df = get_operator("tfidf_cosine_pairs").query_fn(spark, sf_correct)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_gini_rank_is_distributed(spark, sf_correct):
+    """Gini: the vocabulary ascending rank must be the two-pass form
+    (log2-count buckets); SinglePartition exchanges are limited to the
+    bucket prefix table and the 1-row rollup stages (totals, shares,
+    and their final-join sides) — all bounded, never the vocabulary."""
+    df = get_operator("key_gini_concentration").query_fn(spark, sf_correct)
+    plan = physical_plan(df)
+    assert "hashpartitioning(bk" in plan, plan
+    assert _single_partition_exchanges(df) <= 4, plan
