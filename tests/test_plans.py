@@ -300,6 +300,18 @@ _NESTED_LOOP_EXEMPT = {
     # per-round 1-row center broadcast (the relax step's nested-loop
     # side is exactly one row by construction)
     "kcenter_greedy_coreset",
+    # 1-row argmax-struct broadcast flagging the best threshold row
+    "f1_threshold_sweep",
+    # 1-row per-class threshold broadcast (t_en x t_other)
+    "confident_learning_label_noise",
+    # 1-row distinct-user-total broadcast for the support ppm
+    "sequential_pattern_mining",
+    # 1-row (m, capped_total) broadcast onto the language-grain table
+    "unimax_budget_allocation",
+    # two 1-row rollup broadcasts (totals, Lorenz shares)
+    "key_gini_concentration",
+    # 1-row floor-average error-count broadcast splitting treatment
+    "diff_in_differences_events",
 }
 
 # Modules whose query_fns build lazy plans (streaming/io execute jobs
