@@ -1880,3 +1880,471 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("intercept_milli").cast("long").alias("intercept_milli"),
         )
     )
+
+
+# --- Round 10b: Kruskal-Wallis k-sample rank test (binned) -----------------
+#
+# The k-group generalization of the binned Mann-Whitney: one rank test
+# across ALL event types at once instead of one pair at a time.  Same
+# bounded bin domain, same midrank-over-ties formulation; every group
+# term is floor-divided in DECIMAL so the only float is the final
+# pinned H expression.
+
+
+@register(
+    "kruskal_wallis_binned",
+    oracle_sql=f"""
+    WITH pts AS (
+      SELECT event_type AS grp,
+             least({KS_N_BINS} - 1,
+                   CAST(floor(value / {KS_BIN_WIDTH}) AS INTEGER)) AS bin
+      FROM events
+    ),
+    gb AS (SELECT grp, bin, count(*) AS c_gb FROM pts GROUP BY grp, bin),
+    bins AS (
+      SELECT bin, sum(c_gb) AS c_t,
+             sum(sum(c_gb)) OVER (ORDER BY bin) - sum(c_gb) AS cum_prev
+      FROM gb GROUP BY bin
+    ),
+    grps AS (
+      SELECT g.grp, CAST(sum(g.c_gb) AS BIGINT) AS n_g,
+             sum(CAST(g.c_gb AS DECIMAL(38,0))
+                 * (2 * b.cum_prev + b.c_t + 1)) AS r2_g
+      FROM gb g JOIN bins b ON g.bin = b.bin
+      GROUP BY g.grp
+    ),
+    tot AS (
+      SELECT CAST(sum(c_t) AS BIGINT) AS n,
+             sum(CAST(c_t AS DECIMAL(38,0)) * c_t * c_t - c_t) AS ties
+      FROM bins
+    ),
+    s AS (
+      SELECT sum(CAST(r2_g AS HUGEINT) * CAST(r2_g AS HUGEINT)
+                 // CAST(n_g AS HUGEINT)) AS s4h
+      FROM grps
+    )
+    SELECT grp, n_g,
+           CAST(r2_g AS BIGINT) AS r2_g,
+           CAST(CAST(r2_g AS BIGINT) * 500 // n_g AS BIGINT) AS mean_rank_milli,
+           CAST(count(*) OVER () AS BIGINT) AS k_groups,
+           n AS n_total,
+           CAST(ties AS BIGINT) AS tie_cubes,
+           CAST(round((3.0 * CAST(s4h AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * (n + 1))
+                       - 3.0 * (n + 1)) * 1000) AS BIGINT) AS h_milli,
+           CAST(round((3.0 * CAST(s4h AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * (n + 1))
+                       - 3.0 * (n + 1))
+                      * (CAST(n AS DOUBLE) * n * n - n)
+                      / (CAST(n AS DOUBLE) * n * n - n
+                         - CAST(ties AS DOUBLE))
+                      * 1000) AS BIGINT) AS h_tie_milli
+    FROM grps, tot, s
+    """,
+    tags=("stats", "hypothesis-test", "rank", "binned"),
+)
+def kruskal_wallis_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test (tie-corrected, midrank formulation) across
+    ALL event types on the same bounded {KS_N_BINS}-bin value domain as
+    [[ks_two_sample_binned]] — the k-sample generalization of
+    [[mann_whitney_u_binned]] a pipeline runs FIRST (one omnibus "do
+    any sources differ?" test) before pairwise drill-down, exactly the
+    ANOVA-screening role [[welch_t_test_pairs]] plays on means.
+
+    Exactness: binning makes each bin one massive tie; a bin's doubled
+    midrank is 2*cum_prev + c_t + 1, so each group's doubled rank sum
+    r2_g stays an exact DECIMAL(38,0) integer.  The sum-of-squares term
+    S = sum_g floor(r2_g^2 / n_g) is floor-divided per group in decimal
+    (deterministic in both engines; the floor bias is < k, vanishing
+    against N(N+1)), H = 3S/(N(N+1)) - 3(N+1) (the factor 3 not 12
+    because r2 carries 2R), and the tie correction divides by
+    1 - sum(t^3-t)/(N^3-N) — both frozen to milli from ONE pinned
+    double expression over exact integers.  Output: one row per group
+    (its n, doubled rank sum, mean rank) with the group-invariant H
+    columns repeated, so the oracle checks the per-group rank table AND
+    the statistic.
+
+    Scale shape: per-(group,bin) counts via map-side-combined groupBy,
+    a <={KS_N_BINS}-row ordered window, a (groups x bins)-bounded
+    equi-join, 1-row totals broadcast — constant post-aggregate work at
+    any corpus size.
+
+    Reference analog: none (SURVEY §2.2 stats surface).
+    """
+    pts = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        F.least(
+            F.lit(KS_N_BINS - 1),
+            F.floor(F.col("value") / KS_BIN_WIDTH).cast("int"),
+        ).alias("bin"),
+    )
+    gb = pts.groupBy("grp", "bin").agg(F.count("*").alias("c_gb"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    bins = (
+        gb.groupBy("bin")
+        .agg(F.sum("c_gb").alias("c_t"))
+        .select(
+            "bin",
+            "c_t",
+            (F.sum("c_t").over(w) - F.col("c_t")).alias("cum_prev"),
+        )
+    )
+    grps = (
+        gb.join(bins, "bin")
+        .groupBy("grp")
+        .agg(
+            F.sum("c_gb").cast("long").alias("n_g"),
+            F.sum(
+                F.col("c_gb").cast("decimal(38,0)")
+                * (2 * F.col("cum_prev") + F.col("c_t") + 1)
+            ).alias("r2_g"),
+        )
+    )
+    tot = bins.agg(
+        F.sum("c_t").cast("long").alias("n"),
+        F.sum(
+            F.col("c_t").cast("decimal(38,0)") * F.col("c_t") * F.col("c_t")
+            - F.col("c_t")
+        ).alias("ties"),
+    )
+    s = grps.agg(
+        F.sum(
+            F.expr("r2_g * r2_g div CAST(n_g AS DECIMAL(38,0))")
+        ).alias("s4h")
+    )
+    h = (
+        "(3.0 * CAST(s4h AS DOUBLE) / (CAST(n AS DOUBLE) * (n + 1))"
+        " - 3.0 * (n + 1))"
+    )
+    return (
+        grps.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(s))
+        .select(
+            "grp",
+            "n_g",
+            F.col("r2_g").cast("long").alias("r2_g"),
+            F.expr("CAST(CAST(r2_g AS BIGINT) * 500 div n_g AS BIGINT)").alias(
+                "mean_rank_milli"
+            ),
+            F.count("*").over(Window.partitionBy()).cast("long").alias(
+                "k_groups"
+            ),
+            F.col("n").alias("n_total"),
+            F.col("ties").cast("long").alias("tie_cubes"),
+            F.expr(f"CAST(round({h} * 1000) AS BIGINT)").alias("h_milli"),
+            F.expr(
+                f"CAST(round({h}"
+                " * (CAST(n AS DOUBLE) * n * n - n)"
+                " / (CAST(n AS DOUBLE) * n * n - n"
+                "    - CAST(ties AS DOUBLE))"
+                " * 1000) AS BIGINT)"
+            ).alias("h_tie_milli"),
+        )
+    )
+
+
+# --- Round 10b: Benjamini-Hochberg FDR over per-type drift tests ----------
+#
+# Multiple-testing control: one Welch z per event type (weekend vs
+# weekday value), a conservative Chebyshev p bound (P(|Z|>=z) <= 1/z^2
+# — distribution-free, no erf in either engine), and the BH step-up
+# rule at FDR alpha.  The hypothesis table is |event types| rows, so
+# the ordered window is bounded.
+BH_ALPHA_PPM = 100_000  # FDR level 0.1
+
+
+@register(
+    "benjamini_hochberg_fdr",
+    oracle_sql=f"""
+    WITH pts AS (
+      SELECT event_type,
+             CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS is_a,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM events
+    ),
+    stats AS (
+      SELECT event_type,
+             sum(is_a) AS n_a, sum(1 - is_a) AS n_b,
+             CAST(sum(CASE WHEN is_a = 1 THEN v END) AS DECIMAL(38,0)) AS s_a,
+             CAST(sum(CASE WHEN is_a = 0 THEN v END) AS DECIMAL(38,0)) AS s_b,
+             CAST(sum(CASE WHEN is_a = 1
+                           THEN CAST(v AS DECIMAL(38,0)) * v END)
+                  AS DECIMAL(38,0)) AS q_a,
+             CAST(sum(CASE WHEN is_a = 0
+                           THEN CAST(v AS DECIMAL(38,0)) * v END)
+                  AS DECIMAL(38,0)) AS q_b
+      FROM pts GROUP BY event_type
+    ),
+    z AS (
+      SELECT event_type,
+             CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             CAST(round(abs(
+               (CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+               / sqrt(
+                   ((CAST(q_a AS DOUBLE)
+                     - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / n_a)
+                    / (n_a - 1)) / n_a
+                   + ((CAST(q_b AS DOUBLE)
+                       - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / n_b)
+                      / (n_b - 1)) / n_b))
+               * 1000) AS BIGINT) AS z_milli
+      FROM stats
+    ),
+    p AS (
+      SELECT event_type, n_a, n_b, z_milli,
+             CAST(least(1000000,
+                        1000000000000 // greatest(z_milli * z_milli, 1))
+                  AS BIGINT) AS p_bound_ppm
+      FROM z
+    ),
+    ranked AS (
+      SELECT *,
+             CAST(row_number() OVER (ORDER BY p_bound_ppm, event_type)
+                  AS BIGINT) AS rank,
+             CAST(count(*) OVER () AS BIGINT) AS m
+      FROM p
+    ),
+    crit AS (
+      SELECT *,
+             CAST({BH_ALPHA_PPM} * rank // m AS BIGINT) AS crit_ppm,
+             CASE WHEN p_bound_ppm <= {BH_ALPHA_PPM} * rank // m
+                  THEN rank ELSE 0 END AS sat
+      FROM ranked
+    )
+    SELECT event_type, n_a, n_b, z_milli, p_bound_ppm, rank, m, crit_ppm,
+           CAST(CASE WHEN rank <= max(sat) OVER () THEN 1 ELSE 0 END
+                AS BIGINT) AS rejected
+    FROM crit
+    """,
+    tags=("stats", "hypothesis-test", "fdr", "drift"),
+)
+def benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR step-up over one drift test per event
+    type (weekend vs weekday value, Welch z from exact integer-cent
+    moments) — the multiple-testing control a monitoring pipeline MUST
+    apply when it runs [[welch_t_test_pairs]]-style tests on every
+    source/type each day, or a 5% per-test alpha fires constantly at
+    hundreds of tests.
+
+    The p values are conservative Chebyshev bounds p = min(1, 1/z^2) —
+    distribution-free, monotone in |z|, and exact integer ppm (no erf
+    in either engine); BH's step-up needs only the ORDER of p and the
+    i/m critical line, both of which the bound preserves.  rejected=1
+    marks ranks <= k* = max{{i : p_(i) <= alpha*i/m}} (the step-up rule
+    — everything below the largest satisfied rank is rejected, even
+    rows above their own critical value).
+
+    Exactness: integer-cent moments in DECIMAL(38,0) (the
+    [[welch_t_test_pairs]] rule), ONE pinned double per type frozen to
+    z milli, then pure integer ppm arithmetic for p, crit, and the
+    step-up.
+
+    Scale shape: one map-side-combined aggregate to type grain; the
+    hypothesis table is |types| rows, so the ordered BH window is
+    bounded — at 10^4 monitored slices it is still one tiny task.
+
+    Reference analog: none (SURVEY §2.2 stats surface).
+    """
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    pts = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("is_a"),
+        cents.alias("v"),
+    )
+    stats = pts.groupBy("event_type").agg(
+        F.sum("is_a").alias("n_a"),
+        F.sum(F.lit(1) - F.col("is_a")).alias("n_b"),
+        F.sum(F.when(F.col("is_a") == 1, F.col("v")))
+        .cast("decimal(38,0)")
+        .alias("s_a"),
+        F.sum(F.when(F.col("is_a") == 0, F.col("v")))
+        .cast("decimal(38,0)")
+        .alias("s_b"),
+        F.sum(
+            F.when(
+                F.col("is_a") == 1,
+                F.col("v").cast("decimal(38,0)") * F.col("v"),
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("q_a"),
+        F.sum(
+            F.when(
+                F.col("is_a") == 0,
+                F.col("v").cast("decimal(38,0)") * F.col("v"),
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("q_b"),
+    )
+    z = stats.select(
+        "event_type",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.expr(
+            "CAST(round(abs("
+            " (CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)"
+            " / sqrt("
+            "   ((CAST(q_a AS DOUBLE)"
+            "     - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / n_a)"
+            "    / (n_a - 1)) / n_a"
+            "   + ((CAST(q_b AS DOUBLE)"
+            "       - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / n_b)"
+            "      / (n_b - 1)) / n_b))"
+            " * 1000) AS BIGINT)"
+        ).alias("z_milli"),
+    )
+    p = z.select(
+        "*",
+        F.expr(
+            "CAST(least(1000000,"
+            " 1000000000000 div greatest(z_milli * z_milli, 1)) AS BIGINT)"
+        ).alias("p_bound_ppm"),
+    )
+    wr = Window.orderBy("p_bound_ppm", "event_type")
+    ranked = p.select(
+        "*",
+        F.row_number().over(wr).cast("long").alias("rank"),
+        F.count("*").over(Window.partitionBy()).cast("long").alias("m"),
+    )
+    crit = ranked.select(
+        "*",
+        F.expr(f"CAST({BH_ALPHA_PPM} * rank div m AS BIGINT)").alias(
+            "crit_ppm"
+        ),
+        F.expr(
+            f"CASE WHEN p_bound_ppm <= {BH_ALPHA_PPM} * rank div m"
+            " THEN rank ELSE 0 END"
+        ).alias("sat"),
+    )
+    return crit.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "z_milli",
+        "p_bound_ppm",
+        "rank",
+        "m",
+        "crit_ppm",
+        F.when(
+            F.col("rank") <= F.max("sat").over(Window.partitionBy()), 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("rejected"),
+    )
+
+
+# --- Round 10b: median-of-means robust estimator ---------------------------
+#
+# The heavy-tail-robust mean: split each group's values into B
+# deterministic hash buckets, average within buckets, take the MEDIAN
+# of the bucket means.  One adversarial/outlier bucket can no longer
+# move the estimate — the estimator behind robust mean estimation at
+# scale (and the reason it maps perfectly onto map-side partial
+# aggregation: bucket means ARE the combiner output).
+MOM_BUCKETS = 16
+
+
+@register(
+    "median_of_means_value",
+    oracle_sql=f"""
+    WITH pts AS (
+      SELECT event_type,
+             CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4)
+                  AS BIGINT) % {MOM_BUCKETS} AS bucket,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM events
+    ),
+    bm AS (
+      SELECT event_type, bucket,
+             count(*) AS n_b,
+             CAST(CAST(sum(v) AS BIGINT) * 10 // count(*) AS BIGINT) AS mean_milli_b
+      FROM pts GROUP BY event_type, bucket
+    ),
+    med AS (
+      SELECT event_type, mean_milli_b,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY mean_milli_b, bucket) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS nb
+      FROM bm
+    ),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(sum(v) AS BIGINT) * 10 // count(*) AS BIGINT)
+               AS mean_milli
+      FROM pts GROUP BY event_type
+    )
+    SELECT g.event_type, g.n, CAST(m.nb AS BIGINT) AS n_buckets,
+           g.mean_milli,
+           CAST(m.mean_milli_b AS BIGINT) AS mom_milli
+    FROM g JOIN med m ON g.event_type = m.event_type
+                      AND m.rn = (m.nb + 1) // 2
+    """,
+    tags=("stats", "robust", "estimator"),
+)
+def median_of_means_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-of-means robust mean per event type: values hash into
+    {MOM_BUCKETS} deterministic md5 buckets, each bucket averages, and
+    the estimate is the (lower) MEDIAN of the bucket means — the
+    estimator with sub-Gaussian deviation under heavy tails where the
+    plain mean has none, i.e. what [[winsorized_group_stats]] and
+    [[group_mad_outliers]] screen for, as a single robust point
+    estimate.  Output keeps the plain mean beside it: the GAP between
+    the two is itself a tail-weight diagnostic.
+
+    Exactness: integer cents summed in DECIMAL(38,0); bucket means are
+    floor-divided milli (deterministic both engines); the median is
+    percentile-disc (lower-median row_number rule, ties broken by
+    bucket id) over the bounded bucket table — no float anywhere.
+
+    Scale shape: the (type, bucket) grain IS the map-side combiner
+    output — one aggregate pass, then a |types|x{MOM_BUCKETS}-row
+    window.  B stays fixed as data grows (each bucket mean just gets
+    tighter), so post-aggregate work is constant.
+
+    Reference analog: the combiner discipline of
+    /root/reference/src/mapreduce.c:142-168, repurposed: partial
+    (bucket) aggregates ARE the estimator's input.
+    """
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    pts = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("event_id").cast("string")), 1, 4),
+                16,
+                10,
+            ).cast("long")
+            % MOM_BUCKETS
+        ).alias("bucket"),
+        cents.alias("v"),
+    )
+    bm = pts.groupBy("event_type", "bucket").agg(
+        F.count("*").alias("n_b"),
+        F.expr(
+            "CAST(CAST(sum(CAST(v AS DECIMAL(38,0))) AS BIGINT) * 10"
+            " div count(*) AS BIGINT)"
+        ).alias("mean_milli_b"),
+    )
+    wm = Window.partitionBy("event_type").orderBy("mean_milli_b", "bucket")
+    med = bm.select(
+        "event_type",
+        "mean_milli_b",
+        F.row_number().over(wm).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("nb"),
+    ).filter(F.expr("rn = (nb + 1) div 2"))
+    g = pts.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr(
+            "CAST(CAST(sum(CAST(v AS DECIMAL(38,0))) AS BIGINT) * 10"
+            " div count(*) AS BIGINT)"
+        ).alias("mean_milli"),
+    )
+    return g.join(med, "event_type").select(
+        "event_type",
+        "n",
+        F.col("nb").cast("long").alias("n_buckets"),
+        "mean_milli",
+        F.col("mean_milli_b").cast("long").alias("mom_milli"),
+    )

@@ -122,6 +122,9 @@ _DRIVER_NEW_THIS_ROUND: list[str] = [
     "tfidf_cosine_pairs",
     "event_burstiness_fano",
     "diff_in_differences_events",
+    "kruskal_wallis_binned",
+    "benjamini_hochberg_fdr",
+    "median_of_means_value",
 ]
 
 # Regression re-verification queue: registration order, resuming where

@@ -312,6 +312,11 @@ SWEPT_OPS = [
     "tfidf_cosine_pairs",
     "event_burstiness_fano",
     "diff_in_differences_events",
+    # round-10 second wave: bounded bin/hypothesis/bucket tables after
+    # one map-side-combined aggregate each.
+    "kruskal_wallis_binned",
+    "benjamini_hochberg_fdr",
+    "median_of_means_value",
 ]
 
 

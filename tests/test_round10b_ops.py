@@ -1,0 +1,115 @@
+"""Semantic contracts for the round-10 second-wave operators — intent
+checks the cross-engine oracle diff (tests/test_operators_vs_oracle.py)
+cannot see: the oracle proves Spark == DuckDB, these prove both equal
+the SPEC (Python brute-force replays of the statistics).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+
+import duckdb
+
+from mapreduce_c_implementation_spark.registry import get_operator
+
+
+def _rows(spark, sf_dir, name):
+    return get_operator(name).query_fn(spark, sf_dir).collect()
+
+
+def _events(sf_dir):
+    con = duckdb.connect()
+    try:
+        return con.sql(
+            f"SELECT event_id, ts, event_type, value"
+            f" FROM '{sf_dir}/events.parquet'"
+        ).fetchall()
+    finally:
+        con.close()
+
+
+def test_kruskal_wallis_matches_bruteforce(spark, sf_smoke):
+    """Full replay: bin, midrank, per-group rank sums, H, tie-corrected
+    H — all from first principles in Python floats, compared at milli
+    tolerance 1 (the Spark path floor-divides group terms)."""
+    ev = _events(sf_smoke)
+    binned = [
+        (t, min(63, int(v / 8.0))) for (_, _, t, v) in ev
+    ]
+    bc = defaultdict(int)
+    for _, b in binned:
+        bc[b] += 1
+    # midrank per bin
+    rank = {}
+    cum = 0
+    for b in sorted(bc):
+        rank[b] = cum + (bc[b] + 1) / 2.0
+        cum += bc[b]
+    rsum = defaultdict(float)
+    ng = defaultdict(int)
+    for t, b in binned:
+        rsum[t] += rank[b]
+        ng[t] += 1
+    n = len(binned)
+    s = sum(rsum[t] ** 2 / ng[t] for t in rsum)
+    h = 12.0 * s / (n * (n + 1)) - 3.0 * (n + 1)
+    ties = sum(c**3 - c for c in bc.values())
+    h_tie = h / (1 - ties / float(n**3 - n))
+    rows = {r.grp: r for r in _rows(spark, sf_smoke, "kruskal_wallis_binned")}
+    assert set(rows) == set(ng)
+    for t, r in rows.items():
+        assert r.n_g == ng[t]
+        assert r.r2_g == int(round(2 * rsum[t]))
+        assert r.n_total == n
+        assert r.tie_cubes == ties
+        # floor-divided group terms shave < k off S; allow 1 milli
+        assert abs(r.h_milli - round(h * 1000)) <= 1
+        assert abs(r.h_tie_milli - round(h_tie * 1000)) <= 1
+
+
+def test_bh_step_up_rule(spark, sf_smoke):
+    """The step-up invariant: rejected == (rank <= k*) where k* is the
+    LARGEST rank whose p bound sits under alpha*rank/m — including
+    rows above their own critical line but below k*."""
+    rows = _rows(spark, sf_smoke, "benjamini_hochberg_fdr")
+    m = rows[0].m
+    assert all(r.m == m for r in rows) and m == len(rows)
+    by_rank = sorted(rows, key=lambda r: r.rank)
+    # p bounds are Chebyshev: min(1e6, 1e12 // z^2)
+    for r in by_rank:
+        assert r.p_bound_ppm == min(
+            10**6, 10**12 // max(r.z_milli * r.z_milli, 1)
+        )
+        assert r.crit_ppm == 100_000 * r.rank // m
+    sat = [r.rank for r in by_rank if r.p_bound_ppm <= r.crit_ppm]
+    kstar = max(sat) if sat else 0
+    for r in by_rank:
+        assert r.rejected == (1 if r.rank <= kstar else 0)
+    # ranks are the p order
+    ps = [r.p_bound_ppm for r in by_rank]
+    assert ps == sorted(ps)
+
+
+def test_median_of_means_matches_bruteforce(spark, sf_smoke):
+    """Replay: md5 bucket assignment, integer bucket means, lower
+    median — byte-for-byte the same rule."""
+    ev = _events(sf_smoke)
+    buckets = defaultdict(lambda: defaultdict(list))
+    totals = defaultdict(list)
+    for eid, _, t, v in ev:
+        h = int(hashlib.md5(str(eid).encode()).hexdigest()[:4], 16) % 16
+        cents = int(round(v * 100))
+        buckets[t][h].append(cents)
+        totals[t].append(cents)
+    rows = {r.event_type: r for r in _rows(spark, sf_smoke, "median_of_means_value")}
+    assert set(rows) == set(totals)
+    for t, r in rows.items():
+        means = sorted(
+            (sum(vs) * 10 // len(vs), b) for b, vs in buckets[t].items()
+        )
+        lower_median = means[(len(means) + 1) // 2 - 1][0]
+        assert r.mom_milli == lower_median
+        assert r.n == len(totals[t])
+        assert r.mean_milli == sum(totals[t]) * 10 // len(totals[t])
+        assert r.n_buckets == len(buckets[t])
