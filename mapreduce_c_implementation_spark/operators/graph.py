@@ -849,3 +849,291 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node_a", "node_b")
     )
+
+
+# --- Round 10b: HITS hubs & authorities (fixed-iteration, integer) ---------
+#
+# Kleinberg's HITS on the directed weighted nation trade graph: a
+# nation is a strong HUB if it buys from strong authorities, a strong
+# AUTHORITY if strong hubs buy from it.  Mutual recursion fixed by
+# alternating power iteration with integer L1 normalization each half
+# step — same pinned-arithmetic scheme as graph_pagerank_nations.
+HITS_SCALE = 1_000_000
+HITS_ITERS = 6
+
+
+def _hits_oracle() -> str:
+    """Unrolled fixed-iteration HITS in DuckDB SQL (the
+    _pagerank_oracle pattern: chained CTEs, one pair per round, every round CTE
+    MATERIALIZED — each is referenced twice, and DuckDB's default
+    inlining would re-expand the whole chain exponentially).
+    Raw sums accumulate in DECIMAL(38,0); each normalization is a
+    HUGEINT floor division (== Spark's DECIMAL `div`)."""
+    ctes = [
+        f"hub0 AS MATERIALIZED (SELECT node, CAST({HITS_SCALE} AS BIGINT) AS r FROM nodes)"
+    ]
+    for k in range(HITS_ITERS):
+        ctes.append(
+            f"""araw{k} AS MATERIALIZED (
+      SELECT e.dst AS node,
+             CAST(sum(CAST(h.r AS DECIMAL(38,0)) * e.w) AS DECIMAL(38,0)) AS raw
+      FROM hub{k} h JOIN edges e ON e.src = h.node GROUP BY e.dst
+    ),
+    auth{k + 1} AS MATERIALIZED (
+      SELECT n.node,
+             COALESCE(CAST(CAST(a.raw AS HUGEINT) * {HITS_SCALE}
+                           // CAST((SELECT sum(raw) FROM araw{k}) AS HUGEINT)
+                           AS BIGINT), 0) AS r
+      FROM nodes n LEFT JOIN araw{k} a ON a.node = n.node
+    ),
+    hraw{k + 1} AS MATERIALIZED (
+      SELECT e.src AS node,
+             CAST(sum(CAST(a.r AS DECIMAL(38,0)) * e.w) AS DECIMAL(38,0)) AS raw
+      FROM auth{k + 1} a JOIN edges e ON e.dst = a.node GROUP BY e.src
+    ),
+    hub{k + 1} AS MATERIALIZED (
+      SELECT n.node,
+             COALESCE(CAST(CAST(h.raw AS HUGEINT) * {HITS_SCALE}
+                           // CAST((SELECT sum(raw) FROM hraw{k + 1}) AS HUGEINT)
+                           AS BIGINT), 0) AS r
+      FROM nodes n LEFT JOIN hraw{k + 1} h ON h.node = n.node
+    )"""
+        )
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH {_SQL_GRAPH_CTES.strip().rstrip()},
+    {chain}
+    SELECT n.n_name AS n_name,
+           CAST(h.r AS BIGINT) AS hub_scaled,
+           CAST(a.r AS BIGINT) AS auth_scaled
+    FROM nodes n
+    JOIN hub{HITS_ITERS} h ON h.node = n.node
+    JOIN auth{HITS_ITERS} a ON a.node = n.node
+    """
+
+
+@register(
+    "graph_hits_scores",
+    oracle_sql=_hits_oracle(),
+    tags=("graph", "iterative", "join"),
+)
+def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration weighted HITS (Kleinberg hubs/authorities,
+    {HITS_ITERS} alternating half-steps, scores L1-normalized to
+    {HITS_SCALE}) over the nation trade graph — the directed complement
+    to [[graph_pagerank_nations]]: PageRank scores global importance,
+    HITS separates the BUYER role (hub: sends lineitems to strong
+    suppliers) from the SUPPLIER role (authority: receives from strong
+    buyers), the decomposition a marketplace/citation pipeline reads
+    off a bipartite-ish trade flow.
+
+    Exactness: raw scores are edge-weighted integer sums accumulated in
+    DECIMAL(38,0) (hub <= 1e6 x edge weight grows unbounded with
+    corpus, so BIGINT is not enough headroom at 100 TB); every
+    normalization is raw * SCALE floor-divided by the L1 total — Spark
+    DECIMAL `div` == DuckDB HUGEINT `//` on non-negative operands (the
+    [[cvm_two_sample_binned]] rule).  No float anywhere.
+
+    Scale shape: the edge build is the Q7 diamond (one fact-fact
+    shuffle); each half-step is one equi-join + keyed aggregate over
+    the nation-bounded edge list plus a 1-row L1-total broadcast, with
+    `localCheckpoint` capping lineage per round exactly like
+    [[graph_pagerank_nations]].  At web scale the same loop holds with
+    reliable checkpointing; rounds stay {HITS_ITERS} regardless of
+    data volume.
+
+    Reference analog: none (SURVEY §2.2 graph surface).
+    """
+    edges = _trade_edges(spark, sf_dir).localCheckpoint()
+    nodes = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node"), "n_name"
+    )
+
+    def half_step(scores: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+        raw = (
+            scores.join(edges, scores.node == edges[src_col])
+            .select(
+                F.col(dst_col).alias("node"),
+                (F.col("r").cast("decimal(38,0)") * F.col("w")).alias("x"),
+            )
+            .groupBy("node")
+            .agg(F.sum("x").cast("decimal(38,0)").alias("raw"))
+        )
+        tot = raw.agg(F.sum("raw").cast("decimal(38,0)").alias("l1"))
+        return (
+            nodes.select("node")
+            .join(raw, "node", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "node",
+                F.coalesce(
+                    F.expr(
+                        f"CAST(raw * {HITS_SCALE} div l1 AS BIGINT)"
+                    ),
+                    F.lit(0),
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+
+    hub = nodes.select("node", F.lit(HITS_SCALE).cast("long").alias("r"))
+    auth = None
+    for _ in range(HITS_ITERS):
+        auth = half_step(hub, "src", "dst")
+        hub = half_step(auth, "dst", "src")
+    return (
+        nodes.join(hub.withColumnRenamed("r", "hub_scaled"), "node")
+        .join(auth.withColumnRenamed("r", "auth_scaled"), "node")
+        .select("n_name", "hub_scaled", "auth_scaled")
+    )
+
+
+# --- Round 10b: k-core peeling (onion layers) on the co-purchase graph -----
+#
+# The part co-purchase graph: parts are linked when the same order
+# contains both (>= KCORE_MIN_W co-occurrences — the same basket-keyed
+# pair enumeration as association_rules_parts, pair fan-out bounded by
+# lines-per-order squared, never catalog squared).  Peel nodes with
+# in-subgraph degree < KCORE_K for KCORE_ITERS rounds: removed nodes
+# get their onion LAYER (peel round), survivors are the k-core.
+KCORE_K = 2
+KCORE_MIN_W = 2
+KCORE_ITERS = 8
+
+
+def _kcore_oracle() -> str:
+    """Unrolled fixed-round peel in DuckDB SQL (the _pagerank_oracle
+    pattern).  Each round: LEFT-join alive nodes to their alive-
+    neighbor counts (left join so zero-degree nodes peel too), split
+    into a layer CTE and the next alive CTE."""
+    ctes = [
+        f"""lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    kedges AS MATERIALIZED (
+      SELECT a.p AS u, b.p AS v FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p HAVING count(*) >= {KCORE_MIN_W}
+    ),
+    und AS MATERIALIZED (SELECT u AS node, v AS nb FROM kedges
+            UNION ALL SELECT v, u FROM kedges),
+    alive0 AS MATERIALIZED (SELECT DISTINCT node FROM und)"""
+    ]
+    for r in range(KCORE_ITERS):
+        ctes.append(
+            f"""deg{r} AS MATERIALIZED (
+      SELECT a.node, count(x.nb) AS d
+      FROM alive{r} a
+      LEFT JOIN (SELECT e.node, e.nb FROM und e
+                 JOIN alive{r} v ON v.node = e.nb) x ON x.node = a.node
+      GROUP BY a.node
+    ),
+    layer{r + 1} AS MATERIALIZED (
+      SELECT node, {r + 1} AS layer, d FROM deg{r} WHERE d < {KCORE_K}
+    ),
+    alive{r + 1} AS MATERIALIZED (SELECT node FROM deg{r} WHERE d >= {KCORE_K})"""
+        )
+    layers = "\n      UNION ALL ".join(
+        f"SELECT node, layer, d FROM layer{r + 1}" for r in range(KCORE_ITERS)
+    )
+    ctes.append(
+        f"""finaldeg AS MATERIALIZED (
+      SELECT a.node, count(x.nb) AS d
+      FROM alive{KCORE_ITERS} a
+      LEFT JOIN (SELECT e.node, e.nb FROM und e
+                 JOIN alive{KCORE_ITERS} v ON v.node = e.nb) x
+        ON x.node = a.node
+      GROUP BY a.node
+    ),
+    result AS (
+      {layers}
+      UNION ALL SELECT node, 0 AS layer, d FROM finaldeg
+    )"""
+    )
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH {chain}
+    SELECT CAST(node AS BIGINT) AS p_partkey,
+           CAST(layer AS BIGINT) AS peel_layer,
+           CAST(d AS BIGINT) AS degree_at_peel
+    FROM result
+    """
+
+
+@register(
+    "graph_kcore_peel_layers",
+    oracle_sql=_kcore_oracle(),
+    tags=("graph", "iterative", "dedup-adjacent"),
+)
+def graph_kcore_peel_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition by iterative peeling on the part
+    co-purchase graph (edges = part pairs sharing >= {KCORE_MIN_W}
+    orders): each of {KCORE_ITERS} rounds removes nodes whose degree
+    within the surviving subgraph is < {KCORE_K}, recording the onion
+    LAYER (peel round) and the degree the node died with; survivors
+    are the {KCORE_K}-core (peel_layer = 0, degree = in-core degree).
+    The standard graph-sparsification / community-seed preprocessing
+    step: pendant trees and weak tendrils peel away layer by layer,
+    what remains is the cohesive core [[graph_triangle_count]] and
+    [[graph_label_propagation]] are meaningful on.  All three fixtures
+    reach the fixpoint within the bound (0/3/5 rounds at
+    sf0.001/0.01/0.1); like [[graph_pagerank_nations]], the round
+    count is pinned semantics, not tuning.
+
+    Exactness: pure integer counting — degrees, layers, keys.
+
+    Scale shape: pair enumeration is basket-keyed (fan-out <=
+    lines-per-order squared, the [[association_rules_parts]] bound);
+    each peel round is one node-keyed equi-join + aggregate over a
+    MONOTONICALLY SHRINKING alive set, lineage capped per round by
+    `localCheckpoint`.  Full coreness needs O(peel-depth) rounds;
+    the fixed-k core converges in a handful because each round
+    removes entire cascades.
+
+    Reference analog: none (SURVEY §2.2 graph surface).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = li.select("o", F.col("p").alias("u"))
+    b = li.select("o", F.col("p").alias("v"))
+    kedges = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= KCORE_MIN_W)
+    )
+    und = (
+        kedges.select(F.col("u").alias("node"), F.col("v").alias("nb"))
+        .union(kedges.select(F.col("v").alias("node"), F.col("u").alias("nb")))
+        .localCheckpoint()
+    )
+    alive = und.select("node").distinct().localCheckpoint()
+    layers = None
+    for r in range(1, KCORE_ITERS + 1):
+        nb_alive = und.join(
+            alive.withColumnRenamed("node", "nb"), "nb"
+        ).select("node", "nb")
+        deg = (
+            alive.join(nb_alive, "node", "left")
+            .groupBy("node")
+            .agg(F.count("nb").alias("d"))
+            .localCheckpoint()
+        )
+        peeled = deg.filter(F.col("d") < KCORE_K).select(
+            "node", F.lit(r).cast("long").alias("layer"), "d"
+        )
+        layers = peeled if layers is None else layers.unionByName(peeled)
+        alive = deg.filter(F.col("d") >= KCORE_K).select("node").localCheckpoint()
+    nb_alive = und.join(alive.withColumnRenamed("node", "nb"), "nb").select(
+        "node", "nb"
+    )
+    survivors = (
+        alive.join(nb_alive, "node", "left")
+        .groupBy("node")
+        .agg(F.count("nb").alias("d"))
+        .select("node", F.lit(0).cast("long").alias("layer"), "d")
+    )
+    return layers.unionByName(survivors).select(
+        F.col("node").cast("long").alias("p_partkey"),
+        F.col("layer").cast("long").alias("peel_layer"),
+        F.col("d").cast("long").alias("degree_at_peel"),
+    )

@@ -125,6 +125,8 @@ _DRIVER_NEW_THIS_ROUND: list[str] = [
     "kruskal_wallis_binned",
     "benjamini_hochberg_fdr",
     "median_of_means_value",
+    "graph_hits_scores",
+    "graph_kcore_peel_layers",
 ]
 
 # Regression re-verification queue: registration order, resuming where

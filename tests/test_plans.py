@@ -312,6 +312,9 @@ _NESTED_LOOP_EXEMPT = {
     "key_gini_concentration",
     # 1-row floor-average error-count broadcast splitting treatment
     "diff_in_differences_events",
+    # two 1-row broadcasts: (N, tie_cubes) totals and the S term —
+    # single-row nested-loop sides onto the |groups|-row rank table
+    "kruskal_wallis_binned",
 }
 
 # Modules whose query_fns build lazy plans (streaming/io execute jobs

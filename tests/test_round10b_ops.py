@@ -113,3 +113,87 @@ def test_median_of_means_matches_bruteforce(spark, sf_smoke):
         assert r.n == len(totals[t])
         assert r.mean_milli == sum(totals[t]) * 10 // len(totals[t])
         assert r.n_buckets == len(buckets[t])
+
+
+def _lineitem_pairs(sf_dir):
+    con = duckdb.connect()
+    try:
+        return con.sql(
+            f"SELECT DISTINCT l_orderkey, l_partkey"
+            f" FROM '{sf_dir}/lineitem.parquet'"
+        ).fetchall()
+    finally:
+        con.close()
+
+
+def test_kcore_peel_matches_bruteforce(spark, sf_smoke):
+    """Python replay of the bounded peel: same edges (pairs sharing
+    >= 2 orders), same rounds, same layers and death degrees."""
+    lp = _lineitem_pairs(sf_smoke)
+    orders = defaultdict(set)
+    for o, p in lp:
+        orders[o].add(p)
+    wc = defaultdict(int)
+    for ps in orders.values():
+        ps = sorted(ps)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                wc[(ps[i], ps[j])] += 1
+    adj = defaultdict(set)
+    for (u, v), w in wc.items():
+        if w >= 2:
+            adj[u].add(v)
+            adj[v].add(u)
+    alive = set(adj)
+    expect = {}
+    for r in range(1, 9):
+        deg = {u: len(adj[u] & alive) for u in alive}
+        drop = {u for u in alive if deg[u] < 2}
+        for u in drop:
+            expect[u] = (r, deg[u])
+        alive -= drop
+    for u in alive:
+        expect[u] = (0, len(adj[u] & alive))
+    rows = _rows(spark, sf_smoke, "graph_kcore_peel_layers")
+    got = {r.p_partkey: (r.peel_layer, r.degree_at_peel) for r in rows}
+    assert got == expect
+
+
+def test_hits_matches_bruteforce(spark, sf_smoke):
+    """Python integer replay of the alternating normalized power
+    iteration over the nation trade graph."""
+    con = duckdb.connect()
+    try:
+        edges = con.sql(f"""
+        SELECT c.c_nationkey, s.s_nationkey, count(*) FROM
+          '{sf_smoke}/lineitem.parquet' l
+          JOIN '{sf_smoke}/orders.parquet' o ON o.o_orderkey = l.l_orderkey
+          JOIN '{sf_smoke}/customer.parquet' c ON c.c_custkey = o.o_custkey
+          JOIN '{sf_smoke}/supplier.parquet' s ON s.s_suppkey = l.l_suppkey
+        GROUP BY 1, 2
+        """).fetchall()
+        nations = dict(
+            con.sql(
+                f"SELECT n_nationkey, n_name FROM '{sf_smoke}/nation.parquet'"
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    SCALE = 1_000_000
+    hub = {n: SCALE for n in nations}
+    auth = {}
+    for _ in range(6):
+        raw = defaultdict(int)
+        for u, v, w in edges:
+            raw[v] += hub[u] * w
+        tot = sum(raw.values())
+        auth = {n: raw.get(n, 0) * SCALE // tot if n in raw else 0 for n in nations}
+        raw = defaultdict(int)
+        for u, v, w in edges:
+            raw[u] += auth[v] * w
+        tot = sum(raw.values())
+        hub = {n: raw.get(n, 0) * SCALE // tot if n in raw else 0 for n in nations}
+    rows = _rows(spark, sf_smoke, "graph_hits_scores")
+    got = {r.n_name: (r.hub_scaled, r.auth_scaled) for r in rows}
+    expect = {nations[n]: (hub[n], auth[n]) for n in nations}
+    assert got == expect
