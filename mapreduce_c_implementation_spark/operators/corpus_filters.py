@@ -3087,3 +3087,149 @@ def l_diversity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("l_diverse"),
     )
+
+
+# --- Round 10b: t-closeness (the third privacy audit) ----------------------
+#
+# t-closeness (Li, Li & Venkatasubramanian, ICDE 2007): a group can be
+# k-anonymous AND l-diverse yet still leak — if its sensitive-value
+# DISTRIBUTION differs sharply from the global one, an attacker learns
+# a lot by conditioning on the quasi-identifiers (skewness attack).
+# For a 1-D ordered sensitive attribute with unit ground distance, the
+# Earth Mover's Distance has the closed form
+#   EMD = (1/(m-1)) * sum_i |cumP_i - cumQ_i|
+# which stays exact in integers via cross-multiplication.
+T_CLOSENESS_PPM = 150_000  # t = 0.15
+
+
+@register(
+    "t_closeness_check",
+    oracle_sql=f"""
+    WITH t AS (
+      SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+             CAST(floor(c_acctbal / 2000) AS BIGINT) AS sens
+      FROM customer
+    ),
+    bands AS (
+      SELECT sens,
+             sum(count(*)) OVER (ORDER BY sens) AS cum_gc,
+             (SELECT count(*) FROM t) AS n,
+             (SELECT count(DISTINCT sens) FROM t) AS m
+      FROM t GROUP BY sens
+    ),
+    grps AS (SELECT nationkey, mktsegment, count(*) AS n_g FROM t GROUP BY 1, 2),
+    grid AS (
+      SELECT g.nationkey, g.mktsegment, g.n_g, b.sens, b.cum_gc, b.n, b.m
+      FROM grps g CROSS JOIN bands b
+    ),
+    pv AS (
+      SELECT nationkey, mktsegment, sens, count(*) AS c FROM t GROUP BY 1, 2, 3
+    ),
+    cums AS (
+      SELECT grid.*,
+             sum(COALESCE(pv.c, 0))
+               OVER (PARTITION BY grid.nationkey, grid.mktsegment
+                     ORDER BY grid.sens) AS cum_c
+      FROM grid LEFT JOIN pv ON pv.nationkey = grid.nationkey
+                            AND pv.mktsegment = grid.mktsegment
+                            AND pv.sens = grid.sens
+    )
+    SELECT nationkey, mktsegment,
+           CAST(max(n_g) AS BIGINT) AS group_size,
+           CAST(max(m) AS BIGINT) AS n_bands,
+           CAST(CAST(sum(abs(CAST(cum_c AS DECIMAL(38,0)) * n
+                             - CAST(cum_gc AS DECIMAL(38,0)) * n_g))
+                     AS HUGEINT) * 1000000
+                // (CAST(max(n_g) AS HUGEINT) * max(n) * (max(m) - 1))
+                AS BIGINT) AS emd_ppm,
+           CAST(CASE WHEN CAST(sum(abs(CAST(cum_c AS DECIMAL(38,0)) * n
+                                       - CAST(cum_gc AS DECIMAL(38,0)) * n_g))
+                               AS HUGEINT) * 1000000
+                          // (CAST(max(n_g) AS HUGEINT) * max(n)
+                              * (max(m) - 1)) <= {T_CLOSENESS_PPM}
+                     THEN 1 ELSE 0 END AS BIGINT) AS t_close
+    FROM cums GROUP BY nationkey, mktsegment
+    """,
+    tags=("privacy", "audit", "pipeline"),
+)
+def t_closeness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit over the [[k_anonymity_check]] /
+    [[l_diversity_check]] quasi-identifier groups (nation x market
+    segment, sensitive = account-balance band): per group, the exact
+    1-D Earth Mover's Distance between the group's sensitive
+    distribution and the GLOBAL one (ordered bands, unit ground
+    distance: EMD = mean |cumulative-share gap|), frozen to ppm, with
+    the pass flag at t <= {T_CLOSENESS_PPM} ppm.  Completes the
+    classic privacy-audit triple: k-anonymity bounds group SIZE,
+    l-diversity bounds value VARIETY, t-closeness bounds the
+    DISTRIBUTION gap (skewness attack).
+
+    Exactness: cumulative counts cross-multiplied against the global
+    cumulative (|cum_c*N - cum_C*n_g|) keep everything integer in
+    DECIMAL(38,0); ONE floor division at the end produces the ppm.
+
+    Scale shape: two map-side-combined aggregates collapse the corpus
+    to (QI, band) and (band) grains; the grid is a broadcast cross of
+    the QI table with the <=10-row band table; the cumulative windows
+    partition by QI.  Nothing corpus-sized crosses the second
+    exchange — the [[l_diversity_check]] shape plus one bounded
+    broadcast.
+
+    Reference analog: none (privacy-audit surface per the brief).
+    """
+    from mapreduce_c_implementation_spark.sources import load_table
+    from pyspark.sql.window import Window
+
+    t = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.expr("CAST(floor(c_acctbal / 2000) AS BIGINT)").alias("sens"),
+    )
+    wb = Window.orderBy("sens").rowsBetween(Window.unboundedPreceding, 0)
+    bands = (
+        t.groupBy("sens")
+        .agg(F.count("*").alias("gc"))
+        .select("sens", F.sum("gc").over(wb).alias("cum_gc"))
+        .crossJoin(
+            F.broadcast(
+                t.agg(
+                    F.count("*").alias("n"),
+                    F.countDistinct("sens").alias("m"),
+                )
+            )
+        )
+    )
+    grps = t.groupBy("nationkey", "mktsegment").agg(F.count("*").alias("n_g"))
+    grid = grps.crossJoin(F.broadcast(bands))
+    pv = t.groupBy("nationkey", "mktsegment", "sens").agg(
+        F.count("*").alias("c")
+    )
+    wq = (
+        Window.partitionBy("nationkey", "mktsegment")
+        .orderBy("sens")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cums = grid.join(pv, ["nationkey", "mktsegment", "sens"], "left").select(
+        "nationkey",
+        "mktsegment",
+        "n_g",
+        "sens",
+        "cum_gc",
+        "n",
+        "m",
+        F.sum(F.coalesce(F.col("c"), F.lit(0))).over(wq).alias("cum_c"),
+    )
+    emd = (
+        "sum(abs(CAST(cum_c AS DECIMAL(38,0)) * n"
+        " - CAST(cum_gc AS DECIMAL(38,0)) * n_g)) * 1000000"
+        " div (CAST(max(n_g) AS DECIMAL(38,0)) * max(n) * (max(m) - 1))"
+    )
+    return cums.groupBy("nationkey", "mktsegment").agg(
+        F.max("n_g").cast("long").alias("group_size"),
+        F.max("m").cast("long").alias("n_bands"),
+        F.expr(f"CAST({emd} AS BIGINT)").alias("emd_ppm"),
+        F.expr(
+            f"CAST(CASE WHEN {emd} <= {T_CLOSENESS_PPM} THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("t_close"),
+    )

@@ -5532,3 +5532,154 @@ def char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div sum(n) AS BIGINT)"
         ).alias("other_ppm"),
     )
+
+
+# --- Round 10b: RAKE keyword extraction ------------------------------------
+#
+# Rapid Automatic Keyword Extraction (Rose et al. 2010): candidate
+# phrases are maximal stopword-free token runs (capped at
+# RAKE_MAX_LEN — longer runs are discarded, the classic length
+# filter); a word scores degree/frequency where degree counts
+# co-occurrence within its phrases (phrase length, self included);
+# a phrase scores the sum of its words' scores.
+RAKE_STOPWORDS = ("the", "a", "and", "of", "to", "is")
+RAKE_MAX_LEN = 3
+RAKE_TOP_K = 30
+
+
+@register(
+    "rake_keyword_extraction",
+    oracle_sql=f"""
+    WITH toks AS (
+      SELECT doc_id, {{tok}} AS ts FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, i AS pos, ts[i] AS t
+      FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i
+            FROM toks)
+    ),
+    ns AS (
+      SELECT doc_id, pos, t,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      FROM pos
+      WHERE t NOT IN ({{stops}})
+    ),
+    phr AS (
+      SELECT doc_id, isl, list(t ORDER BY pos) AS ws
+      FROM ns GROUP BY doc_id, isl HAVING count(*) <= {RAKE_MAX_LEN}
+    ),
+    wstat AS (
+      SELECT t, count(*) AS freq, CAST(sum(lw) AS BIGINT) AS deg
+      FROM (SELECT unnest(ws) AS t, len(ws) AS lw FROM phr)
+      GROUP BY t
+    ),
+    wsc AS (SELECT t, deg * 1000 // freq AS w_milli FROM wstat),
+    pw AS (
+      SELECT doc_id, isl, array_to_string(ws, ' ') AS phrase,
+             unnest(ws) AS t
+      FROM phr
+    ),
+    psc AS (
+      SELECT doc_id, isl, phrase, CAST(sum(w.w_milli) AS BIGINT) AS score
+      FROM pw JOIN wsc w ON w.t = pw.t
+      GROUP BY doc_id, isl, phrase
+    ),
+    agg AS (
+      SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+             CAST(min(score) AS BIGINT) AS score_milli
+      FROM psc GROUP BY phrase
+    )
+    SELECT phrase, n_occurrences, score_milli,
+           CAST(row_number() OVER (ORDER BY score_milli DESC, phrase)
+                AS BIGINT) AS rank
+    FROM agg
+    ORDER BY score_milli DESC, phrase
+    LIMIT {RAKE_TOP_K}
+    """.format(
+        tok=DUCKDB_TOKENIZE.format(col="text"),
+        stops=", ".join(f"'{w}'" for w in RAKE_STOPWORDS),
+    ),
+    tags=("text", "keywords", "pipeline"),
+)
+def rake_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE corpus keyword extraction: stopword-delimited candidate
+    phrases (maximal non-stopword token runs, runs longer than
+    {RAKE_MAX_LEN} discarded), word score = degree/frequency in milli
+    (degree = summed length of the word's phrases, the co-occurrence
+    count with self), phrase score = sum of member word scores, top
+    {RAKE_TOP_K} phrases corpus-wide — the classic unsupervised
+    keyword/topic surfacer ([[tfidf_top_terms]] ranks single terms by
+    document discrimination; RAKE surfaces multi-word PHRASES by
+    internal cohesion).
+
+    Exactness: pure integer counting; word scores floor-divide in
+    BIGINT milli; identical phrase text always carries identical
+    member words, so min(score) per phrase is the (unique) score.
+
+    Scale shape: the phrase build is the gaps-and-islands window
+    (partitioned BY DOCUMENT — parallel at any corpus size); word and
+    phrase stats are map-side-combined keyed aggregates.  The final
+    top-k is orderBy+limit — Spark compiles it to TakeOrdered
+    (distributed partial top-k, no global sort shuffle), and the rank
+    column is a window over the ALREADY-REDUCED {RAKE_TOP_K}-row
+    result, never the full phrase table.
+
+    Reference analog: the tokenize-map + combine discipline of
+    /root/reference/src/main.c:28-59, lifted to phrase grain.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "t")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    ns = pos.filter(~F.col("t").isin(*RAKE_STOPWORDS)).select(
+        "doc_id",
+        "pos",
+        "t",
+        (F.col("pos") - F.row_number().over(wd)).alias("isl"),
+    )
+    phr = (
+        ns.groupBy("doc_id", "isl")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "t"))),
+                lambda s: s.t,
+            ).alias("ws")
+        )
+        .filter(F.size("ws") <= RAKE_MAX_LEN)
+    )
+    words = phr.select(
+        F.explode("ws").alias("t"), F.size("ws").alias("lw")
+    )
+    wsc = (
+        words.groupBy("t")
+        .agg(F.count("*").alias("freq"), F.sum("lw").alias("deg"))
+        .select("t", F.expr("deg * 1000 div freq").alias("w_milli"))
+    )
+    pw = phr.select(
+        "doc_id",
+        "isl",
+        F.array_join("ws", " ").alias("phrase"),
+        F.explode("ws").alias("t"),
+    )
+    psc = (
+        pw.join(wsc, "t")
+        .groupBy("doc_id", "isl", "phrase")
+        .agg(F.sum("w_milli").alias("score"))
+    )
+    agg = psc.groupBy("phrase").agg(
+        F.count("*").cast("long").alias("n_occurrences"),
+        F.min("score").cast("long").alias("score_milli"),
+    )
+    top = agg.orderBy(F.desc("score_milli"), F.asc("phrase")).limit(
+        RAKE_TOP_K
+    )
+    wr = Window.orderBy(F.desc("score_milli"), F.asc("phrase"))
+    return top.select(
+        "phrase",
+        "n_occurrences",
+        "score_milli",
+        F.row_number().over(wr).cast("long").alias("rank"),
+    )

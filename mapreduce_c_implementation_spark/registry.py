@@ -127,6 +127,8 @@ _DRIVER_NEW_THIS_ROUND: list[str] = [
     "median_of_means_value",
     "graph_hits_scores",
     "graph_kcore_peel_layers",
+    "t_closeness_check",
+    "rake_keyword_extraction",
 ]
 
 # Regression re-verification queue: registration order, resuming where

@@ -317,6 +317,10 @@ SWEPT_OPS = [
     "kruskal_wallis_binned",
     "benjamini_hochberg_fdr",
     "median_of_means_value",
+    # round-10 third wave: doc-partitioned islands window + TakeOrdered
+    # head, and the bounded QI x band grid.
+    "rake_keyword_extraction",
+    "t_closeness_check",
 ]
 
 

@@ -315,6 +315,9 @@ _NESTED_LOOP_EXEMPT = {
     # two 1-row broadcasts: (N, tie_cubes) totals and the S term —
     # single-row nested-loop sides onto the |groups|-row rank table
     "kruskal_wallis_binned",
+    # broadcast cross of the QI table with the <=10-row band table
+    # (plus the band table's own 1-row totals broadcast)
+    "t_closeness_check",
 }
 
 # Modules whose query_fns build lazy plans (streaming/io execute jobs

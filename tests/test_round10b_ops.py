@@ -18,6 +18,18 @@ def _rows(spark, sf_dir, name):
     return get_operator(name).query_fn(spark, sf_dir).collect()
 
 
+def _docs(sf_dir):
+    con = duckdb.connect()
+    try:
+        return dict(
+            con.sql(
+                f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+            ).fetchall()
+        )
+    finally:
+        con.close()
+
+
 def _events(sf_dir):
     con = duckdb.connect()
     try:
@@ -197,3 +209,84 @@ def test_hits_matches_bruteforce(spark, sf_smoke):
     got = {r.n_name: (r.hub_scaled, r.auth_scaled) for r in rows}
     expect = {nations[n]: (hub[n], auth[n]) for n in nations}
     assert got == expect
+
+
+def test_t_closeness_matches_bruteforce(spark, sf_smoke):
+    """Python replay of the ordered-1D EMD closed form per QI group."""
+    con = duckdb.connect()
+    try:
+        cust = con.sql(
+            f"SELECT c_nationkey, c_mktsegment,"
+            f" CAST(floor(c_acctbal / 2000) AS BIGINT)"
+            f" FROM '{sf_smoke}/customer.parquet'"
+        ).fetchall()
+    finally:
+        con.close()
+    import math
+
+    bands = sorted({s for _, _, s in cust})
+    m, n = len(bands), len(cust)
+    gcount = defaultdict(int)
+    groups = defaultdict(lambda: defaultdict(int))
+    for nk, seg, s in cust:
+        gcount[s] += 1
+        groups[(nk, seg)][s] += 1
+    rows = {
+        (r.nationkey, r.mktsegment): r
+        for r in _rows(spark, sf_smoke, "t_closeness_check")
+    }
+    assert set(rows) == set(groups)
+    for key, cnts in groups.items():
+        ng = sum(cnts.values())
+        acc = cum_c = cum_g = 0
+        for s in bands:
+            cum_c += cnts.get(s, 0)
+            cum_g += gcount[s]
+            acc += abs(cum_c * n - cum_g * ng)
+        emd = acc * 1_000_000 // (ng * n * (m - 1))
+        r = rows[key]
+        assert r.emd_ppm == emd
+        assert r.group_size == ng and r.n_bands == m
+        assert r.t_close == (1 if emd <= 150_000 else 0)
+
+
+def test_rake_matches_bruteforce(spark, sf_smoke):
+    """Full RAKE replay: islands, degree/freq word scores, phrase
+    scores, top-30 head."""
+    import re
+
+    docs = _docs(sf_smoke)
+    stops = {"the", "a", "and", "of", "to", "is"}
+    phrases = []  # list of word tuples
+    for text in docs.values():
+        toks = [
+            t.lower()[:255] for t in re.findall(r"[A-Za-z0-9]+", text)
+        ]
+        run = []
+        for t in toks + [None]:
+            if t is None or t in stops:
+                if run and len(run) <= 3:
+                    phrases.append(tuple(run))
+                run = []
+            else:
+                run.append(t)
+    freq = defaultdict(int)
+    deg = defaultdict(int)
+    for ws in phrases:
+        for w in ws:
+            freq[w] += 1
+            deg[w] += len(ws)
+    wsc = {w: deg[w] * 1000 // freq[w] for w in freq}
+    agg = defaultdict(lambda: [0, 0])
+    for ws in phrases:
+        key = " ".join(ws)
+        agg[key][0] += 1
+        agg[key][1] = sum(wsc[w] for w in ws)
+    ranked = sorted(agg.items(), key=lambda kv: (-kv[1][1], kv[0]))[:30]
+    rows = sorted(
+        _rows(spark, sf_smoke, "rake_keyword_extraction"),
+        key=lambda r: r.rank,
+    )
+    assert [(r.phrase, r.n_occurrences, r.score_milli) for r in rows] == [
+        (p, c, s) for p, (c, s) in ranked
+    ]
