@@ -2872,3 +2872,329 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             cos.cast("long").alias("cosine_ppm"),
         )
     )
+
+
+# --- Round 10b: E2LSH (p-stable Euclidean LSH) near-pair search ------------
+#
+# The L2-metric member of the LSH family: project on E2_LINES fixed
+# ±1 lines, quantize each projection into width-E2_W cells with a
+# staggered per-line offset, and candidate ONLY pairs agreeing on the
+# full cell signature; exact L2 verifies.  Complements the
+# sign-bit (cosine) LSH of ann_lsh_bucketed — quantized cells bound
+# EUCLIDEAN distance, the metric PQ/IVF also operate in.  Line rule
+# uses modulus 17 with multipliers j+13 (all nonzero, distinct mod 17;
+# +1 fraction 8/17), disjoint from the mod-11 cosine family.
+E2_LINES = 4
+E2_W = 2.0
+E2_EPS = 1.2
+
+
+def _e2_dot_sql(j: int, emb: str) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {EMB_DIM}), "
+        f"i -> (CASE WHEN (i * {j + 13}) % 17 < 8 THEN 1.0 ELSE -1.0 END) "
+        f"* CAST({emb}[i] AS DOUBLE))), (acc, x) -> acc + x)"
+    )
+
+
+def _e2_dot_spark(j: int, emb: Column) -> Column:
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(EMB_DIM)),
+            lambda i: F.when((i * (j + 13)) % 17 < 8, F.lit(1.0)).otherwise(
+                F.lit(-1.0)
+            )
+            * F.element_at(emb, i).cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+_E2_BUCKETS_SQL = ", ".join(
+    f"CAST(floor(({_e2_dot_sql(j, 'embedding')} + {j * E2_W / E2_LINES!r}) "
+    f"/ {E2_W!r}) AS BIGINT) AS b{j}"
+    for j in range(E2_LINES)
+)
+
+
+@register(
+    "lsh_euclidean_e2lsh",
+    oracle_sql=f"""
+    WITH {_SQL_NORMS},
+    cells AS (
+      SELECT vec_id, embedding, nrm, {_E2_BUCKETS_SQL}
+      FROM norms
+    ),
+    cand AS (
+      SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+             sqrt(a.nrm * a.nrm + b.nrm * b.nrm
+                  - 2 * {_SQL_DOT.format(a="a.embedding", b="b.embedding")})
+               AS l2
+      FROM cells a JOIN cells b
+        ON a.b0 = b.b0 AND a.b1 = b.b1 AND a.b2 = b.b2 AND a.b3 = b.b3
+       AND a.vec_id < b.vec_id
+    )
+    SELECT vec_id_a, vec_id_b, round(l2, 6) AS l2_r6
+    FROM cand WHERE l2 <= {E2_EPS!r}
+    """,
+    tags=("similarity", "lsh", "dedup-adjacent"),
+)
+def lsh_euclidean_e2lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Euclidean near-pair search via p-stable-style E2LSH: each vector
+    hashes to a {E2_LINES}-cell signature (±1-line projection,
+    width-{E2_W} quantization, staggered offsets), candidates share the
+    FULL signature (an equi-join on the cell tuple — never all-pairs),
+    and exact L2 (computed from norms + the shared sequential-fold dot,
+    bit-identical doubles in both engines) keeps pairs within
+    {E2_EPS}.  The L2-metric sibling of [[ann_lsh_bucketed]]'s sign-bit
+    cosine hash and the candidate generator a Euclidean
+    [[dedup_embedding_cosine]]-style near-dup pass would use.
+
+    Scale shape: signature build is in-row (one corpus pass); the
+    candidate join is an equi-join on the cell key, so cost follows
+    bucket occupancy, not n² — on this fixture ~4.5% of all pairs are
+    candidates at every sf.  At 100 TB the standard knobs (more lines,
+    narrower W, multi-table OR-construction) trade recall for bucket
+    size exactly as in the LSH literature; cells route shards like
+    [[ann_ivf_coarse]].
+
+    Reference analog: none (LLM-pipeline surface per the brief).
+    """
+    pts = _norms(spark, sf_dir)
+    cells = pts.select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        *[
+            F.floor(
+                (_e2_dot_spark(j, F.col("embedding")) + F.lit(j * E2_W / E2_LINES))
+                / F.lit(E2_W)
+            )
+            .cast("long")
+            .alias(f"b{j}")
+            for j in range(E2_LINES)
+        ],
+    )
+    a = cells.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+        *[F.col(f"b{j}") for j in range(E2_LINES)],
+    )
+    b = cells.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+        *[F.col(f"b{j}") for j in range(E2_LINES)],
+    )
+    cand = a.join(b, [f"b{j}" for j in range(E2_LINES)]).filter(
+        F.col("vec_id_a") < F.col("vec_id_b")
+    )
+    l2 = F.sqrt(
+        F.col("nrm_a") * F.col("nrm_a")
+        + F.col("nrm_b") * F.col("nrm_b")
+        - F.lit(2.0) * _spark_dot(F.col("emb_a"), F.col("emb_b"))
+    )
+    return (
+        cand.withColumn("l2", l2)
+        .filter(F.col("l2") <= E2_EPS)
+        .select("vec_id_a", "vec_id_b", F.round("l2", 6).alias("l2_r6"))
+    )
+
+
+# --- Round 10b: MMR diverse re-ranking -------------------------------------
+#
+# Maximal Marginal Relevance (Carbonell & Goldstein 1998): greedy
+# re-ranking that trades relevance against redundancy —
+# argmax lambda*rel - (1-lambda)*max_sim_to_selected.  All scores are
+# micro-rounded cosines, and the MMR objective is kept as the pure
+# integer 700*rel - 300*maxsim (lambda = 0.7 in milli, NO division —
+# Spark's truncating `div` and DuckDB's flooring `//` diverge on
+# negatives, so negative-capable scores must never be divided).
+MMR_QUERY_ID = 0
+MMR_N = 20
+MMR_K = 8
+MMR_LAMBDA_MILLI = 700
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR in DuckDB SQL — every round CTE MATERIALIZED
+    (each is referenced multiple times; default inlining would
+    re-expand the chain exponentially, the _hits_oracle lesson)."""
+    head = f"""q AS MATERIALIZED (
+      SELECT embedding, nrm FROM norms WHERE vec_id = {MMR_QUERY_ID}
+    ),
+    cand AS MATERIALIZED (
+      SELECT c.vec_id,
+             CAST(round({_SQL_DOT.format(a="q.embedding", b="c.embedding")}
+                   / (q.nrm * c.nrm) * 1000000) AS BIGINT) AS rel
+      FROM norms c, q WHERE c.vec_id <> {MMR_QUERY_ID}
+      ORDER BY rel DESC, c.vec_id ASC LIMIT {MMR_N}
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             CAST(round({_SQL_DOT.format(a="na.embedding", b="nb.embedding")}
+                   / (na.nrm * nb.nrm) * 1000000) AS BIGINT) AS sim
+      FROM cand a JOIN norms na ON na.vec_id = a.vec_id
+      JOIN cand b ON b.vec_id <> a.vec_id
+      JOIN norms nb ON nb.vec_id = b.vec_id
+    ),
+    sel1 AS MATERIALIZED (
+      SELECT 1 AS round, vec_id, rel,
+             CAST({MMR_LAMBDA_MILLI} AS BIGINT) * rel AS mmr_scaled
+      FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1
+    ),
+    selall1 AS MATERIALIZED (SELECT * FROM sel1)"""
+    ctes = [head]
+    for k in range(2, MMR_K + 1):
+        ctes.append(
+            f"""m{k} AS MATERIALIZED (
+      SELECT c.vec_id, c.rel, max(p.sim) AS ms
+      FROM cand c
+      JOIN pairs p ON p.ia = c.vec_id
+      JOIN selall{k - 1} s ON s.vec_id = p.ib
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM selall{k - 1})
+      GROUP BY c.vec_id, c.rel
+    ),
+    sel{k} AS MATERIALIZED (
+      SELECT {k} AS round, vec_id, rel,
+             {MMR_LAMBDA_MILLI} * rel
+             - {1000 - MMR_LAMBDA_MILLI} * ms AS mmr_scaled
+      FROM m{k}
+      ORDER BY mmr_scaled DESC, vec_id ASC LIMIT 1
+    ),
+    selall{k} AS MATERIALIZED (
+      SELECT * FROM selall{k - 1} UNION ALL SELECT * FROM sel{k}
+    )"""
+        )
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH {_SQL_NORMS},
+    {chain}
+    SELECT CAST(round AS BIGINT) AS round, vec_id, rel AS rel_micro,
+           CAST(mmr_scaled AS BIGINT) AS mmr_scaled
+    FROM selall{MMR_K}
+    """
+
+
+@register(
+    "mmr_diverse_reranking",
+    oracle_sql=_mmr_oracle(),
+    tags=("similarity", "ranking", "iterative", "pipeline"),
+)
+def mmr_diverse_reranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: the top-{MMR_N} cosine
+    candidates for probe vector {MMR_QUERY_ID} are greedily re-ranked
+    for {MMR_K} rounds by mmr = {MMR_LAMBDA_MILLI}*rel -
+    {1000 - MMR_LAMBDA_MILLI}*max_sim_to_selected (milli-lambda,
+    micro-cosines; round 1 is pure relevance) — the classic
+    redundancy-aware reordering a RAG retriever applies after
+    [[ann_bruteforce_topk]], and the per-query complement to
+    [[cluster_capped_diversity_sample]]'s corpus-level diversity cap.
+    Output: the selection trace (round, id, relevance, MMR score).
+
+    Exactness: cosines are micro-rounded from bit-identical doubles;
+    the objective is PURE integer arithmetic with no division
+    (Spark `div` truncates toward zero, DuckDB `//` floors — on the
+    negative-capable MMR score that would silently diverge, so the
+    lambda mix stays cross-multiplied).  Ties break to the smaller id.
+
+    Scale shape: candidate generation is the distributed top-k
+    (TakeOrdered); the greedy loop then runs on a {MMR_N}-row
+    localCheckpoint'd table with a {MMR_N}x{MMR_N} sim matrix — per
+    round one keyed join + aggregate + TakeOrdered(1), independent of
+    corpus size.  At 100 TB only the candidate scan grows.
+
+    Reference analog: none (LLM-pipeline surface per the brief).
+    """
+    pts = _norms(spark, sf_dir)
+    q = F.broadcast(
+        pts.filter(F.col("vec_id") == MMR_QUERY_ID).select(
+            F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
+        )
+    )
+    cand = (
+        pts.filter(F.col("vec_id") != MMR_QUERY_ID)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            F.round(
+                _spark_dot(F.col("embedding"), F.col("q_emb"))
+                / (F.col("q_nrm") * F.col("nrm"))
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(MMR_N)
+        .localCheckpoint()
+    )
+    ca = cand.select(
+        F.col("vec_id").alias("ia"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    cb = cand.select(
+        F.col("vec_id").alias("ib"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = (
+        ca.join(cb, F.col("ia") != F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            F.round(
+                _spark_dot(F.col("ea"), F.col("eb"))
+                / (F.col("na") * F.col("nb"))
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("sim"),
+        )
+        .localCheckpoint()
+    )
+    sel = (
+        cand.orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(1)
+        .select(
+            F.lit(1).cast("long").alias("round"),
+            "vec_id",
+            "rel",
+            (F.lit(MMR_LAMBDA_MILLI).cast("long") * F.col("rel")).alias(
+                "mmr_scaled"
+            ),
+        )
+        .localCheckpoint()
+    )
+    for k in range(2, MMR_K + 1):
+        chosen = sel.select("vec_id")
+        m = (
+            cand.join(chosen, "vec_id", "left_anti")
+            .join(pairs, F.col("vec_id") == F.col("ia"))
+            .join(chosen.withColumnRenamed("vec_id", "ib"), "ib")
+            .groupBy("vec_id", "rel")
+            .agg(F.max("sim").alias("ms"))
+        )
+        pick = (
+            m.select(
+                F.lit(k).cast("long").alias("round"),
+                "vec_id",
+                "rel",
+                (
+                    F.lit(MMR_LAMBDA_MILLI) * F.col("rel")
+                    - F.lit(1000 - MMR_LAMBDA_MILLI) * F.col("ms")
+                )
+                .cast("long")
+                .alias("mmr_scaled"),
+            )
+            .orderBy(F.desc("mmr_scaled"), F.asc("vec_id"))
+            .limit(1)
+        )
+        sel = sel.unionByName(pick).localCheckpoint()
+    return sel.select("round", "vec_id", F.col("rel").alias("rel_micro"), "mmr_scaled")

@@ -876,3 +876,146 @@ def event_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (k * n_events) AS BIGINT)"
         ).alias("fano_milli"),
     )
+
+
+# --- Round 10b: truncated-EWMA daily forecast + anomaly flags -------------
+#
+# EWMA level with alpha = 1/4, truncated at EWMA_WIN lagged days and
+# renormalized — which keeps everything integer: the lag-j weight is
+# alpha*(1-alpha)^(j-1) = 3^(j-1)/4^j, so over a common denominator
+# 4^WIN the numerator weight is 3^(j-1)*4^(WIN-j) and the weight sum
+# telescopes to 4^WIN - 3^WIN.  A day is anomalous when its count
+# doubles (or halves) against the EWMA forecast of the previous
+# window — the integer twin of the z-score rule in
+# event_daily_anomaly, robust to the variance estimate.
+EWMA_WIN = 12
+_EWMA_W = [3 ** (j - 1) * 4 ** (EWMA_WIN - j) for j in range(1, EWMA_WIN + 1)]
+_EWMA_D = 4**EWMA_WIN - 3**EWMA_WIN
+
+
+@register(
+    "ewma_daily_anomaly",
+    oracle_sql=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT event_type, min(d) AS d0, max(d) AS d1
+      FROM daily GROUP BY event_type
+    ),
+    spine AS (
+      SELECT s.event_type, CAST(g.g AS DATE) AS d, COALESCE(daily.c, 0) AS c
+      FROM span s
+      CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) AS g
+      ) g
+      LEFT JOIN daily ON daily.event_type = s.event_type
+                     AND daily.d = CAST(g.g AS DATE)
+    ),
+    contrib AS (
+      SELECT sp.event_type, sp.d + to_days(CAST(j.j AS INTEGER)) AS t,
+             sp.c * ([{", ".join(str(w) for w in _EWMA_W)}][j.j]) AS x
+      FROM spine sp
+      CROSS JOIN (SELECT unnest(generate_series(1, {EWMA_WIN})) AS j) j
+    ),
+    lvl AS (
+      SELECT event_type, t AS d,
+             CAST(CAST(sum(x) AS BIGINT) * 1000 // {_EWMA_D} AS BIGINT)
+               AS level_milli
+      FROM contrib GROUP BY event_type, t
+    )
+    SELECT sp.event_type, strftime(sp.d, '%Y-%m-%d') AS day,
+           CAST(sp.c AS BIGINT) AS n,
+           l.level_milli,
+           CAST(sp.c * 1000 - l.level_milli AS BIGINT) AS resid_milli,
+           CAST(CASE WHEN sp.c * 1000 > 2 * l.level_milli
+                       OR 2 * sp.c * 1000 < l.level_milli
+                     THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+    FROM spine sp
+    JOIN lvl l ON l.event_type = sp.event_type AND l.d = sp.d
+    JOIN span s ON s.event_type = sp.event_type
+    WHERE sp.d >= s.d0 + to_days({EWMA_WIN})
+    """,
+    tags=("timeseries", "anomaly", "forecast"),
+)
+def ewma_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-EWMA forecast (alpha = 1/4, {EWMA_WIN}-day window,
+    zero-filled calendar spine) of each event type's daily count, with
+    integer residuals and a doubling/halving anomaly flag — the
+    forecast-based complement to [[event_daily_anomaly]]'s global
+    z-score (EWMA adapts to drifting levels, so a slow ramp is not
+    flagged while a step change is) and the batch twin of
+    [[stream_rate_anomaly_monitor]].  Only days with a full lag window
+    are scored (cold-start days are not comparable).
+
+    Exactness: lag-j weight 3^(j-1)*4^({EWMA_WIN}-j) over the common
+    denominator keeps the level a pure integer ratio, floor-frozen to
+    milli; weights and their telescoped sum 4^{EWMA_WIN} - 3^{EWMA_WIN}
+    = {_EWMA_D} are compile-time literals in both plans.
+
+    Scale shape: counts collapse to (type, day) grain map-side; each
+    spine day fans out {EWMA_WIN} keyed contributions (bounded, the
+    [[autocorrelation_daily_values]] lag-explode); the level join is
+    keyed on (type, day).  Everything post-aggregate grows with the
+    CALENDAR, not the corpus.
+
+    Reference analog: none (SURVEY §2.2 timeseries surface).
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+    ).agg(F.count("*").alias("c"))
+    span = daily.groupBy("event_type").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    spine = (
+        span.select(
+            "event_type",
+            "d0",
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d"),
+        )
+        .join(daily, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            "d0",
+            "d",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    wlit = ", ".join(str(w) for w in _EWMA_W)
+    contrib = spine.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(1), F.lit(EWMA_WIN))).alias("j"),
+        "d",
+        "c",
+    ).select(
+        "event_type",
+        F.expr("date_add(d, j)").alias("t"),
+        F.expr(f"c * element_at(array({wlit}), j)").alias("x"),
+    )
+    lvl = contrib.groupBy("event_type", F.col("t").alias("d")).agg(
+        F.expr(
+            f"CAST(CAST(sum(x) AS BIGINT) * 1000 div {_EWMA_D} AS BIGINT)"
+        ).alias("level_milli")
+    )
+    return (
+        spine.filter(F.expr(f"d >= date_add(d0, {EWMA_WIN})"))
+        .join(lvl, ["event_type", "d"])
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("c").cast("long").alias("n"),
+            "level_milli",
+            F.expr("CAST(c * 1000 - level_milli AS BIGINT)").alias(
+                "resid_milli"
+            ),
+            F.expr(
+                "CAST(CASE WHEN c * 1000 > 2 * level_milli"
+                " OR 2 * c * 1000 < level_milli"
+                " THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("anomaly"),
+        )
+    )

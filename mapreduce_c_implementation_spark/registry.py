@@ -129,6 +129,9 @@ _DRIVER_NEW_THIS_ROUND: list[str] = [
     "graph_kcore_peel_layers",
     "t_closeness_check",
     "rake_keyword_extraction",
+    "ewma_daily_anomaly",
+    "lsh_euclidean_e2lsh",
+    "mmr_diverse_reranking",
 ]
 
 # Regression re-verification queue: registration order, resuming where

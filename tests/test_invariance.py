@@ -321,6 +321,11 @@ SWEPT_OPS = [
     # head, and the bounded QI x band grid.
     "rake_keyword_extraction",
     "t_closeness_check",
+    # round-10 fourth wave: calendar-keyed lag fan-out, cell-signature
+    # equi-join, and the checkpointed greedy trace.
+    "ewma_daily_anomaly",
+    "lsh_euclidean_e2lsh",
+    "mmr_diverse_reranking",
 ]
 
 

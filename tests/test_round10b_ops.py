@@ -290,3 +290,131 @@ def test_rake_matches_bruteforce(spark, sf_smoke):
     assert [(r.phrase, r.n_occurrences, r.score_milli) for r in rows] == [
         (p, c, s) for p, (c, s) in ranked
     ]
+
+
+def test_ewma_matches_bruteforce(spark, sf_smoke):
+    """Python replay: zero-filled spine, truncated integer EWMA,
+    doubling/halving flags."""
+    import datetime
+
+    ev = _events(sf_smoke)
+    daily = defaultdict(lambda: defaultdict(int))
+    for _, ts, t, _ in ev:
+        daily[t][ts.date()] += 1
+    W = [3 ** (j - 1) * 4 ** (12 - j) for j in range(1, 13)]
+    D = 4**12 - 3**12
+    expect = {}
+    for t, cs in daily.items():
+        d0, d1 = min(cs), max(cs)
+        days = [d0 + datetime.timedelta(days=i) for i in range((d1 - d0).days + 1)]
+        for i, d in enumerate(days):
+            if i < 12:
+                continue
+            num = sum(
+                cs.get(days[i - j], 0) * W[j - 1] for j in range(1, 13)
+            )
+            level = num * 1000 // D
+            n = cs.get(d, 0)
+            expect[(t, d.isoformat())] = (
+                n,
+                level,
+                n * 1000 - level,
+                1 if (n * 1000 > 2 * level or 2 * n * 1000 < level) else 0,
+            )
+    rows = _rows(spark, sf_smoke, "ewma_daily_anomaly")
+    got = {
+        (r.event_type, r.day): (r.n, r.level_milli, r.resid_milli, r.anomaly)
+        for r in rows
+    }
+    assert got == expect
+
+
+def _embeddings(sf_dir):
+    con = duckdb.connect()
+    try:
+        return con.sql(
+            f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet'"
+        ).fetchall()
+    finally:
+        con.close()
+
+
+def _seq_dot(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def test_e2lsh_matches_bruteforce(spark, sf_smoke):
+    """Python replay: same ±1 line rule, same staggered quantization,
+    same exact-L2 verify — sequential-fold floats throughout."""
+    import math
+
+    vecs = dict(_embeddings(sf_smoke))
+    cells = {}
+    norms = {}
+    for vid, v in vecs.items():
+        norms[vid] = math.sqrt(_seq_dot(v, v))
+        sig = []
+        for j in range(4):
+            proj = 0.0
+            for i, x in enumerate(v, start=1):
+                w = 1.0 if (i * (j + 13)) % 17 < 8 else -1.0
+                proj += w * float(x)
+            sig.append(math.floor((proj + j * 0.5) / 2.0))
+        cells[vid] = tuple(sig)
+    expect = set()
+    ids = sorted(vecs)
+    buckets = defaultdict(list)
+    for vid in ids:
+        buckets[cells[vid]].append(vid)
+    for vs in buckets.values():
+        for i in range(len(vs)):
+            for j in range(i + 1, len(vs)):
+                a, b = vs[i], vs[j]
+                l2 = math.sqrt(
+                    norms[a] ** 2 + norms[b] ** 2
+                    - 2 * _seq_dot(vecs[a], vecs[b])
+                )
+                if l2 <= 1.2:
+                    expect.add((a, b, round(l2, 6)))
+    rows = _rows(spark, sf_smoke, "lsh_euclidean_e2lsh")
+    got = {(r.vec_id_a, r.vec_id_b, r.l2_r6) for r in rows}
+    assert got == expect
+
+
+def test_mmr_matches_bruteforce(spark, sf_smoke):
+    """Python replay of the greedy MMR trace (integer objective,
+    smaller-id tie-break)."""
+    import math
+
+    vecs = dict(_embeddings(sf_smoke))
+    norms = {v: math.sqrt(_seq_dot(e, e)) for v, e in vecs.items()}
+
+    def cos_micro(a, b):
+        return int(
+            round(_seq_dot(vecs[a], vecs[b]) / (norms[a] * norms[b]) * 1e6)
+        )
+
+    rel = {v: cos_micro(0, v) for v in vecs if v != 0}
+    cand = sorted(rel, key=lambda v: (-rel[v], v))[:20]
+    sel = [min(cand, key=lambda v: (-rel[v], v))]
+    trace = [(1, sel[0], rel[sel[0]], 700 * rel[sel[0]])]
+    for k in range(2, 9):
+        best = None
+        for c in cand:
+            if c in sel:
+                continue
+            ms = max(cos_micro(c, s) for s in sel)
+            sc = 700 * rel[c] - 300 * ms
+            key = (-sc, c)
+            if best is None or key < best[0]:
+                best = (key, c, sc)
+        sel.append(best[1])
+        trace.append((k, best[1], rel[best[1]], best[2]))
+    rows = sorted(
+        _rows(spark, sf_smoke, "mmr_diverse_reranking"),
+        key=lambda r: r.round,
+    )
+    assert [(r.round, r.vec_id, r.rel_micro, r.mmr_scaled) for r in rows] == trace
