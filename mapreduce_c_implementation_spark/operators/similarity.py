@@ -3198,3 +3198,159 @@ def mmr_diverse_reranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sel = sel.unionByName(pick).localCheckpoint()
     return sel.select("round", "vec_id", F.col("rel").alias("rel_micro"), "mmr_scaled")
+
+
+# --- Round 10b: grid-based DBSCAN clustering -------------------------------
+#
+# Density clustering in the Spark-friendly GRID formulation: quantize
+# the (first two) embedding coordinates into square cells, call a cell
+# DENSE when it holds >= DBSCAN_MIN_PTS points, and cluster = connected
+# component of dense cells under 8-neighborhood adjacency; points in
+# sparse cells are NOISE.  This is the scalable approximation of
+# point-wise DBSCAN (eps ~ cell diagonal): all-pairs range queries
+# become one groupBy + a 9-offset keyed self-join on cell ids.
+DBSCAN_CELL = 0.04
+DBSCAN_MIN_PTS = 4
+DBSCAN_CC_ROUNDS = 32
+
+
+@register(
+    "dbscan_grid_clusters",
+    oracle_sql=f"""
+    WITH RECURSIVE pts AS (
+      SELECT vec_id,
+             CAST(floor(CAST(embedding[1] AS DOUBLE) / {DBSCAN_CELL!r})
+                  AS BIGINT) AS ci,
+             CAST(floor(CAST(embedding[2] AS DOUBLE) / {DBSCAN_CELL!r})
+                  AS BIGINT) AS cj
+      FROM embeddings
+    ),
+    cells AS (SELECT ci, cj, count(*) AS n FROM pts GROUP BY ci, cj),
+    dense AS (
+      SELECT ci, cj, n,
+             CAST(row_number() OVER (ORDER BY ci, cj) AS BIGINT) AS cid
+      FROM cells WHERE n >= {DBSCAN_MIN_PTS}
+    ),
+    nbr AS (
+      SELECT a.cid AS ca, b.cid AS cb
+      FROM dense a JOIN dense b
+        ON b.ci BETWEEN a.ci - 1 AND a.ci + 1
+       AND b.cj BETWEEN a.cj - 1 AND a.cj + 1
+    ),
+    reach(cid, lab) AS (
+      SELECT cid, cid FROM dense
+      UNION
+      SELECT n.cb, r.lab FROM reach r JOIN nbr n ON n.ca = r.cid
+    ),
+    labs AS (SELECT cid, min(lab) AS cluster_id FROM reach GROUP BY cid)
+    SELECT p.vec_id, p.ci, p.cj,
+           CAST(COALESCE(l.cluster_id, -1) AS BIGINT) AS cluster_id,
+           CAST(CASE WHEN d.cid IS NULL THEN 1 ELSE 0 END AS BIGINT) AS noise
+    FROM pts p
+    LEFT JOIN dense d ON d.ci = p.ci AND d.cj = p.cj
+    LEFT JOIN labs l ON l.cid = d.cid
+    """,
+    tags=("similarity", "clustering", "iterative", "pipeline"),
+)
+def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-based DBSCAN over the embedding's leading 2-D projection:
+    width-{DBSCAN_CELL} cells, a cell is DENSE at >= {DBSCAN_MIN_PTS}
+    points, clusters are 8-neighborhood connected components of dense
+    cells (labeled by the minimum dense-cell rank), sparse-cell points
+    are noise (cluster_id -1) — the density-based complement to
+    [[kmeans_lloyd]] (no k, finds arbitrary-shaped blobs, isolates
+    outliers) and the cluster assigner
+    [[cluster_capped_diversity_sample]]-style caps can consume.
+
+    The grid formulation is what makes DBSCAN Spark-shaped: point-
+    level eps-range queries become one map-side-combined cell count,
+    and adjacency is a 9-offset keyed self-join on the bounded dense-
+    cell table.  The CC runs the [[dedup_connected_components]]
+    machinery: min-label propagation with the (count, sum) fixpoint
+    signature, bounded by {DBSCAN_CC_ROUNDS} rounds, while the oracle
+    computes the TRUE transitive closure recursively — an unconverged
+    undershoot fails the diff loudly.
+
+    Scale shape: one corpus pass to cells; everything after runs on
+    the cell table, which is bounded by the coordinate range /
+    {DBSCAN_CELL} — independent of corpus size.  At a billion points
+    only the first groupBy grows; the d>2 generalization explodes
+    d-dim cell tuples the same way.
+
+    Reference analog: none (LLM-pipeline surface per the brief).
+    """
+    from pyspark.sql.window import Window
+
+    pts = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.floor(
+            F.element_at("embedding", 1).cast("double") / F.lit(DBSCAN_CELL)
+        )
+        .cast("long")
+        .alias("ci"),
+        F.floor(
+            F.element_at("embedding", 2).cast("double") / F.lit(DBSCAN_CELL)
+        )
+        .cast("long")
+        .alias("cj"),
+    )
+    cells = pts.groupBy("ci", "cj").agg(F.count("*").alias("n"))
+    wd = Window.orderBy("ci", "cj")
+    dense = (
+        cells.filter(F.col("n") >= DBSCAN_MIN_PTS)
+        .select(
+            "ci", "cj", F.row_number().over(wd).cast("long").alias("cid")
+        )
+        .localCheckpoint()
+    )
+    off = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+                for di in (-1, 0, 1)
+                for dj in (-1, 0, 1)
+            ]
+        )
+    ).alias("o")
+    probes = dense.select(
+        F.col("cid").alias("ca"), "ci", "cj", off
+    ).select(
+        "ca",
+        (F.col("ci") + F.col("o.di")).alias("ci"),
+        (F.col("cj") + F.col("o.dj")).alias("cj"),
+    )
+    nbr = probes.join(dense, ["ci", "cj"]).select(
+        "ca", F.col("cid").alias("cb")
+    ).localCheckpoint()
+    labels = dense.select("cid", F.col("cid").alias("lab")).localCheckpoint()
+    prev_sig = None
+    for _ in range(DBSCAN_CC_ROUNDS):
+        prop = nbr.join(labels, nbr.ca == labels.cid).select(
+            F.col("cb").alias("cid"), "lab"
+        )
+        labels = (
+            labels.union(prop)
+            .groupBy("cid")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint()
+        )
+        sig = tuple(labels.agg(F.count("*"), F.sum("lab")).collect()[0])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    return (
+        pts.join(dense, ["ci", "cj"], "left")
+        .join(labels, "cid", "left")
+        .select(
+            "vec_id",
+            "ci",
+            "cj",
+            F.coalesce(F.col("lab"), F.lit(-1))
+            .cast("long")
+            .alias("cluster_id"),
+            F.when(F.col("cid").isNull(), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("noise"),
+        )
+    )

@@ -5683,3 +5683,208 @@ def rake_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_milli",
         F.row_number().over(wr).cast("long").alias("rank"),
     )
+
+
+# --- Round 10b: Heaps'-law power fit per source ----------------------------
+#
+# Fit V = K * N^beta (vocabulary vs cumulative tokens) per source by
+# OLS in log-log space over the bucketed growth curve — the exponent
+# is the number a curator actually reads off heaps_vocab_growth: how
+# fast NEW vocabulary still arrives, per source, and therefore which
+# sources more crawl should come from.  beta ~ 0 means the source is
+# exhausted (pure repetition); beta ~ 1 means every token is new.
+#
+# Exactness contract: ln() of an exact integer is the same IEEE double
+# in both engines; it is ROUNDED TO MILLI IMMEDIATELY so all OLS
+# moments are exact integers (DECIMAL(38,0)); slope/intercept/r² are
+# then pinned single double expressions over those integers (the
+# welch_t_test_pairs rule) frozen to micro/ppm.
+
+
+@register(
+    "heaps_law_power_fit",
+    oracle_sql=f"""
+    WITH toks AS (
+      SELECT source, doc_id // {HEAPS_BUCKET} AS bucket, unnest({_TOK}) AS t
+      FROM documents
+    ),
+    per_bucket_tok AS (
+      SELECT source, bucket, count(*) AS c
+      FROM toks GROUP BY source, bucket
+    ),
+    first_seen AS (
+      SELECT source, t, min(bucket) AS fb FROM toks GROUP BY source, t
+    ),
+    new_terms AS (
+      SELECT source, fb AS bucket, count(*) AS nt
+      FROM first_seen GROUP BY source, fb
+    ),
+    curve AS (
+      SELECT p.source, p.bucket,
+             sum(p.c) OVER (PARTITION BY p.source ORDER BY p.bucket) AS cum_n,
+             sum(COALESCE(n.nt, 0))
+               OVER (PARTITION BY p.source ORDER BY p.bucket) AS cum_v
+      FROM per_bucket_tok p
+      LEFT JOIN new_terms n ON n.source = p.source AND n.bucket = p.bucket
+    ),
+    pts AS (
+      SELECT source,
+             CAST(round(ln(CAST(cum_n AS DOUBLE)) * 1000) AS BIGINT) AS x,
+             CAST(round(ln(CAST(cum_v AS DOUBLE)) * 1000) AS BIGINT) AS y
+      FROM curve
+    ),
+    mom AS (
+      SELECT source, count(*) AS n,
+             CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+             CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy
+      FROM pts GROUP BY source
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_points,
+           CAST(CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0 THEN
+             round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * 1000000)
+           ELSE 0 END AS BIGINT) AS beta_micro,
+           CAST(CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0 THEN
+             round((CAST(sy AS DOUBLE)
+                    - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * CAST(sx AS DOUBLE))
+                   / CAST(n AS DOUBLE))
+           ELSE 0 END AS BIGINT) AS lnk_milli,
+           CAST(CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0
+                      AND n * syy - sy * sy <> 0 THEN
+             round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                   * 1000000)
+           ELSE 0 END AS BIGINT) AS r2_ppm
+    FROM mom
+    """,
+    tags=("text", "heaps", "regression", "diagnostics"),
+)
+def heaps_law_power_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Heaps'-law exponent: OLS fit of ln V = ln K +
+    beta * ln N over the source's bucketed vocabulary-growth curve
+    (cumulative tokens N, cumulative distinct vocabulary V via the
+    first-occurrence attribution of [[heaps_vocab_growth]], at
+    {HEAPS_BUCKET}-doc buckets).  beta is THE data-curation number: a
+    source with beta near zero repeats itself (more crawl adds nothing)
+    while high-beta sources still pay vocabulary — the quantitative
+    form of the curve-reading [[heaps_vocab_growth]] leaves to the
+    human, and a companion to [[zipf_rank_frequency]]'s frequency
+    exponent.
+
+    Exactness: ln of exact integer counts rounds to milli BEFORE any
+    aggregation, so the OLS moments are exact DECIMAL(38,0) integers;
+    slope, intercept, and r² are each ONE pinned double expression over
+    those integers (the [[welch_t_test_pairs]] rule), frozen to
+    micro / milli / ppm; degenerate fits (n < 2 or zero variance)
+    pin to 0.
+
+    Scale shape: token explode -> two map-side-combined aggregates
+    ((source, bucket) counts and (source, term) first-occurrence) ->
+    source-partitioned cumulative windows over bucket-grain rows ->
+    one source-grain moment rollup.  Bucket rows grow with corpus /
+    {HEAPS_BUCKET}, but stay partitioned by source; nothing is ever
+    single-task corpus-sized.
+
+    Reference analog: none (SURVEY §2.2 text-analysis surface).
+    """
+    from pyspark.sql.window import Window
+
+    d = compute_scan(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.expr(f"doc_id div {HEAPS_BUCKET}").alias("bucket"),
+        F.explode(tokenize(F.col("text"))).alias("t"),
+    )
+    per_bucket = toks.groupBy("source", "bucket").agg(
+        F.count("*").alias("c")
+    )
+    first_seen = toks.groupBy("source", "t").agg(F.min("bucket").alias("fb"))
+    new_terms = first_seen.groupBy(
+        "source", F.col("fb").alias("bucket")
+    ).agg(F.count("*").alias("nt"))
+    wc = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    curve = (
+        per_bucket.join(new_terms, ["source", "bucket"], "left")
+        .select(
+            "source",
+            "bucket",
+            F.sum("c").over(wc).alias("cum_n"),
+            F.sum(F.coalesce("nt", F.lit(0))).over(wc).alias("cum_v"),
+        )
+    )
+    pts = curve.select(
+        "source",
+        F.expr(
+            "CAST(round(ln(CAST(cum_n AS DOUBLE)) * 1000) AS BIGINT)"
+        ).alias("x"),
+        F.expr(
+            "CAST(round(ln(CAST(cum_v AS DOUBLE)) * 1000) AS BIGINT)"
+        ).alias("y"),
+    )
+    mom = pts.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).cast("decimal(38,0)").alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+    )
+    num = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    den = (
+        "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    deny = (
+        "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    guard = "n >= 2 AND n * sxx - sx * sx <> 0"
+    return mom.select(
+        "source",
+        F.col("n").cast("long").alias("n_points"),
+        F.expr(
+            f"CAST(CASE WHEN {guard} THEN"
+            f" round({num} / {den} * 1000000)"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("beta_micro"),
+        F.expr(
+            f"CAST(CASE WHEN {guard} THEN"
+            f" round((CAST(sy AS DOUBLE) - {num} / {den}"
+            " * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("lnk_milli"),
+        F.expr(
+            f"CAST(CASE WHEN {guard} AND n * syy - sy * sy <> 0 THEN"
+            f" round({num} * {num} / ({den} * {deny}) * 1000000)"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("r2_ppm"),
+    )

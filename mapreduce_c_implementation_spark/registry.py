@@ -132,6 +132,8 @@ _DRIVER_NEW_THIS_ROUND: list[str] = [
     "ewma_daily_anomaly",
     "lsh_euclidean_e2lsh",
     "mmr_diverse_reranking",
+    "dbscan_grid_clusters",
+    "heaps_law_power_fit",
 ]
 
 # Regression re-verification queue: registration order, resuming where

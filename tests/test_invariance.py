@@ -326,6 +326,10 @@ SWEPT_OPS = [
     "ewma_daily_anomaly",
     "lsh_euclidean_e2lsh",
     "mmr_diverse_reranking",
+    # round-10 fifth wave: bounded cell-graph CC and the source-
+    # partitioned log-log moment rollup.
+    "dbscan_grid_clusters",
+    "heaps_law_power_fit",
 ]
 
 

@@ -418,3 +418,109 @@ def test_mmr_matches_bruteforce(spark, sf_smoke):
         key=lambda r: r.round,
     )
     assert [(r.round, r.vec_id, r.rel_micro, r.mmr_scaled) for r in rows] == trace
+
+
+def test_dbscan_grid_matches_bruteforce(spark, sf_smoke):
+    """Python replay: quantize, dense cells, 8-neighborhood CC with
+    min-rank labels, noise flags."""
+    import math
+
+    con = duckdb.connect()
+    try:
+        pts = con.sql(
+            f"SELECT vec_id, CAST(embedding[1] AS DOUBLE),"
+            f" CAST(embedding[2] AS DOUBLE)"
+            f" FROM '{sf_smoke}/embeddings.parquet'"
+        ).fetchall()
+    finally:
+        con.close()
+    cellof = {
+        v: (math.floor(x / 0.04), math.floor(y / 0.04)) for v, x, y in pts
+    }
+    counts = defaultdict(int)
+    for c in cellof.values():
+        counts[c] += 1
+    dense = sorted(c for c, n in counts.items() if n >= 4)
+    cid = {c: i + 1 for i, c in enumerate(dense)}
+    parent = {c: c for c in dense}
+
+    def find(c):
+        while parent[c] != c:
+            parent[c] = parent[parent[c]]
+            c = parent[c]
+        return c
+
+    for (i, j) in dense:
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                nb = (i + di, j + dj)
+                if nb in parent:
+                    ra, rb = find((i, j)), find(nb)
+                    if ra != rb:
+                        parent[ra] = rb
+    comp_min = {}
+    for c in dense:
+        r = find(c)
+        comp_min[r] = min(comp_min.get(r, cid[c]), cid[c])
+    rows = _rows(spark, sf_smoke, "dbscan_grid_clusters")
+    for r in rows:
+        c = cellof[r.vec_id]
+        assert (r.ci, r.cj) == c
+        if c in cid:
+            assert r.noise == 0
+            assert r.cluster_id == comp_min[find(c)]
+        else:
+            assert r.noise == 1 and r.cluster_id == -1
+    assert len(rows) == len(pts)
+
+
+def test_heaps_fit_matches_bruteforce(spark, sf_smoke):
+    """Python replay: bucketed growth curve per source, milli-log OLS."""
+    import math
+    import re
+
+    con = duckdb.connect()
+    try:
+        docs = con.sql(
+            f"SELECT doc_id, source, text FROM '{sf_smoke}/documents.parquet'"
+        ).fetchall()
+    finally:
+        con.close()
+    per = defaultdict(lambda: defaultdict(lambda: [0, 0]))  # src -> bucket -> [toks, newterms]
+    seen = defaultdict(set)
+    for doc_id, src, text in sorted(docs):
+        b = doc_id // 50
+        toks = [t.lower()[:255] for t in re.findall(r"[A-Za-z0-9]+", text)]
+        per[src][b][0] += len(toks)
+        for t in toks:
+            if t not in seen[src]:
+                seen[src].add(t)
+                per[src][b][1] += 1
+    rows = {r.source: r for r in _rows(spark, sf_smoke, "heaps_law_power_fit")}
+    for src, buckets in per.items():
+        cn = cv = 0
+        xs, ys = [], []
+        for b in sorted(buckets):
+            if buckets[b][0] == 0:
+                continue
+            cn += buckets[b][0]
+            cv += buckets[b][1]
+            xs.append(round(math.log(cn) * 1000))
+            ys.append(round(math.log(cv) * 1000))
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        r = rows[src]
+        assert r.n_points == n
+        if n >= 2 and n * sxx - sx * sx != 0:
+            num = float(n) * sxy - float(sx) * sy
+            den = float(n) * sxx - float(sx) * sx
+            assert r.beta_micro == round(num / den * 1e6)
+            assert r.lnk_milli == round((sy - num / den * sx) / n)
+            deny = float(n) * syy - float(sy) * sy
+            if deny != 0:
+                assert r.r2_ppm == round(num * num / (den * deny) * 1e6)
+        else:
+            assert r.beta_micro == 0 and r.lnk_milli == 0 and r.r2_ppm == 0
