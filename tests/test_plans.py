@@ -891,3 +891,44 @@ def test_gini_rank_is_distributed(spark, sf_correct):
     plan = physical_plan(df)
     assert "hashpartitioning(bk" in plan, plan
     assert _single_partition_exchanges(df) <= 4, plan
+
+
+def test_e2lsh_candidate_join_is_hash_join(spark, sf_correct):
+    """E2LSH: candidates must pair through a hash equi-join on the
+    cell signature — never a nested loop; the exact-L2 verify rides
+    the joined rows."""
+    df = get_operator("lsh_euclidean_e2lsh").query_fn(spark, sf_correct)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_rake_phrase_build_is_doc_partitioned(spark, sf_correct):
+    """RAKE: the islands window must partition by doc_id (parallel
+    phrase build), the word/phrase stats must be keyed aggregates, and
+    the corpus-wide head must compile to TakeOrdered — the ONLY
+    global-order operator allowed is over the already-reduced top-k."""
+    df = get_operator("rake_keyword_extraction").query_fn(spark, sf_correct)
+    plan = physical_plan(df)
+    assert "hashpartitioning(doc_id" in plan, plan
+    assert "TakeOrdered" in plan, plan
+
+
+def test_heaps_fit_windows_are_source_partitioned(spark, sf_correct):
+    """Heaps fit: the cumulative-curve windows must partition by
+    source; no corpus-grain SinglePartition exchange anywhere."""
+    df = get_operator("heaps_law_power_fit").query_fn(spark, sf_correct)
+    plan = physical_plan(df)
+    assert "hashpartitioning(source" in plan, plan
+    assert _single_partition_exchanges(df) == 0, plan
+
+
+def test_ewma_contributions_are_keyed(spark, sf_correct):
+    """EWMA: the lag fan-out must aggregate through (type, day)-keyed
+    exchanges only — no SinglePartition, no nested loop."""
+    df = get_operator("ewma_daily_anomaly").query_fn(spark, sf_correct)
+    plan = physical_plan(df)
+    assert "hashpartitioning(event_type" in plan, plan
+    assert _single_partition_exchanges(df) == 0, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
