@@ -177,6 +177,21 @@ HEADLINE = [
     "diff_in_differences_events",
     "record_linkage_blocked",
     "entity_resolution_clusters",
+    # round-10 second wave
+    "kruskal_wallis_binned",
+    "benjamini_hochberg_fdr",
+    "median_of_means_value",
+    "graph_hits_scores",
+    "graph_kcore_peel_layers",
+    "t_closeness_check",
+    "rake_keyword_extraction",
+    "ewma_daily_anomaly",
+    "lsh_euclidean_e2lsh",
+    "mmr_diverse_reranking",
+    "dbscan_grid_clusters",
+    "heaps_law_power_fit",
+    "wilcoxon_signed_rank_daily",
+    "knn_shapley_valuation",
 ]
 
 

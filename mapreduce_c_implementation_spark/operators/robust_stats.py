@@ -2348,3 +2348,133 @@ def median_of_means_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_milli",
         F.col("mean_milli_b").cast("long").alias("mom_milli"),
     )
+
+
+# --- Round 10b: Wilcoxon signed-rank test (paired daily series) ------------
+#
+# The PAIRED nonparametric location test: purchase vs view daily value
+# totals on the same calendar day.  Zero differences drop (Wilcoxon's
+# rule), |d| ranks use midranks over ties (doubled-rank integers, the
+# mann_whitney_u_binned formulation), and the normal approximation
+# carries the tie correction sum(t^3-t)/48.
+
+
+@register(
+    "wilcoxon_signed_rank_daily",
+    oracle_sql="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                      ELSE 0 END) AS a,
+             sum(CASE WHEN event_type = 'view'
+                      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                      ELSE 0 END) AS b
+      FROM events GROUP BY 1
+    ),
+    diffs AS (
+      SELECT d, a - b AS dv, abs(a - b) AS ad,
+             CASE WHEN a - b > 0 THEN 1 ELSE 0 END AS pos
+      FROM daily WHERE a - b <> 0
+    ),
+    grps AS (
+      SELECT ad, count(*) AS c_t, sum(pos) AS c_p,
+             sum(count(*)) OVER (ORDER BY ad) - count(*) AS cum_prev
+      FROM diffs GROUP BY ad
+    ),
+    terms AS (
+      SELECT CAST(sum(CAST(c_p AS DECIMAL(38,0))
+                      * (2 * cum_prev + c_t + 1)) AS BIGINT) AS w2p,
+             CAST(sum(CAST(c_t AS DECIMAL(38,0)) * c_t * c_t - c_t)
+                  AS BIGINT) AS ties,
+             CAST(sum(c_t) AS BIGINT) AS n,
+             CAST(sum(c_p) AS BIGINT) AS n_pos
+      FROM grps
+    )
+    SELECT n AS n_pairs, n_pos, w2p AS w2_plus, ties AS tie_cubes,
+           CAST(round(
+             (CAST(w2p AS DOUBLE) / 2 - CAST(n AS DOUBLE) * (n + 1) / 4)
+             / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24
+                    - CAST(ties AS DOUBLE) / 48)
+             * 1000) AS BIGINT) AS z_milli
+    FROM terms
+    """,
+    tags=("stats", "hypothesis-test", "rank", "paired"),
+)
+def wilcoxon_signed_rank_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on PAIRED daily value totals (purchase
+    vs view, same calendar day): zero differences drop, |difference|
+    midranks over ties stay integer as DOUBLED ranks (2*cum_prev +
+    c_t + 1, the [[mann_whitney_u_binned]] formulation), W+ is the
+    positive-difference rank sum, and z is the tie-corrected normal
+    approximation — the PAIRED complement to Mann-Whitney's
+    independent-samples test, for before/after and A-vs-B-on-the-same-
+    slice monitoring where pairing removes the shared daily level.
+
+    Exactness: integer cents, exact doubled-rank integers in
+    DECIMAL(38,0), ONE pinned double frozen to z milli.
+
+    Scale shape: one map-side-combined aggregate to day grain; every
+    window after runs on the CALENDAR-bounded day table (the
+    [[theil_sen_daily_trend]] rule).  Corpus size only fattens the
+    first aggregate.
+
+    Reference analog: none (SURVEY §2.2 stats surface).
+    """
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("d"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", cents).otherwise(0)
+            ).alias("a"),
+            F.sum(
+                F.when(F.col("event_type") == "view", cents).otherwise(0)
+            ).alias("b"),
+        )
+    )
+    diffs = daily.filter(F.col("a") != F.col("b")).select(
+        F.abs(F.col("a") - F.col("b")).alias("ad"),
+        F.when(F.col("a") - F.col("b") > 0, 1).otherwise(0).alias("pos"),
+    )
+    wg = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, 0)
+    grps = (
+        diffs.groupBy("ad")
+        .agg(F.count("*").alias("c_t"), F.sum("pos").alias("c_p"))
+        .select(
+            "ad",
+            "c_t",
+            "c_p",
+            (F.sum("c_t").over(wg) - F.col("c_t")).alias("cum_prev"),
+        )
+    )
+    terms = grps.agg(
+        F.sum(
+            F.col("c_p").cast("decimal(38,0)")
+            * (2 * F.col("cum_prev") + F.col("c_t") + 1)
+        )
+        .cast("long")
+        .alias("w2p"),
+        F.sum(
+            F.col("c_t").cast("decimal(38,0)") * F.col("c_t") * F.col("c_t")
+            - F.col("c_t")
+        )
+        .cast("long")
+        .alias("ties"),
+        F.sum("c_t").cast("long").alias("n"),
+        F.sum("c_p").cast("long").alias("n_pos"),
+    )
+    return terms.select(
+        F.col("n").alias("n_pairs"),
+        "n_pos",
+        F.col("w2p").alias("w2_plus"),
+        F.col("ties").alias("tie_cubes"),
+        F.expr(
+            "CAST(round("
+            " (CAST(w2p AS DOUBLE) / 2 - CAST(n AS DOUBLE) * (n + 1) / 4)"
+            " / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24"
+            "        - CAST(ties AS DOUBLE) / 48)"
+            " * 1000) AS BIGINT)"
+        ).alias("z_milli"),
+    )

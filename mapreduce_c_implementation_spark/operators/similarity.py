@@ -3354,3 +3354,184 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("noise"),
         )
     )
+
+
+# --- Round 10b: exact KNN-Shapley data valuation ---------------------------
+#
+# Jia et al. (VLDB 2019): for a K-NN utility, the exact Shapley value
+# of every training point w.r.t. one test point has the closed-form
+# backward recursion over the similarity ranking
+#     s_N = ind_N / N
+#     s_i = s_{i+1} + (ind_i - ind_{i+1})/K * min(i, K)/i
+# (ind = label match).  Summed over a fixed eval set, this prices every
+# training example's marginal contribution — the principled version of
+# "which data helped", and the valuation signal data-market / pruning
+# pipelines rank on.  Everything is rational with positive
+# denominators, so each term floor-divides in micro with an explicit
+# sign and the recursion becomes an integer suffix sum.
+SHAP_K = 5
+
+
+@register(
+    "knn_shapley_valuation",
+    oracle_sql=f"""
+    WITH {_SQL_NORMS},
+    tests AS (
+      SELECT vec_id AS tid, label AS tlabel, embedding AS temb, nrm AS tnrm
+      FROM norms WHERE vec_id < {N_QUERIES}
+    ),
+    train AS (
+      SELECT vec_id, label, embedding, nrm FROM norms
+      WHERE vec_id >= {N_QUERIES}
+    ),
+    ranked AS (
+      SELECT t.tid, tr.vec_id, tr.label,
+             CASE WHEN tr.label = t.tlabel THEN 1 ELSE 0 END AS ind,
+             row_number() OVER (
+               PARTITION BY t.tid
+               ORDER BY {_SQL_DOT.format(a="t.temb", b="tr.embedding")}
+                        / (t.tnrm * tr.nrm) DESC, tr.vec_id ASC) AS i,
+             count(*) OVER (PARTITION BY t.tid) AS n
+      FROM tests t CROSS JOIN train tr
+    ),
+    terms AS (
+      SELECT tid, vec_id, label, ind, i, n,
+             CASE
+               WHEN i = n THEN 0
+               ELSE (ind - lead(ind) OVER (PARTITION BY tid ORDER BY i))
+                    * (1000000 * least(i, {SHAP_K}) // ({SHAP_K} * i))
+             END AS term
+      FROM ranked
+    ),
+    suffix AS (
+      SELECT tid, vec_id, label, ind, i, n,
+             sum(term) OVER (PARTITION BY tid) AS total,
+             sum(term) OVER (PARTITION BY tid ORDER BY i) AS cum_incl,
+             term,
+             max(CASE WHEN i = n THEN ind ELSE 0 END)
+               OVER (PARTITION BY tid) AS ind_last
+      FROM terms
+    ),
+    svals AS (
+      SELECT tid, vec_id, label,
+             CAST(ind_last AS BIGINT) * 1000000 // n
+             + (total - cum_incl + term) AS s_micro
+      FROM suffix
+    )
+    SELECT vec_id, CAST(min(label) AS BIGINT) AS label,
+           CAST(sum(s_micro) AS BIGINT) AS shapley_micro
+    FROM svals GROUP BY vec_id
+    """,
+    tags=("similarity", "valuation", "eval", "pipeline"),
+)
+def knn_shapley_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact KNN-Shapley data valuation (Jia et al. 2019): every
+    training vector's exact Shapley value under the {SHAP_K}-NN
+    label-match utility, summed over the {N_QUERIES}-probe eval set —
+    the closed-form backward recursion s_i = s_(i+1) +
+    (ind_i - ind_(i+1))/K * min(i,K)/i evaluated as an integer suffix
+    sum over each test's similarity ranking.  THE principled "which
+    training data helped" signal: positively-valued points improve the
+    eval set's K-NN accuracy, negative ones actively hurt (typically
+    mislabeled/noisy — the valuation twin of
+    [[confident_learning_label_noise]]) and are pruning candidates for
+    [[dedup_quality_representatives]]-style curation.
+
+    Exactness: every recursion term is a rational with POSITIVE
+    denominator K*i, so it floor-divides in micro with the sign
+    carried by the label-indicator difference (Spark's truncating
+    `div` and DuckDB's flooring `//` agree on non-negative operands
+    only — the [[mmr_diverse_reranking]] rule); the backward recursion
+    is total - inclusive-prefix + own-term, all exact integers.
+    Per-term flooring is the pinned semantics.
+
+    Scale shape: the ranking is the [[ann_bruteforce_topk]] pattern —
+    a fixed probe set broadcast against the distributed corpus, ranked
+    by test-partitioned windows (WindowGroupLimit does not apply: the
+    recursion needs EVERY rank, which is the published algorithm's
+    O(N log N) per test).  At 100 TB the eval set stays fixed, so cost
+    is eval-size x one corpus sort — and the documented cheap variant
+    truncates the recursion at rank M >> K (terms vanish as 1/i),
+    turning it into a top-M problem.
+
+    Reference analog: none (LLM-pipeline surface per the brief).
+    """
+    from pyspark.sql.window import Window
+
+    pts = _norms(spark, sf_dir)
+    tests = F.broadcast(
+        pts.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("tid"),
+            F.col("label").alias("tlabel"),
+            F.col("embedding").alias("temb"),
+            F.col("nrm").alias("tnrm"),
+        )
+    )
+    train = pts.filter(F.col("vec_id") >= N_QUERIES)
+    cos = _spark_dot(F.col("temb"), F.col("embedding")) / (
+        F.col("tnrm") * F.col("nrm")
+    )
+    wrank = Window.partitionBy("tid").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    wpart = Window.partitionBy("tid")
+    ranked = (
+        train.crossJoin(tests)
+        .select(
+            "tid",
+            "vec_id",
+            "label",
+            F.when(F.col("label") == F.col("tlabel"), 1)
+            .otherwise(0)
+            .alias("ind"),
+            cos.alias("cos"),
+        )
+        .select(
+            "tid",
+            "vec_id",
+            "label",
+            "ind",
+            F.row_number().over(wrank).alias("i"),
+            F.count("*").over(wpart).alias("n"),
+        )
+    )
+    worder = Window.partitionBy("tid").orderBy("i")
+    terms = ranked.select(
+        "*",
+        F.when(F.col("i") == F.col("n"), F.lit(0))
+        .otherwise(
+            (F.col("ind") - F.lead("ind").over(worder))
+            * F.expr(
+                f"1000000 * least(i, {SHAP_K}) div ({SHAP_K} * i)"
+            )
+        )
+        .alias("term"),
+    )
+    suffix = terms.select(
+        "tid",
+        "vec_id",
+        "label",
+        "i",
+        "n",
+        "term",
+        F.sum("term").over(wpart).alias("total"),
+        F.sum("term")
+        .over(worder.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_incl"),
+        F.max(F.when(F.col("i") == F.col("n"), F.col("ind")).otherwise(0))
+        .over(wpart)
+        .alias("ind_last"),
+    )
+    svals = suffix.select(
+        "tid",
+        "vec_id",
+        "label",
+        (
+            F.expr("CAST(ind_last AS BIGINT) * 1000000 div n")
+            + (F.col("total") - F.col("cum_incl") + F.col("term"))
+        ).alias("s_micro"),
+    )
+    return svals.groupBy("vec_id").agg(
+        F.min("label").cast("long").alias("label"),
+        F.sum("s_micro").cast("long").alias("shapley_micro"),
+    )

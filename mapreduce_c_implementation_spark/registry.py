@@ -103,8 +103,8 @@ def register(
 # prior + new covers the full registry.
 
 # Round-10 additions, in priority order (appended as they land).  With
-# 14 new names and 3 rewrite re-checks leading the regression queue,
-# the 50-slot window = these 14 + the 3 rewrites + the first 33 of the
+# 26 new names and 3 rewrite re-checks leading the regression queue,
+# the 50-slot window = these 26 + the 3 rewrites + the first 21 of the
 # regression cursor (resuming at ``join_fuzzy_levenshtein`` where round
 # 9's window stopped); the rest roll to round 11's cursor.
 _DRIVER_NEW_THIS_ROUND: list[str] = [
@@ -134,6 +134,8 @@ _DRIVER_NEW_THIS_ROUND: list[str] = [
     "mmr_diverse_reranking",
     "dbscan_grid_clusters",
     "heaps_law_power_fit",
+    "wilcoxon_signed_rank_daily",
+    "knn_shapley_valuation",
 ]
 
 # Regression re-verification queue: registration order, resuming where

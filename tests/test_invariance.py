@@ -330,6 +330,10 @@ SWEPT_OPS = [
     # partitioned log-log moment rollup.
     "dbscan_grid_clusters",
     "heaps_law_power_fit",
+    # round-10 sixth wave: calendar-bounded signed ranks and the
+    # probe-partitioned valuation windows.
+    "wilcoxon_signed_rank_daily",
+    "knn_shapley_valuation",
 ]
 
 

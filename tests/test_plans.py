@@ -318,6 +318,9 @@ _NESTED_LOOP_EXEMPT = {
     # broadcast cross of the QI table with the <=10-row band table
     # (plus the band table's own 1-row totals broadcast)
     "t_closeness_check",
+    # inherits ann_bruteforce_topk's documented probe-set cross product
+    # (the valuation recursion needs every rank of every test)
+    "knn_shapley_valuation",
 }
 
 # Modules whose query_fns build lazy plans (streaming/io execute jobs

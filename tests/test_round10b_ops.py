@@ -524,3 +524,84 @@ def test_heaps_fit_matches_bruteforce(spark, sf_smoke):
                 assert r.r2_ppm == round(num * num / (den * deny) * 1e6)
         else:
             assert r.beta_micro == 0 and r.lnk_milli == 0 and r.r2_ppm == 0
+
+
+def test_wilcoxon_matches_bruteforce(spark, sf_smoke):
+    """Python replay: paired daily cents, midranks over |d| ties,
+    tie-corrected z."""
+    import math
+
+    ev = _events(sf_smoke)
+    daily = defaultdict(lambda: [0, 0])
+    for _, ts, t, v in ev:
+        if t == "purchase":
+            daily[ts.date()][0] += int(round(v * 100))
+        elif t == "view":
+            daily[ts.date()][1] += int(round(v * 100))
+    ds = [a - b for a, b in daily.values() if a != b]
+    ads = sorted(abs(d) for d in ds)
+    # midrank per |d| value
+    from collections import Counter
+
+    cnt = Counter(ads)
+    rank = {}
+    cum = 0
+    for v in sorted(cnt):
+        rank[v] = cum + (cnt[v] + 1) / 2.0
+        cum += cnt[v]
+    w_plus = sum(rank[abs(d)] for d in ds if d > 0)
+    n = len(ds)
+    ties = sum(c**3 - c for c in cnt.values())
+    z = (w_plus - n * (n + 1) / 4) / math.sqrt(
+        n * (n + 1) * (2 * n + 1) / 24 - ties / 48
+    )
+    (r,) = _rows(spark, sf_smoke, "wilcoxon_signed_rank_daily")
+    assert r.n_pairs == n
+    assert r.n_pos == sum(1 for d in ds if d > 0)
+    assert r.w2_plus == int(round(2 * w_plus))
+    assert r.tie_cubes == ties
+    assert r.z_milli == round(z * 1000)
+
+
+def test_knn_shapley_matches_bruteforce(spark, sf_smoke):
+    """Python replay of the exact backward recursion (integer micro,
+    per-term floor, sign-carried division)."""
+    import math
+
+    con = duckdb.connect()
+    try:
+        rows_e = con.sql(
+            f"SELECT vec_id, embedding, label"
+            f" FROM '{sf_smoke}/embeddings.parquet'"
+        ).fetchall()
+    finally:
+        con.close()
+    vecs = {v: e for v, e, _ in rows_e}
+    labels = {v: l for v, _, l in rows_e}
+    norms = {v: math.sqrt(_seq_dot(e, e)) for v, e in vecs.items()}
+    train = sorted(v for v in vecs if v >= 10)
+    expect = defaultdict(int)
+    K = 5
+    for t in range(10):
+        order = sorted(
+            train,
+            key=lambda v: (
+                -(_seq_dot(vecs[t], vecs[v]) / (norms[t] * norms[v])),
+                v,
+            ),
+        )
+        n = len(order)
+        ind = [1 if labels[v] == labels[t] else 0 for v in order]
+        s = [0] * n
+        s[n - 1] = ind[n - 1] * 1_000_000 // n
+        for i in range(n - 2, -1, -1):
+            d = ind[i] - ind[i + 1]
+            mag = 1_000_000 * min(i + 1, K) // (K * (i + 1))
+            s[i] = s[i + 1] + d * mag
+        for v, sv in zip(order, s):
+            expect[v] += sv
+    rows = _rows(spark, sf_smoke, "knn_shapley_valuation")
+    got = {r.vec_id: r.shapley_micro for r in rows}
+    assert got == dict(expect)
+    for r in rows:
+        assert r.label == labels[r.vec_id]
