@@ -313,7 +313,10 @@ SWEPT_OPS = [
     "event_burstiness_fano",
     "diff_in_differences_events",
     # round-10 second wave: bounded bin/hypothesis/bucket tables after
-    # one map-side-combined aggregate each.
+    # one map-side-combined aggregate each; the checkpointed iterative
+    # graph loops (HITS halves, the peel cascade).
+    "graph_hits_scores",
+    "graph_kcore_peel_layers",
     "kruskal_wallis_binned",
     "benjamini_hochberg_fdr",
     "median_of_means_value",
