@@ -2007,9 +2007,17 @@ def kruskal_wallis_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("c_t")
         ).alias("ties"),
     )
+    # Floor division kept in PURE decimal: Spark's `div` returns BIGINT,
+    # and the per-group term r2_g^2/n_g alone crosses 2^63 once
+    # N*n_g ~ 2e18 (observed at the 32x probe) — (x - x%n)/n is exact
+    # for non-negative integers and never leaves DECIMAL(38,_).
     s = grps.agg(
         F.sum(
-            F.expr("r2_g * r2_g div CAST(n_g AS DECIMAL(38,0))")
+            F.expr(
+                "CAST((r2_g * r2_g"
+                " - (r2_g * r2_g) % CAST(n_g AS DECIMAL(38,0)))"
+                " / CAST(n_g AS DECIMAL(38,0)) AS DECIMAL(38,0))"
+            )
         ).alias("s4h")
     )
     h = (
