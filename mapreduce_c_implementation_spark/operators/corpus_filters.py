@@ -2369,15 +2369,14 @@ def suffix_array_ranked_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
     match length, and the earliest position achieving it.
 
     Scale shape: suffix enumeration is an in-row flatMap (one row per
-    corpus char carrying the {SUFFIX_K}-char key plus an 8-byte
-    xxhash64 bucket key — the gram column itself never ships, a ~25%
-    cut of the exchange payload vs carrying the raw gram; collisions
-    are screened out by the match_len >= {SUFFIX_MINLEN} filter, see
-    in-code note); ONE exchange on the hashed gram bucket serves both
-    the duplicate screen (windowed count) and the rank sort
-    (bucket-partitioned window — global suffix order is never needed:
-    neighbors with LCP >= {SUFFIX_MINLEN} share the bucket by
-    construction, so bucket-local adjacency is exact).  LCP is O(log K) substring probes, only on
+    corpus char, each carrying <= {SUFFIX_MINLEN + SUFFIX_K} chars —
+    the linear-space trick vs materializing real suffixes); ONE
+    exchange on the gram bucket serves both the duplicate screen
+    (windowed count) and the rank sort (bucket-partitioned window —
+    global suffix order is never needed: neighbors with LCP >=
+    {SUFFIX_MINLEN} share the bucket by construction, so bucket-local
+    adjacency is exact; an 8-byte hashed bucket key was tried and
+    measured SLOWER — see the in-code note).  LCP is O(log K) substring probes, only on
     duplicated suffixes (~15% of positions on this fixture).  The
     doc-grain window + groupBy share the second exchange.  At 100 TB
     the per-position substring would come from a rolling scan inside
@@ -2391,25 +2390,23 @@ def suffix_array_ranked_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text") >= SUFFIX_MINLEN,
         F.sequence(F.lit(1), F.length("text") - (SUFFIX_MINLEN - 1)),
     ).otherwise(F.array().cast("array<int>"))
+    # The bucket is the RAW {SUFFIX_MINLEN}-char gram, deliberately.
+    # An xxhash64(gram) key (8 bytes/row instead of ~{SUFFIX_MINLEN},
+    # with a match_len >= {SUFFIX_MINLEN} collision filter) was tried
+    # and MEASURED 2.2x SLOWER at sf0.1 (6.0 s -> 13.4 s): the
+    # collision filter re-inlines the full LCP bisection expression
+    # tree into the projection (CollapseProject), the generated method
+    # blows janino's limit, and the whole stage falls back to
+    # interpreted evaluation — far costlier than the ~25% shuffle-
+    # payload saving.  Measure, don't guess.
     suf = d.select("doc_id", "text", F.explode(positions).alias("i")).select(
         "doc_id",
         F.col("i").cast("long").alias("i"),
+        F.substring(F.col("text"), F.col("i"), SUFFIX_MINLEN).alias("bucket"),
         F.substring(F.col("text"), F.col("i"), SUFFIX_K).alias("sk"),
     )
-    # The gram-bucket exchange is keyed on xxhash64(gram) — an 8-byte
-    # key instead of shipping the {SUFFIX_MINLEN}-char gram column
-    # (~{SUFFIX_MINLEN + 8}-byte/row cut, verdict r9 #4).  Hash
-    # collisions merely MERGE two gram buckets into one window
-    # partition: sk order keeps each true bucket contiguous (distinct
-    # prefixes cannot interleave), so true neighbors stay adjacent and
-    # a cross-bucket neighbor's LCP is < {SUFFIX_MINLEN}; every suffix
-    # with a true {SUFFIX_MINLEN}-gram twin has neighbor LCP >=
-    # {SUFFIX_MINLEN}, so the trailing match_len >= {SUFFIX_MINLEN}
-    # filter restores EXACTLY the unhashed semantics (the oracle runs
-    # the raw-gram form — the driver hash proves the equivalence).
-    bkh = F.xxhash64(F.substring("sk", 1, SUFFIX_MINLEN))
-    w_bucket = Window.partitionBy(bkh)
-    w_rank = Window.partitionBy(bkh).orderBy("sk", "doc_id", "i")
+    w_bucket = Window.partitionBy("bucket")
+    w_rank = Window.partitionBy("bucket").orderBy("sk", "doc_id", "i")
     nbr = (
         suf.withColumn("nb", F.count("*").over(w_bucket))
         .filter(F.col("nb") >= 2)
@@ -2425,7 +2422,7 @@ def suffix_array_ranked_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "i",
         F.greatest("lcp_prev", "lcp_next").alias("match_len"),
-    ).filter(F.col("match_len") >= SUFFIX_MINLEN)
+    )
     w_doc = Window.partitionBy("doc_id")
     return (
         lcp.withColumn("mx", F.max("match_len").over(w_doc))
