@@ -192,6 +192,10 @@ HEADLINE = [
     "heaps_law_power_fit",
     "wilcoxon_signed_rank_daily",
     "knn_shapley_valuation",
+    "anova_one_way_value",
+    "brown_forsythe_levene",
+    "gumbel_weighted_sample_per_group",
+    "platt_scaling_calibration",
 ]
 
 

@@ -2486,3 +2486,224 @@ def wilcoxon_signed_rank_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000) AS BIGINT)"
         ).alias("z_milli"),
     )
+
+
+# --- Round 10b: one-way ANOVA F (parametric omnibus) -----------------------
+#
+# The parametric companion to kruskal_wallis_binned: between-group vs
+# within-group variance of event value across ALL types at once, from
+# exact integer-cent moments — the omnibus screen run before pairwise
+# welch_t_test_pairs drill-down.
+
+
+@register(
+    "anova_one_way_value",
+    oracle_sql="""
+    WITH stats AS (
+      SELECT event_type AS grp, count(*) AS n_g,
+             CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS DECIMAL(38,0)) AS s_g,
+             CAST(sum(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                           AS DECIMAL(38,0))
+                      * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS DECIMAL(38,0)) AS q_g
+      FROM events GROUP BY event_type
+    ),
+    tot AS (
+      SELECT count(*) AS k,
+             CAST(sum(n_g) AS BIGINT) AS n,
+             CAST(sum(s_g) AS DECIMAL(38,0)) AS s,
+             CAST(sum(q_g) AS DECIMAL(38,0)) AS q,
+             CAST(sum(CAST(s_g AS HUGEINT) * CAST(s_g AS HUGEINT)
+                      // CAST(n_g AS HUGEINT)) AS DECIMAL(38,0)) AS sbr
+      FROM stats
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups, n AS n_total,
+           CAST(sbr - CAST(s AS HUGEINT) * CAST(s AS HUGEINT)
+                      // CAST(n AS HUGEINT) AS BIGINT) AS ss_between_sq_cents,
+           CAST(q - sbr AS BIGINT) AS ss_within_sq_cents,
+           CAST(round(
+             (CAST(sbr AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (k - 1)
+             / ((CAST(q AS DOUBLE) - CAST(sbr AS DOUBLE)) / (n - k))
+             * 1000) AS BIGINT) AS f_milli
+    FROM tot
+    """,
+    tags=("stats", "hypothesis-test", "anova"),
+)
+def anova_one_way_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic across ALL event types on value — the
+    parametric omnibus "do any groups differ in mean?" screen that
+    fronts [[welch_t_test_pairs]] drill-down, and the mean-based
+    complement to [[kruskal_wallis_binned]]'s rank omnibus.
+
+    Exactness: per-group exact integer-cent moments (n, sum,
+    sum-of-squares in DECIMAL(38,0)); the between-group term
+    sum_g floor(S_g^2/n_g) floor-divides in HUGEINT per group
+    (== Spark decimal-safe division, the [[kruskal_wallis_binned]]
+    2^63 rule), SS decompositions stay exact integers, and F is ONE
+    pinned double frozen to milli.
+
+    Scale shape: one map-side-combined aggregate to group grain, one
+    |groups|-row rollup.  The corpus is touched once.
+
+    Reference analog: none (SURVEY §2.2 stats surface).
+    """
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    stats = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("event_type").alias("grp"), cents.alias("v"))
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n_g"),
+            F.sum("v").cast("decimal(38,0)").alias("s_g"),
+            F.sum(F.col("v").cast("decimal(38,0)") * F.col("v"))
+            .cast("decimal(38,0)")
+            .alias("q_g"),
+        )
+    )
+    tot = stats.agg(
+        F.count("*").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("decimal(38,0)").alias("s"),
+        F.sum("q_g").cast("decimal(38,0)").alias("q"),
+        F.sum(
+            F.expr(
+                "CAST((s_g * s_g - (s_g * s_g) % CAST(n_g AS DECIMAL(38,0)))"
+                " / CAST(n_g AS DECIMAL(38,0)) AS DECIMAL(38,0))"
+            )
+        ).alias("sbr"),
+    )
+    return tot.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("n").alias("n_total"),
+        F.expr(
+            "CAST(sbr - CAST((s * s - (s * s) % CAST(n AS DECIMAL(38,0)))"
+            " / CAST(n AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("ss_between_sq_cents"),
+        F.expr("CAST(q - sbr AS BIGINT)").alias("ss_within_sq_cents"),
+        F.expr(
+            "CAST(round("
+            " (CAST(sbr AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)"
+            " / (k - 1)"
+            " / ((CAST(q AS DOUBLE) - CAST(sbr AS DOUBLE)) / (n - k))"
+            " * 1000) AS BIGINT)"
+        ).alias("f_milli"),
+    )
+
+
+# --- Round 10b: Brown-Forsythe (median-based Levene) variance test ---------
+#
+# Homogeneity-of-variance screen: ANOVA on |value - group MEDIAN|
+# (Brown-Forsythe's robust Levene variant — median centering keeps the
+# test honest under skew).  The variance-equality check that decides
+# whether pooled-variance tests are even admissible.
+
+
+@register(
+    "brown_forsythe_levene",
+    oracle_sql="""
+    WITH pts AS (
+      SELECT event_type AS grp,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM events
+    ),
+    med AS (
+      SELECT grp, CAST(med AS BIGINT) AS med
+      FROM (SELECT grp,
+                   percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS med
+            FROM pts GROUP BY grp)
+    ),
+    dev AS (
+      SELECT p.grp, abs(p.v - m.med) AS z
+      FROM pts p JOIN med m ON m.grp = p.grp
+    ),
+    stats AS (
+      SELECT grp, count(*) AS n_g,
+             CAST(sum(z) AS DECIMAL(38,0)) AS s_g,
+             CAST(sum(CAST(z AS DECIMAL(38,0)) * z) AS DECIMAL(38,0)) AS q_g
+      FROM dev GROUP BY grp
+    ),
+    tot AS (
+      SELECT count(*) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+             CAST(sum(s_g) AS DECIMAL(38,0)) AS s,
+             CAST(sum(q_g) AS DECIMAL(38,0)) AS q,
+             CAST(sum(CAST(s_g AS HUGEINT) * CAST(s_g AS HUGEINT)
+                      // CAST(n_g AS HUGEINT)) AS DECIMAL(38,0)) AS sbr
+      FROM stats
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups, n AS n_total,
+           CAST(round(
+             (CAST(sbr AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (k - 1)
+             / ((CAST(q AS DOUBLE) - CAST(sbr AS DOUBLE)) / (n - k))
+             * 1000) AS BIGINT) AS w_milli
+    FROM tot
+    """,
+    tags=("stats", "hypothesis-test", "variance", "robust"),
+)
+def brown_forsythe_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test (median-based Levene) for variance
+    homogeneity across event types: one-way ANOVA on the absolute
+    deviations |value - group median| — the robust check that decides
+    whether equal-variance machinery is admissible before
+    [[anova_one_way_value]] / pooled tests, and the spread-focused
+    sibling of [[group_mad_outliers]].
+
+    Exactness: medians are exact integer-cent order statistics
+    (percentile_disc == the lower-median row both engines agree on for
+    integer data); deviations are exact integers; the ANOVA-on-z
+    moments follow the [[anova_one_way_value]] decimal/HUGEINT rules;
+    W is ONE pinned double frozen to milli.
+
+    Scale shape: per-group exact median via the sort-based aggregate
+    (group-partitioned), one centering join on the |groups|-row median
+    table (broadcast), then the same two-aggregate ANOVA shape.  Two
+    corpus passes (median, then moments) — the price of EXACT medians;
+    the documented approximation swaps pass one for
+    [[quantile_sketch_mergeable]].
+
+    Reference analog: none (SURVEY §2.2 stats surface).
+    """
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    pts = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"), cents.alias("v")
+    )
+    med = pts.groupBy("grp").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)")
+        .cast("long")
+        .alias("med")
+    )
+    dev = pts.join(F.broadcast(med), "grp").select(
+        "grp", F.abs(F.col("v") - F.col("med")).alias("z")
+    )
+    stats = dev.groupBy("grp").agg(
+        F.count("*").alias("n_g"),
+        F.sum("z").cast("decimal(38,0)").alias("s_g"),
+        F.sum(F.col("z").cast("decimal(38,0)") * F.col("z"))
+        .cast("decimal(38,0)")
+        .alias("q_g"),
+    )
+    tot = stats.agg(
+        F.count("*").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("decimal(38,0)").alias("s"),
+        F.sum("q_g").cast("decimal(38,0)").alias("q"),
+        F.sum(
+            F.expr(
+                "CAST((s_g * s_g - (s_g * s_g) % CAST(n_g AS DECIMAL(38,0)))"
+                " / CAST(n_g AS DECIMAL(38,0)) AS DECIMAL(38,0))"
+            )
+        ).alias("sbr"),
+    )
+    return tot.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("n").alias("n_total"),
+        F.expr(
+            "CAST(round("
+            " (CAST(sbr AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)"
+            " / (k - 1)"
+            " / ((CAST(q AS DOUBLE) - CAST(sbr AS DOUBLE)) / (n - k))"
+            " * 1000) AS BIGINT)"
+        ).alias("w_milli"),
+    )

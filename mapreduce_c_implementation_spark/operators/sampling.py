@@ -1832,3 +1832,98 @@ def unimax_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div n_tokens AS BIGINT)"
         ).alias("epochs_milli"),
     )
+
+
+# --- Round 10b: Gumbel-max weighted sampling per group --------------------
+#
+# The Gumbel-max trick as a GROUPED weighted sampler: key = ln(w) -
+# ln(-ln(u)) with a deterministic md5 uniform; the top-K keys per
+# group ARE a weighted-without-replacement sample (argmax of
+# Gumbel-perturbed log-weights == categorical draw).  The per-source
+# companion to the global [[priority_sample_weighted]]: same
+# one-pass/no-RNG discipline, different estimator family (Gumbel-max
+# draws follow the weight distribution exactly; priority sampling
+# optimizes subset-sum estimation).
+GUMBEL_K = 5
+GUMBEL_SEED_SPACE = 1_048_576  # 2^20 — 5 hex digits of md5(doc_id)
+
+
+@register(
+    "gumbel_weighted_sample_per_group",
+    oracle_sql=f"""
+    WITH keyed AS (
+      SELECT source, doc_id, n_chars,
+             CAST(round((ln(CAST(n_chars AS DOUBLE))
+                         - ln(-ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 5)
+                                        AS BIGINT) % {GUMBEL_SEED_SPACE} + 0.5)
+                                  / {GUMBEL_SEED_SPACE})))
+                        * 1000000) AS BIGINT) AS gumbel_micro
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT source, doc_id, CAST(n_chars AS BIGINT) AS weight, gumbel_micro,
+           CAST(rk AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                       ORDER BY gumbel_micro DESC, doc_id)
+                    AS rk
+          FROM keyed)
+    WHERE rk <= {GUMBEL_K}
+    """,
+    tags=("sampling", "weighted", "gumbel", "pipeline"),
+)
+def gumbel_weighted_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source weighted sample via the Gumbel-max trick: each doc
+    gets key ln(weight) - ln(-ln(u)) (weight = n_chars, u a
+    deterministic md5 uniform — the [[dp_laplace_source_histogram]]
+    seed rule), and the top-{GUMBEL_K} keys per source are a
+    without-replacement draw from the weight distribution — the
+    grouped, distribution-faithful complement to
+    [[priority_sample_weighted]]'s global subset-sum-optimal sample,
+    and the sampler behind Gumbel-top-k data selection in training
+    pipelines.
+
+    Exactness: one pinned double (two ln calls over exact integers)
+    frozen to micro BEFORE ranking, so the rank order is integer;
+    ties break by doc_id.
+
+    Scale shape: in-row key computation; one source-partitioned
+    top-k window — WindowGroupLimit keeps per-group state at K, the
+    [[window_topk_per_group]] plan.
+
+    Reference analog: none (LLM-pipeline surface per the brief).
+    """
+    d = parallel_scan(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 5), 16, 10
+        ).cast("long")
+        % GUMBEL_SEED_SPACE
+        + F.lit(0.5)
+    ) / F.lit(float(GUMBEL_SEED_SPACE))
+    keyed = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.round(
+            (
+                F.log(F.col("n_chars").cast("double"))
+                - F.log(-F.log(u))
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("gumbel_micro"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("gumbel_micro"), F.asc("doc_id")
+    )
+    return (
+        keyed.select("*", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= GUMBEL_K)
+        .select(
+            "source",
+            "doc_id",
+            F.col("n_chars").cast("long").alias("weight"),
+            "gumbel_micro",
+            F.col("rk").cast("long").alias("rank"),
+        )
+    )

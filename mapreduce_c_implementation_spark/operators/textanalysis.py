@@ -5888,3 +5888,218 @@ def heaps_law_power_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 0 END AS BIGINT)"
         ).alias("r2_ppm"),
     )
+
+
+# --- Round 10b: Platt scaling (parametric score calibration) ---------------
+#
+# Fit p(y=1 | s) = sigmoid(a*s + b) by Newton-Raphson on the logistic
+# log-likelihood — Platt's parametric calibration, the smooth
+# complement to the isotonic (PAV) rewrite.  The corpus collapses to
+# the bounded score-grain bin table FIRST, so each Newton step is a
+# tiny aggregate; determinism comes from micro-rounding the sigmoid
+# per bin per step (exact integer moments between steps, one pinned
+# double block per update — the iterative twin of the welch rule).
+PLATT_ITERS = 6
+
+
+def _platt_score_cte() -> str:
+    lits = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
+    return f"""scored AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             len(list_intersect(ts, [{lits}])) * 10000 // len(ts) AS x
+      FROM (SELECT lang, {_TOK} AS ts FROM documents)
+      WHERE len(ts) > 0
+    ),
+    bins AS MATERIALIZED (
+      SELECT x, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+      FROM scored GROUP BY x
+    )"""
+
+
+def _platt_oracle() -> str:
+    """Unrolled Newton iterations (every CTE MATERIALIZED — the
+    _hits_oracle inlining lesson)."""
+    ctes = [
+        _platt_score_cte(),
+        "p0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b)",
+    ]
+    for k in range(1, PLATT_ITERS + 1):
+        ctes.append(
+            f"""m{k} AS MATERIALIZED (
+      SELECT CAST(sum(pos * 1000000 - n * pm) AS DECIMAL(38,0)) AS gb6,
+             CAST(sum(CAST(x AS DECIMAL(38,0))
+                      * (pos * 1000000 - n * pm)) AS DECIMAL(38,0)) AS ga10,
+             CAST(sum(CAST(n AS DECIMAL(38,0)) * pm * (1000000 - pm))
+                  AS DECIMAL(38,0)) AS hbb12,
+             CAST(sum(CAST(n AS DECIMAL(38,0)) * x * pm * (1000000 - pm))
+                  AS DECIMAL(38,0)) AS hab16,
+             CAST(sum(CAST(n AS DECIMAL(38,0)) * x * x * pm * (1000000 - pm))
+                  AS DECIMAL(38,0)) AS haa20
+      FROM (SELECT bb.x, bb.n, bb.pos,
+                   CAST(round(1000000 / (1 + exp(-(
+                     CAST(p.a AS DOUBLE) / 1000000
+                     * (CAST(bb.x AS DOUBLE) / 10000)
+                     + CAST(p.b AS DOUBLE) / 1000000)))) AS BIGINT) AS pm
+            FROM bins bb, p{k - 1} p)
+    ),
+    p{k} AS MATERIALIZED (
+      SELECT p.a + CAST(round((
+               (CAST(hbb12 AS DOUBLE) / 1e12 + 1e-9)
+                 * (CAST(ga10 AS DOUBLE) / 1e10)
+               - (CAST(hab16 AS DOUBLE) / 1e16)
+                 * (CAST(gb6 AS DOUBLE) / 1e6)
+             ) / (
+               (CAST(haa20 AS DOUBLE) / 1e20 + 1e-9)
+                 * (CAST(hbb12 AS DOUBLE) / 1e12 + 1e-9)
+               - (CAST(hab16 AS DOUBLE) / 1e16)
+                 * (CAST(hab16 AS DOUBLE) / 1e16)
+             ) * 1000000) AS BIGINT) AS a,
+             p.b + CAST(round((
+               (CAST(haa20 AS DOUBLE) / 1e20 + 1e-9)
+                 * (CAST(gb6 AS DOUBLE) / 1e6)
+               - (CAST(hab16 AS DOUBLE) / 1e16)
+                 * (CAST(ga10 AS DOUBLE) / 1e10)
+             ) / (
+               (CAST(haa20 AS DOUBLE) / 1e20 + 1e-9)
+                 * (CAST(hbb12 AS DOUBLE) / 1e12 + 1e-9)
+               - (CAST(hab16 AS DOUBLE) / 1e16)
+                 * (CAST(hab16 AS DOUBLE) / 1e16)
+             ) * 1000000) AS BIGINT) AS b
+      FROM p{k - 1} p, m{k}
+    )"""
+        )
+    unions = "\n    UNION ALL ".join(
+        f"SELECT {k} AS iter, a, b FROM p{k}" for k in range(1, PLATT_ITERS + 1)
+    )
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH {chain}
+    SELECT CAST(iter AS BIGINT) AS iter, a AS a_micro, b AS b_micro
+    FROM ({unions})
+    """
+
+
+@register(
+    "platt_scaling_calibration",
+    oracle_sql=_platt_oracle(),
+    tags=("text", "calibration", "iterative", "pipeline"),
+)
+def platt_scaling_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Platt scaling: fit p(en | stopword-share) = sigmoid(a*s + b) by
+    {PLATT_ITERS} Newton-Raphson steps on the logistic log-likelihood
+    over the [[score_calibration_reliability]] score/label pair — the
+    PARAMETRIC calibrator beside [[isotonic_calibration_rewrite]]'s
+    monotone one (Platt extrapolates smoothly and needs two numbers;
+    isotonic is shape-free).  Output: the (a, b) trace per iteration
+    in micro units (converged by ~step 3 on this fixture; the trailing
+    +-2-micro wobble is the pinned rounding's fixpoint, identical in
+    both engines).
+
+    Exactness: the corpus collapses ONCE to the bounded score-grain
+    bin table (x, n, pos); each step micro-rounds the sigmoid per bin,
+    accumulates gradient/Hessian as exact DECIMAL(38,0) integer
+    moments (hab reaches ~1e19 — past int64), and applies the 2x2
+    Newton solve as ONE pinned double block (1e-9 ridge) frozen back
+    to integer micro.  Floats never cross an aggregation.
+
+    Scale shape: one map-side-combined aggregate to <= 10001 bin rows;
+    every Newton step is a broadcast of the 2-number param row against
+    the bounded bin table + a 5-sum rollup, localCheckpoint-pinned —
+    corpus passes: exactly one, regardless of iterations.
+
+    Reference analog: none (LLM-pipeline surface per the brief).
+    """
+    d = compute_scan(spark, sf_dir, "documents")
+    ts = F.col("ts")
+    scored = (
+        d.select("lang", tokenize(F.col("text")).alias("ts"))
+        .filter(F.size(ts) > 0)
+        .select(
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+            (
+                F.size(
+                    F.array_intersect(
+                        ts, F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])
+                    )
+                )
+                * 10000
+                / F.size(ts)
+            )
+            .cast("long")
+            .alias("x"),
+        )
+    )
+    bins = (
+        scored.groupBy("x")
+        .agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
+        .localCheckpoint()
+    )
+    params = spark.range(1).select(
+        F.lit(0).cast("long").alias("a"), F.lit(0).cast("long").alias("b")
+    )
+    trace = None
+    det = (
+        "((CAST(haa20 AS DOUBLE) / 1e20 + 1e-9)"
+        " * (CAST(hbb12 AS DOUBLE) / 1e12 + 1e-9)"
+        " - (CAST(hab16 AS DOUBLE) / 1e16)"
+        " * (CAST(hab16 AS DOUBLE) / 1e16))"
+    )
+    for k in range(1, PLATT_ITERS + 1):
+        pm = F.expr(
+            "CAST(round(1000000 / (1 + exp(-("
+            " CAST(a AS DOUBLE) / 1000000 * (CAST(x AS DOUBLE) / 10000)"
+            " + CAST(b AS DOUBLE) / 1000000)))) AS BIGINT)"
+        )
+        j = bins.crossJoin(F.broadcast(params)).withColumn("pm", pm)
+        m = j.agg(
+            F.sum(F.expr("pos * 1000000 - n * pm"))
+            .cast("decimal(38,0)")
+            .alias("gb6"),
+            F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * (pos * 1000000 - n * pm)"))
+            .cast("decimal(38,0)")
+            .alias("ga10"),
+            F.sum(F.expr("CAST(n AS DECIMAL(38,0)) * pm * (1000000 - pm)"))
+            .cast("decimal(38,0)")
+            .alias("hbb12"),
+            F.sum(
+                F.expr("CAST(n AS DECIMAL(38,0)) * x * pm * (1000000 - pm)")
+            )
+            .cast("decimal(38,0)")
+            .alias("hab16"),
+            F.sum(
+                F.expr(
+                    "CAST(n AS DECIMAL(38,0)) * x * x * pm * (1000000 - pm)"
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias("haa20"),
+        )
+        params = (
+            params.crossJoin(F.broadcast(m))
+            .select(
+                F.expr(
+                    "a + CAST(round("
+                    " ((CAST(hbb12 AS DOUBLE) / 1e12 + 1e-9)"
+                    "  * (CAST(ga10 AS DOUBLE) / 1e10)"
+                    "  - (CAST(hab16 AS DOUBLE) / 1e16)"
+                    "  * (CAST(gb6 AS DOUBLE) / 1e6))"
+                    f" / {det} * 1000000) AS BIGINT)"
+                ).alias("a"),
+                F.expr(
+                    "b + CAST(round("
+                    " ((CAST(haa20 AS DOUBLE) / 1e20 + 1e-9)"
+                    "  * (CAST(gb6 AS DOUBLE) / 1e6)"
+                    "  - (CAST(hab16 AS DOUBLE) / 1e16)"
+                    "  * (CAST(ga10 AS DOUBLE) / 1e10))"
+                    f" / {det} * 1000000) AS BIGINT)"
+                ).alias("b"),
+            )
+            .localCheckpoint()
+        )
+        step = params.select(
+            F.lit(k).cast("long").alias("iter"),
+            F.col("a").alias("a_micro"),
+            F.col("b").alias("b_micro"),
+        )
+        trace = step if trace is None else trace.unionByName(step)
+    return trace

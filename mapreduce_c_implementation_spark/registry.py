@@ -137,6 +137,10 @@ _DRIVER_NEW_THIS_ROUND: list[str] = [
     "wilcoxon_signed_rank_daily",
     "knn_shapley_valuation",
     "stream_windowed_distinct_users",
+    "anova_one_way_value",
+    "brown_forsythe_levene",
+    "gumbel_weighted_sample_per_group",
+    "platt_scaling_calibration",
 ]
 
 # Regression re-verification queue: registration order, resuming where

@@ -231,6 +231,10 @@ PROBE_OPS = [
     "heaps_law_power_fit",
     "wilcoxon_signed_rank_daily",
     "knn_shapley_valuation",
+    "anova_one_way_value",
+    "brown_forsythe_levene",
+    "gumbel_weighted_sample_per_group",
+    "platt_scaling_calibration",
 ]
 
 

@@ -337,6 +337,12 @@ SWEPT_OPS = [
     # probe-partitioned valuation windows.
     "wilcoxon_signed_rank_daily",
     "knn_shapley_valuation",
+    # round-10 seventh wave: group-grain moment rollups, the grouped
+    # Gumbel top-k window, and the checkpointed Newton trace.
+    "anova_one_way_value",
+    "brown_forsythe_levene",
+    "gumbel_weighted_sample_per_group",
+    "platt_scaling_calibration",
 ]
 
 

@@ -605,3 +605,105 @@ def test_knn_shapley_matches_bruteforce(spark, sf_smoke):
     assert got == dict(expect)
     for r in rows:
         assert r.label == labels[r.vec_id]
+
+
+def test_anova_and_levene_match_bruteforce(spark, sf_smoke):
+    """Replay both F statistics from raw floats (tolerance 1 milli for
+    the floor-divided between-group terms)."""
+    ev = _events(sf_smoke)
+    groups = defaultdict(list)
+    for _, _, t, v in ev:
+        groups[t].append(int(round(v * 100)))
+
+    def f_stat(groups):
+        k = len(groups)
+        n = sum(len(g) for g in groups.values())
+        mean = sum(sum(g) for g in groups.values()) / n
+        ssb = sum(len(g) * (sum(g) / len(g) - mean) ** 2 for g in groups.values())
+        ssw = sum(
+            sum((x - sum(g) / len(g)) ** 2 for x in g) for g in groups.values()
+        )
+        return ssb / (k - 1) / (ssw / (n - k))
+
+    (r,) = _rows(spark, sf_smoke, "anova_one_way_value")
+    assert r.k_groups == len(groups)
+    assert abs(r.f_milli - round(f_stat(groups) * 1000)) <= 1
+    # Brown-Forsythe: ANOVA on |x - group median| (lower median,
+    # matching percentile_disc on integer data)
+    devs = {}
+    for t, g in groups.items():
+        sg = sorted(g)
+        med = sg[(len(sg) + 1) // 2 - 1]
+        devs[t] = [abs(x - med) for x in g]
+    (r2,) = _rows(spark, sf_smoke, "brown_forsythe_levene")
+    assert abs(r2.w_milli - round(f_stat(devs) * 1000)) <= 1
+
+
+def test_gumbel_sample_matches_bruteforce(spark, sf_smoke):
+    """Replay the Gumbel keys and per-source top-5."""
+    import math
+
+    con = duckdb.connect()
+    try:
+        docs = con.sql(
+            f"SELECT doc_id, source, n_chars FROM '{sf_smoke}/documents.parquet'"
+            f" WHERE n_chars > 0"
+        ).fetchall()
+    finally:
+        con.close()
+    per = defaultdict(list)
+    for doc_id, src, w in docs:
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:5], 16)
+        u = (h % 1_048_576 + 0.5) / 1_048_576
+        g = round((math.log(w) - math.log(-math.log(u))) * 1e6)
+        per[src].append((-g, doc_id, w, g))
+    expect = {}
+    for src, rows in per.items():
+        for rank, (_, doc_id, w, g) in enumerate(sorted(rows)[:5], start=1):
+            expect[(src, doc_id)] = (w, g, rank)
+    rows = _rows(spark, sf_smoke, "gumbel_weighted_sample_per_group")
+    got = {
+        (r.source, r.doc_id): (r.weight, r.gumbel_micro, r.rank) for r in rows
+    }
+    assert got == expect
+
+
+def test_platt_fit_calibrates(spark, sf_smoke):
+    """Semantic checks on the Newton trace: iterations converge (last
+    two steps within a few micro) and the fitted curve reproduces the
+    overall positive rate within 2% (the mean-matching property of
+    logistic MLE; the slope's SIGN is data-dependent at smoke scale,
+    so it is not asserted)."""
+    import math
+    import re
+
+    rows = sorted(
+        _rows(spark, sf_smoke, "platt_scaling_calibration"),
+        key=lambda r: r.iter,
+    )
+    assert [r.iter for r in rows] == [1, 2, 3, 4, 5, 6]
+    a, b = rows[-1].a_micro / 1e6, rows[-1].b_micro / 1e6
+    assert abs(rows[-1].a_micro - rows[-2].a_micro) <= 16
+    assert abs(rows[-1].b_micro - rows[-2].b_micro) <= 16
+    docs = _docs(sf_smoke)
+    con = duckdb.connect()
+    try:
+        langs = dict(
+            con.sql(
+                f"SELECT doc_id, lang FROM '{sf_smoke}/documents.parquet'"
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    stops = {"the", "a", "and", "of", "to", "is", "fast", "slow"}
+    tot = pos = fit = 0.0
+    n = 0
+    for doc_id, text in docs.items():
+        ts = [t.lower()[:255] for t in re.findall(r"[A-Za-z0-9]+", text)]
+        if not ts:
+            continue
+        x = len(set(ts) & stops) * 10000 // len(ts)
+        n += 1
+        pos += 1 if langs[doc_id] == "en" else 0
+        fit += 1 / (1 + math.exp(-(a * x / 1e4 + b)))
+    assert abs(fit / n - pos / n) < 0.02
