@@ -196,6 +196,8 @@ HEADLINE = [
     "brown_forsythe_levene",
     "gumbel_weighted_sample_per_group",
     "platt_scaling_calibration",
+    "quantile_treatment_effects",
+    "greedy_set_cover_docs",
 ]
 
 

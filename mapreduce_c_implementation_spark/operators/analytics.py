@@ -2795,3 +2795,138 @@ def diff_in_differences_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("did_milli"),
     )
+
+
+# --- Round 10b: quantile treatment effects ---------------------------------
+#
+# The distributional companion to diff_in_differences_events: the
+# treated-vs-control gap at FIXED QUANTILES of post-cutoff purchase
+# value, not just at the mean — a treatment that helps the median user
+# but hurts the tail is invisible to DiD's single number.  Exact
+# integer-cent order statistics at five canonical percentiles.
+QTE_PCTS = (10, 25, 50, 75, 90)
+
+
+@register(
+    "quantile_treatment_effects",
+    oracle_sql=f"""
+    WITH treated AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'error' AND ts < TIMESTAMP '{DID_CUTOFF}'
+    ),
+    outcomes AS (
+      SELECT CASE WHEN t.user_id IS NOT NULL THEN 1 ELSE 0 END AS treated,
+             CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM events e LEFT JOIN treated t ON t.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= TIMESTAMP '{DID_CUTOFF}'
+    ),
+    qs AS (
+      SELECT treated, count(*) AS n,
+             {", ".join(f"CAST(percentile_disc({p / 100.0}) WITHIN GROUP (ORDER BY v) AS BIGINT) AS q{p}" for p in QTE_PCTS)}
+      FROM outcomes GROUP BY treated
+    ),
+    wide AS (
+      SELECT p.pct,
+             max(CASE WHEN treated = 1 THEN n END) AS n_treated,
+             max(CASE WHEN treated = 0 THEN n END) AS n_control,
+             {" ".join(f"max(CASE WHEN treated = 1 AND p.pct = {p} THEN q{p} END) AS tq{p}, max(CASE WHEN treated = 0 AND p.pct = {p} THEN q{p} END) AS cq{p}," for p in QTE_PCTS)[:-1]}
+      FROM qs CROSS JOIN (SELECT unnest([{", ".join(str(p) for p in QTE_PCTS)}]) AS pct) p
+      GROUP BY p.pct
+    )
+    SELECT CAST(pct AS BIGINT) AS percentile,
+           CAST(n_treated AS BIGINT) AS n_treated,
+           CAST(n_control AS BIGINT) AS n_control,
+           CAST(COALESCE({", ".join(f"CASE WHEN pct = {p} THEN tq{p} END" for p in QTE_PCTS)}) AS BIGINT) AS treated_q_cents,
+           CAST(COALESCE({", ".join(f"CASE WHEN pct = {p} THEN cq{p} END" for p in QTE_PCTS)}) AS BIGINT) AS control_q_cents,
+           CAST(COALESCE({", ".join(f"CASE WHEN pct = {p} THEN tq{p} - cq{p} END" for p in QTE_PCTS)}) AS BIGINT) AS qte_cents
+    FROM wide
+    """,
+    tags=("analytics", "causal", "quantile", "pipeline"),
+)
+def quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects: the treated-vs-control gap in
+    post-cutoff purchase value at the {QTE_PCTS} percentiles (exact
+    integer-cent percentile_disc order statistics; treatment = the
+    [[diff_in_differences_events]] rule, user hit an 'error' before
+    {DID_CUTOFF}) — the DISTRIBUTIONAL causal read: a treatment that
+    shifts the median but crushes the p90 tail nets out to zero in
+    DiD's single mean, and shows up here.
+
+    Exactness: percentile_disc on integer cents is an exact order
+    statistic both engines agree on; differences are exact integers.
+
+    Scale shape: the treated set is a distinct user aggregate
+    (broadcast); outcomes reduce per treated-flag group through the
+    sort-based percentile aggregate (2 groups — each group's sort is
+    distributed by the aggregation, and the documented approximation
+    swaps in [[quantile_sketch_mergeable]] when exactness can yield);
+    the percentile unpivot runs on a 2-row table.
+
+    Reference analog: none (SURVEY §2.2 analytics surface).
+    """
+    e = load_table(spark, sf_dir, "events")
+    treated = (
+        e.filter(
+            (F.col("event_type") == "error")
+            & (F.col("ts") < F.lit(DID_CUTOFF).cast("timestamp"))
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("tr", F.lit(1))
+    )
+    outcomes = (
+        e.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") >= F.lit(DID_CUTOFF).cast("timestamp"))
+        )
+        .join(F.broadcast(treated), "user_id", "left")
+        .select(
+            F.coalesce("tr", F.lit(0)).alias("treated"),
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("v"),
+        )
+    )
+    qs = outcomes.groupBy("treated").agg(
+        F.count("*").alias("n"),
+        *[
+            F.expr(
+                f"CAST(percentile_disc({p / 100.0}) WITHIN GROUP (ORDER BY v)"
+                " AS BIGINT)"
+            ).alias(f"q{p}")
+            for p in QTE_PCTS
+        ],
+    )
+    stack = ", ".join(f"{p}, q{p}" for p in QTE_PCTS)
+    long = qs.select(
+        "treated",
+        "n",
+        F.expr(f"stack({len(QTE_PCTS)}, {stack}) AS (percentile, q)"),
+    )
+    return long.groupBy("percentile").agg(
+        F.max(F.when(F.col("treated") == 1, F.col("n")))
+        .cast("long")
+        .alias("n_treated"),
+        F.max(F.when(F.col("treated") == 0, F.col("n")))
+        .cast("long")
+        .alias("n_control"),
+        F.max(F.when(F.col("treated") == 1, F.col("q")))
+        .cast("long")
+        .alias("treated_q_cents"),
+        F.max(F.when(F.col("treated") == 0, F.col("q")))
+        .cast("long")
+        .alias("control_q_cents"),
+        (
+            F.max(F.when(F.col("treated") == 1, F.col("q")))
+            - F.max(F.when(F.col("treated") == 0, F.col("q")))
+        )
+        .cast("long")
+        .alias("qte_cents"),
+    ).select(
+        F.col("percentile").cast("long").alias("percentile"),
+        "n_treated",
+        "n_control",
+        "treated_q_cents",
+        "control_q_cents",
+        "qte_cents",
+    )

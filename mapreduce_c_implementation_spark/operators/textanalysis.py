@@ -6103,3 +6103,130 @@ def platt_scaling_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         trace = step if trace is None else trace.unionByName(step)
     return trace
+
+
+# --- Round 10b: greedy set-cover document selection ------------------------
+#
+# The classic (1 - 1/e)-approximate max-coverage loop: each round
+# selects the document covering the most NOT-YET-COVERED vocabulary
+# terms — the coverage-first data-selection primitive (pick the
+# fewest documents that exercise the whole vocabulary), complementary
+# to [[kcenter_greedy_coreset]]'s geometry-first diversity.
+SETCOVER_K = 8
+
+
+def _setcover_oracle() -> str:
+    """Unrolled greedy rounds (every CTE MATERIALIZED — the
+    _hits_oracle inlining lesson).  Rounds emit only while uncovered
+    vocabulary remains (an exhausted round selects nothing)."""
+    ctes = [
+        f"""dt AS MATERIALIZED (
+      SELECT DISTINCT doc_id, t
+      FROM (SELECT doc_id, unnest({_TOK}) AS t FROM documents)
+    ),
+    cov0 AS MATERIALIZED (SELECT CAST(NULL AS VARCHAR) AS t WHERE 1 = 0)"""
+    ]
+    for r in range(1, SETCOVER_K + 1):
+        ctes.append(
+            f"""g{r} AS MATERIALIZED (
+      SELECT dt.doc_id, count(*) AS g
+      FROM dt LEFT JOIN cov{r - 1} c ON c.t = dt.t
+      WHERE c.t IS NULL
+      GROUP BY dt.doc_id
+    ),
+    pick{r} AS MATERIALIZED (
+      SELECT doc_id, g FROM g{r} ORDER BY g DESC, doc_id LIMIT 1
+    ),
+    cov{r} AS MATERIALIZED (
+      SELECT DISTINCT t FROM (
+        SELECT t FROM cov{r - 1}
+        UNION ALL
+        SELECT dt.t FROM dt JOIN pick{r} p ON p.doc_id = dt.doc_id
+      )
+    )"""
+        )
+    unions = "\n    UNION ALL ".join(
+        f"SELECT {r} AS round, doc_id, g,"
+        f" (SELECT count(*) FROM cov{r}) AS ct FROM pick{r}"
+        for r in range(1, SETCOVER_K + 1)
+    )
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH {chain}
+    SELECT CAST(round AS BIGINT) AS round, doc_id,
+           CAST(g AS BIGINT) AS new_terms,
+           CAST(ct AS BIGINT) AS covered_total
+    FROM ({unions})
+    """
+
+
+@register(
+    "greedy_set_cover_docs",
+    oracle_sql=_setcover_oracle(),
+    tags=("text", "sampling", "coverage", "iterative", "pipeline"),
+)
+def greedy_set_cover_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy max-coverage document selection: {SETCOVER_K} rounds,
+    each picking the document that covers the most not-yet-covered
+    vocabulary terms (ties to the smaller doc_id; rounds stop emitting
+    once the vocabulary is exhausted) — the classic (1-1/e)-approx
+    set-cover loop, i.e. "the fewest documents that exercise the whole
+    vocabulary": the coverage-first complement to
+    [[kcenter_greedy_coreset]] (geometry-first) and
+    [[cluster_capped_diversity_sample]] (density-capped), and the
+    selection rule behind minimal eval-seed and tokenizer-exercise
+    sets.  Output: the selection trace (round, doc, newly covered,
+    cumulative coverage).
+
+    Exactness: pure integer counting and a total-order argmax.
+
+    Scale shape: the doc-term table builds once (distinct pairs,
+    map-side combined) and is localCheckpoint-pinned; each round is a
+    term-keyed LEFT-ANTI join against the covered-term table, a
+    doc-keyed count, and a TakeOrdered(1) — the
+    [[kcenter_greedy_coreset]] loop with set semantics.  The covered
+    table is vocabulary-bounded, shuffles stay term/doc-keyed, and K
+    corpus passes total.
+
+    Reference analog: none (LLM-pipeline surface per the brief).
+    """
+    d = compute_scan(spark, sf_dir, "documents")
+    dt = (
+        d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("t"))
+        .distinct()
+        .localCheckpoint()
+    )
+    covered = spark.createDataFrame([], "t string").localCheckpoint()
+    trace = None
+    for r in range(1, SETCOVER_K + 1):
+        gain = (
+            dt.join(covered, "t", "left_anti")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("g"))
+        )
+        pick = (
+            gain.orderBy(F.desc("g"), F.asc("doc_id"))
+            .limit(1)
+            .localCheckpoint()
+        )
+        covered = (
+            covered.unionByName(
+                dt.join(pick.select("doc_id"), "doc_id").select("t")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        row = (
+            pick.crossJoin(
+                F.broadcast(covered.agg(F.count("*").alias("ct")))
+            )
+            .select(
+                F.lit(r).cast("long").alias("round"),
+                "doc_id",
+                F.col("g").cast("long").alias("new_terms"),
+                F.col("ct").cast("long").alias("covered_total"),
+            )
+            .localCheckpoint()
+        )
+        trace = row if trace is None else trace.unionByName(row)
+    return trace

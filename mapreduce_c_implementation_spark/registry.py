@@ -103,8 +103,8 @@ def register(
 # prior + new covers the full registry.
 
 # Round-10 additions, in priority order (appended as they land).  With
-# 33 new names and 3 rewrite re-checks leading the regression queue,
-# the 50-slot window = these 33 + the 3 rewrites + the first 14 of the
+# 35 new names and 3 rewrite re-checks leading the regression queue,
+# the 50-slot window = these 35 + the 3 rewrites + the first 12 of the
 # regression cursor (resuming at ``join_fuzzy_levenshtein`` where round
 # 9's window stopped); the rest roll to round 11's cursor.
 _DRIVER_NEW_THIS_ROUND: list[str] = [
@@ -141,6 +141,8 @@ _DRIVER_NEW_THIS_ROUND: list[str] = [
     "brown_forsythe_levene",
     "gumbel_weighted_sample_per_group",
     "platt_scaling_calibration",
+    "quantile_treatment_effects",
+    "greedy_set_cover_docs",
 ]
 
 # Regression re-verification queue: registration order, resuming where

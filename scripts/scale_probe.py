@@ -235,6 +235,8 @@ PROBE_OPS = [
     "brown_forsythe_levene",
     "gumbel_weighted_sample_per_group",
     "platt_scaling_calibration",
+    "quantile_treatment_effects",
+    "greedy_set_cover_docs",
 ]
 
 

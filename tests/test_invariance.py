@@ -343,6 +343,10 @@ SWEPT_OPS = [
     "brown_forsythe_levene",
     "gumbel_weighted_sample_per_group",
     "platt_scaling_calibration",
+    # round-10 eighth wave: exact order-statistic unpivot and the
+    # checkpointed coverage loop.
+    "quantile_treatment_effects",
+    "greedy_set_cover_docs",
 ]
 
 

@@ -707,3 +707,87 @@ def test_platt_fit_calibrates(spark, sf_smoke):
         pos += 1 if langs[doc_id] == "en" else 0
         fit += 1 / (1 + math.exp(-(a * x / 1e4 + b)))
     assert abs(fit / n - pos / n) < 0.02
+
+
+def test_qte_matches_bruteforce(spark, sf_smoke):
+    """Replay: treated users (error before cutoff), post-cutoff
+    purchase cents, lower-style percentile_disc order statistics."""
+    import datetime
+    import math
+
+    ev = _events(sf_smoke)
+    cutoff = datetime.datetime(2024, 1, 16)
+    con = duckdb.connect()
+    try:
+        users = con.sql(
+            f"SELECT DISTINCT user_id FROM '{sf_smoke}/events.parquet'"
+            f" WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-16'"
+        ).fetchall()
+        rows_e = con.sql(
+            f"SELECT user_id, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            f" FROM '{sf_smoke}/events.parquet'"
+            f" WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-16'"
+        ).fetchall()
+    finally:
+        con.close()
+    treated = {u for (u,) in users}
+    groups = {0: [], 1: []}
+    for u, v in rows_e:
+        groups[1 if u in treated else 0].append(v)
+
+    def pdisc(vals, p):
+        if not vals:
+            return None  # a degenerate arm yields NULL quantiles
+        s = sorted(vals)
+        # percentile_disc: smallest value at cumulative distribution >= p
+        k = math.ceil(p * len(s))
+        return s[max(k, 1) - 1]
+
+    rows = {r.percentile: r for r in _rows(spark, sf_smoke, "quantile_treatment_effects")}
+    assert set(rows) == {10, 25, 50, 75, 90}
+    for p, r in rows.items():
+        tq = pdisc(groups[1], p / 100)
+        cq = pdisc(groups[0], p / 100)
+        assert r.treated_q_cents == tq and r.control_q_cents == cq
+        if tq is not None and cq is not None:
+            assert r.qte_cents == tq - cq
+        else:
+            assert r.qte_cents is None
+        assert r.n_treated == (len(groups[1]) or None)
+        assert r.n_control == (len(groups[0]) or None)
+
+
+def test_set_cover_matches_bruteforce(spark, sf_smoke):
+    """Replay the greedy loop: max-new-coverage argmax with doc_id
+    ties, cumulative coverage, emission stops at exhaustion."""
+    import re
+
+    docs = _docs(sf_smoke)
+    terms = {
+        d: {t.lower()[:255] for t in re.findall(r"[A-Za-z0-9]+", txt)}
+        for d, txt in docs.items()
+    }
+    covered = set()
+    expect = []
+    for r in range(1, 9):
+        best = None
+        for d in sorted(terms):
+            g = len(terms[d] - covered)
+            if g == 0 and not (terms[d] - covered):
+                pass
+            key = (-g, d)
+            if best is None or key < best[0]:
+                best = (key, d, g)
+        if best[2] == 0:
+            # oracle emits nothing once no doc has uncovered terms
+            # (the gain table is empty, so LIMIT 1 selects no row)
+            break
+        covered |= terms[best[1]]
+        expect.append((r, best[1], best[2], len(covered)))
+    rows = sorted(
+        _rows(spark, sf_smoke, "greedy_set_cover_docs"),
+        key=lambda r: r.round,
+    )
+    assert [
+        (r.round, r.doc_id, r.new_terms, r.covered_total) for r in rows
+    ] == expect
