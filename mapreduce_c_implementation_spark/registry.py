@@ -102,72 +102,31 @@ def register(
 # and tests/test_extensions.py's coverage-ledger test asserts
 # prior + new covers the full registry.
 
-# Round-10 additions, in priority order (appended as they land).  With
-# 35 new names and 3 rewrite re-checks leading the regression queue,
-# the 50-slot window = these 35 + the 3 rewrites + the first 12 of the
-# regression cursor (resuming at ``join_fuzzy_levenshtein`` where round
-# 9's window stopped); the rest roll to round 11's cursor.
-_DRIVER_NEW_THIS_ROUND: list[str] = [
-    "substring_tiered_trim_rewrite",
-    "priority_sample_weighted",
-    "rouge_n_overlap_eval",
-    "f1_threshold_sweep",
-    "confident_learning_label_noise",
-    "char_class_profile",
-    "sequential_pattern_mining",
-    "unimax_budget_allocation",
-    "key_gini_concentration",
-    "hilbert_curve_layout",
-    "l_diversity_check",
-    "tfidf_cosine_pairs",
-    "event_burstiness_fano",
-    "diff_in_differences_events",
-    "kruskal_wallis_binned",
-    "benjamini_hochberg_fdr",
-    "median_of_means_value",
-    "graph_hits_scores",
-    "graph_kcore_peel_layers",
-    "t_closeness_check",
-    "rake_keyword_extraction",
-    "ewma_daily_anomaly",
-    "lsh_euclidean_e2lsh",
-    "mmr_diverse_reranking",
-    "dbscan_grid_clusters",
-    "heaps_law_power_fit",
-    "wilcoxon_signed_rank_daily",
-    "knn_shapley_valuation",
-    "stream_windowed_distinct_users",
-    "anova_one_way_value",
-    "brown_forsythe_levene",
-    "gumbel_weighted_sample_per_group",
-    "platt_scaling_calibration",
-    "quantile_treatment_effects",
-    "greedy_set_cover_docs",
-]
+# Round-11 additions, in priority order (appended as they land).  The
+# 50-slot window = these new names first, then the regression cursor
+# (resuming at ``union_all_slices`` where round 10's window stopped —
+# CORRECTNESS_r10 re-checked through ``time_gap_fill_ffill``).
+_DRIVER_NEW_THIS_ROUND: list[str] = []
 
 # Regression re-verification queue: registration order, resuming where
-# round 9's re-check window stopped (after ``join_cardinality_estimate``).
+# round 10's re-check window stopped (after ``time_gap_fill_ffill``).
 # Names past the 50-slot window simply roll to the next round's cursor.
-# The three round-10 REWRITES jump the queue: multimodal_cdc_chunk_dedup
-# changed output (byte-hex digests + struct owner — ADVICE r9 fixes),
-# negative_sampling_table and theil_sen_daily_trend were re-planned /
-# re-floored with identical fixture output but need fresh driver rows
-# post-rewrite.
 _DRIVER_REGRESSION = [
-    "multimodal_cdc_chunk_dedup",
-    "negative_sampling_table",
-    "theil_sen_daily_trend",
-    "join_fuzzy_levenshtein", "window_topk_per_group", "window_lag_lead",
-    "window_running_sum", "window_rank_percent", "window_moving_avg", "window_ntile_cume",
-    "sessionize_batch", "window_value_functions", "window_range_frame", "window_time_range",
-    "time_gap_fill_ffill", "union_all_slices", "union_distinct_customers",
+    "union_all_slices", "union_distinct_customers",
     "intersect_active_customers", "except_lapsed_customers", "merge_upsert_scd1",
     "intersect_except_all_bags", "string_functions", "date_functions", "math_functions",
     "json_functions", "array_functions", "conditional_functions", "filter_project_pushdown",
     "map_functions", "regex_functions", "null_semantics", "explode_outer_tokens",
     "higher_order_functions", "variant_json_shred", "map_higher_order_functions",
     "udtf_tokenize", "pandas_udf_scalar_score", "grouped_agg_pandas_udf",
-    "apply_in_pandas_zscore", "row_python_udf_format",
+    "apply_in_pandas_zscore", "row_python_udf_format", "cogroup_reconcile",
+    "map_in_arrow_doc_stats", "tpch_q3_shipping_priority", "tpch_q5_local_supplier",
+    "pivot_status_by_flag", "unpivot_measures", "salted_aggregation", "tfidf_top_terms",
+    "sql_subquery_surface", "tpch_q4_order_priority", "stratified_sample", "table_profile",
+    "time_rollup_multigrain", "event_funnel", "group_median_disc", "zorder_layout",
+    "tpch_q14_promo_effect", "fk_integrity_check", "scd2_history",
+    "tpch_q10_returned_items", "tpch_q18_large_orders", "tpch_q7_nation_volume",
+    "event_transition_matrix", "token_pmi_pairs", "correlation_matrix",
 ]
 
 _DRIVER_PRIORITY = _DRIVER_NEW_THIS_ROUND + _DRIVER_REGRESSION
@@ -304,6 +263,25 @@ _DRIVER_VERIFIED_PRIOR = frozenset({
     "theil_sen_daily_trend", "substring_exact_trim_rewrite",
     "knn_classification_eval", "kcenter_greedy_coreset",
     "multimodal_cdc_chunk_dedup", "negative_sampling_table",
+    # round 10 (CORRECTNESS_r10.json — 35 first-time keys; the window's
+    # other 15 rows were the 3 rewrite re-checks + regression re-checks
+    # of names already listed above)
+    "substring_tiered_trim_rewrite", "priority_sample_weighted",
+    "rouge_n_overlap_eval", "f1_threshold_sweep",
+    "confident_learning_label_noise", "char_class_profile",
+    "sequential_pattern_mining", "unimax_budget_allocation",
+    "key_gini_concentration", "hilbert_curve_layout", "l_diversity_check",
+    "tfidf_cosine_pairs", "event_burstiness_fano",
+    "diff_in_differences_events", "kruskal_wallis_binned",
+    "benjamini_hochberg_fdr", "median_of_means_value", "graph_hits_scores",
+    "graph_kcore_peel_layers", "t_closeness_check", "rake_keyword_extraction",
+    "ewma_daily_anomaly", "lsh_euclidean_e2lsh", "mmr_diverse_reranking",
+    "dbscan_grid_clusters", "heaps_law_power_fit",
+    "wilcoxon_signed_rank_daily", "knn_shapley_valuation",
+    "stream_windowed_distinct_users", "anova_one_way_value",
+    "brown_forsythe_levene", "gumbel_weighted_sample_per_group",
+    "platt_scaling_calibration", "quantile_treatment_effects",
+    "greedy_set_cover_docs",
 })
 
 

@@ -68,11 +68,11 @@ def test_dedup_exact_identity_when_no_dups(spark, sf_correct):
 
 def test_driver_priority_window():
     """The driver's CORRECTNESS gate checks a 50-query prefix of queries().
-    With the full registry hard-verified through round 9, the round-10
-    window is: new round-10 additions FIRST, then the three round-10
-    rewrites, then the regression re-verification queue resuming
-    (registration order) at ``join_fuzzy_levenshtein`` — pin the
-    ordering here."""
+    With the full registry hard-verified through round 10, the round-11
+    window is: new round-11 additions FIRST, then the regression
+    re-verification queue resuming (registration order) at
+    ``union_all_slices`` (CORRECTNESS_r10 re-checked through
+    ``time_gap_fill_ffill``) — pin the ordering here."""
     import __spark_entry__ as se
     from mapreduce_c_implementation_spark.registry import (
         _DRIVER_NEW_THIS_ROUND,
@@ -88,16 +88,15 @@ def test_driver_priority_window():
     assert not missing, f"priority names not registered: {missing}"
     assert names[: len(_DRIVER_PRIORITY)] == _DRIVER_PRIORITY
     window = set(names[:50])
-    # every new round-10 operator must land inside the verified window
+    # every new round-11 operator must land inside the verified window
     assert set(_DRIVER_NEW_THIS_ROUND) <= window
-    # the round-10 rewrites jump the regression queue, which then
-    # resumes exactly where round 9 stopped
+    # the regression queue resumes exactly where round 10 stopped
     head = names[len(_DRIVER_NEW_THIS_ROUND):][:4]
     assert head == [
-        "multimodal_cdc_chunk_dedup",
-        "negative_sampling_table",
-        "theil_sen_daily_trend",
-        "join_fuzzy_levenshtein",
+        "union_all_slices",
+        "union_distinct_customers",
+        "intersect_active_customers",
+        "except_lapsed_customers",
     ]
     # oracle_sql() ordering must mirror queries() so the driver pairs them
     osql = list(se.oracle_sql())
@@ -126,13 +125,13 @@ def test_driver_coverage_ledger():
 
     root = pathlib.Path(__file__).resolve().parents[1]
     actual_prior = set()
-    for f in sorted(root.glob("CORRECTNESS_r0*.json")):
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
         if f.name in (
             "CORRECTNESS_r01.json", "CORRECTNESS_r02.json",
             "CORRECTNESS_r03.json", "CORRECTNESS_r04.json",
             "CORRECTNESS_r05.json", "CORRECTNESS_r06.json",
             "CORRECTNESS_r07.json", "CORRECTNESS_r08.json",
-            "CORRECTNESS_r09.json",
+            "CORRECTNESS_r09.json", "CORRECTNESS_r10.json",
         ):
             actual_prior |= set(json.loads(f.read_text()))
     if actual_prior:  # ledger frozen in-code must match the artifacts
