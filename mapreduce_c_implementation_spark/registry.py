@@ -106,7 +106,9 @@ def register(
 # 50-slot window = these new names first, then the regression cursor
 # (resuming at ``union_all_slices`` where round 10's window stopped —
 # CORRECTNESS_r10 re-checked through ``time_gap_fill_ffill``).
-_DRIVER_NEW_THIS_ROUND: list[str] = []
+_DRIVER_NEW_THIS_ROUND: list[str] = [
+    "stream_substring_screen",
+]
 
 # Regression re-verification queue: registration order, resuming where
 # round 10's re-check window stopped (after ``time_gap_fill_ffill``).

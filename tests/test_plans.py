@@ -935,3 +935,37 @@ def test_ewma_contributions_are_keyed(spark, sf_correct):
     assert "hashpartitioning(event_type" in plan, plan
     assert _single_partition_exchanges(df) == 0, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_sscr_probe_index_side_never_shuffles(spark, sf_correct):
+    """stream_substring_screen's per-batch probe must read the persisted
+    window-hash index bucket-aligned: Bucketed: true on the b_sscr_index
+    scan, sort-merge join, and at most the probe side exchanging on the
+    join key (<=2 renders under AQE)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_c_implementation_spark.streaming.queries import (
+        SSCR_BASE_MOD,
+        _sscr_anchored_wins,
+        _sscr_ensure_index,
+    )
+
+    idx = _sscr_ensure_index(spark, sf_correct)
+    arr = (
+        spark.read.parquet(f"{sf_correct}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % SSCR_BASE_MOD == 1)
+    )
+    probe = (
+        _sscr_anchored_wins(arr, "arr_doc")
+        .join(idx.hint("merge"), "win_hash")
+        .select("arr_doc", "base_doc")
+        .distinct()
+    )
+    plan = physical_plan(probe)
+    assert "SortMergeJoin" in plan, plan
+    assert re.search(r"Scan parquet [^\n]*b_sscr_index", plan), plan
+    assert "Bucketed: true" in plan, plan
+    assert len(re.findall(r"hashpartitioning\(win_hash", plan)) <= 2, plan

@@ -283,3 +283,34 @@ def test_windowed_distinct_matches_batch(spark, sf_correct):
         d, n = bm[r.window_start]
         assert r.n_distinct_users <= d and r.n_events <= n
         assert r.n_distinct_users > 0
+
+
+def test_stream_substring_screen_exactly_once_and_batch_invariant(
+    spark, sf_correct
+):
+    """Replayed arrivals (the doc staging's crawl re-fetches) must be
+    screened exactly once — one sink row per distinct odd doc — and an
+    unflagged arrival's digest must equal md5 of its original text
+    (pass-through contract)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_c_implementation_spark.registry import get_operator
+
+    out = get_operator("stream_substring_screen").query_fn(spark, sf_correct)
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    n_odd = docs.filter(F.col("doc_id") % 2 == 1).count()
+    assert out.count() == n_odd
+    assert out.select("doc_id").distinct().count() == n_odd
+    # pass-through rule for unflagged arrivals
+    joined = (
+        out.filter(F.col("flagged") == 0)
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .withColumn("orig_md5", F.md5("text"))
+    )
+    bad = joined.filter(F.col("trimmed_md5") != F.col("orig_md5")).count()
+    assert bad == 0
+    # flagged arrivals actually lost characters or matched a base doc
+    assert (
+        out.filter((F.col("flagged") == 1) & (F.col("n_matched_base") == 0)).count()
+        == 0
+    )
