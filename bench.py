@@ -198,6 +198,8 @@ HEADLINE = [
     "platt_scaling_calibration",
     "quantile_treatment_effects",
     "greedy_set_cover_docs",
+    # round-11 additions
+    "join_asof_binned",
 ]
 
 

@@ -510,6 +510,157 @@ def join_asof_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Binned approximate AS-OF: bucket width (days) and the probe anchor
+# that places events inside the orders date range.
+ASOF_BIN_DAYS = 64
+ASOF_BIN_ANCHOR = "1994-01-01"
+ASOF_BIN_SPAN = 1600  # probe anchors span 1994-01-01 .. 1998-05-20
+
+
+@register(
+    "join_asof_binned",
+    # Oracle: the as-of match RESTRICTED to the lookback horizon (the
+    # previous bucket's start), plus the calibration flag marking rows
+    # whose true match exists but precedes the horizon (key history
+    # starts at-or-before the probe, yet nothing landed in-horizon).
+    oracle_sql=f"""
+    WITH ref AS (
+      SELECT o_custkey, o_orderdate, max(o_totalprice) AS best_price
+      FROM orders GROUP BY o_custkey, o_orderdate
+    ),
+    h AS (
+      SELECT event_id, user_id,
+             TIMESTAMP '{ASOF_BIN_ANCHOR}'
+               + INTERVAL (event_id % {ASOF_BIN_SPAN}) DAY AS ts,
+             CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(TIMESTAMP '{ASOF_BIN_ANCHOR}'
+                                 + INTERVAL (event_id % {ASOF_BIN_SPAN}) DAY
+                                 AS DATE)) AS BIGINT)
+               // {ASOF_BIN_DAYS} AS pb
+      FROM events WHERE event_id % 20 = 0
+    ),
+    cand AS (
+      SELECT h.event_id, r.o_orderdate, r.best_price,
+             row_number() OVER (PARTITION BY h.event_id
+                                ORDER BY r.o_orderdate DESC) AS rn
+      FROM h JOIN ref r ON r.o_custkey = h.user_id
+       AND r.o_orderdate <= h.ts
+       AND CAST(date_diff('day', DATE '1970-01-01',
+                          CAST(r.o_orderdate AS DATE)) AS BIGINT)
+             // {ASOF_BIN_DAYS} >= h.pb - 1
+    ),
+    best AS (
+      SELECT event_id, o_orderdate, best_price FROM cand WHERE rn = 1
+    ),
+    hist AS (
+      SELECT o_custkey, min(o_orderdate) AS first_date FROM ref GROUP BY 1
+    )
+    SELECT h.event_id, h.user_id, h.ts,
+           b.o_orderdate AS asof_orderdate,
+           b.best_price AS asof_totalprice,
+           CAST(CASE WHEN b.event_id IS NULL AND hi.first_date <= h.ts
+                     THEN 1 ELSE 0 END AS BIGINT) AS missed_earlier
+    FROM h
+    LEFT JOIN best b USING (event_id)
+    LEFT JOIN hist hi ON hi.o_custkey = h.user_id
+    """,
+    tags=("join", "asof", "binned", "approximate"),
+)
+def join_asof_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned APPROXIMATE as-of join — the ultra-high-cardinality-key
+    variant the round-9/10 verdicts asked for: when the key space is
+    too large for [[join_asof_keyed]]'s per-key cogroup to be pleasant
+    (billions of keys, tiny per-key history -> cogroup overhead
+    dominates), time-bucket BOTH sides into {ASOF_BIN_DAYS}-day bins,
+    make each reference row visible in its own bin and the next
+    (explode to 2 rows — a constant factor), equi-join on (key, bin),
+    and take the per-probe argmax of at-or-before reference dates.
+
+    The approximation is a LOOKBACK HORIZON: a probe sees matches back
+    to the start of the PREVIOUS bin (between {ASOF_BIN_DAYS} and
+    2x{ASOF_BIN_DAYS} days, depending on probe position in its bin).
+    A true as-of match older than that is missed — and the operator
+    REPORTS its miss set instead of hiding it: ``missed_earlier`` = 1
+    iff nothing matched in-horizon but the key's history starts
+    at-or-before the probe (a key-grain MIN aggregate, one row per
+    key), so the true match exists and precedes the horizon.  Tuning =
+    widening the bin.
+
+    Scale shape vs the exact keyed form: three ordinary equi-shuffles
+    (candidate join on (key, bin), event-grain argmax, key-grain MIN)
+    — no cogrouped Python stage, no per-key state; candidate fan-out
+    per probe is the key's orders inside <= 2 bins, bounded by bin
+    width not history length.  The reference side is pre-aggregated to
+    one row per (key, date) so the argmax (max of (date, price)
+    struct) cannot tie.
+
+    Reference shape: operators/joins.py join_asof_keyed (exact twin);
+    reference analog none (SURVEY §2.2 range/as-of surface).
+    """
+    ref = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_totalprice").alias("best_price"))
+    )
+    rb = F.expr(
+        f"datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+        f" div {ASOF_BIN_DAYS}"
+    )
+    ref_vis = ref.select(
+        "o_custkey",
+        "o_orderdate",
+        "best_price",
+        F.explode(F.array(rb, rb + 1)).alias("pb"),
+    )
+    probe = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 20 == 0)
+        .select(
+            "event_id",
+            "user_id",
+            F.timestamp_add(
+                "DAY",
+                (F.col("event_id") % ASOF_BIN_SPAN).cast("int"),
+                F.lit(ASOF_BIN_ANCHOR).cast("timestamp"),
+            ).alias("ts"),
+        )
+        .withColumn(
+            "pb",
+            F.expr(
+                f"datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+                f" div {ASOF_BIN_DAYS}"
+            ),
+        )
+    )
+    cand = probe.join(
+        ref_vis,
+        (probe.user_id == ref_vis.o_custkey) & (probe.pb == ref_vis.pb),
+        "inner",
+    ).filter(F.col("o_orderdate") <= F.col("ts"))
+    best = cand.groupBy("event_id").agg(
+        F.max(F.struct("o_orderdate", "best_price")).alias("m")
+    )
+    hist = ref.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_date"))
+    return (
+        probe.join(best, "event_id", "left")
+        .join(hist, probe.user_id == hist.o_custkey, "left")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("m.o_orderdate").alias("asof_orderdate"),
+            F.col("m.best_price").alias("asof_totalprice"),
+            F.when(
+                F.col("m").isNull() & (F.col("first_date") <= F.col("ts")),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("missed_earlier"),
+        )
+    )
+
+
 @register(
     "join_null_safe",
     oracle_sql="""

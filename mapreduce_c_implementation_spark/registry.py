@@ -108,6 +108,7 @@ def register(
 # CORRECTNESS_r10 re-checked through ``time_gap_fill_ffill``).
 _DRIVER_NEW_THIS_ROUND: list[str] = [
     "stream_substring_screen",
+    "join_asof_binned",
 ]
 
 # Regression re-verification queue: registration order, resuming where

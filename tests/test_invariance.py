@@ -347,6 +347,8 @@ SWEPT_OPS = [
     # checkpointed coverage loop.
     "quantile_treatment_effects",
     "greedy_set_cover_docs",
+    # round-11 wave: the binned as-of's (key, bin) equi-join + argmax.
+    "join_asof_binned",
 ]
 
 

@@ -969,3 +969,17 @@ def test_sscr_probe_index_side_never_shuffles(spark, sf_correct):
     assert re.search(r"Scan parquet [^\n]*b_sscr_index", plan), plan
     assert "Bucketed: true" in plan, plan
     assert len(re.findall(r"hashpartitioning\(win_hash", plan)) <= 2, plan
+
+
+def test_asof_binned_all_equi_no_python(spark, sf_correct):
+    """join_asof_binned exists to avoid join_asof_keyed's cogrouped
+    Python stage AND any non-equi nested loop: the plan must contain
+    only equi joins (SMJ/broadcast-hash), no BroadcastNestedLoopJoin,
+    no FlatMapCoGroupsInPandas / ArrowEvalPython."""
+    plan = physical_plan(
+        get_operator("join_asof_binned").query_fn(spark, sf_correct)
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "CoGroup" not in plan, plan
+    assert "Python" not in plan, plan
