@@ -200,6 +200,10 @@ HEADLINE = [
     "greedy_set_cover_docs",
     # round-11 additions
     "join_asof_binned",
+    "roc_auc_rank_exact",
+    "average_precision_eval",
+    "mcnemar_paired_eval",
+    "bleu_ngram_component_eval",
 ]
 
 

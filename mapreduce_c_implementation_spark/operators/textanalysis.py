@@ -6230,3 +6230,454 @@ def greedy_set_cover_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         trace = row if trace is None else trace.unionByName(row)
     return trace
+
+
+# --- Round 11: exact ranking-metric eval pack ----------------------------
+#
+# The threshold sweep ([[f1_threshold_sweep]]) grades ONE operating
+# point per threshold; ROC-AUC and average precision grade the whole
+# RANKING the quality score induces — the two numbers a filter-model
+# card reports.  Both are exact-integer formulations of the same
+# (score_bp, y) construction, so all three ops grade the same
+# classifier and reconcile.
+
+_AUC_SCALE = 1_000_000_000_000  # 1e12: per-term precision scaling for AP
+
+
+@register(
+    "roc_auc_rank_exact",
+    oracle_sql=f"""
+    WITH scored AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             10000 - CAST(len(list_intersect({{tok}}, {_F1_STOPS_DUCK}))
+                          AS BIGINT) * 10000 // len({{tok}}) AS score_bp
+      FROM documents WHERE len({{tok}}) > 0
+    ),
+    grain AS (
+      SELECT score_bp,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(count(*) - sum(y) AS BIGINT) AS n_neg
+      FROM scored GROUP BY score_bp
+    ),
+    cum AS (
+      SELECT n_pos, n_neg,
+             coalesce(sum(n_neg) OVER (ORDER BY score_bp
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS neg_below
+      FROM grain
+    ),
+    tot AS (
+      SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+             CAST(sum(n_neg) AS BIGINT) AS n_neg,
+             CAST(sum(2 * n_pos * neg_below + n_pos * n_neg) AS BIGINT)
+               AS auc_num2
+      FROM cum
+    )
+    SELECT n_pos, n_neg, auc_num2,
+           CAST(auc_num2 * 1000000 // (2 * n_pos * n_neg) AS BIGINT)
+             AS auc_ppm,
+           CAST(auc_num2 * 1000000 // (n_pos * n_neg) - 1000000 AS BIGINT)
+             AS gini_ppm
+    FROM tot
+    """.format(tok=_TOK),
+    tags=("text", "eval", "ranking", "auc", "pipeline"),
+)
+def roc_auc_rank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC of the stopword quality score against the lang=='en'
+    label, via the rank-sum identity with proper tie handling: AUC =
+    (#correctly-ordered pairs + #tied pairs / 2) / (n_pos * n_neg).
+    Doubling the numerator keeps it integral (``auc_num2``); the Gini
+    coefficient (2*AUC - 1) comes free.  This is the rank formulation
+    that never materializes pairs — the pair count appears only as
+    arithmetic on the score-grain margins.
+
+    Scale shape: one doc-grain scoring map, one map-side-combined
+    aggregate onto the bounded score grain (<= 10001 basis points), a
+    cumulative window over that bounded table, one 1-row reduce.
+    Nothing corpus-sized crosses a window; corpus size only enters the
+    first aggregate.  The exact twin of a sampled/sketched AUC monitor.
+
+    Reference analog: none (LLM-pipeline eval surface per the brief).
+    """
+    from pyspark.sql.window import Window
+
+    d = compute_scan(spark, sf_dir, "documents")
+    ts = tokenize(F.col("text"))
+    scored = (
+        d.select("lang", ts.alias("ts"))
+        .filter(F.size("ts") > 0)
+        .select(
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+            F.expr(
+                f"10000 - CAST(size(array_intersect(ts, {_F1_STOPS}))"
+                " AS BIGINT) * 10000 div size(ts)"
+            ).alias("score_bp"),
+        )
+    )
+    grain = scored.groupBy("score_bp").agg(
+        F.sum("y").cast("long").alias("n_pos"),
+        (F.count("*") - F.sum("y")).cast("long").alias("n_neg"),
+    )
+    w_below = Window.orderBy("score_bp").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = grain.select(
+        "n_pos",
+        "n_neg",
+        F.coalesce(F.sum("n_neg").over(w_below), F.lit(0)).alias("neg_below"),
+    )
+    tot = cum.agg(
+        F.sum("n_pos").cast("long").alias("n_pos"),
+        F.sum("n_neg").cast("long").alias("n_neg"),
+        F.sum(
+            2 * F.col("n_pos") * F.col("neg_below")
+            + F.col("n_pos") * F.col("n_neg")
+        )
+        .cast("long")
+        .alias("auc_num2"),
+    )
+    return tot.select(
+        "n_pos",
+        "n_neg",
+        "auc_num2",
+        F.expr("CAST(auc_num2 * 1000000 div (2 * n_pos * n_neg) AS BIGINT)")
+        .alias("auc_ppm"),
+        F.expr(
+            "CAST(auc_num2 * 1000000 div (n_pos * n_neg) - 1000000 AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
+
+
+@register(
+    "average_precision_eval",
+    oracle_sql=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             10000 - CAST(len(list_intersect({{tok}}, {_F1_STOPS_DUCK}))
+                          AS BIGINT) * 10000 // len({{tok}}) AS score_bp
+      FROM documents WHERE len({{tok}}) > 0
+    ),
+    ranked AS (
+      SELECT y,
+             row_number() OVER (ORDER BY score_bp DESC, doc_id) AS k,
+             sum(y) OVER (ORDER BY score_bp DESC, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_pos
+      FROM scored
+    ),
+    terms AS (
+      SELECT CAST(sum(CASE WHEN y = 1
+                      THEN cum_pos * {_AUC_SCALE} // k ELSE 0 END) AS BIGINT)
+               AS ap_sum,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(count(*) AS BIGINT) AS n_total
+      FROM ranked
+    )
+    SELECT n_pos, n_total,
+           CAST(ap_sum // (n_pos * 1000000) AS BIGINT) AS ap_ppm
+    FROM terms
+    """.format(tok=_TOK),
+    tags=("text", "eval", "ranking", "ap", "pipeline"),
+)
+def average_precision_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT average precision (area under the precision-recall curve,
+    interpolation-free form): AP = mean over positives of
+    precision@their-rank, under the deterministic total order
+    (score_bp DESC, doc_id ASC).  Each precision term is scaled to an
+    integer (x1e12 floor) before summation, so the result is
+    bit-identical across engines and partitionings — no float-sum
+    order dependence.  Complements [[roc_auc_rank_exact]]: AP weights
+    the head of the ranking, AUC weighs all pairs equally — the pair a
+    retrieval-filter model card reports together.
+
+    Scale shape: the global rank is the TWO-PASS BUCKETED rank (score
+    basis points are the buckets: per-bucket row_number over doc_id +
+    a broadcast bucket-prefix table — [[curriculum_data_ordering]]'s
+    pattern), and the per-bucket positive prefix rides the same
+    window; one 1-row reduce ends it.  No unpartitioned corpus window.
+
+    Reference analog: none (LLM-pipeline eval surface per the brief).
+    """
+    from pyspark.sql.window import Window
+
+    d = compute_scan(spark, sf_dir, "documents")
+    ts = tokenize(F.col("text"))
+    scored = (
+        d.select("doc_id", "lang", ts.alias("ts"))
+        .filter(F.size("ts") > 0)
+        .select(
+            "doc_id",
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+            F.expr(
+                f"10000 - CAST(size(array_intersect(ts, {_F1_STOPS}))"
+                " AS BIGINT) * 10000 div size(ts)"
+            ).alias("score_bp"),
+        )
+    )
+    # two-pass bucketed global rank: within-score window + broadcast
+    # score-grain prefix table (scores sort DESC, doc_id ASC)
+    w_in = Window.partitionBy("score_bp").orderBy("doc_id")
+    in_bucket = scored.select(
+        "score_bp",
+        "y",
+        F.row_number().over(w_in).alias("rk_in"),
+        F.sum("y").over(w_in.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "pos_in"
+        ),
+    )
+    grain = scored.groupBy("score_bp").agg(
+        F.count("*").alias("n_s"), F.sum("y").alias("p_s")
+    )
+    w_above = Window.orderBy(F.desc("score_bp")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = grain.select(
+        "score_bp",
+        F.coalesce(F.sum("n_s").over(w_above), F.lit(0)).alias("n_above"),
+        F.coalesce(F.sum("p_s").over(w_above), F.lit(0)).alias("p_above"),
+    )
+    ranked = in_bucket.join(F.broadcast(prefix), "score_bp").select(
+        "y",
+        (F.col("n_above") + F.col("rk_in")).alias("k"),
+        (F.col("p_above") + F.col("pos_in")).alias("cum_pos"),
+    )
+    terms = ranked.agg(
+        F.sum(
+            F.when(
+                F.col("y") == 1,
+                F.expr(f"cum_pos * {_AUC_SCALE} div k"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("ap_sum"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.count("*").cast("long").alias("n_total"),
+    )
+    return terms.select(
+        "n_pos",
+        "n_total",
+        F.expr("CAST(ap_sum div (n_pos * 1000000) AS BIGINT)").alias("ap_ppm"),
+    )
+
+
+# McNemar operating points: classifier A thresholds the stopword score,
+# classifier B thresholds the distinct-token ratio (both in basis
+# points, fixed cutoffs near the fixture medians so all four cells of
+# the paired table populate).
+_MCN_A_BP = 9400
+_MCN_B_BP = 4600
+
+
+@register(
+    "mcnemar_paired_eval",
+    oracle_sql=f"""
+    WITH scored AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             CASE WHEN 10000 - CAST(len(list_intersect({{tok}},
+                         {_F1_STOPS_DUCK})) AS BIGINT) * 10000
+                       // len({{tok}}) >= {_MCN_A_BP}
+                  THEN 1 ELSE 0 END AS pred_a,
+             CASE WHEN CAST(len(list_distinct({{tok}})) AS BIGINT) * 10000
+                       // len({{tok}}) >= {_MCN_B_BP}
+                  THEN 1 ELSE 0 END AS pred_b
+      FROM documents WHERE len({{tok}}) > 0
+    ),
+    cells AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN pred_a = y AND pred_b <> y
+                      THEN 1 ELSE 0 END) AS BIGINT) AS b_only_a,
+             CAST(sum(CASE WHEN pred_a <> y AND pred_b = y
+                      THEN 1 ELSE 0 END) AS BIGINT) AS c_only_b,
+             CAST(sum(CASE WHEN pred_a = y THEN 1 ELSE 0 END) AS BIGINT)
+               AS acc_a_n,
+             CAST(sum(CASE WHEN pred_b = y THEN 1 ELSE 0 END) AS BIGINT)
+               AS acc_b_n
+      FROM scored
+    )
+    SELECT n, b_only_a, c_only_b, acc_a_n, acc_b_n,
+           CAST(CASE WHEN b_only_a + c_only_b > 0
+                THEN (b_only_a - c_only_b) * (b_only_a - c_only_b)
+                     * 1000000 // (b_only_a + c_only_b)
+                ELSE 0 END AS BIGINT) AS chi2_ppm
+    FROM cells
+    """.format(tok=_TOK),
+    tags=("text", "eval", "paired-test", "pipeline"),
+)
+def mcnemar_paired_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test comparing TWO quality classifiers on the
+    SAME documents — the statistically-correct way to claim "filter A
+    beats filter B" (unpaired accuracy comparison wastes the pairing):
+    only the DISCORDANT cells matter, b = A right & B wrong, c = A
+    wrong & B right; chi2 = (b-c)^2/(b+c) (1 df).  Classifier A
+    thresholds the stopword score at {_MCN_A_BP} bp, classifier B the
+    distinct-token ratio at {_MCN_B_BP} bp, both against lang=='en' —
+    the same label the rest of the eval pack grades, so the accuracy
+    columns reconcile with [[f1_threshold_sweep]]'s curve.
+
+    Scale shape: one doc-grain map, one 1-row reduce.  The entire
+    statistic is map-side-combinable — the cheapest possible eval at
+    100 TB.
+
+    Reference analog: none (LLM-pipeline eval surface per the brief).
+    """
+    d = compute_scan(spark, sf_dir, "documents")
+    ts = tokenize(F.col("text"))
+    scored = (
+        d.select("lang", ts.alias("ts"))
+        .filter(F.size("ts") > 0)
+        .select(
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+            F.expr(
+                f"CASE WHEN 10000 - CAST(size(array_intersect(ts, {_F1_STOPS}))"
+                f" AS BIGINT) * 10000 div size(ts) >= {_MCN_A_BP}"
+                " THEN 1 ELSE 0 END"
+            ).alias("pred_a"),
+            F.expr(
+                f"CASE WHEN CAST(size(array_distinct(ts)) AS BIGINT) * 10000"
+                f" div size(ts) >= {_MCN_B_BP} THEN 1 ELSE 0 END"
+            ).alias("pred_b"),
+        )
+    )
+    cells = scored.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            F.when((F.col("pred_a") == F.col("y")) & (F.col("pred_b") != F.col("y")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("b_only_a"),
+        F.sum(
+            F.when((F.col("pred_a") != F.col("y")) & (F.col("pred_b") == F.col("y")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("c_only_b"),
+        F.sum(F.when(F.col("pred_a") == F.col("y"), 1).otherwise(0))
+        .cast("long")
+        .alias("acc_a_n"),
+        F.sum(F.when(F.col("pred_b") == F.col("y"), 1).otherwise(0))
+        .cast("long")
+        .alias("acc_b_n"),
+    )
+    return cells.select(
+        "n",
+        "b_only_a",
+        "c_only_b",
+        "acc_a_n",
+        "acc_b_n",
+        F.expr(
+            "CAST(CASE WHEN b_only_a + c_only_b > 0"
+            " THEN (b_only_a - c_only_b) * (b_only_a - c_only_b)"
+            " * 1000000 div (b_only_a + c_only_b)"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("chi2_ppm"),
+    )
+
+
+def _bleu_oracle() -> str:
+    parts = []
+    for n in (1, 2, 3, 4):
+        parts.append(f"""
+    m{n} AS (
+      SELECT doc_id, CAST(sum(least(cr, cg)) AS BIGINT) AS m{n}
+      FROM (
+        SELECT doc_id, gram, count(*) AS cr FROM (
+          SELECT doc_id, unnest({duckdb_ngrams("ref_ts", n)}) AS gram
+          FROM pairs
+        ) GROUP BY doc_id, gram
+      ) r
+      JOIN (
+        SELECT doc_id, gram, count(*) AS cg FROM (
+          SELECT doc_id, unnest({duckdb_ngrams("gen_ts", n)}) AS gram
+          FROM pairs
+        ) GROUP BY doc_id, gram
+      ) g USING (doc_id, gram)
+      GROUP BY doc_id
+    )""")
+    m_ctes = ",".join(parts)
+    sel = ",\n           ".join(
+        f"CAST(coalesce(m{n}.m{n}, 0) AS BIGINT) AS m{n},"
+        f" CAST(greatest(len(gen_ts) - {n - 1}, 0) AS BIGINT) AS g{n}"
+        for n in (1, 2, 3, 4)
+    )
+    joins = " ".join(f"LEFT JOIN m{n} USING (doc_id)" for n in (1, 2, 3, 4))
+    return f"""
+    WITH pairs AS (
+      SELECT doc_id, {_TOK} AS ref_ts,
+             list_filter({_TOK}, (t, i) -> i % {CER_DROP_MOD} <> 0) AS gen_ts
+      FROM documents WHERE len({_TOK}) > 0
+    ),{m_ctes}
+    SELECT p.doc_id,
+           CAST(len(ref_ts) AS BIGINT) AS r_len,
+           CAST(len(gen_ts) AS BIGINT) AS c_len,
+           {sel}
+    FROM pairs p {joins}
+    """
+
+
+@register(
+    "bleu_ngram_component_eval",
+    oracle_sql=_bleu_oracle(),
+    tags=("text", "eval", "bleu", "pipeline"),
+)
+def bleu_ngram_component_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU components per (reference, generation) pair — clipped
+    modified n-gram matches m_n and candidate n-gram totals g_n for
+    n = 1..4 plus both lengths, on the SAME deterministic corruption
+    pairs as [[generation_cer_eval]] / [[rouge_n_overlap_eval]] (every
+    {{CER_DROP_MOD}}th token dropped), so the three generation metrics
+    grade identical pairs.  Emitted as exact integers: corpus BLEU is
+    then one tiny reduction downstream (sum the columns, geometric-mean
+    the four precisions, apply exp(1 - r/c) brevity) — kept out of the
+    distributed stage because exp/ln are the only non-exact steps.
+
+    Scale shape: per n, the gram counts are (doc_id, gram)-keyed
+    map-side-combined aggregates and the clip is a (doc_id, gram)
+    equi-join — [[rouge_n_overlap_eval]]'s plan times four, everything
+    keyed and linear, the final assembly a doc-grain join.
+
+    Reference analog: none (LLM-pipeline eval surface per the brief).
+    """
+    d = compute_scan(spark, sf_dir, "documents")
+    ts = tokenize(F.col("text"))
+    pairs = (
+        d.select("doc_id", ts.alias("ref_ts"))
+        .filter(F.size("ref_ts") > 0)
+        .select(
+            "doc_id",
+            "ref_ts",
+            F.filter(
+                "ref_ts", lambda t, i: (i + 1) % CER_DROP_MOD != 0
+            ).alias("gen_ts"),
+        )
+        # token arrays consumed by eight explodes + the lengths row
+        .cache()
+    )
+
+    def _counts(col, alias):
+        return (
+            pairs.select("doc_id", F.explode(col).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias(alias))
+        )
+
+    out = pairs.select(
+        "doc_id",
+        F.size("ref_ts").cast("long").alias("r_len"),
+        F.size("gen_ts").cast("long").alias("c_len"),
+    )
+    for n in (1, 2, 3, 4):
+        m = (
+            _counts(ngrams(F.col("ref_ts"), n), "cr")
+            .join(_counts(ngrams(F.col("gen_ts"), n), "cg"), ["doc_id", "g"])
+            .groupBy("doc_id")
+            .agg(F.sum(F.least("cr", "cg")).alias(f"_m{n}"))
+        )
+        out = (
+            out.join(m, "doc_id", "left")
+            .withColumn(f"m{n}", F.coalesce(f"_m{n}", F.lit(0)).cast("long"))
+            .withColumn(
+                f"g{n}",
+                F.greatest(F.col("c_len") - (n - 1), F.lit(0)).cast("long"),
+            )
+            .drop(f"_m{n}")
+        )
+    return out

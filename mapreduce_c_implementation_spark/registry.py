@@ -109,6 +109,10 @@ def register(
 _DRIVER_NEW_THIS_ROUND: list[str] = [
     "stream_substring_screen",
     "join_asof_binned",
+    "roc_auc_rank_exact",
+    "average_precision_eval",
+    "mcnemar_paired_eval",
+    "bleu_ngram_component_eval",
 ]
 
 # Regression re-verification queue: registration order, resuming where

@@ -347,8 +347,15 @@ SWEPT_OPS = [
     # checkpointed coverage loop.
     "quantile_treatment_effects",
     "greedy_set_cover_docs",
-    # round-11 wave: the binned as-of's (key, bin) equi-join + argmax.
+    # round-11 wave: the binned as-of's (key, bin) equi-join + argmax,
+    # the bounded score-grain rank metrics (AUC's margin windows, AP's
+    # two-pass bucketed rank), the 1-row paired test, and BLEU's
+    # (doc, gram)-keyed clip joins.
     "join_asof_binned",
+    "roc_auc_rank_exact",
+    "average_precision_eval",
+    "mcnemar_paired_eval",
+    "bleu_ngram_component_eval",
 ]
 
 
