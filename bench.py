@@ -204,6 +204,9 @@ HEADLINE = [
     "average_precision_eval",
     "mcnemar_paired_eval",
     "bleu_ngram_component_eval",
+    "friedman_test_daily",
+    "kendall_tau_topk_terms",
+    "graph_clustering_coefficient",
 ]
 
 

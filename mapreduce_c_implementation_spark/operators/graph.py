@@ -1137,3 +1137,111 @@ def graph_kcore_peel_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("layer").cast("long").alias("peel_layer"),
         F.col("d").cast("long").alias("degree_at_peel"),
     )
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle_sql=f"""
+    WITH {_SQL_GRAPH_CTES.strip()},
+    {_SQL_UND_EDGES.strip()},
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT u AS node FROM und UNION ALL SELECT v FROM und
+      ) GROUP BY node
+    ),
+    tris AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM und e1
+      JOIN und e2 ON e2.u = e1.v
+      JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    pernode AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        SELECT a AS node FROM tris
+        UNION ALL SELECT b FROM tris
+        UNION ALL SELECT c FROM tris
+      ) GROUP BY node
+    )
+    SELECT n.n_name,
+           COALESCE(d.degree, 0) AS degree,
+           COALESCE(p.n_triangles, 0) AS n_triangles,
+           CAST(CASE WHEN COALESCE(d.degree, 0) >= 2
+                THEN 2 * COALESCE(p.n_triangles, 0) * 1000000
+                     // (d.degree * (d.degree - 1))
+                ELSE 0 END AS BIGINT) AS cc_ppm
+    FROM nodes n
+    LEFT JOIN deg d ON d.node = n.node
+    LEFT JOIN pernode p ON p.node = n.node
+    """,
+    tags=("graph", "join", "clustering"),
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node over the undirected trade
+    graph: cc(v) = 2*T(v) / (deg(v)*(deg(v)-1)) — how close each
+    node's neighborhood is to a clique, the standard community-density
+    screen run before committing to a clustering pass.  Completes the
+    triangle family: [[graph_triangle_count]] gives the numerator,
+    this op closes it with the degree denominator (ppm-floored, exact
+    integers end to end; deg < 2 pins cc = 0).
+
+    Scale shape: [[graph_triangle_count]]'s canonical-orientation
+    two-hop join for T(v), one UNION-ALL degree aggregate for deg(v),
+    one node-keyed assembly join — all equi-keyed on the aggregated
+    edge list.  The billion-node refinement is the same degree-ordered
+    orientation noted there.
+
+    Reference analog: none (SURVEY §2.2 graph surface).
+    """
+    edges = _trade_edges(spark, sf_dir)
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    pernode = (
+        tris.select(F.col("a").alias("node"))
+        .union(tris.select(F.col("b").alias("node")))
+        .union(tris.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    nodes = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node"), "n_name"
+    )
+    return (
+        nodes.join(deg, "node", "left")
+        .join(pernode, "node", "left")
+        .select(
+            "n_name",
+            F.coalesce("degree", F.lit(0)).alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.expr(
+                "CAST(CASE WHEN coalesce(degree, 0) >= 2"
+                " THEN 2 * coalesce(n_triangles, 0) * 1000000"
+                " div (degree * (degree - 1))"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("cc_ppm"),
+        )
+    )

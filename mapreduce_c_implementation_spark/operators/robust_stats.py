@@ -2707,3 +2707,249 @@ def brown_forsythe_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000) AS BIGINT)"
         ).alias("w_milli"),
     )
+
+
+# --- Round 11: Friedman test on daily treatment totals -------------------
+#
+# Blocks = calendar days, treatments = the K event types, observation =
+# the day's value total per type in integer cents (no division, no
+# floats anywhere).  Complete-design rule: only days where ALL K types
+# appear enter the test.
+
+FRIEDMAN_K = 5  # event types in the fixture: click/error/purchase/signup/view
+
+
+@register(
+    "friedman_test_daily",
+    oracle_sql=f"""
+    WITH cells AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type,
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS tot
+      FROM events GROUP BY 1, 2
+    ),
+    full_days AS (
+      SELECT d FROM cells GROUP BY d
+      HAVING count(DISTINCT event_type) = {FRIEDMAN_K}
+    ),
+    ranked AS (
+      SELECT c.d, c.event_type,
+             2 * rank() OVER (PARTITION BY c.d ORDER BY c.tot)
+               + count(*) OVER (PARTITION BY c.d, c.tot) - 1 AS rank2
+      FROM cells c JOIN full_days USING (d)
+    ),
+    sums AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(rank2) AS BIGINT) AS rank2_sum
+      FROM ranked GROUP BY event_type
+    ),
+    stat AS (
+      SELECT CAST(
+               3000000 * sum(rank2_sum * rank2_sum)
+                 // (any_value(n_days) * {FRIEDMAN_K} * {FRIEDMAN_K + 1})
+               - 3000000 * any_value(n_days) * {FRIEDMAN_K + 1}
+             AS BIGINT) AS chi2_ppm
+      FROM sums
+    )
+    SELECT s.event_type, s.n_days, s.rank2_sum, st.chi2_ppm
+    FROM sums s CROSS JOIN stat st
+    """,
+    tags=("stats", "nonparametric", "friedman"),
+)
+def friedman_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman's rank test across the {FRIEDMAN_K} event types with
+    calendar days as blocks — the nonparametric repeated-measures
+    ANOVA: does any event type's daily value total systematically rank
+    above the others, with each day's shared level ranked away?  The
+    within-block complement of [[kruskal_wallis_binned]] (which pools
+    all observations into one ranking) and the k-treatment extension
+    of [[wilcoxon_signed_rank_daily]]'s paired two-sample form.
+
+    Exactness: observations are integer cents (no division); midranks
+    over ties stay integer as DOUBLED ranks (2*rank + ties - 1, the
+    [[mann_whitney_u_binned]] device), so chi2 = 12/(nk(k+1)) sum R_j^2
+    - 3n(k+1) becomes 3e6*sum(R2_j^2)//(nk(k+1)) - 3e6*n(k+1) — pure
+    integer arithmetic, ppm-floored once.  Days missing a type drop
+    (complete-design rule), keeping every block's rank set identical.
+
+    Scale shape: one map-side-combined aggregate to the (day, type)
+    grain; all windows after run on that CALENDAR-BOUNDED table
+    (days x {FRIEDMAN_K} rows at any corpus size — the
+    [[theil_sen_daily_trend]] rule).
+
+    Reference analog: none (SURVEY §2.2 stats surface).
+    """
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    cells = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+            "event_type",
+        )
+        .agg(F.sum(cents).alias("tot"))
+    )
+    full_days = (
+        cells.groupBy("d")
+        .agg(F.count_distinct("event_type").alias("nt"))
+        .filter(F.col("nt") == FRIEDMAN_K)
+        .select("d")
+    )
+    w_rank = Window.partitionBy("d").orderBy("tot")
+    w_tie = Window.partitionBy("d", "tot")
+    ranked = cells.join(full_days, "d").select(
+        "event_type",
+        (2 * F.rank().over(w_rank) + F.count("*").over(w_tie) - 1).alias(
+            "rank2"
+        ),
+    )
+    sums = ranked.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("rank2").cast("long").alias("rank2_sum"),
+    )
+    stat = sums.agg(
+        F.expr(
+            f"CAST(3000000 * sum(rank2_sum * rank2_sum)"
+            f" div (any_value(n_days) * {FRIEDMAN_K} * {FRIEDMAN_K + 1})"
+            f" - 3000000 * any_value(n_days) * {FRIEDMAN_K + 1} AS BIGINT)"
+        ).alias("chi2_ppm")
+    )
+    return sums.crossJoin(F.broadcast(stat)).select(
+        "event_type", "n_days", "rank2_sum", "chi2_ppm"
+    )
+
+
+# --- Round 11: Kendall tau over the two sources' top-K term ranks --------
+
+KT_SRC_A = "src0"
+KT_SRC_B = "src1"
+KT_TOPK = 100
+
+
+@register(
+    "kendall_tau_topk_terms",
+    oracle_sql=f"""
+    WITH toks AS (
+      SELECT source, unnest({{tok}}) AS term FROM documents
+      WHERE source IN ('{KT_SRC_A}', '{KT_SRC_B}')
+    ),
+    counts AS (
+      SELECT term,
+             CAST(sum(CASE WHEN source = '{KT_SRC_A}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(sum(CASE WHEN source = '{KT_SRC_B}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b
+      FROM toks GROUP BY term
+    ),
+    topk AS (
+      SELECT term, a, b FROM counts
+      ORDER BY a + b DESC, term LIMIT {KT_TOPK}
+    ),
+    pairs AS (
+      SELECT CASE WHEN (x.a - y.a) * (x.b - y.b) > 0 THEN 1 ELSE 0 END AS con,
+             CASE WHEN (x.a - y.a) * (x.b - y.b) < 0 THEN 1 ELSE 0 END AS dis,
+             CASE WHEN x.a = y.a AND x.b <> y.b THEN 1 ELSE 0 END AS tie_a,
+             CASE WHEN x.b = y.b AND x.a <> y.a THEN 1 ELSE 0 END AS tie_b,
+             CASE WHEN x.a = y.a AND x.b = y.b THEN 1 ELSE 0 END AS tie_ab
+      FROM topk x JOIN topk y ON x.term < y.term
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(con) AS BIGINT) AS concordant,
+             CAST(sum(dis) AS BIGINT) AS discordant,
+             CAST(sum(tie_a) AS BIGINT) AS ties_a,
+             CAST(sum(tie_b) AS BIGINT) AS ties_b,
+             CAST(sum(tie_ab) AS BIGINT) AS ties_both
+      FROM pairs
+    )
+    SELECT n_pairs, concordant, discordant, ties_a, ties_b, ties_both,
+           CAST(CASE WHEN concordant >= discordant THEN 1 ELSE -1 END
+                * (abs(concordant - discordant) * 1000000 // n_pairs)
+                AS BIGINT) AS tau_a_ppm
+    FROM agg
+    """.format(tok=DUCKDB_TOKENIZE.format(col="text")),
+    tags=("stats", "rank-correlation", "drift"),
+)
+def kendall_tau_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-a between two sources' term-frequency rankings over
+    their joint top-{KT_TOPK} vocabulary — the CONCORDANCE view of
+    cross-source drift: [[spearman_rank_correlation]] compares rank
+    DISPLACEMENTS, tau counts pairwise order INVERSIONS, which is the
+    number a reviewer can audit ("in how many term pairs do the two
+    sources disagree about which is more frequent?").  Tie pairs are
+    reported in all three margins so tau-b is one downstream formula
+    (it needs a sqrt, kept out of the exact stage).
+
+    Exactness: counts are integers; concordance signs come from integer
+    products; tau-a's single ppm division splits sign and magnitude so
+    Spark's truncating div and DuckDB's flooring // cannot diverge on
+    the negative side.
+
+    Scale shape: one (source, term) map-side-combined count, a
+    deterministic top-K head (total DESC, term ASC — the TakeOrdered
+    pattern, never a global sort), then the K x K pair grid on a
+    broadcast {KT_TOPK}-row table — bounded at any corpus size.
+
+    Reference analog: none (SURVEY §2.2 stats surface).
+    """
+    d = compute_scan(spark, sf_dir, "documents").filter(
+        F.col("source").isin(KT_SRC_A, KT_SRC_B)
+    )
+    counts = (
+        d.select("source", F.explode(tokenize(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(
+            F.sum(F.when(F.col("source") == KT_SRC_A, 1).otherwise(0))
+            .cast("long")
+            .alias("a"),
+            F.sum(F.when(F.col("source") == KT_SRC_B, 1).otherwise(0))
+            .cast("long")
+            .alias("b"),
+        )
+    )
+    topk = counts.orderBy(
+        F.desc(F.col("a") + F.col("b")), F.asc("term")
+    ).limit(KT_TOPK)
+    x, y = topk.alias("x"), topk.alias("y")
+    prod = (F.col("x.a") - F.col("y.a")) * (F.col("x.b") - F.col("y.b"))
+    pairs = x.join(
+        F.broadcast(y), F.col("x.term") < F.col("y.term")
+    ).select(
+        F.when(prod > 0, 1).otherwise(0).alias("con"),
+        F.when(prod < 0, 1).otherwise(0).alias("dis"),
+        F.when(
+            (F.col("x.a") == F.col("y.a")) & (F.col("x.b") != F.col("y.b")), 1
+        )
+        .otherwise(0)
+        .alias("tie_a"),
+        F.when(
+            (F.col("x.b") == F.col("y.b")) & (F.col("x.a") != F.col("y.a")), 1
+        )
+        .otherwise(0)
+        .alias("tie_b"),
+        F.when(
+            (F.col("x.a") == F.col("y.a")) & (F.col("x.b") == F.col("y.b")), 1
+        )
+        .otherwise(0)
+        .alias("tie_ab"),
+    )
+    agg = pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("con").cast("long").alias("concordant"),
+        F.sum("dis").cast("long").alias("discordant"),
+        F.sum("tie_a").cast("long").alias("ties_a"),
+        F.sum("tie_b").cast("long").alias("ties_b"),
+        F.sum("tie_ab").cast("long").alias("ties_both"),
+    )
+    return agg.select(
+        "n_pairs",
+        "concordant",
+        "discordant",
+        "ties_a",
+        "ties_b",
+        "ties_both",
+        F.expr(
+            "CAST(CASE WHEN concordant >= discordant THEN 1 ELSE -1 END"
+            " * (abs(concordant - discordant) * 1000000 div n_pairs)"
+            " AS BIGINT)"
+        ).alias("tau_a_ppm"),
+    )

@@ -113,6 +113,9 @@ _DRIVER_NEW_THIS_ROUND: list[str] = [
     "average_precision_eval",
     "mcnemar_paired_eval",
     "bleu_ngram_component_eval",
+    "friedman_test_daily",
+    "kendall_tau_topk_terms",
+    "graph_clustering_coefficient",
 ]
 
 # Regression re-verification queue: registration order, resuming where

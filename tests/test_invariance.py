@@ -356,6 +356,11 @@ SWEPT_OPS = [
     "average_precision_eval",
     "mcnemar_paired_eval",
     "bleu_ngram_component_eval",
+    # round-11 second wave: calendar-bounded block ranks, the bounded
+    # top-K pair grid, and the triangle/degree assembly joins.
+    "friedman_test_daily",
+    "kendall_tau_topk_terms",
+    "graph_clustering_coefficient",
 ]
 
 
