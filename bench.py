@@ -207,6 +207,10 @@ HEADLINE = [
     "friedman_test_daily",
     "kendall_tau_topk_terms",
     "graph_clustering_coefficient",
+    "luhn_checksum_pii_screen",
+    "feature_target_encode_oof",
+    "fk_candidate_discovery",
+    "holt_linear_daily",
 ]
 
 

@@ -2930,3 +2930,107 @@ def quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
         "control_q_cents",
         "qte_cents",
     )
+
+
+# --- Round 11: FK-candidate discovery by value containment ----------------
+#
+# The profiling pass run before trusting a schema: for each candidate
+# (child column, parent column) pair, what fraction of the child's
+# DISTINCT values exist in the parent?  containment ~ 1e6 ppm means
+# "referential integrity would hold if declared"; the pair list mixes
+# true FKs, a reversed direction, and a cross-table non-key to show
+# the measure separating them.
+_FK_PAIRS = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("orders", "o_orderkey", "lineitem", "l_orderkey"),  # reversed
+    ("events", "user_id", "customer", "c_custkey"),      # non-FK probe
+]
+
+
+def _fk_oracle() -> str:
+    parts = []
+    for ct, cc, pt, pc in _FK_PAIRS:
+        parts.append(f"""
+    SELECT '{ct}.{cc}' AS child_col, '{pt}.{pc}' AS parent_col,
+           (SELECT CAST(count(DISTINCT {cc}) AS BIGINT) FROM {ct})
+             AS n_child_distinct,
+           (SELECT CAST(count(DISTINCT {pc}) AS BIGINT) FROM {pt})
+             AS n_parent_distinct,
+           (SELECT CAST(count(*) AS BIGINT) FROM
+              (SELECT DISTINCT {cc} AS v FROM {ct}) c
+              WHERE v IN (SELECT {pc} FROM {pt}))
+             AS n_contained""")
+    union = " UNION ALL ".join(parts)
+    return f"""
+    SELECT child_col, parent_col, n_child_distinct, n_parent_distinct,
+           n_contained,
+           CAST(n_contained * 1000000 // n_child_distinct AS BIGINT)
+             AS containment_ppm
+    FROM ({union})
+    """
+
+
+@register(
+    "fk_candidate_discovery",
+    oracle_sql=_fk_oracle(),
+    tags=("profiling", "schema", "fk", "containment"),
+)
+def fk_candidate_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key CANDIDATE discovery by distinct-value containment —
+    the schema-inference complement to [[fk_integrity_check]] (which
+    verifies a DECLARED key, this ranks undeclared pairs): for each
+    candidate (child, parent) column pair, |distinct(child) IN parent|
+    / |distinct(child)| in ppm.  True FKs score 1e6; the reversed
+    direction scores low (orders -> lineitem keys are a superset
+    check); the events.user_id probe measures how much of the event
+    traffic maps onto known customers.
+
+    Scale shape: per pair, two map-side-combined DISTINCT aggregates
+    and one semi-join between the two distinct-value tables (key-grain,
+    never fact-grain); the six 1-row results union.  At 100 TB this is
+    the exact plan a profiler runs per column pair — cost is bounded by
+    the distinct-value cardinalities, not table sizes.
+
+    Reference analog: none (SURVEY §2.2 profiling surface).
+    """
+    out = None
+    for ct, cc, pt, pc in _FK_PAIRS:
+        child = (
+            load_table(spark, sf_dir, ct).select(F.col(cc).alias("v")).distinct()
+        )
+        parent = (
+            load_table(spark, sf_dir, pt).select(F.col(pc).alias("v")).distinct()
+        )
+        row = (
+            child.withColumn("_one", F.lit(1))
+            .join(parent.withColumn("_hit", F.lit(1)), "v", "left")
+            .agg(
+                F.count("*").cast("long").alias("n_child_distinct"),
+                F.sum(F.coalesce("_hit", F.lit(0)))
+                .cast("long")
+                .alias("n_contained"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    parent.agg(
+                        F.count("*").cast("long").alias("n_parent_distinct")
+                    )
+                )
+            )
+            .select(
+                F.lit(f"{ct}.{cc}").alias("child_col"),
+                F.lit(f"{pt}.{pc}").alias("parent_col"),
+                "n_child_distinct",
+                "n_parent_distinct",
+                "n_contained",
+                F.expr(
+                    "CAST(n_contained * 1000000 div n_child_distinct"
+                    " AS BIGINT)"
+                ).alias("containment_ppm"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

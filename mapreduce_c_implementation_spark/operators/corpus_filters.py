@@ -3230,3 +3230,123 @@ def t_closeness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("t_close"),
     )
+
+
+# --- Round 11: Luhn-validated PAN screen ----------------------------------
+#
+# Regex digit-run screens over-fire: most 13-19-digit runs are ids,
+# not card numbers.  The Luhn checksum cuts ~90% of those false
+# positives (a random digit run passes with p = 1/10).  The fixture is
+# digit-free, so the [[pii_redaction]] augmentation device plants
+# known test PANs — half Luhn-valid, half last-digit-corrupted.
+_LUHN_PANS = [
+    "4111111111111111",  # valid
+    "4111111111111121",  # corrupted
+    "378282246310005",   # valid (15-digit)
+    "378282246310006",   # corrupted
+    "6011111111111117",  # valid
+    "6011111111111118",  # corrupted
+]
+_LUHN_RE = "[0-9]{13,19}"
+
+
+@register(
+    "luhn_checksum_pii_screen",
+    oracle_sql=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' pay '
+                  || (['{"','".join(_LUHN_PANS)}'])[(doc_id % 6) + 1]
+                  || CASE WHEN doc_id % 5 = 0
+                          THEN ' or ' || (['{"','".join(_LUHN_PANS)}'])
+                                           [((doc_id + 2) % 6) + 1]
+                          ELSE '' END AS text
+      FROM documents
+    ),
+    runs AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '{_LUHN_RE}')) AS cand
+      FROM aug
+    ),
+    checked AS (
+      SELECT doc_id, cand,
+             CASE WHEN list_sum(list_transform(
+                    list_reverse(string_split_regex(cand, '')),
+                    (ch, i) -> CASE WHEN i % 2 = 0
+                               THEN CASE WHEN 2 * CAST(ch AS INTEGER) > 9
+                                         THEN 2 * CAST(ch AS INTEGER) - 9
+                                         ELSE 2 * CAST(ch AS INTEGER) END
+                               ELSE CAST(ch AS INTEGER) END)) % 10 = 0
+                  THEN 1 ELSE 0 END AS ok
+      FROM runs
+    )
+    SELECT a.doc_id,
+           CAST(coalesce(count(c.cand), 0) AS BIGINT) AS n_candidates,
+           CAST(coalesce(sum(c.ok), 0) AS BIGINT) AS n_luhn_valid,
+           CAST(CASE WHEN coalesce(sum(c.ok), 0) > 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS has_pan
+    FROM aug a LEFT JOIN checked c USING (doc_id)
+    GROUP BY a.doc_id
+    """,
+    tags=("text", "pii", "luhn", "pipeline"),
+)
+def luhn_checksum_pii_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Credit-card (PAN) screen with Luhn checksum VALIDATION — the
+    precision upgrade over [[pii_redaction]]'s pattern-only matching:
+    every 13-19-digit run is a candidate, but only runs whose Luhn
+    checksum verifies count as card numbers (a random digit run passes
+    at 10%, so the checksum removes ~90% of id/timestamp false
+    positives before a human or redactor ever sees them).  The
+    checksum is the classic right-to-left double-every-second-digit
+    fold, expressed as in-row HOF arithmetic in BOTH engines (Spark
+    ``transform``+``aggregate`` 0-based, DuckDB ``list_transform``
+    1-based — the parity constants differ by exactly that offset).
+
+    Scale shape: pure per-row map (regexp extract + bounded in-row
+    fold per candidate), one doc-grain aggregate.  Nothing shuffles
+    but the final count table; WholeStageCodegen end to end.
+
+    Reference analog: none (corpus-hygiene surface per the brief).
+    """
+    pans = ",".join(f"'{p}'" for p in _LUHN_PANS)
+    aug = parallel_scan(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            f"concat(text, ' pay ', element_at(array({pans}),"
+            " CAST(doc_id % 6 AS INT) + 1),"
+            " CASE WHEN doc_id % 5 = 0 THEN concat(' or ',"
+            f" element_at(array({pans}), CAST((doc_id + 2) % 6 AS INT) + 1))"
+            " ELSE '' END)"
+        ).alias("text"),
+    )
+    cands = aug.select(
+        "doc_id",
+        F.expr(f"regexp_extract_all(text, '{_LUHN_RE}', 0)").alias("cands"),
+    )
+    # 0-based index in Spark's transform: double 0-based ODD positions
+    # of the reversed digits (= 1-based even, the DuckDB branch).
+    luhn_ok = (
+        "CASE WHEN aggregate(transform(reverse(split(cand, '')),"
+        " (ch, i) -> CASE WHEN i % 2 = 1"
+        " THEN CASE WHEN 2 * CAST(ch AS INT) > 9"
+        " THEN 2 * CAST(ch AS INT) - 9 ELSE 2 * CAST(ch AS INT) END"
+        " ELSE CAST(ch AS INT) END), 0, (a, x) -> a + x) % 10 = 0"
+        " THEN 1 ELSE 0 END"
+    )
+    checked = cands.select(
+        "doc_id",
+        F.size("cands").cast("long").alias("n_candidates"),
+        F.expr(
+            f"aggregate(transform(cands, cand -> {luhn_ok}), 0,"
+            " (a, x) -> a + x)"
+        )
+        .cast("long")
+        .alias("n_luhn_valid"),
+    )
+    return checked.select(
+        "doc_id",
+        "n_candidates",
+        "n_luhn_valid",
+        F.when(F.col("n_luhn_valid") > 0, 1).otherwise(0).cast("long").alias(
+            "has_pan"
+        ),
+    )

@@ -475,3 +475,127 @@ def woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+TE_OOF_FOLDS = 5
+
+
+@register(
+    "feature_target_encode_oof",
+    oracle_sql=f"""
+    WITH cents AS (
+      SELECT c_custkey, c_mktsegment, c_custkey % {TE_OOF_FOLDS} AS fold,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer
+    ),
+    cat_fold AS (
+      SELECT c_mktsegment, fold,
+             CAST(count(*) AS BIGINT) AS n_cf,
+             CAST(sum(bal_cents) AS BIGINT) AS s_cf
+      FROM cents GROUP BY 1, 2
+    ),
+    cat_tot AS (
+      SELECT c_mktsegment,
+             CAST(sum(n_cf) AS BIGINT) AS n_c,
+             CAST(sum(s_cf) AS BIGINT) AS s_c
+      FROM cat_fold GROUP BY 1
+    ),
+    fold_tot AS (
+      SELECT fold,
+             CAST(sum(n_cf) AS BIGINT) AS n_f,
+             CAST(sum(s_cf) AS BIGINT) AS s_f
+      FROM cat_fold GROUP BY 1
+    ),
+    g_tot AS (
+      SELECT CAST(sum(n_f) AS BIGINT) AS n_g, CAST(sum(s_f) AS BIGINT) AS s_g
+      FROM fold_tot
+    ),
+    enc AS (
+      SELECT cf.c_mktsegment, cf.fold,
+             CAST({_SQL_TDIV.format(u="g.s_g - f.s_f", m="g.n_g - f.n_f")}
+                  AS BIGINT) AS gmean_oof,
+             CAST({_SQL_TDIV.format(
+                 u=f"ct.s_c - cf.s_cf + {TE_SMOOTH_M} * "
+                   f"{_SQL_TDIV.format(u='g.s_g - f.s_f', m='g.n_g - f.n_f')}",
+                 m=f"ct.n_c - cf.n_cf + {TE_SMOOTH_M}")} AS BIGINT)
+               AS enc_cents
+      FROM cat_fold cf
+      JOIN cat_tot ct USING (c_mktsegment)
+      JOIN fold_tot f USING (fold)
+      CROSS JOIN g_tot g
+    )
+    SELECT c.c_custkey, c.c_mktsegment, c.fold, e.gmean_oof, e.enc_cents
+    FROM cents c
+    JOIN enc e ON e.c_mktsegment = c.c_mktsegment AND e.fold = c.fold
+    ORDER BY c.c_custkey
+    """,
+    tags=("features", "encoding", "target", "leakage"),
+)
+def feature_target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUT-OF-FOLD smoothed target encoding — [[feature_target_encode]]
+    made leakage-free for training: each row's encoding uses only the
+    OTHER {TE_OOF_FOLDS - 1} folds' statistics (category sums minus the
+    row's own fold's contribution, global mean likewise), so the
+    encoded feature never contains the row's own label — the
+    train-time discipline whose absence [[cross_split_leakage_audit]]
+    would flag as target leakage.  Smoothing prior m={TE_SMOOTH_M}
+    shrinks rare (category, fold-complement) cells toward the
+    fold-complement global mean.
+
+    Exactness: integer cents, all sums int64; both divisions use the
+    pinned trunc-toward-zero form (balances go negative, where Spark's
+    ``div`` and DuckDB's ``//`` differ by 1).
+
+    Scale shape: ONE map-side-combined aggregate to the (category,
+    fold) grain; category totals, fold totals and the global total all
+    roll up from that tiny table; the encoded (category, fold)
+    vocabulary joins back without a forced broadcast (the
+    [[feature_target_encode]] rule — category cardinality is unbounded
+    at 100 TB).  The fact table is aggregated once and joined once.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_custkey") % TE_OOF_FOLDS).alias("fold"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    cat_fold = c.groupBy("c_mktsegment", "fold").agg(
+        F.count("*").cast("long").alias("n_cf"),
+        F.sum("bal_cents").cast("long").alias("s_cf"),
+    )
+    cat_tot = cat_fold.groupBy("c_mktsegment").agg(
+        F.sum("n_cf").cast("long").alias("n_c"),
+        F.sum("s_cf").cast("long").alias("s_c"),
+    )
+    fold_tot = cat_fold.groupBy("fold").agg(
+        F.sum("n_cf").cast("long").alias("n_f"),
+        F.sum("s_cf").cast("long").alias("s_f"),
+    )
+    g_tot = fold_tot.agg(
+        F.sum("n_f").cast("long").alias("n_g"),
+        F.sum("s_f").cast("long").alias("s_g"),
+    )
+    # Spark div truncates toward zero already — the pinned semantics.
+    enc = (
+        cat_fold.join(cat_tot, "c_mktsegment")
+        .join(F.broadcast(fold_tot), "fold")
+        .crossJoin(F.broadcast(g_tot))
+        .select(
+            "c_mktsegment",
+            "fold",
+            F.expr("(s_g - s_f) div (n_g - n_f)")
+            .cast("long")
+            .alias("gmean_oof"),
+            F.expr(
+                f"(s_c - s_cf + {TE_SMOOTH_M} * ((s_g - s_f) div (n_g - n_f)))"
+                f" div (n_c - n_cf + {TE_SMOOTH_M})"
+            )
+            .cast("long")
+            .alias("enc_cents"),
+        )
+    )
+    return (
+        c.join(enc, ["c_mktsegment", "fold"])
+        .select("c_custkey", "c_mktsegment", "fold", "gmean_oof", "enc_cents")
+        .orderBy("c_custkey")
+    )

@@ -1019,3 +1019,144 @@ def ewma_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("anomaly"),
         )
     )
+
+
+# --- Round 11: Holt linear-trend smoothing on the daily spine ------------
+#
+# alpha = 1/2 and beta = 1/4 are POWERS OF TWO on purpose: every
+# smoothing multiply is exact in binary floating point, so the only
+# rounding is the additions — and those run in the identical structural
+# order in both engines (the Spark fold and the DuckDB recursive CTE
+# evaluate the same expression tree day by day), making the doubles
+# bit-identical before the final milli floor.
+
+
+@register(
+    "holt_linear_daily",
+    oracle_sql="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT event_type, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1
+    ),
+    spine AS (
+      SELECT s.event_type, CAST(g.g AS DATE) AS d, COALESCE(daily.c, 0) AS c,
+             row_number() OVER (PARTITION BY s.event_type
+                                ORDER BY CAST(g.g AS DATE)) AS i
+      FROM span s
+      CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) AS g
+      ) g
+      LEFT JOIN daily ON daily.event_type = s.event_type
+                     AND daily.d = CAST(g.g AS DATE)
+    ),
+    holt AS (
+      SELECT event_type, i, d, c,
+             CAST(c AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b,
+             CAST(c AS DOUBLE) AS fc
+      FROM spine WHERE i = 1
+      UNION ALL
+      SELECT s.event_type, s.i, s.d, s.c,
+             (CAST(s.c AS DOUBLE) + (h.l + h.b)) * 0.5,
+             (((CAST(s.c AS DOUBLE) + (h.l + h.b)) * 0.5) - h.l) * 0.25
+               + h.b * 0.75,
+             h.l + h.b
+      FROM spine s
+      JOIN holt h ON h.event_type = s.event_type AND s.i = h.i + 1
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day, c AS n,
+           CAST(floor(l * 1000) AS BIGINT) AS level_milli,
+           CAST(floor(b * 1000) AS BIGINT) AS trend_milli,
+           CAST(floor(fc * 1000) AS BIGINT) AS forecast_milli,
+           CAST(c * 1000 - floor(fc * 1000) AS BIGINT) AS resid_milli
+    FROM holt
+    """,
+    tags=("timeseries", "forecast", "holt"),
+)
+def holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing of each event type's
+    daily count (level alpha = 1/2, trend beta = 1/4, zero-filled
+    calendar spine): l_t = alpha*y_t + (1-alpha)*(l_prev + b_prev),
+    b_t = beta*(l_t - l_prev) + (1-beta)*b_prev, one-step forecast
+    l_prev + b_prev.  The TREND-AWARE upgrade of [[ewma_daily_anomaly]]
+    (a plain EWMA lags a ramp by design; Holt tracks it), feeding the
+    same residual-based monitoring.
+
+    Exactness: power-of-two smoothing constants make every multiply
+    exact; the additions round identically because the Spark
+    ``aggregate()`` fold and the DuckDB recursive CTE evaluate the SAME
+    expression tree in the SAME day order — bit-identical doubles,
+    floored once to milli.  Day 1 pins l = y_1, b = 0, forecast = y_1.
+
+    Scale shape: one map-side-combined aggregate to (type, day) grain;
+    the recursion runs per type over the CALENDAR-BOUNDED day array (an
+    in-row ``aggregate()`` fold over a collect_list'd spine — the
+    [[hilbert_curve_layout]] runtime-loop device, state = 2 doubles +
+    the output array).  Corpus size only enters the first aggregate;
+    the fold is days-long regardless of corpus.
+
+    Reference analog: none (SURVEY §2.2 timeseries surface).
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+    ).agg(F.count("*").cast("long").alias("c"))
+    span = daily.groupBy("event_type").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    spine = (
+        span.select(
+            "event_type",
+            F.explode(F.sequence("d0", "d1")).alias("d"),
+        )
+        .join(daily, ["event_type", "d"], "left")
+        .select("event_type", "d", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    arr = spine.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("d", "c"))).alias("arr")
+    )
+    # Runtime fold: acc = (l, b, rows); each step appends the day's row
+    # BEFORE updating state, so row t carries the forecast made at t-1.
+    fold = """
+    aggregate(
+      slice(arr, 2, greatest(size(arr) - 1, 0)),
+      named_struct(
+        'l', CAST(arr[0].c AS DOUBLE),
+        'b', CAST(0 AS DOUBLE),
+        'rows', array(named_struct(
+          'd', arr[0].d, 'n', arr[0].c,
+          'level', CAST(arr[0].c AS DOUBLE),
+          'trend', CAST(0 AS DOUBLE),
+          'fc', CAST(arr[0].c AS DOUBLE)))),
+      (acc, x) -> named_struct(
+        'l', (CAST(x.c AS DOUBLE) + (acc.l + acc.b)) * 0.5D,
+        'b', (((CAST(x.c AS DOUBLE) + (acc.l + acc.b)) * 0.5D) - acc.l)
+               * 0.25D + acc.b * 0.75D,
+        'rows', array_append(acc.rows, named_struct(
+          'd', x.d, 'n', x.c,
+          'level', (CAST(x.c AS DOUBLE) + (acc.l + acc.b)) * 0.5D,
+          'trend', (((CAST(x.c AS DOUBLE) + (acc.l + acc.b)) * 0.5D)
+                     - acc.l) * 0.25D + acc.b * 0.75D,
+          'fc', acc.l + acc.b))),
+      acc -> acc.rows)
+    """
+    rows = arr.select(
+        "event_type", F.explode(F.expr(fold)).alias("r")
+    )
+    return rows.select(
+        "event_type",
+        F.date_format("r.d", "yyyy-MM-dd").alias("day"),
+        F.col("r.n").cast("long").alias("n"),
+        F.floor(F.col("r.level") * 1000).cast("long").alias("level_milli"),
+        F.floor(F.col("r.trend") * 1000).cast("long").alias("trend_milli"),
+        F.floor(F.col("r.fc") * 1000).cast("long").alias("forecast_milli"),
+        (
+            F.col("r.n") * 1000 - F.floor(F.col("r.fc") * 1000)
+        )
+        .cast("long")
+        .alias("resid_milli"),
+    )

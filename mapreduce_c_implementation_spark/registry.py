@@ -116,6 +116,10 @@ _DRIVER_NEW_THIS_ROUND: list[str] = [
     "friedman_test_daily",
     "kendall_tau_topk_terms",
     "graph_clustering_coefficient",
+    "luhn_checksum_pii_screen",
+    "feature_target_encode_oof",
+    "fk_candidate_discovery",
+    "holt_linear_daily",
 ]
 
 # Regression re-verification queue: registration order, resuming where

@@ -361,6 +361,13 @@ SWEPT_OPS = [
     "friedman_test_daily",
     "kendall_tau_topk_terms",
     "graph_clustering_coefficient",
+    # round-11 third wave: pure-map Luhn folds, the (category, fold)
+    # grain encoder joins, key-grain containment semi-joins, and the
+    # calendar-bounded Holt recursion.
+    "luhn_checksum_pii_screen",
+    "feature_target_encode_oof",
+    "fk_candidate_discovery",
+    "holt_linear_daily",
 ]
 
 
