@@ -237,6 +237,20 @@ PROBE_OPS = [
     "platt_scaling_calibration",
     "quantile_treatment_effects",
     "greedy_set_cover_docs",
+    # round-11 additions (one-off probed as they landed; see SCALING.md)
+    "stream_substring_screen",
+    "join_asof_binned",
+    "roc_auc_rank_exact",
+    "average_precision_eval",
+    "mcnemar_paired_eval",
+    "bleu_ngram_component_eval",
+    "friedman_test_daily",
+    "kendall_tau_topk_terms",
+    "graph_clustering_coefficient",
+    "luhn_checksum_pii_screen",
+    "feature_target_encode_oof",
+    "fk_candidate_discovery",
+    "holt_linear_daily",
 ]
 
 
