@@ -211,6 +211,9 @@ HEADLINE = [
     "feature_target_encode_oof",
     "fk_candidate_discovery",
     "holt_linear_daily",
+    "maxsim_late_interaction_topk",
+    "graph_widest_path_bottleneck",
+    "cohort_ltv_accumulation",
 ]
 
 

@@ -3034,3 +3034,104 @@ def fk_candidate_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --- Round 11: cohort LTV accumulation -------------------------------------
+
+
+@register(
+    "cohort_ltv_accumulation",
+    oracle_sql="""
+    WITH first_week AS (
+      SELECT user_id,
+             min(date_diff('day', DATE '1970-01-05', CAST(ts AS DATE)) // 7)
+               AS cohort_w
+      FROM events GROUP BY user_id
+    ),
+    cohort_size AS (
+      SELECT cohort_w, CAST(count(*) AS BIGINT) AS n_users
+      FROM first_week GROUP BY cohort_w
+    ),
+    cells AS (
+      SELECT f.cohort_w,
+             date_diff('day', DATE '1970-01-05', CAST(e.ts AS DATE)) // 7
+               - f.cohort_w AS age_w,
+             CAST(sum(CASE WHEN e.event_type = 'purchase'
+                      THEN CAST(round(e.value * 100) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS rev_cents
+      FROM events e JOIN first_week f USING (user_id)
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort_w, age_w,
+             CAST(sum(rev_cents) OVER (PARTITION BY cohort_w ORDER BY age_w
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_cents
+      FROM cells
+    )
+    SELECT c.cohort_w, c.age_w, s.n_users, c.cum_rev_cents,
+           CAST(c.cum_rev_cents * 1000 // s.n_users AS BIGINT)
+             AS ltv_per_user_milli
+    FROM cum c JOIN cohort_size s USING (cohort_w)
+    """,
+    tags=("analytics", "cohort", "ltv"),
+)
+def cohort_ltv_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users grouped by first-active week,
+    each (cohort, age-in-weeks) cell carrying the cohort's CUMULATIVE
+    purchase revenue and per-user LTV — the dollar companion to
+    [[event_retention_cohorts]]'s came-back counts (retention says who
+    returned, LTV says what returning was worth), and the curve a
+    payback-period decision reads directly.
+
+    All-integer: weeks via the same epoch-Monday integer date math as
+    the retention op (no engine week-of-year rules), revenue in cents,
+    per-user LTV one milli-floored division.
+
+    Scale shape: the corpus-sized work is two keyed aggregates (user
+    grain for first-touch, then (cohort, age) grain for revenue) plus
+    ONE user-keyed join attaching cohorts to events; the cumulative
+    window runs on the CALENDAR-BOUNDED cohort x age triangle
+    (weeks^2 / 2 rows at any corpus size).
+
+    Reference analog: none (SURVEY §2.2 analytics surface).
+    """
+    from pyspark.sql.window import Window
+
+    wk = F.expr(
+        "datediff(CAST(ts AS DATE), DATE '1970-01-05') div 7"
+    )
+    e = load_table(spark, sf_dir, "events")
+    first_week = e.groupBy("user_id").agg(F.min(wk).alias("cohort_w"))
+    cohort_size = first_week.groupBy("cohort_w").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    cents = F.when(
+        F.col("event_type") == "purchase",
+        F.round(F.col("value") * 100).cast("long"),
+    ).otherwise(0)
+    cells = (
+        e.join(first_week, "user_id")
+        .groupBy(
+            "cohort_w", (wk - F.col("cohort_w")).alias("age_w")
+        )
+        .agg(F.sum(cents).cast("long").alias("rev_cents"))
+    )
+    w_cum = (
+        Window.partitionBy("cohort_w")
+        .orderBy("age_w")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cells.select(
+        "cohort_w",
+        "age_w",
+        F.sum("rev_cents").over(w_cum).cast("long").alias("cum_rev_cents"),
+    )
+    return cum.join(cohort_size, "cohort_w").select(
+        "cohort_w",
+        "age_w",
+        "n_users",
+        "cum_rev_cents",
+        F.expr("CAST(cum_rev_cents * 1000 div n_users AS BIGINT)").alias(
+            "ltv_per_user_milli"
+        ),
+    )

@@ -1245,3 +1245,150 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cc_ppm"),
         )
     )
+
+
+# --- Round 11: widest-path (bottleneck) diffusion -------------------------
+
+WP_SOURCE = 0
+WP_ITERS = 6
+WP_INIT = 1 << 62  # source capacity: effectively infinite
+
+
+def _widest_oracle() -> str:
+    """Unrolled fixed-iteration max-min (bottleneck) relaxation —
+    unrolled like ``_bfs_oracle`` because the recursive term would
+    aggregate over the recursive reference."""
+    ctes = [
+        """und AS (
+      SELECT least(src, dst) AS u, greatest(src, dst) AS v,
+             CAST(sum(w) AS BIGINT) AS wu
+      FROM edges WHERE src <> dst GROUP BY 1, 2
+    )""",
+        "inc AS (SELECT u AS a, v AS b, wu FROM und"
+        " UNION ALL SELECT v, u, wu FROM und)",
+        f"""topE AS (
+      SELECT least(a, b) AS u, greatest(a, b) AS v,
+             CAST(max(wu) AS BIGINT) AS wu FROM (
+        SELECT a, b, wu,
+               row_number() OVER (PARTITION BY a ORDER BY wu DESC, b ASC)
+                 AS rn
+        FROM inc
+      ) WHERE rn <= {BFS_NODE_DEGREE}
+      GROUP BY 1, 2
+    )""",
+        "sym AS (SELECT u, v, wu FROM topE UNION ALL SELECT v, u, wu FROM topE)",
+        f"w0 AS (SELECT CAST({WP_SOURCE} AS BIGINT) AS node,"
+        f" CAST({WP_INIT} AS BIGINT) AS width)",
+    ]
+    for k in range(WP_ITERS):
+        ctes.append(
+            f"""w{k + 1} AS (
+      SELECT node, CAST(max(width) AS BIGINT) AS width FROM (
+        SELECT node, width FROM w{k}
+        UNION ALL
+        SELECT s.v AS node, least(p.width, s.wu) AS width
+        FROM w{k} p JOIN sym s ON s.u = p.node
+      ) GROUP BY node
+    )"""
+        )
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH {_SQL_GRAPH_CTES.strip()},
+    {chain}
+    SELECT n.n_name AS n_name, w.width
+    FROM w{WP_ITERS} w JOIN nodes n ON n.node = w.node
+    WHERE w.node <> {WP_SOURCE}
+    ORDER BY w.width DESC, n.n_name
+    """
+
+
+@register(
+    "graph_widest_path_bottleneck",
+    oracle_sql=_widest_oracle(),
+    tags=("graph", "widest-path", "iterative"),
+)
+def graph_widest_path_bottleneck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Widest-path (maximum-bottleneck) capacities from nation
+    {WP_SOURCE} over the same per-node top-{BFS_NODE_DEGREE} trade
+    backbone as [[graph_bfs_distances]] — MAX-MIN diffusion, the fourth
+    relaxation semiring after sum-diffusion (PageRank), mode-diffusion
+    (label propagation) and min-diffusion (BFS): width(v) =
+    max(width(v), max over edges (u,v) of min(width(u), w(uv))).  This
+    is the "how much traffic could this route actually carry" question
+    (bottleneck bandwidth / max-capacity routing), and the weights the
+    BFS backbone already computes but then discards.
+
+    Integer-exact end to end; {WP_ITERS} rounds is the contract (the
+    oracle unrolls the same count) with detected convergence skipping
+    dead rounds — on a {BFS_NODE_DEGREE}-degree backbone the frontier
+    stabilizes in a handful of rounds.
+
+    Scale shape: identical to [[graph_bfs_distances]] — the edge build
+    is the one fact-fact shuffle, the backbone localCheckpoints once,
+    each round is a node-keyed join + max-aggregate over node-sized
+    tables with per-round checkpoint lineage truncation, and the
+    convergence signature is a 2-value collect.
+
+    Reference analog: none (SURVEY §2.2 graph surface).
+    """
+    from pyspark.sql.window import Window
+
+    edges = _trade_edges(spark, sf_dir)
+    undw = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .groupBy(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .agg(F.sum("w").cast("long").alias("wu"))
+    )
+    inc = undw.select(
+        F.col("u").alias("a"), F.col("v").alias("b"), "wu"
+    ).unionByName(
+        undw.select(F.col("v").alias("a"), F.col("u").alias("b"), "wu")
+    )
+    und = (
+        inc.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("a").orderBy(F.desc("wu"), F.asc("b"))
+            ),
+        )
+        .filter(F.col("rn") <= BFS_NODE_DEGREE)
+        .groupBy(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .agg(F.max("wu").cast("long").alias("wu"))
+        .localCheckpoint()  # materialize the join diamond exactly once
+    )
+    sym = und.union(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"), "wu")
+    )
+    width = spark.range(1).select(
+        F.lit(WP_SOURCE).cast("long").alias("node"),
+        F.lit(WP_INIT).cast("long").alias("width"),
+    )
+    prev_sig = None
+    for _ in range(WP_ITERS):
+        relaxed = width.join(sym, width.node == sym.u).select(
+            F.col("v").alias("node"),
+            F.least(F.col("width"), F.col("wu")).alias("width"),
+        )
+        width = (
+            width.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.max("width").cast("long").alias("width"))
+            .localCheckpoint()  # truncate the doubling recurrence
+        )
+        sig = tuple(width.agg(F.count("*"), F.sum("width")).collect()[0])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node"), "n_name"
+    )
+    return (
+        width.filter(F.col("node") != WP_SOURCE)
+        .join(F.broadcast(n), "node")
+        .select("n_name", "width")
+        .orderBy(F.desc("width"), "n_name")
+    )

@@ -3535,3 +3535,130 @@ def knn_shapley_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("label").cast("long").alias("label"),
         F.sum("s_micro").cast("long").alias("shapley_micro"),
     )
+
+
+# --- Round 11: ColBERT-style MaxSim late interaction ----------------------
+#
+# Late-interaction retrieval scores a (query, doc) pair as
+# sum over query token-vectors of the MAX dot product against any doc
+# token-vector — finer-grained than single-vector cosine, cheaper than
+# cross-attention.  The fixture carries one 64-d vector per id, so the
+# token sets are its {MAXSIM_SUBS} contiguous 16-d sub-vectors — the
+# plumbing (slice -> dot grid -> max -> sum -> top-k) is exactly the
+# production shape; swap the slicing for real token embeddings.
+MAXSIM_SUBS = 4
+MAXSIM_SUBDIM = 16
+MAXSIM_QUERIES = 8
+MAXSIM_TOPK = 5
+
+
+def _maxsim_exprs():
+    """(spark_expr_sql, duckdb_expr_sql) for the MaxSim score — the SAME
+    structural expression (sequential-fold dots, greatest, left-to-right
+    sum), so doubles stay bit-identical."""
+    from mapreduce_c_implementation_spark.functions.vector import SQL_DOT
+
+    def spark_sub(col: str, i: int) -> str:
+        return f"slice({col}, {i * MAXSIM_SUBDIM + 1}, {MAXSIM_SUBDIM})"
+
+    def duck_sub(col: str, i: int) -> str:
+        return f"{col}[{i * MAXSIM_SUBDIM + 1}:{(i + 1) * MAXSIM_SUBDIM}]"
+
+    spark_dot_sql = (
+        "aggregate(zip_with({a}, {b}, (x, y) ->"
+        " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE),"
+        " (acc, x) -> acc + x)"
+    )
+    spark_terms, duck_terms = [], []
+    for qi in range(MAXSIM_SUBS):
+        sd = [
+            spark_dot_sql.format(a=spark_sub("q_emb", qi), b=spark_sub("c_emb", ci))
+            for ci in range(MAXSIM_SUBS)
+        ]
+        dd = [
+            SQL_DOT.format(a=duck_sub("q.embedding", qi), b=duck_sub("c.embedding", ci))
+            for ci in range(MAXSIM_SUBS)
+        ]
+        spark_terms.append("greatest(" + ", ".join(sd) + ")")
+        duck_terms.append("greatest(" + ", ".join(dd) + ")")
+    return (
+        "(" + " + ".join(f"({t})" for t in spark_terms) + ")",
+        "(" + " + ".join(f"({t})" for t in duck_terms) + ")",
+    )
+
+
+_MAXSIM_SPARK, _MAXSIM_DUCK = _maxsim_exprs()
+
+
+@register(
+    "maxsim_late_interaction_topk",
+    oracle_sql=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             c.label AS neighbor_label,
+             CAST(floor({_MAXSIM_DUCK} * 1000) AS BIGINT) AS score_milli
+      FROM embeddings q
+      JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {MAXSIM_QUERIES}
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY score_milli DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, neighbor_label, score_milli,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {MAXSIM_TOPK}
+    """,
+    tags=("similarity", "ann", "maxsim", "late-interaction", "pipeline"),
+)
+def maxsim_late_interaction_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style MaxSim late-interaction top-{MAXSIM_TOPK}: each of
+    the {MAXSIM_QUERIES} probe vectors scores every candidate as
+    sum over its {MAXSIM_SUBS} sub-vectors of the MAX dot product
+    against any candidate sub-vector — the multi-vector retrieval
+    operator between single-vector cosine ([[ann_bruteforce_topk]])
+    and full reranking, with the {MAXSIM_SUBS}x{MAXSIM_SUBS} dot grid,
+    max-pool and sum all evaluated IN-ROW (whole-stage codegen, no
+    UDF).  Doubles stay bit-identical cross-engine because every dot is
+    the shared sequential-fold form and the grid reduces in a fixed
+    structural order ([[functions/vector.py]]), frozen once to milli.
+
+    Scale shape: the probe set broadcasts against the distributed
+    corpus (fixed x corpus — the [[knn_classification_eval]] probe
+    rule); per-query ranking is a probe-partitioned window top-k
+    (WindowGroupLimit: per-partition heads, never a global sort).  The
+    production scale path puts an [[ann_ivf_coarse]]-style candidate
+    screen in front; this exact form is also the recall oracle for it.
+
+    Reference analog: none (LLM-pipeline similarity surface).
+    """
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < MAXSIM_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("c_emb"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            F.expr(f"CAST(floor({_MAXSIM_SPARK} * 1000) AS BIGINT)").alias(
+                "score_milli"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_milli"), F.asc("neighbor_id")
+    )
+    return scored.select(
+        "*", F.row_number().over(w).cast("long").alias("rnk")
+    ).filter(F.col("rnk") <= MAXSIM_TOPK)

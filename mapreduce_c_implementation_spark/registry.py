@@ -120,6 +120,9 @@ _DRIVER_NEW_THIS_ROUND: list[str] = [
     "feature_target_encode_oof",
     "fk_candidate_discovery",
     "holt_linear_daily",
+    "maxsim_late_interaction_topk",
+    "graph_widest_path_bottleneck",
+    "cohort_ltv_accumulation",
 ]
 
 # Regression re-verification queue: registration order, resuming where

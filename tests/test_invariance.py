@@ -368,6 +368,11 @@ SWEPT_OPS = [
     "feature_target_encode_oof",
     "fk_candidate_discovery",
     "holt_linear_daily",
+    # round-11 fourth wave: broadcast-probe MaxSim windows, the
+    # checkpointed max-min relaxation, and the cohort-triangle windows.
+    "maxsim_late_interaction_topk",
+    "graph_widest_path_bottleneck",
+    "cohort_ltv_accumulation",
 ]
 
 

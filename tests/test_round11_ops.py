@@ -385,3 +385,129 @@ def test_asof_binned_horizon_and_miss_semantics(spark, sf_smoke):
             assert r.asof_orderdate is None and r.missed_earlier == 1
             n_missed += 1
     assert n_hit > 0 and n_missed > 0  # both branches exercised
+
+
+def test_maxsim_matches_python_replay(spark, sf_smoke):
+    """Brute-force MaxSim over the sub-vector grid in Python."""
+    import math
+
+    from mapreduce_c_implementation_spark.operators.similarity import (
+        MAXSIM_QUERIES,
+        MAXSIM_SUBDIM,
+        MAXSIM_SUBS,
+        MAXSIM_TOPK,
+    )
+
+    con = duckdb.connect()
+    vecs = dict(
+        con.sql(
+            f"SELECT vec_id, embedding FROM '{sf_smoke}/embeddings.parquet'"
+        ).fetchall()
+    )
+    con.close()
+
+    def subs(v):
+        return [
+            v[i * MAXSIM_SUBDIM : (i + 1) * MAXSIM_SUBDIM]
+            for i in range(MAXSIM_SUBS)
+        ]
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    expect = {}
+    for qid in range(MAXSIM_QUERIES):
+        qs = subs(vecs[qid])
+        scored = []
+        for cid, cv in vecs.items():
+            if cid == qid:
+                continue
+            cs = subs(cv)
+            s = sum(max(dot(q, c) for c in cs) for q in qs)
+            scored.append((-math.floor(s * 1000), cid))
+        scored.sort()
+        for rnk, (neg_s, cid) in enumerate(scored[:MAXSIM_TOPK], start=1):
+            expect[(qid, cid)] = (rnk, -neg_s)
+    rows = _rows(spark, sf_smoke, "maxsim_late_interaction_topk")
+    assert len(rows) == len(expect)
+    for r in rows:
+        rnk, s = expect[(r.query_id, r.neighbor_id)]
+        assert (r.rnk, r.score_milli) == (rnk, s)
+
+
+def test_widest_path_matches_python_relaxation(spark, sf_smoke):
+    """Python replay of the backbone build + max-min relaxation."""
+    from mapreduce_c_implementation_spark.operators.graph import (
+        BFS_NODE_DEGREE,
+        WP_INIT,
+        WP_ITERS,
+        WP_SOURCE,
+    )
+
+    con = duckdb.connect()
+    sf = sf_smoke
+    edges = con.sql(
+        f"""SELECT least(c.c_nationkey, s.s_nationkey) AS u,
+               greatest(c.c_nationkey, s.s_nationkey) AS v, count(*) AS w
+        FROM '{sf}/lineitem.parquet' l
+        JOIN '{sf}/orders.parquet' o ON o.o_orderkey = l.l_orderkey
+        JOIN '{sf}/customer.parquet' c ON c.c_custkey = o.o_custkey
+        JOIN '{sf}/supplier.parquet' s ON s.s_suppkey = l.l_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey GROUP BY 1, 2"""
+    ).fetchall()
+    names = dict(
+        con.sql(
+            f"SELECT n_nationkey, n_name FROM '{sf}/nation.parquet'"
+        ).fetchall()
+    )
+    con.close()
+    inc = defaultdict(list)
+    for u, v, w in edges:
+        inc[u].append((w, v))
+        inc[v].append((w, u))
+    kept = {}
+    for a, lst in inc.items():
+        for w, b in sorted(lst, key=lambda t: (-t[0], t[1]))[:BFS_NODE_DEGREE]:
+            key = (min(a, b), max(a, b))
+            kept[key] = max(kept.get(key, 0), w)
+    width = {WP_SOURCE: WP_INIT}
+    for _ in range(WP_ITERS):
+        new = dict(width)
+        for (u, v), w in kept.items():
+            for a, b in ((u, v), (v, u)):
+                if a in width:
+                    cand = min(width[a], w)
+                    if cand > new.get(b, 0):
+                        new[b] = cand
+        if new == width:
+            break
+        width = new
+    rows = _rows(spark, sf_smoke, "graph_widest_path_bottleneck")
+    got = {names_k: w for names_k, w in ((r.n_name, r.width) for r in rows)}
+    expect = {names[n]: w for n, w in width.items() if n != WP_SOURCE}
+    assert got == expect
+
+
+def test_cohort_ltv_closes_over_purchases(spark, sf_correct):
+    """The max-age cumulative revenue per cohort must total the corpus
+    purchase revenue, and curves must be monotone."""
+    con = duckdb.connect()
+    total = con.sql(
+        f"SELECT CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
+        f" FROM '{sf_correct}/events.parquet' WHERE event_type = 'purchase'"
+    ).fetchone()[0]
+    con.close()
+    rows = _rows(spark, sf_correct, "cohort_ltv_accumulation")
+    last = {}
+    by_cohort = defaultdict(list)
+    for r in rows:
+        by_cohort[r.cohort_w].append((r.age_w, r.cum_rev_cents))
+        if r.cohort_w not in last or r.age_w > last[r.cohort_w][0]:
+            last[r.cohort_w] = (r.age_w, r.cum_rev_cents)
+    for curve in by_cohort.values():
+        curve.sort()
+        assert all(c1 <= c2 for (_, c1), (_, c2) in zip(curve, curve[1:]))
+    assert sum(c for _, c in last.values()) == total
