@@ -291,3 +291,111 @@ def width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY bucket
         """
     )
+
+
+@register(
+    "sql_scalar_udf_inline",
+    # The oracle inlines the function bodies — which is EXACTLY what
+    # Catalyst does with SQL UDFs (they analyze away; no eval boundary).
+    oracle_sql="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,6))
+             AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                 * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(38,6))
+             AS DOUBLE) AS sum_charge
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("sql", "udf", "spark4", "modern-sql"),
+)
+def sql_scalar_udf_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar functions (Spark 4 ``CREATE FUNCTION ...
+    RETURN <expr>``) — the UDF rung BELOW Python on the performance
+    ladder ([[operators/udfs.py]]): the body is SQL, so the analyzer
+    INLINES it and the query plans exactly as if the expression were
+    written in place — whole-stage codegen, predicate pushdown and all;
+    no serialization boundary, no Python worker.  This is the form a
+    shared business-metric library ("discounted price", "charged
+    amount") should take before anyone reaches for a real UDF.
+
+    The oracle hand-inlines the same bodies, which is also the proof of
+    the inlining claim: results agree bit-for-bit under the exact
+    decimal-sum discipline of [[tpch_q1]].
+
+    Scale shape: identical to the plain aggregate — one map-side-
+    combined groupBy; the functions add ZERO runtime surface.
+    """
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)"
+        " RETURNS DECIMAL(20,4)"
+        " RETURN CAST(p AS DECIMAL(18,2)) * (1 - CAST(d AS DECIMAL(18,2)))"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION charged(p DOUBLE, d DOUBLE,"
+        " t DOUBLE) RETURNS DECIMAL(24,6)"
+        " RETURN CAST(p AS DECIMAL(18,2)) * (1 - CAST(d AS DECIMAL(18,2)))"
+        " * (1 + CAST(t AS DECIMAL(18,2)))"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*) AS n,
+               CAST(CAST(sum(disc_price(l_extendedprice, l_discount))
+                 AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
+               CAST(CAST(sum(charged(l_extendedprice, l_discount, l_tax))
+                 AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge
+        FROM lineitem
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@register(
+    "sql_pipe_syntax_revenue",
+    oracle_sql="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,6))
+             AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("sql", "pipe-syntax", "spark4", "modern-sql"),
+)
+def sql_pipe_syntax_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 ``|>`` operators, the GoogleSQL
+    FROM-first composition): the same shipped-1996 revenue rollup as a
+    chain of ``WHERE |> AGGREGATE ... GROUP BY |> ORDER BY`` stages —
+    each pipe stage reads top-to-bottom in execution order, the
+    composability upgrade analysts get without leaving SQL.  The parser
+    lowers pipes to the IDENTICAL logical plan as the nested form (the
+    oracle), so filters still push to the scan and the aggregate still
+    map-side-combines — syntax, not semantics.
+
+    Scale shape: exactly [[tpch_q1]]'s — pushed scan filter + one
+    combined aggregate + a 6-row sort.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1997-01-01'
+        |> AGGREGATE count(*) AS n,
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                 AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n, revenue
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )

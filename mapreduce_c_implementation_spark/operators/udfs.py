@@ -348,3 +348,97 @@ def map_in_arrow_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield from out.to_batches()
 
     return d.mapInArrow(stats, schema="doc_id long, n_chars long, n_bytes long")
+
+
+@register(
+    "udtf_table_argument_partitioned",
+    oracle_sql="""
+    WITH toks AS (
+      SELECT source, doc_id, len(list_filter(
+        string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9]', ' ', 'g')),
+                           ' '), t -> t <> '')) AS n_toks
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           CAST(max(n_toks) AS BIGINT) AS max_doc_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc_id
+    FROM toks GROUP BY source
+    """,
+    tags=("udf", "udtf", "table-argument", "spark4"),
+)
+def udtf_table_argument_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF with a TABLE argument, PARTITION BY source (Spark 4's
+    polymorphic table function) — the top rung of the UDF ladder and
+    the closest modern analog of the reference's Reducer+Getter
+    protocol (src/job.h: the framework hands the user function one
+    PARTITION's rows to iterate, user emits on terminate): Spark
+    shuffles the table by the PARTITION BY key, streams each group's
+    rows through ``eval``, and ``terminate`` emits the per-group
+    summary.  Unlike ``applyInPandas`` the function is addressable from
+    PURE SQL (``FROM summarize(TABLE(docs) PARTITION BY source)``) —
+    the form a SQL-only consumer can call.
+
+    Tokens are counted with the same simple whitespace-class rule in
+    both engines (per-row Python here, list ops in the oracle).  Slow
+    path by design, like every ladder rung below the built-ins — the
+    production form is the plain groupBy; this op proves the
+    table-argument CONTRACT (partition isolation, terminate-time
+    emission, SQL addressability).
+
+    Scale shape: one hash shuffle on the partition key (exactly a
+    groupBy's movement), per-group state = 4 integers.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=(
+        "source: string, n_docs: bigint, n_tokens: bigint,"
+        " max_doc_tokens: bigint, first_doc_id: bigint"
+    ))
+    class SummarizeDocs:
+        def __init__(self):
+            self._source = None
+            self._n_docs = 0
+            self._n_tokens = 0
+            self._max_toks = 0
+            self._first_doc = None
+
+        def eval(self, row):  # noqa: ANN001
+            text = row["text"] or ""
+            word, n = [], 0
+            for ch in text:
+                if ch.isascii() and ch.isalnum():
+                    word.append(ch)
+                else:
+                    if word:
+                        n += 1
+                        word = []
+            if word:
+                n += 1
+            self._source = row["source"]
+            self._n_docs += 1
+            self._n_tokens += n
+            self._max_toks = max(self._max_toks, n)
+            did = row["doc_id"]
+            self._first_doc = did if self._first_doc is None else min(self._first_doc, did)
+
+        def terminate(self):
+            if self._source is not None:
+                yield (
+                    self._source,
+                    self._n_docs,
+                    self._n_tokens,
+                    self._max_toks,
+                    self._first_doc,
+                )
+
+    spark.udtf.register("summarize_docs_udtf", SummarizeDocs)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents_tv"
+    )
+    return spark.sql(
+        "SELECT * FROM summarize_docs_udtf("
+        "TABLE(SELECT source, doc_id, text FROM documents_tv)"
+        " PARTITION BY source)"
+    )

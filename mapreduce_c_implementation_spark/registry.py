@@ -123,6 +123,9 @@ _DRIVER_NEW_THIS_ROUND: list[str] = [
     "maxsim_late_interaction_topk",
     "graph_widest_path_bottleneck",
     "cohort_ltv_accumulation",
+    "sql_scalar_udf_inline",
+    "sql_pipe_syntax_revenue",
+    "udtf_table_argument_partitioned",
 ]
 
 # Regression re-verification queue: registration order, resuming where

@@ -254,6 +254,9 @@ PROBE_OPS = [
     "maxsim_late_interaction_topk",
     "graph_widest_path_bottleneck",
     "cohort_ltv_accumulation",
+    "sql_scalar_udf_inline",
+    "sql_pipe_syntax_revenue",
+    "udtf_table_argument_partitioned",
 ]
 
 

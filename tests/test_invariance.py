@@ -373,6 +373,11 @@ SWEPT_OPS = [
     "maxsim_late_interaction_topk",
     "graph_widest_path_bottleneck",
     "cohort_ltv_accumulation",
+    # round-11 fifth wave: analyzer-inlined SQL UDFs, pipe-syntax
+    # lowering, and the table-argument UDTF's partition-keyed shuffle.
+    "sql_scalar_udf_inline",
+    "sql_pipe_syntax_revenue",
+    "udtf_table_argument_partitioned",
 ]
 
 
