@@ -217,6 +217,7 @@ HEADLINE = [
     "sql_scalar_udf_inline",
     "sql_pipe_syntax_revenue",
     "udtf_table_argument_partitioned",
+    "label_shift_bbse_estimate",
 ]
 
 

@@ -6681,3 +6681,157 @@ def bleu_ngram_component_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop(f"_m{n}")
         )
     return out
+
+
+# --- Round 11: black-box label-shift estimation (BBSE) --------------------
+#
+# Lipton, Wang & Smola, "Detecting and Correcting for Label Shift with
+# Black Box Predictors" (ICML 2018), binary form: under label shift the
+# target class prior pi solves C @ pi = mu, where C is the classifier's
+# source confusion (columns = true class) and mu its predicted-positive
+# rate on the UNLABELED target.  For two classes the inversion is one
+# rational expression — kept exact with integer cross-multiplication.
+#
+# Fixture staging: label = long document (n_chars >= BBSE_Y_CHARS),
+# black-box classifier = token count >= BBSE_PRED_TOKS (correlated but
+# imperfect), and the TARGET split is deliberately label-shifted by
+# dropping the odd-parity quarter of its short docs — so the naive
+# predicted rate is measurably wrong and the correction measurably
+# right, with the target's true rate riding along as ground truth.
+BBSE_Y_CHARS = 305
+BBSE_PRED_TOKS = 56
+
+
+@register(
+    "label_shift_bbse_estimate",
+    oracle_sql=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CASE WHEN n_chars >= {BBSE_Y_CHARS} THEN 1 ELSE 0 END AS y,
+             CASE WHEN len({_TOK}) >= {BBSE_PRED_TOKS} THEN 1 ELSE 0 END
+               AS pred
+      FROM documents
+    ),
+    src AS (
+      SELECT CAST(sum(y) AS BIGINT) AS s1,
+             CAST(count(*) - sum(y) AS BIGINT) AS s0,
+             CAST(sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS s11,
+             CAST(sum(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS s10
+      FROM scored WHERE doc_id % 2 = 0
+    ),
+    tgt AS (
+      SELECT CAST(sum(pred) AS BIGINT) AS m1,
+             CAST(count(*) AS BIGINT) AS mt,
+             CAST(sum(y) AS BIGINT) AS true_pos
+      FROM scored
+      WHERE doc_id % 2 = 1 AND NOT (y = 0 AND doc_id % 4 = 1)
+    ),
+    solved AS (
+      SELECT s.s1, s.s0, s.s11, s.s10, t.m1, t.mt, t.true_pos,
+             CAST(t.m1 AS HUGEINT) * s.s0 - CAST(s.s10 AS HUGEINT) * t.mt
+               AS num_raw,
+             CAST(t.mt AS HUGEINT)
+               * (CAST(s.s11 AS HUGEINT) * s.s0
+                  - CAST(s.s10 AS HUGEINT) * s.s1) AS den_raw
+      FROM src s CROSS JOIN tgt t
+    )
+    SELECT s1, s0, s11, s10, m1, mt,
+           CAST(CASE WHEN (num_raw * s1 >= 0) = (den_raw >= 0)
+                     THEN 1 ELSE -1 END
+                * (abs(num_raw * s1) * 1000000 // abs(den_raw))
+                AS BIGINT) AS pi1_ppm,
+           CAST(m1 * 1000000 // mt AS BIGINT) AS naive_pred_rate_ppm,
+           CAST(true_pos * 1000000 // mt AS BIGINT) AS true_rate_ppm
+    FROM solved
+    """,
+    tags=("text", "eval", "label-shift", "pipeline"),
+)
+def label_shift_bbse_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Black-box label-shift estimation (BBSE, binary): estimate the
+    TARGET split's positive-class prior from (a) the classifier's
+    confusion on the labeled SOURCE split and (b) nothing but its
+    PREDICTIONS on the target — solving C pi = mu, the method-of-
+    moments correction that beats reading the naive predicted rate
+    whenever the classifier is imperfect.  The drift monitor to run
+    when labels exist only upstream: [[psi_population_stability]]
+    detects that inputs moved; BBSE says what the LABEL mix moved to.
+    The target split is staged with genuine label shift (its
+    odd-parity short docs drop); the moment equation is solved exactly
+    (replayed in tests/test_round11_ops.py) with naive and true rates
+    alongside for calibration.  BBSE's standing requirement applies:
+    the confusion matrix must be well-conditioned (an uninformative
+    classifier makes C singular and the estimate meaningless).
+
+    Exactness: pi1 = (mu1 - c10) / (c11 - c10) with every rate kept a
+    ratio of int64 counts and the division done once by integer
+    cross-multiplication in DECIMAL(38,0)/HUGEINT, sign split from
+    magnitude (the [[kendall_tau_topk_terms]] rule).
+
+    Scale shape: one doc-grain map, two 1-row map-side-combined
+    reduces (one per split), a 1x1 cross join — nothing else.
+
+    Reference analog: none (LLM-pipeline eval surface per the brief).
+    """
+    d = compute_scan(spark, sf_dir, "documents")
+    ts = tokenize(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        F.when(F.col("n_chars") >= BBSE_Y_CHARS, 1).otherwise(0).alias("y"),
+        F.when(F.size(ts) >= BBSE_PRED_TOKS, 1).otherwise(0).alias("pred"),
+    )
+    src = scored.filter(F.col("doc_id") % 2 == 0).agg(
+        F.sum("y").cast("long").alias("s1"),
+        (F.count("*") - F.sum("y")).cast("long").alias("s0"),
+        F.sum(F.when((F.col("pred") == 1) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("s11"),
+        F.sum(F.when((F.col("pred") == 1) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("s10"),
+    )
+    tgt = scored.filter(
+        (F.col("doc_id") % 2 == 1)
+        & ~((F.col("y") == 0) & (F.col("doc_id") % 4 == 1))
+    ).agg(
+        F.sum("pred").cast("long").alias("m1"),
+        F.count("*").cast("long").alias("mt"),
+        F.sum("y").cast("long").alias("true_pos"),
+    )
+    solved = src.crossJoin(F.broadcast(tgt)).select(
+        "s1",
+        "s0",
+        "s11",
+        "s10",
+        "m1",
+        "mt",
+        "true_pos",
+        F.expr(
+            "CAST(m1 AS DECIMAL(38,0)) * s0 - CAST(s10 AS DECIMAL(38,0)) * mt"
+        ).alias("num_raw"),
+        F.expr(
+            "CAST(mt AS DECIMAL(38,0))"
+            " * (CAST(s11 AS DECIMAL(38,0)) * s0"
+            "    - CAST(s10 AS DECIMAL(38,0)) * s1)"
+        ).alias("den_raw"),
+    )
+    return solved.select(
+        "s1",
+        "s0",
+        "s11",
+        "s10",
+        "m1",
+        "mt",
+        F.expr(
+            "CAST(CASE WHEN (num_raw * s1 >= 0) = (den_raw >= 0)"
+            " THEN 1 ELSE -1 END"
+            " * (abs(num_raw * s1) * 1000000 div abs(den_raw)) AS BIGINT)"
+        ).alias("pi1_ppm"),
+        F.expr("CAST(m1 * 1000000 div mt AS BIGINT)").alias(
+            "naive_pred_rate_ppm"
+        ),
+        F.expr("CAST(true_pos * 1000000 div mt AS BIGINT)").alias(
+            "true_rate_ppm"
+        ),
+    )

@@ -126,6 +126,7 @@ _DRIVER_NEW_THIS_ROUND: list[str] = [
     "sql_scalar_udf_inline",
     "sql_pipe_syntax_revenue",
     "udtf_table_argument_partitioned",
+    "label_shift_bbse_estimate",
 ]
 
 # Regression re-verification queue: registration order, resuming where

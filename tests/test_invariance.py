@@ -378,6 +378,7 @@ SWEPT_OPS = [
     "sql_scalar_udf_inline",
     "sql_pipe_syntax_revenue",
     "udtf_table_argument_partitioned",
+    "label_shift_bbse_estimate",
 ]
 
 

@@ -511,3 +511,40 @@ def test_cohort_ltv_closes_over_purchases(spark, sf_correct):
         curve.sort()
         assert all(c1 <= c2 for (_, c1), (_, c2) in zip(curve, curve[1:]))
     assert sum(c for _, c in last.values()) == total
+
+
+def test_bbse_solves_moment_equation_exactly(spark, sf_smoke):
+    """Python replay of the staged splits and the exact rational
+    inversion pi1 = (mu1 - c10) / (c11 - c10)."""
+    from mapreduce_c_implementation_spark.operators.textanalysis import (
+        BBSE_PRED_TOKS,
+        BBSE_Y_CHARS,
+    )
+
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT doc_id, n_chars, text FROM '{sf_smoke}/documents.parquet'"
+    ).fetchall()
+    con.close()
+    s1 = s0 = s11 = s10 = m1 = mt = true_pos = 0
+    for doc_id, n_chars, text in docs:
+        y = 1 if n_chars >= BBSE_Y_CHARS else 0
+        pred = 1 if len(reference_map(text)) >= BBSE_PRED_TOKS else 0
+        if doc_id % 2 == 0:
+            s1 += y
+            s0 += 1 - y
+            s11 += pred and y
+            s10 += pred and not y
+        elif not (y == 0 and doc_id % 4 == 1):
+            m1 += pred
+            mt += 1
+            true_pos += y
+    (row,) = _rows(spark, sf_smoke, "label_shift_bbse_estimate")
+    assert (row.s1, row.s0, row.s11, row.s10) == (s1, s0, s11, s10)
+    assert (row.m1, row.mt) == (m1, mt)
+    num = (m1 * s0 - s10 * mt) * s1
+    den = mt * (s11 * s0 - s10 * s1)
+    sign = 1 if (num >= 0) == (den >= 0) else -1
+    assert row.pi1_ppm == sign * (abs(num) * 1_000_000 // abs(den))
+    # the staged shift is real: target's true rate differs from source's
+    assert row.naive_pred_rate_ppm != row.pi1_ppm  # correction engaged
