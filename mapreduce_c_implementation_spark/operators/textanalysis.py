@@ -6623,7 +6623,7 @@ def bleu_ngram_component_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     modified n-gram matches m_n and candidate n-gram totals g_n for
     n = 1..4 plus both lengths, on the SAME deterministic corruption
     pairs as [[generation_cer_eval]] / [[rouge_n_overlap_eval]] (every
-    {{CER_DROP_MOD}}th token dropped), so the three generation metrics
+    {CER_DROP_MOD}th token dropped), so the three generation metrics
     grade identical pairs.  Emitted as exact integers: corpus BLEU is
     then one tiny reduction downstream (sum the columns, geometric-mean
     the four precisions, apply exp(1 - r/c) brevity) — kept out of the

@@ -1867,15 +1867,15 @@ def stream_substring_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged doc batches, crawl re-fetches dropped by ``dropDuplicates``
     state BEFORE the screen so each arrival is screened exactly once):
 
-    1. anchored windows of the new docs only (every {{SUBSTR_WIN}}-char
-       window at content-chosen anchors, ~1/{{SUBSTR_STRIDE}} of
+    1. anchored windows of the new docs only (every {SUBSTR_WIN}-char
+       window at content-chosen anchors, ~1/{SUBSTR_STRIDE} of
        positions) probe the persisted index — a catalog table written
        ONCE, bucketed+sorted by win_hash ([[dedup_minhash_bucketed
        _probe]]'s storage pattern), so the probe sort-merge-joins with
        ZERO index-side shuffle and per-batch cost is O(increment);
     2. flagged arrivals (any window shared with an indexed doc) and
        ONLY the matched index docs' texts enter the exact tier:
-       arrival {{SUFFIX_MINLEN}}-grams equi-join the matched docs'
+       arrival {SUFFIX_MINLEN}-grams equi-join the matched docs'
        grams, restricted to the screen's (arrival, base) pairs — so
        each arrival is trimmed against exactly the docs it collided
        with, making the result independent of batch boundaries;
