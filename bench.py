@@ -218,6 +218,7 @@ HEADLINE = [
     "sql_pipe_syntax_revenue",
     "udtf_table_argument_partitioned",
     "label_shift_bbse_estimate",
+    "phrase_query_positional_index",
 ]
 
 

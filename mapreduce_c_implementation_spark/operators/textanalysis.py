@@ -6835,3 +6835,111 @@ def label_shift_bbse_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "true_rate_ppm"
         ),
     )
+
+
+# --- Round 11: positional phrase query over the inverted index ------------
+
+
+@register(
+    "phrase_query_positional_index",
+    oracle_sql=f"""
+    WITH pos AS (
+      SELECT doc_id, t.term, CAST(t.i AS BIGINT) AS p
+      FROM (SELECT doc_id, list_transform(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'), t -> t <> ''), t -> lower(substr(t, 1, 255))) AS ts FROM documents),
+           LATERAL (SELECT unnest(ts) AS term,
+                           generate_subscripts(ts, 1) AS i) t
+    ),
+    grams AS (
+      SELECT g, count(*) AS n FROM (
+        SELECT unnest(CASE WHEN len(ts) >= 3 THEN
+          list_transform(generate_series(1, len(ts) - 2),
+            i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])
+          ELSE [] END) AS g
+        FROM (SELECT list_transform(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'), t -> t <> ''), t -> lower(substr(t, 1, 255))) AS ts FROM documents)
+      ) GROUP BY g
+    ),
+    q AS (
+      SELECT string_split(g, ' ') AS qt FROM grams
+      ORDER BY n DESC, g LIMIT 1
+    ),
+    hits AS (
+      SELECT a.doc_id, a.p AS first_pos
+      FROM pos a
+      JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+      JOIN pos c ON c.doc_id = a.doc_id AND c.p = a.p + 2
+      CROSS JOIN q
+      WHERE a.term = q.qt[1] AND b.term = q.qt[2] AND c.term = q.qt[3]
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(min(first_pos) AS BIGINT) AS first_pos
+    FROM hits GROUP BY doc_id
+    """,
+    tags=("text", "retrieval", "phrase", "positional-index", "pipeline"),
+)
+def phrase_query_positional_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PHRASE query answered from a positional inverted index —
+    the retrieval upgrade of the reference's flagship: the reference's
+    index maps term -> doc list (src/main.c MR_Emit of (word, file));
+    a positional index maps term -> (doc, position), and a phrase
+    matches where the query terms' postings align at consecutive
+    positions — the classic adjacency self-join, no text rescan at
+    query time.  The query phrase is data-derived and deterministic
+    (the corpus's most frequent trigram, ties to the lexicographically
+    first), so the operator exercises both halves: the trigram-stats
+    pass a query planner would cache, and the positional intersection
+    that answers the query.
+
+    Scale shape: the positional postings table is the tokenize explode
+    (one row per token — the same volume the flagship index shuffles);
+    the phrase match is two (doc_id, position)-keyed equi-joins
+    restricted to the THREE query terms' postings (selective semi
+    filters first, so the join touches only matching postings), and
+    the query phrase itself is a TakeOrdered(1) head over the
+    map-side-combined trigram counts.  At 100 TB the postings would be
+    the persisted bucketed index ([[dedup_minhash_bucketed_probe]]'s
+    storage pattern); here both halves run in one plan.
+
+    Reference analog: extends rows 14-15 of SURVEY §2.1 (the inverted
+    index sink) with the position payload real engines carry.
+    """
+    d = compute_scan(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id",
+        F.posexplode(tokenize(F.col("text"))).alias("i", "term"),
+    ).select("doc_id", "term", (F.col("i") + 1).cast("long").alias("p"))
+    a, b, c = pos.alias("a"), pos.alias("b"), pos.alias("c")
+    # trigram stats are an IN-ROW ngram explode (no join) — the
+    # positional joins below are reserved for the half that needs them
+    toks = d.select(tokenize(F.col("text")).alias("ts"))
+    tri = (
+        toks.select(F.explode(ngrams(F.col("ts"), 3)).alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        tri.orderBy(F.desc("n"), F.asc("g"))
+        .limit(1)
+        .select(F.split("g", " ").alias("qt"))
+    )
+    hits = (
+        a.crossJoin(F.broadcast(q))
+        .filter(F.col("a.term") == F.col("qt").getItem(0))
+        .join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id"))
+            & (F.col("b.p") == F.col("a.p") + 1),
+        )
+        .filter(F.col("b.term") == F.col("qt").getItem(1))
+        .join(
+            c,
+            (F.col("c.doc_id") == F.col("a.doc_id"))
+            & (F.col("c.p") == F.col("a.p") + 2),
+        )
+        .filter(F.col("c.term") == F.col("qt").getItem(2))
+        .select(F.col("a.doc_id").alias("doc_id"), F.col("a.p").alias("first_pos"))
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_occurrences"),
+        F.min("first_pos").cast("long").alias("first_pos"),
+    )

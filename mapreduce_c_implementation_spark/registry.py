@@ -127,6 +127,7 @@ _DRIVER_NEW_THIS_ROUND: list[str] = [
     "sql_pipe_syntax_revenue",
     "udtf_table_argument_partitioned",
     "label_shift_bbse_estimate",
+    "phrase_query_positional_index",
 ]
 
 # Regression re-verification queue: registration order, resuming where

@@ -321,6 +321,23 @@ _NESTED_LOOP_EXEMPT = {
     # inherits ann_bruteforce_topk's documented probe-set cross product
     # (the valuation recursion needs every rank of every test)
     "knn_shapley_valuation",
+    # 1-row chi2-stat broadcast replicated onto the K-treatment rows
+    "friedman_test_daily",
+    # the K x K pair grid on the broadcast top-K head IS the census —
+    # bounded non-equi join by contract (term < term)
+    "kendall_tau_topk_terms",
+    # 1-row fold-complement global-mean broadcast (the smoothing
+    # prior), feature_target_encode's pattern at the (cat, fold) grain
+    "feature_target_encode_oof",
+    # documented probe-set cross product (ann_bruteforce_topk pattern)
+    "maxsim_late_interaction_topk",
+    # 1x1 source-confusion x target-moments cross by construction
+    "label_shift_bbse_estimate",
+    # 1-row best-trigram (query phrase) broadcast onto the postings
+    "phrase_query_positional_index",
+    # per-pair 1-row parent-distinct-count broadcast onto the 1-row
+    # containment aggregate — single-row nested-loop sides throughout
+    "fk_candidate_discovery",
 }
 
 # Modules whose query_fns build lazy plans (streaming/io execute jobs

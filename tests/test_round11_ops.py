@@ -548,3 +548,26 @@ def test_bbse_solves_moment_equation_exactly(spark, sf_smoke):
     assert row.pi1_ppm == sign * (abs(num) * 1_000_000 // abs(den))
     # the staged shift is real: target's true rate differs from source's
     assert row.naive_pred_rate_ppm != row.pi1_ppm  # correction engaged
+
+
+def test_phrase_query_matches_python_replay(spark, sf_smoke):
+    """Python replay: most-frequent trigram (ties lexicographic), then
+    exact positional occurrences per doc."""
+    docs = [(d, reference_map(t)) for d, _, t in _docs(sf_smoke)]
+    tri = Counter()
+    for _, ts in docs:
+        for i in range(len(ts) - 2):
+            tri[" ".join(ts[i : i + 3])] += 1
+    phrase = min(tri.items(), key=lambda kv: (-kv[1], kv[0]))[0].split(" ")
+    expect = {}
+    for doc_id, ts in docs:
+        hits = [
+            i + 1
+            for i in range(len(ts) - 2)
+            if ts[i : i + 3] == phrase
+        ]
+        if hits:
+            expect[doc_id] = (len(hits), hits[0])
+    rows = _rows(spark, sf_smoke, "phrase_query_positional_index")
+    got = {r.doc_id: (r.n_occurrences, r.first_pos) for r in rows}
+    assert got == expect and len(got) > 0
