@@ -219,6 +219,8 @@ HEADLINE = [
     "udtf_table_argument_partitioned",
     "label_shift_bbse_estimate",
     "phrase_query_positional_index",
+    "unicode_nfc_canonicalize",
+    "span_token_alignment",
 ]
 
 

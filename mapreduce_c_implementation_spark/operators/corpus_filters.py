@@ -15,6 +15,8 @@ doubles in both engines.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -3349,4 +3351,91 @@ def luhn_checksum_pii_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_luhn_valid") > 0, 1).otherwise(0).cast("long").alias(
             "has_pan"
         ),
+    )
+
+
+# --- Round 11: Unicode NFC canonicalization screen -------------------------
+#
+# The fixture is pure ASCII, so the [[pii_redaction]] augmentation
+# device plants canonically-equivalent variants: composed NFC forms on
+# one doc class, decomposed NFD on another — byte-different, rendering-
+# identical, the pairs every digest-based dedup misses without a
+# normalization pass.
+_NFC_COMPOSED = "café Ångström résumé"
+_NFC_DECOMPOSED = (
+    "café Ångström résumé"
+)
+
+
+@register(
+    "unicode_nfc_canonicalize",
+    oracle_sql=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 3 = 1 THEN ' {_NFC_COMPOSED}'
+                          WHEN doc_id % 3 = 2 THEN ' {_NFC_DECOMPOSED}'
+                          ELSE '' END AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN nfc_normalize(raw) <> raw THEN 1 ELSE 0 END
+                AS BIGINT) AS changed,
+           CAST(length(raw) AS BIGINT) AS raw_codepoints,
+           CAST(length(nfc_normalize(raw)) AS BIGINT) AS norm_codepoints,
+           md5(nfc_normalize(raw)) AS norm_md5
+    FROM aug
+    """,
+    tags=("text", "unicode", "canonicalization", "pipeline"),
+)
+def unicode_nfc_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization — the normalization pass that must
+    run BEFORE any digest-keyed dedup on real multilingual crawl data:
+    composed (U+00E9) and decomposed (e + U+0301) forms are byte-
+    different but canonically equivalent, so without NFC the exact-
+    dedup family silently treats them as distinct documents.
+    [[text_canonicalize_dedup]] handles case/whitespace; this op closes
+    the Unicode axis, emitting per doc the changed flag, codepoint
+    lengths (NFC composition SHRINKS decomposed runs) and the
+    normalized digest downstream dedup should key on.
+
+    Spark has no built-in Unicode normalizer, so this is a justified
+    Python rung (SURVEY custom-operator rule (b)): an Arrow-batched
+    pandas UDF over ``unicodedata.normalize`` — vectorized transfer,
+    per-batch Python, never per-row serialization.  Cross-engine
+    parity holds because Python's unicodedata and DuckDB's
+    nfc_normalize implement the same Unicode canonical composition.
+
+    Scale shape: pure per-row map + Arrow batch transfer; the one
+    shuffle-free stage.  The planted composed/decomposed suffixes make
+    the fixture exercise real composition, not a no-op.
+
+    Reference analog: none (corpus-hygiene surface per the brief).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(col: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return col.map(lambda s: unicodedata.normalize("NFC", s))
+
+    aug = parallel_scan(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 1, F.lit(" " + _NFC_COMPOSED))
+            .when(F.col("doc_id") % 3 == 2, F.lit(" " + _NFC_DECOMPOSED))
+            .otherwise(F.lit("")),
+        ).alias("raw"),
+    )
+    normed = aug.select("doc_id", "raw", nfc(F.col("raw")).alias("norm"))
+    return normed.select(
+        "doc_id",
+        F.when(F.col("norm") != F.col("raw"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("changed"),
+        F.length("raw").cast("long").alias("raw_codepoints"),
+        F.length("norm").cast("long").alias("norm_codepoints"),
+        F.md5("norm").alias("norm_md5"),
     )

@@ -6943,3 +6943,113 @@ def phrase_query_positional_index(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count("*").cast("long").alias("n_occurrences"),
         F.min("first_pos").cast("long").alias("first_pos"),
     )
+
+
+# --- Round 11: char-span -> token-span annotation alignment ---------------
+#
+# Annotation tooling emits CHARACTER offsets; token-level training
+# (NER tags, span corruption, citation grounding) needs TOKEN indices.
+# The alignment is exact integer arithmetic over in-row prefix sums of
+# token lengths — one fixture annotation per doc (a 20-char span
+# anchored at the first quarter point) keeps the oracle deterministic.
+SPAN_ALIGN_LEN = 20
+
+
+@register(
+    "span_token_alignment",
+    oracle_sql=f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             CAST(n_chars // 4 + 1 AS BIGINT) AS s,
+             CAST(n_chars // 4 + 1 + {SPAN_ALIGN_LEN} AS BIGINT) AS e
+      FROM documents
+    ),
+    off AS (
+      SELECT doc_id, toks, s, e,
+             list_reduce(
+               list_prepend([CAST(1 AS BIGINT)],
+                 list_transform(toks, t -> [CAST(length(t) AS BIGINT)])),
+               (acc, x) -> list_append(acc, acc[-1] + x[1] + 1)) AS starts
+      FROM base
+    ),
+    cov AS (
+      SELECT doc_id, toks, s, e,
+             list_filter(generate_series(1, len(toks)),
+               i -> starts[i] < e
+                AND starts[i] + length(toks[i]) > s) AS c
+      FROM off
+    )
+    SELECT doc_id, s AS char_start, e AS char_end,
+           CAST(CASE WHEN len(c) > 0 THEN c[1] END AS BIGINT) AS tok_start,
+           CAST(CASE WHEN len(c) > 0 THEN c[-1] END AS BIGINT) AS tok_end,
+           CAST(len(c) AS BIGINT) AS n_tokens_covered,
+           CASE WHEN len(c) > 0
+                THEN md5(array_to_string(toks[c[1]:c[-1]], ' ')) END
+             AS covered_md5
+    FROM cov
+    """,
+    tags=("text", "alignment", "spans", "pipeline"),
+)
+def span_token_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-span to TOKEN-span alignment — the data-prep step
+    between annotation tooling (which emits char offsets) and token-
+    level training data (NER tags, grounded citations,
+    [[span_corruption_masking]]-style objectives): for each document's
+    fixture annotation ({SPAN_ALIGN_LEN} chars at the quarter point),
+    the covered token range under the space-token segmentation whose
+    char offsets are EXACT in-row prefix sums of token lengths.
+    Overlap rule: token covers the span iff start < span_end and
+    start + len > span_start (half-open on both sides).
+
+    The prefix sums are a runtime list fold in BOTH engines (Spark
+    ``aggregate`` with an array accumulator, DuckDB ``list_reduce``
+    over single-element lists — its accumulator must share the element
+    type), so the offsets stay O(tokens) per row with no O(n^2)
+    re-concatenation and no token-grain explode — the whole operator
+    is one shuffle-free map.
+
+    Reference analog: none (LLM-pipeline data-prep surface).
+    """
+    base = compute_scan(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.expr("CAST(n_chars div 4 + 1 AS BIGINT)").alias("s"),
+        F.expr(
+            f"CAST(n_chars div 4 + 1 + {SPAN_ALIGN_LEN} AS BIGINT)"
+        ).alias("e"),
+    )
+    off = base.withColumn(
+        "starts",
+        F.expr(
+            "aggregate(transform(toks, t -> CAST(length(t) AS BIGINT)),"
+            " array(CAST(1 AS BIGINT)),"
+            " (acc, x) -> array_append(acc, element_at(acc, -1) + x + 1))"
+        ),
+    )
+    cov = off.withColumn(
+        "c",
+        F.expr(
+            "filter(sequence(1, size(toks)),"
+            " i -> element_at(starts, i) < e"
+            " AND element_at(starts, i)"
+            "     + length(element_at(toks, i)) > s)"
+        ),
+    )
+    return cov.select(
+        "doc_id",
+        F.col("s").alias("char_start"),
+        F.col("e").alias("char_end"),
+        F.expr(
+            "CAST(CASE WHEN size(c) > 0 THEN element_at(c, 1) END AS BIGINT)"
+        ).alias("tok_start"),
+        F.expr(
+            "CAST(CASE WHEN size(c) > 0 THEN element_at(c, -1) END AS BIGINT)"
+        ).alias("tok_end"),
+        F.size("c").cast("long").alias("n_tokens_covered"),
+        F.expr(
+            "CASE WHEN size(c) > 0 THEN md5(array_join("
+            "slice(toks, CAST(element_at(c, 1) AS INT),"
+            " CAST(element_at(c, -1) - element_at(c, 1) + 1 AS INT)), ' '))"
+            " END"
+        ).alias("covered_md5"),
+    )

@@ -128,6 +128,8 @@ _DRIVER_NEW_THIS_ROUND: list[str] = [
     "udtf_table_argument_partitioned",
     "label_shift_bbse_estimate",
     "phrase_query_positional_index",
+    "unicode_nfc_canonicalize",
+    "span_token_alignment",
 ]
 
 # Regression re-verification queue: registration order, resuming where

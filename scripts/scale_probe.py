@@ -259,6 +259,8 @@ PROBE_OPS = [
     "udtf_table_argument_partitioned",
     "label_shift_bbse_estimate",
     "phrase_query_positional_index",
+    "unicode_nfc_canonicalize",
+    "span_token_alignment",
 ]
 
 

@@ -380,6 +380,8 @@ SWEPT_OPS = [
     "udtf_table_argument_partitioned",
     "label_shift_bbse_estimate",
     "phrase_query_positional_index",
+    "unicode_nfc_canonicalize",
+    "span_token_alignment",
 ]
 
 

@@ -571,3 +571,63 @@ def test_phrase_query_matches_python_replay(spark, sf_smoke):
     rows = _rows(spark, sf_smoke, "phrase_query_positional_index")
     got = {r.doc_id: (r.n_occurrences, r.first_pos) for r in rows}
     assert got == expect and len(got) > 0
+
+
+def test_nfc_canonicalize_detects_decomposed_class(spark, sf_smoke):
+    """Exactly the doc_id % 3 == 2 class (planted NFD suffix) changes;
+    digests match a Python unicodedata replay."""
+    import hashlib
+    import unicodedata
+
+    from mapreduce_c_implementation_spark.operators.corpus_filters import (
+        _NFC_COMPOSED,
+        _NFC_DECOMPOSED,
+    )
+
+    assert unicodedata.normalize("NFC", _NFC_DECOMPOSED) == _NFC_COMPOSED
+    got = {r.doc_id: r for r in _rows(spark, sf_smoke, "unicode_nfc_canonicalize")}
+    for doc_id, _, text in _docs(sf_smoke):
+        raw = text + (
+            " " + _NFC_COMPOSED
+            if doc_id % 3 == 1
+            else (" " + _NFC_DECOMPOSED if doc_id % 3 == 2 else "")
+        )
+        norm = unicodedata.normalize("NFC", raw)
+        r = got[doc_id]
+        assert r.changed == (1 if norm != raw else 0)
+        assert r.changed == (1 if doc_id % 3 == 2 else 0)
+        assert (r.raw_codepoints, r.norm_codepoints) == (len(raw), len(norm))
+        assert r.norm_md5 == hashlib.md5(norm.encode()).hexdigest()
+
+
+def test_span_alignment_matches_python_replay(spark, sf_smoke):
+    """Offsets and coverage replayed with plain Python string math."""
+    import hashlib
+
+    from mapreduce_c_implementation_spark.operators.textanalysis import (
+        SPAN_ALIGN_LEN,
+    )
+
+    got = {r.doc_id: r for r in _rows(spark, sf_smoke, "span_token_alignment")}
+    for doc_id, _, text in _docs(sf_smoke):
+        toks = text.split(" ")
+        s = len(text) // 4 + 1
+        e = s + SPAN_ALIGN_LEN
+        starts, pos = [], 1
+        for t in toks:
+            starts.append(pos)
+            pos += len(t) + 1
+        cov = [
+            i + 1
+            for i, t in enumerate(toks)
+            if starts[i] < e and starts[i] + len(t) > s
+        ]
+        r = got[doc_id]
+        assert (r.char_start, r.char_end) == (s, e)
+        assert r.n_tokens_covered == len(cov)
+        if cov:
+            assert (r.tok_start, r.tok_end) == (cov[0], cov[-1])
+            covered = " ".join(toks[cov[0] - 1 : cov[-1]])
+            assert r.covered_md5 == hashlib.md5(covered.encode()).hexdigest()
+        else:
+            assert r.tok_start is None and r.covered_md5 is None
