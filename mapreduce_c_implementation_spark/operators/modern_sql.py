@@ -13,6 +13,7 @@ the same ANSI construct in DuckDB.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from mapreduce_c_implementation_spark.registry import register
 from mapreduce_c_implementation_spark.sources.tables import register_views
@@ -399,3 +400,129 @@ def sql_pipe_syntax_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY l_returnflag, l_linestatus
         """
     )
+
+
+@register(
+    "observed_metrics_pipeline",
+    oracle_sql="""
+    SELECT CAST(count(*) AS BIGINT) AS n_in,
+           CAST(sum(n_chars) AS BIGINT) AS chars_in,
+           CAST(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN n_chars >= 200 THEN n_chars ELSE 0 END)
+                AS BIGINT) AS chars_kept,
+           CAST(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS kept_ppm
+    FROM documents
+    """,
+    tags=("sql", "observe", "monitoring", "spark4"),
+)
+def observed_metrics_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via ``Dataset.observe`` + ``Observation``
+    — the production pattern for recording row counts and byte totals
+    AT ARBITRARY POINTS of a pipeline without extra passes: the
+    metrics are accumulator-style aggregates computed DURING the one
+    execution (here: input grain before a length filter, output grain
+    after), not separate count() jobs that re-run the plan.  The
+    operator attaches two observation points to a filter pipeline,
+    forces it once with the noop sink, and returns the collected
+    metrics as the result row — which the oracle recomputes as plain
+    aggregates, proving the observed numbers are exact, not sampled.
+
+    Scale shape: zero additional passes by construction — observe
+    piggybacks on the single execution; the only cost is the
+    accumulator merge at task completion.  This is how a 100 TB
+    ingestion job reports its kept/dropped accounting for free.
+
+    Reference analog: the metrics subsystem (SURVEY §2.1 row 19) made
+    query-embedded.
+    """
+    from pyspark.sql import Observation
+
+    from mapreduce_c_implementation_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    obs_in = Observation("input")
+    obs_out = Observation("output")
+    pipeline = (
+        d.observe(
+            obs_in,
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("chars"),
+        )
+        .filter(F.col("n_chars") >= 200)
+        .observe(
+            obs_out,
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("chars"),
+        )
+    )
+    pipeline.write.format("noop").mode("overwrite").save()
+    i, o = obs_in.get, obs_out.get
+    return spark.createDataFrame(
+        [
+            (
+                int(i["n"]),
+                int(i["chars"]),
+                int(o["n"]),
+                int(o["chars"]),
+                int(o["n"]) * 1_000_000 // int(i["n"]),
+            )
+        ],
+        "n_in long, chars_in long, n_kept long, chars_kept long, kept_ppm long",
+    )
+
+
+# IDENTIFIER() targets: the parameterized table/column pairs a
+# multi-tenant query template binds safely (no string-spliced SQL).
+_IDENT_TARGETS = [("orders", "o_totalprice"), ("lineitem", "l_extendedprice")]
+
+
+def _ident_oracle() -> str:
+    parts = [
+        f"""
+    SELECT '{t}' AS table_name, '{c}' AS column_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST({c} AS DECIMAL(18,2)) * 100) AS BIGINT)
+             AS sum_cents
+    FROM {t}"""
+        for t, c in _IDENT_TARGETS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "sql_identifier_dynamic_table",
+    oracle_sql=_ident_oracle(),
+    tags=("sql", "identifier", "spark4", "modern-sql"),
+)
+def sql_identifier_dynamic_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``IDENTIFIER()`` clause (SQL-injection-safe dynamic names):
+    one query TEMPLATE profiled over a list of (table, column) targets
+    with the names bound as parameters — the constant-folded, analyzer-
+    checked alternative to string-splicing SQL that a multi-tenant
+    profiler or dbt-style runner needs.  Each binding resolves at
+    analysis time, so every instantiation plans exactly like the
+    hand-written query (pushdown, pruning and all).
+
+    Exactness: money sums in integer cents.  Scale shape: per target,
+    one map-side-combined 1-row aggregate over a pruned single-column
+    scan; results union.
+
+    Reference analog: none (SURVEY §2.2 modern-SQL surface).
+    """
+    register_views(spark, sf_dir)
+    out = None
+    for t, c in _IDENT_TARGETS:
+        row = spark.sql(
+            """
+            SELECT :tname AS table_name, :cname AS column_name,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(IDENTIFIER(:cname) AS DECIMAL(18,2)) * 100)
+                        AS BIGINT) AS sum_cents
+            FROM IDENTIFIER(:tname)
+            """,
+            args={"tname": t, "cname": c},
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -130,6 +130,8 @@ _DRIVER_NEW_THIS_ROUND: list[str] = [
     "phrase_query_positional_index",
     "unicode_nfc_canonicalize",
     "span_token_alignment",
+    "observed_metrics_pipeline",
+    "sql_identifier_dynamic_table",
 ]
 
 # Regression re-verification queue: registration order, resuming where

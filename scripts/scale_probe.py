@@ -261,6 +261,8 @@ PROBE_OPS = [
     "phrase_query_positional_index",
     "unicode_nfc_canonicalize",
     "span_token_alignment",
+    "observed_metrics_pipeline",
+    "sql_identifier_dynamic_table",
 ]
 
 
