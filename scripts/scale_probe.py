@@ -274,6 +274,8 @@ PROBE_OPS = [
 DIM_PROBE_OPS = [
     "record_linkage_blocked",
     "entity_resolution_clusters",
+    # round-11: containment counts ride the parent-side distincts
+    "fk_candidate_discovery",
     "join_fuzzy_levenshtein",
     "tpch_q2_min_cost_supplier",
     "tpch_q9_product_profit",
