@@ -84,23 +84,20 @@ def register(
 
 # The driver's CORRECTNESS gate verifies a bounded prefix of ``queries()``
 # (50 names per round).  Names listed here are emitted FIRST, in this
-# order; everything else follows in registration order.  Rounds 1-9
-# together hard-verified ALL 352 operators registered through round 9
-# (CORRECTNESS_r01-r09; round 5's window duplicated round 4's — their
+# order; everything else follows in registration order.  Rounds 1-10
+# together hard-verified ALL 387 operators registered through round 10
+# (CORRECTNESS_r01-r10; round 5's window duplicated round 4's — their
 # union is frozen in ``_DRIVER_VERIFIED_PRIOR``).  With first-time
-# verification complete, the window becomes a REGRESSION ROTATION:
-# new round-N additions go in ``_DRIVER_NEW_THIS_ROUND`` (verified
-# first), and the remaining slots re-verify previously-green operators
-# oldest-first in registration order — round 9's regression re-checks
-# covered ``grouping_sets_sales`` .. ``join_cardinality_estimate``;
-# round 10 resumes at ``join_fuzzy_levenshtein`` after the three
-# round-10 rewrites (``_DRIVER_REGRESSION``).  After each round's
-# artifact lands, fold any first-time keys into
-# ``_DRIVER_VERIFIED_PRIOR`` and advance the regression cursor.  The
-# rotated-out ops keep their in-repo oracle coverage
-# (tests/test_operators_vs_oracle.py runs every registered operator),
-# and tests/test_extensions.py's coverage-ledger test asserts
-# prior + new covers the full registry.
+# verification complete, the window is a REGRESSION ROTATION: new
+# round-N additions go in ``_DRIVER_NEW_THIS_ROUND`` (verified first),
+# and the remaining slots re-verify previously-green operators
+# oldest-first in registration order (``_DRIVER_REGRESSION``).  After
+# each round's artifact lands, fold the first-time keys into
+# ``_DRIVER_VERIFIED_PRIOR`` and advance the regression cursor past the
+# names the artifact actually re-checked.  The rotated-out ops keep
+# their in-repo oracle coverage (tests/test_operators_vs_oracle.py runs
+# every registered operator), and tests/test_extensions.py's
+# coverage-ledger test asserts prior + new covers the full registry.
 
 # Round-11 additions, in priority order (appended as they land).  The
 # 50-slot window = these new names first, then the regression cursor
