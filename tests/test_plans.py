@@ -1000,3 +1000,40 @@ def test_asof_binned_all_equi_no_python(spark, sf_correct):
     assert "CartesianProduct" not in plan, plan
     assert "CoGroup" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_round11_pure_map_ops_never_shuffle(spark, sf_correct):
+    """luhn_checksum_pii_screen and span_token_alignment claim to be
+    single-stage maps (in-row HOF folds, no aggregate): no
+    DATA-DEPENDENT exchange may appear — the only allowed movement is
+    the compute_scan helper's round-robin spread of the single input
+    file across cores."""
+    for name in ("luhn_checksum_pii_screen", "span_token_alignment"):
+        plan = physical_plan(get_operator(name).query_fn(spark, sf_correct))
+        assert "hashpartitioning" not in plan, (name, plan)
+        assert "rangepartitioning" not in plan, (name, plan)
+        assert "SinglePartition" not in plan, (name, plan)
+        assert "Python" not in plan, (name, plan)
+
+
+def test_nfc_normalize_takes_arrow_path(spark, sf_correct):
+    """The NFC normalizer must run as a VECTORIZED pandas UDF
+    (ArrowEvalPython), never the row-at-a-time BatchEvalPython path,
+    and nothing in the op shuffles."""
+    plan = physical_plan(
+        get_operator("unicode_nfc_canonicalize").query_fn(spark, sf_correct)
+    )
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_maxsim_scoring_stays_jvm_side(spark, sf_correct):
+    """MaxSim's dot grid / max-pool / sum must be in-row codegen — no
+    Python stage anywhere; ranking is the probe-partitioned window
+    top-k (WindowGroupLimit pushes the rank head per partition)."""
+    plan = physical_plan(
+        get_operator("maxsim_late_interaction_topk").query_fn(spark, sf_correct)
+    )
+    assert "Python" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
