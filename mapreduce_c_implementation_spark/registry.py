@@ -99,50 +99,19 @@ def register(
 # every registered operator), and tests/test_extensions.py's
 # coverage-ledger test asserts prior + new covers the full registry.
 
-# Round-11 additions, in priority order (appended as they land).  The
+# Round-12 additions, in priority order (appended as they land).  The
 # 50-slot window = these new names first, then the regression cursor
-# (resuming at ``union_all_slices`` where round 10's window stopped —
-# CORRECTNESS_r10 re-checked through ``time_gap_fill_ffill``).
-_DRIVER_NEW_THIS_ROUND: list[str] = [
-    "stream_substring_screen",
-    "join_asof_binned",
-    "roc_auc_rank_exact",
-    "average_precision_eval",
-    "mcnemar_paired_eval",
-    "bleu_ngram_component_eval",
-    "friedman_test_daily",
-    "kendall_tau_topk_terms",
-    "graph_clustering_coefficient",
-    "luhn_checksum_pii_screen",
-    "feature_target_encode_oof",
-    "fk_candidate_discovery",
-    "holt_linear_daily",
-    "maxsim_late_interaction_topk",
-    "graph_widest_path_bottleneck",
-    "cohort_ltv_accumulation",
-    "sql_scalar_udf_inline",
-    "sql_pipe_syntax_revenue",
-    "udtf_table_argument_partitioned",
-    "label_shift_bbse_estimate",
-    "phrase_query_positional_index",
-    "unicode_nfc_canonicalize",
-    "span_token_alignment",
-    "observed_metrics_pipeline",
-    "sql_identifier_dynamic_table",
-]
+# (resuming at ``cogroup_reconcile`` where round 11's window stopped —
+# CORRECTNESS_r11 re-checked through ``row_python_udf_format``).
+_DRIVER_NEW_THIS_ROUND: list[str] = []
 
 # Regression re-verification queue: registration order, resuming where
-# round 10's re-check window stopped (after ``time_gap_fill_ffill``).
+# round 11's re-check window stopped (after ``row_python_udf_format``).
 # Names past the 50-slot window simply roll to the next round's cursor.
+# Keys first-verified in round 11 (freshest green) are skipped where the
+# registration order would otherwise re-surface them immediately.
 _DRIVER_REGRESSION = [
-    "union_all_slices", "union_distinct_customers",
-    "intersect_active_customers", "except_lapsed_customers", "merge_upsert_scd1",
-    "intersect_except_all_bags", "string_functions", "date_functions", "math_functions",
-    "json_functions", "array_functions", "conditional_functions", "filter_project_pushdown",
-    "map_functions", "regex_functions", "null_semantics", "explode_outer_tokens",
-    "higher_order_functions", "variant_json_shred", "map_higher_order_functions",
-    "udtf_tokenize", "pandas_udf_scalar_score", "grouped_agg_pandas_udf",
-    "apply_in_pandas_zscore", "row_python_udf_format", "cogroup_reconcile",
+    "cogroup_reconcile",
     "map_in_arrow_doc_stats", "tpch_q3_shipping_priority", "tpch_q5_local_supplier",
     "pivot_status_by_flag", "unpivot_measures", "salted_aggregation", "tfidf_top_terms",
     "sql_subquery_surface", "tpch_q4_order_priority", "stratified_sample", "table_profile",
@@ -150,6 +119,15 @@ _DRIVER_REGRESSION = [
     "tpch_q14_promo_effect", "fk_integrity_check", "scd2_history",
     "tpch_q10_returned_items", "tpch_q18_large_orders", "tpch_q7_nation_volume",
     "event_transition_matrix", "token_pmi_pairs", "correlation_matrix",
+    "time_weighted_avg", "event_retention_cohorts", "event_attribution_last_touch",
+    "customer_rfm_segmentation", "part_abc_classification", "window_funnel_timeout",
+    "association_rules_parts", "sequential_pattern_mining", "key_gini_concentration",
+    "hilbert_curve_layout", "diff_in_differences_events", "quantile_treatment_effects",
+    "tpch_q8_market_share", "tpch_q12_late_lines", "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier", "tpch_q17_small_qty_revenue", "tpch_q19_discounted_revenue",
+    "tpch_q21_waiting_supplier", "tpch_q22_sales_opportunity", "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit", "tpch_q11_important_stock", "tpch_q16_supplier_counts",
+    "tpch_q20_potential_promotion",
 ]
 
 _DRIVER_PRIORITY = _DRIVER_NEW_THIS_ROUND + _DRIVER_REGRESSION
@@ -305,6 +283,21 @@ _DRIVER_VERIFIED_PRIOR = frozenset({
     "brown_forsythe_levene", "gumbel_weighted_sample_per_group",
     "platt_scaling_calibration", "quantile_treatment_effects",
     "greedy_set_cover_docs",
+    # round 11 (CORRECTNESS_r11.json — 25 first-time keys; the window's
+    # other 25 rows were regression re-checks of names already listed
+    # above, ``union_all_slices`` through ``row_python_udf_format``)
+    "stream_substring_screen", "join_asof_binned", "roc_auc_rank_exact",
+    "average_precision_eval", "mcnemar_paired_eval",
+    "bleu_ngram_component_eval", "friedman_test_daily",
+    "kendall_tau_topk_terms", "graph_clustering_coefficient",
+    "luhn_checksum_pii_screen", "feature_target_encode_oof",
+    "fk_candidate_discovery", "holt_linear_daily",
+    "maxsim_late_interaction_topk", "graph_widest_path_bottleneck",
+    "cohort_ltv_accumulation", "sql_scalar_udf_inline",
+    "sql_pipe_syntax_revenue", "udtf_table_argument_partitioned",
+    "label_shift_bbse_estimate", "phrase_query_positional_index",
+    "unicode_nfc_canonicalize", "span_token_alignment",
+    "observed_metrics_pipeline", "sql_identifier_dynamic_table",
 })
 
 
