@@ -223,6 +223,10 @@ HEADLINE = [
     "span_token_alignment",
     "observed_metrics_pipeline",
     "sql_identifier_dynamic_table",
+    # round-12 additions
+    "index_delete_propagation",
+    "dedup_minhash_index_append",
+    "index_bucket_compaction",
 ]
 
 

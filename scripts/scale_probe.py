@@ -263,6 +263,11 @@ PROBE_OPS = [
     "span_token_alignment",
     "observed_metrics_pipeline",
     "sql_identifier_dynamic_table",
+    # round-12 additions
+    "stream_substring_screen_cumulative",
+    "index_delete_propagation",
+    "dedup_minhash_index_append",
+    "index_bucket_compaction",
 ]
 
 

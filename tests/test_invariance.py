@@ -384,6 +384,11 @@ SWEPT_OPS = [
     "span_token_alignment",
     "observed_metrics_pipeline",
     "sql_identifier_dynamic_table",
+    # round-12 additions (the streaming cumulative screen is covered by
+    # its own batch-plan determinism test, like the plain screen)
+    "index_delete_propagation",
+    "dedup_minhash_index_append",
+    "index_bucket_compaction",
 ]
 
 

@@ -338,6 +338,14 @@ _NESTED_LOOP_EXEMPT = {
     # per-pair 1-row parent-distinct-count broadcast onto the 1-row
     # containment aggregate — single-row nested-loop sides throughout
     "fk_candidate_discovery",
+    # audit rows assembled by crossing 1-row count/checksum aggregates
+    # (rows_before x after x rebuilt) — single-row sides by construction;
+    # the index rewrites themselves are broadcast anti-joins, plan-gated
+    # separately in test_rtbf_rewrite_never_shuffles_index
+    "index_delete_propagation",
+    # 1-row post-append (count, checksum) audit broadcast onto the
+    # decision rows — single-row nested-loop side by construction
+    "dedup_minhash_index_append",
 }
 
 # Modules whose query_fns build lazy plans (streaming/io execute jobs
@@ -986,6 +994,121 @@ def test_sscr_probe_index_side_never_shuffles(spark, sf_correct):
     assert re.search(r"Scan parquet [^\n]*b_sscr_index", plan), plan
     assert "Bucketed: true" in plan, plan
     assert len(re.findall(r"hashpartitioning\(win_hash", plan)) <= 2, plan
+
+
+def test_sscrc_probe_and_append_stay_bucket_aligned(spark, sf_correct):
+    """stream_substring_screen_cumulative's maintained index must stay
+    bucket-aligned through appends: after a bucketBy(win_hash) append of
+    an increment, the probe still scans the table Bucketed: true,
+    sort-merge-joins, and only the probe side exchanges on the join key
+    (the index side may re-sort across files-per-bucket but never
+    shuffles).  The append itself shuffles ONLY the increment (exactly
+    one hashpartitioning(win_hash) in its plan — never the index)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_c_implementation_spark.streaming.queries import (
+        SSCR_BASE_MOD,
+        SSCR_BUCKETS,
+        _sscr_anchored_wins,
+    )
+
+    tbl = "b_sscrc_plangate"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    docs = (
+        spark.read.parquet(f"{sf_correct}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    base = docs.filter(F.col("doc_id") % SSCR_BASE_MOD == 0)
+    arr = docs.filter(F.col("doc_id") % SSCR_BASE_MOD == 1)
+    try:
+        base_wins = _sscr_anchored_wins(base, "base_doc")
+        (
+            base_wins.repartition(SSCR_BUCKETS, F.col("win_hash"))
+            .write.bucketBy(SSCR_BUCKETS, "win_hash")
+            .sortBy("win_hash")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+        # the append path: increment-only shuffle
+        inc = _sscr_anchored_wins(arr.limit(50), "base_doc").repartition(
+            SSCR_BUCKETS, F.col("win_hash")
+        )
+        inc_plan = physical_plan(inc)
+        assert len(re.findall(r"hashpartitioning\(win_hash", inc_plan)) == 1, inc_plan
+        assert "b_sscrc_plangate" not in inc_plan, inc_plan
+        (
+            inc.write.bucketBy(SSCR_BUCKETS, "win_hash")
+            .sortBy("win_hash")
+            .mode("append")
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+        spark.catalog.refreshTable(tbl)
+        # the probe path AFTER the append: index side still bucket-aligned
+        probe = (
+            _sscr_anchored_wins(arr, "arr_doc")
+            .join(spark.table(tbl).hint("merge"), "win_hash")
+            .select("arr_doc", "base_doc")
+            .distinct()
+        )
+        plan = physical_plan(probe)
+        assert "SortMergeJoin" in plan, plan
+        assert re.search(r"Scan parquet [^\n]*b_sscrc_plangate", plan), plan
+        assert "Bucketed: true" in plan, plan
+        assert len(re.findall(r"hashpartitioning\(win_hash", plan)) <= 2, plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_rtbf_rewrite_never_shuffles_index(spark, sf_correct):
+    """index_delete_propagation's anti-join rewrite must never shuffle
+    the index: the v2 snapshot plan is a bucketed scan filtered through
+    a BROADCAST anti-join — the only exchange is the broadcast of the
+    delete set (no hashpartitioning anywhere; the bucketBy write
+    computes bucket ids in-task and adds no exchange)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_c_implementation_spark.operators.dedup import (
+        RTBF_BUCKETS,
+        RTBF_DELETE_MOD,
+        RTBF_DELETE_REM,
+    )
+
+    tbl = "b_rtbf_plangate"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    try:
+        members = docs.select(
+            "doc_id",
+            F.sha2(F.encode(F.col("text"), "UTF-8"), 256).alias(
+                "payload_sha256"
+            ),
+        )
+        (
+            members.repartition(RTBF_BUCKETS, F.col("payload_sha256"))
+            .write.bucketBy(RTBF_BUCKETS, "payload_sha256")
+            .sortBy("payload_sha256")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+        deletes = docs.filter(
+            F.col("doc_id") % RTBF_DELETE_MOD == RTBF_DELETE_REM
+        ).select("doc_id")
+        rewrite = spark.table(tbl).join(F.broadcast(deletes), "doc_id", "anti")
+        plan = physical_plan(rewrite)
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+        assert not re.search(r"Exchange hashpartitioning", plan), plan
+        assert re.search(r"Scan parquet [^\n]*b_rtbf_plangate", plan), plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
 def test_asof_binned_all_equi_no_python(spark, sf_correct):

@@ -1,0 +1,162 @@
+"""Round-12 operator semantics: delete propagation across persisted
+indexes, and supporting checks the driver's DuckDB differential cannot
+express (reading the maintained catalog tables themselves)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from mapreduce_c_implementation_spark.registry import get_operator
+
+
+def test_rtbf_propagation_matches_rebuild_and_tables_are_clean(
+    spark, sf_correct
+):
+    """The audit must report rebuild_match=1 for every index (post-delete
+    snapshot == from-scratch derivation on survivors), the row arithmetic
+    must close, and — the part the oracle can't see — the v2 CATALOG
+    TABLES must contain zero rows for deleted doc_ids."""
+    from mapreduce_c_implementation_spark.operators.dedup import (
+        RTBF_DELETE_MOD,
+        RTBF_DELETE_REM,
+    )
+
+    rows = (
+        get_operator("index_delete_propagation")
+        .query_fn(spark, sf_correct)
+        .collect()
+    )
+    assert len(rows) == 3
+    by_name = {r.index_name: r for r in rows}
+    assert set(by_name) == {
+        "substring_win_index",
+        "minhash_band_index",
+        "cas_membership_index",
+    }
+    for r in rows:
+        assert r.rebuild_match == 1, r
+        assert r.rows_before - r.rows_deleted == r.rows_after, r
+        assert r.rows_deleted > 0, r  # the delete set is non-empty
+
+    tag = hashlib.md5(sf_correct.encode()).hexdigest()[:8]
+    for short in ("sscr", "mh", "cas"):
+        v2 = spark.table(f"b_rtbf_{short}_{tag}_v2")
+        leaked = v2.filter(
+            F.col("doc_id") % RTBF_DELETE_MOD == RTBF_DELETE_REM
+        ).count()
+        assert leaked == 0, f"deleted docs leaked in b_rtbf_{short}_{tag}_v2"
+
+
+def test_rtbf_cas_keeper_promotion_on_synthetic_dups(spark):
+    """When a CAS group's keeper doc is deleted, the served aggregate
+    over the surviving membership must promote the next-lowest member
+    and decrement the refcount — exercised synthetically because the
+    fixture corpus has no byte-identical payloads."""
+    members = spark.createDataFrame(
+        [
+            # group A: keeper 5 deleted (5 % 13 == 5), survivors 6, 20
+            (5, "sha_a", 100),
+            (6, "sha_a", 100),
+            (20, "sha_a", 100),
+            # group B: untouched
+            (2, "sha_b", 50),
+            (7, "sha_b", 50),
+            # group C: sole member deleted -> group disappears
+            (18 + 13 * 2, "sha_c", 9),  # 44 % 13 == 5
+        ],
+        "doc_id long, payload_sha256 string, n_bytes long",
+    )
+    deletes = members.filter(F.col("doc_id") % 13 == 5).select("doc_id")
+    survivors = members.join(F.broadcast(deletes), "doc_id", "anti")
+    served = (
+        survivors.groupBy("payload_sha256")
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.min("doc_id").cast("long").alias("keeper_doc"),
+            F.min("n_bytes").cast("long").alias("n_bytes"),
+        )
+        .collect()
+    )
+    by_sha = {r.payload_sha256: r for r in served}
+    assert by_sha["sha_a"].keeper_doc == 6  # promoted past deleted 5
+    assert by_sha["sha_a"].n_copies == 2  # refcount decremented
+    assert by_sha["sha_b"].keeper_doc == 2  # untouched group unchanged
+    assert by_sha["sha_b"].n_copies == 2
+    assert "sha_c" not in by_sha  # fully-deleted group removed
+
+
+def test_mh_index_append_table_state(spark, sf_correct):
+    """After dedup_minhash_index_append runs, the maintained catalog
+    table must equal old-corpus bands ∪ accepted docs' bands exactly —
+    verified against the table itself, not just the audit columns — and
+    the staged increment must exercise BOTH decision branches."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_c_implementation_spark.operators.dedup import (
+        _inc_is_new,
+        _minhash_bands,
+    )
+
+    out = (
+        get_operator("dedup_minhash_index_append")
+        .query_fn(spark, sf_correct)
+        .cache()
+    )
+    try:
+        n_acc = out.filter(F.col("accepted") == 1).count()
+        n_rej = out.filter(F.col("accepted") == 0).count()
+        assert n_acc > 0 and n_rej > 0, (n_acc, n_rej)
+        # audit columns are constant across rows
+        assert out.select("index_rows_after").distinct().count() == 1
+
+        tag = hashlib.md5(sf_correct.encode()).hexdigest()[:8]
+        tbl = spark.table(f"b_mha_index_{tag}")
+        bands = _minhash_bands(spark, sf_correct).select(
+            "doc_id",
+            F.concat_ws(
+                "#", F.col("band_idx").cast("string"), F.col("band_key")
+            ).alias("bkey"),
+        )
+        accepted_ids = out.filter(F.col("accepted") == 1).select("doc_id")
+        expected = bands.filter(~_inc_is_new()).unionByName(
+            bands.join(accepted_ids, "doc_id", "semi")
+        )
+        assert tbl.count() == expected.count()
+        assert tbl.exceptAll(expected).isEmpty()
+        assert expected.exceptAll(tbl).isEmpty()
+        # rejected docs' bands must NOT be in the index
+        rejected_ids = out.filter(F.col("accepted") == 0).select("doc_id")
+        assert tbl.join(rejected_ids, "doc_id", "semi").count() == 0
+    finally:
+        out.unpersist()
+
+
+def test_bucket_compaction_restores_one_file_per_bucket(spark, sf_correct):
+    """Compaction must preserve content exactly (audit columns all
+    green) AND restore the one-file-per-bucket layout: the staged
+    append history leaves CMPB_SLICES files per bucket, the v2 snapshot
+    exactly CMPB_BUCKETS files total."""
+    import glob
+
+    from mapreduce_c_implementation_spark.sources.io_ops import (
+        CMPB_BUCKETS,
+        CMPB_SLICES,
+        index_bucket_compaction,
+    )
+
+    row = (
+        get_operator("index_bucket_compaction")
+        .query_fn(spark, sf_correct)
+        .collect()[0]
+    )
+    assert row.content_match == 1 and row.files_reduced == 1, row
+    tbl, v2 = index_bucket_compaction.last_tables
+    warehouse = "spark-warehouse"
+    n_before = len(glob.glob(f"{warehouse}/{tbl}/*.parquet"))
+    n_after = len(glob.glob(f"{warehouse}/{v2}/*.parquet"))
+    assert n_before == CMPB_BUCKETS * CMPB_SLICES, n_before
+    assert n_after == CMPB_BUCKETS, n_after

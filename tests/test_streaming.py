@@ -314,3 +314,59 @@ def test_stream_substring_screen_exactly_once_and_batch_invariant(
         out.filter((F.col("flagged") == 1) & (F.col("n_matched_base") == 0)).count()
         == 0
     )
+
+
+def test_stream_substring_screen_cumulative_closes_cross_batch_seam(
+    spark, sf_correct
+):
+    """The cumulative screen must (a) keep exactly-once + pass-through
+    semantics, (b) be STRICTLY STRONGER than the write-once screen —
+    every arrival the base-only index flags is still flagged (the index
+    only grows) and at least one arrival is flagged ONLY because a prior
+    batch's accepted arrival was appended to the index (the cross-batch
+    near-dup seam the op exists to close), and (c) stamp batch_id with
+    the deterministic staged-batch slice (doc_id % 3)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_c_implementation_spark.registry import get_operator
+
+    cum = (
+        get_operator("stream_substring_screen_cumulative")
+        .query_fn(spark, sf_correct)
+        .cache()
+    )
+    plain = get_operator("stream_substring_screen").query_fn(spark, sf_correct)
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    try:
+        n_odd = docs.filter(F.col("doc_id") % 2 == 1).count()
+        assert cum.count() == n_odd
+        assert cum.select("doc_id").distinct().count() == n_odd
+        # batch_id is the deterministic staging slice
+        assert (
+            cum.filter(F.col("batch_id") != F.col("doc_id") % 3).count() == 0
+        )
+        # pass-through digest for unflagged arrivals
+        joined = (
+            cum.filter(F.col("flagged") == 0)
+            .join(docs.select("doc_id", "text"), "doc_id")
+            .withColumn("orig_md5", F.md5("text"))
+        )
+        assert joined.filter(F.col("trimmed_md5") != F.col("orig_md5")).count() == 0
+        # accepted == (kept_chars > 0) everywhere
+        assert (
+            cum.filter(
+                (F.col("accepted") == 1) != (F.col("kept_chars") > 0)
+            ).count()
+            == 0
+        )
+        # monotone vs the write-once screen: flags only ever ADD
+        both = cum.alias("c").join(plain.alias("p"), "doc_id")
+        assert both.filter("p.flagged = 1 AND c.flagged = 0").count() == 0
+        # and the maintenance path genuinely catches cross-batch dups
+        extra = both.filter("c.flagged = 1 AND p.flagged = 0")
+        assert extra.count() > 0
+        # cross-batch catches can only happen after batch 0 (batch 0
+        # probes the base-only index, identical to the plain screen)
+        assert extra.filter("c.batch_id = 0").count() == 0
+    finally:
+        cum.unpersist()
