@@ -2417,6 +2417,10 @@ def dedup_minhash_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     are never rewritten); per-batch cost is O(increment).  The append
     accumulates files per bucket — [[index_bucket_compaction]] is the
     scheduled remedy.
+
+    Reference analog: none (the reference's hash-partitioner contract,
+    src/partition.c, made durable AND maintainable; LLM-pipeline
+    surface per the brief).
     """
     import hashlib as _hl
     import shutil as _sh

@@ -833,6 +833,9 @@ def index_bucket_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, and files_reduced asserts the file count actually fell
     (exact counts are filesystem-layout facts, pinned in
     tests/test_round12_ops.py rather than the cross-engine oracle).
+
+    Reference analog: none (table-maintenance surface; the reference's
+    part-%05d sink never appends, src/mapreduce.c:76-224).
     """
     import hashlib as _hl
     from urllib.parse import urlparse as _urlparse
