@@ -227,6 +227,7 @@ HEADLINE = [
     "index_delete_propagation",
     "dedup_minhash_index_append",
     "index_bucket_compaction",
+    "index_upsert_delete_lifecycle",
 ]
 
 

@@ -2517,3 +2517,205 @@ def dedup_minhash_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         "index_rows_after",
         "index_checksum_after",
     )
+
+
+# Merge-on-read lifecycle: epochs of interleaved inserts + deletes over
+# the maintained band index, tombstoned, then compacted.
+LIFE_EPOCHS = 3
+LIFE_DEL_MOD = 5
+
+
+def _life_oracle() -> str:
+    def h(expr: str) -> str:
+        return f"CAST('0x' || substr(md5({expr}), 1, 8) AS BIGINT)"
+
+    bkey = "concat_ws('#', band_idx, band_key)"
+    chk = h("concat_ws('|', doc_id, bkey)")
+    rows = []
+    for e in range(LIFE_EPOCHS):
+        live = (
+            f"doc_id % {LIFE_EPOCHS} <= {e} AND NOT ("
+            + " OR ".join(
+                f"(doc_id % {LIFE_EPOCHS} < {d} AND doc_id % {LIFE_DEL_MOD} = {d})"
+                for d in range(1, e + 1)
+            )
+            + ")"
+            if e > 0
+            else f"doc_id % {LIFE_EPOCHS} = 0"
+        )
+        tomb = (
+            "("
+            + " OR ".join(
+                f"(doc_id % {LIFE_EPOCHS} < {d} AND doc_id % {LIFE_DEL_MOD} = {d})"
+                for d in range(1, e + 1)
+            )
+            + ")"
+            if e > 0
+            else "FALSE"
+        )
+        rows.append(f"""
+    SELECT CAST({e} AS BIGINT) AS epoch,
+           CAST((SELECT count(*) FROM lb WHERE {live}) AS BIGINT) AS rows_live,
+           CAST((SELECT count(*) FROM lb WHERE {tomb}) AS BIGINT)
+             AS tombstoned_rows,
+           CAST((SELECT coalesce(sum({chk}), 0) FROM lb WHERE {live})
+                AS BIGINT) AS checksum_live""")
+    # epoch LIFE_EPOCHS = post-compaction: tombstones applied, zero left
+    rows.append(f"""
+    SELECT CAST({LIFE_EPOCHS} AS BIGINT) AS epoch,
+           (SELECT rows_live FROM r{LIFE_EPOCHS - 1}) AS rows_live,
+           CAST(0 AS BIGINT) AS tombstoned_rows,
+           (SELECT checksum_live FROM r{LIFE_EPOCHS - 1}) AS checksum_live""")
+    ctes = ",\n".join(
+        f"    r{i} AS MATERIALIZED ({q}\n    )" for i, q in enumerate(rows)
+    )
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT * FROM r{i}" for i in range(len(rows))
+    )
+    return f"""
+    WITH {_SQL_MINHASH_CTES},
+    lb AS MATERIALIZED (SELECT doc_id, {bkey} AS bkey FROM bands),
+{ctes}
+    {union}
+    """
+
+
+@register(
+    "index_upsert_delete_lifecycle",
+    oracle_sql=_life_oracle(),
+    tags=("dedup", "maintenance", "bucketed", "tombstone", "pipeline"),
+)
+def index_upsert_delete_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full maintained-index LIFECYCLE in one operator — interleaved
+    inserts and deletes over epochs, served MERGE-ON-READ through a
+    tombstone table, then compacted: the lakehouse MOR pattern that
+    complements [[index_delete_propagation]]'s copy-on-write rewrite
+    (COW pays the rewrite at delete time and keeps reads pure; MOR
+    makes deletes O(delete set) and pays an anti-join on every read
+    until compaction — the classic trade, both now demonstrated on the
+    same band-index storage).
+
+    Epoch e (of {LIFE_EPOCHS}): docs with doc_id % {LIFE_EPOCHS} == e
+    arrive and their bands are APPENDED bucket-aligned
+    ([[dedup_minhash_index_append]]'s insert path); docs inserted in
+    earlier epochs with doc_id % {LIFE_DEL_MOD} == e are deleted by
+    appending their ids to the TOMBSTONE table — the index files are
+    untouched.  The live view at every epoch is
+    index ANTI-JOIN tombstones (broadcast — delete sets are tiny);
+    the emitted audit row (rows_live, tombstoned_rows, checksum_live)
+    is computed from that view, so the driver hash-checks the
+    merge-on-read semantics epoch by epoch.  After the last epoch a
+    COMPACTION ([[index_bucket_compaction]]'s move) applies the
+    tombstones physically and re-clusters to one file per bucket; the
+    final row (epoch {LIFE_EPOCHS}) re-audits from the compacted
+    snapshot — its checksum must equal the last live view's, which the
+    oracle pins by construction.
+
+    Scale shape: every epoch costs O(its insert bands) + O(its delete
+    ids); nothing ever rewrites until the scheduled compaction (the
+    one full pass).  Reads pay one broadcast anti-join while
+    tombstones exist — exactly the measured cost MOR trades for cheap
+    deletes.  Reference analog: none (table-maintenance surface per
+    the brief).
+    """
+    import hashlib as _hl
+    import shutil as _sh
+    from urllib.parse import urlparse as _urlparse
+
+    bands_all = _minhash_bands(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "#", F.col("band_idx").cast("string"), F.col("band_key")
+        ).alias("bkey"),
+    )
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    tbl = f"b_life_index_{tag}"
+    v2 = f"{tbl}_v2"
+    warehouse = _urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    for t in (tbl, v2):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        if warehouse:
+            _sh.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+
+    hval = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("doc_id"), F.col("bkey"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    docs = parallel_scan(spark, sf_dir, "documents").select("doc_id")
+    tombstones = docs.filter(F.lit(False)).select("doc_id")  # empty, grows
+
+    audits = []
+    for e in range(LIFE_EPOCHS):
+        inserts = bands_all.filter(F.col("doc_id") % LIFE_EPOCHS == e)
+        (
+            inserts.repartition(MH_INDEX_BUCKETS, F.col("bkey"))
+            .write.bucketBy(MH_INDEX_BUCKETS, "bkey")
+            .sortBy("bkey")
+            .mode("overwrite" if e == 0 else "append")
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+        spark.catalog.refreshTable(tbl)
+        if e > 0:
+            new_tombs = docs.filter(
+                (F.col("doc_id") % LIFE_EPOCHS < e)
+                & (F.col("doc_id") % LIFE_DEL_MOD == e)
+            )
+            tombstones = tombstones.unionByName(new_tombs)
+        live = spark.table(tbl).join(
+            F.broadcast(tombstones), "doc_id", "anti"
+        )
+        tomb_rows = spark.table(tbl).join(
+            F.broadcast(tombstones), "doc_id", "semi"
+        )
+        audits.append(
+            live.agg(
+                F.lit(e).cast("long").alias("epoch"),
+                F.count("*").cast("long").alias("rows_live"),
+                F.coalesce(F.sum(hval), F.lit(0))
+                .cast("long")
+                .alias("checksum_live"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    tomb_rows.agg(
+                        F.count("*").cast("long").alias("tombstoned_rows")
+                    )
+                )
+            )
+            .select("epoch", "rows_live", "tombstoned_rows", "checksum_live")
+            .localCheckpoint()
+        )
+
+    # Scheduled compaction: apply tombstones physically, re-cluster to
+    # one file per bucket (path read — see index_bucket_compaction).
+    (
+        spark.read.parquet(f"{warehouse}/{tbl}")
+        .join(F.broadcast(tombstones), "doc_id", "anti")
+        .repartition(MH_INDEX_BUCKETS, F.col("bkey"))
+        .write.bucketBy(MH_INDEX_BUCKETS, "bkey")
+        .sortBy("bkey")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(v2)
+    )
+    audits.append(
+        spark.table(v2)
+        .agg(
+            F.lit(LIFE_EPOCHS).cast("long").alias("epoch"),
+            F.count("*").cast("long").alias("rows_live"),
+            F.lit(0).cast("long").alias("tombstoned_rows"),
+            F.coalesce(F.sum(hval), F.lit(0))
+            .cast("long")
+            .alias("checksum_live"),
+        )
+        .localCheckpoint()
+    )
+    index_upsert_delete_lifecycle.last_tables = (tbl, v2)
+    result = audits[0]
+    for a in audits[1:]:
+        result = result.unionByName(a)
+    return result

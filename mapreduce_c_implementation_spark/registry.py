@@ -108,6 +108,7 @@ _DRIVER_NEW_THIS_ROUND: list[str] = [
     "index_delete_propagation",
     "dedup_minhash_index_append",
     "index_bucket_compaction",
+    "index_upsert_delete_lifecycle",
 ]
 
 # Regression re-verification queue: registration order, resuming where

@@ -268,6 +268,7 @@ PROBE_OPS = [
     "index_delete_propagation",
     "dedup_minhash_index_append",
     "index_bucket_compaction",
+    "index_upsert_delete_lifecycle",
 ]
 
 

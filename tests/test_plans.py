@@ -346,6 +346,9 @@ _NESTED_LOOP_EXEMPT = {
     # 1-row post-append (count, checksum) audit broadcast onto the
     # decision rows — single-row nested-loop side by construction
     "dedup_minhash_index_append",
+    # per-epoch 1-row live-audit x 1-row tombstone-count crosses —
+    # single-row nested-loop sides by construction
+    "index_upsert_delete_lifecycle",
 }
 
 # Modules whose query_fns build lazy plans (streaming/io execute jobs

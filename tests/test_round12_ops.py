@@ -160,3 +160,51 @@ def test_bucket_compaction_restores_one_file_per_bucket(spark, sf_correct):
     n_after = len(glob.glob(f"{warehouse}/{v2}/*.parquet"))
     assert n_before == CMPB_BUCKETS * CMPB_SLICES, n_before
     assert n_after == CMPB_BUCKETS, n_after
+
+
+def test_lifecycle_mor_semantics_and_compaction(spark, sf_correct):
+    """Merge-on-read lifecycle: epoch audits must be monotone-consistent
+    (inserts grow the live set, tombstones shrink it), the post-
+    compaction row must equal the final live view exactly, and the
+    compacted table must be physically clean (no tombstoned doc, one
+    file per bucket)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_c_implementation_spark.operators.dedup import (
+        LIFE_DEL_MOD,
+        LIFE_EPOCHS,
+        MH_INDEX_BUCKETS,
+        index_upsert_delete_lifecycle,
+    )
+
+    rows = {
+        r.epoch: r
+        for r in get_operator("index_upsert_delete_lifecycle")
+        .query_fn(spark, sf_correct)
+        .collect()
+    }
+    assert set(rows) == set(range(LIFE_EPOCHS + 1))
+    assert rows[0].tombstoned_rows == 0
+    # tombstones accumulate; live never counts a tombstoned row
+    for e in range(1, LIFE_EPOCHS):
+        assert rows[e].tombstoned_rows >= rows[e - 1].tombstoned_rows
+    assert rows[1].tombstoned_rows > 0  # the staged deletes are non-empty
+    # post-compaction == final live view, physically applied
+    final, compacted = rows[LIFE_EPOCHS - 1], rows[LIFE_EPOCHS]
+    assert compacted.rows_live == final.rows_live
+    assert compacted.checksum_live == final.checksum_live
+    assert compacted.tombstoned_rows == 0
+
+    tbl, v2 = index_upsert_delete_lifecycle.last_tables
+    v2df = spark.table(v2)
+    leaked = v2df.filter(
+        (F.col("doc_id") % LIFE_EPOCHS < 1)
+        & (F.col("doc_id") % LIFE_DEL_MOD == 1)
+        | (F.col("doc_id") % LIFE_EPOCHS < 2)
+        & (F.col("doc_id") % LIFE_DEL_MOD == 2)
+    ).count()
+    assert leaked == 0
+    n_files = len(glob.glob(f"spark-warehouse/{v2}/*.parquet"))
+    assert n_files <= MH_INDEX_BUCKETS, n_files
