@@ -2228,7 +2228,8 @@ def index_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # The three index derivations (content-keyed, per-doc rows).
     wins = _sscr_anchored_wins(docs, "doc_id")
-    bands = _minhash_bands(spark, sf_dir).select(
+    bands_cached = _minhash_bands(spark, sf_dir)
+    bands = bands_cached.select(
         "doc_id",
         F.concat_ws(
             "#", F.col("band_idx").cast("string"), F.col("band_key")
@@ -2338,6 +2339,11 @@ def index_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = out_rows[0]
     for r in out_rows[1:]:
         result = result.unionByName(r)
+    # Pin the 3 audit rows, then release the per-invocation band cache
+    # (cache-scoping rule: the lazy result must not keep a corpus-sized
+    # cache alive, and long suites must not accumulate one per op).
+    result = result.localCheckpoint()
+    bands_cached.unpersist()
     return result
 
 
@@ -2497,6 +2503,10 @@ def dedup_minhash_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .saveAsTable(tbl)
     )
     spark.catalog.refreshTable(tbl)
+    # decisions are checkpointed and the index is on disk — release the
+    # per-invocation band cache (cache-scoping rule: long suites/bench
+    # runs must not accumulate one band copy per maintenance op).
+    bands_all.unpersist()
     hval = F.conv(
         F.substring(
             F.md5(F.concat_ws("|", F.col("doc_id"), F.col("bkey"))), 1, 8
@@ -2622,7 +2632,8 @@ def index_upsert_delete_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame
     import shutil as _sh
     from urllib.parse import urlparse as _urlparse
 
-    bands_all = _minhash_bands(spark, sf_dir).select(
+    bands_cached = _minhash_bands(spark, sf_dir)
+    bands_all = bands_cached.select(
         "doc_id",
         F.concat_ws(
             "#", F.col("band_idx").cast("string"), F.col("band_key")
@@ -2714,6 +2725,9 @@ def index_upsert_delete_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .localCheckpoint()
     )
+    # All audits are checkpointed and both snapshots are on disk —
+    # release the per-invocation band cache (cache-scoping rule).
+    bands_cached.unpersist()
     index_upsert_delete_lifecycle.last_tables = (tbl, v2)
     result = audits[0]
     for a in audits[1:]:
