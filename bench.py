@@ -228,6 +228,9 @@ HEADLINE = [
     "dedup_minhash_index_append",
     "index_bucket_compaction",
     "index_upsert_delete_lifecycle",
+    # round-13 additions (batch surface; the two streaming r13 ops are
+    # probed via scale_probe and timed by their own tests)
+    "index_snapshot_vacuum",
 ]
 
 

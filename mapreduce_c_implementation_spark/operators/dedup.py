@@ -37,7 +37,11 @@ from mapreduce_c_implementation_spark.functions.text import (
 from mapreduce_c_implementation_spark.functions.vector import SQL_DOT, spark_dot
 from mapreduce_c_implementation_spark.registry import register
 from mapreduce_c_implementation_spark.sources import load_table
-from mapreduce_c_implementation_spark.sources.tables import compute_scan, parallel_scan
+from mapreduce_c_implementation_spark.sources.tables import (
+    compute_scan,
+    parallel_scan,
+    table_location,
+)
 
 _TOK = DUCKDB_TOKENIZE.format(col="text")
 
@@ -2146,17 +2150,136 @@ def _rtbf_oracle() -> str:
     """
 
 
-def _rtbf_checksum_agg(df: DataFrame, cols: list[str]) -> DataFrame:
+def _rtbf_checksum_agg(
+    df: DataFrame, cols: list[str], count_df: DataFrame | None = None
+) -> DataFrame:
     """Order-independent content checksum + row count (1-row frame):
     sum of 32-bit md5 prefixes over the concatenated row image — the
-    same formula both engines evaluate exactly."""
+    same formula both engines evaluate exactly.  ``count_df`` lets the
+    COUNT come from a different grain than the CHECKSUM (ADVICE r12,
+    high: the CAS audit checksums the SERVED refcount aggregate but
+    must count MEMBERSHIP rows — on corpora with duplicate payloads the
+    grains diverge, and the oracle counts membership rows)."""
     hval = F.conv(
         F.substring(F.md5(F.concat_ws("|", *cols)), 1, 8), 16, 10
     ).cast("long")
-    return df.agg(
+    chk = df.agg(
         F.coalesce(F.sum(hval), F.lit(0)).cast("long").alias("chk"),
         F.count("*").cast("long").alias("cnt"),
     )
+    if count_df is None:
+        return chk
+    return chk.drop("cnt").crossJoin(
+        count_df.agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def _write_snapshot_manifest(
+    spark: SparkSession,
+    v2_tbl: str,
+    supersedes: str,
+    chk: int,
+    rows: int,
+    chk_cols: list[str],
+) -> None:
+    """Record the committed snapshot's PHYSICAL content checksum + row
+    count as ``_SNAPSHOT_MANIFEST.json`` inside the snapshot table's
+    directory (underscore prefix: invisible to parquet readers — the
+    ``_delta_log`` convention).  The manifest is self-contained: it
+    names the checksum's column order, so a later reader can re-derive
+    the same value with no knowledge of the producing operator.  This
+    is the missing half of the v2 swap pattern's safety promise:
+    [[index_snapshot_vacuum]] re-derives the LIVE snapshot's checksum
+    and verifies it against this record BEFORE the superseded version
+    is dropped."""
+    import json as _json
+    import os as _os
+
+    loc = table_location(spark, v2_tbl)
+    with open(_os.path.join(loc, "_SNAPSHOT_MANIFEST.json"), "w") as f:
+        _json.dump(
+            {
+                "table": v2_tbl,
+                "supersedes": supersedes,
+                "checksum": int(chk),
+                "rows": int(rows),
+                "chk_cols": list(chk_cols),
+            },
+            f,
+        )
+
+
+def read_snapshot_manifest(spark: SparkSession, tbl: str) -> dict | None:
+    """The commit record a swap left in ``tbl``'s directory, or None."""
+    import json as _json
+    import os as _os
+
+    p = _os.path.join(table_location(spark, tbl), "_SNAPSHOT_MANIFEST.json")
+    if not _os.path.exists(p):
+        return None
+    with open(p) as f:
+        return _json.load(f)
+
+
+def vacuum_superseded(spark: SparkSession, current_tbl: str) -> dict:
+    """Reclaim every snapshot version superseded by ``current_tbl`` —
+    the retention story the v2 swap pattern was missing (VERDICT r12,
+    next-round #2): nothing ever dropped old versions, so superseded
+    tables accreted in the warehouse forever.
+
+    Safety first: the LIVE current snapshot's membership-grain checksum
+    and row count are re-derived and verified against the manifest its
+    swap committed.  Only on an exact match does the walk drop the
+    ``supersedes`` chain (each predecessor's own manifest links one
+    further back; the chain ends at the original build, which has no
+    manifest).  Bytes are measured from the predecessor's data files
+    before each drop.  On a verification MISMATCH nothing is dropped —
+    a wrong live snapshot is precisely when the old version must
+    survive.
+
+    Scale shape: the verify is one linear bucket-aligned scan of the
+    current snapshot (no shuffle — a sum aggregate); drops are catalog
+    + filesystem metadata operations.  Cost is O(current index) once
+    per retention cycle, independent of corpus size."""
+    import os as _os
+    from pathlib import Path as _Path
+
+    m = read_snapshot_manifest(spark, current_tbl)
+    if m is None:
+        raise ValueError(f"{current_tbl!r} has no snapshot manifest")
+    cols = m["chk_cols"]
+    live = _rtbf_checksum_agg(
+        spark.table(current_tbl).select(*cols), cols
+    ).first()
+    verified = live["chk"] == m["checksum"] and live["cnt"] == m["rows"]
+    dropped = 0
+    reclaimed = 0
+    if verified:
+        pred = m.get("supersedes")
+        while pred and spark.catalog.tableExists(pred):
+            ploc = table_location(spark, pred)
+            reclaimed += sum(
+                f.stat().st_size
+                for f in _Path(ploc).rglob("*")
+                if f.is_file()
+            )
+            pm = read_snapshot_manifest(spark, pred)
+            spark.sql(f"DROP TABLE IF EXISTS {pred}")
+            if _os.path.isdir(ploc):  # external leftovers, if any
+                import shutil as _sh
+
+                _sh.rmtree(ploc, ignore_errors=True)
+            dropped += 1
+            pred = pm.get("supersedes") if pm else None
+    return {
+        "current": current_tbl,
+        "verified": int(verified),
+        "versions_kept": 1,
+        "versions_dropped": dropped,
+        "rows_current": int(live["cnt"]),
+        "checksum_current": int(live["chk"]),
+        "bytes_reclaimed": int(reclaimed),
+    }
 
 
 @register(
@@ -2193,8 +2316,12 @@ def index_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict asked for, applied uniformly.
 
     The emitted audit row per index carries (rows_before, rows_deleted,
-    rows_after, checksum_after, rebuild_match): checksum_after is an
-    order-independent content checksum of the post-delete snapshot, and
+    rows_after, checksum_after, rebuild_match): the row counts are at
+    MEMBERSHIP grain (the maintained table's own rows — for CAS, one
+    per (doc, payload), NOT one per distinct payload; the grains
+    diverge on corpora with byte-identical texts), checksum_after is an
+    order-independent content checksum of the post-delete SERVED
+    snapshot (for CAS, the refcount aggregate), and
     rebuild_match compares it (and the row count) against a FROM-SCRATCH
     re-derivation of the index restricted to surviving docs — the
     "equality with the rebuilt index" oracle.  Derivations are per-doc
@@ -2297,54 +2424,225 @@ def index_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_rows = []
     specs = [
         ("substring_win_index", "sscr", wins, "win_hash",
-         lambda d: d, ["doc_id", "win_hash"]),
+         None, ["doc_id", "win_hash"]),
         ("minhash_band_index", "mh", bands, "bkey",
-         lambda d: d, ["doc_id", "bkey"]),
+         None, ["doc_id", "bkey"]),
         ("cas_membership_index", "cas", cas_m, "payload_sha256",
          cas_agg,
          ["payload_sha256", "n_copies", "keeper_doc", "n_bytes", "savings"]),
     ]
-    for index_name, short, derivation, key, view, chk_cols in specs:
+    for index_name, short, derivation, key, served, chk_cols in specs:
         tbl = build(short, derivation, key)
         v2 = propagate(tbl, key)
-        before = spark.table(tbl).agg(
-            F.count("*").cast("long").alias("rows_before")
-        )
-        after = _rtbf_checksum_agg(
-            view(spark.table(v2)), chk_cols
-        ).withColumnsRenamed({"chk": "chk_after", "cnt": "rows_after"})
-        rebuilt = _rtbf_checksum_agg(
-            view(derivation.join(F.broadcast(deletes), "doc_id", "anti")),
+        view = served if served is not None else (lambda d: d)
+        # Audit grains (ADVICE r12, high): row COUNTS are always at
+        # MEMBERSHIP grain — the grain of the maintained table that
+        # rows_before counts — while the content CHECKSUM covers the
+        # SERVED view (for CAS, the refcount aggregate, so keeper
+        # promotion is itself checksummed).  Counting the aggregate view
+        # undercounts whenever payloads duplicate (sf0.1 ships 8
+        # byte-identical texts) and diverges from the oracle, which
+        # counts surviving membership rows.
+        rows_before = spark.table(tbl).count()
+        a = _rtbf_checksum_agg(
+            view(spark.table(v2)),
             chk_cols,
-        ).withColumnsRenamed({"chk": "chk_rebuilt", "cnt": "rows_rebuilt"})
+            count_df=spark.table(v2) if served is not None else None,
+        ).first()
+        survivors = derivation.join(F.broadcast(deletes), "doc_id", "anti")
+        r = _rtbf_checksum_agg(
+            view(survivors),
+            chk_cols,
+            count_df=survivors if served is not None else None,
+        ).first()
+        # Commit record for the swap: [[index_snapshot_vacuum]] verifies
+        # the live v2 against this before reclaiming the old version.
+        # Manifests are PHYSICAL-grain (the table's own rows/columns) so
+        # any reader can re-derive them; for CAS that differs from the
+        # served-view checksum audited above, so re-derive it raw.
+        if served is None:
+            man_chk, man_rows, man_cols = a["chk"], a["cnt"], chk_cols
+        else:
+            man_cols = ["doc_id", "payload_sha256", "n_bytes"]
+            raw = _rtbf_checksum_agg(
+                spark.table(v2).select(*man_cols), man_cols
+            ).first()
+            man_chk, man_rows = raw["chk"], raw["cnt"]
+        _write_snapshot_manifest(
+            spark, v2, supersedes=tbl, chk=man_chk, rows=man_rows,
+            chk_cols=man_cols,
+        )
         out_rows.append(
-            before.crossJoin(after)
-            .crossJoin(rebuilt)
-            .select(
-                F.lit(index_name).alias("index_name"),
-                F.col("rows_before"),
-                (F.col("rows_before") - F.col("rows_after"))
-                .cast("long")
-                .alias("rows_deleted"),
-                F.col("rows_after"),
-                F.col("chk_after").alias("checksum_after"),
-                (
-                    (F.col("chk_after") == F.col("chk_rebuilt"))
-                    & (F.col("rows_after") == F.col("rows_rebuilt"))
-                )
-                .cast("long")
-                .alias("rebuild_match"),
+            (
+                index_name,
+                rows_before,
+                rows_before - a["cnt"],
+                a["cnt"],
+                a["chk"],
+                int(a["chk"] == r["chk"] and a["cnt"] == r["cnt"]),
             )
         )
-    result = out_rows[0]
-    for r in out_rows[1:]:
-        result = result.unionByName(r)
-    # Pin the 3 audit rows, then release the per-invocation band cache
-    # (cache-scoping rule: the lazy result must not keep a corpus-sized
-    # cache alive, and long suites must not accumulate one per op).
-    result = result.localCheckpoint()
+    # Audit values are collected eagerly (they also feed the snapshot
+    # manifests), so the result carries no corpus lineage and the
+    # per-invocation band cache releases immediately (cache-scoping
+    # rule: long suites must not accumulate one cache per op).
     bands_cached.unpersist()
-    return result
+    return spark.createDataFrame(
+        out_rows,
+        "index_name string, rows_before long, rows_deleted long, "
+        "rows_after long, checksum_after long, rebuild_match long",
+    )
+
+
+VAC_DELETE2_REM = 6  # the second retention epoch's delete set
+
+
+def _vac_oracle() -> str:
+    def h(expr: str) -> str:
+        return f"CAST('0x' || substr(md5({expr}), 1, 8) AS BIGINT)"
+
+    is_d1 = f"doc_id % {RTBF_DELETE_MOD} = {RTBF_DELETE_REM}"
+    is_d2 = f"doc_id % {RTBF_DELETE_MOD} = {VAC_DELETE2_REM}"
+    return f"""
+    WITH cas_m AS (
+      SELECT doc_id, sha256(text) AS payload_sha256,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    ),
+    cur AS (
+      SELECT * FROM cas_m WHERE NOT ({is_d1}) AND NOT ({is_d2})
+    )
+    SELECT 'cas_membership_index' AS snapshot,
+           CAST(1 AS BIGINT) AS versions_kept,
+           CAST(2 AS BIGINT) AS versions_dropped,
+           CAST((SELECT count(*) FROM cur) AS BIGINT) AS rows_current,
+           CAST((SELECT coalesce(sum(
+                   {h("concat_ws('|', doc_id, payload_sha256, n_bytes)")}), 0)
+                 FROM cur) AS BIGINT) AS checksum_current,
+           CAST(1 AS BIGINT) AS verified
+    """
+
+
+@register(
+    "index_snapshot_vacuum",
+    oracle_sql=_vac_oracle(),
+    tags=("dedup", "maintenance", "retention", "bucketed", "pipeline"),
+)
+def index_snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot retention for the v2 swap pattern every maintenance op
+    uses ([[index_delete_propagation]], [[index_bucket_compaction]],
+    [[index_upsert_delete_lifecycle]]) — the gap the round-12 verdict
+    named: swaps promised "readers keep the old version until the new
+    one commits" but nothing ever RECLAIMED a superseded version, so
+    dozens of dead tables accreted in the warehouse.
+
+    Staging replays a realistic retention backlog: the CAS membership
+    index is built, then rewritten twice by successive RTBF delete
+    epochs (doc_id % {RTBF_DELETE_MOD} == {RTBF_DELETE_REM}, then
+    == {VAC_DELETE2_REM}), each swap committing a
+    ``_SNAPSHOT_MANIFEST.json`` (physical checksum + row count + column
+    order) into the new snapshot's directory — three live versions,
+    two superseded.  The vacuum itself ([[vacuum_superseded]]) then:
+
+    1. VERIFIES the current snapshot: its membership-grain checksum and
+       row count are re-derived from the live table and compared
+       against the manifest the swap committed — the safety check the
+       swap pattern promised in prose.  On mismatch, NOTHING is
+       dropped (a wrong live snapshot is exactly when the old versions
+       must survive).
+    2. WALKS the ``supersedes`` chain from the manifest, dropping each
+       predecessor and measuring its data-file bytes before the drop.
+
+    The audit row (snapshot, versions_kept, versions_dropped,
+    rows_current, checksum_current, verified) is deterministic and
+    cross-checked against the DuckDB oracle; ``bytes_reclaimed`` —
+    real but codec-dependent, so not cross-engine-hashable — is
+    exposed on ``index_snapshot_vacuum.last_audit`` and asserted > 0
+    by tests/test_round13_ops.py.
+
+    Scale shape: the verify is ONE linear bucket-aligned scan of the
+    current snapshot (sum aggregate, no shuffle, no repartition); the
+    rewrites that staged the backlog are broadcast anti-joins writing
+    bucket ids in-task (zero index shuffle, as plan-gated for
+    [[index_delete_propagation]]); drops are catalog/filesystem
+    metadata.  At 100 TB the staging pre-exists as the index's actual
+    swap history and vacuum costs one index scan per retention cycle.
+    Reference analog: none (LLM-pipeline maintenance surface).
+    """
+    import hashlib as _hl
+    import shutil as _sh
+    from urllib.parse import urlparse as _urlparse
+
+    docs = parallel_scan(spark, sf_dir, "documents").select("doc_id", "text")
+    cas_m = docs.select(
+        "doc_id",
+        F.sha2(F.encode(F.col("text"), "UTF-8"), 256).alias("payload_sha256"),
+        F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
+    )
+    man_cols = ["doc_id", "payload_sha256", "n_bytes"]
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    g0 = f"b_vac_cas_{tag}"
+    g1, g2 = f"{g0}_v2", f"{g0}_v3"
+    warehouse = _urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    for t in (g0, g1, g2):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        if warehouse:
+            _sh.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+
+    # Original build: the one full shuffle into the bucket layout.
+    (
+        cas_m.repartition(RTBF_BUCKETS, F.col("payload_sha256"))
+        .write.bucketBy(RTBF_BUCKETS, "payload_sha256")
+        .sortBy("payload_sha256")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(g0)
+    )
+
+    # Two retention epochs: broadcast anti-join rewrites (the index is
+    # never shuffled — bucket ids are computed in-task), each committing
+    # a manifest into the NEW snapshot.
+    for old, new, rem in (
+        (g0, g1, RTBF_DELETE_REM),
+        (g1, g2, VAC_DELETE2_REM),
+    ):
+        deletes = docs.filter(
+            F.col("doc_id") % RTBF_DELETE_MOD == rem
+        ).select("doc_id")
+        (
+            spark.table(old)
+            .join(F.broadcast(deletes), "doc_id", "anti")
+            .write.bucketBy(RTBF_BUCKETS, "payload_sha256")
+            .sortBy("payload_sha256")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(new)
+        )
+        committed = _rtbf_checksum_agg(
+            spark.table(new).select(*man_cols), man_cols
+        ).first()
+        _write_snapshot_manifest(
+            spark, new, supersedes=old, chk=committed["chk"],
+            rows=committed["cnt"], chk_cols=man_cols,
+        )
+
+    audit = vacuum_superseded(spark, g2)
+    index_snapshot_vacuum.last_audit = audit
+    return spark.createDataFrame(
+        [
+            (
+                "cas_membership_index",
+                audit["versions_kept"],
+                audit["versions_dropped"],
+                audit["rows_current"],
+                audit["checksum_current"],
+                audit["verified"],
+            )
+        ],
+        "snapshot string, versions_kept long, versions_dropped long, "
+        "rows_current long, checksum_current long, verified long",
+    )
 
 
 def _mha_oracle() -> str:
@@ -2702,9 +3000,11 @@ def index_upsert_delete_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame
         )
 
     # Scheduled compaction: apply tombstones physically, re-cluster to
-    # one file per bucket (path read — see index_bucket_compaction).
+    # one file per bucket (path read — see index_bucket_compaction; the
+    # path is catalog-resolved, never string-built from the warehouse
+    # conf, ADVICE r12).
     (
-        spark.read.parquet(f"{warehouse}/{tbl}")
+        spark.read.parquet(table_location(spark, tbl))
         .join(F.broadcast(tombstones), "doc_id", "anti")
         .repartition(MH_INDEX_BUCKETS, F.col("bkey"))
         .write.bucketBy(MH_INDEX_BUCKETS, "bkey")

@@ -99,41 +99,45 @@ def register(
 # every registered operator), and tests/test_extensions.py's
 # coverage-ledger test asserts prior + new covers the full registry.
 
-# Round-12 additions, in priority order (appended as they land).  The
-# 50-slot window = these new names first, then the regression cursor
-# (resuming at ``cogroup_reconcile`` where round 11's window stopped —
-# CORRECTNESS_r11 re-checked through ``row_python_udf_format``).
+# Round-13 additions, in priority order (appended as they land).  The
+# 50-slot window = these new names first, then the regression cursor.
+# CORRECTNESS_r12 re-checked the first 45 names of round 12's queue
+# (``cogroup_reconcile`` .. ``tpch_q22_sales_opportunity``); the five
+# TPC-H names it left queued resume first below.
 _DRIVER_NEW_THIS_ROUND: list[str] = [
-    "stream_substring_screen_cumulative",
-    "index_delete_propagation",
-    "dedup_minhash_index_append",
-    "index_bucket_compaction",
-    "index_upsert_delete_lifecycle",
+    "stream_substring_screen_resumable",
+    "index_snapshot_vacuum",
+    "stream_substring_screen_rtbf",
 ]
 
-# Regression re-verification queue: registration order, resuming where
-# round 11's re-check window stopped (after ``row_python_udf_format``).
-# Names past the 50-slot window simply roll to the next round's cursor.
-# Keys first-verified in round 11 (freshest green) are skipped where the
-# registration order would otherwise re-surface them immediately.
+# Regression re-verification queue: the 5 names round 12's window left
+# queued, then the STALEST greens — ops whose most recent driver row is
+# oldest, by the CORRECTNESS_r* artifacts themselves (the r02 cohort:
+# the dedup/ANN/text/multimodal/streaming/source families first driver-
+# verified in round 2 and not re-surfaced since), in last-green-round
+# then registration order.  Names past the 50-slot window roll to the
+# next round's cursor.
 _DRIVER_REGRESSION = [
-    "cogroup_reconcile",
-    "map_in_arrow_doc_stats", "tpch_q3_shipping_priority", "tpch_q5_local_supplier",
-    "pivot_status_by_flag", "unpivot_measures", "salted_aggregation", "tfidf_top_terms",
-    "sql_subquery_surface", "tpch_q4_order_priority", "stratified_sample", "table_profile",
-    "time_rollup_multigrain", "event_funnel", "group_median_disc", "zorder_layout",
-    "tpch_q14_promo_effect", "fk_integrity_check", "scd2_history",
-    "tpch_q10_returned_items", "tpch_q18_large_orders", "tpch_q7_nation_volume",
-    "event_transition_matrix", "token_pmi_pairs", "correlation_matrix",
-    "time_weighted_avg", "event_retention_cohorts", "event_attribution_last_touch",
-    "customer_rfm_segmentation", "part_abc_classification", "window_funnel_timeout",
-    "association_rules_parts", "sequential_pattern_mining", "key_gini_concentration",
-    "hilbert_curve_layout", "diff_in_differences_events", "quantile_treatment_effects",
-    "tpch_q8_market_share", "tpch_q12_late_lines", "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier", "tpch_q17_small_qty_revenue", "tpch_q19_discounted_revenue",
-    "tpch_q21_waiting_supplier", "tpch_q22_sales_opportunity", "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_profit", "tpch_q11_important_stock", "tpch_q16_supplier_counts",
+    "tpch_q2_min_cost_supplier", "tpch_q9_product_profit",
+    "tpch_q11_important_stock", "tpch_q16_supplier_counts",
     "tpch_q20_potential_promotion",
+    # r02 cohort (stalest greens), registration order
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_simhash_pairs", "ann_bruteforce_topk", "ann_lsh_bucketed",
+    "embedding_centroids", "dedup_embedding_cosine", "text_lang_id",
+    "text_quality_score", "token_count", "doc_fingerprint", "ngram_frequencies",
+    "corpus_quality_filter", "deterministic_split", "multimodal_ingest",
+    "multimodal_decode_features", "multimodal_frame_sample",
+    "multimodal_metadata_stats", "stream_tumbling_window", "stream_sliding_window",
+    "stream_session_window", "stream_dedup", "stream_stateful_totals",
+    "stream_static_join", "stream_foreach_batch_sink", "stream_update_mode_counts",
+    "stream_stream_join", "text_source_inverted_index", "csv_source_roundtrip",
+    "json_source_roundtrip", "text_sink_roundtrip", "partitioned_parquet_sink",
+    # r03 cohort begins (next-stalest), registration order
+    "feature_quantile_bins", "feature_label_encode", "recursive_cte_month_spine",
+    "lateral_topk_per_customer", "sql_params_group_by_all",
+    "collation_insensitive_grouping", "filtered_aggregates",
+    "width_bucket_histogram",
 ]
 
 _DRIVER_PRIORITY = _DRIVER_NEW_THIS_ROUND + _DRIVER_REGRESSION
@@ -304,6 +308,12 @@ _DRIVER_VERIFIED_PRIOR = frozenset({
     "label_shift_bbse_estimate", "phrase_query_positional_index",
     "unicode_nfc_canonicalize", "span_token_alignment",
     "observed_metrics_pipeline", "sql_identifier_dynamic_table",
+    # round 12 (CORRECTNESS_r12.json — 5 first-time keys; the window's
+    # other 45 rows were regression re-checks of names already listed
+    # above, ``cogroup_reconcile`` through ``tpch_q22_sales_opportunity``)
+    "stream_substring_screen_cumulative", "index_delete_propagation",
+    "dedup_minhash_index_append", "index_bucket_compaction",
+    "index_upsert_delete_lifecycle",
 })
 
 

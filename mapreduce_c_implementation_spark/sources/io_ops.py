@@ -22,7 +22,10 @@ from pyspark.sql import functions as F
 from mapreduce_c_implementation_spark.functions.exactagg import exact_sum
 from mapreduce_c_implementation_spark.functions.text import DUCKDB_TOKENIZE, tokenize
 from mapreduce_c_implementation_spark.registry import register
-from mapreduce_c_implementation_spark.sources.tables import load_table
+from mapreduce_c_implementation_spark.sources.tables import (
+    load_table,
+    table_location,
+)
 
 _TOK_LINE = DUCKDB_TOKENIZE.format(col="text")
 
@@ -873,9 +876,11 @@ def index_bucket_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark elides the re-cluster and emits one file per input task —
     # exactly the fragmentation compaction exists to undo.  The path
     # read has no bucket metadata, so the repartition survives and the
-    # snapshot lands at one file per bucket.
+    # snapshot lands at one file per bucket.  The path itself comes from
+    # the CATALOG (ADVICE r12: a string-built warehouse path breaks when
+    # the conf is unset or the table lives elsewhere).
     (
-        spark.read.parquet(f"{warehouse}/{tbl}")
+        spark.read.parquet(table_location(spark, tbl))
         .repartition(CMPB_BUCKETS, F.col("payload_sha256"))
         .write.bucketBy(CMPB_BUCKETS, "payload_sha256")
         .sortBy("payload_sha256")

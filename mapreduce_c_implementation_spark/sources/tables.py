@@ -128,6 +128,25 @@ def _parse_bytes_conf(value: str) -> int:
         return 128 * 1024 * 1024
 
 
+def table_location(spark: SparkSession, tbl: str) -> str:
+    """Filesystem path of a catalog table, resolved from the CATALOG
+    (``DESCRIBE TABLE EXTENDED``) rather than string-built from
+    ``spark.sql.warehouse.dir`` — the conf may be unset (the built path
+    would degenerate to ``/<tbl>``) or simply not be where a given
+    table lives (external tables, non-default layouts).  Used by the
+    maintenance ops that must read a bucketed table's FILES by path
+    (see index_bucket_compaction: a catalog read satisfies the bucketed
+    write's clustering requirement per-file and elides the re-cluster).
+    Raises if the table has no resolvable location — failing fast beats
+    scanning a wrong directory."""
+    from urllib.parse import urlparse
+
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").collect():
+        if r.col_name == "Location":
+            return urlparse(r.data_type).path
+    raise ValueError(f"no Location in catalog metadata for table {tbl!r}")
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view (for spark.sql paths)."""
     for name in TABLES:

@@ -174,3 +174,56 @@ def stage_documents(sf_dir: str) -> str:
     _w(f"{d}/batch_02.parquet", b2, 2)
     _CACHE[key] = d
     return d
+
+
+RTBF_SOURCE = "__rtbf__"
+
+
+def stage_documents_rtbf(sf_dir: str, delete_mod: int, delete_rem: int) -> str:
+    """``stage_documents``' batch plan with an RTBF CONTROL batch
+    interposed between arrival batches 1 and 2: a file of delete
+    requests — one row per doc_id with doc_id % delete_mod ==
+    delete_rem (base docs and arrivals alike), marked by
+    ``source == RTBF_SOURCE`` with no text.  The streaming op routes
+    these rows to its delete-propagation path instead of the screen;
+    batch boundaries stay deterministic, so the exact cumulative
+    oracle extends with the delete epoch."""
+    key = (sf_dir, f"docs_rtbf_{delete_mod}_{delete_rem}")
+    if key in _CACHE and os.path.isdir(_CACHE[key]):
+        return _CACHE[key]
+
+    pdf = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    pdf = pdf[[f.name for f in _DOC_SCHEMA]]
+    b0 = pdf[pdf["doc_id"] % 3 == 0]
+    b1 = pdf[pdf["doc_id"] % 3 == 1]
+    b2 = pdf[pdf["doc_id"] % 3 == 2]
+    replay = b0[(b0["doc_id"] % DOC_REPLAY_MOD) == DOC_REPLAY_REM]
+    del_ids = pdf.loc[
+        (pdf["doc_id"] % delete_mod) == delete_rem, "doc_id"
+    ].sort_values()
+    ctrl = pd.DataFrame(
+        {
+            "doc_id": del_ids,
+            "text": None,
+            "lang": "xx",
+            "source": RTBF_SOURCE,
+            "n_chars": 0,
+        }
+    )
+
+    d = tempfile.mkdtemp(prefix="stream_docs_rtbf_")
+
+    def _w(path: str, frame: pd.DataFrame, order: int) -> None:
+        pq.write_table(
+            pa.Table.from_pandas(frame, schema=_DOC_SCHEMA, preserve_index=False),
+            path,
+        )
+        mtime = time.time() - 1000 + order * 2
+        os.utime(path, (mtime, mtime))
+
+    _w(f"{d}/batch_00.parquet", b0, 0)
+    _w(f"{d}/batch_01.parquet", pd.concat([b1, replay]), 1)
+    _w(f"{d}/batch_02_rtbf.parquet", ctrl, 2)
+    _w(f"{d}/batch_03.parquet", b2, 3)
+    _CACHE[key] = d
+    return d

@@ -269,6 +269,10 @@ PROBE_OPS = [
     "dedup_minhash_index_append",
     "index_bucket_compaction",
     "index_upsert_delete_lifecycle",
+    # round-13 additions
+    "stream_substring_screen_resumable",
+    "index_snapshot_vacuum",
+    "stream_substring_screen_rtbf",
 ]
 
 

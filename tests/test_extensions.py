@@ -68,11 +68,11 @@ def test_dedup_exact_identity_when_no_dups(spark, sf_correct):
 
 def test_driver_priority_window():
     """The driver's CORRECTNESS gate checks a 50-query prefix of queries().
-    With the full registry hard-verified through round 11, the round-12
-    window is: new round-12 additions FIRST, then the regression
-    re-verification queue resuming (registration order) at
-    ``cogroup_reconcile`` (CORRECTNESS_r11 re-checked through
-    ``row_python_udf_format``) — pin the ordering here."""
+    With the full registry hard-verified through round 12, the round-13
+    window is: new round-13 additions FIRST, then the regression
+    re-verification queue — the 5 TPC-H names round 12's window left
+    queued, then the stalest greens by the CORRECTNESS_r* artifacts
+    themselves (the r02 cohort) — pin the ordering here."""
     import __spark_entry__ as se
     from mapreduce_c_implementation_spark.registry import (
         _DRIVER_NEW_THIS_ROUND,
@@ -88,15 +88,15 @@ def test_driver_priority_window():
     assert not missing, f"priority names not registered: {missing}"
     assert names[: len(_DRIVER_PRIORITY)] == _DRIVER_PRIORITY
     window = set(names[:50])
-    # every new round-12 operator must land inside the verified window
+    # every new round-13 operator must land inside the verified window
     assert set(_DRIVER_NEW_THIS_ROUND) <= window
-    # the regression queue resumes exactly where round 11 stopped
+    # the regression queue resumes exactly where round 12 stopped
     head = names[len(_DRIVER_NEW_THIS_ROUND):][:4]
     assert head == [
-        "cogroup_reconcile",
-        "map_in_arrow_doc_stats",
-        "tpch_q3_shipping_priority",
-        "tpch_q5_local_supplier",
+        "tpch_q2_min_cost_supplier",
+        "tpch_q9_product_profit",
+        "tpch_q11_important_stock",
+        "tpch_q16_supplier_counts",
     ]
     # oracle_sql() ordering must mirror queries() so the driver pairs them
     osql = list(se.oracle_sql())
@@ -105,8 +105,8 @@ def test_driver_priority_window():
 
 def test_driver_coverage_ledger():
     """Rotation ledger: every registered operator must reach a driver
-    CORRECTNESS row within ceil(N/50) rounds.  Rounds 1-11 verified the
-    frozen ``_DRIVER_VERIFIED_PRIOR`` set (union of CORRECTNESS_r01-r11
+    CORRECTNESS row within ceil(N/50) rounds.  Rounds 1-12 verified the
+    frozen ``_DRIVER_VERIFIED_PRIOR`` set (union of CORRECTNESS_r01-r12
     key sets; r05 duplicated r04's window).  From round 9 the window is
     new-ops-first plus a regression re-verification queue; the ledger
     invariant becomes: prior + new covers the whole registry, the
@@ -132,7 +132,7 @@ def test_driver_coverage_ledger():
             "CORRECTNESS_r05.json", "CORRECTNESS_r06.json",
             "CORRECTNESS_r07.json", "CORRECTNESS_r08.json",
             "CORRECTNESS_r09.json", "CORRECTNESS_r10.json",
-            "CORRECTNESS_r11.json",
+            "CORRECTNESS_r11.json", "CORRECTNESS_r12.json",
         ):
             actual_prior |= set(json.loads(f.read_text()))
     if actual_prior:  # ledger frozen in-code must match the artifacts

@@ -390,6 +390,9 @@ SWEPT_OPS = [
     "dedup_minhash_index_append",
     "index_bucket_compaction",
     "index_upsert_delete_lifecycle",
+    # round-13 additions (the two streaming r13 ops are deterministic
+    # staged-batch plans covered by tests/test_round13_ops.py)
+    "index_snapshot_vacuum",
 ]
 
 

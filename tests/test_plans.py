@@ -338,11 +338,10 @@ _NESTED_LOOP_EXEMPT = {
     # per-pair 1-row parent-distinct-count broadcast onto the 1-row
     # containment aggregate — single-row nested-loop sides throughout
     "fk_candidate_discovery",
-    # audit rows assembled by crossing 1-row count/checksum aggregates
-    # (rows_before x after x rebuilt) — single-row sides by construction;
-    # the index rewrites themselves are broadcast anti-joins, plan-gated
-    # separately in test_rtbf_rewrite_never_shuffles_index
-    "index_delete_propagation",
+    # (r13: index_delete_propagation no longer needs an exemption — its
+    # audit values are collected eagerly for the snapshot manifests and
+    # the returned frame is a local table; the rewrites stay plan-gated
+    # in test_rtbf_rewrite_never_shuffles_index)
     # 1-row post-append (count, checksum) audit broadcast onto the
     # decision rows — single-row nested-loop side by construction
     "dedup_minhash_index_append",

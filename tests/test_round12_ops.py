@@ -53,7 +53,10 @@ def test_rtbf_cas_keeper_promotion_on_synthetic_dups(spark):
     """When a CAS group's keeper doc is deleted, the served aggregate
     over the surviving membership must promote the next-lowest member
     and decrement the refcount — exercised synthetically because the
-    fixture corpus has no byte-identical payloads."""
+    sf0.001 CORRECTNESS fixture has no byte-identical payloads (sf0.1
+    does ship 8 duplicate texts; the membership-vs-group count grain
+    that distinction exposes is pinned by
+    test_rtbf_cas_counts_are_membership_grain below)."""
     members = spark.createDataFrame(
         [
             # group A: keeper 5 deleted (5 % 13 == 5), survivors 6, 20
@@ -85,6 +88,55 @@ def test_rtbf_cas_keeper_promotion_on_synthetic_dups(spark):
     assert by_sha["sha_b"].keeper_doc == 2  # untouched group unchanged
     assert by_sha["sha_b"].n_copies == 2
     assert "sha_c" not in by_sha  # fully-deleted group removed
+
+
+def test_rtbf_cas_counts_are_membership_grain(spark, tmp_path):
+    """ADVICE r12 (high): on a corpus WITH byte-identical payloads the
+    CAS audit's row counts must stay at MEMBERSHIP grain (one row per
+    (doc, payload)) while the checksum covers the served refcount
+    aggregate — a count taken over the aggregate view undercounts and
+    diverges from the oracle.  Run the full op against a synthetic
+    corpus where the grains demonstrably differ."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_c_implementation_spark.operators.dedup import (
+        RTBF_DELETE_MOD,
+        RTBF_DELETE_REM,
+    )
+
+    # 12 docs, 3 payload groups (sizes 6/4/2) — membership grain 12,
+    # group grain 3.  Texts are long enough to survive every index
+    # derivation; doc_ids 5 and 18 (% 13 == 5) are the delete set, both
+    # members of group A, so group A's refcount drops by 2.
+    texts = {"A": "alpha " * 40, "B": "bravo " * 40, "C": "charlie " * 40}
+    members = [(5, "A"), (6, "A"), (18, "A"), (20, "A"), (33, "A"),
+               (46, "A"), (2, "B"), (7, "B"), (9, "B"), (11, "B"),
+               (3, "C"), (4, "C")]
+    rows = [(i, texts[g], "en", "synthetic", len(texts[g]))
+            for i, g in members]
+    tbl = pa.Table.from_pylist(
+        [dict(zip(("doc_id", "text", "lang", "source", "n_chars"), r))
+         for r in rows],
+        schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                          ("lang", pa.string()), ("source", pa.string()),
+                          ("n_chars", pa.int64())]),
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    out = (
+        get_operator("index_delete_propagation")
+        .query_fn(spark, str(tmp_path))
+        .collect()
+    )
+    cas = {r.index_name: r for r in out}["cas_membership_index"]
+    deleted = [i for i, _ in members
+               if i % RTBF_DELETE_MOD == RTBF_DELETE_REM]
+    assert deleted == [5, 18]
+    assert cas.rows_before == len(members)          # 12, not 3 groups
+    assert cas.rows_deleted == len(deleted)         # 2 membership rows
+    assert cas.rows_after == len(members) - len(deleted)  # 10, not 3
+    assert cas.rebuild_match == 1, cas
 
 
 def test_mh_index_append_table_state(spark, sf_correct):
