@@ -2538,9 +2538,16 @@ def _sscrr_compact(spark: SparkSession, sources: list[str], dest: str) -> None:
 
     paths = [table_location(spark, t) for t in sources]
     _sscrr_compact.last_source_paths = paths
-    merged = spark.read.parquet(paths[0])
+    # Explicit schema: an epoch that accepted ZERO docs (every arrival
+    # a full duplicate — routine under heavy replication) leaves an
+    # overlay table with no data files, and schema inference on that
+    # path would fail the whole batch.
+    ovl_schema = "base_doc long, win_hash string"
+    merged = spark.read.schema(ovl_schema).parquet(paths[0])
     for p in paths[1:]:
-        merged = merged.unionByName(spark.read.parquet(p))
+        merged = merged.unionByName(
+            spark.read.schema(ovl_schema).parquet(p)
+        )
     (
         merged.repartition(SSCR_BUCKETS, F.col("win_hash"))
         .write.bucketBy(SSCR_BUCKETS, "win_hash")

@@ -249,6 +249,47 @@ def test_sscrr_compaction_reads_only_overlay(spark, sf_smoke, tmp_path):
                 spark.sql(f"DROP TABLE IF EXISTS {t.name}")
 
 
+def test_sscrr_compaction_handles_zero_accept_epoch(spark):
+    """An epoch that accepts ZERO docs (every arrival a full duplicate —
+    routine under heavy replication) leaves an overlay table with no
+    data files; compaction must merge it anyway (explicit schema, no
+    inference) — the 32x probe crash class."""
+    from mapreduce_c_implementation_spark.streaming.queries import (
+        SSCR_BUCKETS,
+        _sscrr_compact,
+    )
+
+    full_t, empty_t, dest = (
+        "b_sscrr_gate_full", "b_sscrr_gate_empty", "b_sscrr_gate_gen",
+    )
+    for t in (full_t, empty_t, dest):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        (
+            spark.range(100)
+            .select(
+                F.col("id").alias("base_doc"),
+                F.md5(F.col("id").cast("string")).alias("win_hash"),
+            )
+            .repartition(SSCR_BUCKETS, "win_hash")
+            .write.bucketBy(SSCR_BUCKETS, "win_hash")
+            .sortBy("win_hash")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(full_t)
+        )
+        spark.createDataFrame(
+            [], "base_doc long, win_hash string"
+        ).write.bucketBy(SSCR_BUCKETS, "win_hash").sortBy(
+            "win_hash"
+        ).mode("overwrite").format("parquet").saveAsTable(empty_t)
+        _sscrr_compact(spark, [full_t, empty_t], dest)
+        assert spark.table(dest).count() == 100
+    finally:
+        for t in (full_t, empty_t, dest):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 # --- stream_substring_screen_rtbf -------------------------------------
 
 
