@@ -2165,7 +2165,11 @@ def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_item"))
         .filter(F.col("n_item") >= ARULE_MIN_ITEM_ORDERS)
     )
-    freq = baskets.join(items, "p").select("o", "p", "n_item")
+    # items is catalog-bounded after the Apriori prune (part keys +
+    # counts) — broadcast it so the basket-sized side is NOT shuffled by
+    # part key first; each pair side then pays only its basket-key
+    # exchange.
+    freq = baskets.join(F.broadcast(items), "p").select("o", "p", "n_item")
     a = freq.select(
         F.col("o"), F.col("p").alias("pa"), F.col("n_item").alias("na")
     )
@@ -2621,10 +2625,14 @@ def hilbert_curve_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                    * ((acc.y div shiftleft(1, k)) % 2))),
       acc -> acc.d) AS hd
     """
-    hvals = dims.selectExpr(
-        "o_orderkey", "o_custkey", "o_orderdate", fold
-    ).withColumn(
-        "rb", F.expr(f"hd div {1 << (2 * HB_ORDER - HB_RB_BITS)}")
+    # The fold lambda is interpreted per row (HOF bodies don't codegen),
+    # and hvals feeds BOTH the in-bucket rank window and the bucket
+    # totals — localCheckpoint pins the narrow (key, hd, rb) result so
+    # the fold runs ONCE instead of once per consumer.
+    hvals = (
+        dims.selectExpr("o_orderkey", "o_custkey", "o_orderdate", fold)
+        .withColumn("rb", F.expr(f"hd div {1 << (2 * HB_ORDER - HB_RB_BITS)}"))
+        .localCheckpoint()
     )
     w_in = Window.partitionBy("rb").orderBy("hd", "o_orderkey")
     within = hvals.withColumn("rn_in", F.row_number().over(w_in))

@@ -685,10 +685,13 @@ def substring_overlap_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
+    # ">= 2 distinct docs" == min(doc) != max(doc): a plain min/max
+    # aggregate (map-side combined, single exchange) instead of the
+    # count_distinct whose Expand doubles the rows through the shuffle.
     dup = (
         wins.groupBy("win_hash")
-        .agg(F.count_distinct("doc_id").alias("n_docs"))
-        .filter(F.col("n_docs") >= 2)
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
         .select("win_hash")
     )
     occ = wins.join(dup, "win_hash").select("doc_id", "i")
@@ -793,7 +796,12 @@ def substring_trim_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("span_start").alias("s"),
         F.col("span_end").alias("e"),
-    )
+    # doc-grain and small, but its LINEAGE is the full anchored-span
+    # pipeline (explode + two digest exchanges + island windows) and it
+    # feeds THREE consumers (gaps_mid, gaps_tail, stats) — without the
+    # cache the span detection runs three times per invocation (the
+    # same fix substring_exact_trim_rewrite already carries).
+    ).cache()
     d = parallel_scan(spark, sf_dir, "documents").select("doc_id", "text")
     w = Window.partitionBy("doc_id").orderBy("s")
     gaps_mid = spans.select(
@@ -2407,13 +2415,22 @@ def suffix_array_ranked_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.col("text"), F.col("i"), SUFFIX_MINLEN).alias("bucket"),
         F.substring(F.col("text"), F.col("i"), SUFFIX_K).alias("sk"),
     )
-    w_bucket = Window.partitionBy("bucket")
+    # ONE window pass: the duplicate-screen count shares the rank
+    # window's (partition, order) spec via an unbounded frame, so
+    # count/lag/lead all evaluate in a single WindowExec over a single
+    # sort — the former unordered count-window pass (its own
+    # bucket-sort + full-data Window node before the filter) is gone.
+    # The bucket filter drops WHOLE buckets, so lag/lead neighbors
+    # within surviving buckets are unchanged by filtering after.
     w_rank = Window.partitionBy("bucket").orderBy("sk", "doc_id", "i")
+    w_all = w_rank.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     nbr = (
-        suf.withColumn("nb", F.count("*").over(w_bucket))
-        .filter(F.col("nb") >= 2)
+        suf.withColumn("nb", F.count("*").over(w_all))
         .withColumn("prev_sk", F.coalesce(F.lag("sk").over(w_rank), F.lit("")))
         .withColumn("next_sk", F.coalesce(F.lead("sk").over(w_rank), F.lit("")))
+        .filter(F.col("nb") >= 2)
         .select("doc_id", "i", "sk", "prev_sk", "next_sk")
     )
     for alias, sql in lcp_step_exprs("sk", "prev_sk", "_p", "lcp_prev"):
@@ -2425,17 +2442,26 @@ def suffix_array_ranked_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i",
         F.greatest("lcp_prev", "lcp_next").alias("match_len"),
     )
-    w_doc = Window.partitionBy("doc_id")
-    return (
-        lcp.withColumn("mx", F.max("match_len").over(w_doc))
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_dup_suffixes"),
-            F.max("match_len").cast("long").alias("max_match_len"),
-            F.min(F.when(F.col("match_len") == F.col("mx"), F.col("i")))
-            .cast("long")
-            .alias("argmax_pos"),
+    # Doc-grain rollup as ONE hash aggregate: argmax-with-min-position
+    # is max(struct(match_len, -i)) — struct ordering compares match_len
+    # first, then -i, so ties break to the SMALLEST position, exactly
+    # the former window-mx + min(when(...)) pair.  The window form
+    # shuffled and sorted every dup-suffix row; the struct-max is
+    # map-side partially aggregated, so only per-doc partials cross the
+    # exchange.
+    return lcp.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_dup_suffixes"),
+        F.max("match_len").cast("long").alias("max_match_len"),
+        (
+            -F.max(
+                F.struct(
+                    F.col("match_len").alias("ml"),
+                    (-F.col("i")).alias("ni"),
+                )
+            )["ni"]
         )
+        .cast("long")
+        .alias("argmax_pos"),
     )
 
 

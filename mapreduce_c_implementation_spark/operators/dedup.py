@@ -74,10 +74,17 @@ def _doc_shingles(
     # compute_scan, not parallel_scan: tokenize+shingle is the dominant
     # CPU stage and must not serialize on a single small-file partition.
     d = compute_scan(spark, sf_dir, "documents")
+    # Distinct (doc_id, shingle) pairs via PER-DOC array_distinct before
+    # the explode: doc_id is constant within a row, so in-row dedup IS
+    # global dedup — the former corpus-sized `.distinct()` Exchange
+    # (every shingle string shuffled once just to dedup within its own
+    # document) is gone; the pairs lineage is now shuffle-free.
     pairs = (
         d.select("doc_id", tokenize(F.col("text")).alias("tokens"))
-        .select("doc_id", F.explode(_shingles_col()).alias("shingle"))
-        .distinct()
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(_shingles_col())).alias("shingle"),
+        )
         # Consumed twice (hot-shingle aggregate + anti-join probe):
         # without the cache the corpus scan + shingling — the dominant
         # stage — runs twice per dedup operator.
@@ -1147,6 +1154,7 @@ def dedup_cc_stars(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     rounds = 0
+    n_edges = None  # memoized |edges|: small.count() of the prior round
     for _ in range(CC_STARS_MAX_ROUNDS):
         rounds += 1
         # large-star: m(u) = min over closed neighborhood; larger
@@ -1180,11 +1188,19 @@ def dedup_cc_stars(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
         # fixed point: star edge sets are distinct and share the a > b
-        # invariant, so set equality == equal counts + empty except
-        if small.count() == edges.count() and small.exceptAll(edges).isEmpty():
+        # invariant, so set equality == equal counts + empty except.
+        # |edges| is memoized from the previous round's small.count()
+        # (first round pays one count of the checkpointed seed) — the
+        # table is already materialized, so recounting it every round
+        # was a pure extra job.
+        if n_edges is None:
+            n_edges = edges.count()
+        n_small = small.count()
+        if n_small == n_edges and small.exceptAll(edges).isEmpty():
             edges = small
             break
         edges = small
+        n_edges = n_small
     dedup_cc_stars.last_rounds = rounds
     docs = parallel_scan(spark, sf_dir, "documents").select("doc_id")
     return (
@@ -2353,8 +2369,13 @@ def index_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
 
-    # The three index derivations (content-keyed, per-doc rows).
-    wins = _sscr_anchored_wins(docs, "doc_id")
+    # The three index derivations (content-keyed, per-doc rows).  Each
+    # is consumed twice — the staging build write AND the from-scratch
+    # rebuild audit — so the NARROW derived tables (digests/bands, not
+    # text) are cached for the op's duration: the corpus
+    # window-digest/sha256 passes run once instead of twice.  Released
+    # before returning (cache-scoping rule).
+    wins = _sscr_anchored_wins(docs, "doc_id").cache()
     bands_cached = _minhash_bands(spark, sf_dir)
     bands = bands_cached.select(
         "doc_id",
@@ -2366,7 +2387,7 @@ def index_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.sha2(F.encode(F.col("text"), "UTF-8"), 256).alias("payload_sha256"),
         F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
-    )
+    ).cache()
 
     tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
     warehouse = _urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
@@ -2405,88 +2426,106 @@ def index_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return v2
 
-    def cas_agg(members: DataFrame) -> DataFrame:
+    def _h(cols: list[str]):
+        return F.conv(
+            F.substring(F.md5(F.concat_ws("|", *cols)), 1, 8), 16, 10
+        ).cast("long")
+
+    _CAS_CHK = ["payload_sha256", "n_copies", "keeper_doc", "n_bytes", "savings"]
+    _CAS_RAW = ["doc_id", "payload_sha256", "n_bytes"]
+
+    def cas_audit(members: DataFrame, with_raw: bool) -> DataFrame:
+        """ONE pass over the membership table computing everything the
+        CAS audit needs: the served-view checksum (over the refcount
+        aggregate, so keeper promotion is checksummed), the
+        MEMBERSHIP-grain row count (= sum of n_copies over the groups —
+        ADVICE r12, high: counting the aggregate view undercounts on
+        dup-payload corpora), and optionally the physical-grain manifest
+        checksum (sum of per-member row hashes, carried through the
+        groupBy) — the previous form evaluated the membership derivation
+        up to three separate times for these."""
         g = members.groupBy("payload_sha256").agg(
             F.count("*").cast("long").alias("n_copies"),
             F.min("doc_id").cast("long").alias("keeper_doc"),
             F.min("n_bytes").cast("long").alias("n_bytes"),
+            *([F.sum(_h(_CAS_RAW)).alias("_raw")] if with_raw else []),
+        ).withColumn(
+            "savings",
+            ((F.col("n_copies") - 1) * F.col("n_bytes")).cast("long"),
         )
-        return g.select(
-            "payload_sha256",
-            "n_copies",
-            "keeper_doc",
-            "n_bytes",
-            ((F.col("n_copies") - 1) * F.col("n_bytes"))
-            .cast("long")
-            .alias("savings"),
-        )
+        aggs = [
+            F.coalesce(F.sum(_h(_CAS_CHK)), F.lit(0)).cast("long").alias("chk"),
+            F.coalesce(F.sum("n_copies"), F.lit(0)).cast("long").alias("cnt"),
+        ]
+        if with_raw:
+            aggs.append(
+                F.coalesce(F.sum("_raw"), F.lit(0)).cast("long").alias("chk_raw")
+            )
+        return g.agg(*aggs)
 
-    out_rows = []
     specs = [
         ("substring_win_index", "sscr", wins, "win_hash",
-         None, ["doc_id", "win_hash"]),
+         False, ["doc_id", "win_hash"]),
         ("minhash_band_index", "mh", bands, "bkey",
-         None, ["doc_id", "bkey"]),
+         False, ["doc_id", "bkey"]),
         ("cas_membership_index", "cas", cas_m, "payload_sha256",
-         cas_agg,
-         ["payload_sha256", "n_copies", "keeper_doc", "n_bytes", "savings"]),
+         True, _CAS_CHK),
     ]
-    for index_name, short, derivation, key, served, chk_cols in specs:
+
+    def run_spec(spec) -> tuple:
+        index_name, short, derivation, key, is_cas, chk_cols = spec
+        spark.sparkContext.setJobDescription(f"rtbf: {index_name}")
         tbl = build(short, derivation, key)
         v2 = propagate(tbl, key)
-        view = served if served is not None else (lambda d: d)
         # Audit grains (ADVICE r12, high): row COUNTS are always at
         # MEMBERSHIP grain — the grain of the maintained table that
         # rows_before counts — while the content CHECKSUM covers the
-        # SERVED view (for CAS, the refcount aggregate, so keeper
-        # promotion is itself checksummed).  Counting the aggregate view
-        # undercounts whenever payloads duplicate (sf0.1 ships 8
-        # byte-identical texts) and diverges from the oracle, which
-        # counts surviving membership rows.
+        # SERVED view (for CAS, the refcount aggregate).
         rows_before = spark.table(tbl).count()
-        a = _rtbf_checksum_agg(
-            view(spark.table(v2)),
-            chk_cols,
-            count_df=spark.table(v2) if served is not None else None,
-        ).first()
         survivors = derivation.join(F.broadcast(deletes), "doc_id", "anti")
-        r = _rtbf_checksum_agg(
-            view(survivors),
-            chk_cols,
-            count_df=survivors if served is not None else None,
-        ).first()
+        if is_cas:
+            a = cas_audit(spark.table(v2), with_raw=True).first()
+            r = cas_audit(survivors, with_raw=False).first()
+            man_chk, man_rows, man_cols = a["chk_raw"], a["cnt"], _CAS_RAW
+        else:
+            a = _rtbf_checksum_agg(spark.table(v2), chk_cols).first()
+            r = _rtbf_checksum_agg(survivors, chk_cols).first()
+            man_chk, man_rows, man_cols = a["chk"], a["cnt"], chk_cols
         # Commit record for the swap: [[index_snapshot_vacuum]] verifies
         # the live v2 against this before reclaiming the old version.
         # Manifests are PHYSICAL-grain (the table's own rows/columns) so
-        # any reader can re-derive them; for CAS that differs from the
-        # served-view checksum audited above, so re-derive it raw.
-        if served is None:
-            man_chk, man_rows, man_cols = a["chk"], a["cnt"], chk_cols
-        else:
-            man_cols = ["doc_id", "payload_sha256", "n_bytes"]
-            raw = _rtbf_checksum_agg(
-                spark.table(v2).select(*man_cols), man_cols
-            ).first()
-            man_chk, man_rows = raw["chk"], raw["cnt"]
+        # any reader can re-derive them.
         _write_snapshot_manifest(
             spark, v2, supersedes=tbl, chk=man_chk, rows=man_rows,
             chk_cols=man_cols,
         )
-        out_rows.append(
-            (
-                index_name,
-                rows_before,
-                rows_before - a["cnt"],
-                a["cnt"],
-                a["chk"],
-                int(a["chk"] == r["chk"] and a["cnt"] == r["cnt"]),
-            )
+        spark.sparkContext.setJobDescription(None)
+        return (
+            index_name,
+            rows_before,
+            rows_before - a["cnt"],
+            a["cnt"],
+            a["chk"],
+            int(a["chk"] == r["chk"] and a["cnt"] == r["cnt"]),
         )
+
+    # The three index pipelines are fully independent (separate
+    # derivations, separate tables) and each has serial phases (bucketed
+    # write commit, 1-row audit collects) that leave executors idle —
+    # overlap them from a small driver thread pool (guide §2.6: later
+    # jobs back-fill the tail of earlier ones).  Output order stays the
+    # spec order because pool.map preserves it.
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    with _TPE(max_workers=len(specs)) as _pool:
+        out_rows = list(_pool.map(run_spec, specs))
     # Audit values are collected eagerly (they also feed the snapshot
     # manifests), so the result carries no corpus lineage and the
-    # per-invocation band cache releases immediately (cache-scoping
-    # rule: long suites must not accumulate one cache per op).
+    # per-invocation caches release immediately (cache-scoping rule:
+    # long suites must not accumulate one cache per op).
     bands_cached.unpersist()
+    wins.unpersist()
+    cas_m.unpersist()
     return spark.createDataFrame(
         out_rows,
         "index_name string, rows_before long, rows_deleted long, "
@@ -2974,26 +3013,31 @@ def index_upsert_delete_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame
                 & (F.col("doc_id") % LIFE_DEL_MOD == e)
             )
             tombstones = tombstones.unionByName(new_tombs)
-        live = spark.table(tbl).join(
-            F.broadcast(tombstones), "doc_id", "anti"
-        )
-        tomb_rows = spark.table(tbl).join(
-            F.broadcast(tombstones), "doc_id", "semi"
-        )
+        # ONE index pass per epoch audit: the former anti-join (live
+        # stats) + semi-join (tombstoned count) pair scanned the table
+        # twice; a single broadcast LEFT join against the flagged
+        # tombstone set (doc_id unique — derived from the distinct doc
+        # scan, so no row multiplication) computes both sides with
+        # conditional aggregates.  Merge-on-read semantics unchanged:
+        # reads still pay exactly one broadcast join while tombstones
+        # exist.
+        flagged = tombstones.select("doc_id", F.lit(1).alias("is_del"))
         audits.append(
-            live.agg(
+            spark.table(tbl)
+            .join(F.broadcast(flagged), "doc_id", "left")
+            .agg(
                 F.lit(e).cast("long").alias("epoch"),
-                F.count("*").cast("long").alias("rows_live"),
-                F.coalesce(F.sum(hval), F.lit(0))
+                F.count(F.when(F.col("is_del").isNull(), 1))
+                .cast("long")
+                .alias("rows_live"),
+                F.count(F.when(F.col("is_del").isNotNull(), 1))
+                .cast("long")
+                .alias("tombstoned_rows"),
+                F.coalesce(
+                    F.sum(F.when(F.col("is_del").isNull(), hval)), F.lit(0)
+                )
                 .cast("long")
                 .alias("checksum_live"),
-            )
-            .crossJoin(
-                F.broadcast(
-                    tomb_rows.agg(
-                        F.count("*").cast("long").alias("tombstoned_rows")
-                    )
-                )
             )
             .select("epoch", "rows_live", "tombstoned_rows", "checksum_live")
             .localCheckpoint()

@@ -949,7 +949,9 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("node"), "n_name"
     )
 
-    def half_step(scores: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    def half_step(
+        scores: DataFrame, src_col: str, dst_col: str, materialize: bool = True
+    ) -> DataFrame:
         raw = (
             scores.join(edges, scores.node == edges[src_col])
             .select(
@@ -960,7 +962,7 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("x").cast("decimal(38,0)").alias("raw"))
         )
         tot = raw.agg(F.sum("raw").cast("decimal(38,0)").alias("l1"))
-        return (
+        out = (
             nodes.select("node")
             .join(raw, "node", "left")
             .crossJoin(F.broadcast(tot))
@@ -973,12 +975,18 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(0),
                 ).alias("r"),
             )
-            .localCheckpoint()
         )
+        return out.localCheckpoint() if materialize else out
 
     hub = nodes.select("node", F.lit(HITS_SCALE).cast("long").alias("r"))
     auth = None
     for _ in range(HITS_ITERS):
+        # Materialize BOTH half-steps: a lazy auth half is consumed
+        # twice inside the hub step (raw feeds the left-join AND the
+        # broadcast total), so skipping its checkpoint re-evaluates the
+        # edge join 2x per round and doubles the plan — measured r13:
+        # 2.7 s -> 3.9 s, 6 -> 22 Exchanges.  Two cheap node-grain
+        # materializations per round beat one doubled lazy plan.
         auth = half_step(hub, "src", "dst")
         hub = half_step(auth, "dst", "src")
     return (
@@ -1108,6 +1116,7 @@ def graph_kcore_peel_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     alive = und.select("node").distinct().localCheckpoint()
     layers = None
+    survivors = None
     for r in range(1, KCORE_ITERS + 1):
         nb_alive = und.join(
             alive.withColumnRenamed("node", "nb"), "nb"
@@ -1118,21 +1127,36 @@ def graph_kcore_peel_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("nb").alias("d"))
             .localCheckpoint()
         )
+        # Fixpoint early-exit: a round that peels NOTHING leaves `alive`
+        # unchanged, so every later round recomputes the same degrees
+        # and peels nothing either (peeling is monotone) — and this
+        # round's `deg` already IS the survivors' in-core degree table,
+        # so the post-loop recompute is skipped too.  The emptiness
+        # probe is a limit-1 job on the checkpointed deg.  Identical
+        # output; the fixtures converge at rounds 1/4/6, so the dead
+        # rounds were pure waste.
+        if deg.filter(F.col("d") < KCORE_K).isEmpty():
+            survivors = deg.select(
+                "node", F.lit(0).cast("long").alias("layer"), "d"
+            )
+            break
         peeled = deg.filter(F.col("d") < KCORE_K).select(
             "node", F.lit(r).cast("long").alias("layer"), "d"
         )
         layers = peeled if layers is None else layers.unionByName(peeled)
         alive = deg.filter(F.col("d") >= KCORE_K).select("node").localCheckpoint()
-    nb_alive = und.join(alive.withColumnRenamed("node", "nb"), "nb").select(
-        "node", "nb"
-    )
-    survivors = (
-        alive.join(nb_alive, "node", "left")
-        .groupBy("node")
-        .agg(F.count("nb").alias("d"))
-        .select("node", F.lit(0).cast("long").alias("layer"), "d")
-    )
-    return layers.unionByName(survivors).select(
+    if survivors is None:
+        nb_alive = und.join(alive.withColumnRenamed("node", "nb"), "nb").select(
+            "node", "nb"
+        )
+        survivors = (
+            alive.join(nb_alive, "node", "left")
+            .groupBy("node")
+            .agg(F.count("nb").alias("d"))
+            .select("node", F.lit(0).cast("long").alias("layer"), "d")
+        )
+    out = survivors if layers is None else layers.unionByName(survivors)
+    return out.select(
         F.col("node").cast("long").alias("p_partkey"),
         F.col("layer").cast("long").alias("peel_layer"),
         F.col("d").cast("long").alias("degree_at_peel"),

@@ -683,10 +683,11 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     # operators in one SparkSession, so a never-unpersisted corpus-sized
     # block leaks executor storage for the rest of the session): cache
     # assigned, eagerly materialize the SMALL dup_counts rollup against
-    # it, then unpersist before returning.  The returned plan re-scores
-    # assigned exactly once more — 2 scoring passes total vs 3 uncached —
-    # and the only block that outlives the call is dup_counts, which is
-    # duplicate-cardinality-sized, not corpus-sized.
+    # it, AND snapshot the narrow (vec_id, cell) projection from the
+    # live cache — so the returned plan re-scores NOTHING (1 scoring
+    # pass total; the previous form re-ran the fold once more in the
+    # final rollup).  The only blocks that outlive the call are
+    # dup_counts and the two-int-per-vector cell snapshot.
     assigned = assigned.cache()
     a, b = assigned.alias("a"), assigned.alias("b")
     cos = F.round(
@@ -703,12 +704,10 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy("vec_id").agg(F.count("*").alias("n_dup_partners")).cache()
     )
     dup_counts.count()  # force the pair join while assigned is cached
+    cells = assigned.select("vec_id", "cell").localCheckpoint()
     assigned.unpersist()
     return (
-        norms.select(
-            "vec_id",
-            (-F.array_max(scores)["negcell"]).cast("int").alias("cell"),
-        ).join(dup_counts, "vec_id", "left")
+        cells.join(dup_counts, "vec_id", "left")
         .select(
             "vec_id",
             "cell",
@@ -2676,6 +2675,14 @@ def kcenter_greedy_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     embarrassingly parallel; at a billion vectors the same loop holds
     with the checkpoint on reliable storage, or the relax fuses into
     [[ann_ivf_coarse]] cells for a sub-scan variant.
+
+    r13 optimization note — alternative MEASURED AND REJECTED: driving
+    the loop with collected centers as literal arrays (one checkpoint
+    total, 1 job/round, min-over-centers as one least()) was ~0.5 s
+    SLOWER at sf0.1 — round r's plan carries r x 64 literal doubles
+    and pays analysis/codegen per round, outweighing the saved
+    checkpoint of this node-bounded table.  The incremental
+    checkpointed relax below is the measured best.
 
     Reference analog: none (LLM-pipeline surface per the brief).
     """

@@ -5139,24 +5139,34 @@ def rouge_n_overlap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" (t, i) -> concat(t, ' ', element_at({col}, i + 2)))"
         )
 
-    def _counts(col, alias):
+    # Both ROUGE levels in ONE pass per side (the BLEU single-explode
+    # lever): unigrams and bigrams are tagged with their n and exploded
+    # together, collapsing 4 explode+aggregate passes, 2 gram joins,
+    # and 2 doc-grain joins into 2 passes, 1 join, 1 doc-grain join.
+    # Single-arg lambda: a two-arg one would be read as (element, INDEX).
+    def _tag(n):
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+
+    def _counts(col_name, alias):
+        tagged = F.concat(
+            F.transform(F.col(col_name), _tag(1)),
+            F.transform(_bigrams(col_name), _tag(2)),
+        )
         return (
-            pairs.select("doc_id", F.explode(col).alias("g"))
-            .groupBy("doc_id", "g")
+            pairs.select("doc_id", F.explode(tagged).alias("ng"))
+            .select("doc_id", F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
+            .groupBy("doc_id", "n", "g")
             .agg(F.count("*").alias(alias))
         )
 
-    m1 = (
-        _counts(F.col("ref_ts"), "cr")
-        .join(_counts(F.col("gen_ts"), "cg"), ["doc_id", "g"])
+    m = (
+        _counts("ref_ts", "cr")
+        .join(_counts("gen_ts", "cg"), ["doc_id", "n", "g"])
         .groupBy("doc_id")
-        .agg(F.sum(F.least("cr", "cg")).alias("o1"))
-    )
-    m2 = (
-        _counts(_bigrams("ref_ts"), "cr")
-        .join(_counts(_bigrams("gen_ts"), "cg"), ["doc_id", "g"])
-        .groupBy("doc_id")
-        .agg(F.sum(F.least("cr", "cg")).alias("o2"))
+        .agg(
+            F.sum(F.when(F.col("n") == 1, F.least("cr", "cg"))).alias("o1"),
+            F.sum(F.when(F.col("n") == 2, F.least("cr", "cg"))).alias("o2"),
+        )
     )
     tot = pairs.select(
         "doc_id",
@@ -5170,8 +5180,7 @@ def rouge_n_overlap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("r2_gen"),
     )
     return (
-        tot.join(m1, "doc_id", "left")
-        .join(m2, "doc_id", "left")
+        tot.join(m, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("o1", F.lit(0)).cast("long").alias("r1_match"),
@@ -6190,17 +6199,30 @@ def greedy_set_cover_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analog: none (LLM-pipeline surface per the brief).
     """
+    from pyspark.sql import Window as _W
+
     d = compute_scan(spark, sf_dir, "documents")
+    # Distinct (doc_id, t) via per-doc array_distinct before the explode:
+    # doc_id is constant within a row, so in-row dedup IS global dedup —
+    # the former corpus-wide `.distinct()` Exchange is gone from the dt
+    # build (the _doc_shingles lever).
     dt = (
-        d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("t"))
-        .distinct()
+        d.select(
+            "doc_id",
+            F.explode(F.array_distinct(tokenize(F.col("text")))).alias("t"),
+        )
         .localCheckpoint()
     )
     covered = spark.createDataFrame([], "t string").localCheckpoint()
     trace = None
     for r in range(1, SETCOVER_K + 1):
+        # covered is vocabulary-bounded and localCheckpoint-backed, so
+        # its stats are UNKNOWN to the planner — an unhinted anti-join
+        # plans sort-merge and re-shuffles the full doc-term table
+        # every round (measured r13: loop 4.7 s vs 2.0 s broadcast).
+        # Broadcasting it makes both anti-joins shuffle-free.
         gain = (
-            dt.join(covered, "t", "left_anti")
+            dt.join(F.broadcast(covered), "t", "left_anti")
             .groupBy("doc_id")
             .agg(F.count("*").alias("g"))
         )
@@ -6209,27 +6231,31 @@ def greedy_set_cover_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .localCheckpoint()
         )
-        covered = (
-            covered.unionByName(
-                dt.join(pick.select("doc_id"), "doc_id").select("t")
-            )
-            .distinct()
-            .localCheckpoint()
+        # The picked doc's NEW terms are disjoint from `covered` and
+        # internally distinct (dt is a distinct pair set), so the union
+        # needs no per-round distinct re-shuffle of the covered table.
+        covered = covered.unionByName(
+            dt.join(F.broadcast(pick.select("doc_id")), "doc_id")
+            .join(F.broadcast(covered), "t", "left_anti")
+            .select("t")
+        ).localCheckpoint()
+        step = pick.select(
+            F.lit(r).cast("long").alias("round"),
+            "doc_id",
+            F.col("g").cast("long").alias("new_terms"),
         )
-        row = (
-            pick.crossJoin(
-                F.broadcast(covered.agg(F.count("*").alias("ct")))
-            )
-            .select(
-                F.lit(r).cast("long").alias("round"),
-                "doc_id",
-                F.col("g").cast("long").alias("new_terms"),
-                F.col("ct").cast("long").alias("covered_total"),
-            )
-            .localCheckpoint()
-        )
-        trace = row if trace is None else trace.unionByName(row)
-    return trace
+        trace = step if trace is None else trace.unionByName(step)
+    # covered_total == running sum of new_terms: round r's gain counts
+    # exactly the terms newly added to the covered set (|cov_r| =
+    # |cov_{r-1}| + g_r), so the former per-round covered-count job +
+    # crossJoin is a {SETCOVER_K}-row window here instead.
+    w_run = _W.orderBy("round").rowsBetween(_W.unboundedPreceding, 0)
+    return trace.select(
+        "round",
+        "doc_id",
+        "new_terms",
+        F.sum("new_terms").over(w_run).cast("long").alias("covered_total"),
+    )
 
 
 # --- Round 11: exact ranking-metric eval pack ----------------------------
@@ -6652,35 +6678,58 @@ def bleu_ngram_component_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
 
+    # All four n-gram levels in ONE pass per side: each gram is tagged
+    # with its n and exploded once, so the former 8 explode+aggregate
+    # passes over the cached pairs, 4 (doc_id, gram) joins, and 4
+    # doc-grain left joins collapse to 2 passes, 1 join on
+    # (doc_id, n, gram), and 1 doc-grain left join — identical clipped
+    # counts (grams only ever match within their own n level).
+    def _tag(n):
+        # single-arg lambda: a two-arg lambda would be read by
+        # F.transform as (element, INDEX) and tag grams by position
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+
+    def _tagged(col):
+        return F.concat(
+            *[F.transform(ngrams(col, n), _tag(n)) for n in (1, 2, 3, 4)]
+        )
+
     def _counts(col, alias):
         return (
-            pairs.select("doc_id", F.explode(col).alias("g"))
-            .groupBy("doc_id", "g")
+            pairs.select("doc_id", F.explode(_tagged(col)).alias("ng"))
+            .select("doc_id", F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
+            .groupBy("doc_id", "n", "g")
             .agg(F.count("*").alias(alias))
         )
 
+    m = (
+        _counts(F.col("ref_ts"), "cr")
+        .join(_counts(F.col("gen_ts"), "cg"), ["doc_id", "n", "g"])
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("n") == n, F.least("cr", "cg"))).alias(
+                    f"_m{n}"
+                )
+                for n in (1, 2, 3, 4)
+            ]
+        )
+    )
     out = pairs.select(
         "doc_id",
         F.size("ref_ts").cast("long").alias("r_len"),
         F.size("gen_ts").cast("long").alias("c_len"),
-    )
+    ).join(m, "doc_id", "left")
+    cols = ["doc_id", "r_len", "c_len"]
     for n in (1, 2, 3, 4):
-        m = (
-            _counts(ngrams(F.col("ref_ts"), n), "cr")
-            .join(_counts(ngrams(F.col("gen_ts"), n), "cg"), ["doc_id", "g"])
-            .groupBy("doc_id")
-            .agg(F.sum(F.least("cr", "cg")).alias(f"_m{n}"))
+        out = out.withColumn(
+            f"m{n}", F.coalesce(f"_m{n}", F.lit(0)).cast("long")
+        ).withColumn(
+            f"g{n}",
+            F.greatest(F.col("c_len") - (n - 1), F.lit(0)).cast("long"),
         )
-        out = (
-            out.join(m, "doc_id", "left")
-            .withColumn(f"m{n}", F.coalesce(f"_m{n}", F.lit(0)).cast("long"))
-            .withColumn(
-                f"g{n}",
-                F.greatest(F.col("c_len") - (n - 1), F.lit(0)).cast("long"),
-            )
-            .drop(f"_m{n}")
-        )
-    return out
+        cols += [f"m{n}", f"g{n}"]
+    return out.select(*cols)
 
 
 # --- Round 11: black-box label-shift estimation (BBSE) --------------------
