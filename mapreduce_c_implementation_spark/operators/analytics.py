@@ -3012,21 +3012,31 @@ def fk_candidate_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         parent = (
             load_table(spark, sf_dir, pt).select(F.col(pc).alias("v")).distinct()
         )
+        # One FULL OUTER join of the two distinct-key tables yields all
+        # three counts in a single aggregate — the former shape scanned
+        # the parent TWICE (distinct for the left join + distinct again
+        # for the count) and attached the count via a cross join; this
+        # halves the parent passes and drops both extra plan arms per
+        # pair (guide §2.4).  Distinct keys are unique per side, so the
+        # full join is 1:1 and the sums count exactly the child set,
+        # the parent set, and their intersection.
         row = (
-            child.withColumn("_one", F.lit(1))
-            .join(parent.withColumn("_hit", F.lit(1)), "v", "left")
+            child.withColumn("_c", F.lit(1))
+            .join(parent.withColumn("_p", F.lit(1)), "v", "full")
             .agg(
-                F.count("*").cast("long").alias("n_child_distinct"),
-                F.sum(F.coalesce("_hit", F.lit(0)))
+                F.sum(F.coalesce("_c", F.lit(0)))
+                .cast("long")
+                .alias("n_child_distinct"),
+                F.sum(F.coalesce("_p", F.lit(0)))
+                .cast("long")
+                .alias("n_parent_distinct"),
+                F.sum(
+                    F.when(
+                        F.col("_c").isNotNull() & F.col("_p").isNotNull(), 1
+                    ).otherwise(0)
+                )
                 .cast("long")
                 .alias("n_contained"),
-            )
-            .crossJoin(
-                F.broadcast(
-                    parent.agg(
-                        F.count("*").cast("long").alias("n_parent_distinct")
-                    )
-                )
             )
             .select(
                 F.lit(f"{ct}.{cc}").alias("child_col"),

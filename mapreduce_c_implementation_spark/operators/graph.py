@@ -29,7 +29,7 @@ rationale).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_c_implementation_spark.registry import register
@@ -565,18 +565,25 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds = 0
     for _ in range(BFS_ITERS):
         rounds += 1
-        relaxed = dist.join(sym, dist.node == sym.u).select(
+        # sym is NATION-bounded (<= 25 nodes x top-k degree) but
+        # checkpointed, so its stats are unknown and the planner would
+        # sort-merge — broadcast explicitly (guide §3.1); the signature
+        # rides the checkpoint job via observe (one job/round, not two).
+        relaxed = dist.join(F.broadcast(sym), dist.node == sym.u).select(
             F.col("v").alias("node"), (F.col("dist") + 1).alias("dist")
         )
+        obs = Observation()
         dist = (
             dist.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("dist").cast("long").alias("dist"))
+            .observe(
+                obs, F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
+            )
             .localCheckpoint()  # truncate the doubling recurrence
         )
-        sig = tuple(
-            dist.agg(F.count("*"), F.sum("dist")).collect()[0]
-        )
+        got = obs.get
+        sig = (got["n"], got["s"])
         if sig == prev_sig:
             break
         prev_sig = sig
@@ -1393,17 +1400,24 @@ def graph_widest_path_bottleneck(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prev_sig = None
     for _ in range(WP_ITERS):
-        relaxed = width.join(sym, width.node == sym.u).select(
+        # Same two r13 levers as graph_bfs_distances: broadcast the
+        # nation-bounded backbone; observe-fused signature.
+        relaxed = width.join(F.broadcast(sym), width.node == sym.u).select(
             F.col("v").alias("node"),
             F.least(F.col("width"), F.col("wu")).alias("width"),
         )
+        obs = Observation()
         width = (
             width.unionByName(relaxed)
             .groupBy("node")
             .agg(F.max("width").cast("long").alias("width"))
+            .observe(
+                obs, F.count(F.lit(1)).alias("n"), F.sum("width").alias("s")
+            )
             .localCheckpoint()  # truncate the doubling recurrence
         )
-        sig = tuple(width.agg(F.count("*"), F.sum("width")).collect()[0])
+        got = obs.get
+        sig = (got["n"], got["s"])
         if sig == prev_sig:
             break
         prev_sig = sig

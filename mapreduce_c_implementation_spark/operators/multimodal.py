@@ -379,6 +379,12 @@ def multimodal_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"w{j}") > 0, 1).otherwise(0) * (1 << j)
         sim = term if sim is None else sim + term
     sig = bits.select("doc_id", sim.cast("long").alias("simhash"))
+    # r13 examined, kept as-is: carrying n_bytes through the shingle
+    # explode to skip this join-back measured SLOWER (2.63 s vs 2.37 s
+    # same-window A/B at sf0.1) — the extra 8 B/shingle-row across the
+    # corpus-sized vote exchange outweighs the doc-grain re-scan, which
+    # prunes to (doc_id, n_bytes) and never materializes hex.  This IS
+    # the guide §8 "decide with small rows" split.
     return (
         sig.join(p.select("doc_id", "n_bytes"), "doc_id")
         .groupBy("simhash")

@@ -16,7 +16,7 @@ rule-generated ±1 vectors, identical literals in both plans.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_c_implementation_spark.functions.vector import SQL_DOT as _SQL_DOT
@@ -961,13 +961,15 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: quantize -> posexplode {PQ_M} subvectors (narrow) ->
     codebook = tiny groupBy((label, m, dim)) integer means, broadcast
-    both into the encode argmin (window over (vec_id, m)) and the ADC
-    table build; scoring is an equi-join of per-vector codes against
-    the broadcast ADC table ({N_QUERIES} queries x {PQ_M} subspaces x
+    both into the encode argmin (IN-ROW array_min over broadcast per-m
+    candidate arrays — the [[ann_ivf_pq]] form; the former (vec_id, m)
+    window shuffled the whole subvector explode) and the ADC table
+    build; scoring is an equi-join of per-vector codes against the
+    broadcast ADC table ({N_QUERIES} queries x {PQ_M} subspaces x
     10 labels = 1,600 rows) + one (query, vec) sum; top-k is a
-    per-query window.  The only corpus-sized shuffles are the
-    (vec_id, m) argmin and the (query_id, vec_id) sum — both keyed
-    fine-grained, no global sort anywhere.
+    per-query window.  The only corpus-sized shuffle is the
+    (query_id, vec_id) sum — keyed fine-grained, no global sort
+    anywhere.
 
     Codebook note: per-LABEL centroids stand in for kmeans-trained PQ
     centroids so the oracle is exactly reproducible; swapping in
@@ -1026,18 +1028,32 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    scored_codes = subs.join(
-        F.broadcast(cb.select(F.col("label").alias("code"), "m", "cq")), "m"
-    ).select("vec_id", "label", "m", "code", subdist.alias("sd"))
     from pyspark.sql.window import Window
 
-    w_enc = Window.partitionBy("vec_id", "m").orderBy(F.asc("sd"), F.asc("code"))
-    enc = (
-        scored_codes.select(
-            "vec_id", "m", "code", F.row_number().over(w_enc).alias("rn")
+    # Encode via an IN-ROW argmin against broadcast per-m candidate
+    # arrays ({PQ_M} rows of 10 (code, centroid) structs) — min struct =
+    # (lowest subdist, lowest code), the same tie-break the former
+    # (vec_id, m) window's orderBy(sd, code)/rn=1 applied, with the
+    # corpus-sized encode shuffle removed outright (the upgrade
+    # [[ann_ivf_pq]]'s docstring names, back-ported; guide §2.4).
+    cands = cb.groupBy("m").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("label").alias("code"), "cq"))
+        ).alias("cands")
+    )
+    subdist_of = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("sub"), c["cq"], lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("cands"),
+            lambda c: F.struct(subdist_of(c).alias("sd"), c["code"].alias("code")),
         )
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    )
+    enc = subs.join(F.broadcast(cands), "m").select(
+        "vec_id", "m", best["code"].alias("code")
     )
     adc = (
         subs.filter(F.col("vec_id") < N_QUERIES)
@@ -3180,7 +3196,11 @@ def mmr_diverse_reranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     for k in range(2, MMR_K + 1):
-        chosen = sel.select("vec_id")
+        # chosen is <= MMR_K rows (a bounded constant) but checkpointed
+        # tables carry no stats, so both chosen-joins would plan as
+        # sort-merge with exchanges on every side — broadcast explicitly
+        # (guide §3.1); the candidate x pairs join stays keyed.
+        chosen = F.broadcast(sel.select("vec_id"))
         m = (
             cand.join(chosen, "vec_id", "left_anti")
             .join(pairs, F.col("vec_id") == F.col("ia"))
@@ -3326,28 +3346,39 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ci") + F.col("o.di")).alias("ci"),
         (F.col("cj") + F.col("o.dj")).alias("cj"),
     )
-    nbr = probes.join(dense, ["ci", "cj"]).select(
+    # Every table below is DENSE-CELL-bounded (coordinate range /
+    # DBSCAN_CELL, independent of corpus size), but localCheckpoint'd
+    # tables carry no stats, so the planner would pick SortMergeJoin —
+    # broadcast explicitly (guide §3.1; the greedy_set_cover lesson).
+    nbr = probes.join(F.broadcast(dense), ["ci", "cj"]).select(
         "ca", F.col("cid").alias("cb")
     ).localCheckpoint()
     labels = dense.select("cid", F.col("cid").alias("lab")).localCheckpoint()
     prev_sig = None
     for _ in range(DBSCAN_CC_ROUNDS):
-        prop = nbr.join(labels, nbr.ca == labels.cid).select(
+        prop = nbr.join(F.broadcast(labels), nbr.ca == labels.cid).select(
             F.col("cb").alias("cid"), "lab"
         )
+        # The (count, sum) fixpoint signature rides the checkpoint's own
+        # materialization job via observe — the former separate
+        # labels.agg(...).collect() job per round is gone (guide §1.5/
+        # §2.6: fewer jobs per round).
+        obs = Observation()
         labels = (
             labels.union(prop)
             .groupBy("cid")
             .agg(F.min("lab").alias("lab"))
+            .observe(obs, F.count(F.lit(1)).alias("n"), F.sum("lab").alias("s"))
             .localCheckpoint()
         )
-        sig = tuple(labels.agg(F.count("*"), F.sum("lab")).collect()[0])
+        got = obs.get
+        sig = (got["n"], got["s"])
         if sig == prev_sig:
             break
         prev_sig = sig
     return (
-        pts.join(dense, ["ci", "cj"], "left")
-        .join(labels, "cid", "left")
+        pts.join(F.broadcast(dense), ["ci", "cj"], "left")
+        .join(F.broadcast(labels), "cid", "left")
         .select(
             "vec_id",
             "ci",
