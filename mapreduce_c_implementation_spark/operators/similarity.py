@@ -1561,7 +1561,17 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query TOP_K windows are bounded by the probe set, not the
     corpus.
     """
-    exact = ann_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    # Both sides are K x probes TINY but carry the two expensive ANN
+    # pipelines as lineage; exact feeds TWO consumers (base + hits) and
+    # perq feeds the output union TWICE — without materialization the
+    # brute-force ground truth and the LSH pipeline re-run per
+    # reference (r13: pin each once with an eager localCheckpoint of
+    # the ~K*probes-row table; guide §5 lineage cut).
+    exact = (
+        ann_bruteforce_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
     approx = ann_lsh_bucketed(spark, sf_dir).select(
         F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
     )
@@ -1577,10 +1587,14 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.count("*").cast("long").alias("n_hit"))
     )
-    perq = base.join(hits, "query_id", "left").select(
-        "query_id",
-        "k_exact",
-        F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+    perq = (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "k_exact",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+        )
+        .localCheckpoint()
     )
     total = perq.agg(
         F.lit(-1).cast("long").alias("query_id"),

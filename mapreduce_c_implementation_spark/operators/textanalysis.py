@@ -2803,30 +2803,39 @@ def generation_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = cand.join(ref, "pair_id").cache()
 
-    def clipped(col_c: str, col_r: str, n: int) -> DataFrame:
-        src_c = pairs.select(
-            "pair_id",
-            F.explode(
-                F.col(col_c) if n == 1 else ngrams(F.col(col_c), n)
-            ).alias("g"),
-        ).groupBy("pair_id", "g").agg(F.count("*").alias("cc"))
-        src_r = pairs.select(
-            "pair_id",
-            F.explode(
-                F.col(col_r) if n == 1 else ngrams(F.col(col_r), n)
-            ).alias("g"),
-        ).groupBy("pair_id", "g").agg(F.count("*").alias("rc"))
+    # Both ROUGE levels in ONE pass per side (the rouge_n_overlap_eval /
+    # BLEU single-explode lever, r13): unigrams and bigrams are tagged
+    # with their n and exploded together, collapsing 4 explode+aggregate
+    # passes, 2 gram joins, and 2 pair-grain joins into 2 passes, 1
+    # join, 1 pair-grain join.
+    def _tag(n):
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+
+    def _counts(col_name: str, alias: str) -> DataFrame:
+        tagged = F.concat(
+            F.transform(F.col(col_name), _tag(1)),
+            F.transform(ngrams(F.col(col_name), 2), _tag(2)),
+        )
         return (
-            src_c.join(src_r, ["pair_id", "g"])
-            .groupBy("pair_id")
-            .agg(F.sum(F.least("cc", "rc")).alias("o"))
+            pairs.select("pair_id", F.explode(tagged).alias("ng"))
+            .select(
+                "pair_id", F.col("ng.n").alias("n"), F.col("ng.g").alias("g")
+            )
+            .groupBy("pair_id", "n", "g")
+            .agg(F.count("*").alias(alias))
         )
 
-    o1 = clipped("cts", "rts", 1).withColumnRenamed("o", "o1")
-    o2 = clipped("cts", "rts", 2).withColumnRenamed("o", "o2")
+    ov = (
+        _counts("cts", "cc")
+        .join(_counts("rts", "rc"), ["pair_id", "n", "g"])
+        .groupBy("pair_id")
+        .agg(
+            F.sum(F.when(F.col("n") == 1, F.least("cc", "rc"))).alias("o1"),
+            F.sum(F.when(F.col("n") == 2, F.least("cc", "rc"))).alias("o2"),
+        )
+    )
     return (
-        pairs.join(o1, "pair_id", "left")
-        .join(o2, "pair_id", "left")
+        pairs.join(ov, "pair_id", "left")
         .select(
             "pair_id",
             "cand_id",

@@ -13,6 +13,8 @@ DataFrame before any wide transform — assert via plans.scan_pushdown.
 
 from __future__ import annotations
 
+from weakref import WeakKeyDictionary
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -30,10 +32,30 @@ TABLES = (
     "embeddings",
 )
 
+# Per-session memo of resolved reader DataFrames (r13).  Every
+# `spark.read.parquet` call re-lists the path and re-reads a footer for
+# schema inference — ~100-160 ms of DRIVER-side planning per call, paid
+# by every operator and 10x by register_views (~1.4 s measured).  A
+# DataFrame is a lazy plan: memoizing it caches catalog METADATA only
+# (the same thing a real catalog table or the guide §6 file-listing
+# cache provides) — every execution still scans the parquet files, so
+# nothing about results or intermediates persists.  Keyed weakly by the
+# SparkSession (tests/driver build several) and by sf_dir; the fixture
+# tables are immutable for a session's lifetime, which is what makes
+# the listing reusable.
+_READER_MEMO: WeakKeyDictionary = WeakKeyDictionary()
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    try:
+        per_session = _READER_MEMO.setdefault(spark, {})
+        df = per_session.get((sf_dir, name))
+        if df is not None:
+            return df
+    except TypeError:  # non-weakref-able session stub (tests)
+        per_session = None
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS); with
@@ -45,6 +67,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # `div` = integer division — float division would lose ulps
             # at 1e18-scale nanosecond values (> 2^53).
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if per_session is not None:
+        per_session[(sf_dir, name)] = df
     return df
 
 
