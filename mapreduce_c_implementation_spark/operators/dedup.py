@@ -1186,23 +1186,27 @@ def dedup_cc_stars(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the smaller neighborhood (edges already hold a > b, so each
         # undirected edge appears exactly once with a = larger end).
         smins = large.groupBy("a").agg(F.min("b").alias("m"))
+        # |small| rides the checkpoint's own materialization job via
+        # observe (r13) — the separate count() job per round is gone.
+        obs = Observation()
         small = (
             large.join(smins, "a")
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .union(smins.select(F.col("a"), F.col("m").alias("b")))
             .filter(F.col("a") != F.col("b"))
             .distinct()
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint()
         )
         # fixed point: star edge sets are distinct and share the a > b
         # invariant, so set equality == equal counts + empty except.
-        # |edges| is memoized from the previous round's small.count()
+        # |edges| is memoized from the previous round's observed count
         # (first round pays one count of the checkpointed seed) — the
         # table is already materialized, so recounting it every round
         # was a pure extra job.
         if n_edges is None:
             n_edges = edges.count()
-        n_small = small.count()
+        n_small = obs.get["n"]
         if n_small == n_edges and small.exceptAll(edges).isEmpty():
             edges = small
             break
