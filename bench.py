@@ -406,8 +406,22 @@ def main() -> None:
 
     # The driver captures only a stdout TAIL; alphabetically-early
     # per-query times fell outside the window in past rounds
-    # (BENCH_r06.json "parsed": null).  Also land the complete payload
-    # in-repo so the artifact can never be truncated.
+    # (BENCH_r06.json "parsed": null, BENCH_r12.json likewise).  Two
+    # mitigations (VERDICT r13 item 3b, additions-only — the full
+    # payload line below is unchanged and still printed LAST):
+    #   1. a compact summary line printed first, so a reader scanning
+    #      the whole log always finds the total even if the big line
+    #      is truncated;
+    #   2. the complete payload landed in-repo (BENCH_LOCAL.json) so
+    #      the artifact can never be truncated.
+    summary = {
+        "metric": "headline_total_wall_summary",
+        "value": payload["value"],
+        "unit": "sec",
+        "sf": sf,
+        "cpus": spark.sparkContext.defaultParallelism,
+    }
+    print(json.dumps(summary), flush=True)
     out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     if out_path:
         try:

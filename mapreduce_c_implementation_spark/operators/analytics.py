@@ -3020,20 +3020,28 @@ def fk_candidate_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pair (guide §2.4).  Distinct keys are unique per side, so the
         # full join is 1:1 and the sums count exactly the child set,
         # the parent set, and their intersection.
+        # coalesce(sum(..), 0): with BOTH distinct-key sets empty the
+        # join has zero rows and sum() would return NULL where the old
+        # two-scan shape returned 0 (ADVICE r13) — unreachable on the
+        # non-empty fixtures, pinned anyway so degenerate inputs stay
+        # well-defined.
         row = (
             child.withColumn("_c", F.lit(1))
             .join(parent.withColumn("_p", F.lit(1)), "v", "full")
             .agg(
-                F.sum(F.coalesce("_c", F.lit(0)))
+                F.coalesce(F.sum(F.coalesce("_c", F.lit(0))), F.lit(0))
                 .cast("long")
                 .alias("n_child_distinct"),
-                F.sum(F.coalesce("_p", F.lit(0)))
+                F.coalesce(F.sum(F.coalesce("_p", F.lit(0))), F.lit(0))
                 .cast("long")
                 .alias("n_parent_distinct"),
-                F.sum(
-                    F.when(
-                        F.col("_c").isNotNull() & F.col("_p").isNotNull(), 1
-                    ).otherwise(0)
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("_c").isNotNull() & F.col("_p").isNotNull(), 1
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
                 )
                 .cast("long")
                 .alias("n_contained"),

@@ -2422,6 +2422,16 @@ def suffix_array_ranked_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket-sort + full-data Window node before the filter) is gone.
     # The bucket filter drops WHOLE buckets, so lag/lead neighbors
     # within surviving buckets are unchanged by filtering after.
+    # r14 examined, REJECTED (VERDICT r13 item 6): pruning the sorted
+    # set to collided buckets via a pre-aggregated shuffled-hash
+    # semi-join on bucket (count partials shuffle, only ~15% of rows
+    # sorted — plan pair in plans/r14/suffix_array_ranked_lcp_*.txt)
+    # measured 0.81x in a controlled same-window A/B (5.45 -> 6.72 s,
+    # control flat at 0.97): buckets are mostly UNIQUE, so the
+    # per-bucket count aggregate barely compacts map-side and its
+    # exchange plus the hash build cost more than the 85% sort cut —
+    # the screen's proxy rows are nearly as many as the data rows,
+    # which breaks the §8 "decide with small rows" premise.
     w_rank = Window.partitionBy("bucket").orderBy("sk", "doc_id", "i")
     w_all = w_rank.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing

@@ -850,7 +850,9 @@ def dedup_quality_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     # Argmax-with-min-id-tiebreak in ONE aggregate: struct ordering
     # compares score first, then -doc_id, so the max struct carries the
     # highest score and (via the negation) the smallest doc_id among
-    # its holders.
+    # its holders.  (The negation assumes non-negative doc_ids — true
+    # of every fixture and of the synthetic id space by construction;
+    # only doc_id == Long.MIN_VALUE could overflow.)
     best = member.groupBy("cluster_id").agg(
         F.count("*").cast("long").alias("cluster_size"),
         F.max(
@@ -1188,6 +1190,12 @@ def dedup_cc_stars(spark: SparkSession, sf_dir: str) -> DataFrame:
         smins = large.groupBy("a").agg(F.min("b").alias("m"))
         # |small| rides the checkpoint's own materialization job via
         # observe (r13) — the separate count() job per round is gone.
+        # Invariant (ADVICE r13): DataFrame.localCheckpoint() is EAGER
+        # on Spark 4.1 (it runs the plan via withAction), which is what
+        # delivers the Observation metrics; obs.get below would block
+        # forever under a lazy checkpoint.  Applies to every
+        # observe-fused fixpoint in this repo (cc, cc_stars, entity
+        # resolution, bfs, widest-path, dbscan).
         obs = Observation()
         small = (
             large.join(smins, "a")

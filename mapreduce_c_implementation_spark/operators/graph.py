@@ -1094,13 +1094,20 @@ def graph_kcore_peel_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: pure integer counting — degrees, layers, keys.
 
-    Scale shape: pair enumeration is basket-keyed (fan-out <=
-    lines-per-order squared, the [[association_rules_parts]] bound);
-    each peel round is one node-keyed equi-join + aggregate over a
-    MONOTONICALLY SHRINKING alive set, lineage capped per round by
-    `localCheckpoint`.  Full coreness needs O(peel-depth) rounds;
-    the fixed-k core converges in a handful because each round
-    removes entire cascades.
+    Scale shape (r14 rewrite, guide §1.2/§2.4): pair enumeration is
+    basket-keyed (fan-out <= lines-per-order squared, the
+    [[association_rules_parts]] bound).  Peeling is INCREMENTAL: the
+    full degree table is computed once (und carries both directions,
+    so one groupBy IS the round-1 alive-join the old shape paid), and
+    each round only subtracts the edges incident to the nodes peeled
+    THAT round — deg over alive_r == deg over alive_{r-1} minus edges
+    into peeled_{r-1}, because alive only shrinks.  Per-round shuffle
+    is therefore proportional to the PEELED frontier's edges (each
+    edge crosses at most twice over the whole loop — O(E) total, was
+    O(E x rounds)); `und` is pre-partitioned and pre-sorted on `nb`
+    before its one checkpoint, so every round's frontier join streams
+    it exchange-free and sort-free, and `deg` stays node-partitioned
+    across checkpoints so the decrement join never re-shuffles it.
 
     Reference analog: none (SURVEY §2.2 graph surface).
     """
@@ -1116,52 +1123,64 @@ def graph_kcore_peel_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("w"))
         .filter(F.col("w") >= KCORE_MIN_W)
     )
+    # Pre-partition + pre-sort on the join key ONCE, held in a SCOPED
+    # cache (unpersisted after the loop — the returned plan references
+    # only checkpointed deg tables, never und).  A cache, not a
+    # checkpoint: InMemoryRelation preserves outputPartitioning and
+    # outputOrdering, so every round's frontier join streams the edge
+    # side with no Exchange and no Sort (guide §2.5 partition
+    # alignment); localCheckpoint surfaces as UnknownPartitioning and
+    # would re-shuffle the full edge table each round.
     und = (
         kedges.select(F.col("u").alias("node"), F.col("v").alias("nb"))
         .union(kedges.select(F.col("v").alias("node"), F.col("u").alias("nb")))
-        .localCheckpoint()
+        .repartition(F.col("nb"))
+        .sortWithinPartitions("nb")
+        .cache()
     )
-    alive = und.select("node").distinct().localCheckpoint()
+    # Full in-graph degree: und holds both directions of every edge,
+    # so one count per `node` equals the old round-1 alive-join result
+    # (every nb is itself a node of und, hence alive at round 1).
+    deg = und.groupBy("node").agg(F.count("*").alias("d")).localCheckpoint()
     layers = None
     survivors = None
     for r in range(1, KCORE_ITERS + 1):
-        nb_alive = und.join(
-            alive.withColumnRenamed("node", "nb"), "nb"
-        ).select("node", "nb")
-        deg = (
-            alive.join(nb_alive, "node", "left")
-            .groupBy("node")
-            .agg(F.count("nb").alias("d"))
-            .localCheckpoint()
-        )
-        # Fixpoint early-exit: a round that peels NOTHING leaves `alive`
-        # unchanged, so every later round recomputes the same degrees
-        # and peels nothing either (peeling is monotone) — and this
-        # round's `deg` already IS the survivors' in-core degree table,
-        # so the post-loop recompute is skipped too.  The emptiness
-        # probe is a limit-1 job on the checkpointed deg.  Identical
-        # output; the fixtures converge at rounds 1/4/6, so the dead
-        # rounds were pure waste.
-        if deg.filter(F.col("d") < KCORE_K).isEmpty():
+        # Fixpoint early-exit: a round that peels NOTHING leaves alive
+        # unchanged, so every later round would peel nothing either
+        # (peeling is monotone) — and `deg` already IS the survivors'
+        # in-core degree table.  The emptiness probe is a limit-1 job
+        # on the checkpointed deg.
+        peeled = deg.filter(F.col("d") < KCORE_K)
+        if peeled.isEmpty():
             survivors = deg.select(
                 "node", F.lit(0).cast("long").alias("layer"), "d"
             )
             break
-        peeled = deg.filter(F.col("d") < KCORE_K).select(
+        layer_r = peeled.select(
             "node", F.lit(r).cast("long").alias("layer"), "d"
         )
-        layers = peeled if layers is None else layers.unionByName(peeled)
-        alive = deg.filter(F.col("d") >= KCORE_K).select("node").localCheckpoint()
-    if survivors is None:
-        nb_alive = und.join(alive.withColumnRenamed("node", "nb"), "nb").select(
-            "node", "nb"
-        )
-        survivors = (
-            alive.join(nb_alive, "node", "left")
+        layers = layer_r if layers is None else layers.unionByName(layer_r)
+        # Decrement: each surviving node loses exactly its edges into
+        # the peeled frontier.  Only frontier-incident edges shuffle.
+        dec = (
+            und.join(peeled.select(F.col("node").alias("nb")), "nb")
             .groupBy("node")
-            .agg(F.count("nb").alias("d"))
-            .select("node", F.lit(0).cast("long").alias("layer"), "d")
+            .agg(F.count("*").alias("dd"))
         )
+        deg = (
+            deg.filter(F.col("d") >= KCORE_K)
+            .join(dec, "node", "left")
+            .select(
+                "node", (F.col("d") - F.coalesce("dd", F.lit(0))).alias("d")
+            )
+            .localCheckpoint()
+        )
+    und.unpersist()
+    if survivors is None:
+        # All KCORE_ITERS rounds peeled: deg was updated by the last
+        # decrement, so it already holds degrees within alive_ITERS —
+        # the old shape recomputed this with one more full und join.
+        survivors = deg.select("node", F.lit(0).cast("long").alias("layer"), "d")
     out = survivors if layers is None else layers.unionByName(survivors)
     return out.select(
         F.col("node").cast("long").alias("p_partkey"),

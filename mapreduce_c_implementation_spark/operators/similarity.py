@@ -16,6 +16,8 @@ rule-generated ±1 vectors, identical literals in both plans.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
@@ -600,6 +602,37 @@ def _sem_dot_spark(k: int, emb: Column) -> Column:
     )
 
 
+def _sem_scores_np():
+    """Vectorized twin of the {SEM_CELLS} `_sem_dot_spark` folds (guide
+    §4.2): one Arrow-batched pandas UDF computes every cell score for a
+    batch of vectors with numpy, BIT-IDENTICAL to the interpreted HOF
+    fold — the loop adds term i = sign(k, i) * emb[i] for i = 1..dim in
+    exactly the fold's order (numpy elementwise ops are strict IEEE
+    doubles, no FMA/reassociation), so round(score, 6) and the argmax
+    tiebreak downstream cannot diverge from the DuckDB oracle.  Returns
+    RAW sums; rounding and the argmax stay in the JVM exactly as
+    before."""
+    signs = np.array(
+        [
+            [
+                1.0 if ((i * 125 + k * 114 + i * k * 6) % 127) < 63 else -1.0
+                for i in range(1, EMB_DIM + 1)
+            ]
+            for k in range(SEM_CELLS)
+        ]
+    )  # (cells, dims)
+
+    @F.pandas_udf("array<double>")
+    def scores(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy()).astype(np.float64, copy=False)  # (n, d)
+        acc = np.zeros((m.shape[0], SEM_CELLS))
+        for i in range(EMB_DIM):  # fold order: i ascending, acc + term
+            acc = acc + m[:, i : i + 1] * signs[:, i]
+        return pd.Series(list(acc))
+
+    return scores
+
+
 _SQL_SEM_CELL_SCORES = " UNION ALL ".join(
     f"SELECT vec_id, label, embedding, nrm, {k} AS cell, "
     f"round({_sem_dot_sql(k, 'embedding')}, 6) AS cscore FROM norms"
@@ -660,17 +693,21 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cell — identical to the oracle's row_number() ORDER BY cscore
     # DESC, cell ASC — with NO explode and NO per-vector window shuffle
     # (the previous form shuffled SEM_CELLS rows per vector just to
-    # rank them).
+    # rank them).  r14: the {SEM_CELLS} x {EMB_DIM} score sums come from
+    # ONE numpy pandas UDF (fold-order-exact, see _sem_scores_np)
+    # instead of {SEM_CELLS} interpreted HOF folds per row; round(., 6)
+    # and the argmax are unchanged JVM expressions.
+    cs = F.col("_cs")
     scores = F.array(
         *[
             F.struct(
-                F.round(_sem_dot_spark(k, F.col("embedding")), 6).alias("cscore"),
+                F.round(F.element_at(cs, k + 1), 6).alias("cscore"),
                 F.lit(-k).alias("negcell"),
             )
             for k in range(SEM_CELLS)
         ]
     )
-    assigned = norms.select(
+    assigned = norms.withColumn("_cs", _sem_scores_np()("embedding")).select(
         "vec_id",
         "embedding",
         "nrm",

@@ -45,6 +45,47 @@ def test_inverted_index_job_end_to_end(spark, sf_correct):
     assert res.metrics.wall_s > 0
 
 
+def test_arrow_tokenizer_matches_jvm_tokenize(spark):
+    """The flagship job's Arrow map+combine (tokenize_pairs_arrow, r14)
+    must produce exactly the postings the JVM ``tokenize`` path did —
+    including the reference's edge semantics: >255-char alnum runs keep
+    their first 255 chars with the tail DROPPED, Unicode characters are
+    delimiters (never lowercased into ASCII tokens), empty and
+    delimiter-only lines contribute nothing."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_c_implementation_spark.functions.text import (
+        tokenize,
+        tokenize_pairs_arrow,
+    )
+
+    rows = [
+        ("a" * 300 + " tail", "f1"),  # long run: first 255 kept, tail dropped
+        ("İstanbul naïve café ŷz", "f1"),  # unicode delimiters
+        ("", "f2"),
+        ("...---...", "f2"),
+        ("MiXeD CaSe 123abc", "f3"),
+        ("x" + "9" * 260, "f3"),
+        ("tab\tsep and ümlaut", "f4"),
+        ("ıIİi", "f4"),  # dotless/dotted i family must not merge
+    ]
+    df = spark.createDataFrame(rows, "line string, fname string")
+    jvm = (
+        df.select(F.explode(tokenize(F.col("line"))).alias("word"), "fname")
+        .groupBy("word")
+        .agg(F.sort_array(F.collect_set("fname")).alias("files"))
+    )
+    arrow = (
+        df.mapInArrow(tokenize_pairs_arrow, schema="word string, fname string")
+        .groupBy("word")
+        .agg(F.sort_array(F.collect_set("fname")).alias("files"))
+    )
+    jvm_rows = sorted((r.word, tuple(r.files)) for r in jvm.collect())
+    arrow_rows = sorted((r.word, tuple(r.files)) for r in arrow.collect())
+    assert jvm_rows == arrow_rows
+    assert ("a" * 255, ("f1",)) in jvm_rows  # truncation actually exercised
+
+
 def test_job_validation():
     with pytest.raises(ValueError):
         MapReduceJob(input_paths=[], output_dir="/tmp/x").validate()
