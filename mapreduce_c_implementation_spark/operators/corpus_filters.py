@@ -2322,7 +2322,7 @@ def _sql_lateral(steps: list[tuple[str, str]]) -> str:
 
 
 _SQL_SUFFIXES = f"""
-    suf AS (
+    suf AS MATERIALIZED (
       SELECT doc_id, CAST(i AS BIGINT) AS i,
              substr(text, i, {SUFFIX_MINLEN}) AS bucket,
              substr(text, i, {SUFFIX_K}) AS sk
@@ -2339,7 +2339,7 @@ _SQL_SUFFIXES = f"""
     "suffix_array_ranked_lcp",
     oracle_sql=f"""
     WITH {_SQL_SUFFIXES.strip()},
-    nbr AS (
+    nbr AS MATERIALIZED (
       SELECT doc_id, i, sk,
              coalesce(lag(sk) OVER w, '') AS prev_sk,
              coalesce(lead(sk) OVER w, '') AS next_sk
@@ -2347,7 +2347,7 @@ _SQL_SUFFIXES = f"""
       WHERE nb >= 2
       WINDOW w AS (PARTITION BY bucket ORDER BY sk, doc_id, i)
     ),
-    lcp AS (
+    lcp AS MATERIALIZED (
       SELECT doc_id, i,
              {_sql_lateral(lcp_step_exprs("sk", "prev_sk", "_p", "lcp_prev"))},
              {_sql_lateral(lcp_step_exprs("sk", "next_sk", "_n", "lcp_next"))},
@@ -2791,7 +2791,7 @@ def substring_exact_trim_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT d.doc_id, d.text FROM documents d
       JOIN flagged_docs USING (doc_id)
     ),
-    suf AS (
+    suf AS MATERIALIZED (
       SELECT doc_id, CAST(i AS BIGINT) AS i,
              substr(text, i, {SUFFIX_MINLEN}) AS bucket
       FROM (

@@ -598,6 +598,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = cand.repartition(spark.sparkContext.defaultParallelism)
     na = norms.alias("na")
     nb = norms.alias("nb")
+    # r14 examined, REJECTED: routing this per-pair dot through np_dot
+    # (the fold-order-exact numpy pandas UDF that wins 2x inside
+    # semdedup_cells) measured 0.71x here in a controlled same-window
+    # A/B (1.57 -> 2.22 s, control flat at 1.00): the LSH bands leave
+    # only a few thousand candidate pairs, so the Arrow round-trip of
+    # two 64-dim arrays per row costs more than the interpreted folds
+    # it replaces — the §4.2 lever needs enough rows per batch to
+    # amortize the boundary, which semdedup's within-cell join has and
+    # this post-banding verify does not.
     cos = _spark_dot(F.col("na.embedding"), F.col("nb.embedding")) / (
         F.col("na.nrm") * F.col("nb.nrm")
     )

@@ -445,14 +445,14 @@ def _bfs_oracle() -> str:
     ``_pagerank_oracle``: the recursive term would aggregate over the
     recursive reference."""
     ctes = [
-        """und AS (
+        """und AS MATERIALIZED (
       SELECT least(src, dst) AS u, greatest(src, dst) AS v,
              CAST(sum(w) AS BIGINT) AS wu
       FROM edges WHERE src <> dst GROUP BY 1, 2
     )""",
         "inc AS (SELECT u AS a, v AS b, wu FROM und"
         " UNION ALL SELECT v, u, wu FROM und)",
-        f"""topE AS (
+        f"""topE AS MATERIALIZED (
       SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM (
         SELECT a, b,
                row_number() OVER (PARTITION BY a ORDER BY wu DESC, b ASC)
@@ -460,13 +460,13 @@ def _bfs_oracle() -> str:
         FROM inc
       ) WHERE rn <= {BFS_NODE_DEGREE}
     )""",
-        "sym AS (SELECT u, v FROM topE UNION ALL SELECT v, u FROM topE)",
+        "sym AS MATERIALIZED (SELECT u, v FROM topE UNION ALL SELECT v, u FROM topE)",
         f"d0 AS (SELECT CAST({BFS_SOURCE} AS BIGINT) AS node,"
         f" CAST(0 AS BIGINT) AS dist)",
     ]
     for k in range(BFS_ITERS):
         ctes.append(
-            f"""d{k + 1} AS (
+            f"""d{k + 1} AS MATERIALIZED (
       SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
         SELECT node, dist FROM d{k}
         UNION ALL
@@ -1309,14 +1309,14 @@ def _widest_oracle() -> str:
     unrolled like ``_bfs_oracle`` because the recursive term would
     aggregate over the recursive reference."""
     ctes = [
-        """und AS (
+        """und AS MATERIALIZED (
       SELECT least(src, dst) AS u, greatest(src, dst) AS v,
              CAST(sum(w) AS BIGINT) AS wu
       FROM edges WHERE src <> dst GROUP BY 1, 2
     )""",
         "inc AS (SELECT u AS a, v AS b, wu FROM und"
         " UNION ALL SELECT v, u, wu FROM und)",
-        f"""topE AS (
+        f"""topE AS MATERIALIZED (
       SELECT least(a, b) AS u, greatest(a, b) AS v,
              CAST(max(wu) AS BIGINT) AS wu FROM (
         SELECT a, b, wu,
@@ -1326,13 +1326,13 @@ def _widest_oracle() -> str:
       ) WHERE rn <= {BFS_NODE_DEGREE}
       GROUP BY 1, 2
     )""",
-        "sym AS (SELECT u, v, wu FROM topE UNION ALL SELECT v, u, wu FROM topE)",
+        "sym AS MATERIALIZED (SELECT u, v, wu FROM topE UNION ALL SELECT v, u, wu FROM topE)",
         f"w0 AS (SELECT CAST({WP_SOURCE} AS BIGINT) AS node,"
         f" CAST({WP_INIT} AS BIGINT) AS width)",
     ]
     for k in range(WP_ITERS):
         ctes.append(
-            f"""w{k + 1} AS (
+            f"""w{k + 1} AS MATERIALIZED (
       SELECT node, CAST(max(width) AS BIGINT) AS width FROM (
         SELECT node, width FROM w{k}
         UNION ALL

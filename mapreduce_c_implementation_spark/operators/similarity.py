@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_c_implementation_spark.functions.vector import SQL_DOT as _SQL_DOT
+from mapreduce_c_implementation_spark.functions.vector import np_dot as _np_dot
 from mapreduce_c_implementation_spark.functions.vector import spark_dot as _spark_dot
 from mapreduce_c_implementation_spark.registry import register
 from mapreduce_c_implementation_spark.sources import load_table
@@ -727,8 +728,12 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dup_counts and the two-int-per-vector cell snapshot.
     assigned = assigned.cache()
     a, b = assigned.alias("a"), assigned.alias("b")
+    # r14: the within-cell exact dot is np_dot — the fold-order-exact
+    # numpy twin of the interpreted fold (guide §4.2, bit-identical; see
+    # functions/vector.py) — so the pair-verify stage is one Arrow batch
+    # per partition instead of one interpreted 64-step fold per pair.
     cos = F.round(
-        _spark_dot(F.col("a.embedding"), F.col("b.embedding"))
+        _np_dot()(F.col("a.embedding"), F.col("b.embedding"))
         / (F.col("a.nrm") * F.col("b.nrm")),
         6,
     )

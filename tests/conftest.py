@@ -29,3 +29,27 @@ def sf_smoke() -> str:
 @pytest.fixture(scope="session")
 def sf_correct() -> str:
     return SF_CORRECT
+
+
+# Driver-gate-first collection order (VERDICT r13 item 3a): the driver
+# runs `pytest tests/ -x -q` inside a bounded verify window; in r13 the
+# window closed at ~87% with zero failures and the gate read
+# inconclusive.  Collect the driver-contract-critical files FIRST —
+# entry/job contract, plan gates, streaming seams, then the
+# oracle-vs-DuckDB sweep — so a truncated window has already confirmed
+# the gates that matter, and the tail that gets cut is the
+# least-critical remainder.  Ordering only; every test still runs.
+_GATE_FILE_ORDER = [
+    "test_job_api.py",
+    "test_mapreduce_core.py",
+    "test_plans.py",
+    "test_streaming.py",
+    "test_chunked_source.py",
+    "test_metrics.py",
+    "test_operators_vs_oracle.py",
+]
+
+
+def pytest_collection_modifyitems(session, config, items):
+    rank = {name: i for i, name in enumerate(_GATE_FILE_ORDER)}
+    items.sort(key=lambda it: rank.get(Path(it.fspath).name, len(rank)))

@@ -60,7 +60,7 @@ def test_rocksdb_state_store_provider_invariance(spark, sf_correct):
     under either provider — this is the state-store analog of the
     shuffle-partition invariance sweep.  Exercises a stateful windowed
     aggregate AND the arbitrary-state operator under RocksDB."""
-    from tests.oracle import canonical_rows
+    from tests.oracle import canonical_rows, run_oracle
 
     provider_conf = "spark.sql.streaming.stateStore.providerClass"
     rocksdb = (
@@ -69,15 +69,21 @@ def test_rocksdb_state_store_provider_invariance(spark, sf_correct):
     orig = spark.conf.get(provider_conf)
     # stream_asof_join covers the chained stateful pipeline (interval
     # join -> windowed max) under RocksDB, not just single-operator state.
+    # The RocksDB run is compared against the op's DuckDB ORACLE rather
+    # than a fresh default-provider re-run: default-provider == oracle is
+    # already proven by test_operators_vs_oracle for all three ops, so
+    # the transitive guarantee is identical and the test runs 3 streaming
+    # executions instead of 6 (r14 — this test was the suite's single
+    # heaviest at ~96 s, half of it re-deriving known baselines).
     for name in ["stream_tumbling_window", "stream_stateful_totals", "stream_asof_join"]:
         op = get_operator(name)
-        baseline = canonical_rows(op.query_fn(spark, sf_correct).toPandas())
         try:
             spark.conf.set(provider_conf, rocksdb)
             under_rocksdb = canonical_rows(op.query_fn(spark, sf_correct).toPandas())
         finally:
             spark.conf.set(provider_conf, orig)
-        assert under_rocksdb == baseline, f"{name} diverged under RocksDB"
+        oracle = canonical_rows(run_oracle(op.oracle_sql, sf_correct))
+        assert under_rocksdb == oracle, f"{name} diverged under RocksDB"
 
 
 def test_checkpoint_restart_exactly_once(spark, sf_correct, tmp_path):
