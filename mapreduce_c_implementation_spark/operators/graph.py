@@ -1140,22 +1140,35 @@ def graph_kcore_peel_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Full in-graph degree: und holds both directions of every edge,
     # so one count per `node` equals the old round-1 alive-join result
-    # (every nb is itself a node of und, hence alive at round 1).
-    deg = und.groupBy("node").agg(F.count("*").alias("d")).localCheckpoint()
+    # (every nb is itself a node of und, hence alive at round 1).  The
+    # peel-frontier size rides each checkpoint's own materialization
+    # job via observe (the r13 fixpoint pattern — localCheckpoint is
+    # eager, which is what delivers the metric), so the per-round
+    # emptiness probe costs NO extra job.
+    obs = Observation()
+    n_peel_metric = F.sum(
+        F.when(F.col("d") < KCORE_K, 1).otherwise(0)
+    ).alias("n_peel")
+    deg = (
+        und.groupBy("node")
+        .agg(F.count("*").alias("d"))
+        .observe(obs, n_peel_metric)
+        .localCheckpoint()
+    )
     layers = None
     survivors = None
     for r in range(1, KCORE_ITERS + 1):
         # Fixpoint early-exit: a round that peels NOTHING leaves alive
         # unchanged, so every later round would peel nothing either
         # (peeling is monotone) — and `deg` already IS the survivors'
-        # in-core degree table.  The emptiness probe is a limit-1 job
-        # on the checkpointed deg.
-        peeled = deg.filter(F.col("d") < KCORE_K)
-        if peeled.isEmpty():
+        # in-core degree table.  (sum over an empty deg is NULL: all
+        # nodes peeled ⇒ nothing left to peel.)
+        if (obs.get["n_peel"] or 0) == 0:
             survivors = deg.select(
                 "node", F.lit(0).cast("long").alias("layer"), "d"
             )
             break
+        peeled = deg.filter(F.col("d") < KCORE_K)
         layer_r = peeled.select(
             "node", F.lit(r).cast("long").alias("layer"), "d"
         )
@@ -1167,12 +1180,14 @@ def graph_kcore_peel_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.count("*").alias("dd"))
         )
+        obs = Observation()
         deg = (
             deg.filter(F.col("d") >= KCORE_K)
             .join(dec, "node", "left")
             .select(
                 "node", (F.col("d") - F.coalesce("dd", F.lit(0))).alias("d")
             )
+            .observe(obs, n_peel_metric)
             .localCheckpoint()
         )
     und.unpersist()
